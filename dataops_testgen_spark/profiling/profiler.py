@@ -1,0 +1,261 @@
+"""Column profiler: the reference's per-column profiling query, Spark-first.
+
+The reference issues ONE SQL query PER COLUMN against the target DB
+(`/root/reference/testgen/commands/run_profiling.py:179-184`).  Here all
+columns of a table are profiled in a SINGLE ``df.agg`` (one scan, one job),
+plus one combined unpivot job for the secondary pass (top patterns / top
+frequency values — `project_secondary_profiling_query.sql:1-34`), so a table
+profile is O(1) Spark jobs regardless of column count.
+
+Scale notes (100 TB):
+- the primary agg is a full-scan partial-aggregate → single-row result; no
+  shuffle of data rows, only of per-partition aggregate states.
+- ``approx=True`` switches COUNT(DISTINCT) to HLL and percentiles to
+  ``percentile_approx`` so the plan stays one-pass (exact distinct adds an
+  expand+shuffle per distinct expression).
+- sampling mirrors the reference (>100k rows → Bernoulli sample, seed 64,
+  post-hoc scaling of count metrics; distinct counts deliberately unscaled —
+  `template/profiling/project_update_profile_results_to_estimates.sql:1-31`).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataops_testgen_spark import schema_scan
+from dataops_testgen_spark.profiling import expressions as X
+from dataops_testgen_spark.profiling import regexes as RX
+from dataops_testgen_spark.profiling.secondary import secondary_profile
+
+# Metrics scaled by 1/sample_ratio when sampling (count-like). Distinct counts
+# intentionally NOT scaled (project_update_profile_results_to_estimates.sql).
+_SCALED_METRICS = {
+    "value_ct", "null_value_ct", "zero_value_ct", "zero_length_ct",
+    "lead_space_ct", "quoted_value_ct", "includes_digit_ct", "filled_value_ct",
+    "upper_case_ct", "lower_case_ct", "non_alpha_ct", "mixed_case_ct",
+    "non_printing_ct", "numeric_ct", "date_ct", "embedded_space_ct",
+    "boolean_true_ct", "before_1yr_date_ct", "before_5yr_date_ct",
+    "before_20yr_date_ct", "before_100yr_date_ct", "within_1yr_date_ct",
+    "within_1mo_date_ct", "future_date_ct", "distant_future_date_ct",
+}
+
+PROFILE_SCHEMA = T.StructType([
+    T.StructField("table_name", T.StringType()),
+    T.StructField("column_name", T.StringType()),
+    T.StructField("ordinal_position", T.IntegerType()),
+    T.StructField("column_type", T.StringType()),
+    T.StructField("general_type", T.StringType()),
+    T.StructField("is_decimal", T.BooleanType()),
+    T.StructField("run_date", T.StringType()),
+    T.StructField("sample_ratio", T.DoubleType()),
+    T.StructField("record_ct", T.LongType()),
+    T.StructField("value_ct", T.LongType()),
+    T.StructField("distinct_value_ct", T.LongType()),
+    T.StructField("null_value_ct", T.LongType()),
+    T.StructField("min_length", T.IntegerType()),
+    T.StructField("max_length", T.IntegerType()),
+    T.StructField("avg_length", T.DoubleType()),
+    T.StructField("zero_value_ct", T.LongType()),
+    T.StructField("zero_length_ct", T.LongType()),
+    T.StructField("lead_space_ct", T.LongType()),
+    T.StructField("quoted_value_ct", T.LongType()),
+    T.StructField("includes_digit_ct", T.LongType()),
+    T.StructField("filled_value_ct", T.LongType()),
+    T.StructField("distinct_std_value_ct", T.LongType()),
+    T.StructField("min_text", T.StringType()),
+    T.StructField("max_text", T.StringType()),
+    T.StructField("upper_case_ct", T.LongType()),
+    T.StructField("lower_case_ct", T.LongType()),
+    T.StructField("non_alpha_ct", T.LongType()),
+    T.StructField("mixed_case_ct", T.LongType()),
+    T.StructField("non_printing_ct", T.LongType()),
+    T.StructField("numeric_ct", T.LongType()),
+    T.StructField("date_ct", T.LongType()),
+    T.StructField("embedded_space_ct", T.LongType()),
+    T.StructField("avg_embedded_spaces", T.DoubleType()),
+    T.StructField("std_pattern_match", T.StringType()),
+    T.StructField("min_value", T.DoubleType()),
+    T.StructField("max_value", T.DoubleType()),
+    T.StructField("min_value_over_0", T.DoubleType()),
+    T.StructField("avg_value", T.DoubleType()),
+    T.StructField("stdev_value", T.DoubleType()),
+    T.StructField("percentile_25", T.DoubleType()),
+    T.StructField("percentile_50", T.DoubleType()),
+    T.StructField("percentile_75", T.DoubleType()),
+    T.StructField("fractional_sum", T.DoubleType()),
+    T.StructField("min_date", T.TimestampType()),
+    T.StructField("max_date", T.TimestampType()),
+    T.StructField("before_1yr_date_ct", T.LongType()),
+    T.StructField("before_5yr_date_ct", T.LongType()),
+    T.StructField("before_20yr_date_ct", T.LongType()),
+    T.StructField("before_100yr_date_ct", T.LongType()),
+    T.StructField("within_1yr_date_ct", T.LongType()),
+    T.StructField("within_1mo_date_ct", T.LongType()),
+    T.StructField("future_date_ct", T.LongType()),
+    T.StructField("distant_future_date_ct", T.LongType()),
+    T.StructField("date_days_present", T.LongType()),
+    T.StructField("date_weeks_present", T.LongType()),
+    T.StructField("date_months_present", T.LongType()),
+    T.StructField("boolean_true_ct", T.LongType()),
+    T.StructField("top_patterns", T.StringType()),
+    T.StructField("distinct_pattern_ct", T.LongType()),
+    T.StructField("top_freq_values", T.StringType()),
+    T.StructField("distinct_value_hash", T.StringType()),
+])
+
+_METRIC_FIELDS = [f.name for f in PROFILE_SCHEMA.fields[9:]]  # after record_ct
+
+# Sampling defaults — dbsetup/030_...sql:113-114, profiling_query.py:22-53.
+SAMPLE_MIN_COUNT = 100_000
+SAMPLE_PERCENT = 0.30
+SAMPLE_MAX_ROWS = 999_000
+SAMPLE_SEED = 64
+
+
+def _column_exprs(col: schema_scan.ColumnChars, idx: int, run_date: _dt.date,
+                  approx: bool, exact_percentiles: bool):
+    c = F.col(col.column_name)
+    metrics = X.shared_metrics(c)
+    metrics["distinct_value_ct"] = X.distinct_metric(c, approx)
+    gt = col.general_type
+    if gt == "A":
+        metrics.update(X.alpha_metrics(c, approx))
+    elif gt == "N":
+        metrics.update(X.numeric_metrics(c, col.is_decimal, exact_percentiles))
+    elif gt == "D":
+        metrics.update(X.date_metrics(c, run_date))
+    elif gt == "B":
+        metrics.update(X.boolean_metrics(c))
+    return [expr.alias(f"c{idx}__{name}") for name, expr in metrics.items()]
+
+
+def _alias_of(col) -> str:
+    """The alias assigned via Column.alias (last name in the expression)."""
+    return col._jc.toString().rsplit(" AS ", 1)[-1].strip("`")
+
+
+def _classify_std_pattern(vals: dict, value_ct: int) -> str | None:
+    """First pattern whose match ratio clears its threshold (:85-106)."""
+    if not value_ct:
+        return None
+    for label, _re, thr in RX.STD_PATTERNS:
+        ct = vals.get(f"stdpat_{label}")
+        if ct is not None and ct / value_ct >= thr:
+            return label
+    return None
+
+
+def profile_table(
+    df: DataFrame,
+    table_name: str,
+    run_date: _dt.date | str | None = None,
+    approx: bool = False,
+    exact_percentiles: bool = True,
+    sample: bool = False,
+    secondary: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Profile every column of ``df`` → one row per column (profile_results).
+
+    One aggregate job for all primary metrics + one unpivot job for the
+    secondary (top-k) metrics.
+    """
+    spark = df.sparkSession
+    if isinstance(run_date, str):
+        run_date = _dt.date.fromisoformat(run_date)
+    run_date = run_date or _dt.date.today()
+
+    chars = schema_scan.scan_table(df, table_name, with_count=True)
+    record_ct = chars.record_ct or 0
+    cols = [c for c in chars.columns if columns is None or c.column_name in columns]
+
+    sample_ratio = 1.0
+    target = df
+    if sample and record_ct > SAMPLE_MIN_COUNT:
+        frac = max(SAMPLE_PERCENT, min(1.0, SAMPLE_MIN_COUNT / record_ct))
+        frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
+        target = df.sample(fraction=frac, seed=SAMPLE_SEED)
+        sample_ratio = frac
+
+    exprs = []
+    for i, col in enumerate(cols):
+        exprs.extend(_column_exprs(col, i, run_date, approx, exact_percentiles))
+
+    # Exact COUNT(DISTINCT) aggregates make Catalyst expand every row once per
+    # distinct expression; mixed with sort-based aggs (percentile) that plan
+    # degrades ~10×. Run distinct aggregates as a separate hash-agg job unless
+    # approx=True (HLL sketches need no expand → everything stays one pass).
+    if approx:
+        main_exprs, dist_exprs = exprs, []
+    else:
+        dist_names = ("__distinct_value_ct", "__distinct_std_value_ct",
+                      "__date_days_present", "__date_weeks_present",
+                      "__date_months_present")
+        main_exprs = [e for e in exprs if not _alias_of(e).endswith(dist_names)]
+        dist_exprs = [e for e in exprs if _alias_of(e).endswith(dist_names)]
+
+    row = {}
+    if main_exprs:
+        row.update(target.agg(*main_exprs).collect()[0].asDict())
+    if dist_exprs:
+        row.update(target.agg(*dist_exprs).collect()[0].asDict())
+
+    out_rows = []
+    for i, col in enumerate(cols):
+        prefix = f"c{i}__"
+        vals = {k[len(prefix):]: v for k, v in row.items() if k.startswith(prefix)}
+        if sample_ratio < 1.0:
+            for m in list(vals):
+                if m in _SCALED_METRICS and vals[m] is not None:
+                    vals[m] = int(round(vals[m] / sample_ratio))
+        rec = {
+            "table_name": table_name,
+            "column_name": col.column_name,
+            "ordinal_position": col.ordinal_position,
+            "column_type": col.column_type,
+            "general_type": col.general_type,
+            "is_decimal": col.is_decimal,
+            "run_date": run_date.isoformat(),
+            "sample_ratio": sample_ratio,
+            "record_ct": record_ct,
+        }
+        for m in _METRIC_FIELDS:
+            rec[m] = vals.get(m)
+        if col.general_type == "A":
+            value_ct = vals.get("value_ct") or 0
+            rec["std_pattern_match"] = _classify_std_pattern(vals, value_ct)
+            rec["mixed_case_ct"] = (
+                None if value_ct == 0 else
+                (vals.get("value_ct") or 0)
+                - (vals.get("upper_case_ct") or 0)
+                - (vals.get("lower_case_ct") or 0)
+                - (vals.get("non_alpha_ct") or 0)
+            )
+        out_rows.append(rec)
+
+    profile = spark.createDataFrame(
+        [tuple(r[f.name] for f in PROFILE_SCHEMA.fields) for r in out_rows],
+        PROFILE_SCHEMA,
+    )
+    if secondary:
+        sec = secondary_profile(target, [c for c in cols if c.general_type == "A"], table_name)
+        if sec is not None:
+            profile = (
+                profile.drop("top_patterns", "distinct_pattern_ct",
+                             "top_freq_values", "distinct_value_hash")
+                .join(sec, ["table_name", "column_name"], "left")
+                .select(*[f.name for f in PROFILE_SCHEMA.fields])
+            )
+    return profile
+
+
+def profile_tables(tables: dict[str, DataFrame], **kwargs) -> DataFrame:
+    out = None
+    for name in sorted(tables):
+        p = profile_table(tables[name], name, **kwargs)
+        out = p if out is None else out.unionByName(p)
+    return out

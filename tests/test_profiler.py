@@ -1,0 +1,125 @@
+"""Golden-value tests for the column profiler on a crafted fixture
+(FIXTURES.md Family B style — each column pins specific metrics)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from dataops_testgen_spark.profiling.profiler import profile_table
+
+RUN_DATE = "2026-01-01"
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    schema = T.StructType([
+        T.StructField("id_pk", T.LongType()),
+        T.StructField("txt", T.StringType()),
+        T.StructField("num", T.DoubleType()),
+        T.StructField("dt", T.DateType()),
+        T.StructField("flag", T.BooleanType()),
+    ])
+    d = datetime.date
+    rows = [
+        (1, "Alpha", 1.5, d(2025, 12, 30), True),
+        (2, "BRAVO", 2.5, d(2025, 6, 1), False),
+        (3, "charlie", 0.0, d(2000, 1, 1), True),
+        (4, " lead", 10.0, d(2026, 5, 1), None),
+        (5, '"quoted"', -3.25, d(1900, 1, 1), True),
+        (6, "", None, None, False),
+        (7, None, 4.0, d(2025, 12, 15), True),
+        (8, "N/A", 4.0, d(2025, 12, 15), True),
+        (9, "123", 4.0, d(2048, 1, 1), False),
+        (10, "0", 0.0, d(2025, 1, 2), True),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def profile(fixture_df):
+    p = profile_table(fixture_df, "fix", run_date=RUN_DATE)
+    return {r["column_name"]: r.asDict() for r in p.collect()}
+
+
+def test_shared_counts(profile):
+    assert profile["id_pk"]["record_ct"] == 10
+    assert profile["id_pk"]["value_ct"] == 10
+    assert profile["id_pk"]["distinct_value_ct"] == 10
+    assert profile["txt"]["value_ct"] == 9
+    assert profile["txt"]["null_value_ct"] == 1
+    assert profile["num"]["null_value_ct"] == 1
+
+
+def test_alpha_metrics(profile):
+    t = profile["txt"]
+    assert t["zero_length_ct"] == 1
+    assert t["lead_space_ct"] == 1
+    assert t["quoted_value_ct"] == 1
+    assert t["filled_value_ct"] == 2          # "N/A" + "0" (run-of-zeros)
+    assert t["zero_value_ct"] == 1            # "0"
+    assert t["includes_digit_ct"] == 2        # "123", "0"
+    assert t["upper_case_ct"] == 2            # BRAVO, N/A
+    assert t["lower_case_ct"] == 3            # charlie, " lead", '"quoted"'
+    assert t["non_alpha_ct"] == 3             # "", "123", "0"
+    assert t["mixed_case_ct"] == 9 - 2 - 3 - 3  # Alpha
+    assert t["numeric_ct"] == 2
+    assert t["min_length"] == 0
+    assert t["max_length"] == 8
+
+
+def test_numeric_metrics(profile):
+    n = profile["num"]
+    assert n["min_value"] == -3.25
+    assert n["max_value"] == 10.0
+    assert n["min_value_over_0"] == 1.5
+    assert n["zero_value_ct"] == 2
+    assert abs(n["avg_value"] - (1.5 + 2.5 + 0 + 10 - 3.25 + 4 + 4 + 4 + 0) / 9) < 1e-9
+    assert n["percentile_50"] == 2.5
+    # fractional_sum = .5 + .5 + .25
+    assert abs(n["fractional_sum"] - 1.25) < 1e-9
+
+
+def test_date_metrics(profile):
+    dt = profile["dt"]
+    assert dt["future_date_ct"] == 2          # 2026-05-01, 2048-01-01
+    assert dt["distant_future_date_ct"] == 1  # 2048
+    assert dt["before_20yr_date_ct"] == 2     # 2000, 1900
+    assert dt["before_100yr_date_ct"] == 1    # 1900
+    assert dt["within_1mo_date_ct"] == 3      # 2025-12-30 + 2025-12-15 ×2 rows
+    assert dt["date_days_present"] == 8
+    assert dt["min_date"] == datetime.datetime(1900, 1, 1)
+    assert dt["max_date"] == datetime.datetime(2048, 1, 1)
+
+
+def test_boolean_metrics(profile):
+    assert profile["flag"]["boolean_true_ct"] == 6
+
+
+def test_secondary(profile):
+    t = profile["txt"]
+    assert t["distinct_pattern_ct"] == 9
+    assert t["top_patterns"] is not None
+    assert t["top_freq_values"] is not None
+    assert t["distinct_value_hash"] is not None
+
+
+def test_std_pattern_email(spark):
+    df = spark.createDataFrame(
+        [(f"user{i}@example.com",) for i in range(19)] + [("not-an-email",)],
+        "email: string",
+    )
+    p = profile_table(df, "emails", run_date=RUN_DATE)
+    row = p.collect()[0]
+    assert row["std_pattern_match"] == "EMAIL"
+
+
+def test_sampling_scales_counts(spark):
+    df = spark.range(0, 200_000).withColumnRenamed("id", "v")
+    p = profile_table(df, "big", run_date=RUN_DATE, sample=True, secondary=False,
+                      exact_percentiles=False)
+    row = p.collect()[0]
+    assert row["sample_ratio"] < 1.0
+    # scaled value_ct should be within 2% of the true count
+    assert abs(row["value_ct"] - 200_000) / 200_000 < 0.02
+    assert row["record_ct"] == 200_000
