@@ -14,13 +14,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataops_testgen_spark.execution import query_tests as QT
+from dataops_testgen_spark.execution.cat import run_cat_tests
+from dataops_testgen_spark.execution.defs import TestDef
 from dataops_testgen_spark.profiling.profiler import profile_table
 
 RUN_DATE = "2026-08-01"  # pinned so date metrics are deterministic
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from dataops_testgen_spark.io.loaders import load_table as _load  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -255,6 +257,218 @@ GROUP BY column_name"""
 
 
 # --------------------------------------------------------------------------
+# Q: cat_tests_lineitem — CAT engine (SURVEY §2.5): 16 tests fused in one agg
+# --------------------------------------------------------------------------
+# Each spec: (TestDef, duckdb measure SQL, duckdb fail-condition SQL).
+# Baselines are fixed constants so both sides are static.
+
+_CAT_SPECS: list[tuple[TestDef, str, str]] = [
+    (TestDef("row_ct", "Row_Ct", "lineitem", params={"threshold_value": 1000}),
+     "COUNT(*)::DOUBLE", "{m} < 1000"),
+    (TestDef("unique_orderkey", "Unique", "lineitem", "l_orderkey",
+             params={"threshold_value": 0}),
+     "(COUNT(*) - COUNT(DISTINCT l_orderkey))::DOUBLE", "{m} > 0"),
+    (TestDef("required_qty", "Required", "lineitem", "l_quantity",
+             params={"threshold_value": 0}),
+     "(COUNT(*) - COUNT(l_quantity))::DOUBLE", "{m} > 0"),
+    (TestDef("min_val_price", "Min_Val", "lineitem", "l_extendedprice",
+             params={"baseline_value": 900.0, "threshold_value": 0}),
+     "SUM(CASE WHEN l_extendedprice < 900.0 - 1e-6 THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0"),
+    (TestDef("constant_status", "Constant", "lineitem", "l_linestatus",
+             params={"baseline_value": "F", "threshold_value": 0}),
+     "SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("lov_all_flag", "LOV_All", "lineitem", "l_returnflag",
+             params={"threshold_value": "A|N|R"}),
+     None, None),  # string measure — handled separately below
+    (TestDef("lov_match_status", "LOV_Match", "lineitem", "l_linestatus",
+             params={"baseline_value": ["F", "O"], "threshold_value": 0}),
+     "SUM(CASE WHEN NULLIF(l_linestatus,'') NOT IN ('F','O') THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0"),
+    (TestDef("pattern_flag", "Pattern_Match", "lineitem", "l_returnflag",
+             params={"baseline_value": "^[A-Z]$", "threshold_value": 0}),
+     "(COUNT(NULLIF(l_returnflag,'')) - SUM(CASE WHEN regexp_matches(NULLIF(l_returnflag,''), '^[A-Z]$') THEN 1 ELSE 0 END))::DOUBLE",
+     "{m} > 0"),
+    (TestDef("future_ship", "Future_Date", "lineitem", "l_shipdate",
+             params={"threshold_value": 0}),
+     f"SUM(CASE WHEN CAST(l_shipdate AS DATE) > DATE '{RUN_DATE}' THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0"),
+    (TestDef("recency_ship", "Recency", "lineitem", "l_shipdate",
+             params={"threshold_value": 36500}),
+     f"date_diff('day', MAX(CAST(l_shipdate AS DATE)), DATE '{RUN_DATE}')::DOUBLE",
+     "{m} > 36500"),
+    (TestDef("daily_ship", "Daily_Record_Ct", "lineitem", "l_shipdate",
+             params={"threshold_value": 0}),
+     "(date_diff('day', MIN(CAST(l_shipdate AS DATE)), MAX(CAST(l_shipdate AS DATE))) + 1 - COUNT(DISTINCT CAST(l_shipdate AS DATE)))::DOUBLE",
+     "{m} > 0"),
+    (TestDef("weekly_ship", "Weekly_Rec_Ct", "lineitem", "l_shipdate",
+             params={"threshold_value": 0}),
+     "(MAX(FLOOR(date_diff('day', DATE '1800-01-06', CAST(l_shipdate AS DATE))/7)) - MIN(FLOOR(date_diff('day', DATE '1800-01-06', CAST(l_shipdate AS DATE))/7)) + 1 - COUNT(DISTINCT FLOOR(date_diff('day', DATE '1800-01-06', CAST(l_shipdate AS DATE))/7)))::DOUBLE",
+     "{m} > 0"),
+    (TestDef("monthly_ship", "Monthly_Rec_Ct", "lineitem", "l_shipdate",
+             params={"threshold_value": 0}),
+     "(MAX(YEAR(l_shipdate)*12 + MONTH(l_shipdate)) - MIN(YEAR(l_shipdate)*12 + MONTH(l_shipdate)) + 1 - COUNT(DISTINCT YEAR(l_shipdate)*12 + MONTH(l_shipdate)))::DOUBLE",
+     "{m} > 0"),
+    (TestDef("avg_shift_qty", "Avg_Shift", "lineitem", "l_quantity",
+             params={"baseline_value_ct": 60000, "baseline_avg": 25.5,
+                     "baseline_sd": 14.43, "threshold_value": 0.5}),
+     "ABS((AVG(l_quantity) - 25.5) / SQRT(((COUNT(l_quantity)::DOUBLE - 1)*POWER(STDDEV_SAMP(l_quantity),2) + (60000.0 - 1)*POWER(14.43,2)) / NULLIF(COUNT(l_quantity)::DOUBLE + 60000.0, 0)))",
+     "{m} >= 0.5"),
+    (TestDef("missing_pct_tax", "Missing_Pct", "lineitem", "l_tax",
+             params={"baseline_ct": 60000, "baseline_value_ct": 59000,
+                     "threshold_value": 2.0}),
+     "ABS(2.0*ASIN(SQRT(59000.0/60000.0)) - 2.0*ASIN(SQRT(COUNT(l_tax)::DOUBLE / NULLIF(COUNT(*),0)::DOUBLE)))",
+     "{m} >= 2.0"),
+    (TestDef("outlier_above_price", "Outlier_Pct_Above", "lineitem",
+             "l_extendedprice",
+             params={"baseline_avg": 53054.0, "baseline_sd": 30083.0,
+                     "threshold_value": 0.05}),
+     "SUM(CASE WHEN l_extendedprice > 53054.0 + 2.0*30083.0 THEN 1 ELSE 0 END)::DOUBLE / NULLIF(COUNT(l_extendedprice),0)::DOUBLE",
+     "{m} > 0.05"),
+    (TestDef("variability_disc", "Variability_Increase", "lineitem", "l_discount",
+             params={"baseline_sd": 0.029, "threshold_value": 120}),
+     "100.0*STDDEV_SAMP(l_discount)/0.029", "{m} > 120"),
+    (TestDef("dec_trunc_price", "Dec_Trunc", "lineitem", "l_extendedprice",
+             params={"threshold_value": 100.0}),
+     "SUM(ROUND(ABS(l_extendedprice % 1), 5)) + 1", "{m} < 100.0"),
+    (TestDef("unique_pct_part", "Unique_Pct", "lineitem", "l_partkey",
+             params={"baseline_value_ct": 60000, "baseline_unique_ct": 2000,
+                     "threshold_value": 0.5}),
+     "ABS(2.0*ASIN(SQRT(2000.0/60000.0)) - 2.0*ASIN(SQRT(COUNT(DISTINCT l_partkey)::DOUBLE / NULLIF(COUNT(l_partkey),0)::DOUBLE)))",
+     "{m} >= 0.5"),
+]
+
+
+def q_cat_tests_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "lineitem")
+    defs = [spec[0] for spec in _CAT_SPECS]
+    res = run_cat_tests({"lineitem": df}, defs, run_date=RUN_DATE)
+    return res.select(
+        "test_id", "test_type", "column_name",
+        F.round("result_measure", 5).alias("result_measure"),
+        "result_measure_str", "result_code",
+    )
+
+
+def _sql_cat_tests() -> str:
+    parts = []
+    for td, m_sql, cond in _CAT_SPECS:
+        if td.test_type == "LOV_All":
+            m_sql_str = "string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag)"
+            parts.append(f"""
+SELECT '{td.test_id}' AS test_id, '{td.test_type}' AS test_type,
+       '{td.column_name}' AS column_name,
+       NULL::DOUBLE AS result_measure,
+       {m_sql_str} AS result_measure_str,
+       CASE WHEN {m_sql_str} <> 'A|N|R' THEN 0 ELSE 1 END AS result_code
+FROM {td.table_name}""")
+            continue
+        col = "NULL" if td.column_name is None else f"'{td.column_name}'"
+        parts.append(f"""
+SELECT '{td.test_id}' AS test_id, '{td.test_type}' AS test_type,
+       {col} AS column_name,
+       ROUND({m_sql}, 5) AS result_measure,
+       NULL::VARCHAR AS result_measure_str,
+       CASE WHEN {cond.format(m=m_sql)} THEN 0 ELSE 1 END AS result_code
+FROM {td.table_name}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Q: QUERY tests — Dupe_Rows / Combo_Match / Aggregate_Balance /
+#    Timeframe_Combo_Match / Distribution_Shift (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+def q_dupe_rows_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "part")
+    return QT.dupe_rows(df, ["p_brand", "p_type", "p_size"])
+
+
+_SQL_DUPE_ROWS = """
+SELECT p_brand, p_type, p_size, COUNT(*)::BIGINT AS record_ct
+FROM part GROUP BY p_brand, p_type, p_size HAVING COUNT(*) > 1"""
+
+
+def q_combo_match_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return QT.combo_match(cust, ["c_custkey"], orders, ["o_custkey"])
+
+
+_SQL_COMBO_MATCH = """
+SELECT c_custkey FROM (
+  SELECT DISTINCT c_custkey FROM customer
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders)"""
+
+
+def q_aggregate_balance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    bad = QT.aggregate_balance(
+        orders, ["o_orderkey"], F.round(F.sum("o_totalprice"), 2),
+        li, ["l_orderkey"], F.round(F.sum("l_extendedprice"), 2),
+    )
+    return bad.select("o_orderkey", "total", "match_total")
+
+
+_SQL_AGG_BALANCE = """
+WITH t1 AS (SELECT o_orderkey AS k, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1),
+t2 AS (SELECT l_orderkey AS k, ROUND(SUM(l_extendedprice), 2) AS match_total
+       FROM lineitem GROUP BY 1)
+SELECT COALESCE(t1.k, t2.k) AS o_orderkey, total, match_total
+FROM t1 FULL JOIN t2 ON t1.k = t2.k
+WHERE total <> match_total
+   OR (total IS NOT NULL AND match_total IS NULL)
+   OR (total IS NULL AND match_total IS NOT NULL)"""
+
+
+def q_timeframe_combo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return QT.timeframe_combo_match(ev, ["user_id", "event_type"], "ts", 7)
+
+
+_SQL_TIMEFRAME = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+latest AS (SELECT DISTINCT user_id, event_type FROM events, mx
+           WHERE ts >= m - INTERVAL 7 DAY),
+prior AS (SELECT DISTINCT user_id, event_type FROM events, mx
+          WHERE ts >= m - INTERVAL 14 DAY AND ts < m - INTERVAL 7 DAY)
+SELECT 'Prior Timeframe' AS missing_from, user_id, event_type
+FROM (SELECT * FROM latest EXCEPT SELECT * FROM prior)
+UNION ALL
+SELECT 'Latest Timeframe' AS missing_from, user_id, event_type
+FROM (SELECT * FROM prior EXCEPT SELECT * FROM latest)"""
+
+
+def q_distribution_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    js = QT.distribution_shift(
+        ev, ["event_type"], ev, ["event_type"],
+        subset_condition="ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        match_subset_condition="ts < TIMESTAMP '2024-01-15 00:00:00'",
+    )
+    return js.select(F.round("js_divergence", 6).alias("js_divergence"))
+
+
+_SQL_DIST_SHIFT = """
+WITH l AS (SELECT event_type AS category,
+                  COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER () AS pct
+           FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+o AS (SELECT event_type AS category,
+             COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER () AS pct
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+d AS (SELECT COALESCE(l.pct, 0.0000001) AS new_pct,
+             COALESCE(o.pct, 0.0000001) AS old_pct,
+             (COALESCE(l.pct, 0.0000001) + COALESCE(o.pct, 0.0000001))/2.0 AS avg_pct
+      FROM l FULL JOIN o ON l.category = o.category)
+SELECT ROUND(0.5*ABS(SUM(new_pct*LN(new_pct/avg_pct)/LN(2)))
+           + 0.5*ABS(SUM(old_pct*LN(old_pct/avg_pct)/LN(2))), 6) AS js_divergence
+FROM d"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -271,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_dates": q_profile_orders_dates,
         "top_freq_orders": q_top_freq_orders,
         "top_patterns_part": q_top_patterns_part,
+        "cat_tests_lineitem": q_cat_tests_lineitem,
+        "dupe_rows_part": q_dupe_rows_part,
+        "combo_match_customer_orders": q_combo_match_customer_orders,
+        "aggregate_balance_orders": q_aggregate_balance_orders,
+        "timeframe_combo_events": q_timeframe_combo_events,
+        "distribution_shift_events": q_distribution_shift_events,
     }
 
 
@@ -281,4 +501,10 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),
         "top_freq_orders": _sql_top_freq("orders", ["o_orderstatus", "o_orderpriority"]),
         "top_patterns_part": _sql_top_patterns("part", ["p_brand", "p_type", "p_name"]),
+        "cat_tests_lineitem": _sql_cat_tests(),
+        "dupe_rows_part": _SQL_DUPE_ROWS,
+        "combo_match_customer_orders": _SQL_COMBO_MATCH,
+        "aggregate_balance_orders": _SQL_AGG_BALANCE,
+        "timeframe_combo_events": _SQL_TIMEFRAME,
+        "distribution_shift_events": _SQL_DIST_SHIFT,
     }

@@ -1,0 +1,196 @@
+"""QUERY-type tests — standalone relational pipelines.
+
+Reference templates: ``test_templates`` in
+`/root/reference/testgen/template/dbsetup_test_types/*.yaml` (postgresql
+flavor).  Each function returns the *detail* DataFrame (the offending rows /
+groups); the measure is its count (or SUM(record_ct) for Dupe_Rows) and the
+test fails when measure > skip_errors (threshold).
+
+Scale notes: every pipeline aggregates *before* joining, so the joined
+relations are group-cardinality, not row-cardinality; Catalyst broadcast-joins
+them when small and AQE handles skew. The scalar MAX(date) needed by the
+Timeframe tests is computed as its own tiny job rather than a per-row
+correlated subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _subset(df: DataFrame, condition: str | None) -> DataFrame:
+    return df.filter(F.expr(condition)) if condition and condition != "1=1" else df
+
+
+def dupe_rows(df: DataFrame, groupby_names: list[str],
+              subset_condition: str | None = None) -> DataFrame:
+    """GROUP BY cols HAVING COUNT(*)>1 (test_types_Dupe_Rows.yaml template).
+    Measure = COALESCE(SUM(record_ct),0) over this result."""
+    return (
+        _subset(df, subset_condition)
+        .groupBy(*groupby_names)
+        .agg(F.count(F.lit(1)).alias("record_ct"))
+        .filter(F.col("record_ct") > 1)
+    )
+
+
+def dupe_rows_measure(detail: DataFrame) -> int:
+    row = detail.agg(F.coalesce(F.sum("record_ct"), F.lit(0)).alias("m")).collect()[0]
+    return int(row["m"])
+
+
+def combo_match(df: DataFrame, keys: list[str],
+                match_df: DataFrame, match_keys: list[str] | None = None,
+                subset_condition: str | None = None,
+                match_subset_condition: str | None = None) -> DataFrame:
+    """Key combinations present in ``df`` but absent from ``match_df``
+    (test_types_Combo_Match.yaml: GROUP BY ... EXCEPT GROUP BY ...).
+    Implemented as distinct + left_anti join (null-safe on each key)."""
+    match_keys = match_keys or keys
+    left = _subset(df, subset_condition).select(*keys).distinct()
+    right = _subset(match_df, match_subset_condition).select(
+        *[F.col(mk).alias(k) for k, mk in zip(keys, match_keys)]).distinct()
+    cond = [left[k].eqNullSafe(right[k]) for k in keys]
+    return left.join(right, cond, "left_anti")
+
+
+def _grouped_totals(df: DataFrame, groupby: list[str], total: Column,
+                    subset: str | None, having: str | None, alias: str) -> DataFrame:
+    g = _subset(df, subset).groupBy(*groupby).agg(total.alias(alias))
+    if having:
+        g = g.filter(F.expr(having))
+    return g
+
+
+def aggregate_balance(
+    df: DataFrame, groupby_names: list[str], total_expr: Column,
+    match_df: DataFrame, match_groupby_names: list[str], match_total_expr: Column,
+    mode: str = "exact",                    # exact | percent | range | minimum
+    lower_tolerance: float | None = None, upper_tolerance: float | None = None,
+    subset_condition: str | None = None, match_subset_condition: str | None = None,
+    having_condition: str | None = None, match_having_condition: str | None = None,
+) -> DataFrame:
+    """Per-group totals compared across two tables
+    (test_types_Aggregate_Balance[_Percent/_Range]/Aggregate_Minimum.yaml).
+
+    The reference UNION-ALLs both sides then re-groups; grouped-then-full-outer
+    join (null-safe keys) produces the same (group, total, match_total) set.
+    """
+    left = _grouped_totals(df, groupby_names, total_expr,
+                           subset_condition, having_condition, "total")
+    right = _grouped_totals(match_df, match_groupby_names, match_total_expr,
+                            match_subset_condition, match_having_condition,
+                            "match_total")
+    right = right.select(*[F.col(mk).alias(k) for k, mk
+                           in zip(groupby_names, match_groupby_names)], "match_total")
+    cond = [left[k].eqNullSafe(right[k]) for k in groupby_names]
+    joined = left.join(right, cond, "full_outer").select(
+        *[F.coalesce(left[k], right[k]).alias(k) for k in groupby_names],
+        "total", "match_total",
+    )
+    t, m = F.col("total"), F.col("match_total")
+    one_sided = (t.isNotNull() & m.isNull()) | (t.isNull() & m.isNotNull())
+    if mode == "exact":
+        bad = (t != m) | one_sided
+    elif mode in ("percent", "range"):
+        if mode == "percent":
+            lo = m * (1 + F.lit(lower_tolerance) / 100.0)
+            hi = m * (1 + F.lit(upper_tolerance) / 100.0)
+        else:
+            lo = m - F.lit(lower_tolerance)
+            hi = m + F.lit(upper_tolerance)
+        bad = one_sided | ~t.between(lo, hi)
+    elif mode == "minimum":
+        # Aggregate_Minimum: fail when total dropped below match, or category
+        # vanished; new categories are fine.
+        bad = (t < m) | (t.isNull() & m.isNotNull())
+    else:
+        raise ValueError(mode)
+    return joined.filter(bad)
+
+
+def _window_bounds(df: DataFrame, date_col: str) -> "tuple":
+    return df.agg(F.max(F.col(date_col)).alias("mx")).collect()[0]["mx"]
+
+
+def timeframe_combo_match(df: DataFrame, key_cols: list[str], window_date_column: str,
+                          window_days: int,
+                          subset_condition: str | None = None) -> DataFrame:
+    """Symmetric difference of key sets between the latest [max-w, max] window
+    and the prior [max-2w, max-w) window (test_types_Timeframe_Combo_Match.yaml).
+    Output: (missing_from, *key_cols)."""
+    base = _subset(df, subset_condition)
+    mx = _window_bounds(base, window_date_column)
+    d = F.col(window_date_column)
+    latest = base.filter(d >= F.lit(mx) - F.expr(f"INTERVAL {window_days} DAYS")) \
+                 .select(*key_cols).distinct()
+    prior = base.filter(
+        (d >= F.lit(mx) - F.expr(f"INTERVAL {2 * window_days} DAYS"))
+        & (d < F.lit(mx) - F.expr(f"INTERVAL {window_days} DAYS"))
+    ).select(*key_cols).distinct()
+    gone = latest.exceptAll(prior).select(F.lit("Prior Timeframe").alias("missing_from"),
+                                          *key_cols)
+    new = prior.exceptAll(latest).select(F.lit("Latest Timeframe").alias("missing_from"),
+                                         *key_cols)
+    return gone.unionByName(new)
+
+
+def timeframe_combo_gain(df: DataFrame, key_cols: list[str], window_date_column: str,
+                         window_days: int,
+                         subset_condition: str | None = None) -> DataFrame:
+    """Keys in the prior window missing from the latest
+    (test_types_Timeframe_Combo_Gain.yaml)."""
+    base = _subset(df, subset_condition)
+    mx = _window_bounds(base, window_date_column)
+    d = F.col(window_date_column)
+    latest = base.filter(d >= F.lit(mx) - F.expr(f"INTERVAL {window_days} DAYS")) \
+                 .select(*key_cols).distinct()
+    prior = base.filter(
+        (d >= F.lit(mx) - F.expr(f"INTERVAL {2 * window_days} DAYS"))
+        & (d < F.lit(mx) - F.expr(f"INTERVAL {window_days} DAYS"))
+    ).select(*key_cols).distinct()
+    return prior.exceptAll(latest)
+
+
+def distribution_shift(df: DataFrame, category_cols: list[str],
+                       match_df: DataFrame, match_category_cols: list[str] | None = None,
+                       subset_condition: str | None = None,
+                       match_subset_condition: str | None = None,
+                       smoothing: float = 1e-7) -> DataFrame:
+    """Jensen–Shannon divergence between categorical distributions
+    (test_types_Distribution_Shift.yaml template):
+    0.5*|Σ p·log2(p/m)| + 0.5*|Σ q·log2(q/m)| with 1e-7 smoothing on the
+    FULL-JOINed per-category shares. Returns one row: (js_divergence)."""
+    match_category_cols = match_category_cols or category_cols
+
+    def shares(d: DataFrame, cols: list[str], sub: str | None) -> DataFrame:
+        cat = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        g = _subset(d, sub).groupBy(cat.alias("category")).agg(
+            F.count(F.lit(1)).alias("ct"))
+        total = F.sum("ct").over(Window.partitionBy())
+        return g.select("category", (F.col("ct") / total).alias("pct"))
+
+    new = shares(df, category_cols, subset_condition)
+    old = shares(match_df, match_category_cols, match_subset_condition)
+    j = new.alias("n").join(old.alias("o"), F.col("n.category") == F.col("o.category"),
+                            "full_outer").select(
+        F.coalesce(F.col("n.pct"), F.lit(smoothing)).alias("new_pct"),
+        F.coalesce(F.col("o.pct"), F.lit(smoothing)).alias("old_pct"),
+    ).withColumn("avg_pct", (F.col("new_pct") + F.col("old_pct")) / 2.0)
+    return j.agg(
+        (0.5 * F.abs(F.sum(F.col("new_pct") * F.log(F.col("new_pct") / F.col("avg_pct"))
+                           / F.log(F.lit(2.0))))
+         + 0.5 * F.abs(F.sum(F.col("old_pct") * F.log(F.col("old_pct") / F.col("avg_pct"))
+                             / F.log(F.lit(2.0))))).alias("js_divergence")
+    )
+
+
+def table_fingerprint(df: DataFrame, agg_exprs: list[Column],
+                      subset_condition: str | None = None) -> str:
+    """MD5 fingerprint of concatenated aggregates — Table_Freshness /
+    Freshness_Trend signal (test_types_Table_Freshness.yaml: MD5({CUSTOM_QUERY}))."""
+    row = _subset(df, subset_condition).agg(
+        F.md5(F.concat_ws("|", *[e.cast("string") for e in agg_exprs])).alias("fp")
+    ).collect()[0]
+    return row["fp"]

@@ -1,0 +1,3 @@
+from dataops_testgen_spark.io.loaders import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

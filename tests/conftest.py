@@ -34,7 +34,8 @@ def canon(rows, ndigits=6):
         if isinstance(v, float):
             return round(v, ndigits)
         return v
-    return sorted(tuple(fix(v) for v in r) for r in rows)
+    return sorted((tuple(fix(v) for v in r) for r in rows),
+                  key=lambda r: [repr(v) for v in r])
 
 
 def assert_matches_oracle(sdf, duck_con, sql, ndigits=6):

