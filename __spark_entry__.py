@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 from dataops_testgen_spark.execution import query_tests as QT
 from dataops_testgen_spark.execution.cat import run_cat_tests
 from dataops_testgen_spark.execution.defs import TestDef
+from dataops_testgen_spark.pipeline import dedup as DD
+from dataops_testgen_spark.pipeline import multimodal as MM
+from dataops_testgen_spark.pipeline import similarity as SIM
+from dataops_testgen_spark.pipeline import text as TX
 from dataops_testgen_spark.profiling.profiler import profile_table
 
 RUN_DATE = "2026-08-01"  # pinned so date metrics are deterministic
@@ -469,6 +473,190 @@ FROM d"""
 
 
 # --------------------------------------------------------------------------
+# Q: LLM-pipeline operators — text analysis / dedup / similarity / multimodal
+# --------------------------------------------------------------------------
+
+def q_text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return TX.analyze(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "lang_pred",
+        F.round("quality_score", 5).alias("quality_score"), "fingerprint")
+
+
+def _lang_filter_sql(words: list[str]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+_SQL_TEXT_ANALYSIS = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, toks,
+         len(toks)::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['de'])} AS s_de,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['en'])} AS s_en,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['es'])} AS s_es,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['fr'])} AS s_fr,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['zh'])} AS s_zh,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / NULLIF(length(text),0) AS punct_ratio,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['en'])}::DOUBLE / NULLIF(len(toks),0) AS stop_ratio,
+         length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / NULLIF(len(toks),0) AS mean_tok_len
+  FROM t),
+langed AS (SELECT *, GREATEST(s_de,s_en,s_es,s_fr,s_zh) AS g FROM scored)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       CASE WHEN g = 0 THEN 'und'
+            WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+            WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS lang_pred,
+       ROUND(0.25*(CASE WHEN mean_tok_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+           + 0.25*LEAST(stop_ratio*5.0, 1.0)
+           + 0.25*GREATEST(0.0, 1.0 - punct_ratio*5.0)
+           + 0.25*LEAST(n_tokens/20.0, 1.0), 5) AS quality_score,
+       CASE WHEN len(toks) >= 3
+            THEN list_aggregate(list_transform(range(1, len(toks)-1),
+                   i -> md5(array_to_string(toks[i:i+2], ' '))), 'min')
+            ELSE md5(text) END AS fingerprint
+FROM langed"""
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs).select(
+        "content_hash", "dup_ct", F.to_json("doc_ids").alias("doc_ids"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, COUNT(*)::BIGINT AS dup_ct,
+       '[' || string_agg(doc_id, ',' ORDER BY doc_id) || ']' AS doc_ids
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"""
+
+
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)-1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS s
+       FROM t WHERE len(toks) >= 3),
+e AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT id_a, id_b, ROUND(j, 5) AS jaccard FROM (
+  SELECT id_a, id_b, common::DOUBLE/(sa.n + sb.n - common) AS j
+  FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id)
+WHERE j >= 0.1"""
+
+
+_MINHASH_K, _MINHASH_BANDS = 16, 4
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(docs, num_hashes=_MINHASH_K,
+                                     bands=_MINHASH_BANDS)
+
+
+def _sql_minhash() -> str:
+    rpb = _MINHASH_K // _MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}' || '|' || s)), 'min') AS m{i}"
+        for i in range(_MINHASH_K))
+    band_cols = ",\n         ".join(
+        "md5(concat_ws('|', " + ", ".join(f"m{b * rpb + j}" for j in range(rpb))
+        + f")) AS b{b}" for b in range(_MINHASH_BANDS))
+    band_join = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_MINHASH_BANDS))
+    return rf"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+shg AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE []::VARCHAR[] END AS sh
+        FROM t),
+sigs AS (SELECT doc_id,
+         {sig_cols}
+         FROM shg),
+bands AS (SELECT doc_id,
+         {band_cols}
+          FROM sigs)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_cosine_pairs(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+_SQL_COSINE_PAIRS = """
+WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  UNNEST(a.embedding)::DOUBLE AS xa, UNNEST(b.embedding)::DOUBLE AS xb
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+s AS (SELECT ia, ib,
+             SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+      FROM p GROUP BY ia, ib)
+SELECT ia AS id_a, ib AS id_b, ROUND(cos, 5) AS cosine FROM s WHERE cos >= 0.35"""
+
+
+def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 5).alias("cosine"), "rank")
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             UNNEST(q.qe)::DOUBLE AS xa, UNNEST(e.embedding)::DOUBLE AS xb
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+s AS (SELECT query_id, neighbor_id,
+             SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+      FROM p GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 5"""
+
+
+def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.with_binary_payload(docs))
+    return feats.select("doc_id", "byte_len", "first_byte", "content_md5",
+                        F.round("fake_feature", 5).alias("fake_feature"))
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB))::BIGINT AS byte_len,
+       ascii(substr(text, 1, 1))::INT AS first_byte,
+       md5(text) AS content_md5,
+       ROUND(list_sum(list_transform(range(1, LEAST(length(text), 64) + 1),
+                                     i -> ascii(substr(text, i, 1))))::DOUBLE
+             / LEAST(length(text), 64), 5) AS fake_feature
+FROM documents"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -491,6 +679,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_balance_orders": q_aggregate_balance_orders,
         "timeframe_combo_events": q_timeframe_combo_events,
         "distribution_shift_events": q_distribution_shift_events,
+        "text_analysis_documents": q_text_analysis_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "multimodal_features_documents": q_multimodal_features_documents,
     }
 
 
@@ -507,4 +702,11 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_balance_orders": _SQL_AGG_BALANCE,
         "timeframe_combo_events": _SQL_TIMEFRAME,
         "distribution_shift_events": _SQL_DIST_SHIFT,
+        "text_analysis_documents": _SQL_TEXT_ANALYSIS,
+        "dedup_exact_documents": _SQL_DEDUP_EXACT,
+        "ngram_jaccard_documents": _SQL_NGRAM_JACCARD,
+        "minhash_lsh_documents": _sql_minhash(),
+        "embedding_cosine_pairs": _SQL_COSINE_PAIRS,
+        "ann_topk_embeddings": _SQL_ANN_TOPK,
+        "multimodal_features_documents": _SQL_MULTIMODAL,
     }

@@ -1,0 +1,175 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Cross-engine determinism trick: every hash function is derived from MD5 of
+the value with a seed prefix, and "minimum hash" is the lexicographic minimum
+of the hex strings — identical in Spark and any SQL oracle, no custom hash
+UDFs, no Python in the hot path.
+
+Scale shape:
+- exact: one groupBy (shuffle on the content hash only, not the content).
+- minhash LSH: shingle → k seeded min-hashes → b bands; candidates join on
+  (band_id, band_hash) buckets — the classic O(n·k) sketch + bucket join, no
+  all-pairs.
+- ngram jaccard: explode shingles + self-join on shingle, so only pairs that
+  SHARE a shingle are generated (still superlinear on hot shingles — use
+  minhash_lsh at 100 TB; this is the exact verifier).
+- embedding cosine: brute-force pair join for the oracle path; LSH bucketing
+  via random hyperplanes for the scale path (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.pipeline.text import shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of identical content: (content_hash, dup_ct, doc_ids)."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_ct"),
+             F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_ct") > 1)
+    )
+
+
+def minhash_signature(text: Column, k: int = 3, num_hashes: int = 16) -> Column:
+    """Array of ``num_hashes`` min-hashes: element i is
+    min(md5(i || shingle)) — a seeded permutation via MD5 prefixing."""
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any band
+    bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), k, num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(F.concat_ws("|", F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity over word k-shingle SETS, computed by
+    exploding shingles and self-joining on shingle (only co-shingled pairs
+    materialize). Returns (id_a, id_b, jaccard≥threshold)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                (F.col("common")
+                 / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, k: int = 3, bits: int = 32) -> Column:
+    """SimHash over word k-shingles: per-bit majority vote of shingle hashes.
+    Bit i of each shingle comes from ``conv(substr(md5, ...), 16, 10)``; the
+    result is a ``bits``-wide integer column."""
+    sh = shingles(text, k)
+    # 8 hex chars -> 32 bits of the md5; vote per bit
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+
+    def bit_vote(i: int):
+        mask = F.lit(1 << i)
+        return F.size(F.filter(sh, lambda s: h(s).bitwiseAND(mask) > 0))
+
+    votes = [bit_vote(i) for i in range(bits)]
+    n = F.size(sh)
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(votes):
+        out = out + F.when(v * 2 > n, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
+    16-bit halves (a pair within distance ≤3 shares at least one half)."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash(F.col(text_col), k, bits).alias("sig"))
+    half = bits // 2
+    blocked = sig.select(
+        "id", "sig",
+        F.explode(F.array(
+            F.concat(F.lit("lo|"), (F.col("sig").bitwiseAND(F.lit((1 << half) - 1))).cast("string")),
+            F.concat(F.lit("hi|"), F.shiftright(F.col("sig"), half).cast("string")),
+        )).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")) \
+                .filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (brute-force pair
+    join — the exact path; use similarity.lsh_buckets for 100 TB)."""
+    from dataops_testgen_spark.pipeline.similarity import cosine
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cosine(F.col("a.v"), F.col("b.v")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``: pure-expression cosine similarity (F.zip_with + F.aggregate —
+  JVM-side, no UDF).
+- ``brute_force_topk``: exact top-k neighbors — cross join + window. The
+  correctness baseline.
+- ``lsh_assign`` / ``lsh_topk``: random-hyperplane LSH — the scale path: each
+  vector hashes to a bucket; neighbor search joins only within buckets
+  (multi-probe = search the query's bucket only here; raise num_tables for
+  recall). Hyperplanes are deterministic (seeded hash of (table, dim)), so
+  results are reproducible run-to-run.
+- ``ivf_assign``: IVF-style coarse quantization against provided centroids
+  (e.g. from a small driver-side k-means over a sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot(ad, bd) / F.nullif(norm(ad) * norm(bd), F.lit(0.0))
+
+
+def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+    Output: (query_id, neighbor_id, cosine, rank). Deterministic tiebreak:
+    cosine DESC, neighbor_id ASC."""
+    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        q.crossJoin(base)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+                 .filter(F.col("rank") <= k)
+
+
+def _hyperplane(table_id: int, dim: int, n_dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component via integer hashing."""
+    import hashlib
+    out = []
+    for d in range(n_dims):
+        h = hashlib.md5(f"{table_id}|{dim}|{d}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ≈ uniform [-1, 1)
+    return out
+
+
+def lsh_assign(df: DataFrame, n_dims: int, num_planes: int = 8,
+               table_id: int = 0, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane signature: ``num_planes``-bit bucket id per vector."""
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = _hyperplane(table_id, p, n_dims)
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, c: x * c),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
+             num_planes: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    ~2^num_planes× less work than brute force; recall tunable via num_planes
+    (fewer planes → bigger buckets → higher recall)."""
+    base = lsh_assign(df, n_dims, num_planes, vec_col=vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
+                "lsh_bucket")
+    q = lsh_assign(queries, n_dims, num_planes, vec_col=vec_col) \
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                "lsh_bucket")
+    scored = (
+        q.join(base, "lsh_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("v")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+                 .filter(F.col("rank") <= k)
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+    Centroid list is broadcast as literals — fine for a few hundred cells."""
+    v = F.col(vec_col)
+    best_id, best_sim = F.lit(-1), F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        sim = cosine(v, arr)
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.withColumn("ivf_cell", best_id)

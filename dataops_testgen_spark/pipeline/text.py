@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen'd — no Python UDFs), so they run at full scan speed over
+100 TB of documents. Formulas are deliberately expressible in ANSI SQL so the
+DuckDB oracle can verify them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic: score = number of token hits; argmax with
+# alphabetical tiebreak; 'und' (undetermined) when all scores are 0.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "con"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty array for blank)."""
+    t = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alnum runs + individual punctuation marks —
+    a cheap upper-bound proxy for BPE vocabulary tokenization."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))  # noqa: B023
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language ID: argmax score, alphabetical tiebreak, 'und'
+    when nothing matches."""
+    scores = lang_scores(text)
+    # greatest, then first (alphabetical) language achieving it
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword quality signals (per-doc, single pass)."""
+    n_chars = F.length(text).cast("long")
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    punct_ct = F.regexp_count(text, F.lit(_PUNCT_RE)).cast("long")
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin(LANG_STOPWORDS["en"])))
+    mean_tok_len = (F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+                    / F.nullif(n_tokens.cast("double"), F.lit(0.0)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ct / F.nullif(n_chars.cast("double"), F.lit(0.0)),
+        "stopword_ratio": stop_ct / F.nullif(n_tokens.cast("double"), F.lit(0.0)),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0–1 quality score: rewards sane token length (3–12 chars),
+    some stopwords, low punctuation noise, and non-trivial length."""
+    m = quality_metrics(text)
+    len_ok = F.when((m["mean_token_len"] >= 3) & (m["mean_token_len"] <= 12), 1.0).otherwise(0.5)
+    stop_ok = F.least(m["stopword_ratio"] * 5.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), 1.0 - m["punct_ratio"] * 5.0)
+    size_ok = F.least(m["n_tokens"].cast("double") / 20.0, F.lit(1.0))
+    return (0.25 * len_ok + 0.25 * stop_ok + 0.25 * punct_ok + 0.25 * size_ok)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (empty when fewer than k tokens)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(text: Column, k: int = 3) -> Column:
+    """Winnowing-style document fingerprint: minimum MD5 over word k-shingles
+    (a rolling-hash min-sketch); falls back to MD5 of the whole text for very
+    short docs. Identical fingerprints → near-identical prefixes content."""
+    sh = shingles(text, k)
+    return F.when(F.size(sh) > 0,
+                  F.array_min(F.transform(sh, F.md5))).otherwise(F.md5(text))
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text analysis: id, token counts, lang, quality, fingerprint."""
+    t = F.col(text_col)
+    m = quality_metrics(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+        quality_score(t).alias("quality_score"),
+        fingerprint(t).alias("fingerprint"),
+    )

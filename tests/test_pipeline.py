@@ -1,0 +1,130 @@
+"""Tests for LLM-pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "el gato y el perro en la casa de la abuela"),
+        (5, "completely different words entirely unrelated zebra"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_token_count(docs):
+    r = {x["doc_id"]: x for x in docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("b")).collect()}
+    assert r[1]["n"] == 9
+    assert r[6]["n"] == 0
+    assert r[1]["b"] == 9
+
+
+def test_lang_id(docs):
+    r = {x["doc_id"]: x["lang"] for x in docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert r[1] == "en"
+    assert r[4] == "es"
+    assert r[6] == "und"
+
+
+def test_quality_score_range(docs):
+    rows = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+
+
+def test_fingerprint_stability(docs):
+    r = {x["doc_id"]: x["fp"] for x in docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert r[1] == r[3]            # identical docs → identical fingerprint
+    assert r[1] != r[5]
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()}
+    assert (1, 3) in pairs          # exact dups always collide
+    assert (1, 2) in pairs or (2, 3) in pairs  # near-dups collide in ≥1 band
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 3)] == 1.0
+    assert 0.3 <= pairs[(1, 2)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash_pairs(docs):
+    sigs = docs.select(dedup.simhash(F.col("text")).alias("s")).collect()
+    assert all(r["s"] is not None for r in sigs)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 3)] == 0
+
+
+def test_cosine_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    topk = similarity.brute_force_topk(df, df.filter("vec_id = 1"), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in topk.collect()]
+    assert got[0] == (2, 1)         # most similar
+    assert got[1] == (3, 2)
+    pairs = dedup.embedding_cosine_pairs(df, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_lsh_topk_subset_of_brute(spark, sf_dir):
+    from dataops_testgen_spark.io.loaders import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 3")
+    approx = similarity.lsh_topk(emb, q, n_dims=64, k=5, num_planes=4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    # LSH self-bucket always contains the query; top-1 from its own bucket
+    # must appear in exact results reasonably often — sanity: rows exist and
+    # cosine values are valid
+    rows = approx.collect()
+    assert rows and all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
+    assert exact.count() == q.count() * 5
+
+
+def test_ivf_assign(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = similarity.ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]])
+    got = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_multimodal_plumbing(docs):
+    with_bin = multimodal.with_binary_payload(docs.filter("doc_id <= 2"))
+    feats = multimodal.extract_features(with_bin).collect()
+    assert len(feats) == 2
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    assert by_id[1]["first_byte"] == ord("t")
+    assert len(by_id[1]["content_md5"]) == 32
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
