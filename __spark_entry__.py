@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataops_testgen_spark import oracles as ORC
 from dataops_testgen_spark.execution import query_tests as QT
 from dataops_testgen_spark.execution.cat import run_cat_tests
 from dataops_testgen_spark.execution.defs import TestDef
@@ -258,6 +259,49 @@ SELECT column_name,
        MAX(n_pat)::BIGINT AS distinct_pattern_ct
 FROM ranked WHERE rn <= {k}
 GROUP BY column_name"""
+
+
+# --------------------------------------------------------------------------
+# Q: functional_types_* — semantic inference (SURVEY §2.3): datatype
+# suggestions, functional-datatype cascade, table types, PII, CDE
+# --------------------------------------------------------------------------
+
+_INFER_OUT = ["column_name", "general_type", "datatype_suggestion",
+              "functional_data_type", "functional_table_type", "pii_flag",
+              "critical_data_element"]
+
+# (name, general_type, spark column_type, is_decimal) in ordinal order —
+# matches schema_scan over the driver's parquet fixtures.
+_CUSTOMER_COLS = [
+    ("c_custkey", "N", "bigint", False),
+    ("c_name", "A", "string", False),
+    ("c_nationkey", "N", "int", False),
+    ("c_acctbal", "N", "double", True),
+    ("c_mktsegment", "A", "string", False),
+]
+_ORDERS_COLS = [
+    ("o_orderkey", "N", "bigint", False),
+    ("o_custkey", "N", "bigint", False),
+    ("o_orderstatus", "A", "string", False),
+    ("o_totalprice", "N", "double", True),
+    ("o_orderdate", "D", "timestamp_ntz", False),
+    ("o_orderpriority", "A", "string", False),
+]
+
+
+def _q_functional_types(table: str):
+    from dataops_testgen_spark.inference import apply_inference
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _load(spark, sf_dir, table)
+        prof = profile_table(df, table, run_date=RUN_DATE)
+        return apply_inference(prof).select(*_INFER_OUT)
+
+    return q
+
+
+q_functional_types_customer = _q_functional_types("customer")
+q_functional_types_orders = _q_functional_types("orders")
 
 
 # --------------------------------------------------------------------------
@@ -673,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_dates": q_profile_orders_dates,
         "top_freq_orders": q_top_freq_orders,
         "top_patterns_part": q_top_patterns_part,
+        "functional_types_customer": q_functional_types_customer,
+        "functional_types_orders": q_functional_types_orders,
         "cat_tests_lineitem": q_cat_tests_lineitem,
         "dupe_rows_part": q_dupe_rows_part,
         "combo_match_customer_orders": q_combo_match_customer_orders,
@@ -696,6 +742,10 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),
         "top_freq_orders": _sql_top_freq("orders", ["o_orderstatus", "o_orderpriority"]),
         "top_patterns_part": _sql_top_patterns("part", ["p_brand", "p_type", "p_name"]),
+        "functional_types_customer": ORC.functional_types_sql(
+            "customer", _CUSTOMER_COLS, RUN_DATE),
+        "functional_types_orders": ORC.functional_types_sql(
+            "orders", _ORDERS_COLS, RUN_DATE),
         "cat_tests_lineitem": _sql_cat_tests(),
         "dupe_rows_part": _SQL_DUPE_ROWS,
         "combo_match_customer_orders": _SQL_COMBO_MATCH,

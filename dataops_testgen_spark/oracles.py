@@ -1,0 +1,672 @@
+"""DuckDB oracle SQL generators for the driver's correctness gate.
+
+These mirror the Spark-side semantics (profiling metrics → datatype
+suggestion → functional-datatype cascade → table type → PII → CDE) as plain
+ANSI-ish SQL so the driver can hash-compare both sides at sf0.01.
+
+Scope note: the generated cascade covers every same-row rule plus the
+ID-refinement, Measurement-Pct, table-type, PII and CDE passes. The
+cross-row City rules (:293-309, :511-528) and ID-FK (:559-571) are omitted —
+use these oracles only for single-table queries on tables with no State
+column (they cannot fire there), which the driver queries respect.
+"""
+
+from __future__ import annotations
+
+from dataops_testgen_spark.profiling import regexes as RX
+
+# DuckDB strptime equivalents of profiling.regexes.DATE_FORMATS
+_DUCK_DATE_FORMATS = (
+    "['%Y-%m-%d', '%Y-%m-%d %H:%M:%S', '%m/%d/%Y', '%-m/%-d/%Y', "
+    "'%d-%b-%Y', '%b %d %Y', '%b %d, %Y', '%Y%m%d']"
+)
+
+_FULL_NAME_RE = (
+    "(approver|full|contact|emp|employee|hcp|manager|mgr|owner|party|person|"
+    "preferred|rep|reviewer|salesperson|spouse)(_| |)(name|nm)$"
+)
+_ENTITY_NAME_RE = (
+    "(acct|account|affiliation|branch|business|co|comp|company|corp|corporate|"
+    "cust|customer|distributor|employer|entity|firm|franchise|hco|org|"
+    "organization|site|supplier|vendor|hospital|practice|clinic)(_| |)(name|nm)$"
+)
+_PROCESS_TS_RE1 = (
+    "^(last_?|system_?|)(add|create|insert|inrt|update|updt|mod|modif|modf|del|"
+    "delete|refresh)(.{0,3}d?_?(time|tm|date|day|dt|stamp|timestamp|datestamp))$"
+)
+_PROCESS_TS_RE2 = "^(last_?|)(change|chg|update|updt|mod|modify|modf|modified|refresh|refreshed)$"
+_PROCESS_USER_RE = "^(last_?|)(create|update|modif|delete|refresh)(.*?(by|id|name|nm|user|usr))$"
+_SYSTEM_USER_RE = "(user|usr)_?(name|nm)?$"
+_MON_NN_RE = r"(?i)^(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[\s-]?\d{1,2}$"
+
+
+def _alpha_metrics_sql(t: str, c: str) -> dict[str, str]:
+    trimmed = f"TRIM({c})"
+    spaces = f"(LENGTH({trimmed}) - LENGTH(REPLACE({trimmed}, ' ', '')))"
+    m = {
+        "value_ct": f"COUNT({c})::BIGINT",
+        "distinct_value_ct": f"COUNT(DISTINCT {c})::BIGINT",
+        "zero_length_ct": f"SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END)::BIGINT",
+        "filled_value_ct": (
+            f"SUM(CASE WHEN regexp_matches(lower({trimmed}), '{RX.FILLED_RUN_RE}')"
+            f" OR regexp_matches(lower({trimmed}), '{RX.FILLED_WRAPPED_RE}')"
+            " THEN 1 ELSE 0 END)::BIGINT"
+        ),
+        "min_length": f"MIN(LENGTH({c}))::INT",
+        "max_length": f"MAX(LENGTH({c}))::INT",
+        "avg_length": f"AVG(LENGTH({c})::DOUBLE)",
+        "avg_embedded_spaces": f"AVG({spaces}::DOUBLE)",
+        "includes_digit_ct": f"SUM(CASE WHEN regexp_matches({c}, '[0-9]') THEN 1 ELSE 0 END)::BIGINT",
+        "numeric_ct": (
+            f"SUM(CASE WHEN regexp_matches(substr({c}, 1, 31), '{RX.IS_NUM_RE}')"
+            " THEN 1 ELSE 0 END)::BIGINT"
+        ),
+        "date_ct": (
+            f"SUM(CASE WHEN {c} IS NOT NULL AND "
+            f"try_strptime(TRIM(substr({c}, 1, 26)), {_DUCK_DATE_FORMATS}) IS NOT NULL"
+            " THEN 1 ELSE 0 END)::BIGINT"
+        ),
+        "min_text": f"LEFT(MIN(NULLIF({c}, '')), 100)",
+        "max_text": f"LEFT(MAX(NULLIF({c}, '')), 100)",
+    }
+    for label, pattern, _thr in RX.STD_PATTERNS:
+        m[f"stdpat_{label}"] = (
+            f"SUM(CASE WHEN regexp_matches({trimmed}, '{pattern}') THEN 1 ELSE 0 END)::BIGINT"
+        )
+    # top patterns / frequencies as correlated scalar subqueries (one scan
+    # each — the oracle optimizes for fidelity, not speed)
+    pat = (
+        "regexp_replace(regexp_replace(regexp_replace(value, '[a-z]', 'a', 'g'),"
+        " '[A-Z]', 'A', 'g'), '[0-9]', 'N', 'g')"
+    )
+    pat_counts = (
+        f"(SELECT {pat} AS pattern, COUNT(*) AS ct FROM "
+        f"(SELECT {c} AS value FROM {t} WHERE {c} IS NOT NULL) GROUP BY 1)"
+    )
+    m["distinct_pattern_ct"] = f"(SELECT COUNT(*)::BIGINT FROM {pat_counts})"
+    for i in (1, 2, 3, 4, 5):
+        m[f"p{i}"] = (
+            f"(SELECT pattern FROM {pat_counts} ORDER BY ct DESC, pattern "
+            f"LIMIT 1 OFFSET {i - 1})"
+        )
+    m["top_freq_values"] = f"""
+      CASE WHEN COUNT(DISTINCT {c}) BETWEEN 2 AND 70 AND MAX(LENGTH({c})) <= 70
+           THEN (SELECT string_agg(value || ':' || ct, ' | ' ORDER BY ct DESC, value)
+                 FROM (SELECT {c} AS value, COUNT(*)::BIGINT AS ct FROM {t}
+                       WHERE {c} IS NOT NULL GROUP BY 1
+                       ORDER BY ct DESC, value LIMIT 10)) END"""
+    return m
+
+
+def _numeric_metrics_sql(t: str, c: str, is_decimal: bool) -> dict[str, str]:
+    return {
+        "value_ct": f"COUNT({c})::BIGINT",
+        "distinct_value_ct": f"COUNT(DISTINCT {c})::BIGINT",
+        "min_length": f"MIN(LENGTH(CAST({c} AS VARCHAR)))::INT",
+        "max_length": f"MAX(LENGTH(CAST({c} AS VARCHAR)))::INT",
+        "avg_length": f"AVG(LENGTH(CAST({c} AS VARCHAR))::DOUBLE)",
+        "min_value": f"MIN({c})::DOUBLE",
+        "max_value": f"MAX({c})::DOUBLE",
+        "avg_value": f"AVG({c}::DOUBLE)",
+        "stdev_value": f"STDDEV_SAMP({c}::DOUBLE)",
+        "percentile_25": f"QUANTILE_CONT({c}::DOUBLE, 0.25)",
+        "percentile_50": f"QUANTILE_CONT({c}::DOUBLE, 0.50)",
+        "percentile_75": f"QUANTILE_CONT({c}::DOUBLE, 0.75)",
+        "fractional_sum": (
+            f"SUM(ROUND(ABS(fmod({c}::DOUBLE, 1)), 5))" if is_decimal else "NULL::DOUBLE"
+        ),
+    }
+
+
+def _date_metrics_sql(c: str, run_date: str) -> dict[str, str]:
+    months = f"(date_diff('month', CAST({c} AS DATE), DATE '{run_date}'))"
+    return {
+        "value_ct": f"COUNT({c})::BIGINT",
+        "distinct_value_ct": f"COUNT(DISTINCT {c})::BIGINT",
+        "min_length": f"MIN(LENGTH(CAST({c} AS VARCHAR)))::INT",
+        "max_length": f"MAX(LENGTH(CAST({c} AS VARCHAR)))::INT",
+        "avg_length": f"AVG(LENGTH(CAST({c} AS VARCHAR))::DOUBLE)",
+        "min_date": f"MIN(CAST({c} AS TIMESTAMP))",
+        "max_date": f"MAX(CAST({c} AS TIMESTAMP))",
+        "before_5yr_date_ct": f"SUM(CASE WHEN {months} > 60 THEN 1 ELSE 0 END)::BIGINT",
+        "before_20yr_date_ct": f"SUM(CASE WHEN {months} > 240 THEN 1 ELSE 0 END)::BIGINT",
+        "future_date_ct": (
+            f"SUM(CASE WHEN CAST({c} AS DATE) > DATE '{run_date}' THEN 1 ELSE 0 END)::BIGINT"
+        ),
+        "date_days_present": f"COUNT(DISTINCT CAST({c} AS DATE))::BIGINT",
+        "date_weeks_present": f"COUNT(DISTINCT date_trunc('week', {c}))::BIGINT",
+        "date_months_present": f"COUNT(DISTINCT date_trunc('month', {c}))::BIGINT",
+    }
+
+
+_ALL_METRICS = [
+    "value_ct", "distinct_value_ct", "zero_length_ct", "filled_value_ct",
+    "min_length", "max_length", "avg_length", "avg_embedded_spaces",
+    "includes_digit_ct", "numeric_ct", "date_ct", "min_text", "max_text",
+    "min_value", "max_value", "avg_value", "stdev_value",
+    "percentile_25", "percentile_50", "percentile_75", "fractional_sum",
+    "min_date", "max_date", "before_5yr_date_ct", "before_20yr_date_ct",
+    "future_date_ct", "date_days_present", "date_weeks_present",
+    "date_months_present", "distinct_pattern_ct", "p1", "p2", "p3", "p4", "p5",
+    "top_freq_values",
+] + [f"stdpat_{label}" for label, _re, _thr in RX.STD_PATTERNS]
+
+_NULL_TYPES = {
+    "value_ct": "BIGINT", "distinct_value_ct": "BIGINT",
+    "zero_length_ct": "BIGINT", "filled_value_ct": "BIGINT",
+    "min_length": "INT", "max_length": "INT", "avg_length": "DOUBLE",
+    "avg_embedded_spaces": "DOUBLE", "includes_digit_ct": "BIGINT",
+    "numeric_ct": "BIGINT", "date_ct": "BIGINT",
+    "min_text": "VARCHAR", "max_text": "VARCHAR",
+    "min_value": "DOUBLE", "max_value": "DOUBLE", "avg_value": "DOUBLE",
+    "stdev_value": "DOUBLE", "percentile_25": "DOUBLE",
+    "percentile_50": "DOUBLE", "percentile_75": "DOUBLE",
+    "fractional_sum": "DOUBLE", "min_date": "TIMESTAMP", "max_date": "TIMESTAMP",
+    "before_5yr_date_ct": "BIGINT", "before_20yr_date_ct": "BIGINT",
+    "future_date_ct": "BIGINT", "date_days_present": "BIGINT",
+    "date_weeks_present": "BIGINT", "date_months_present": "BIGINT",
+    "distinct_pattern_ct": "BIGINT", "p1": "VARCHAR", "p2": "VARCHAR",
+    "p3": "VARCHAR", "p4": "VARCHAR", "p5": "VARCHAR",
+    "top_freq_values": "VARCHAR",
+}
+for _label, _re_, _thr_ in RX.STD_PATTERNS:
+    _NULL_TYPES[f"stdpat_{_label}"] = "BIGINT"
+
+
+def _profile_select(table: str, name: str, ordinal: int, general_type: str,
+                    column_type: str, is_decimal: bool, run_date: str) -> str:
+    if general_type == "A":
+        m = _alpha_metrics_sql(table, name)
+    elif general_type == "N":
+        m = _numeric_metrics_sql(table, name, is_decimal)
+    elif general_type == "D":
+        m = _date_metrics_sql(name, run_date)
+    else:
+        m = {}
+    exprs = []
+    for metric in _ALL_METRICS:
+        expr = m.get(metric, f"NULL::{_NULL_TYPES[metric]}")
+        exprs.append(f"{expr} AS {metric}")
+    cols = ",\n       ".join(exprs)
+    return f"""
+SELECT '{name}' AS column_name, {ordinal} AS ordinal_position,
+       '{general_type}' AS general_type, '{column_type}' AS column_type,
+       COUNT(*)::BIGINT AS record_ct,
+       {cols}
+FROM {table}"""
+
+
+def _std_pattern_case() -> str:
+    branches = "\n        ".join(
+        f"WHEN stdpat_{label}::DOUBLE / value_ct >= {thr} THEN '{label}'"
+        for label, _re, thr in RX.STD_PATTERNS
+    )
+    return f"CASE WHEN value_ct > 0 THEN CASE {branches} END END"
+
+
+def _suggestion_case() -> str:
+    """datatype_suggestions.sql:1-153 (functional_data_type is NULL pre-run,
+    so the State/Boolean/Measurement-Pct branches cannot fire)."""
+    tf = "COALESCE(top_freq_values, '')"
+    all_num = f"numeric_ct > 0 AND value_ct = numeric_ct + COALESCE(zero_length_ct, 0)"
+    all_date = f"date_ct > 0 AND value_ct = date_ct + COALESCE(zero_length_ct, 0)"
+    bucket = ("CASE WHEN max_length <= 50 THEN CAST(CEIL((max_length + 5)/10.0)*10 AS INT) "
+              "ELSE CAST((1 + TRUNC((max_length + 10)/20.0))*20 AS INT) END")
+    fb_bucket = ("CASE WHEN max_length <= 50 THEN CAST(CEIL(max_length/10.0)*10 AS INT) "
+                 "ELSE CAST((1 + TRUNC((max_length + 10)/20.0))*20 AS INT) END")
+    cur = "TRY_CAST(regexp_extract(column_type, '\\((\\d+)\\)', 1) AS INT)"
+    scale_pos = "TRY_CAST(regexp_extract(column_type, ',\\s*(\\d+)\\s*\\)', 1) AS INT) > 0"
+    return f"""
+  CASE WHEN record_ct > 500 AND NOT lower(column_name) LIKE '%id' THEN
+    CASE general_type
+      WHEN 'A' THEN CASE
+        WHEN lower(column_name) LIKE '%zip%' AND max_length <= 10
+          THEN 'VARCHAR(' || COALESCE(LEAST(10, {cur}), 10)::VARCHAR || ')'
+        WHEN {all_num} AND POSITION('.' IN {tf}) > 0 THEN 'DECIMAL(18,4)'
+        WHEN {all_num} AND max_length <= 6 AND POSITION('.' IN {tf}) = 0 THEN 'INTEGER'
+        WHEN {all_num} AND max_length  > 6 AND POSITION('.' IN {tf}) = 0 THEN 'BIGINT'
+        WHEN {all_date} AND POSITION('+' IN {tf}) > 0 THEN 'TIMESTAMP'
+        WHEN {all_date} AND POSITION(':' IN {tf}) > 0 THEN 'TIMESTAMP_NTZ'
+        WHEN {all_date} THEN 'DATE'
+        WHEN max_length <= 5
+          THEN 'VARCHAR(' || COALESCE(LEAST(10, {cur}), 10)::VARCHAR || ')'
+        WHEN max_length IS NOT NULL
+          THEN 'VARCHAR(' || COALESCE(LEAST({bucket}, {cur}), {fb_bucket})::VARCHAR || ')'
+        ELSE lower(column_type) END
+      WHEN 'N' THEN CASE
+        WHEN {scale_pos} AND fractional_sum = 0 AND min_value >= -100 AND max_value <= 100
+          THEN 'SMALLINT'
+        WHEN {scale_pos} AND fractional_sum = 0
+             AND min_value >= -100000000 AND max_value <= 100000000 THEN 'INTEGER'
+        WHEN {scale_pos} AND fractional_sum = 0
+             AND (min_value < -100000000 OR max_value > 100000000) THEN 'BIGINT'
+        ELSE lower(column_type) END
+      ELSE lower(column_type) END
+  ELSE lower(column_type) END"""
+
+
+def _date_case_sql(run_date: str) -> str:
+    rd = f"DATE '{run_date}'"
+    vf = "NULLIF(value_ct::DOUBLE, 0)"
+    wk = "date_diff('week', min_date, max_date)"
+    mo = "date_diff('month', min_date, max_date)"
+    qtr = "date_diff('quarter', min_date, max_date)"
+    yr = "date_diff('year', min_date, max_date)"
+    recent = f"(1 - before_5yr_date_ct / {vf})"
+    return f"""CASE
+    WHEN before_20yr_date_ct / {vf} * 100 >= 75 THEN 'Historical Date'
+    WHEN future_date_ct / {vf} * 100 >= 95 THEN 'Future Date'
+    WHEN future_date_ct / {vf} * 100 >= 50 THEN 'Schedule Date'
+    WHEN before_5yr_date_ct / {vf} * 100 BETWEEN 0 AND 20
+         AND future_date_ct / {vf} * 100 BETWEEN 0 AND 10 THEN CASE
+      WHEN value_ct > 100 AND distinct_value_ct > 20
+           AND date_days_present >= 2 * ({wk} + 1) THEN 'Transactional Date'
+      WHEN value_ct > 20 AND distinct_value_ct > 8
+           AND (date_weeks_present = NULLIF({wk}, 0)::DOUBLE + 1
+                OR date_weeks_present >= 2 * ({mo} + 1)
+                OR ROUND(distinct_value_ct * {recent})
+                   >= 2 * (date_diff('month', {rd} - INTERVAL 365 DAY, max_date) + 1))
+        THEN 'Transactional Date (Wk)'
+      WHEN value_ct > 20 AND distinct_value_ct > 3
+           AND (date_months_present = NULLIF({mo}, 0)::DOUBLE + 1
+                OR date_months_present >= 5 * ({yr} + 1)
+                OR ROUND(distinct_value_ct * {recent})
+                   >= 5 * (date_diff('year', {rd} - INTERVAL 1825 DAY, max_date) + 1))
+        THEN 'Transactional Date (Mo)'
+      WHEN value_ct > 10 AND distinct_value_ct > 1
+           AND distinct_value_ct = {qtr} + 1 THEN 'Transactional Date (Qtr)'
+      ELSE 'Date (TBD)' END
+    WHEN column_type = 'date' THEN 'Date Stamp'
+    WHEN column_type IN ('timestamp', 'timestamp_ntz') THEN 'DateTime Stamp'
+    END"""
+
+
+def functional_types_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+    id_mask: str = "%id",
+    sk_mask: str = "%_sk",
+) -> str:
+    """Full inference oracle for one table.
+
+    ``columns``: (name, general_type, column_type, is_decimal) in ordinal
+    order — must match Spark's schema scan of the same parquet.
+    """
+    selects = "\nUNION ALL\n".join(
+        _profile_select(table, name, i + 1, gt, ct, dec, run_date)
+        for i, (name, gt, ct, dec) in enumerate(columns)
+    )
+    vf = "NULLIF(value_ct::DOUBLE, 0)"
+    rf = "NULLIF(record_ct::DOUBLE, 0)"
+    scale = "TRY_CAST(regexp_extract(column_type, ',\\s*(\\d+)\\s*\\)', 1) AS INT)"
+    charcount_a = "(LENGTH(COALESCE(top_patterns,'')) - LENGTH(REPLACE(COALESCE(top_patterns,''), 'A', '')))"
+    charcount_n = "(LENGTH(COALESCE(top_patterns,'')) - LENGTH(REPLACE(COALESCE(top_patterns,''), 'N', '')))"
+    max_text_spaces = "(LENGTH(max_text) - LENGTH(REPLACE(max_text, ' ', '')))"
+    pct_pat = r"^N{1,3}(\.N+)?%$"
+
+    return f"""
+WITH prof AS ({selects}),
+s AS (
+  SELECT *,
+         {_std_pattern_case()} AS std_pattern_match,
+         -- top-5 patterns with dummy counts; only used by fn_charcount-style
+         -- 'contains A/N' checks, where count digits contribute nothing
+         CASE WHEN p1 IS NOT NULL THEN
+           concat_ws(' | ', p1 || ':0', p2 || ':0', p3 || ':0',
+                     p4 || ':0', p5 || ':0') END AS top_patterns
+  FROM prof),
+sugg AS (
+  SELECT *, {_suggestion_case()} AS datatype_suggestion FROM s),
+l1 AS (
+  SELECT *, COALESCE(
+    CASE WHEN record_ct = 0 OR (record_ct > 0 AND (value_ct < 5
+              OR zero_length_ct / {vf} = 1)) THEN 'TBD (Not enough data)' END,
+    CASE WHEN distinct_value_ct = 1
+              AND 100.0 * (value_ct - COALESCE(filled_value_ct, 0)
+                           - COALESCE(zero_length_ct, 0)) / record_ct > 75
+         THEN 'Constant' END,
+    CASE WHEN lower(column_name) LIKE '{sk_mask}' THEN 'ID-SK' END,
+    CASE WHEN lower(column_name) LIKE '{id_mask}' THEN 'ID' END,
+    CASE WHEN general_type = 'D' OR (value_ct = date_ct + COALESCE(zero_length_ct, 0)
+              AND value_ct > 0) THEN {_date_case_sql(run_date)} END,
+    CASE WHEN distinct_pattern_ct = 1 AND min_text >= '1900' AND max_text <= '2200'
+              AND TRIM(p1) = 'NNNN-NN-NN' THEN 'Date Stamp' END,
+    CASE WHEN distinct_pattern_ct = 1
+              AND TRIM(p1) IN ('NNNN-NN-NN NN:NN:NN', 'NNNN-NN-NNANN:NN:NN+NN:NN')
+         THEN 'DateTime Stamp' END
+  ) AS fdt FROM sugg),
+l2 AS (
+  SELECT * REPLACE (
+    CASE WHEN general_type IN ('A','D')
+              AND (regexp_matches(column_name, '{_PROCESS_TS_RE1}')
+                   OR regexp_matches(column_name, '{_PROCESS_TS_RE2}'))
+              AND fdt IS NOT NULL
+         THEN 'Process ' || fdt ELSE fdt END AS fdt) FROM l1),
+l3 AS (
+  SELECT * REPLACE (COALESCE(fdt,
+    CASE WHEN (lower(column_name) LIKE '%year%' OR lower(column_name) LIKE '%yr%')
+              AND ((min_value >= 1900 AND max_value <= YEAR(DATE '{run_date}') + 20
+                    AND COALESCE(fractional_sum, 0) = 0)
+                   OR (min_text >= '1900'
+                       AND max_text <= (YEAR(DATE '{run_date}') + 20)::VARCHAR
+                       AND avg_length = 4 AND avg_embedded_spaces = 0))
+         THEN 'Period Year' END,
+    CASE WHEN (lower(column_name) LIKE '%qtr%' OR lower(column_name) LIKE '%quarter%')
+              AND ((min_value = 1 AND max_value = 4 AND COALESCE(fractional_sum, 0) = 0)
+                   OR (min_text >= '1900' AND max_text <= '2200'
+                       AND avg_length BETWEEN 6 AND 7
+                       AND regexp_matches(p1, '^\\s*NNNN[-_]AN\\s*$')))
+         THEN 'Period Quarter' END,
+    CASE WHEN lower(column_name) LIKE '%mo%'
+              AND min_text >= '1900' AND max_text <= '2200'
+              AND ((avg_length BETWEEN 6.8 AND 7.2
+                    AND regexp_matches(p1, '^\\s*NNNN[-_]NN\\s*$'))
+                   OR (avg_length BETWEEN 7.8 AND 8.2
+                       AND regexp_matches(UPPER(p1), '^\\s*NNNN[-_]AAA\\s*$')))
+         THEN 'Period Year-Mon' END,
+    CASE WHEN lower(column_name) LIKE '%mo%'
+              AND ((max_length = 2 AND min_text IN ('01','1') AND max_text = '12')
+                   OR (min_value = 1 AND max_value = 12
+                       AND COALESCE(SIGN(fractional_sum), 0) = 0)
+                   OR (max_length = 9 AND lower(min_text) = 'april'
+                       AND lower(max_text) = 'september')
+                   OR (max_length = 3 AND lower(min_text) = 'apr'
+                       AND lower(max_text) = 'sep'))
+         THEN 'Period Month' END,
+    CASE WHEN regexp_matches(min_text, '{_MON_NN_RE}')
+              AND regexp_matches(max_text, '{_MON_NN_RE}')
+              AND avg_length BETWEEN 5.8 AND 6.2
+              AND regexp_matches(TRIM(p1), '(?i)AAA[\\s-]NN')
+         THEN 'Period Mon-NN' END,
+    CASE WHEN (lower(column_name) LIKE '%wk%' OR lower(column_name) LIKE '%week%')
+              AND distinct_value_ct BETWEEN 10 AND 53
+              AND ((min_text IN ('1','01') AND max_text IN ('52','53'))
+                   OR (min_value = 1 AND max_value IN (52, 53)
+                       AND COALESCE(SIGN(fractional_sum), 0) = 0))
+         THEN 'Period Week' END,
+    CASE WHEN (lower(column_name) LIKE '%day%' OR lower(column_name) LIKE '%dow%')
+              AND distinct_value_ct = 7
+              AND ((min_text = '1' AND max_text = '7')
+                   OR (min_value = 1 AND max_value = 7
+                       AND COALESCE(SIGN(fractional_sum), 0) = 0)
+                   OR (lower(min_text) = 'friday' AND lower(max_text) = 'wednesday'
+                       AND max_length = 9)
+                   OR (lower(min_text) = 'fri' AND lower(max_text) = 'wed'
+                       AND max_length = 3))
+         THEN 'Period DOW' END
+  ) AS fdt) FROM l2),
+l4 AS (
+  SELECT * REPLACE (CASE
+    WHEN ((DAY(min_date) = 1 AND DAY(max_date) = 1)
+          OR (CAST(min_date AS DATE) = last_day(CAST(min_date AS DATE))
+              AND CAST(max_date AS DATE) = last_day(CAST(max_date AS DATE))))
+         AND date_months_present = date_days_present
+         AND date_months_present >= 12 THEN 'Period Month'
+    WHEN dayofweek(min_date) IN (0, 1, 5, 6)
+         AND dayofweek(min_date) = dayofweek(max_date)
+         AND date_months_present < date_days_present
+         AND date_weeks_present = date_days_present
+         AND date_weeks_present > 25 THEN 'Period Week'
+    WHEN lower(column_name) = 'month' THEN 'Period Month'
+    WHEN lower(column_name) = 'week' THEN 'Period Week'
+    WHEN lower(column_name) = 'period' AND fdt IS NOT NULL
+         AND NOT lower(fdt) LIKE 'period%' THEN 'Period'
+    ELSE fdt END AS fdt) FROM l3),
+l5 AS (
+  SELECT * REPLACE (COALESCE(fdt, CASE
+    WHEN (std_pattern_match = 'ZIP_USA'
+          AND (lower(column_name) LIKE '%zip%' OR lower(column_name) LIKE '%postal%'))
+         OR lower(column_name) IN ('zip_code', 'zip') THEN 'Zip'
+    WHEN std_pattern_match = 'EMAIL' THEN 'Email'
+    WHEN (lower(column_name) LIKE '%phone%' AND max_length BETWEEN 7 AND 11)
+         OR std_pattern_match = 'PHONE_USA' THEN 'Phone'
+    WHEN (lower(column_name) LIKE '%address' AND NOT lower(column_name) LIKE '%email%')
+         OR std_pattern_match = 'STREET_ADDR' THEN 'Address'
+    WHEN std_pattern_match = 'STATE_USA' THEN 'State'
+    END) AS fdt) FROM l4),
+l6 AS (
+  SELECT * REPLACE (
+    CASE
+      WHEN regexp_matches(column_name, '{_PROCESS_USER_RE}') THEN 'Process User'
+      WHEN regexp_matches(column_name, '{_SYSTEM_USER_RE}') THEN 'System User'
+      ELSE COALESCE(
+        CASE
+          WHEN avg_length <= 8 AND avg_embedded_spaces < 0.2
+               AND (regexp_matches(lower(column_name), 'f(i)?rst(_| |)n(a)?m')
+                    OR regexp_matches(lower(column_name), '(middle|mdl)(_| |)n(a)?m')
+                    OR regexp_matches(lower(column_name), 'nick(_| |)n(a)?m'))
+            THEN 'Person Given Name'
+          WHEN avg_length BETWEEN 5 AND 8 AND avg_embedded_spaces < 0.2
+               AND (regexp_matches(lower(column_name), 'l(a)?st(_| |)n(a)?m')
+                    OR regexp_matches(lower(column_name), 'maiden(_| |)n(a)?m')
+                    OR regexp_matches(lower(column_name), 'sur(_| |)n(a)?m'))
+            THEN 'Person Last Name'
+          ELSE COALESCE(fdt,
+            CASE WHEN avg_length <= 20 AND avg_embedded_spaces BETWEEN 0.9 AND 2.0
+                      AND (regexp_matches(column_name, '{_FULL_NAME_RE}')
+                           OR column_name IN ('name', 'nm'))
+                 THEN 'Person Full Name' END)
+        END,
+        CASE WHEN general_type = 'A'
+                  AND regexp_matches(column_name, '{_ENTITY_NAME_RE}')
+             THEN 'Entity Name' END)
+    END AS fdt) FROM l5),
+l7 AS (
+  SELECT * REPLACE (COALESCE(fdt,
+    CASE WHEN general_type = 'B'
+              OR (distinct_value_ct = 2
+                  AND ((lower(min_text) = 'no' AND lower(max_text) = 'yes')
+                       OR (lower(min_text) = 'n' AND lower(max_text) = 'y')
+                       OR (lower(min_text) = 'false' AND lower(max_text) = 'true')
+                       OR (lower(min_text) = '0' AND lower(max_text) = '1')
+                       OR (min_value = 0 AND max_value = 1
+                           AND NOT lower(column_type) LIKE '%numeric%'
+                           AND NOT lower(column_type) LIKE '%decimal%')))
+              OR (distinct_value_ct = 1
+                  AND ((lower(min_text) IN ('no','yes') AND lower(max_text) IN ('no','yes'))
+                       OR (lower(min_text) IN ('n','y') AND lower(max_text) IN ('n','y'))
+                       OR (lower(min_text) IN ('false','true') AND lower(max_text) IN ('f','t'))
+                       OR (lower(min_text) IN ('0','1') AND lower(max_text) IN ('0','1'))
+                       OR (min_value = 0 AND max_value = 1
+                           AND NOT lower(column_type) LIKE '%numeric%'
+                           AND NOT lower(column_type) LIKE '%decimal%')))
+         THEN 'Boolean' END,
+    CASE WHEN general_type = 'A'
+              AND (lower(datatype_suggestion) LIKE '%varchar%'
+                   OR datatype_suggestion = 'string') THEN
+      CASE
+        WHEN (regexp_matches(lower(column_name), '_(average|avg|count|ct|sum|total|tot)$')
+              OR regexp_matches(lower(column_name), '^(average|avg|count|ct|sum|total|tot)_'))
+             AND numeric_ct = value_ct AND value_ct > 1 THEN 'Measurement Text'
+        WHEN includes_digit_ct > 0
+             AND ((max_length <= 20 AND avg_embedded_spaces < 0.1
+                   AND value_ct / {rf} > 0.8
+                   AND distinct_value_ct / {vf} > 0.95)
+                  OR (avg_embedded_spaces < 0.1
+                      AND (ROUND(max_length - avg_length) <= 1
+                           OR ROUND(avg_length - min_length) <= 1)))
+          THEN CASE WHEN distinct_value_ct > 200 THEN 'ID'
+                    WHEN distinct_value_ct <= 200 AND avg_embedded_spaces < 1 THEN 'Code'
+               END
+        WHEN distinct_value_ct > 200
+          THEN CASE WHEN max_length - ROUND(avg_length) > 1
+                         AND ROUND(avg_length) - min_length > 1
+                    THEN CASE WHEN avg_embedded_spaces BETWEEN 0 AND 3
+                                   AND max_length <= 30 AND {max_text_spaces} < 5
+                              THEN 'Attribute' ELSE 'Description' END
+               END
+        WHEN distinct_value_ct BETWEEN 2 AND 200
+          THEN CASE WHEN (avg_embedded_spaces < 1 AND max_length < 15)
+                         OR ({charcount_a} > 0 AND {charcount_n} > 0)
+                    THEN 'Code' ELSE 'Category' END
+      END END,
+    CASE WHEN general_type = 'A' AND distinct_value_ct BETWEEN 3 AND 5
+              AND (NOT lower(column_type) LIKE '%numeric%'
+                   OR NOT lower(datatype_suggestion) LIKE '%numeric%')
+              AND min_length > 1 AND max_length <= 7
+              AND {charcount_a} > 0 THEN 'Flag' END,
+    CASE
+      WHEN (max_value - min_value + 1 = distinct_value_ct)
+           AND (fractional_sum IS NULL OR fractional_sum > 0) THEN 'Sequence'
+      WHEN general_type = 'N'
+           AND regexp_matches(lower(column_name), '(no|num|number|nbr)$')
+           AND (lower(column_type) LIKE '%int%'
+                OR ({scale} > 0 AND fractional_sum = 0))
+        THEN CASE WHEN ROUND(100.0 * value_ct / {rf}) > 70
+                  THEN 'ID' ELSE 'Attribute-Numeric' END
+      WHEN general_type = 'N'
+           AND ((percentile_25 = 0 AND percentile_50 = 0 AND percentile_75 = 0)
+                OR (value_ct > 0 AND record_ct > 0
+                    AND value_ct::DOUBLE / record_ct < 0.05))
+           AND ((percentile_75 - percentile_25) > 2 * ABS(avg_value)
+                OR ABS(avg_value) > 5 * ABS(percentile_50)) THEN 'Measurement Spike'
+      WHEN general_type = 'N'
+           AND (lower(column_type) LIKE '%int%' OR {scale} = 0
+                OR ({scale} > 0 AND fractional_sum = 0)) THEN 'Measurement Discrete'
+      WHEN general_type = 'N' AND distinct_value_ct > 1 AND min_value < 0
+        THEN 'Measurement'
+      WHEN general_type = 'N' AND distinct_value_ct > 1 AND min_value >= 0
+           AND stdev_value / NULLIF(avg_value, 0) >= 0.10 THEN 'Measurement'
+      ELSE 'UNKNOWN' END
+  ) AS fdt) FROM l6),
+l8 AS (
+  SELECT * REPLACE (
+    CASE WHEN fdt = 'ID' THEN
+      CASE WHEN ROUND(100.0 * value_ct / {rf}) > 70
+                AND ROUND(100.0 * distinct_value_ct / {vf}) >= 75 THEN 'ID-Secondary'
+           WHEN ROUND(100.0 * value_ct / {rf}) > 70
+                AND ROUND(100.0 * distinct_value_ct / {vf}) < 75 THEN 'ID-Group'
+           ELSE 'ID' END
+    ELSE fdt END AS fdt) FROM l7),
+l9 AS (
+  SELECT * REPLACE (
+    CASE WHEN fdt IN ('ID', 'ID-Secondary') AND record_ct = distinct_value_ct
+              AND record_ct > 50 THEN 'ID-Unique'
+         WHEN fdt = 'ID-SK' AND record_ct = distinct_value_ct
+              AND record_ct > 50 THEN 'ID-Unique-SK'
+         ELSE fdt END AS fdt) FROM l8),
+l10 AS (
+  SELECT * REPLACE (
+    CASE WHEN fdt IN ('Measurement', 'Measurement Discrete', 'UNKNOWN')
+              AND general_type = 'N' AND min_value >= -200 AND max_value <= 200
+              AND (lower(column_name) LIKE '%pct%'
+                   OR lower(column_name) LIKE '%percent%') THEN 'Measurement Pct'
+         WHEN fdt = 'Code' AND distinct_pattern_ct BETWEEN 1 AND 3
+              AND value_ct = includes_digit_ct
+              AND min_text >= '0' AND max_text <= '99'
+              AND regexp_matches(TRIM(p1), '{pct_pat}')
+              AND (regexp_matches(TRIM(COALESCE(p2, '')), '{pct_pat}')
+                   OR distinct_pattern_ct < 2)
+              AND (regexp_matches(TRIM(COALESCE(p3, '')), '{pct_pat}')
+                   OR distinct_pattern_ct < 3) THEN 'Measurement Pct'
+         ELSE fdt END AS fdt) FROM l9),
+census AS (
+  -- functional_tabletype_stage.sql:1-19 SELECTs DISTINCT over
+  -- (..., record_ct, functional_data_type): same-typed columns collapse, so
+  -- the census counts distinct TYPE VALUES, not columns.
+  SELECT
+    COUNT(CASE WHEN lower(fdt) LIKE 'id%' OR fdt = 'Category' THEN 1 END) AS n_id_cat,
+    COUNT(CASE WHEN lower(fdt) LIKE 'period%' THEN 1 END) AS n_period,
+    COUNT(CASE WHEN lower(fdt) LIKE 'measure%' THEN 1 END) AS n_measure,
+    COUNT(CASE WHEN fdt <> 'Constant' THEN 1 END) AS n_nonconst,
+    COUNT(CASE WHEN lower(fdt) LIKE '%transactional date%' THEN 1 END) AS n_txn_date,
+    COUNT(CASE WHEN fdt IN ('Entity Name', 'Person Last Name', 'Person Given Name',
+                            'Person Full Name') THEN 1 END) AS n_names,
+    COUNT(CASE WHEN fdt IN ('Address', 'City', 'State') THEN 1 END) AS n_addr,
+    COUNT(CASE WHEN fdt IN ('ID-Unique', 'ID-Unique-SK', 'ID-Secondary') THEN 1 END) AS n_uids,
+    COUNT(CASE WHEN fdt IN ('Attribute', 'Description') THEN 1 END) AS n_attr
+  FROM (SELECT DISTINCT fdt FROM l10)),
+typed AS (
+  SELECT l10.*, 'cumulative-' || CASE
+    WHEN n_id_cat > 0 AND ((n_period > 0 AND n_measure > 0)
+         OR n_measure::DOUBLE / NULLIF(n_nonconst::DOUBLE, 0) > 0.4) THEN 'summary'
+    WHEN n_measure > 0 AND n_txn_date > 0 THEN 'transaction'
+    WHEN n_names > 0 AND n_addr > 1 THEN 'entity'
+    WHEN n_uids > 1 AND n_attr <= 1 AND n_measure <= 1 THEN 'bridge'
+    ELSE 'domain' END AS functional_table_type
+  FROM l10 CROSS JOIN census),
+pii1 AS (
+  SELECT *, CASE WHEN general_type = 'A' THEN CASE
+    WHEN fdt IN ('Person Full Name', 'Person Given Name', 'Person Last Name')
+      THEN 'B/NAME/Individual'
+    WHEN regexp_matches(lower(column_name), '(maiden|surname)') THEN 'B/NAME/Individual'
+    WHEN fdt = 'Historical Date'
+         AND regexp_matches(lower(column_name), '(dob|birth)') THEN 'B/DEMO/Birthdate'
+    WHEN regexp_matches(lower(column_name),
+                        '(nationality|race|ethnicity|gender|sex|marital)')
+      THEN 'B/DEMO/Demographic'
+    WHEN lower(column_name) LIKE '%med%record%' THEN 'A/DEMO/Medical'
+    WHEN regexp_matches(lower(column_name), '(password|pwd|auth)') THEN 'A/ID/Security'
+    WHEN max_length < 10 AND avg_embedded_spaces < 0.1
+         AND (lower(column_name) LIKE 'pin%' OR lower(column_name) LIKE '%pin')
+      THEN 'A/ID/Security'
+    WHEN std_pattern_match = 'SSN'
+         AND regexp_matches(lower(column_name), '(ss|soc|sec)') THEN 'A/ID/SSN'
+    WHEN TRIM(p1) IN ('NNNNNNNNN', 'NNN-NN-NNNN', 'NNN NN NNNN')
+         AND LEFT(min_text, 1) = '9' AND avg_length BETWEEN 8.8 AND 11.2
+         AND regexp_matches(lower(column_name), '(tax|tin|fed)') THEN 'A/ID/Tax'
+    WHEN TRIM(p1) IN ('NNNNNNNNN', 'ANNNNNNNN') AND avg_length BETWEEN 8.8 AND 9.2
+         AND regexp_matches(lower(column_name), '(passp|pp)') THEN 'A/ID/Passport'
+    WHEN std_pattern_match = 'CREDIT_CARD'
+         AND regexp_matches(lower(column_name), '(credit|card|cc|acct|account)')
+      THEN 'A/ID/Credit'
+    WHEN regexp_matches(TRIM(COALESCE(p1,'')), '(?i)^[A-Za-z]{{6}}[A-Za-z0-9]{{2}}N{{0,3}}$')
+         AND regexp_matches(TRIM(COALESCE(p2,'')), '(?i)^[A-Za-z]{{6}}[A-Za-z0-9]{{2}}N{{0,3}}$')
+         AND avg_length BETWEEN 7.8 AND 11.2
+         AND regexp_matches(lower(column_name), '(swift|bic)') THEN 'A/ID/Bank'
+    WHEN max_length <= 34 AND UPPER(LEFT(TRIM(p1), 2)) = 'AA'
+         AND (lower(column_name) LIKE 'iban%' OR lower(column_name) LIKE '%iban')
+      THEN 'A/ID/Bank'
+    WHEN avg_length BETWEEN 5 AND 20
+         AND regexp_matches(lower(column_name), '(bank|checking|saving|debit)')
+      THEN 'A/ID/Bank'
+    WHEN avg_embedded_spaces < 0.5 AND avg_length < 20
+         AND (regexp_matches(lower(column_name), '(dr|op).*lic')
+              OR regexp_matches(lower(column_name), '(driver|license|operator)'))
+      THEN 'A/ID/License'
+    WHEN lower(column_name) IN ('patient_id', 'pat_id') THEN 'A/ID/Medical'
+    WHEN lower(column_name) = 'member_id' THEN 'B/ID/Commercial'
+    END END AS pii_a
+  FROM typed),
+pii AS (
+  SELECT *,
+    COALESCE(pii_a,
+      CASE WHEN general_type = 'A' AND COUNT(pii_a) OVER () > 1 THEN CASE
+        WHEN fdt = 'Email' THEN 'B/CONTACT/Email'
+        WHEN fdt IN ('Address', 'City', 'State', 'Zip') THEN 'B/CONTACT/Address'
+        WHEN fdt = 'Phone' THEN 'B/CONTACT/Phone'
+        WHEN regexp_matches(lower(column_name), '(insur|health|med|patient)')
+          THEN 'A/DEMO/Medical'
+        WHEN regexp_matches(lower(column_name), '(vehicle|vin|auto|car)')
+             AND avg_length BETWEEN 16 AND 18 AND max_length < 20
+             AND TRIM(p1) = 'AAANAAAAANNNNNNNN' THEN 'B/ID/Auto'
+        WHEN regexp_matches(lower(column_name),
+                            '(voice|fingerprint|retina|auth|biometric|iris|face_recog)')
+          THEN 'A/ID/Security'
+        WHEN lower(column_name) = 'dna' OR lower(column_name) LIKE '%\\_dna' ESCAPE '\\'
+             OR lower(column_name) LIKE 'dna\\_%' ESCAPE '\\' THEN 'A/DEMO/Demographic'
+        WHEN lower(column_name) LIKE '%rout%' AND avg_length BETWEEN 8.8 AND 11.2
+             AND TRIM(p1) IN ('NNNNNNNNN', 'NNNN-NNNN-N') THEN 'C/ID/Bank'
+        WHEN regexp_matches(lower(column_name), '(salary|income|wage)')
+          THEN 'B/DEMO/Financial'
+        WHEN regexp_matches(lower(column_name), '(user_id|userid)') THEN 'C/ID/Security'
+        END END) AS pii_flag
+  FROM pii1)
+SELECT column_name, general_type, datatype_suggestion,
+       fdt AS functional_data_type, functional_table_type, pii_flag,
+       COALESCE(
+         ROUND(100.0 * (value_ct - COALESCE(zero_length_ct, 0)
+                        - COALESCE(filled_value_ct, 0)) / {rf}, 0) > 75
+         AND ((lower(functional_table_type) LIKE '%entity'
+               AND fdt IN ('Entity Name','City','State','Zip','Code','Category'))
+              OR (lower(functional_table_type) LIKE '%domain'
+                  AND fdt IN ('Category','Code'))
+              OR (lower(functional_table_type) LIKE '%summary'
+                  AND (fdt = 'Category' OR lower(fdt) LIKE 'period%'
+                       OR lower(fdt) LIKE 'measurement%'))
+              OR (lower(functional_table_type) LIKE '%transaction'
+                  AND (fdt = 'Category' OR lower(fdt) LIKE 'transactional date%'
+                       OR lower(fdt) LIKE 'measurement%'))),
+         FALSE) AS critical_data_element
+FROM pii"""
