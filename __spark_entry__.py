@@ -42,7 +42,8 @@ _LINEITEM_NUM_COLS = [
 
 def q_profile_lineitem_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "lineitem")
-    p = profile_table(df, "lineitem", run_date=RUN_DATE, secondary=False)
+    p = profile_table(df, "lineitem", run_date=RUN_DATE, secondary=False,
+                      columns=_LINEITEM_NUM_COLS)
     return p.filter(F.col("general_type") == "N").select(
         "column_name",
         "record_ct", "value_ct", "distinct_value_ct", "null_value_ct",
@@ -302,6 +303,36 @@ def _q_functional_types(table: str):
 
 q_functional_types_customer = _q_functional_types("customer")
 q_functional_types_orders = _q_functional_types("orders")
+
+
+def q_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene screening (SURVEY §2.3) over customer+orders; rows-only check
+    (cross-table Multi-Col rules are not single-query SQL-expressible; rule
+    semantics are pinned by tests/test_anomalies.py fixtures)."""
+    from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
+
+    prof = None
+    for t in ("customer", "orders"):
+        p = profile_table(_load(spark, sf_dir, t), t, run_date=RUN_DATE)
+        prof = p if prof is None else prof.unionByName(p)
+    out = screen_anomalies(apply_inference(prof))
+    return out.select("table_name", "column_name", "anomaly_type", "data_object",
+                      "likelihood", F.round("dq_prevalence", 5).alias("dq_prevalence"))
+
+
+def q_generated_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-criteria test generation (SURVEY §2.4) over lineitem;
+    rows-only check (generation reads the inferred profile, pinned by
+    tests/test_generation.py incl. the generate→execute E2E loop)."""
+    from dataops_testgen_spark.generation import generate_selection_tests
+    from dataops_testgen_spark.inference import apply_inference
+
+    df = _load(spark, sf_dir, "lineitem")
+    inferred = apply_inference(profile_table(df, "lineitem", run_date=RUN_DATE))
+    gen = generate_selection_tests(inferred)
+    return gen.select("test_type", "table_name", "column_name",
+                      F.to_json("params").alias("params"))
 
 
 # --------------------------------------------------------------------------
@@ -719,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_patterns_part": q_top_patterns_part,
         "functional_types_customer": q_functional_types_customer,
         "functional_types_orders": q_functional_types_orders,
+        "anomaly_screen_customer_orders": q_anomaly_screen,
+        "generated_tests_lineitem": q_generated_tests,
         "cat_tests_lineitem": q_cat_tests_lineitem,
         "dupe_rows_part": q_dupe_rows_part,
         "combo_match_customer_orders": q_combo_match_customer_orders,

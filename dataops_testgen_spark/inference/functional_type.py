@@ -619,9 +619,15 @@ def infer_functional_datatypes(
     df = df.withColumn(FDT, _layer3_periods(c, rd))
     df = df.withColumn(FDT, _layer4_period_overrides(c))
     df = df.withColumn(FDT, _layer5_address(c))
+    # Truncate lineage before the self-join passes: each join branch would
+    # otherwise embed (and re-optimize/codegen) the full cascade expression
+    # tree once per occurrence — minutes of pure Catalyst time on a
+    # rows==columns DataFrame.
+    df = df.localCheckpoint(eager=False)
     df = _apply_positional_city_1(df)
     df = df.withColumn(FDT, _layer6_names_users(c))
     df = df.withColumn(FDT, _layer7_classes_final(c))
+    df = df.localCheckpoint(eager=False)
     df = _apply_positional_city_2(df)
     df = _apply_id_refinement(df)
     df = _apply_measurement_pct(df)

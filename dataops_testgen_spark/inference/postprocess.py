@@ -25,6 +25,7 @@ def apply_inference(
     history: DataFrame | None = None,
     id_mask: str = "%id",
     sk_mask: str = "%_sk",
+    materialize: bool = True,
 ) -> DataFrame:
     df = add_datatype_suggestion(profile)
     df = infer_functional_datatypes(df, id_mask=id_mask, sk_mask=sk_mask)
@@ -33,4 +34,11 @@ def apply_inference(
                  "table_name", "left")
     df = flag_pii(df)
     df = flag_cde(df)
+    if materialize:
+        # The result is metadata-plane (one row per column) but its lineage
+        # carries the whole layered cascade — leaving it lazy makes every
+        # downstream action (anomaly screen branches, generation explode)
+        # re-run Catalyst over those expression trees, which dominates wall
+        # time. Cut the lineage once; the data itself is negligible.
+        df = df.localCheckpoint(eager=False)
     return df

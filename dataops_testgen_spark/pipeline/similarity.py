@@ -35,22 +35,63 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / F.nullif(norm(ad) * norm(bd), F.lit(0.0))
 
 
+def collect_normalized(df: DataFrame, id_col: str, vec_col: str):
+    """(ids ndarray, row-normalized matrix) for broadcasting — the small
+    side of a similarity search. Zero vectors normalize to NaN (cosine
+    undefined), matching the expression form's NULL."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([np.asarray(r[1], dtype=float) for r in rows])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = np.nan
+    return ids, m / norms[:, None]
+
+
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query row.
     Output: (query_id, neighbor_id, cosine, rank). Deterministic tiebreak:
-    cosine DESC, neighbor_id ASC."""
-    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = (
-        q.crossJoin(base)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return scored.select("*", F.row_number().over(w).alias("rank")) \
-                 .filter(F.col("rank") <= k)
+    cosine DESC, neighbor_id ASC.
+
+    Same broadcast-matrix design as embedding_cosine_pairs: the base matrix
+    is broadcast, each query partition does one numpy matmul and a
+    per-row lexsort top-k — no crossJoin, no shuffle beyond the query scan.
+    """
+    spark = df.sparkSession
+    ids, matrix = collect_normalized(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, matrix))
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        all_ids, all_m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            norms = np.linalg.norm(q, axis=1)
+            norms[norms == 0] = np.nan
+            qn = q / norms[:, None]
+            sims = qn @ all_m.T
+            qids = pdf[id_col].to_numpy()
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i, qid in enumerate(qids):
+                row = sims[i]
+                mask = all_ids != qid
+                cand_ids, cand_sims = all_ids[mask], row[mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_sims[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cosine": out_c, "rank": out_r})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        compute, schema="query_id long, neighbor_id long, cosine double, rank int")
 
 
 def _hyperplane(table_id: int, dim: int, n_dims: int) -> list[float]:

@@ -1,0 +1,198 @@
+"""Time-series threshold forecasting — numpy re-expression of
+`common/time_series_service.py:20-114` + tolerance computation of
+`commands/test_thresholds_prediction.py:263-307`.
+
+Model: the reference fits SARIMAX(order=(1,1,1)) with an ``is_excluded``
+exogenous dummy. Without statsmodels we fit the first-differenced series
+with OLS: ``d_t = c + φ·d_{t-1} + β·x_t`` (ARIMAX(1,1,0)+exog) and forecast
+iteratively — the MA(1) term is the only dropped component. The standard
+error keeps the reference's triple floor
+(`time_series_service.py:100-112`): max(model SE, post-burn-in residual SE,
+raw first-difference SE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+MIN_TRAIN_VALUES = 20            # time_series_service.py:13
+T_DISTRIBUTION_THRESHOLD = 20    # test_thresholds_prediction.py:33
+NUM_FORECAST = 10                # test_thresholds_prediction.py:32
+
+# test_thresholds_prediction.py:35-42
+Z_SCORE_MAP = {
+    ("lower_tolerance", "low"): -3.0,
+    ("lower_tolerance", "medium"): -2.5,
+    ("lower_tolerance", "high"): -2.0,
+    ("upper_tolerance", "high"): 2.0,
+    ("upper_tolerance", "medium"): 2.5,
+    ("upper_tolerance", "low"): 3.0,
+}
+
+
+class NotEnoughData(ValueError):
+    pass
+
+
+def infer_frequency(datetime_series: pd.Series) -> str:
+    """Median-gap frequency inference (time_series_service.py:118-136)."""
+    time_diffs = datetime_series.diff().dropna()
+    median_diff = time_diffs.median()
+    total_seconds = median_diff.total_seconds()
+
+    days = total_seconds / 86400
+    nearest_day = round(days)
+    if nearest_day >= 1 and abs(days - nearest_day) / nearest_day < 0.05:
+        return f"{int(nearest_day)}D"
+
+    hours = total_seconds / 3600
+    nearest_hour = round(hours)
+    if nearest_hour > 0 and abs(hours - nearest_hour) / nearest_hour < 0.05:
+        return f"{int(nearest_hour)}h"
+
+    frequency = f"{int(total_seconds // 60)}min"
+    return frequency if frequency != "0min" else f"{int(total_seconds)}s"
+
+
+def _exog_flags(index: pd.DatetimeIndex, exclude_weekends: bool,
+                tz: str | None) -> np.ndarray:
+    check = index.tz_localize("UTC").tz_convert(tz) if tz else index
+    flags = np.zeros(len(index))
+    if exclude_weekends:
+        flags[np.asarray(check.dayofweek) >= 5] = 1.0
+    return flags
+
+
+def get_forecast(
+    history: pd.DataFrame,
+    num_forecast: int,
+    exclude_weekends: bool = False,
+    tz: str | None = None,
+) -> pd.DataFrame:
+    """history (DatetimeIndex + one value column) → DataFrame(mean, se)."""
+    if len(history) < MIN_TRAIN_VALUES:
+        raise NotEnoughData("Not enough data points in history.")
+
+    frequency = infer_frequency(history.index.to_series())
+    resampled = history.resample(frequency).mean().interpolate(method="linear")
+    if len(resampled) < MIN_TRAIN_VALUES:
+        raise NotEnoughData("Not enough data points after resampling.")
+
+    y = resampled.iloc[:, 0].to_numpy(dtype=float)
+    exog = _exog_flags(resampled.index, exclude_weekends, tz)
+
+    forecast_index = pd.date_range(
+        start=resampled.index[-1] + pd.to_timedelta(frequency),
+        periods=num_forecast, freq=frequency,
+    )
+    exog_fc = _exog_flags(forecast_index, exclude_weekends, tz)
+
+    # OLS fit of d_t = c + φ d_{t-1} + β x_t
+    d = np.diff(y)
+    if len(d) >= 3:
+        dx = np.column_stack([
+            np.ones(len(d) - 1), d[:-1], exog[2:],
+        ])
+        dy = d[1:]
+        coef, *_ = np.linalg.lstsq(dx, dy, rcond=None)
+        c0, phi, beta = coef
+        resid = dy - dx @ coef
+    else:
+        c0, phi, beta = 0.0, 0.0, 0.0
+        resid = d
+
+    # Iterative mean forecast
+    means = []
+    level, prev_d = y[-1], d[-1] if len(d) else 0.0
+    for step in range(num_forecast):
+        d_next = c0 + phi * prev_d + beta * exog_fc[step]
+        level = level + d_next
+        means.append(level)
+        prev_d = d_next
+
+    # SE floors (time_series_service.py:100-112); model SE grows like a
+    # random walk with the per-step residual sigma.
+    burn_in = 3
+    usable = resid[burn_in:] if len(resid) > burn_in else resid
+    resid_se = float(np.std(usable, ddof=1)) if len(usable) >= 5 else 0.0
+    raw_diff_se = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
+    step_se = max(resid_se, raw_diff_se)
+    model_se = step_se * np.sqrt(np.arange(1, num_forecast + 1))
+    se = np.maximum(model_se, max(resid_se, raw_diff_se))
+
+    return pd.DataFrame({"mean": means, "se": se}, index=forecast_index)
+
+
+def _inv_norm_cdf(p: float) -> float:
+    """Acklam's rational approximation of the normal quantile (public
+    domain), |eps| < 1.15e-9 — replaces scipy.stats.norm.ppf."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = np.sqrt(-2 * np.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        return -_inv_norm_cdf(1 - p)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def t_ppf(p: float, df: int) -> float:
+    """Student-t quantile via the Cornish–Fisher expansion around the normal
+    quantile — replaces scipy.stats.t.ppf for the n<20 multiplier
+    (test_thresholds_prediction.py:289-294). Accurate to ~1e-3 for df ≥ 3."""
+    z = _inv_norm_cdf(p)
+    g1 = (z**3 + z) / 4
+    g2 = (5 * z**5 + 16 * z**3 + 3 * z) / 96
+    g3 = (3 * z**7 + 19 * z**5 + 17 * z**3 - 15 * z) / 384
+    return float(z + g1 / df + g2 / df**2 + g3 / df**3)
+
+
+def _norm_cdf(x: float) -> float:
+    from math import erf, sqrt
+    return 0.5 * (1 + erf(x / sqrt(2)))
+
+
+def predict_tolerances(
+    history: pd.DataFrame,
+    sensitivity: str = "medium",
+    num_forecast: int = NUM_FORECAST,
+    exclude_weekends: bool = False,
+    tz: str | None = None,
+) -> tuple[float | None, float | None]:
+    """(lower_tolerance, upper_tolerance) for the next period.
+
+    Mirrors test_thresholds_prediction.py:263-307: z multiplier from
+    Z_SCORE_MAP; for < 20 training points, widen with the t-distribution
+    quantile at the z's percentile with df = n-1.
+    """
+    try:
+        forecast = get_forecast(history, num_forecast,
+                                exclude_weekends=exclude_weekends, tz=tz)
+    except NotEnoughData:
+        return None, None
+    num_points = len(history)
+    out = {}
+    for which in ("lower_tolerance", "upper_tolerance"):
+        z = Z_SCORE_MAP[(which, sensitivity)]
+        if num_points < T_DISTRIBUTION_THRESHOLD:
+            percentile = _norm_cdf(z)
+            multiplier = t_ppf(percentile, df=num_points - 1)
+        else:
+            multiplier = z
+        out[which] = float(forecast["mean"].iloc[0] + multiplier * forecast["se"].iloc[0])
+    lower, upper = out["lower_tolerance"], out["upper_tolerance"]
+    if pd.isna(lower) or pd.isna(upper):
+        return None, None
+    return lower, upper

@@ -189,20 +189,33 @@ def profile_table(
     # distinct expression; mixed with sort-based aggs (percentile) that plan
     # degrades ~10×. Run distinct aggregates as a separate hash-agg job unless
     # approx=True (HLL sketches need no expand → everything stays one pass).
+    # Exact percentiles are TypedImperativeAggregates that buffer every value;
+    # mixed into the main agg they force the WHOLE aggregate off the
+    # whole-stage-codegen hash path — keep them in their own job too.
     if approx:
-        main_exprs, dist_exprs = exprs, []
+        main_exprs, dist_exprs, pct_exprs = exprs, [], []
     else:
         dist_names = ("__distinct_value_ct", "__distinct_std_value_ct",
                       "__date_days_present", "__date_weeks_present",
                       "__date_months_present")
-        main_exprs = [e for e in exprs if not _alias_of(e).endswith(dist_names)]
-        dist_exprs = [e for e in exprs if _alias_of(e).endswith(dist_names)]
+        pct_names = ("__percentile_25", "__percentile_50", "__percentile_75")
+        main_exprs, dist_exprs, pct_exprs = [], [], []
+        for e in exprs:
+            alias = _alias_of(e)
+            if alias.endswith(dist_names):
+                dist_exprs.append(e)
+            elif alias.endswith(pct_names) and exact_percentiles:
+                pct_exprs.append(e)
+            else:
+                main_exprs.append(e)
 
     row = {}
     if main_exprs:
         row.update(target.agg(*main_exprs).collect()[0].asDict())
     if dist_exprs:
         row.update(target.agg(*dist_exprs).collect()[0].asDict())
+    if pct_exprs:
+        row.update(target.agg(*pct_exprs).collect()[0].asDict())
 
     out_rows = []
     for i, col in enumerate(cols):
@@ -250,6 +263,12 @@ def profile_table(
                 .join(sec, ["table_name", "column_name"], "left")
                 .select(*[f.name for f in PROFILE_SCHEMA.fields])
             )
+            # The joined plan carries the secondary-pass TABLE SCAN in its
+            # lineage; downstream consumers (inference self-joins, anomaly
+            # screening branches) would re-run that scan once per branch.
+            # The profile is one row per column — truncate the lineage here
+            # (materializes lazily at the first action).
+            profile = profile.localCheckpoint(eager=False)
     return profile
 
 

@@ -1,0 +1,107 @@
+"""Streaming monitor queries.
+
+Each monitor takes a streaming DataFrame (``spark.readStream`` source) with
+an event-time column and returns the monitored aggregate stream:
+
+- ``volume_monitor`` — Volume_Trend semantics
+  (`gen_query_tests/gen_Volume_Trend.sql:20`:
+  ``COUNT(CASE WHEN {SUBSET_CONDITION} THEN 1 END)``) per tumbling window,
+  with optional predicted tolerance bounds evaluated inline (result_code 0
+  when outside [lower, upper] — Metric_Trend's NOT BETWEEN).
+- ``freshness_monitor`` — Table_Freshness: latest event time + fingerprint
+  per window; downstream gap analysis reuses prediction.freshness.
+- ``metric_trend_monitor`` — Metric_Trend: arbitrary aggregate expression
+  per window vs tolerances.
+
+Late data: bounded by ``watermark`` (reference parity is business-time
+exclusion windows — `freshness_service.py:200-341` — which map to
+event-time watermarks here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _windowed(stream: DataFrame, ts_col: str, window: str, watermark: str):
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w")))
+
+
+def _with_tolerances(agg: DataFrame, measure_col: str,
+                     lower: float | None, upper: float | None) -> DataFrame:
+    if lower is None and upper is None:
+        return agg.withColumn("result_code", F.lit(None).cast("int"))
+    cond = F.lit(True)
+    if lower is not None:
+        cond = cond & (F.col(measure_col) >= F.lit(lower))
+    if upper is not None:
+        cond = cond & (F.col(measure_col) <= F.lit(upper))
+    return agg.withColumn("result_code", F.when(cond, 1).otherwise(0))
+
+
+def volume_monitor(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    subset_condition: str | None = None,
+    lower_tolerance: float | None = None,
+    upper_tolerance: float | None = None,
+) -> DataFrame:
+    subset = F.expr(subset_condition) if subset_condition else F.lit(True)
+    agg = _windowed(stream, ts_col, window, watermark).agg(
+        F.sum(F.when(subset, 1).otherwise(0)).cast("long").alias("record_ct")
+    )
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "record_ct",
+    )
+    return _with_tolerances(out, "record_ct", lower_tolerance, upper_tolerance)
+
+
+def freshness_monitor(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    fingerprint_cols: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Latest event time + content fingerprint per window.
+
+    Fingerprint = MD5 of max-aggregates over the named columns — the shape
+    of gen_Table_Freshness.sql's ``MD5({CUSTOM_QUERY})``.
+    """
+    aggs = [F.max(F.col(ts_col)).alias("latest_ts"),
+            F.count(F.lit(1)).cast("long").alias("event_ct")]
+    fp_parts = [F.max(F.col(c)).cast("string") for c in (fingerprint_cols or [])]
+    if fp_parts:
+        aggs.append(F.md5(F.concat_ws("|", *fp_parts)).alias("fingerprint"))
+    agg = _windowed(stream, ts_col, window, watermark).agg(*aggs)
+    cols = [F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"), "latest_ts", "event_ct"]
+    if fp_parts:
+        cols.append("fingerprint")
+    return agg.select(*cols)
+
+
+def metric_trend_monitor(
+    stream: DataFrame,
+    measure: Column | str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    lower_tolerance: float | None = None,
+    upper_tolerance: float | None = None,
+) -> DataFrame:
+    m = F.expr(measure) if isinstance(measure, str) else measure
+    agg = _windowed(stream, ts_col, window, watermark).agg(
+        m.alias("result_measure"))
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "result_measure",
+    )
+    return _with_tolerances(out, "result_measure", lower_tolerance, upper_tolerance)

@@ -1,0 +1,124 @@
+"""Golden tests for hygiene-issue screening (SURVEY §2.3).
+
+Each fixture column is engineered to trip exactly the targeted anomaly
+criteria from `template/dbsetup_anomaly_types/*.yaml`.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dataops_testgen_spark.anomalies import screen_anomalies
+from dataops_testgen_spark.inference import apply_inference
+from dataops_testgen_spark.profiling.profiler import profile_table
+
+RUN_DATE = "2026-08-01"
+
+
+def _screen(spark, rows, schema, table="anomfix", run_date=RUN_DATE):
+    df = spark.createDataFrame(rows, schema)
+    prof = profile_table(df, table, run_date=run_date)
+    return screen_anomalies(apply_inference(prof))
+
+
+@pytest.fixture(scope="module")
+def hygiene(spark):
+    n = 300
+    rows = []
+    for i in range(n):
+        rows.append((
+            f" lead{i % 10}" if i % 7 == 0 else f"val{i % 10}",   # lead_sp
+            '"quoted"' if i % 11 == 0 else f"plain{i % 9}",       # quoted
+            "N/A" if i % 13 == 0 else f"city name {i % 8}",       # blanks (filled)
+            None,                                                  # all_null
+            f"{1 + i % 25}" if i % 50 == 0 else f"word{i % 25}",  # few_numeric (2%)
+            ["in", "inch", "inches"][i % 3],                      # uom variants
+            "not-a-date" if i % 60 == 0 else f"2024-0{(i % 9) + 1}-15",  # 98% dates
+            "NaNish" if i % 60 == 0 else str(100 + i % 150),       # 98% numbers
+        ))
+    schema = ("lead_sp string, quoted string, blankish string, all_null string,"
+              " few_numeric string, uom string, char_date string, char_num string")
+    out = _screen(spark, rows, schema)
+    return {(r["anomaly_type"], r["column_name"]) for r in out.collect()}
+
+
+def test_leading_spaces(hygiene):
+    assert ("Leading_Spaces", "lead_sp") in hygiene
+
+
+def test_quoted_values(hygiene):
+    assert ("Quoted_Values", "quoted") in hygiene
+
+
+def test_non_standard_blanks(hygiene):
+    assert ("Non_Standard_Blanks", "blankish") in hygiene
+
+
+def test_no_values(hygiene):
+    assert ("No_Values", "all_null") in hygiene
+
+
+def test_small_numeric_value_ct(hygiene):
+    assert ("Small_Numeric_Value_Ct", "few_numeric") in hygiene
+
+
+def test_variant_coded_values(hygiene):
+    assert ("Variant_Coded_Values", "uom") in hygiene
+
+
+def test_char_column_dates_and_numbers(hygiene):
+    assert ("Char_Column_Date_Values", "char_date") in hygiene
+    assert ("Char_Column_Number_Values", "char_num") in hygiene
+
+
+def test_multi_col_types(spark):
+    t1 = spark.createDataFrame([(i, "x") for i in range(100)], "shared_col long, a string")
+    t2 = spark.createDataFrame([("s", 1.0) for _ in range(100)], "shared_col string, b double")
+    p = profile_table(t1, "t1", run_date=RUN_DATE).unionByName(
+        profile_table(t2, "t2", run_date=RUN_DATE))
+    out = screen_anomalies(apply_inference(p))
+    hits = {(r["anomaly_type"], r["column_name"]) for r in out.collect()}
+    assert ("Multiple_Types_Major", "shared_col") in hits
+
+
+def test_recency_anomalies(spark):
+    old = dt.date(2024, 1, 1)
+    rows = [(old + dt.timedelta(days=i % 200),) for i in range(100)]
+    out = _screen(spark, rows, "event_date date", "stale_table")
+    hits = {(r["anomaly_type"], r["table_name"]) for r in out.collect()}
+    assert ("Recency_One_Year", "stale_table") in hits
+
+    recent = dt.date.fromisoformat(RUN_DATE) - dt.timedelta(days=250)
+    rows2 = [(recent + dt.timedelta(days=i % 30),) for i in range(100)]
+    out2 = _screen(spark, rows2, "event_date date", "stalish")
+    hits2 = {(r["anomaly_type"], r["table_name"]) for r in out2.collect()}
+    assert ("Recency_Six_Months", "stalish") in hits2
+
+
+def test_potential_pii_prevalence(spark):
+    rows = [(f"Emp Name {i}", f"{i % 60:03d}-{i % 90:02d}-{1000 + i:04d}")
+            for i in range(200)]
+    out = _screen(spark, rows, "emp_name string, ssn_col string", "piifix")
+    hits = {r["anomaly_type"]: r for r in out.collect()}
+    assert "Potential_PII" in hits
+    # risk multiplier CASE on pii class letter — A/ID/SSN → NULL formula → NULL
+    pii_rows = [r for r in out.collect() if r["anomaly_type"] == "Potential_PII"]
+    assert all(r["dq_prevalence"] is None for r in pii_rows)
+
+
+def test_prevalence_values(spark):
+    rows = [(" x" if i < 30 else f"y{i}",) for i in range(300)]
+    out = _screen(spark, rows, "lead_sp string", "prevfix")
+    row = [r for r in out.collect() if r["anomaly_type"] == "Leading_Spaces"][0]
+    # 30 leading-space rows / 300 records × risk 0.66
+    assert row["dq_prevalence"] == pytest.approx(30 / 300 * 0.66)
+
+
+def test_no_false_fires_on_clean_numeric(spark):
+    rows = [(float(i % 97) * 1.37,) for i in range(300)]
+    out = _screen(spark, rows, "amt double", "cleanfix")
+    types = {r["anomaly_type"] for r in out.collect()}
+    assert "Leading_Spaces" not in types
+    assert "No_Values" not in types

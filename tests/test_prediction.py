@@ -1,0 +1,125 @@
+"""Tests for threshold forecasting + freshness schedule inference.
+
+Scenario style mirrors the reference's test_freshness_scenarios.py:
+construct synthetic update histories with known cadence and assert the
+inferred schedule/thresholds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataops_testgen_spark.prediction import (
+    NotEnoughData,
+    classify_frequency,
+    compute_freshness_threshold,
+    get_forecast,
+    get_freshness_gap_threshold,
+    infer_frequency,
+    infer_schedule,
+    predict_tolerances,
+)
+from dataops_testgen_spark.prediction.forecast import t_ppf
+
+
+def _daily_history(n=60, base=1000.0, noise=25.0, trend=2.0):
+    rng = np.random.RandomState(7)
+    idx = pd.date_range("2026-05-01", periods=n, freq="D")
+    vals = base + trend * np.arange(n) + rng.normal(0, noise, n)
+    return pd.DataFrame({"value": vals}, index=idx)
+
+
+def test_infer_frequency():
+    idx = pd.date_range("2026-05-01", periods=30, freq="D").to_series()
+    assert infer_frequency(idx) == "1D"
+    idx_h = pd.date_range("2026-05-01", periods=48, freq="6h").to_series()
+    assert infer_frequency(idx_h) == "6h"
+
+
+def test_forecast_tracks_trend():
+    hist = _daily_history()
+    fc = get_forecast(hist, 5)
+    assert len(fc) == 5
+    # trending series: forecast should continue near the last level
+    assert fc["mean"].iloc[0] == pytest.approx(hist["value"].iloc[-1], rel=0.1)
+    assert (fc["se"] > 0).all()
+
+
+def test_forecast_not_enough_data():
+    with pytest.raises(NotEnoughData):
+        get_forecast(_daily_history(n=10), 5)
+
+
+def test_tolerances_bracket_next_value():
+    hist = _daily_history()
+    lower, upper = predict_tolerances(hist, "medium")
+    assert lower is not None and upper is not None
+    nxt = hist["value"].iloc[-1] + 2.0  # expected next ≈ last + trend
+    assert lower < nxt < upper
+    lo_low, up_low = predict_tolerances(hist, "low")
+    assert lo_low < lower and up_low > upper  # low sensitivity = wider
+
+
+def test_t_multiplier_widens_small_samples():
+    hist = _daily_history(n=21)  # below T_DISTRIBUTION_THRESHOLD after diff
+    small = predict_tolerances(_daily_history(n=25).iloc[:19 + 1], "medium")
+    # t-quantile exceeds z for small df
+    assert t_ppf(0.9938, 10) > 2.5
+    assert abs(t_ppf(0.975, 1000) - 1.96) < 0.01
+    assert small == (None, None) or small[0] < small[1]
+
+
+def _signal_history(update_times):
+    idx = pd.DatetimeIndex(update_times)
+    return pd.DataFrame({"result_signal": np.zeros(len(idx))}, index=idx)
+
+
+def test_gap_threshold_daily():
+    times = pd.date_range("2026-06-01 02:00", periods=30, freq="D")
+    hist = _signal_history(times)
+    thr = get_freshness_gap_threshold(hist)
+    assert thr.upper == pytest.approx(1440 * 1.25)  # floor multiplier binds
+    assert thr.staleness == pytest.approx(1440 * 0.85)
+    assert thr.lower == pytest.approx(1440)
+
+
+def test_gap_threshold_needs_min_gaps():
+    times = pd.date_range("2026-06-01", periods=4, freq="D")
+    with pytest.raises(NotEnoughData):
+        get_freshness_gap_threshold(_signal_history(times))
+
+
+def test_classify_frequency_bands():
+    assert classify_frequency(np.array([1.0, 2.0, 3.0])) == "sub_daily"
+    assert classify_frequency(np.array([24.0] * 10)) == "daily"
+    assert classify_frequency(np.array([168.0] * 10)) == "weekly"
+    assert classify_frequency(np.array([72.0] * 10)) == "irregular"
+    assert classify_frequency(np.array([])) == "irregular"
+
+
+def test_infer_schedule_weekday_daily():
+    # weekday-only 03:00 UTC updates over 6 weeks
+    times = [t for t in pd.date_range("2026-06-01 03:00", periods=42, freq="D")
+             if t.weekday() < 5]
+    sched = infer_schedule(_signal_history(times), "UTC")
+    assert sched is not None
+    assert sched.frequency == "daily"
+    assert sched.active_days == frozenset(range(5))
+    assert sched.stage == "active"
+    assert sched.confidence >= 0.75
+
+
+def test_compute_freshness_threshold_excludes_weekends():
+    times = [t for t in pd.date_range("2026-06-01 03:00", periods=42, freq="D")
+             if t.weekday() < 5]
+    lower, upper, staleness, pred = compute_freshness_threshold(
+        _signal_history(times), "medium", schedule_tz="UTC")
+    assert upper is not None
+    assert pred["schedule_stage"] == "active"
+    assert pred["active_days"] == [0, 1, 2, 3, 4]
+    # weekend gap (Fri→Mon, 4320 wall minutes) shrinks to ~1440 business
+    # minutes once inactive days are excluded → upper well below 4320·1.25
+    assert upper < 4320
+    assert staleness is not None

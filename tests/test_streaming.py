@@ -1,0 +1,85 @@
+"""Structured Streaming monitor tests: file source over the events fixture,
+availableNow trigger, memory sink — verifies windowed results match the
+equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.io.loaders import load_table
+from dataops_testgen_spark.streaming import freshness_monitor, volume_monitor
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Re-write events with proper timestamps so readStream can infer schema."""
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_volume_monitor_matches_batch(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    out = _run_stream(
+        spark, volume_monitor(stream, ts_col="ts", window="1 day",
+                              watermark="0 seconds"), "vol_mon")
+    got = {(r["window_start"], r["record_ct"]) for r in out.collect()}
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    expected = {
+        (r["w"]["start"], r["ct"])
+        for r in batch_df.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("ct")).collect()
+        # append mode emits only windows closed below the final watermark —
+        # the window containing max event time stays open
+        if r["w"]["end"] <= max_ts
+    }
+    assert got == expected and got
+
+
+def test_volume_monitor_tolerances(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    out = _run_stream(
+        spark, volume_monitor(stream, ts_col="ts", window="1 day",
+                              watermark="0 seconds",
+                              lower_tolerance=1, upper_tolerance=10**9),
+        "vol_mon_tol")
+    rows = out.collect()
+    assert rows and all(r["result_code"] == 1 for r in rows)
+
+
+def test_freshness_monitor_fingerprint(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    out = _run_stream(
+        spark, freshness_monitor(stream, ts_col="ts",
+                                 fingerprint_cols=["event_type", "user_id"],
+                                 window="1 day", watermark="0 seconds"),
+        "fresh_mon")
+    rows = out.collect()
+    assert rows
+    assert all(r["fingerprint"] is not None and r["latest_ts"] is not None
+               for r in rows)
+    # fingerprint matches batch MD5 of max-aggregates for the same window
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    b = (batch_df.groupBy(F.window("ts", "1 day").alias("w"))
+         .agg(F.md5(F.concat_ws("|", F.max("event_type").cast("string"),
+                                F.max("user_id").cast("string"))).alias("fp"),
+              F.max("ts").alias("latest")))
+    expected = {(r["w"]["start"], r["fp"]) for r in b.collect()
+                if r["w"]["end"] <= max_ts}
+    got = {(r["window_start"], r["fingerprint"]) for r in rows}
+    assert got == expected
