@@ -521,6 +521,80 @@ SELECT 'Latest Timeframe' AS missing_from, user_id, event_type
 FROM (SELECT * FROM prior EXCEPT SELECT * FROM latest)"""
 
 
+_CONTINGENCY_COLS = ["l_linestatus", "l_returnflag"]
+
+
+def q_contingency_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataops_testgen_spark.anomalies.contingency import mine_contingency_rules
+
+    df = _load(spark, sf_dir, "lineitem")
+    rules = mine_contingency_rules(df, "lineitem", _CONTINGENCY_COLS, 0.4)
+    return rules.select(
+        "cause_column_name", "cause_column_value",
+        "effect_column_name", "effect_column_value",
+        "pair_count", "cause_column_total", "effect_column_total",
+        F.round("rule_ratio", 5).alias("rule_ratio"))
+
+
+def _sql_contingency(table: str, cols: list[str], thr: float = 0.4) -> str:
+    from itertools import combinations
+
+    pair_sel = "\nUNION ALL\n".join(
+        f"""SELECT '{c1}' AS c1, '{c2}' AS c2, {c1}::VARCHAR AS v1,
+       {c2}::VARCHAR AS v2, COUNT(*)::BIGINT AS pair_count
+FROM {table} WHERE {c1} IS NOT NULL AND {c2} IS NOT NULL GROUP BY 3, 4"""
+        for c1, c2 in combinations(sorted(cols), 2))
+    return f"""
+WITH pairs AS ({pair_sel}),
+t1 AS (SELECT c1, c2, v1, SUM(pair_count) AS total1 FROM pairs GROUP BY 1,2,3),
+t2 AS (SELECT c1, c2, v2, SUM(pair_count) AS total2 FROM pairs GROUP BY 1,2,3),
+g AS (SELECT c1, c2, SUM(pair_count) AS grand_total FROM pairs GROUP BY 1,2),
+e AS (
+  SELECT p.*, total1, total2,
+         p.pair_count::DOUBLE/total1 AS ratio1,
+         p.pair_count::DOUBLE/total2 AS ratio2,
+         GREATEST(grand_total * 0.05, 30.0) AS support_min
+  FROM pairs p JOIN t1 USING (c1, c2, v1) JOIN t2 USING (c1, c2, v2)
+  JOIN g USING (c1, c2)
+  WHERE total1 >= GREATEST(grand_total * 0.05, 30.0)
+    AND total2 >= GREATEST(grand_total * 0.05, 30.0)
+    AND NOT (p.pair_count::DOUBLE/total1 < {thr}
+             AND p.pair_count::DOUBLE/total2 < {thr}))
+SELECT c1 AS cause_column_name, v1 AS cause_column_value,
+       c2 AS effect_column_name, v2 AS effect_column_value,
+       pair_count, total1 AS cause_column_total, total2 AS effect_column_total,
+       ROUND(ratio1, 5) AS rule_ratio
+FROM e WHERE ratio1 >= {thr}
+UNION ALL
+SELECT c2, v2, c1, v1, pair_count, total2, total1, ROUND(ratio2, 5)
+FROM e WHERE ratio2 >= {thr}"""
+
+
+def q_aggregate_balance_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    bad = QT.aggregate_balance(
+        orders, ["o_orderkey"], F.sum("o_totalprice"),
+        li, ["l_orderkey"], F.sum("l_extendedprice"),
+        mode="percent", lower_tolerance=-5.0, upper_tolerance=5.0,
+    )
+    return bad.select("o_orderkey", F.round("total", 2).alias("total"),
+                      F.round("match_total", 2).alias("match_total"))
+
+
+_SQL_AGG_BALANCE_PCT = """
+WITH t1 AS (SELECT o_orderkey AS k, SUM(o_totalprice) AS total
+            FROM orders GROUP BY 1),
+t2 AS (SELECT l_orderkey AS k, SUM(l_extendedprice) AS match_total
+       FROM lineitem GROUP BY 1)
+SELECT COALESCE(t1.k, t2.k) AS o_orderkey, ROUND(total, 2) AS total,
+       ROUND(match_total, 2) AS match_total
+FROM t1 FULL JOIN t2 ON t1.k = t2.k
+WHERE (total IS NOT NULL AND match_total IS NULL)
+   OR (total IS NULL AND match_total IS NOT NULL)
+   OR total NOT BETWEEN match_total * 0.95 AND match_total * 1.05"""
+
+
 def q_distribution_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     js = QT.distribution_shift(
@@ -756,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dupe_rows_part": q_dupe_rows_part,
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "aggregate_balance_orders": q_aggregate_balance_orders,
+        "aggregate_balance_pct_orders": q_aggregate_balance_pct,
+        "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "timeframe_combo_events": q_timeframe_combo_events,
         "distribution_shift_events": q_distribution_shift_events,
         "text_analysis_documents": q_text_analysis_documents,
@@ -783,6 +859,8 @@ def oracle_sql() -> dict[str, str]:
         "dupe_rows_part": _SQL_DUPE_ROWS,
         "combo_match_customer_orders": _SQL_COMBO_MATCH,
         "aggregate_balance_orders": _SQL_AGG_BALANCE,
+        "aggregate_balance_pct_orders": _SQL_AGG_BALANCE_PCT,
+        "contingency_rules_lineitem": _sql_contingency("lineitem", _CONTINGENCY_COLS),
         "timeframe_combo_events": _SQL_TIMEFRAME,
         "distribution_shift_events": _SQL_DIST_SHIFT,
         "text_analysis_documents": _SQL_TEXT_ANALYSIS,

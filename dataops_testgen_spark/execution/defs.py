@@ -63,8 +63,26 @@ def evaluate_condition(measure, operator: str, threshold, lower=None, upper=None
 
 
 def result_status(failed: bool | None, severity: str) -> str:
+    """result_code + severity → status (update_test_results.sql:31-41):
+    Error → Error; severity Log → Log; code -1 (training) → Log;
+    pass → Passed; fail → Warning/Failed by severity (default Warning)."""
     if failed is None:
         return "Error"
+    if severity == "Log":
+        return "Log"
     if not failed:
         return "Passed"
-    return "Warning" if severity == "Warning" else "Failed"
+    return "Failed" if severity == "Fail" else "Warning"
+
+
+def run_stats(results: list[dict]) -> dict:
+    """Per-run counters (update_test_run_stats.sql:1-25)."""
+    by_status = [r.get("result_status") for r in results]
+    return {
+        "test_ct": len(results),
+        "passed_ct": sum(1 for r in results if r.get("result_code") == 1),
+        "failed_ct": sum(1 for s in by_status if s == "Failed"),
+        "warning_ct": sum(1 for s in by_status if s == "Warning"),
+        "log_ct": sum(1 for s in by_status if s == "Log"),
+        "error_ct": sum(1 for s in by_status if s == "Error"),
+    }

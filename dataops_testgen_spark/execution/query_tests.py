@@ -194,3 +194,60 @@ def table_fingerprint(df: DataFrame, agg_exprs: list[Column],
         F.md5(F.concat_ws("|", *[e.cast("string") for e in agg_exprs])).alias("fp")
     ).collect()[0]
     return row["fp"]
+
+
+def freshness_trend(
+    df: DataFrame,
+    fingerprint_exprs: list[Column],
+    baseline_fingerprint: str | None,
+    update_history,        # pandas DataFrame: DatetimeIndex + result_signal (0 = update)
+    run_ts,                # pd.Timestamp of this check
+    sensitivity: str = "medium",
+    subset_condition: str | None = None,
+    schedule_tz: str | None = None,
+):
+    """Freshness_Trend (test_types_Freshness_Trend.yaml): compare the MD5
+    fingerprint to the baseline; when changed, a fresh update is recorded
+    (result_signal 0); the business-minutes gap since the last update is
+    checked against predicted [lower, upper] tolerances
+    (`execute_tests_query.py:327-355` + prediction.freshness).
+
+    Returns a dict result row: fingerprint, changed, gap_minutes,
+    lower/upper tolerance, result_code (-1 while training — the reference's
+    training sentinel — 1 pass, 0 fail).
+    """
+    import pandas as pd
+
+    from dataops_testgen_spark.prediction.freshness import (
+        NotEnoughData,
+        compute_freshness_threshold,
+    )
+
+    fp = table_fingerprint(df, fingerprint_exprs, subset_condition)
+    changed = baseline_fingerprint is not None and fp != baseline_fingerprint
+
+    lower, upper, staleness, prediction = compute_freshness_threshold(
+        update_history, sensitivity, schedule_tz=schedule_tz)
+
+    updates = update_history[update_history.iloc[:, 0] == 0]
+    last_update = updates.index[-1] if len(updates) else None
+    gap_minutes = (
+        (run_ts - last_update).total_seconds() / 60.0 if last_update is not None else None
+    )
+
+    if upper is None or gap_minutes is None:
+        code = -1  # training: not enough gap history for tolerances
+    elif changed:
+        code = 1   # fresh update observed
+    else:
+        code = 1 if gap_minutes <= upper else 0
+    return {
+        "fingerprint": fp,
+        "changed": changed,
+        "gap_minutes": gap_minutes,
+        "lower_tolerance": lower,
+        "upper_tolerance": upper,
+        "staleness_minutes": staleness,
+        "result_code": code,
+        "prediction": prediction,
+    }

@@ -108,12 +108,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # Per-shingle doc lists + map-side pair expansion: two shuffles (shingle,
+    # pair) instead of the three a self-join needs, and the shingle strings
+    # never travel twice. Hot shingles still expand k²/2 pairs — that
+    # fan-out is inherent to exact Jaccard; use minhash_lsh at scale.
+    ids_per_shingle = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda j: F.struct(F.get(F.col("ids"), i).alias("id_a"),
+                                   j.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        ids_per_shingle.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -166,3 +166,51 @@ def test_table_fingerprint(spark):
     assert fp1 == fp2 and len(fp1) == 32
     df2 = spark.createDataFrame([(1, 5.0), (3, 6.0)], "id: int, v: double")
     assert QT.table_fingerprint(df2, [F.max("id"), F.sum("v")]) != fp1
+
+
+def test_freshness_trend(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.execution.query_tests import freshness_trend
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    times = pd.date_range("2026-06-01 03:00", periods=30, freq="D")
+    hist = pd.DataFrame({"result_signal": np.zeros(30)}, index=times)
+
+    ok = freshness_trend(df, [F.max("id"), F.max("v")], None, hist,
+                         pd.Timestamp("2026-06-30 12:00"))
+    assert ok["result_code"] == 1 and ok["upper_tolerance"] is not None
+
+    stale = freshness_trend(df, [F.max("id"), F.max("v")], None, hist,
+                            pd.Timestamp("2026-07-15 12:00"))
+    assert stale["result_code"] == 0  # 15-day gap >> daily tolerances
+
+    changed = freshness_trend(df, [F.max("id")], "different-baseline", hist,
+                              pd.Timestamp("2026-07-15 12:00"))
+    assert changed["changed"] and changed["result_code"] == 1
+
+    training = freshness_trend(df, [F.max("id")], None, hist.iloc[:4],
+                               pd.Timestamp("2026-06-10"))
+    assert training["result_code"] == -1  # not enough gaps → training
+
+
+def test_run_stats_and_status():
+    from dataops_testgen_spark.execution.defs import result_status, run_stats
+
+    assert result_status(None, "Fail") == "Error"
+    assert result_status(False, "Fail") == "Passed"
+    assert result_status(True, "Fail") == "Failed"
+    assert result_status(True, "Warning") == "Warning"
+    assert result_status(True, "Log") == "Log"
+    assert result_status(False, "Log") == "Log"
+
+    stats = run_stats([
+        {"result_code": 1, "result_status": "Passed"},
+        {"result_code": 0, "result_status": "Failed"},
+        {"result_code": 0, "result_status": "Warning"},
+        {"result_code": None, "result_status": "Error"},
+    ])
+    assert stats == {"test_ct": 4, "passed_ct": 1, "failed_ct": 1,
+                     "warning_ct": 1, "log_ct": 0, "error_ct": 1}
