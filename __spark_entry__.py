@@ -271,6 +271,21 @@ _INFER_OUT = ["column_name", "general_type", "datatype_suggestion",
               "functional_data_type", "functional_table_type", "pii_flag",
               "critical_data_element"]
 
+_INFERRED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _inferred(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Profile + inference, memoized per (sf_dir, table): several queries
+    consume the same inferred profile, and its localCheckpoint already
+    materializes it — recomputing per query would re-scan the table."""
+    key = (sf_dir, table)
+    if key not in _INFERRED_CACHE:
+        from dataops_testgen_spark.inference import apply_inference
+
+        prof = profile_table(_load(spark, sf_dir, table), table, run_date=RUN_DATE)
+        _INFERRED_CACHE[key] = apply_inference(prof)
+    return _INFERRED_CACHE[key]
+
 # (name, general_type, spark column_type, is_decimal) in ordinal order —
 # matches schema_scan over the driver's parquet fixtures.
 _CUSTOMER_COLS = [
@@ -294,15 +309,47 @@ def _q_functional_types(table: str):
     from dataops_testgen_spark.inference import apply_inference
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = _load(spark, sf_dir, table)
-        prof = profile_table(df, table, run_date=RUN_DATE)
-        return apply_inference(prof).select(*_INFER_OUT)
+        return _inferred(spark, sf_dir, table).select(*_INFER_OUT)
 
     return q
 
 
 q_functional_types_customer = _q_functional_types("customer")
 q_functional_types_orders = _q_functional_types("orders")
+
+
+_LINEITEM_COLS_SPEC = [
+    ("l_orderkey", "N", "bigint", False),
+    ("l_partkey", "N", "bigint", False),
+    ("l_suppkey", "N", "bigint", False),
+    ("l_linenumber", "N", "int", False),
+    ("l_quantity", "N", "double", True),
+    ("l_extendedprice", "N", "double", True),
+    ("l_discount", "N", "double", True),
+    ("l_tax", "N", "double", True),
+    ("l_returnflag", "A", "string", False),
+    ("l_linestatus", "A", "string", False),
+    ("l_shipdate", "D", "timestamp_ntz", False),
+]
+
+
+def q_anomaly_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table anomaly screen keys, oracle-verified (Multi-Col rules
+    cannot fire with one table on either side)."""
+    from dataops_testgen_spark.anomalies import screen_anomalies
+
+    out = screen_anomalies(_inferred(spark, sf_dir, "orders"))
+    return out.select("table_name", "column_name", "anomaly_type")
+
+
+def q_generated_test_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-criteria generation keys — oracle-verified companion of
+    generated_tests_lineitem (params excluded there: cross-engine numeric
+    literal formatting)."""
+    from dataops_testgen_spark.generation import generate_selection_tests
+
+    gen = generate_selection_tests(_inferred(spark, sf_dir, "lineitem"))
+    return gen.select("test_type", "table_name", "column_name")
 
 
 def q_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,11 +373,8 @@ def q_generated_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check (generation reads the inferred profile, pinned by
     tests/test_generation.py incl. the generate→execute E2E loop)."""
     from dataops_testgen_spark.generation import generate_selection_tests
-    from dataops_testgen_spark.inference import apply_inference
 
-    df = _load(spark, sf_dir, "lineitem")
-    inferred = apply_inference(profile_table(df, "lineitem", run_date=RUN_DATE))
-    gen = generate_selection_tests(inferred)
+    gen = generate_selection_tests(_inferred(spark, sf_dir, "lineitem"))
     return gen.select("test_type", "table_name", "column_name",
                       F.to_json("params").alias("params"))
 
@@ -825,7 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_types_customer": q_functional_types_customer,
         "functional_types_orders": q_functional_types_orders,
         "anomaly_screen_customer_orders": q_anomaly_screen,
+        "anomaly_screen_orders": q_anomaly_screen_orders,
         "generated_tests_lineitem": q_generated_tests,
+        "generated_test_keys_lineitem": q_generated_test_keys,
         "cat_tests_lineitem": q_cat_tests_lineitem,
         "dupe_rows_part": q_dupe_rows_part,
         "combo_match_customer_orders": q_combo_match_customer_orders,
@@ -854,6 +900,10 @@ def oracle_sql() -> dict[str, str]:
         "functional_types_customer": ORC.functional_types_sql(
             "customer", _CUSTOMER_COLS, RUN_DATE),
         "functional_types_orders": ORC.functional_types_sql(
+            "orders", _ORDERS_COLS, RUN_DATE),
+        "generated_test_keys_lineitem": ORC.generated_test_keys_sql(
+            "lineitem", _LINEITEM_COLS_SPEC, RUN_DATE),
+        "anomaly_screen_orders": ORC.anomaly_screen_sql(
             "orders", _ORDERS_COLS, RUN_DATE),
         "cat_tests_lineitem": _sql_cat_tests(),
         "dupe_rows_part": _SQL_DUPE_ROWS,

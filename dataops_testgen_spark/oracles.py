@@ -43,10 +43,31 @@ _MON_NN_RE = r"(?i)^(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[\s-]?\d{1,
 def _alpha_metrics_sql(t: str, c: str) -> dict[str, str]:
     trimmed = f"TRIM({c})"
     spaces = f"(LENGTH({trimmed}) - LENGTH(REPLACE({trimmed}, ' ', '')))"
+    has_alpha = f"regexp_matches({c}, '[A-Za-z]')"
+    has_upper = f"regexp_matches({c}, '[A-Z]')"
+    has_lower = f"regexp_matches({c}, '[a-z]')"
     m = {
         "value_ct": f"COUNT({c})::BIGINT",
+        "null_value_ct": f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT",
         "distinct_value_ct": f"COUNT(DISTINCT {c})::BIGINT",
         "zero_length_ct": f"SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END)::BIGINT",
+        "lead_space_ct": f"SUM(CASE WHEN {c} LIKE ' %' THEN 1 ELSE 0 END)::BIGINT",
+        "quoted_value_ct": (
+            f"SUM(CASE WHEN regexp_matches({c}, '{RX.QUOTED_RE.replace(chr(39), chr(39) * 2)}')"
+            " THEN 1 ELSE 0 END)::BIGINT"),
+        "non_printing_ct": (
+            f"SUM(CASE WHEN regexp_matches({c}, '{RX.NON_PRINTING_RE}')"
+            " THEN 1 ELSE 0 END)::BIGINT"),
+        "upper_case_ct": (
+            f"SUM(CASE WHEN {has_alpha} AND {has_upper} AND NOT {has_lower}"
+            " THEN 1 ELSE 0 END)::BIGINT"),
+        "lower_case_ct": (
+            f"SUM(CASE WHEN {has_alpha} AND {has_lower} AND NOT {has_upper}"
+            " THEN 1 ELSE 0 END)::BIGINT"),
+        "non_alpha_ct": (
+            f"SUM(CASE WHEN NOT {has_alpha} THEN 1 ELSE 0 END)::BIGINT"),
+        "distinct_std_value_ct": (
+            f"COUNT(DISTINCT UPPER(translate({c}, ' '',.-', '')))::BIGINT"),
         "filled_value_ct": (
             f"SUM(CASE WHEN regexp_matches(lower({trimmed}), '{RX.FILLED_RUN_RE}')"
             f" OR regexp_matches(lower({trimmed}), '{RX.FILLED_WRAPPED_RE}')"
@@ -101,6 +122,7 @@ def _alpha_metrics_sql(t: str, c: str) -> dict[str, str]:
 def _numeric_metrics_sql(t: str, c: str, is_decimal: bool) -> dict[str, str]:
     return {
         "value_ct": f"COUNT({c})::BIGINT",
+        "null_value_ct": f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT",
         "distinct_value_ct": f"COUNT(DISTINCT {c})::BIGINT",
         "min_length": f"MIN(LENGTH(CAST({c} AS VARCHAR)))::INT",
         "max_length": f"MAX(LENGTH(CAST({c} AS VARCHAR)))::INT",
@@ -122,6 +144,7 @@ def _date_metrics_sql(c: str, run_date: str) -> dict[str, str]:
     months = f"(date_diff('month', CAST({c} AS DATE), DATE '{run_date}'))"
     return {
         "value_ct": f"COUNT({c})::BIGINT",
+        "null_value_ct": f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT",
         "distinct_value_ct": f"COUNT(DISTINCT {c})::BIGINT",
         "min_length": f"MIN(LENGTH(CAST({c} AS VARCHAR)))::INT",
         "max_length": f"MAX(LENGTH(CAST({c} AS VARCHAR)))::INT",
@@ -130,6 +153,8 @@ def _date_metrics_sql(c: str, run_date: str) -> dict[str, str]:
         "max_date": f"MAX(CAST({c} AS TIMESTAMP))",
         "before_5yr_date_ct": f"SUM(CASE WHEN {months} > 60 THEN 1 ELSE 0 END)::BIGINT",
         "before_20yr_date_ct": f"SUM(CASE WHEN {months} > 240 THEN 1 ELSE 0 END)::BIGINT",
+        "before_100yr_date_ct": f"SUM(CASE WHEN {months} > 1200 THEN 1 ELSE 0 END)::BIGINT",
+        "distant_future_date_ct": f"SUM(CASE WHEN -{months} > 240 THEN 1 ELSE 0 END)::BIGINT",
         "future_date_ct": (
             f"SUM(CASE WHEN CAST({c} AS DATE) > DATE '{run_date}' THEN 1 ELSE 0 END)::BIGINT"
         ),
@@ -140,20 +165,28 @@ def _date_metrics_sql(c: str, run_date: str) -> dict[str, str]:
 
 
 _ALL_METRICS = [
-    "value_ct", "distinct_value_ct", "zero_length_ct", "filled_value_ct",
+    "value_ct", "null_value_ct", "distinct_value_ct", "zero_length_ct",
+    "filled_value_ct", "lead_space_ct", "quoted_value_ct", "non_printing_ct",
+    "upper_case_ct", "lower_case_ct", "non_alpha_ct", "distinct_std_value_ct",
     "min_length", "max_length", "avg_length", "avg_embedded_spaces",
     "includes_digit_ct", "numeric_ct", "date_ct", "min_text", "max_text",
     "min_value", "max_value", "avg_value", "stdev_value",
     "percentile_25", "percentile_50", "percentile_75", "fractional_sum",
     "min_date", "max_date", "before_5yr_date_ct", "before_20yr_date_ct",
+    "before_100yr_date_ct", "distant_future_date_ct",
     "future_date_ct", "date_days_present", "date_weeks_present",
     "date_months_present", "distinct_pattern_ct", "p1", "p2", "p3", "p4", "p5",
     "top_freq_values",
 ] + [f"stdpat_{label}" for label, _re, _thr in RX.STD_PATTERNS]
 
 _NULL_TYPES = {
-    "value_ct": "BIGINT", "distinct_value_ct": "BIGINT",
+    "value_ct": "BIGINT", "null_value_ct": "BIGINT", "distinct_value_ct": "BIGINT",
     "zero_length_ct": "BIGINT", "filled_value_ct": "BIGINT",
+    "lead_space_ct": "BIGINT", "quoted_value_ct": "BIGINT",
+    "non_printing_ct": "BIGINT", "upper_case_ct": "BIGINT",
+    "lower_case_ct": "BIGINT", "non_alpha_ct": "BIGINT",
+    "distinct_std_value_ct": "BIGINT", "before_100yr_date_ct": "BIGINT",
+    "distant_future_date_ct": "BIGINT",
     "min_length": "INT", "max_length": "INT", "avg_length": "DOUBLE",
     "avg_embedded_spaces": "DOUBLE", "includes_digit_ct": "BIGINT",
     "numeric_ct": "BIGINT", "date_ct": "BIGINT",
@@ -281,14 +314,15 @@ def _date_case_sql(run_date: str) -> str:
     END"""
 
 
-def functional_types_sql(
+def _inference_ctes(
     table: str,
     columns: list[tuple[str, str, str, bool]],
     run_date: str,
     id_mask: str = "%id",
     sk_mask: str = "%_sk",
 ) -> str:
-    """Full inference oracle for one table.
+    """The full profile→inference CTE chain (ending at CTE ``pii``) —
+    shared by the functional-types and test-generation oracles.
 
     ``columns``: (name, general_type, column_type, is_decimal) in ordinal
     order — must match Spark's schema scan of the same parquet.
@@ -652,7 +686,20 @@ pii AS (
           THEN 'B/DEMO/Financial'
         WHEN regexp_matches(lower(column_name), '(user_id|userid)') THEN 'C/ID/Security'
         END END) AS pii_flag
-  FROM pii1)
+  FROM pii1)"""
+
+
+def functional_types_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+    id_mask: str = "%id",
+    sk_mask: str = "%_sk",
+) -> str:
+    """Full inference oracle for one table (see _inference_ctes)."""
+    rf = "NULLIF(record_ct::DOUBLE, 0)"
+    ctes = _inference_ctes(table, columns, run_date, id_mask, sk_mask)
+    return f"""{ctes}
 SELECT column_name, general_type, datatype_suggestion,
        fdt AS functional_data_type, functional_table_type, pii_flag,
        COALESCE(
@@ -670,3 +717,292 @@ SELECT column_name, general_type, datatype_suggestion,
                        OR lower(fdt) LIKE 'measurement%'))),
          FALSE) AS critical_data_element
 FROM pii"""
+
+
+def generated_test_keys_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+) -> str:
+    """Selection-criteria test generation oracle: one row per
+    (test_type, table_name, column_name) whose criteria fire — the SQL
+    mirror of generation/selection.py's catalog (params excluded: numeric
+    literal formatting differs across engines; param values are pinned by
+    tests/test_generation.py instead)."""
+    rf = "NULLIF(record_ct::DOUBLE, 0)"
+    vf = "NULLIF(value_ct::DOUBLE, 0)"
+    rd = f"DATE '{run_date}'"
+    day_span = "date_diff('day', CAST(min_date AS DATE), CAST(max_date AS DATE))"
+    mo_span = "date_diff('month', min_date, max_date)"
+    wk_span = "date_diff('week', min_date, max_date)"
+    measure_numeric = (
+        "general_type = 'N' AND distinct_value_ct > 10"
+        " AND lower(fdt) LIKE 'measure%' AND fdt <> 'Measurement Spike'"
+        " AND NOT lower(column_name) LIKE '%latitude%'"
+        " AND NOT lower(column_name) LIKE '%longitude%'"
+    )
+    one_pattern = "(p2 IS NULL AND REPLACE(p1, 'N', '') > '')"
+    no_overlap_alpha = (
+        "(distinct_value_ct NOT BETWEEN 2 AND 10"
+        " AND fdt NOT IN ('Constant','Boolean')"
+        f" AND NOT {one_pattern})"
+    )
+    txn_cumulative = (
+        "lower(fdt) LIKE 'transactional date%' AND date_days_present > 1"
+        " AND lower(functional_table_type) LIKE '%cumulative%'"
+    )
+    future_ok = f"future_date_ct::DOUBLE / {vf} <= 0.75"
+    variability = (
+        f"{measure_numeric} AND value_ct <> distinct_value_ct"
+        " AND distinct_value_ct > 10 AND stdev_value > 0"
+        " AND avg_value IS NOT NULL"
+        " AND NOT (distinct_value_ct = max_value - min_value + 1"
+        " AND distinct_value_ct > 2)"
+    )
+    outlier = (
+        "fdt = 'Measurement' AND distinct_value_ct > 30"
+        " AND NOT distinct_value_ct = max_value - min_value + 1"
+        f" AND distinct_value_ct::DOUBLE/{vf} > 0.1"
+        " AND stdev_value / avg_value > 0.01"
+        " AND NOT lower(column_name) LIKE '%latitude%'"
+        " AND NOT lower(column_name) LIKE '%longitude%'"
+    )
+    criteria: dict[str, str] = {
+        "Alpha_Trunc": (
+            "general_type = 'A' AND max_length > 0"
+            " AND ((min_length = avg_length AND max_length = avg_length)"
+            " OR numeric_ct <> value_ct)"
+            " AND NOT lower(functional_table_type) LIKE '%window%'"
+            f" AND {no_overlap_alpha}"),
+        "Avg_Shift": measure_numeric,
+        "Daily_Record_Ct": (
+            "general_type = 'D' AND date_days_present > 21"
+            f" AND date_days_present - ({day_span} + 1) = 0 AND {future_ok}"),
+        "Dec_Trunc": ("fractional_sum > 0"
+                      " AND lower(functional_table_type) LIKE '%cumulative%'"),
+        "Distinct_Date_Ct": txn_cumulative,
+        "Distinct_Value_Ct": (
+            "distinct_value_ct BETWEEN 2 AND 10 AND value_ct > 50"
+            " AND fdt IN ('Code','Category','Attribute','Description')"
+            " AND NOT COALESCE(top_freq_values, '') > ''"),
+        "Email_Format": "std_pattern_match = 'EMAIL'",
+        "Future_Date": "general_type = 'D' AND future_date_ct = 0",
+        "Future_Date_1Y": (
+            "general_type = 'D' AND future_date_ct > 0"
+            f" AND CAST(max_date AS DATE) <= {rd} + INTERVAL 365 DAY"),
+        "Incr_Avg_Shift": measure_numeric,
+        "LOV_Match": (
+            "fdt IN ('Boolean','Code','Category') AND top_freq_values > ''"
+            " AND distinct_value_ct BETWEEN 2 AND 10 AND value_ct > 5"),
+        "Min_Date": ("general_type = 'D' AND min_date IS NOT NULL"
+                     " AND distinct_value_ct > 1"),
+        "Min_Val": (
+            "general_type = 'N' AND lower(fdt) LIKE 'measure%'"
+            " AND min_value IS NOT NULL"
+            " AND (distinct_value_ct >= 2 OR (distinct_value_ct = 2"
+            " AND min_value <> 0 AND max_value <> 1))"),
+        "Missing_Pct": "record_ct <> value_ct",
+        "Monthly_Rec_Ct": (
+            f"{txn_cumulative} AND date_months_present > 2"
+            f" AND date_months_present - ({mo_span} + 1) = 0 AND {future_ok}"),
+        "Outlier_Pct_Above": outlier,
+        "Outlier_Pct_Below": outlier,
+        "Pattern_Match": (
+            "(fdt IN ('Attribute','DateTime Stamp','Phone')"
+            " OR lower(fdt) LIKE 'id%' OR lower(fdt) LIKE 'period%')"
+            f" AND {one_pattern} AND distinct_value_ct > 10"),
+        "Recency": (
+            f"general_type = 'D' AND CAST(max_date AS DATE) <= {rd}"
+            " AND NOT column_name IN ('filedate','file_date')"
+            " AND NOT fdt IN ('Future Date','Schedule Date')"
+            f" AND date_diff('day', CAST(max_date AS DATE), {rd}) <= 62"),
+        "Required": "record_ct = value_ct AND record_ct > 10",
+        "Street_Addr_Pattern": (
+            "std_pattern_match = 'STREET_ADDR'"
+            " AND avg_length <> ROUND(avg_length)"
+            " AND avg_embedded_spaces BETWEEN 2 AND 6 AND avg_length < 35"),
+        "US_State": (
+            "general_type = 'A' AND lower(column_name) LIKE '%state%'"
+            " AND distinct_value_ct < 70 AND max_length = 2"),
+        "Unique": ("record_ct > 500 AND record_ct = distinct_value_ct"
+                   " AND value_ct > 0"),
+        "Unique_Pct": ("distinct_value_ct > 10"
+                       " AND NOT lower(fdt) LIKE 'measurement%'"),
+        "Valid_Characters": "general_type = 'A'",
+        "Valid_Month": "fdt = 'Period Month'",
+        "Valid_US_Zip": "fdt = 'Zip'",
+        "Valid_US_Zip3": "fdt = 'Zip3'",
+        "Variability_Increase": variability,
+        "Variability_Decrease": variability,
+        "Weekly_Rec_Ct": (
+            f"{txn_cumulative} AND date_weeks_present > 3"
+            f" AND date_weeks_present - ({wk_span} + 1) = 0 AND {future_ok}"),
+    }
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{tt}' AS test_type, '{table}' AS table_name, column_name\n"
+        f"FROM pii WHERE {cond}"
+        for tt, cond in criteria.items()
+    )
+    ctes = _inference_ctes(table, columns, run_date)
+    return f"{ctes}\n{selects}"
+
+
+def anomaly_screen_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+) -> str:
+    """Single-table anomaly-screening oracle: Column + Dates + Variant
+    classes (Multi-Col rules need >1 table with shared column names and
+    cannot fire on a single table, on either side). One row per
+    (table_name, column_name, anomaly_type); prevalence excluded (validated
+    by tests/test_anomalies.py — formula float formatting is pinned there).
+    """
+    from dataops_testgen_spark.anomalies.catalog import VARIANT_CODINGS
+
+    vf = "NULLIF(value_ct::DOUBLE, 0)"
+    # format accessors over 'value:ct | value:ct' / 'pattern:ct | ...'
+    fv1 = "regexp_extract(str_split(top_freq_values, ' | ')[1], '^(.*):[0-9]+$', 1)"
+    fc1 = ("TRY_CAST(regexp_extract(str_split(top_freq_values, ' | ')[1],"
+           " ':([0-9]+)$', 1) AS BIGINT)")
+    pc1 = ("TRY_CAST(regexp_extract(str_split(top_patterns, ' | ')[1],"
+           " ':([0-9]+)$', 1) AS BIGINT)")
+    pc2 = ("TRY_CAST(regexp_extract(str_split(top_patterns, ' | ')[2],"
+           " ':([0-9]+)$', 1) AS BIGINT)")
+    freq_vals = ("list_transform(str_split(top_freq_values, ' | '),"
+                 " x -> lower(regexp_extract(x, '^(.*):[0-9]+$', 1)))")
+    pat_vals = ("list_transform(str_split(top_patterns, ' | '),"
+                " x -> regexp_extract(x, '^(.*):[0-9]+$', 1))")
+    mixed_case = "(value_ct - upper_case_ct - lower_case_ct - non_alpha_ct)"
+    name_types = ("('Address','City','Entity Name','Person Given Name',"
+                  "'Person Last Name','Person Full Name')")
+    bool_pair = (
+        f"(list_contains({freq_vals}, '{{a}}') AND list_contains({freq_vals}, '{{b}}'))"
+    )
+    dummy_blanks = ("(filled_value_ct > 0 AND (numeric_ct <> value_ct"
+                    " OR fdt IN ('Phone','Zip')))")
+    eff_value = (f"(value_ct - COALESCE(zero_length_ct, 0) - CASE WHEN {dummy_blanks}"
+                 " THEN COALESCE(filled_value_ct, 0) ELSE 0 END)")
+
+    criteria: dict[str, str] = {
+        "Boolean_Value_Mismatch": (
+            "distinct_value_ct > 1 AND ("
+            f"(lower({fv1}) IN ('true','false')"
+            f" AND NOT {bool_pair.format(a='true', b='false')})"
+            f" OR (lower({fv1}) IN ('yes','no')"
+            f" AND NOT {bool_pair.format(a='yes', b='no')}))"),
+        "Char_Column_Date_Values": (
+            "general_type = 'A' AND value_ct > date_ct"
+            " AND date_ct > 0.95 * value_ct"),
+        "Char_Column_Number_Units": (
+            f"includes_digit_ct::DOUBLE / {vf} > 0.5"
+            f" AND regexp_matches(TRIM({fv1}),"
+            " '(?i)^[0-9]+(\\.[0-9]+)? ?(%|lb|oz|kg|g|mg|km|m|cm|mm|mi|ft|in)$')"),
+        "Char_Column_Number_Values": (
+            "general_type = 'A' AND NOT lower(column_name) LIKE '%zip%'"
+            " AND NOT lower(fdt) LIKE 'id%' AND NOT lower(fdt) LIKE 'period%'"
+            " AND value_ct > numeric_ct AND numeric_ct > 0.95 * value_ct"),
+        "Column_Pattern_Mismatch": (
+            "general_type = 'A' AND NOT lower(fdt) LIKE 'measurement%'"
+            " AND fdt NOT IN ('Category','Code') AND max_length > 3"
+            " AND value_ct > (numeric_ct + filled_value_ct + zero_length_ct)"
+            " AND distinct_pattern_ct BETWEEN 2 AND 4"
+            " AND POSITION('N' IN top_patterns) > 0"
+            " AND (((POSITION('A' IN top_patterns) > 0"
+            "        OR POSITION('a' IN top_patterns) > 0)"
+            f"       AND {pc2}::DOUBLE / {pc1} < 0.05)"
+            f"      OR {pc2}::DOUBLE / {pc1} < 0.1)"),
+        "Delimited_Data_Embedded": "std_pattern_match = 'DELIMITED_DATA'",
+        "Inconsistent_Casing": (
+            f"{mixed_case} > 0 AND upper_case_ct > 0 AND fdt IN {name_types}"),
+        "Invalid_Zip3_USA": (
+            "distinct_pattern_ct > 1 AND (lower(column_name) LIKE '%zip%'"
+            " OR lower(column_name) LIKE '%postal%')"
+            f" AND TRIM(p1) = 'NNN' AND {pc1}::DOUBLE / {vf} > 0.50"),
+        "Invalid_Zip_USA": (
+            "fdt = 'Zip' AND (general_type <> 'A' OR filled_value_ct > 0"
+            f" OR len(list_filter({pat_vals},"
+            " x -> x NOT IN ('NNNNN','NNNNN-NNNN','NNNNNNNNN'))) > 0)"),
+        "Leading_Spaces": "lead_space_ct > 0",
+        "No_Values": (
+            "(COALESCE(null_value_ct, 0) + COALESCE(filled_value_ct, 0)"
+            " + COALESCE(zero_length_ct, 0)) = record_ct"),
+        "Non_Alpha_Name_Address": (
+            f"non_alpha_ct - zero_length_ct > 0 AND fdt IN {name_types}"),
+        "Non_Alpha_Prefixed_Name": (
+            "min_text < 'A' AND LEFT(min_text, 1) NOT IN ('\"', ' ')"
+            " AND RIGHT(min_text, 1) <> ''''"
+            " AND fdt IN ('City','Person Given Name','Person Last Name',"
+            "'Person Full Name')"),
+        "Non_Printing_Chars": "non_printing_ct > 0",
+        "Non_Standard_Blanks": (
+            f"zero_length_ct > 0 OR {dummy_blanks}"),
+        "Potential_Duplicates": (
+            f"distinct_value_ct > 1000 AND {fc1} BETWEEN 2 AND 4"),
+        "Potential_PII": "pii_flag > ''",
+        "Quoted_Values": "quoted_value_ct > 0",
+        "Small Divergent Value Ct": (
+            "fdt <> 'Boolean'"
+            f" AND 100.0 * {fc1}::DOUBLE / {vf} > 97.0"
+            f" AND 100.0 * {fc1}::DOUBLE / {vf} < 100.0"),
+        "Small Missing Value Ct": (
+            f"{eff_value}::DOUBLE / record_ct > 0.97"
+            f" AND {eff_value} < record_ct"),
+        "Small_Numeric_Value_Ct": (
+            "general_type = 'A'"
+            f" AND numeric_ct::DOUBLE / {vf} < 0.03 AND numeric_ct > 0"),
+        "Standardized_Value_Matches": (
+            "general_type = 'A' AND distinct_std_value_ct <> distinct_value_ct"
+            " AND NOT fdt LIKE 'Person%Name'"),
+        "Suggested_Type": (
+            "fdt NOT IN ('Boolean','Flag')"
+            " AND (lower(column_type) LIKE '%char%' OR lower(column_type) LIKE 'text'"
+            "      OR column_type = 'string')"
+            " AND NOT (lower(datatype_suggestion) LIKE '%char%'"
+            "          OR lower(datatype_suggestion) LIKE 'text'"
+            "          OR datatype_suggestion = 'string')"),
+        "Unexpected Emails": (
+            "std_pattern_match = 'EMAIL'"
+            " AND NOT (lower(column_name) LIKE '%email%'"
+            " OR lower(column_name) LIKE '%addr%')"),
+        "Unexpected US States": (
+            "std_pattern_match = 'STATE_USA' AND distinct_value_ct > 5"
+            " AND NOT (lower(column_name) = 'st'"
+            " OR lower(column_name) LIKE '%state%'"
+            " OR lower(column_name) LIKE '%\\_st' ESCAPE '\\'"
+            " OR lower(column_name) LIKE 'st\\_%' ESCAPE '\\')"),
+        "Unlikely_Date_Values": (
+            "general_type = 'D'"
+            " AND (CAST(min_date AS DATE) BETWEEN DATE '0001-01-02'"
+            " AND DATE '1900-01-01'"
+            f" OR CAST(max_date AS DATE) > DATE '{run_date}' + INTERVAL 360 MONTH)"),
+    }
+    col_selects = "\nUNION ALL\n".join(
+        f"SELECT '{table}' AS table_name, column_name,"
+        f" '{atype}' AS anomaly_type\nFROM pii WHERE {cond}"
+        for atype, cond in criteria.items()
+    )
+    codings = ",\n    ".join(
+        "('%s')" % check.replace("'", "''") for _vt, check in VARIANT_CODINGS
+    )
+    dates_recency = f"""
+SELECT '{table}' AS table_name,
+       CASE WHEN COUNT(column_name) > 2 THEN '(multi-column)'
+            ELSE string_agg(column_name, ', ' ORDER BY column_name) END AS column_name,
+       CASE WHEN MAX(max_date) < DATE '{run_date}' - INTERVAL 12 MONTH
+            THEN 'Recency_One_Year'
+            WHEN MAX(max_date) < DATE '{run_date}' - INTERVAL 6 MONTH
+            THEN 'Recency_Six_Months' END AS anomaly_type
+FROM pii WHERE general_type = 'D'
+GROUP BY table_name
+HAVING anomaly_type IS NOT NULL"""
+    variants = f"""
+SELECT '{table}' AS table_name, column_name,
+       'Variant_Coded_Values' AS anomaly_type
+FROM pii, (VALUES
+    {codings}) AS v(check_values)
+WHERE distinct_value_ct <= 20 AND top_freq_values > ''
+  AND len(list_intersect({freq_vals}, str_split(v.check_values, '|'))) > 1
+GROUP BY 1, 2"""
+    ctes = _inference_ctes(table, columns, run_date)
+    return f"{ctes}\n{col_selects}\nUNION ALL{dates_recency}\nUNION ALL{variants}"
