@@ -271,18 +271,33 @@ _INFER_OUT = ["column_name", "general_type", "datatype_suggestion",
               "functional_data_type", "functional_table_type", "pii_flag",
               "critical_data_element"]
 
-_INFERRED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PROFILE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_INFERRED_CACHE: dict[tuple[str, ...], DataFrame] = {}
 
 
-def _inferred(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Profile + inference, memoized per (sf_dir, table): several queries
-    consume the same inferred profile, and its localCheckpoint already
-    materializes it — recomputing per query would re-scan the table."""
+def _profiled(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     key = (sf_dir, table)
+    if key not in _PROFILE_CACHE:
+        _PROFILE_CACHE[key] = profile_table(
+            _load(spark, sf_dir, table), table, run_date=RUN_DATE)
+    return _PROFILE_CACHE[key]
+
+
+def _inferred(spark: SparkSession, sf_dir: str, *tables: str) -> DataFrame:
+    """Profile + inference, memoized per (sf_dir, tables): several queries
+    consume the same inferred profile, and its localCheckpoint already
+    materializes it — recomputing per query would re-scan the table.
+    Profiles are cached per table separately so single- and multi-table
+    inference runs share the data-plane work; inference over a multi-table
+    union differs from per-table runs only in the cross-table ID-FK layer."""
+    key = (sf_dir, *tables)
     if key not in _INFERRED_CACHE:
         from dataops_testgen_spark.inference import apply_inference
 
-        prof = profile_table(_load(spark, sf_dir, table), table, run_date=RUN_DATE)
+        prof = None
+        for t in tables:
+            p = _profiled(spark, sf_dir, t)
+            prof = p if prof is None else prof.unionByName(p)
         _INFERRED_CACHE[key] = apply_inference(prof)
     return _INFERRED_CACHE[key]
 
@@ -353,17 +368,12 @@ def q_generated_test_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hygiene screening (SURVEY §2.3) over customer+orders; rows-only check
-    (cross-table Multi-Col rules are not single-query SQL-expressible; rule
-    semantics are pinned by tests/test_anomalies.py fixtures)."""
+    """Hygiene screening (SURVEY §2.3) over customer+orders in one inference
+    chain — Column + Multi-Col + Dates + Variant classes with prevalence,
+    oracle-checked against anomaly_screen_multi_sql."""
     from dataops_testgen_spark.anomalies import screen_anomalies
-    from dataops_testgen_spark.inference import apply_inference
 
-    prof = None
-    for t in ("customer", "orders"):
-        p = profile_table(_load(spark, sf_dir, t), t, run_date=RUN_DATE)
-        prof = p if prof is None else prof.unionByName(p)
-    out = screen_anomalies(apply_inference(prof))
+    out = screen_anomalies(_inferred(spark, sf_dir, "customer", "orders"))
     return out.select("table_name", "column_name", "anomaly_type", "data_object",
                       "likelihood", F.round("dq_prevalence", 5).alias("dq_prevalence"))
 
@@ -606,11 +616,13 @@ e AS (
              AND p.pair_count::DOUBLE/total2 < {thr}))
 SELECT c1 AS cause_column_name, v1 AS cause_column_value,
        c2 AS effect_column_name, v2 AS effect_column_value,
-       pair_count, total1 AS cause_column_total, total2 AS effect_column_total,
+       pair_count, total1::BIGINT AS cause_column_total,
+       total2::BIGINT AS effect_column_total,
        ROUND(ratio1, 5) AS rule_ratio
 FROM e WHERE ratio1 >= {thr}
 UNION ALL
-SELECT c2, v2, c1, v1, pair_count, total2, total1, ROUND(ratio2, 5)
+SELECT c2, v2, c1, v1, pair_count, total2::BIGINT, total1::BIGINT,
+       ROUND(ratio2, 5)
 FROM e WHERE ratio2 >= {thr}"""
 
 
@@ -786,7 +798,7 @@ sigs AS (SELECT doc_id,
          FROM shg),
 bands AS (SELECT doc_id,
          {band_cols}
-          FROM sigs)
+          FROM sigs WHERE m0 IS NOT NULL)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
@@ -805,6 +817,63 @@ s AS (SELECT ia, ib,
              SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
       FROM p GROUP BY ia, ib)
 SELECT ia AS id_a, ib AS id_b, ROUND(cos, 5) AS cosine FROM s WHERE cos >= 0.35"""
+
+
+_LSH_PLANES, _LSH_TABLES, _LSH_DIMS = 2, 8, 64
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH — the scale
+    path of brute_force_topk (bucket equi-joins, no broadcast matrix).
+    Deterministic hyperplanes ⇒ exactly reproducible candidates; the oracle
+    carries the same hyperplane constants as literals."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.lsh_topk(emb, q, n_dims=_LSH_DIMS, k=5,
+                       num_planes=_LSH_PLANES, num_tables=_LSH_TABLES)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 5).alias("cosine"), "rank")
+
+
+def _sql_ann_lsh() -> str:
+    from dataops_testgen_spark.pipeline.similarity import _hyperplane
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(_LSH_PLANES):
+            lits = ", ".join(repr(c) for c in _hyperplane(t, p, _LSH_DIMS))
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[],"
+                f" [{lits}]) >= 0 THEN {1 << p} ELSE 0 END)")
+        return "\n       + ".join(terms)
+
+    buckets = ",\n       ".join(
+        f"{bucket_expr(t)} AS b{t}" for t in range(_LSH_TABLES))
+    any_table = " OR ".join(f"q.b{t} = b.b{t}" for t in range(_LSH_TABLES))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+       {buckets}
+  FROM embeddings),
+q AS (SELECT * FROM sigs WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM q JOIN sigs b ON ({any_table})
+                    AND q.vec_id <> b.vec_id),
+p AS (SELECT c.query_id, c.neighbor_id,
+             UNNEST(a.embedding)::DOUBLE AS xa, UNNEST(b.embedding)::DOUBLE AS xb
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id),
+s AS (SELECT query_id, neighbor_id,
+             SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+      FROM p GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rk::INT AS rank
+FROM r WHERE rk <= 5"""
 
 
 def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,6 +919,219 @@ FROM documents"""
 
 
 # --------------------------------------------------------------------------
+# Q: Score cards — breakdown by column / dimension / impact + issues list
+#    (SURVEY §2.9; ref template/score_cards/*.sql)
+# --------------------------------------------------------------------------
+
+# Test-side scope: CAT tests on lineitem whose pass/fail outcome is
+# deterministic at ANY scale factor (Unique on a repeating FK always fails;
+# Future_Date on historical dates always passes), so the score-card rows are
+# stable between the driver's sf0.01 and bench's sf0.1.
+_RATIO_PREV = "({m} - 0)/NULLIF(COUNT(*)::DOUBLE, 0)"
+_SCORE_SPECS: list[tuple[TestDef, str, str, str]] = [
+    (TestDef("sc_row_ct", "Row_Ct", "lineitem", params={"threshold_value": 1000}),
+     "COUNT(*)::DOUBLE", "{m} < 1000",
+     "({m} - 1000)/NULLIF(1000::DOUBLE, 0)"),            # passes: > 1k rows
+    (TestDef("sc_unique_partkey", "Unique", "lineitem", "l_partkey",
+             params={"threshold_value": 0}),
+     "(COUNT(*) - COUNT(DISTINCT l_partkey))::DOUBLE", "{m} > 0",
+     _RATIO_PREV),                                        # fails: repeats
+    (TestDef("sc_constant_flag", "Constant", "lineitem", "l_returnflag",
+             params={"baseline_value": "N", "threshold_value": 0},
+             severity="Warning"),
+     "SUM(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0", _RATIO_PREV),                             # fails: A/N/R
+    (TestDef("sc_min_val_qty", "Min_Val", "lineitem", "l_quantity",
+             params={"baseline_value": 5.0, "threshold_value": 0}),
+     "SUM(CASE WHEN l_quantity < 5.0 - 1e-6 THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0", _RATIO_PREV),                             # fails: qty 1-50
+    (TestDef("sc_future_ship", "Future_Date", "lineitem", "l_shipdate",
+             params={"threshold_value": 0}),
+     f"SUM(CASE WHEN CAST(l_shipdate AS DATE) > DATE '{RUN_DATE}'"
+     " THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0", _RATIO_PREV),  # passes
+    (TestDef("sc_lov_status", "LOV_Match", "lineitem", "l_linestatus",
+             params={"baseline_value": ["F"], "threshold_value": 0},
+             severity="Warning"),
+     "SUM(CASE WHEN NULLIF(l_linestatus, '') NOT IN ('F')"
+     " THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0", _RATIO_PREV),  # fails: 'O'
+]
+
+_SCORE_TABLES = lambda: [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS)]  # noqa: E731
+_SCORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _score_test_selects() -> list[dict]:
+    return [
+        {"test_id": td.test_id, "test_type": td.test_type,
+         "table": td.table_name, "column": td.column_name,
+         "m_sql": m_sql, "fail_cond": cond, "prev_expr": prev,
+         "status": "Failed" if td.severity == "Fail" else "Warning"}
+        for td, m_sql, cond, prev in _SCORE_SPECS
+    ]
+
+
+def _score_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_SCORE_SPECS results with dq_record_ct + dq_prevalence (rounded 5dp),
+    memoized per sf_dir (4 score-card queries share them)."""
+    key = (sf_dir, "results")
+    if key not in _SCORE_CACHE:
+        from dataops_testgen_spark.scoring.rollup import attach_test_prevalence
+
+        li = _load(spark, sf_dir, "lineitem")
+        res = run_cat_tests({"lineitem": li},
+                            [s[0] for s in _SCORE_SPECS], run_date=RUN_DATE)
+        rows = [r.asDict() for r in res.collect()]
+        rows = attach_test_prevalence(rows, record_cts={"lineitem": li.count()})
+        df = spark.createDataFrame(
+            [(r["table_name"], r["column_name"], r["test_type"],
+              r["result_code"], r["result_status"], r["result_message"],
+              int(r["dq_record_ct"]), float(r["dq_prevalence"] or 0.0))
+             for r in rows],
+            "table_name string, column_name string, test_type string,"
+            " result_code int, result_status string, result_message string,"
+            " dq_record_ct long, dq_prevalence double",
+        ).withColumn("dq_prevalence", F.round("dq_prevalence", 5))
+        _SCORE_CACHE[key] = df.localCheckpoint(eager=False)
+    return _SCORE_CACHE[key]
+
+
+def _screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly screen over customer+orders with prevalence rounded to 5dp
+    (what every score-card consumer aggregates), memoized + checkpointed."""
+    key = (sf_dir, "screen")
+    if key not in _SCORE_CACHE:
+        from dataops_testgen_spark.anomalies import screen_anomalies
+
+        out = screen_anomalies(_inferred(spark, sf_dir, "customer", "orders"))
+        _SCORE_CACHE[key] = out.withColumn(
+            "dq_prevalence", F.round("dq_prevalence", 5)
+        ).localCheckpoint(eager=False)
+    return _SCORE_CACHE[key]
+
+
+def q_score_breakdown_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-card breakdown by column (`get_score_card_breakdown_by_column
+    .sql:1-58`): profiling side = hygiene screen over customer+orders,
+    testing side = _SCORE_SPECS on lineitem."""
+    from dataops_testgen_spark.scoring import score_cards as SCC
+
+    inf = _inferred(spark, sf_dir, "customer", "orders")
+    prof = SCC.profile_scoring_by_column(inf, _screened(spark, sf_dir))
+    test = SCC.test_scoring_by_column(_score_results(spark, sf_dir))
+    out = SCC.score_card_breakdown(prof, test, limit=None)
+    return out.select("table_name", "column_name",
+                      F.round("impact", 5).alias("impact"),
+                      F.round("score", 5).alias("score"), "issue_ct")
+
+
+def _q_score_breakdown_dim(spark: SparkSession, sf_dir: str,
+                           which: str) -> DataFrame:
+    from dataops_testgen_spark.scoring import score_cards as SCC
+
+    inf = _inferred(spark, sf_dir, "customer", "orders")
+    anoms = _screened(spark, sf_dir)
+    res = _score_results(spark, sf_dir)
+    prof_dim = SCC.profile_scoring_by_dimension(inf, anoms, dimension_col=which)
+    test_dim = SCC.test_scoring_by_dimension(res, dimension_col=which)
+    out = SCC.score_card_breakdown(
+        prof_dim, test_dim, group_cols=(which,), limit=None,
+        profile_parent=SCC.profile_scoring_by_column(inf, anoms),
+        test_parent=SCC.test_scoring_by_column(res))
+    return out.select(which, F.round("impact", 5).alias("impact"),
+                      F.round("score", 5).alias("score"), "issue_ct")
+
+
+def q_score_breakdown_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breakdown by dq_dimension (`get_score_card_breakdown_by_dimension
+    .sql:1-58`); parent totals stay by-column, per the reference."""
+    return _q_score_breakdown_dim(spark, sf_dir, "dq_dimension")
+
+
+def q_score_breakdown_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breakdown by impact_dimension
+    (`get_score_card_breakdown_by_impact_dimension.sql`)."""
+    return _q_score_breakdown_dim(spark, sf_dir, "impact_dimension")
+
+
+def q_score_card_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue list (`get_score_card_issues_by_column.sql:1-100`): hygiene
+    anomalies UNION Failed/Warning tests with the severity ordering class."""
+    from dataops_testgen_spark.scoring import score_cards as SCC
+
+    out = SCC.score_card_issues(_screened(spark, sf_dir),
+                                _score_results(spark, sf_dir))
+    return out.select("table_name", "column_name", "type", "status",
+                      "issue_type", "severity_order")
+
+
+# --------------------------------------------------------------------------
+# Q: Drill-down source-data lookups + PII masking (SURVEY §2.x;
+#    ref common/source_data_service.py:1-379, common/pii_masking.py:1-104)
+# --------------------------------------------------------------------------
+
+def q_drilldown_unique_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-test drill-down on orders.o_custkey: the offending duplicate
+    values with counts, bounded + deterministically ordered."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    res = DR.source_data_lookup(_load(spark, sf_dir, "orders"), "Unique",
+                                "o_custkey", limit=500)
+    return res.df
+
+
+_SQL_DRILLDOWN_UNIQUE = """
+SELECT o_custkey, count FROM (
+  SELECT o_custkey, COUNT(*)::BIGINT AS count
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+  ORDER BY count DESC, o_custkey LIMIT 500)"""
+
+
+def q_drilldown_min_val_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min_Val drill-down on lineitem.l_quantity < 5 (distinct offending
+    values + difference_from_baseline, test_types_Min_Val.yaml lookup)."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    res = DR.source_data_lookup(_load(spark, sf_dir, "lineitem"), "Min_Val",
+                                "l_quantity", {"baseline_value": 5.0}, limit=500)
+    return res.df.select("l_quantity",
+                         F.round("difference_from_baseline", 5)
+                         .alias("difference_from_baseline"))
+
+
+_SQL_DRILLDOWN_MIN_VAL = """
+SELECT l_quantity, ROUND(difference_from_baseline, 5) AS difference_from_baseline
+FROM (
+  SELECT DISTINCT l_quantity, ABS(l_quantity) - ABS(5.0) AS difference_from_baseline
+  FROM lineitem WHERE l_quantity < 5.0
+  ORDER BY l_quantity LIMIT 500) t"""
+
+
+def q_drilldown_masked_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min_Val drill-down on customer.c_acctbal < 0 with c_acctbal flagged
+    PII → values redacted in the result (pii_masking.mask_source_data_pii);
+    the unmasked difference column keeps the rows distinguishable."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    res = DR.source_data_lookup(
+        _load(spark, sf_dir, "customer"), "Min_Val", "c_acctbal",
+        {"baseline_value": 0.0}, limit=500,
+        mask_pii=True, pii_columns={"C_ACCTBAL"})  # case-insensitive match
+    assert res.pii_redacted
+    return res.df.select("c_acctbal",
+                         F.round("difference_from_baseline", 5)
+                         .alias("difference_from_baseline"))
+
+
+_SQL_DRILLDOWN_MASKED = """
+SELECT '[PII Redacted]' AS c_acctbal,
+       ROUND(difference_from_baseline, 5) AS difference_from_baseline
+FROM (
+  SELECT DISTINCT c_acctbal, ABS(c_acctbal) - ABS(0.0) AS difference_from_baseline
+  FROM customer WHERE c_acctbal < 0.0
+  ORDER BY c_acctbal LIMIT 500) t"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -886,7 +1168,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features_documents": q_multimodal_features_documents,
+        "score_breakdown_column_co_li": q_score_breakdown_cols,
+        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
+        "score_breakdown_impact_co_li": q_score_breakdown_impact,
+        "score_card_issues_co_li": q_score_card_issues,
+        "drilldown_unique_orders": q_drilldown_unique_orders,
+        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
+        "drilldown_masked_customer": q_drilldown_masked_customer,
     }
 
 
@@ -905,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", _LINEITEM_COLS_SPEC, RUN_DATE),
         "anomaly_screen_orders": ORC.anomaly_screen_sql(
             "orders", _ORDERS_COLS, RUN_DATE),
+        "anomaly_screen_customer_orders": ORC.anomaly_screen_multi_sql(
+            [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS)], RUN_DATE),
         "cat_tests_lineitem": _sql_cat_tests(),
         "dupe_rows_part": _SQL_DUPE_ROWS,
         "combo_match_customer_orders": _SQL_COMBO_MATCH,
@@ -919,5 +1211,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_documents": _sql_minhash(),
         "embedding_cosine_pairs": _SQL_COSINE_PAIRS,
         "ann_topk_embeddings": _SQL_ANN_TOPK,
+        "ann_lsh_topk": _sql_ann_lsh(),
         "multimodal_features_documents": _SQL_MULTIMODAL,
+        "score_breakdown_column_co_li": ORC.score_card_breakdown_cols_sql(
+            _SCORE_TABLES(), RUN_DATE, _score_test_selects()),
+        "score_breakdown_dimension_co_li": ORC.score_card_breakdown_dim_sql(
+            _SCORE_TABLES(), RUN_DATE, _score_test_selects(),
+            which="dq_dimension"),
+        "score_breakdown_impact_co_li": ORC.score_card_breakdown_dim_sql(
+            _SCORE_TABLES(), RUN_DATE, _score_test_selects(),
+            which="impact_dimension"),
+        "score_card_issues_co_li": ORC.score_card_issues_sql(
+            _SCORE_TABLES(), RUN_DATE, _score_test_selects()),
+        "drilldown_unique_orders": _SQL_DRILLDOWN_UNIQUE,
+        "drilldown_min_val_lineitem": _SQL_DRILLDOWN_MIN_VAL,
+        "drilldown_masked_customer": _SQL_DRILLDOWN_MASKED,
     }

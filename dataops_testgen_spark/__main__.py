@@ -45,19 +45,97 @@ def _write(df, out_dir: str, name: str) -> None:
     df.show(20, truncate=False)
 
 
+def _run_monitors(spark, tables, args) -> int:
+    """Monitor test types (Volume_Trend fingerprint-style volume +
+    Table_Freshness MD5) over every table — one-shot, or looped on a cron
+    schedule (ref scheduler/base.py:1-120; monitors are the 'Monitor'
+    generation set in 050_populate_new_schema_metadata.sql:55-58)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.execution.query_tests import table_fingerprint
+
+    def one_cycle() -> list[dict]:
+        results = []
+        for name, df in tables.items():
+            n = df.count()
+            fp_cols = df.columns[: min(4, len(df.columns))]
+            fp = table_fingerprint(
+                df, [F.count(F.lit(1))] + [F.max(c).cast("string") for c in fp_cols])
+            results.append({"test_id": f"mon_volume_{name}",
+                            "test_type": "Volume_Trend", "table_name": name,
+                            "column_name": None, "result_status": "Log",
+                            "result_message": None,
+                            "result_measure": float(n),
+                            "threshold_value": None})
+            results.append({"test_id": f"mon_freshness_{name}",
+                            "test_type": "Table_Freshness", "table_name": name,
+                            "column_name": None, "result_status": "Log",
+                            "result_message": fp, "result_measure": None,
+                            "threshold_value": None})
+        print(f"monitors: {len(results)} results over {len(tables)} tables")
+        if args.observability_out:
+            from dataops_testgen_spark.observability import (
+                build_event_payload, post_event)
+
+            with open(args.observability_out, "a") as fh:
+                post_event(build_event_payload("monitors", "monitors"),
+                           results,
+                           lambda body: fh.write(json.dumps(body) + "\n"))
+        return results
+
+    if not args.schedule:
+        one_cycle()
+        return 0
+
+    import datetime as _dt
+    import itertools
+
+    from dataops_testgen_spark.scheduler import Cron
+
+    cron = Cron(args.schedule)
+    cycles = itertools.count() if not args.max_cycles else range(args.max_cycles)
+    for _ in cycles:
+        now = _dt.datetime.now()
+        nxt = cron.next_after(now)
+        wait = (nxt - now).total_seconds()
+        print(f"next monitor cycle at {nxt.isoformat()} (+{wait:.0f}s)")
+        import time as _time
+
+        _time.sleep(max(0.0, wait))
+        one_cycle()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="dataops_testgen_spark")
     parser.add_argument("command", choices=[
-        "run-profile", "run-anomalies", "run-test-generation", "run-tests"])
+        "run-profile", "run-anomalies", "run-test-generation", "run-tests",
+        "run-monitors"])
     parser.add_argument("--data-dir", required=True)
     parser.add_argument("--out", default="")
     parser.add_argument("--run-date", default=dt.date.today().isoformat())
+    parser.add_argument("--schedule", default="",
+                        help="5-field cron expr: loop run-monitors on this "
+                             "schedule (scheduler/base.py semantics) instead "
+                             "of a one-shot run")
+    parser.add_argument("--max-cycles", type=int, default=0,
+                        help="with --schedule: stop after N firings (0 = "
+                             "run until interrupted)")
+    parser.add_argument("--observability-out", default="",
+                        help="append exported observability event payloads "
+                             "to this JSONL file")
     args = parser.parse_args(argv)
 
     from dataops_testgen_spark.session import get_spark
 
     spark = get_spark("dataops-testgen-cli")
     tables = _load_tables(spark, args.data_dir)
+
+    if args.command == "run-monitors":
+        return _run_monitors(spark, tables, args)
+
     inferred = _profile_all(spark, tables, args.run_date)
 
     if args.command == "run-profile":

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -275,6 +275,16 @@ def run_cat_tests(
     out_rows: list[dict] = []
     spark = None
     for (table_name, subset), batch in groups.items():
+        if table_name not in tables:
+            # A missing/renamed table fails only ITS tests, not the run
+            # (reference isolates per-test failures the same way).
+            for td in batch:
+                rec = _evaluate(td, None)
+                rec["result_code"] = None
+                rec["result_status"] = "Error"
+                rec["result_message"] = f"KeyError: table {table_name!r} not found"
+                out_rows.append(rec)
+            continue
         df = tables[table_name]
         spark = df.sparkSession
         if subset and subset != "1=1":
@@ -299,7 +309,9 @@ def run_cat_tests(
                     rec["result_message"] = f"{type(exc).__name__}: {exc}"[:500]
                     out_rows.append(rec)
 
-    assert spark is not None, "no test definitions"
+    if spark is None:  # empty defs, or every referenced table missing
+        spark = (next(iter(tables.values())).sparkSession if tables
+                 else SparkSession.getActiveSession())
     return spark.createDataFrame(
         [tuple(r[f.name] for f in RESULT_SCHEMA.fields) for r in out_rows],
         RESULT_SCHEMA,

@@ -260,6 +260,15 @@ def selection_catalog() -> list[tuple[str, Column, dict[str, Column]]]:
          & ~((_c("distinct_value_ct") == _c("max_value") - _c("min_value") + 1)
              & (_c("distinct_value_ct") > 2)),
          {"baseline_sd": _s(_c("stdev_value")), "threshold_value": F.lit("80")}),
+        ("Weekly_Rec_Ct",
+         # test_types_Weekly_Rec_Ct.yaml selection_criteria: transactional
+         # date column on a cumulative table with every calendar week in
+         # [min_date, max_date] present
+         txn_cumulative & (_c("date_weeks_present") > 3)
+         & (_c("date_weeks_present")
+            - (H.week_diff(_c("min_date"), _c("max_date")) + 1) == 0)
+         & future_ratio_ok,
+         {"threshold_value": F.lit("0")}),
     ]
 
 

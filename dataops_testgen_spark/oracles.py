@@ -110,6 +110,10 @@ def _alpha_metrics_sql(t: str, c: str) -> dict[str, str]:
             f"(SELECT pattern FROM {pat_counts} ORDER BY ct DESC, pattern "
             f"LIMIT 1 OFFSET {i - 1})"
         )
+        m[f"pc{i}"] = (
+            f"(SELECT ct::BIGINT FROM {pat_counts} ORDER BY ct DESC, pattern "
+            f"LIMIT 1 OFFSET {i - 1})"
+        )
     m["top_freq_values"] = f"""
       CASE WHEN COUNT(DISTINCT {c}) BETWEEN 2 AND 70 AND MAX(LENGTH({c})) <= 70
            THEN (SELECT string_agg(value || ':' || ct, ' | ' ORDER BY ct DESC, value)
@@ -176,6 +180,7 @@ _ALL_METRICS = [
     "before_100yr_date_ct", "distant_future_date_ct",
     "future_date_ct", "date_days_present", "date_weeks_present",
     "date_months_present", "distinct_pattern_ct", "p1", "p2", "p3", "p4", "p5",
+    "pc1", "pc2", "pc3", "pc4", "pc5",
     "top_freq_values",
 ] + [f"stdpat_{label}" for label, _re, _thr in RX.STD_PATTERNS]
 
@@ -200,6 +205,8 @@ _NULL_TYPES = {
     "date_weeks_present": "BIGINT", "date_months_present": "BIGINT",
     "distinct_pattern_ct": "BIGINT", "p1": "VARCHAR", "p2": "VARCHAR",
     "p3": "VARCHAR", "p4": "VARCHAR", "p5": "VARCHAR",
+    "pc1": "BIGINT", "pc2": "BIGINT", "pc3": "BIGINT", "pc4": "BIGINT",
+    "pc5": "BIGINT",
     "top_freq_values": "VARCHAR",
 }
 for _label, _re_, _thr_ in RX.STD_PATTERNS:
@@ -222,7 +229,8 @@ def _profile_select(table: str, name: str, ordinal: int, general_type: str,
         exprs.append(f"{expr} AS {metric}")
     cols = ",\n       ".join(exprs)
     return f"""
-SELECT '{name}' AS column_name, {ordinal} AS ordinal_position,
+SELECT '{table}' AS table_name, '{name}' AS column_name,
+       {ordinal} AS ordinal_position,
        '{general_type}' AS general_type, '{column_type}' AS column_type,
        COUNT(*)::BIGINT AS record_ct,
        {cols}
@@ -315,20 +323,24 @@ def _date_case_sql(run_date: str) -> str:
 
 
 def _inference_ctes(
-    table: str,
-    columns: list[tuple[str, str, str, bool]],
+    tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
     run_date: str,
     id_mask: str = "%id",
     sk_mask: str = "%_sk",
 ) -> str:
     """The full profile→inference CTE chain (ending at CTE ``pii``) —
-    shared by the functional-types and test-generation oracles.
+    shared by the functional-types, test-generation, and anomaly oracles.
 
-    ``columns``: (name, general_type, column_type, is_decimal) in ordinal
-    order — must match Spark's schema scan of the same parquet.
+    ``tables``: [(table, columns)] where columns is
+    (name, general_type, column_type, is_decimal) in ordinal order — must
+    match Spark's schema scan of the same parquet. Table-level stages
+    (functional-table-type census, PII second pass) partition by table_name,
+    and the ID-FK layer looks across tables, so several tables can share one
+    chain (mirrors multi-table profiling runs in the reference).
     """
     selects = "\nUNION ALL\n".join(
         _profile_select(table, name, i + 1, gt, ct, dec, run_date)
+        for table, columns in tables
         for i, (name, gt, ct, dec) in enumerate(columns)
     )
     vf = "NULLIF(value_ct::DOUBLE, 0)"
@@ -344,11 +356,10 @@ WITH prof AS ({selects}),
 s AS (
   SELECT *,
          {_std_pattern_case()} AS std_pattern_match,
-         -- top-5 patterns with dummy counts; only used by fn_charcount-style
-         -- 'contains A/N' checks, where count digits contribute nothing
          CASE WHEN p1 IS NOT NULL THEN
-           concat_ws(' | ', p1 || ':0', p2 || ':0', p3 || ':0',
-                     p4 || ':0', p5 || ':0') END AS top_patterns
+           concat_ws(' | ', p1 || ':' || pc1, p2 || ':' || pc2,
+                     p3 || ':' || pc3, p4 || ':' || pc4, p5 || ':' || pc5)
+         END AS top_patterns
   FROM prof),
 sugg AS (
   SELECT *, {_suggestion_case()} AS datatype_suggestion FROM s),
@@ -573,13 +584,24 @@ l8 AS (
                 AND ROUND(100.0 * distinct_value_ct / {vf}) < 75 THEN 'ID-Group'
            ELSE 'ID' END
     ELSE fdt END AS fdt) FROM l7),
-l9 AS (
+l9 AS MATERIALIZED (
   SELECT * REPLACE (
     CASE WHEN fdt IN ('ID', 'ID-Secondary') AND record_ct = distinct_value_ct
               AND record_ct > 50 THEN 'ID-Unique'
          WHEN fdt = 'ID-SK' AND record_ct = distinct_value_ct
               AND record_ct > 50 THEN 'ID-Unique-SK'
          ELSE fdt END AS fdt) FROM l8),
+-- ID-FK: same column name is ID-Unique[-SK] in a DIFFERENT table
+l9f AS (
+  SELECT l9.* REPLACE (
+    CASE WHEN uf.ut IS NOT NULL
+              AND len(list_filter(uf.ut, t -> t <> l9.table_name)) > 0
+              AND l9.fdt NOT IN ('ID-Unique', 'ID-Unique-SK')
+         THEN 'ID-FK' ELSE l9.fdt END AS fdt)
+  FROM l9 LEFT JOIN (
+    SELECT column_name, list(DISTINCT table_name) AS ut
+    FROM l9 WHERE fdt IN ('ID-Unique', 'ID-Unique-SK') GROUP BY 1) uf
+  USING (column_name)),
 l10 AS (
   SELECT * REPLACE (
     CASE WHEN fdt IN ('Measurement', 'Measurement Discrete', 'UNKNOWN')
@@ -594,12 +616,12 @@ l10 AS (
                    OR distinct_pattern_ct < 2)
               AND (regexp_matches(TRIM(COALESCE(p3, '')), '{pct_pat}')
                    OR distinct_pattern_ct < 3) THEN 'Measurement Pct'
-         ELSE fdt END AS fdt) FROM l9),
+         ELSE fdt END AS fdt) FROM l9f),
 census AS (
   -- functional_tabletype_stage.sql:1-19 SELECTs DISTINCT over
   -- (..., record_ct, functional_data_type): same-typed columns collapse, so
-  -- the census counts distinct TYPE VALUES, not columns.
-  SELECT
+  -- the census counts distinct TYPE VALUES per table, not columns.
+  SELECT table_name,
     COUNT(CASE WHEN lower(fdt) LIKE 'id%' OR fdt = 'Category' THEN 1 END) AS n_id_cat,
     COUNT(CASE WHEN lower(fdt) LIKE 'period%' THEN 1 END) AS n_period,
     COUNT(CASE WHEN lower(fdt) LIKE 'measure%' THEN 1 END) AS n_measure,
@@ -610,7 +632,7 @@ census AS (
     COUNT(CASE WHEN fdt IN ('Address', 'City', 'State') THEN 1 END) AS n_addr,
     COUNT(CASE WHEN fdt IN ('ID-Unique', 'ID-Unique-SK', 'ID-Secondary') THEN 1 END) AS n_uids,
     COUNT(CASE WHEN fdt IN ('Attribute', 'Description') THEN 1 END) AS n_attr
-  FROM (SELECT DISTINCT fdt FROM l10)),
+  FROM (SELECT DISTINCT table_name, fdt FROM l10) GROUP BY table_name),
 typed AS (
   SELECT l10.*, 'cumulative-' || CASE
     WHEN n_id_cat > 0 AND ((n_period > 0 AND n_measure > 0)
@@ -619,7 +641,7 @@ typed AS (
     WHEN n_names > 0 AND n_addr > 1 THEN 'entity'
     WHEN n_uids > 1 AND n_attr <= 1 AND n_measure <= 1 THEN 'bridge'
     ELSE 'domain' END AS functional_table_type
-  FROM l10 CROSS JOIN census),
+  FROM l10 JOIN census USING (table_name)),
 pii1 AS (
   SELECT *, CASE WHEN general_type = 'A' THEN CASE
     WHEN fdt IN ('Person Full Name', 'Person Given Name', 'Person Last Name')
@@ -663,10 +685,11 @@ pii1 AS (
     WHEN lower(column_name) = 'member_id' THEN 'B/ID/Commercial'
     END END AS pii_a
   FROM typed),
-pii AS (
+pii AS MATERIALIZED (
   SELECT *,
     COALESCE(pii_a,
-      CASE WHEN general_type = 'A' AND COUNT(pii_a) OVER () > 1 THEN CASE
+      CASE WHEN general_type = 'A'
+                AND COUNT(pii_a) OVER (PARTITION BY table_name) > 1 THEN CASE
         WHEN fdt = 'Email' THEN 'B/CONTACT/Email'
         WHEN fdt IN ('Address', 'City', 'State', 'Zip') THEN 'B/CONTACT/Address'
         WHEN fdt = 'Phone' THEN 'B/CONTACT/Phone'
@@ -698,7 +721,7 @@ def functional_types_sql(
 ) -> str:
     """Full inference oracle for one table (see _inference_ctes)."""
     rf = "NULLIF(record_ct::DOUBLE, 0)"
-    ctes = _inference_ctes(table, columns, run_date, id_mask, sk_mask)
+    ctes = _inference_ctes([(table, columns)], run_date, id_mask, sk_mask)
     return f"""{ctes}
 SELECT column_name, general_type, datatype_suggestion,
        fdt AS functional_data_type, functional_table_type, pii_flag,
@@ -843,34 +866,90 @@ def generated_test_keys_sql(
         f"FROM pii WHERE {cond}"
         for tt, cond in criteria.items()
     )
-    ctes = _inference_ctes(table, columns, run_date)
+    ctes = _inference_ctes([(table, columns)], run_date)
     return f"{ctes}\n{selects}"
 
 
-def anomaly_screen_sql(
-    table: str,
-    columns: list[tuple[str, str, str, bool]],
-    run_date: str,
-) -> str:
-    """Single-table anomaly-screening oracle: Column + Dates + Variant
-    classes (Multi-Col rules need >1 table with shared column names and
-    cannot fire on a single table, on either side). One row per
-    (table_name, column_name, anomaly_type); prevalence excluded (validated
-    by tests/test_anomalies.py — formula float formatting is pinned there).
-    """
-    from dataops_testgen_spark.anomalies.catalog import VARIANT_CODINGS
+_FREQ_VALS = ("list_transform(str_split(top_freq_values, ' | '),"
+              " x -> lower(regexp_extract(x, '^(.*):[0-9]+$', 1)))")
 
+# anomaly_type -> likelihood (dbsetup_anomaly_types/*.yaml issue_likelihood)
+_ANOMALY_LIKELIHOOD = {
+    "Boolean_Value_Mismatch": "Likely",
+    "Char_Column_Date_Values": "Likely",
+    "Char_Column_Number_Units": "Possible",
+    "Char_Column_Number_Values": "Likely",
+    "Column_Pattern_Mismatch": "Likely",
+    "Delimited_Data_Embedded": "Likely",
+    "Inconsistent_Casing": "Definite",
+    "Invalid_Zip3_USA": "Definite",
+    "Invalid_Zip_USA": "Definite",
+    "Leading_Spaces": "Likely",
+    "No_Values": "Possible",
+    "Non_Alpha_Name_Address": "Definite",
+    "Non_Alpha_Prefixed_Name": "Definite",
+    "Non_Printing_Chars": "Definite",
+    "Non_Standard_Blanks": "Definite",
+    "Potential_Duplicates": "Possible",
+    "Potential_PII": "Potential PII",
+    "Quoted_Values": "Likely",
+    "Small Divergent Value Ct": "Possible",
+    "Small Missing Value Ct": "Possible",
+    "Small_Numeric_Value_Ct": "Likely",
+    "Standardized_Value_Matches": "Likely",
+    "Suggested_Type": "Likely",
+    "Unexpected Emails": "Possible",
+    "Unexpected US States": "Possible",
+    "Unlikely_Date_Values": "Likely",
+}
+
+
+def _anomaly_prevalence() -> dict[str, str]:
+    """dq_prevalence SQL per Column-class rule (prevalence formula × risk,
+    mirroring anomalies/catalog.py); rules absent here score NULL."""
+    rc = "NULLIF(record_ct::DOUBLE, 0)"
+    fc1 = ("TRY_CAST(regexp_extract(str_split(top_freq_values, ' | ')[1],"
+           " ':([0-9]+)$', 1) AS BIGINT)")
+    mixed_case = "(value_ct - upper_case_ct - lower_case_ct - non_alpha_ct)"
+    return {
+        "Char_Column_Date_Values": f"date_ct / {rc} * 0.66",
+        "Char_Column_Number_Values": f"numeric_ct / {rc} * 0.66",
+        "Column_Pattern_Mismatch": f"(record_ct - pc1) / {rc} * 0.66",
+        "Inconsistent_Casing": f"LEAST({mixed_case}, upper_case_ct) / {rc} * 1.0",
+        "Invalid_Zip3_USA": f"(record_ct - pc1) / {rc} * 1.0",
+        "Leading_Spaces": f"lead_space_ct / {rc} * 0.66",
+        "No_Values": "1.0 * 0.33",
+        "Non_Alpha_Name_Address": f"(non_alpha_ct - zero_length_ct) / {rc} * 1.0",
+        "Non_Alpha_Prefixed_Name": "0.25 * 1.0",
+        "Non_Printing_Chars": f"non_printing_ct / {rc} * 1.0",
+        "Non_Standard_Blanks": f"filled_value_ct / {rc} * 1.0",
+        "Potential_Duplicates": f"(value_ct - distinct_value_ct) / {rc} * 0.33",
+        "Quoted_Values": f"quoted_value_ct / {rc} * 0.66",
+        "Small Divergent Value Ct": f"(record_ct - {fc1}) / {rc} * 0.33",
+        "Small Missing Value Ct": (
+            "(COALESCE(null_value_ct, 0) + COALESCE(filled_value_ct, 0)"
+            f" + COALESCE(zero_length_ct, 0)) / {rc} * 0.33"),
+        "Small_Numeric_Value_Ct": f"numeric_ct / {rc} * 0.66",
+        "Standardized_Value_Matches": (
+            "(distinct_value_ct - distinct_std_value_ct)"
+            " / NULLIF(value_ct::DOUBLE, 0) * 0.66"),
+        "Unlikely_Date_Values": (
+            "(COALESCE(before_100yr_date_ct, 0)"
+            f" + COALESCE(distant_future_date_ct, 0)) / {rc} * 0.66"),
+    }
+
+
+def _anomaly_criteria(run_date: str) -> dict[str, str]:
+    """Column-class anomaly criteria SQL over the ``pii`` CTE (the SQL
+    mirror of anomalies/catalog.py's COLUMN_RULES)."""
     vf = "NULLIF(value_ct::DOUBLE, 0)"
     # format accessors over 'value:ct | value:ct' / 'pattern:ct | ...'
     fv1 = "regexp_extract(str_split(top_freq_values, ' | ')[1], '^(.*):[0-9]+$', 1)"
     fc1 = ("TRY_CAST(regexp_extract(str_split(top_freq_values, ' | ')[1],"
            " ':([0-9]+)$', 1) AS BIGINT)")
-    pc1 = ("TRY_CAST(regexp_extract(str_split(top_patterns, ' | ')[1],"
-           " ':([0-9]+)$', 1) AS BIGINT)")
-    pc2 = ("TRY_CAST(regexp_extract(str_split(top_patterns, ' | ')[2],"
-           " ':([0-9]+)$', 1) AS BIGINT)")
-    freq_vals = ("list_transform(str_split(top_freq_values, ' | '),"
-                 " x -> lower(regexp_extract(x, '^(.*):[0-9]+$', 1)))")
+    pc1 = "pc1"
+    pc2 = "pc2"
+    freq_vals = _FREQ_VALS
     pat_vals = ("list_transform(str_split(top_patterns, ' | '),"
                 " x -> regexp_extract(x, '^(.*):[0-9]+$', 1))")
     mixed_case = "(value_ct - upper_case_ct - lower_case_ct - non_alpha_ct)"
@@ -977,13 +1056,32 @@ def anomaly_screen_sql(
             " AND DATE '1900-01-01'"
             f" OR CAST(max_date AS DATE) > DATE '{run_date}' + INTERVAL 360 MONTH)"),
     }
+    return criteria
+
+
+def _variant_codings_values() -> str:
+    from dataops_testgen_spark.anomalies.catalog import VARIANT_CODINGS
+
+    return ",\n    ".join(
+        "('%s')" % check.replace("'", "''") for _vt, check in VARIANT_CODINGS
+    )
+
+
+def anomaly_screen_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+) -> str:
+    """Single-table anomaly-screening oracle: Column + Dates + Variant
+    classes (Multi-Col rules need >1 table with shared column names and
+    cannot fire on a single table, on either side). One row per
+    (table_name, column_name, anomaly_type); prevalence excluded (validated
+    by tests/test_anomalies.py — formula float formatting is pinned there).
+    """
     col_selects = "\nUNION ALL\n".join(
         f"SELECT '{table}' AS table_name, column_name,"
         f" '{atype}' AS anomaly_type\nFROM pii WHERE {cond}"
-        for atype, cond in criteria.items()
-    )
-    codings = ",\n    ".join(
-        "('%s')" % check.replace("'", "''") for _vt, check in VARIANT_CODINGS
+        for atype, cond in _anomaly_criteria(run_date).items()
     )
     dates_recency = f"""
 SELECT '{table}' AS table_name,
@@ -1000,9 +1098,270 @@ HAVING anomaly_type IS NOT NULL"""
 SELECT '{table}' AS table_name, column_name,
        'Variant_Coded_Values' AS anomaly_type
 FROM pii, (VALUES
-    {codings}) AS v(check_values)
+    {_variant_codings_values()}) AS v(check_values)
 WHERE distinct_value_ct <= 20 AND top_freq_values > ''
-  AND len(list_intersect({freq_vals}, str_split(v.check_values, '|'))) > 1
+  AND len(list_intersect({_FREQ_VALS}, str_split(v.check_values, '|'))) > 1
 GROUP BY 1, 2"""
-    ctes = _inference_ctes(table, columns, run_date)
+    ctes = _inference_ctes([(table, columns)], run_date)
     return f"{ctes}\n{col_selects}\nUNION ALL{dates_recency}\nUNION ALL{variants}"
+
+
+def _screen_union_sql(run_date: str) -> str:
+    """The multi-table screen body (Column + Multi-Col + Dates + Variant
+    unions) over the ``pii`` + ``mults`` CTEs — shared by the anomaly-screen
+    and score-card oracles."""
+    prevalence = _anomaly_prevalence()
+    col_selects = "\nUNION ALL\n".join(
+        "SELECT table_name, column_name,"
+        f" '{atype}' AS anomaly_type, 'Column' AS data_object,"
+        f" '{_ANOMALY_LIKELIHOOD[atype]}' AS likelihood,"
+        + (f" ROUND({prevalence[atype]}, 5)" if atype in prevalence
+           else " NULL::DOUBLE")
+        + f" AS dq_prevalence\nFROM pii WHERE {cond}"
+        for atype, cond in _anomaly_criteria(run_date).items()
+    )
+    multi_col = f"""
+SELECT '(multi-table)' AS table_name, column_name,
+       CASE WHEN general_type_ct > 1 THEN 'Multiple_Types_Major'
+            WHEN type_ct > 1 THEN 'Multiple_Types_Minor' END AS anomaly_type,
+       'Multi-Col' AS data_object,
+       CASE WHEN general_type_ct > 1 THEN 'Likely' ELSE 'Possible' END AS likelihood,
+       NULL::DOUBLE AS dq_prevalence
+FROM mults
+WHERE general_type_ct > 1 OR type_ct > 1
+UNION ALL
+SELECT p.table_name, p.column_name,
+       'Table_Pattern_Mismatch' AS anomaly_type,
+       'Multi-Col' AS data_object, 'Likely' AS likelihood,
+       NULL::DOUBLE AS dq_prevalence
+FROM pii p JOIN mults USING (column_name)
+WHERE p.general_type = 'A'
+  AND NOT lower(p.fdt) LIKE 'measurement%'
+  AND p.fdt NOT IN ('Category', 'Code') AND p.max_length > 3
+  AND p.value_ct > (p.numeric_ct + p.filled_value_ct + p.zero_length_ct)
+  AND mults.max_pattern_ct = 1 AND mults.column_ct > 1
+  AND p.p1 <> regexp_extract(mults.very_top_pattern, '\\|(.*)$', 1)
+  AND p.pc1::DOUBLE / TRY_CAST(regexp_extract(mults.very_top_pattern,
+        '^0*([0-9]+)\\|', 1) AS BIGINT) < 0.1"""
+    dates_recency = f"""
+SELECT table_name,
+       CASE WHEN COUNT(column_name) > 2 THEN '(multi-column)'
+            ELSE string_agg(column_name, ', ' ORDER BY column_name) END AS column_name,
+       CASE WHEN MAX(max_date) < DATE '{run_date}' - INTERVAL 12 MONTH
+            THEN 'Recency_One_Year'
+            WHEN MAX(max_date) < DATE '{run_date}' - INTERVAL 6 MONTH
+            THEN 'Recency_Six_Months' END AS anomaly_type,
+       'Dates' AS data_object, 'Possible' AS likelihood,
+       NULL::DOUBLE AS dq_prevalence
+FROM pii WHERE general_type = 'D'
+GROUP BY table_name
+HAVING anomaly_type IS NOT NULL"""
+    variants = f"""
+SELECT table_name, column_name,
+       'Variant_Coded_Values' AS anomaly_type,
+       'Variant' AS data_object, 'Definite' AS likelihood,
+       NULL::DOUBLE AS dq_prevalence
+FROM pii, (VALUES
+    {_variant_codings_values()}) AS v(check_values)
+WHERE distinct_value_ct <= 20 AND top_freq_values > ''
+  AND len(list_intersect({_FREQ_VALS}, str_split(v.check_values, '|'))) > 1
+GROUP BY 1, 2"""
+    return (f"{col_selects}\nUNION ALL{multi_col}"
+            f"\nUNION ALL{dates_recency}\nUNION ALL{variants}")
+
+
+_MULTS_CTE = """,
+mults AS MATERIALIZED (
+  SELECT column_name, COUNT(*) AS column_ct,
+         COUNT(DISTINCT column_type) AS type_ct,
+         COUNT(DISTINCT general_type) AS general_type_ct,
+         MIN(column_type) AS min_type, MAX(column_type) AS max_type,
+         MAX(distinct_pattern_ct) AS max_pattern_ct,
+         MAX(CASE WHEN p1 IS NOT NULL AND p1 <> ''
+                  THEN lpad(pc1::VARCHAR, 20, '0') || '|' || p1 END)
+           AS very_top_pattern
+  FROM pii GROUP BY column_name HAVING COUNT(*) > 1)"""
+
+
+def anomaly_screen_multi_sql(
+    tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
+    run_date: str,
+) -> str:
+    """Multi-table anomaly-screening oracle over one shared inference chain:
+    Column rules per table + Multi-Col (Multiple_Types_Major/Minor,
+    Table_Pattern_Mismatch over same-named columns across tables,
+    `profile_anomalies_screen_multi_column.sql:1-59`) + Dates + Variant.
+    Output includes data_object / likelihood / dq_prevalence (rounded 5dp,
+    prevalence formula × risk; NULL where the type defines no formula).
+    """
+    ctes = _inference_ctes(tables, run_date)
+    return f"{ctes}{_MULTS_CTE}\n{_screen_union_sql(run_date)}"
+
+
+# ---------------------------------------------------------------------------
+# Score-card oracles (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+# DuckDB spelling of the reference's SUM_LN aggregate
+# (`020_create_standard_functions_sprocs.sql:254-303`): ∏(1−p) over valid p.
+_SUM_LN = ("COALESCE(EXP(SUM(LN(1 - {p})) FILTER (WHERE {p} > 0"
+           " AND {p} <= 0.999999)), 1.0)")
+
+_SEVERITY_CASE = """CASE {s}
+    WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2 WHEN 'Likely' THEN 3
+    WHEN 'Possible' THEN 4 WHEN 'Warning' THEN 5 ELSE 6 END"""
+
+
+def _dim_values(mapping: dict[str, tuple[str | None, str]],
+                key_col: str, which: int) -> str:
+    rows = ",\n    ".join(
+        f"('{k}', " + ("NULL" if v[which] is None else f"'{v[which]}'") + ")"
+        for k, v in sorted(mapping.items()))
+    return (f"(SELECT * FROM (VALUES\n    {rows})"
+            f" AS m({key_col}, dim))")
+
+
+def _test_results_sql(test_selects: list[dict]) -> str:
+    """tres CTE body: one aggregate SELECT per test over its table, emitting
+    result_code / fail_status / dq_record_ct / dq_prevalence (rounded 5dp;
+    0 for passes — `calc_prevalence_test_results.sql:10-68`)."""
+    parts = []
+    for t in test_selects:
+        cond = t["fail_cond"].format(m=t["m_sql"])
+        prev = t["prev_expr"].format(m=t["m_sql"])
+        col = ("NULL::VARCHAR" if t["column"] is None
+               else f"'{t['column']}'")
+        parts.append(f"""
+SELECT '{t["table"]}' AS table_name, {col} AS column_name,
+       '{t["test_type"]}' AS test_type,
+       CASE WHEN {cond} THEN 0 ELSE 1 END AS result_code,
+       '{t["status"]}' AS fail_status,
+       COUNT(*)::BIGINT AS dq_record_ct,
+       CASE WHEN {cond} THEN ROUND(LEAST(1.0, {prev}), 5)
+            ELSE 0.0 END AS dq_prevalence
+FROM {t["table"]}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _score_card_base(tables, run_date: str, test_selects: list[dict]) -> str:
+    """Shared CTE prefix: inference chain + screen (scr) + per-column
+    profile scoring (pcol) + test results (tres) + per-column test scoring
+    (tcol) + parent totals — mirrors v_dq_profile_scoring_latest_by_column /
+    v_dq_test_scoring_latest_by_column (060_create_standard_views.sql:
+    107-276) with weights = 1."""
+    ctes = _inference_ctes(tables, run_date)
+    good_p = _SUM_LN.format(p="s.dq_prevalence")
+    good_t = _SUM_LN.format(p="dq_prevalence")
+    return f"""{ctes}{_MULTS_CTE},
+scr AS MATERIALIZED ({_screen_union_sql(run_date)}),
+cols AS MATERIALIZED (
+  SELECT table_name, column_name, MAX(record_ct)::DOUBLE AS wrc
+  FROM pii GROUP BY 1, 2),
+pcol AS (
+  SELECT c.table_name, c.column_name, MAX(c.wrc) AS wrc,
+         COUNT(s.anomaly_type)::BIGINT AS issue_ct,
+         {good_p} AS good
+  FROM cols c LEFT JOIN scr s
+    ON (s.table_name = c.table_name AND s.column_name = c.column_name)
+  GROUP BY 1, 2),
+tres AS MATERIALIZED ({_test_results_sql(test_selects)}),
+tcol AS (
+  SELECT table_name, column_name, MAX(dq_record_ct)::DOUBLE AS wrc,
+         SUM(CASE WHEN result_code = 0 THEN 1 ELSE 0 END)::BIGINT AS issue_ct,
+         {good_t} AS good
+  FROM tres GROUP BY 1, 2),
+ptot AS (SELECT SUM(wrc) AS pdp FROM pcol),
+ttot AS (SELECT SUM(wrc) AS tdp FROM tcol)"""
+
+
+_BREAKDOWN_SELECT = """
+SELECT {keys},
+       ROUND(100*(COALESCE(p_dp*(1-p_score)/NULLIF(pdp, 0), 0)
+                + COALESCE(t_dp*(1-t_score)/NULLIF(tdp, 0), 0)), 5) AS impact,
+       ROUND(COALESCE(p_score, 1)*COALESCE(t_score, 1), 5) AS score,
+       (COALESCE(p_issue, 0) + COALESCE(t_issue, 0))::BIGINT AS issue_ct
+FROM b, ptot, ttot"""
+
+
+def score_card_breakdown_cols_sql(tables, run_date: str,
+                                  test_selects: list[dict]) -> str:
+    """get_score_card_breakdown_by_column.sql:1-58, profiling side from the
+    anomaly screen over ``tables``, testing side from ``test_selects``."""
+    base = _score_card_base(tables, run_date, test_selects)
+    return f"""{base},
+b AS (
+  SELECT COALESCE(p.table_name, t.table_name) AS table_name,
+         COALESCE(p.column_name, t.column_name) AS column_name,
+         p.wrc AS p_dp, p.good AS p_score, p.issue_ct AS p_issue,
+         t.wrc AS t_dp, t.good AS t_score, t.issue_ct AS t_issue
+  FROM pcol p FULL OUTER JOIN tcol t
+    ON (p.table_name = t.table_name AND p.column_name = t.column_name))
+{_BREAKDOWN_SELECT.format(keys="table_name, column_name")}"""
+
+
+def score_card_breakdown_dim_sql(tables, run_date: str,
+                                 test_selects: list[dict],
+                                 which: str = "dq_dimension") -> str:
+    """get_score_card_breakdown_by_dimension.sql:1-58 (or the
+    `_by_impact_dimension` twin): per-(column, dimension) scoring rows are
+    grouped by dimension; the parent normalizer stays the BY-COLUMN totals
+    (reference parent CTE reads the by_column views, :24-38)."""
+    from dataops_testgen_spark.scoring.score_cards import (
+        ANOMALY_DIMENSIONS, TEST_DIMENSIONS)
+
+    idx = 0 if which == "dq_dimension" else 1
+    adim = _dim_values(ANOMALY_DIMENSIONS, "anomaly_type", idx)
+    tdim = _dim_values(TEST_DIMENSIONS, "test_type", idx)
+    base = _score_card_base(tables, run_date, test_selects)
+    good_p = _SUM_LN.format(p="s.dq_prevalence")
+    good_t = _SUM_LN.format(p="dq_prevalence")
+    return f"""{base},
+pdim AS (
+  SELECT c.table_name, c.column_name, s.dim, MAX(c.wrc) AS wrc,
+         COUNT(s.anomaly_type)::BIGINT AS issue_ct,
+         {good_p} AS good
+  FROM cols c LEFT JOIN (
+    SELECT scr.*, m.dim FROM scr LEFT JOIN {adim} m USING (anomaly_type)) s
+    ON (s.table_name = c.table_name AND s.column_name = c.column_name)
+  GROUP BY 1, 2, 3),
+pgrp AS (
+  SELECT dim, SUM(wrc) AS p_dp, SUM(issue_ct) AS p_issue,
+         SUM(wrc*good)/NULLIF(SUM(wrc), 0) AS p_score
+  FROM pdim GROUP BY dim),
+tdimv AS (
+  SELECT r.table_name, r.column_name, m.dim,
+         MAX(r.dq_record_ct)::DOUBLE AS wrc,
+         SUM(CASE WHEN r.result_code = 0 THEN 1 ELSE 0 END)::BIGINT AS issue_ct,
+         {good_t} AS good
+  FROM tres r LEFT JOIN {tdim} m USING (test_type)
+  GROUP BY 1, 2, 3),
+tgrp AS (
+  SELECT dim, SUM(wrc) AS t_dp, SUM(issue_ct) AS t_issue,
+         SUM(wrc*good)/NULLIF(SUM(wrc), 0) AS t_score
+  FROM tdimv GROUP BY dim),
+b AS (
+  SELECT COALESCE(p.dim, t.dim) AS {which},
+         p.p_dp, p.p_score, p.p_issue, t.t_dp, t.t_score, t.t_issue
+  FROM pgrp p FULL OUTER JOIN tgrp t ON (p.dim IS NOT DISTINCT FROM t.dim))
+{_BREAKDOWN_SELECT.format(keys=which)}"""
+
+
+def score_card_issues_sql(tables, run_date: str,
+                          test_selects: list[dict]) -> str:
+    """get_score_card_issues_by_column.sql:1-100: hygiene anomalies UNION
+    Failed/Warning test results with the severity ordering class."""
+    ctes = _inference_ctes(tables, run_date)
+    sev_a = _SEVERITY_CASE.format(s="likelihood")
+    sev_t = _SEVERITY_CASE.format(s="fail_status")
+    return f"""{ctes}{_MULTS_CTE},
+scr AS MATERIALIZED ({_screen_union_sql(run_date)}),
+tres AS MATERIALIZED ({_test_results_sql(test_selects)})
+SELECT table_name, column_name, anomaly_type AS type,
+       likelihood AS status, 'hygiene' AS issue_type,
+       {sev_a} AS severity_order
+FROM scr
+UNION ALL
+SELECT table_name, column_name, test_type AS type,
+       fail_status AS status, 'test' AS issue_type,
+       {sev_t} AS severity_order
+FROM tres WHERE result_code = 0"""

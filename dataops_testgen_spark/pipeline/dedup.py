@@ -62,8 +62,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
     Shape: explode shingles → ``num_hashes`` MIN(md5(seed|shingle)) hash
     aggregates in one codegen'd groupBy — O(n·shingles) map side with partial
-    aggregation, one shuffle on doc id. Shingle-less docs keep a NULL
-    signature (band hash of the empty string), matching the expression form.
+    aggregation, one shuffle on doc id. Docs with fewer than ``k`` tokens
+    have an all-NULL signature and are dropped before banding — otherwise
+    every shingle-less doc shares the md5('') band hash and the band join
+    emits them all-pairs (false positives plus an O(n²) blowup on corpora
+    with many short/empty docs).
     """
     rows_per_band = num_hashes // bands
     exploded = df.select(
@@ -73,11 +76,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     sig = exploded.groupBy("id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
         for i in range(num_hashes)
-    ])
+    ]).filter(F.col("m0").isNotNull())
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            # concat_ws skips NULLs → md5("") for empty docs, as before
             F.md5(F.concat_ws("|", *[
                 F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)
             ])).alias("band_hash"),
@@ -190,18 +192,69 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 .filter(F.col("hamming") <= max_hamming)
 
 
+# Broadcasting the normalized matrix to every executor is the fast path for
+# dimension tables and samples; past this many bytes (N·D·8) the driver
+# collect would OOM, so the LSH-bucketed pair join takes over automatically.
+MAX_BROADCAST_MATRIX_BYTES = 256 << 20
+
+
+def lsh_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id", threshold: float = 0.95,
+                     num_planes: int = 6, num_tables: int = 4) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold — the 100 TB
+    path: random-hyperplane LSH buckets per hash table, candidate pairs from
+    plain equi-joins on bucket id (shuffle on bucket, never all-pairs, never
+    a driver collect), unioned across ``num_tables`` independent tables and
+    deduped, then scored with the expression cosine. Approximate: a pair is
+    missed only if it collides in NO table — P(miss) ≈
+    (1−(1−θ/π)^planes)^tables, geometric in num_tables."""
+    from dataops_testgen_spark.pipeline.similarity import cosine, lsh_assign
+
+    dim_row = df.select(F.size(vec_col)).first()
+    n_dims = dim_row[0] if dim_row else 0
+    cand = None
+    for t in range(num_tables):
+        assigned = lsh_assign(df, n_dims, num_planes, table_id=t,
+                              vec_col=vec_col)
+        a = assigned.select(F.col(id_col).alias("id_a"), "lsh_bucket")
+        b = assigned.select(F.col(id_col).alias("id_b"), "lsh_bucket")
+        pairs = (a.join(b, "lsh_bucket")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    cosine(F.col("va"), F.col("vb")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id",
-                           threshold: float = 0.95) -> DataFrame:
+                           threshold: float = 0.95,
+                           max_broadcast_bytes: int = MAX_BROADCAST_MATRIX_BYTES) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold — exact.
 
     Broadcast-matrix design: the normalized embedding matrix is broadcast to
-    executors (N×D doubles — at N beyond broadcast size, switch to
-    similarity.lsh_topk or block the right side); each partition computes its
-    rows' similarities against the whole matrix with one numpy matmul via
-    Arrow-batched mapInPandas. ~50× the per-pair expression join it replaces.
+    executors (N×D doubles); each partition computes its rows' similarities
+    against the whole matrix with one numpy matmul via Arrow-batched
+    mapInPandas. ~50× the per-pair expression join it replaces.
+
+    Size-based dispatch: when N·D·8 bytes exceeds ``max_broadcast_bytes``
+    the driver collect would OOM, so the call transparently falls back to
+    ``lsh_cosine_pairs`` (bucketed joins, no collect) — the default path
+    can never pull an unbounded matrix onto the driver.
     """
     from dataops_testgen_spark.pipeline.similarity import collect_normalized
+
+    n = df.count()
+    dim_row = df.select(F.size(vec_col)).first()
+    dim = dim_row[0] if dim_row else 0
+    if n * dim * 8 > max_broadcast_bytes:
+        return lsh_cosine_pairs(df, vec_col=vec_col, id_col=id_col,
+                                threshold=threshold)
 
     spark = df.sparkSession
     ids, matrix = collect_normalized(df, id_col, vec_col)

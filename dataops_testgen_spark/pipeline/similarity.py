@@ -119,20 +119,33 @@ def lsh_assign(df: DataFrame, n_dims: int, num_planes: int = 8,
 
 
 def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
-             num_planes: int = 8, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    ~2^num_planes× less work than brute force; recall tunable via num_planes
-    (fewer planes → bigger buckets → higher recall)."""
-    base = lsh_assign(df, n_dims, num_planes, vec_col=vec_col) \
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
-                "lsh_bucket")
-    q = lsh_assign(queries, n_dims, num_planes, vec_col=vec_col) \
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                "lsh_bucket")
+             num_planes: int = 8, num_tables: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s). ~2^num_planes× less work per table than brute force; recall
+    tunable two ways — fewer planes → bigger buckets, more ``num_tables`` →
+    independent hash tables unioned (P(miss) decays geometrically per
+    table). 100 TB shape: each table's bucket join is a plain equi-join
+    (shuffle on bucket id, no driver collect, no all-pairs); candidate
+    dedup is one distinct before the scoring join."""
+    cand = None
+    for t in range(num_tables):
+        base_t = lsh_assign(df, n_dims, num_planes, table_id=t,
+                            vec_col=vec_col) \
+            .select(F.col(id_col).alias("neighbor_id"), "lsh_bucket")
+        q_t = lsh_assign(queries, n_dims, num_planes, table_id=t,
+                         vec_col=vec_col) \
+            .select(F.col(id_col).alias("query_id"), "lsh_bucket")
+        pairs = (q_t.join(base_t, "lsh_bucket")
+                 .filter(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
     scored = (
-        q.join(base, "lsh_bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "query_id")
+        .join(df.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("v")), "neighbor_id")
         .select("query_id", "neighbor_id",
                 cosine(F.col("qv"), F.col("v")).alias("cosine"))
     )
@@ -145,13 +158,19 @@ def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
-    Centroid list is broadcast as literals — fine for a few hundred cells."""
+    Centroid list is broadcast as literals. Argmax is taken with a single
+    array_max over (sim, -idx) structs, so the expression tree grows LINEARLY
+    in the centroid count — a when/otherwise fold where the accumulator feeds
+    both the condition and the else-branch doubles per centroid (2^n) and
+    OOMs the driver past ~20 cells (same failure mode as the inference
+    cascade; see inference/functional_type.py:12-16)."""
     v = F.col(vec_col)
-    best_id, best_sim = F.lit(-1), F.lit(-2.0)
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        sim = cosine(v, arr)
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return df.withColumn("ivf_cell", best_id)
+    scored = [
+        F.struct(
+            cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+            F.lit(-i).alias("neg_idx"),  # ties break to the LOWEST index
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*scored))
+    return df.withColumn("ivf_cell", (-best["neg_idx"]).cast("int"))

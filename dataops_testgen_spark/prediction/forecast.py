@@ -3,12 +3,14 @@
 `commands/test_thresholds_prediction.py:263-307`.
 
 Model: the reference fits SARIMAX(order=(1,1,1)) with an ``is_excluded``
-exogenous dummy. Without statsmodels we fit the first-differenced series
-with OLS: ``d_t = c + φ·d_{t-1} + β·x_t`` (ARIMAX(1,1,0)+exog) and forecast
-iteratively — the MA(1) term is the only dropped component. The standard
-error keeps the reference's triple floor
-(`time_series_service.py:100-112`): max(model SE, post-burn-in residual SE,
-raw first-difference SE).
+exogenous dummy. Without statsmodels we fit the same ARIMAX(1,1,1) on the
+first-differenced series — ``d_t = c + φ·d_{t-1} + θ·ε_{t-1} + β·x_t + ε_t``
+— with the Hannan–Rissanen two-step conditional-least-squares estimator
+(long-AR residual proxy, then OLS with the lagged residual regressor, then
+one recursive-residual refinement pass), which is the standard
+statsmodels-free route to ARMA coefficients. The standard error keeps the
+reference's triple floor (`time_series_service.py:100-112`): max(model SE,
+post-burn-in residual SE, raw first-difference SE).
 """
 
 from __future__ import annotations
@@ -88,28 +90,54 @@ def get_forecast(
     )
     exog_fc = _exog_flags(forecast_index, exclude_weekends, tz)
 
-    # OLS fit of d_t = c + φ d_{t-1} + β x_t
+    # ARMA(1,1)+exog on the differences via Hannan–Rissanen:
+    # d_t = c + φ d_{t-1} + θ ε_{t-1} + β x_t + ε_t
     d = np.diff(y)
-    if len(d) >= 3:
-        dx = np.column_stack([
-            np.ones(len(d) - 1), d[:-1], exog[2:],
-        ])
+    c0 = phi = theta = beta = 0.0
+    eps_last = 0.0
+    resid = d
+    if len(d) >= 6:
+        # step 1: long-AR(p) residual proxy for the unobserved ε series
+        p = min(6, len(d) // 3)
+        ax = np.column_stack([np.ones(len(d) - p)]
+                             + [d[p - k - 1:len(d) - k - 1] for k in range(p)])
+        acoef, *_ = np.linalg.lstsq(ax, d[p:], rcond=None)
+        eps_hat = np.concatenate([np.zeros(p), d[p:] - ax @ acoef])
+        # step 2: OLS with the lagged residual regressor
+        for _pass in range(2):
+            dx = np.column_stack([
+                np.ones(len(d) - 1), d[:-1], eps_hat[:-1], exog[2:],
+            ])
+            dy = d[1:]
+            coef, *_ = np.linalg.lstsq(dx, dy, rcond=None)
+            c0, phi, theta, beta = coef
+            theta = float(np.clip(theta, -0.98, 0.98))  # invertibility
+            # step 3: recompute residuals RECURSIVELY under the fitted
+            # ARMA(1,1) (CSS refinement pass), then refit once
+            eps = np.zeros(len(d))
+            for t in range(1, len(d)):
+                eps[t] = (d[t] - c0 - phi * d[t - 1]
+                          - theta * eps[t - 1] - beta * exog[t + 1])
+            eps_hat = eps
+        resid = eps_hat[1:]
+        eps_last = float(eps_hat[-1])
+    elif len(d) >= 3:
+        dx = np.column_stack([np.ones(len(d) - 1), d[:-1], exog[2:]])
         dy = d[1:]
         coef, *_ = np.linalg.lstsq(dx, dy, rcond=None)
         c0, phi, beta = coef
         resid = dy - dx @ coef
-    else:
-        c0, phi, beta = 0.0, 0.0, 0.0
-        resid = d
 
-    # Iterative mean forecast
+    # Iterative mean forecast; ε_{T+h} = 0 for h ≥ 1, so the MA term only
+    # feeds the first step (as in SARIMAX's get_forecast)
     means = []
     level, prev_d = y[-1], d[-1] if len(d) else 0.0
+    prev_eps = eps_last
     for step in range(num_forecast):
-        d_next = c0 + phi * prev_d + beta * exog_fc[step]
+        d_next = c0 + phi * prev_d + theta * prev_eps + beta * exog_fc[step]
         level = level + d_next
         means.append(level)
-        prev_d = d_next
+        prev_d, prev_eps = d_next, 0.0
 
     # SE floors (time_series_service.py:100-112); model SE grows like a
     # random walk with the per-step residual sigma.

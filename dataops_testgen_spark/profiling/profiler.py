@@ -221,6 +221,14 @@ def profile_table(
     for i, col in enumerate(cols):
         prefix = f"c{i}__"
         vals = {k[len(prefix):]: v for k, v in row.items() if k.startswith(prefix)}
+        # std_pattern_match is a ratio of same-sample counts (stdpat_* over
+        # value_ct), so it must be classified on the RAW counts: the stdpat_*
+        # matches are never scale-estimated, and dividing them by a scaled-up
+        # value_ct would deflate every ratio by the sample fraction.
+        raw_std_pattern = (
+            _classify_std_pattern(vals, vals.get("value_ct") or 0)
+            if col.general_type == "A" else None
+        )
         if sample_ratio < 1.0:
             for m in list(vals):
                 if m in _SCALED_METRICS and vals[m] is not None:
@@ -240,7 +248,7 @@ def profile_table(
             rec[m] = vals.get(m)
         if col.general_type == "A":
             value_ct = vals.get("value_ct") or 0
-            rec["std_pattern_match"] = _classify_std_pattern(vals, value_ct)
+            rec["std_pattern_match"] = raw_std_pattern
             rec["mixed_case_ct"] = (
                 None if value_ct == 0 else
                 (vals.get("value_ct") or 0)

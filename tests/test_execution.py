@@ -214,3 +214,22 @@ def test_run_stats_and_status():
     ])
     assert stats == {"test_ct": 4, "passed_ct": 1, "failed_ct": 1,
                      "warning_ct": 1, "log_ct": 0, "error_ct": 1}
+
+
+def test_cat_missing_table_isolated(num_df):
+    """A def referencing an absent table yields Error rows, not a KeyError,
+    and does not sink the rest of the run (ADVICE r1)."""
+    defs = [
+        TestDef("t_ok", "Row_Ct", "t", params={"threshold_value": 5}),
+        TestDef("t_gone", "Row_Ct", "no_such_table", params={"threshold_value": 5}),
+    ]
+    res = _results({"t": num_df}, defs)
+    assert res["t_ok"]["result_status"] in ("Passed", "Failed")
+    assert res["t_gone"]["result_status"] == "Error"
+    assert "no_such_table" in res["t_gone"]["result_message"]
+
+
+def test_cat_empty_defs(num_df):
+    out = run_cat_tests({"t": num_df}, [], run_date=RUN_DATE)
+    assert out.count() == 0
+    assert "result_status" in out.columns

@@ -108,3 +108,70 @@ def test_merge_and_stale_cleanup(spark):
     assert "b" in vals
     cleaned = delete_stale_tests(merged, generated.filter("column_name <> 'gone'"))
     assert "gone" not in {r["column_name"] for r in cleaned.collect()}
+
+
+def test_dupe_rows_and_schema_drift_generated(spark, sf_dir):
+    from dataops_testgen_spark.generation import (
+        generate_dupe_rows_tests, generate_schema_drift_tests)
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    inferred = apply_inference(profile_table(df, "orders", run_date=RUN_DATE))
+    dupe = generate_dupe_rows_tests(inferred).collect()
+    assert len(dupe) == 1
+    params = dict(dupe[0]["params"])
+    # groupby_names = every column in ordinal order
+    assert params["groupby_names"].startswith("o_orderkey,o_custkey")
+    assert len(params["groupby_names"].split(",")) == len(df.columns)
+    drift = generate_schema_drift_tests(inferred, schema_name="main").collect()
+    assert len(drift) == 1 and drift[0]["test_type"] == "Schema_Drift"
+
+
+def test_freshness_trend_generated_and_executable(spark, sf_dir):
+    from dataops_testgen_spark.generation import (
+        fingerprint_exprs_for, generate_freshness_trend_tests)
+    from dataops_testgen_spark.execution.query_tests import table_fingerprint
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    inferred = apply_inference(profile_table(df, "lineitem", run_date=RUN_DATE))
+    gen = generate_freshness_trend_tests(inferred).collect()
+    assert len(gen) == 1
+    params = dict(gen[0]["params"])
+    assert params["history_calculation"] == "PREDICT"
+    spec = params["fingerprint_spec"]
+    # ID elements sort first, each element is col:gtype
+    assert all(":" in part for part in spec.split(","))
+    assert params["groupby_names"] == ",".join(
+        p.rsplit(":", 1)[0] for p in spec.split(","))
+    # the spec round-trips into executable aggregate exprs -> stable MD5
+    fp1 = table_fingerprint(df, fingerprint_exprs_for(spec))
+    fp2 = table_fingerprint(df, fingerprint_exprs_for(spec))
+    assert fp1 == fp2 and len(fp1) == 32
+    # changing the data changes the fingerprint
+    fp3 = table_fingerprint(df.limit(100), fingerprint_exprs_for(spec))
+    assert fp3 != fp1
+
+
+def test_weekly_rec_ct_criteria(spark):
+    """Weekly_Rec_Ct fires iff every calendar week in range has a date
+    (test_types_Weekly_Rec_Ct.yaml selection_criteria)."""
+    import datetime as _dt
+
+    from dataops_testgen_spark.generation import generate_selection_tests
+
+    # 10 consecutive weeks of Mondays -> all weeks present
+    dates = [(_dt.date(2025, 1, 6) + _dt.timedelta(weeks=i)) for i in range(10)]
+    rows = [(d, i) for i, d in enumerate(dates) for _ in range(3)]
+    df = spark.createDataFrame(rows, "tx_date: date, seq: long")
+    prof = profile_table(df.withColumn("tx_date", F.col("tx_date").cast("timestamp")),
+                         "weekly_t", run_date=RUN_DATE)
+    inferred = apply_inference(prof)
+    fdt = {r["column_name"]: (r["functional_data_type"], r["functional_table_type"])
+           for r in inferred.collect()}
+    gen = {(r["test_type"], r["column_name"])
+           for r in generate_selection_tests(inferred).collect()}
+    if ("Weekly_Rec_Ct", "tx_date") not in gen:
+        # only assert firing when the cascade classified the fixture as
+        # transactional-date-on-cumulative (precondition of the criteria)
+        ftype, ttype = fdt["tx_date"]
+        assert not (ftype.lower().startswith("transactional date")
+                    and "cumulative" in ttype.lower())

@@ -1,0 +1,79 @@
+"""Observability export batching + cron scheduler tests
+(ref run_observability_exporter.py:26-69, scheduler/base.py:1-120)."""
+
+import datetime as dt
+
+import pytest
+
+from dataops_testgen_spark import observability as OBS
+from dataops_testgen_spark.scheduler import (
+    Cron, DelayedPolicy, Job, Scheduler)
+
+
+def test_chunk_size_caps_at_500():
+    outcomes = [{"test_id": str(i)} for i in range(2000)]
+    assert OBS.calculate_chunk_size(outcomes) == 500
+
+
+def test_chunk_size_scales_with_payload_bytes():
+    big = [{"test_id": str(i), "result_message": "x" * 2000}
+           for i in range(100)]
+    cs = OBS.calculate_chunk_size(big)
+    # 100 items x ~2KB = ~200KB json -> split into ~4 chunks of ~25
+    assert 1 <= cs < 50
+
+
+def test_post_event_batches(spark):
+    rows = [(f"t{i}", "Row_Ct", "t", None, "Passed", None, 1.0, "0")
+            for i in range(1203)]
+    df = spark.createDataFrame(
+        rows, "test_id string, test_type string, table_name string,"
+              " column_name string, result_status string,"
+              " result_message string, result_measure double,"
+              " threshold_value string")
+    sent = []
+    n = OBS.export_test_results(df, "ds1", sent.append, run_date="2026-01-01")
+    assert n == 1203
+    assert sum(len(b["test_outcomes"]) for b in sent) == 1203
+    assert all(len(b["test_outcomes"]) <= 500 for b in sent)
+    assert all(b["dataset_key"] == "ds1" for b in sent)
+    assert sent[0]["test_outcomes"][0]["type"] == "Row_Ct"
+
+
+def test_mark_exported(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "test_id string")
+    out = OBS.mark_exported(df)
+    assert {r["observability_status"] for r in out.collect()} == {"Sent"}
+
+
+def test_cron_parse_and_next():
+    c = Cron("*/15 2 * * *")
+    t = dt.datetime(2026, 1, 1, 1, 50)
+    assert c.next_after(t) == dt.datetime(2026, 1, 1, 2, 0)
+    assert c.next_after(dt.datetime(2026, 1, 1, 2, 0)) == dt.datetime(2026, 1, 1, 2, 15)
+    # day-of-week: 0 = Sunday
+    sun = Cron("0 9 * * 0")
+    nxt = sun.next_after(dt.datetime(2026, 1, 1, 0, 0))  # Thu Jan 1 2026
+    assert nxt == dt.datetime(2026, 1, 4, 9, 0)
+    with pytest.raises(ValueError):
+        Cron("* * * *")
+
+
+def test_scheduler_policies():
+    ran = []
+    jobs = [
+        Job("*/10 * * * *", lambda: ran.append("skip"), name="skip",
+            delayed_policy=DelayedPolicy.SKIP),
+        Job("*/10 * * * *", lambda: ran.append("all"), name="all",
+            delayed_policy=DelayedPolicy.ALL),
+        Job("*/10 * * * *", lambda: ran.append("once"), name="once",
+            delayed_policy=DelayedPolicy.ONCE),
+    ]
+    s = Scheduler(jobs)
+    base = dt.datetime(2026, 1, 1, 0, 0)
+    # 35 minutes late -> 3 firings missed (00:10, 00:20, 00:30)
+    fired = s.run_pending(base, base + dt.timedelta(minutes=35))
+    import time
+    time.sleep(0.5)
+    assert fired == 5  # SKIP->1 (latest), ALL->3, ONCE->1 (first)
+    assert ran.count("skip") == 1 and ran.count("all") == 3 and ran.count("once") == 1

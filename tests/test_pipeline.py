@@ -128,3 +128,67 @@ def test_multimodal_plumbing(docs):
     assert len(by_id[1]["content_md5"]) == 32
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_ivf_assign_many_centroids(spark):
+    """64 centroids must plan linearly (the old when/otherwise fold was 2^n)
+    and ties must break to the lowest centroid index."""
+    import math
+    n = 64
+    cents = [[math.cos(2 * math.pi * i / n), math.sin(2 * math.pi * i / n)]
+             for i in range(n)]
+    rows = [(i, cents[i]) for i in range(0, n, 7)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {r["vec_id"]: r["ivf_cell"]
+           for r in similarity.ivf_assign(df, cents).collect()}
+    assert got == {i: i for i in range(0, n, 7)}
+    # tie: equidistant from centroids 0 and 1 -> lowest index wins
+    mid = [[1.0, 0.0], [0.0, 1.0]]
+    tdf = spark.createDataFrame([(99, [0.5, 0.5])],
+                                "vec_id: long, embedding: array<float>")
+    assert similarity.ivf_assign(tdf, mid).collect()[0]["ivf_cell"] == 0
+
+
+def test_minhash_short_docs_not_paired(spark):
+    """Docs with fewer than k tokens have no shingles; they must not be
+    banded together as candidates (ADVICE r1: md5('') bucket blowup)."""
+    rows = [(1, "a"), (2, "b"), (3, "xx yy"),
+            (4, "the quick brown fox jumps"), (5, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert pairs == {(4, 5)}
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """Multi-table LSH top-k must reach >=0.9 recall vs brute force on the
+    fixture embeddings (VERDICT r1: verify the embedding scale path)."""
+    from dataops_testgen_spark.io.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.lsh_topk(emb, q, n_dims=64, k=5,
+                                           num_planes=2, num_tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_cosine_pairs_lsh_dispatch(spark, sf_dir):
+    """embedding_cosine_pairs must never driver-collect past the broadcast
+    cap: with a tiny cap it dispatches to lsh_cosine_pairs and still finds
+    the high-similarity pairs."""
+    from dataops_testgen_spark.io.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_cosine_pairs(emb, threshold=0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_cosine_pairs(
+               emb, threshold=0.8, max_broadcast_bytes=1024).collect()}
+    # approximate path returns a subset of the exact pairs
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))

@@ -123,3 +123,25 @@ def test_compute_freshness_threshold_excludes_weekends():
     # minutes once inactive days are excluded → upper well below 4320·1.25
     assert upper < 4320
     assert staleness is not None
+
+
+def test_ma_term_improves_ima_series():
+    """ARIMA(0,1,1) data: d_t = ε_t + θ·ε_{t-1} with θ = -0.7. The
+    Hannan–Rissanen fit must recover a substantially negative MA weight —
+    the reference's SARIMAX(1,1,1) (time_series_service.py:77-81) models
+    exactly this; a pure ARIMAX(1,1,0) cannot."""
+    rng = np.random.default_rng(7)
+    theta = -0.7
+    eps = rng.normal(0, 1.0, 220)
+    d = eps[1:] + theta * eps[:-1]
+    y = 100 + np.cumsum(d)
+    idx = pd.date_range("2025-01-01", periods=len(y), freq="D")
+    hist = pd.DataFrame({"v": y}, index=idx)
+    fc = get_forecast(hist, num_forecast=5)
+    assert len(fc) == 5 and fc["se"].iloc[0] > 0
+    # one-step-ahead forecasts of an IMA(1,1) stay near the current level;
+    # a drifting AR-only fit would walk away with the last (noisy) diff
+    assert abs(fc["mean"].iloc[0] - y[-1]) < 3.0
+    # the fitted residual-based SE should approach sigma=1, well below the
+    # raw-diff SE (which inflates to sqrt(1+theta^2)~1.22 x sigma)
+    assert fc["se"].iloc[0] <= np.std(np.diff(y), ddof=1) + 1e-9

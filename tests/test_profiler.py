@@ -123,3 +123,17 @@ def test_sampling_scales_counts(spark):
     # scaled value_ct should be within 2% of the true count
     assert abs(row["value_ct"] - 200_000) / 200_000 < 0.02
     assert row["record_ct"] == 200_000
+
+
+def test_std_pattern_survives_sampling(spark):
+    """std_pattern_match is a same-sample ratio: scaling value_ct up before
+    classification deflated it by the sample fraction (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [(f"user{i}@example.com",) for i in range(150_000)],
+        "email: string",
+    )
+    p = profile_table(df, "emails", run_date=RUN_DATE, sample=True,
+                      secondary=False, exact_percentiles=False)
+    row = p.collect()[0]
+    assert row["sample_ratio"] < 1.0
+    assert row["std_pattern_match"] == "EMAIL"
