@@ -102,23 +102,44 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | float | None = None) -> DataFrame:
     """Exact Jaccard similarity over word k-shingle SETS, computed by
     exploding shingles and self-joining on shingle (only co-shingled pairs
-    materialize). Returns (id_a, id_b, jaccard≥threshold)."""
+    materialize). Returns (id_a, id_b, jaccard≥threshold).
+
+    ``max_df`` bounds the hot-shingle fan-out: shingles present in more than
+    max_df documents (a fraction < 1 means that share of the corpus, floored
+    at 16 docs) are dropped from BOTH the intersection and the set sizes —
+    Jaccard over the non-ubiquitous shingles. Ubiquitous shingles are
+    boilerplate that contributes no discriminative signal but k²/2 pair
+    expansion; capping makes the worst-case pair count
+    O(corpus · max_df) instead of O(hottest-shingle²). Default None keeps
+    the exact semantics (minhash_lsh is the unbounded-scale path)."""
     sh = df.select(F.col(id_col).alias("id"),
                    F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     # Per-shingle doc lists + map-side pair expansion: two shuffles (shingle,
     # pair) instead of the three a self-join needs, and the shingle strings
-    # never travel twice. Hot shingles still expand k²/2 pairs — that
-    # fan-out is inherent to exact Jaccard; use minhash_lsh at scale.
-    ids_per_shingle = (
-        exploded.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # never travel twice.
+    if max_df is not None:
+        if isinstance(max_df, float) and max_df < 1:
+            max_df = max(16, int(max_df * df.count()))
+        kept = (
+            exploded.groupBy("shingle")
+            .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+            .filter(F.size("ids") <= max_df)
+        )
+        sizes = (kept.select(F.explode("ids").alias("id"))
+                 .groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
+        ids_per_shingle = kept.filter(F.size("ids") > 1)
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
+        ids_per_shingle = (
+            exploded.groupBy("shingle")
+            .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
     n = F.size("ids")
     pair_structs = F.flatten(
         F.transform(

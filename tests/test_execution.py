@@ -233,3 +233,58 @@ def test_cat_empty_defs(num_df):
     out = run_cat_tests({"t": num_df}, [], run_date=RUN_DATE)
     assert out.count() == 0
     assert "result_status" in out.columns
+
+
+def test_history_calc_thresholds(spark):
+    """update_history_calc_thresholds.sql pass 1: tolerances recomputed from
+    the newest `history_lookback` result signals."""
+    from dataops_testgen_spark.execution.history import (
+        update_history_calc_thresholds)
+
+    defs = spark.createDataFrame(
+        [("d1", "Y", "Minimum", "Maximum", 3, None, None),
+         ("d2", "Y", "Value", "EXPR:[{AVERAGE} + 2*{STANDARD_DEVIATION}]",
+          2, None, None),
+         ("d3", "Y", "PREDICT", None, 5, "keep_lo", "keep_up"),
+         ("d4", "N", "Minimum", "Maximum", 3, "inactive", None)],
+        "test_id string, test_active string, history_calculation string,"
+        " history_calculation_upper string, history_lookback int,"
+        " lower_tolerance string, upper_tolerance string")
+    rows = []
+    for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 50.0]):  # newest = 50
+        rows.append(("d1", f"2026-01-0{i+1}", str(v)))
+        rows.append(("d2", f"2026-01-0{i+1}", str(v)))
+    results = spark.createDataFrame(
+        rows, "test_id string, test_time string, result_signal string")
+    out = {r["test_id"]: r for r in
+           update_history_calc_thresholds(defs, results).collect()}
+    # d1: lookback 3 -> newest {30,40,50}: min 30, max 50
+    assert out["d1"]["lower_tolerance"] == "30.0"
+    assert out["d1"]["upper_tolerance"] == "50.0"
+    # d2: Value -> latest signal verbatim; EXPR over lookback 2 {40,50}
+    assert out["d2"]["lower_tolerance"] == "50.0"
+    assert out["d2"]["upper_tolerance"].startswith("45.0 + 2*7.07")
+    # PREDICT and inactive definitions untouched
+    assert out["d3"]["lower_tolerance"] == "keep_lo"
+    assert out["d4"]["lower_tolerance"] == "inactive"
+
+
+def test_freshness_baseline_update(spark):
+    """Pass 2: latest CHANGED fingerprint becomes the baseline."""
+    from dataops_testgen_spark.execution.history import (
+        update_freshness_baselines)
+
+    defs = spark.createDataFrame(
+        [("f1", "Freshness_Trend", "old_fp", None)],
+        "test_id string, test_type string, baseline_value string,"
+        " baseline_sum string")
+    results = spark.createDataFrame(
+        [("f1", "Freshness_Trend", "2026-01-01", "aaa"),
+         ("f1", "Freshness_Trend", "2026-01-02", "aaa"),   # unchanged
+         ("f1", "Freshness_Trend", "2026-01-03", "bbb"),   # change!
+         ("f1", "Freshness_Trend", "2026-01-04", "bbb")],  # unchanged
+        "test_id string, test_type string, test_time string,"
+        " result_measure string")
+    out = update_freshness_baselines(defs, results).collect()[0]
+    assert out["baseline_value"] == "bbb"
+    assert out["baseline_sum"] == "2026-01-03"
