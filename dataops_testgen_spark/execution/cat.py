@@ -210,6 +210,12 @@ CAT_OPERATORS: dict[str, str] = {
     "Volume_Trend": "NOT BETWEEN", "Weekly_Rec_Ct": ">",
 }
 
+# measure types whose expression carries an exact COUNT(DISTINCT …)
+_DISTINCT_MEASURES = frozenset({
+    "Daily_Record_Ct", "Weekly_Rec_Ct", "Monthly_Rec_Ct",
+    "Distinct_Date_Ct", "Distinct_Value_Ct", "Unique", "Unique_Pct",
+})
+
 RESULT_SCHEMA = T.StructType([
     T.StructField("test_id", T.StringType()),
     T.StructField("test_type", T.StringType()),
@@ -289,10 +295,26 @@ def run_cat_tests(
         spark = df.sparkSession
         if subset and subset != "1=1":
             df = df.filter(F.expr(subset))
+        from dataops_testgen_spark.session import ensure_parallelism
+
+        df = ensure_parallelism(df)
         try:
-            exprs = [cat_measure(td, run_date).alias(f"t{i}")
-                     for i, td in enumerate(batch)]
-            row = df.agg(*exprs).collect()[0]
+            # Exact COUNT(DISTINCT) aggregates force a Catalyst Expand of
+            # every input row once per distinct group; fused with the other
+            # measures, ALL of them re-evaluate on the expanded stream
+            # (~(n_distinct+1)× the scan). Run distinct-bearing measures as
+            # their own agg job so the main fused agg stays one codegen'd
+            # hash pass (same split the profiler uses).
+            plain = [(i, td) for i, td in enumerate(batch)
+                     if td.test_type not in _DISTINCT_MEASURES]
+            dist = [(i, td) for i, td in enumerate(batch)
+                    if td.test_type in _DISTINCT_MEASURES]
+            row = {}
+            for group in (plain, dist):
+                if group:
+                    exprs = [cat_measure(td, run_date).alias(f"t{i}")
+                             for i, td in group]
+                    row.update(df.agg(*exprs).collect()[0].asDict())
             for i, td in enumerate(batch):
                 out_rows.append(_evaluate(td, row[f"t{i}"]))
         except Exception:

@@ -68,6 +68,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     emits them all-pairs (false positives plus an O(n²) blowup on corpora
     with many short/empty docs).
     """
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     rows_per_band = num_hashes // bands
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -116,8 +119,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     expansion; capping makes the worst-case pair count
     O(corpus · max_df) instead of O(hottest-shingle²). Default None keeps
     the exact semantics (minhash_lsh is the unbounded-scale path)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     # Per-shingle doc lists + map-side pair expansion: two shuffles (shingle,
     # pair) instead of the three a self-join needs, and the shingle strings

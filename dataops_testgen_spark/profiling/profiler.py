@@ -180,6 +180,12 @@ def profile_table(
         frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
         target = df.sample(fraction=frac, seed=SAMPLE_SEED)
         sample_ratio = frac
+    if record_ct > 50_000:
+        # regex-heavy metrics must not run on the 1-3 tasks a small-file
+        # scan yields (the repartition is a no-op on well-partitioned input)
+        from dataops_testgen_spark.session import ensure_parallelism
+
+        target = ensure_parallelism(target)
 
     exprs = []
     for i, col in enumerate(cols):

@@ -29,3 +29,23 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition a DataFrame whose scan produced fewer
+    partitions than the cluster has cores.
+
+    Small-file inputs (one or two parquet row groups) otherwise pin every
+    expression-heavy aggregate — the profiler's ~20 regex metrics per string
+    column, CAT's fused measures, shingle explosion — to one or two tasks
+    while the rest of the cluster idles. At real scale the scan already
+    yields plenty of partitions and this is a no-op; the shuffle it adds on
+    small inputs is a few MB. Compute-bound ops should call this, not tune
+    spark.sql.files.maxPartitionBytes globally (which would explode the
+    partition count on large inputs).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
