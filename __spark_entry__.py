@@ -832,6 +832,47 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
 
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures, blocked
+    on 16-bit halves); oracle recomputes the same per-bit majority votes
+    from the shingle md5 prefixes."""
+    docs = _load(spark, sf_dir, "documents")
+    out = DD.simhash_pairs(docs, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash(bits: int = 32, max_hamming: int = 3) -> str:
+    bit_terms = "\n     + ".join(
+        f"(CASE WHEN 2*len(list_filter(s, x -> (('0x' || substr(md5(x), 1, 8))"
+        f"::BIGINT & {1 << i}) > 0)) > len(s) THEN {1 << i}::BIGINT"
+        f" ELSE 0 END)"
+        for i in range(bits))
+    half_mask = (1 << (bits // 2)) - 1
+    return rf"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+shg AS (SELECT doc_id,
+               -- NOT deduped: simhash votes count repeated shingles
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE []::VARCHAR[] END AS s
+        FROM t),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+       {bit_terms} AS sig
+  FROM shg)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND ((a.sig & {half_mask}) = (b.sig & {half_mask})
+      OR (a.sig >> {bits // 2}) = (b.sig >> {bits // 2}))
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     pairs = DD.embedding_cosine_pairs(emb, threshold=0.35)
@@ -945,6 +986,165 @@ SELECT doc_id,
                                      i -> ascii(substr(text, i, 1))))::DOUBLE
              / LEAST(length(text), 64), 5) AS fake_feature
 FROM documents"""
+
+
+# --------------------------------------------------------------------------
+# Q: Extended CAT coverage — the measure types the r1 oracle set left
+#    unit-only (Alpha_Trunc, Email_Format, Incr_Avg_Shift, Outlier_Pct_Below,
+#    Valid_Characters, Row_Ct_Pct, Future_Date_1Y, Condition_Flag,
+#    Variability_Decrease, US_State, Valid_US_Zip), each with a
+#    deterministic outcome on customer/lineitem at any SF.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE_SQL = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+_BAD_CHARS = "".join(chr(c) for c in (160, 8203, 65279, 8239, 8201, 12288, 8204))
+_US_STATES_SQL = ("'AL','AK','AS','AZ','AR','CA','CO','CT','DE','DC','FM',"
+                  "'FL','GA','GU','HI','ID','IL','IN','IA','KS','KY','LA',"
+                  "'ME','MH','MD','MA','MI','MN','MS','MO','MT','NE','NV',"
+                  "'NH','NJ','NM','NY','NC','ND','MP','OH','OK','OR','PW',"
+                  "'PA','PR','RI','SC','SD','TN','TX','UT','VT','VI','VA',"
+                  "'WA','WV','WI','WY','AE','AP','AA'")
+
+_CAT_EXT_SPECS: list[tuple[TestDef, str, str]] = [
+    (TestDef("x_alpha_trunc", "Alpha_Trunc", "customer", "c_name",
+             params={"threshold_value": 5}),
+     "MAX(LENGTH(c_name))::DOUBLE", "{m} < 5"),
+    (TestDef("x_email_format", "Email_Format", "customer", "c_name",
+             params={"threshold_value": 0}),
+     f"SUM(CASE WHEN NOT regexp_matches(c_name, '{_EMAIL_RE_SQL}')"
+     " THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("x_valid_chars", "Valid_Characters", "customer", "c_name",
+             params={"threshold_value": 0}),
+     f"SUM(CASE WHEN translate(c_name, '{_BAD_CHARS}', 'XXXXXXX') <> c_name"
+     " OR c_name LIKE ' %' OR regexp_matches(c_name, '^''.*''$')"
+     " OR regexp_matches(c_name, '^\".*\"$') THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0"),
+    (TestDef("x_us_state", "US_State", "customer", "c_mktsegment",
+             params={"threshold_value": 0}),
+     "SUM(CASE WHEN NULLIF(c_mktsegment, '') NOT IN"
+     f" ({_US_STATES_SQL}) THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("x_valid_zip", "Valid_US_Zip", "customer", "c_name",
+             params={"threshold_value": 0}),
+     "SUM(CASE WHEN translate(c_name, '012345678', '999999999')"
+     " NOT IN ('99999', '999999999', '99999-9999') THEN 1 ELSE 0 END)::DOUBLE",
+     "{m} > 0"),
+    (TestDef("x_row_ct_pct", "Row_Ct_Pct", "lineitem",
+             params={"baseline_ct": 55000, "threshold_value": 50}),
+     "ABS(ROUND(100.0*(COUNT(*) - 55000.0)/55000.0, 2))", "{m} > 50"),
+    (TestDef("x_future_1y", "Future_Date_1Y", "lineitem", "l_shipdate",
+             params={"threshold_value": 0}),
+     f"SUM(CASE WHEN CAST(l_shipdate AS DATE) > DATE '{RUN_DATE}'"
+     " + INTERVAL 365 DAY THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("x_condition_flag", "Condition_Flag", "lineitem", "l_discount",
+             params={"custom_query": "l_discount > 0.05", "threshold_value": 0}),
+     "SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("x_incr_avg_shift", "Incr_Avg_Shift", "lineitem",
+             "l_extendedprice",
+             params={"baseline_value_ct": 30000, "baseline_sum": 1.59e9,
+                     "baseline_avg": 53000.0, "baseline_sd": 30000.0,
+                     "threshold_value": 2}),
+     "COALESCE(ABS((53000.0 - (SUM(l_extendedprice) - 1590000000.0)"
+     "/NULLIF(COUNT(l_extendedprice)::DOUBLE - 30000.0, 0))/30000.0), 0.0)",
+     "{m} >= 2"),
+    (TestDef("x_outlier_below", "Outlier_Pct_Below", "lineitem",
+             "l_extendedprice",
+             params={"baseline_avg": 53054.0, "baseline_sd": 30083.0,
+                     "threshold_value": 0.05}),
+     "SUM(CASE WHEN l_extendedprice < 53054.0 - 2.0*30083.0 THEN 1 ELSE 0"
+     " END)::DOUBLE / NULLIF(COUNT(l_extendedprice), 0)::DOUBLE",
+     "{m} > 0.05"),
+    (TestDef("x_variability_dec", "Variability_Decrease", "lineitem", "l_tax",
+             params={"baseline_sd": 0.05, "threshold_value": 80}),
+     "100.0*STDDEV_SAMP(l_tax)/0.05", "{m} < 80"),
+]
+
+
+def q_cat_tests_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    li = _load(spark, sf_dir, "lineitem")
+    res = run_cat_tests({"customer": cust, "lineitem": li},
+                        [s[0] for s in _CAT_EXT_SPECS], run_date=RUN_DATE)
+    return res.select(
+        "test_id", "test_type", "column_name",
+        F.round("result_measure", 5).alias("result_measure"),
+        "result_code")
+
+
+def _sql_cat_tests_extended() -> str:
+    parts = []
+    for td, m_sql, cond in _CAT_EXT_SPECS:
+        col = "NULL::VARCHAR" if td.column_name is None else f"'{td.column_name}'"
+        parts.append(f"""
+SELECT '{td.test_id}' AS test_id, '{td.test_type}' AS test_type,
+       {col} AS column_name,
+       ROUND({m_sql}, 5) AS result_measure,
+       CASE WHEN {cond.format(m=m_sql)} THEN 0 ELSE 1 END AS result_code
+FROM {td.table_name}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_aggregate_balance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate_Balance_Range: per-order totals must land within ±3000 of
+    the lineitem side (test_types_Aggregate_Balance_Range.yaml)."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    bad = QT.aggregate_balance(
+        orders, ["o_orderkey"], F.round(F.sum("o_totalprice"), 2),
+        li, ["l_orderkey"], F.round(F.sum("l_extendedprice"), 2),
+        mode="range", lower_tolerance=3000.0, upper_tolerance=3000.0)
+    return bad.select("o_orderkey", "total", "match_total")
+
+
+_SQL_AGG_BALANCE_RANGE = """
+WITH t1 AS (SELECT o_orderkey AS k, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1),
+t2 AS (SELECT l_orderkey AS k, ROUND(SUM(l_extendedprice), 2) AS match_total
+       FROM lineitem GROUP BY 1)
+SELECT COALESCE(t1.k, t2.k) AS o_orderkey, total, match_total
+FROM t1 FULL JOIN t2 ON t1.k = t2.k
+WHERE (total IS NOT NULL AND match_total IS NULL)
+   OR (total IS NULL AND match_total IS NOT NULL)
+   OR total NOT BETWEEN match_total - 3000.0 AND match_total + 3000.0"""
+
+
+def q_aggregate_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate_Minimum: order totals may grow over the lineitem base but
+    never drop below it (test_types_Aggregate_Minimum.yaml)."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    bad = QT.aggregate_balance(
+        orders, ["o_orderkey"], F.round(F.sum("o_totalprice"), 2),
+        li, ["l_orderkey"], F.round(F.sum("l_extendedprice"), 2),
+        mode="minimum")
+    return bad.select("o_orderkey", "total", "match_total")
+
+
+_SQL_AGG_MINIMUM = """
+WITH t1 AS (SELECT o_orderkey AS k, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1),
+t2 AS (SELECT l_orderkey AS k, ROUND(SUM(l_extendedprice), 2) AS match_total
+       FROM lineitem GROUP BY 1)
+SELECT COALESCE(t1.k, t2.k) AS o_orderkey, total, match_total
+FROM t1 FULL JOIN t2 ON t1.k = t2.k
+WHERE total < match_total
+   OR (total IS NULL AND match_total IS NOT NULL)"""
+
+
+def q_timeframe_combo_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeframe_Combo_Gain: prior-window keys missing from the latest
+    window (test_types_Timeframe_Combo_Gain.yaml)."""
+    ev = _load(spark, sf_dir, "events")
+    return QT.timeframe_combo_gain(ev, ["user_id", "event_type"], "ts", 7)
+
+
+_SQL_TIMEFRAME_GAIN = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+latest AS (SELECT DISTINCT user_id, event_type FROM events, mx
+           WHERE ts >= m - INTERVAL 7 DAY),
+prior AS (SELECT DISTINCT user_id, event_type FROM events, mx
+          WHERE ts >= m - INTERVAL 14 DAY AND ts < m - INTERVAL 7 DAY)
+SELECT user_id, event_type
+FROM (SELECT * FROM prior EXCEPT SELECT * FROM latest)"""
 
 
 # --------------------------------------------------------------------------
@@ -1184,6 +1384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generated_tests_lineitem": q_generated_tests,
         "generated_test_keys_lineitem": q_generated_test_keys,
         "cat_tests_lineitem": q_cat_tests_lineitem,
+        "cat_tests_extended": q_cat_tests_extended,
+        "aggregate_balance_range_orders": q_aggregate_balance_range,
+        "aggregate_minimum_orders": q_aggregate_minimum,
+        "timeframe_gain_events": q_timeframe_combo_gain,
         "dupe_rows_part": q_dupe_rows_part,
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "aggregate_balance_orders": q_aggregate_balance_orders,
@@ -1195,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
+        "simhash_documents": q_simhash_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1227,6 +1432,10 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_screen_customer_orders": ORC.anomaly_screen_multi_sql(
             [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS)], RUN_DATE),
         "cat_tests_lineitem": _sql_cat_tests(),
+        "cat_tests_extended": _sql_cat_tests_extended(),
+        "aggregate_balance_range_orders": _SQL_AGG_BALANCE_RANGE,
+        "aggregate_minimum_orders": _SQL_AGG_MINIMUM,
+        "timeframe_gain_events": _SQL_TIMEFRAME_GAIN,
         "dupe_rows_part": _SQL_DUPE_ROWS,
         "combo_match_customer_orders": _SQL_COMBO_MATCH,
         "aggregate_balance_orders": _SQL_AGG_BALANCE,
@@ -1238,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": _SQL_DEDUP_EXACT,
         "ngram_jaccard_documents": _SQL_NGRAM_JACCARD,
         "minhash_lsh_documents": _sql_minhash(),
+        "simhash_documents": _sql_simhash(),
         "embedding_cosine_pairs": _SQL_COSINE_PAIRS,
         "ann_topk_embeddings": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),

@@ -216,12 +216,19 @@ def profile_table(
                 main_exprs.append(e)
 
     row = {}
-    if main_exprs:
-        row.update(target.agg(*main_exprs).collect()[0].asDict())
-    if dist_exprs:
-        row.update(target.agg(*dist_exprs).collect()[0].asDict())
-    if pct_exprs:
-        row.update(target.agg(*pct_exprs).collect()[0].asDict())
+    jobs = [es for es in (main_exprs, dist_exprs, pct_exprs) if es]
+    if len(jobs) > 1:
+        # The three agg jobs are independent; submitting them from separate
+        # threads lets Spark's scheduler overlap their Catalyst compiles and
+        # stage execution (local[N] has idle cores while one job compiles).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(jobs)) as pool:
+            for part in pool.map(
+                    lambda es: target.agg(*es).collect()[0].asDict(), jobs):
+                row.update(part)
+    elif jobs:
+        row.update(target.agg(*jobs[0]).collect()[0].asDict())
 
     out_rows = []
     for i, col in enumerate(cols):

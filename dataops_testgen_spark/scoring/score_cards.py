@@ -406,3 +406,70 @@ def table_group_test_score(run_stats: DataFrame) -> DataFrame:
                     (1.0 - F.col("affected")
                      / F.nullif(F.col("total").cast("double"), F.lit(0.0)))
                     .alias("dq_score_testing")))
+
+
+def category_scores(profile_scoring: DataFrame | None,
+                    test_scoring: DataFrame | None,
+                    category_col: str) -> DataFrame:
+    """get_category_scores_by_column.sql:1-22 (the `_by_dimension` twin just
+    feeds the dimension views): per non-null category, the weighted average
+    good_data_pct of each side, combined multiplicatively. Returns
+    (label, score)."""
+    def _side(df: DataFrame, weight_col: str) -> DataFrame:
+        return (df.filter(F.nullif(F.col(category_col), F.lit("")).isNotNull())
+                .groupBy(F.col(category_col).alias("label"))
+                .agg((F.sum(F.coalesce(F.col("good_data_pct")
+                                       * F.col(weight_col), F.lit(0.0)))
+                      / F.nullif(F.sum(F.coalesce(F.col(weight_col),
+                                                  F.lit(0.0))), F.lit(0.0)))
+                     .alias("score")))
+
+    prof = (_side(profile_scoring, "weighted_record_ct")
+            if profile_scoring is not None else None)
+    test = (_side(test_scoring, "weighted_dq_record_ct")
+            if test_scoring is not None else None)
+    if prof is not None and test is not None:
+        return (prof.alias("p").join(test.alias("t"),
+                                     F.col("p.label") == F.col("t.label"),
+                                     "full_outer")
+                .select(F.coalesce(F.col("p.label"), F.col("t.label")).alias("label"),
+                        (F.coalesce(F.col("p.score"), F.lit(1.0))
+                         * F.coalesce(F.col("t.score"), F.lit(1.0))).alias("score")))
+    return prof if prof is not None else test
+
+
+def overall_scores_by_run(profile_history: DataFrame | None,
+                          test_history: DataFrame | None) -> DataFrame:
+    """get_historical_overall_scores_by_column.sql:1-52: per run_time, the
+    weighted overall score and the CDE-restricted score, profiling × testing.
+    History rows carry (run_time, good_data_pct, weighted_record_ct /
+    weighted_dq_record_ct, critical_data_element)."""
+    def _side(df: DataFrame, weight_col: str) -> DataFrame:
+        w = F.col(weight_col)
+        cde = F.col("critical_data_element") == True  # noqa: E712
+        return df.groupBy("run_time").agg(
+            (F.sum(F.col("good_data_pct") * w)
+             / F.nullif(F.sum(w), F.lit(0.0))).alias("score"),
+            (F.sum(F.when(cde, F.col("good_data_pct") * w).otherwise(0.0))
+             / F.nullif(F.sum(F.when(cde, w).otherwise(0.0)), F.lit(0.0)))
+            .alias("cde_score"),
+        )
+
+    prof = (_side(profile_history, "weighted_record_ct")
+            if profile_history is not None else None)
+    test = (_side(test_history, "weighted_dq_record_ct")
+            if test_history is not None else None)
+    if prof is not None and test is not None:
+        both = prof.alias("p").join(
+            test.alias("t"), F.col("p.run_time") == F.col("t.run_time"),
+            "full_outer")
+        return both.select(
+            F.coalesce(F.col("p.run_time"), F.col("t.run_time")).alias("run_time"),
+            (F.coalesce(F.col("p.score"), F.lit(1.0))
+             * F.coalesce(F.col("t.score"), F.lit(1.0))).alias("score"),
+            (F.coalesce(F.col("p.cde_score"), F.lit(1.0))
+             * F.coalesce(F.col("t.cde_score"), F.lit(1.0))).alias("cde_score"),
+        )
+    side = prof if prof is not None else test
+    return side.select("run_time", "score",
+                       F.coalesce(F.col("cde_score"), F.lit(1.0)).alias("cde_score"))

@@ -141,3 +141,39 @@ def test_table_group_test_score(spark):
     out = SC.table_group_test_score(df).collect()
     assert len(out) == 1
     assert abs(out[0]["dq_score_testing"] - (1 - 20.0 / 200.0)) < 1e-9
+
+
+def test_category_scores(spark):
+    prof = spark.createDataFrame(
+        [("sales", 0.9, 100.0), ("sales", 0.5, 100.0), ("ops", 1.0, 200.0),
+         (None, 0.1, 50.0)],
+        "business_domain string, good_data_pct double, weighted_record_ct double")
+    test = spark.createDataFrame(
+        [("sales", 0.8, 100.0)],
+        "business_domain string, good_data_pct double, weighted_dq_record_ct double")
+    out = {r["label"]: r["score"] for r in
+           SC.category_scores(prof, test, "business_domain").collect()}
+    # sales: prof (0.9*100+0.5*100)/200 = 0.7; test 0.8 -> 0.56
+    assert abs(out["sales"] - 0.7 * 0.8) < 1e-9
+    # ops: prof 1.0, no test side -> 1.0
+    assert abs(out["ops"] - 1.0) < 1e-9
+    assert None not in out  # NULL categories excluded
+
+
+def test_overall_scores_by_run(spark):
+    prof = spark.createDataFrame(
+        [("r1", 0.9, 100.0, True), ("r1", 0.5, 100.0, False),
+         ("r2", 1.0, 100.0, True)],
+        "run_time string, good_data_pct double, weighted_record_ct double,"
+        " critical_data_element boolean")
+    test = spark.createDataFrame(
+        [("r1", 0.8, 200.0, True)],
+        "run_time string, good_data_pct double, weighted_dq_record_ct double,"
+        " critical_data_element boolean")
+    out = {r["run_time"]: r for r in
+           SC.overall_scores_by_run(prof, test).collect()}
+    # r1: prof score 0.7, cde 0.9; test 0.8/0.8 -> 0.56, 0.72
+    assert abs(out["r1"]["score"] - 0.7 * 0.8) < 1e-9
+    assert abs(out["r1"]["cde_score"] - 0.9 * 0.8) < 1e-9
+    # r2: only profiling -> product with 1
+    assert abs(out["r2"]["score"] - 1.0) < 1e-9
