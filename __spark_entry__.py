@@ -946,6 +946,54 @@ SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rk::INT AS rank
 FROM r WHERE rk <= 5"""
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (nprobe=1) with the first 8 vectors as deterministic coarse
+    centroids; the oracle recomputes the same argmax assignment via a window
+    over per-centroid cosines."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [list(map(float, r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.ivf_topk(emb, q, cents, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 5).alias("cosine"), "rank")
+
+
+_SQL_IVF_TOPK = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
+               FROM embeddings WHERE vec_id < 8),
+cp AS (SELECT e.vec_id, c.cid,
+              UNNEST(e.embedding)::DOUBLE AS xa, UNNEST(c.cemb)::DOUBLE AS xb
+       FROM embeddings e CROSS JOIN cents c),
+cs AS (SELECT vec_id, cid,
+              SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS sim
+       FROM cp GROUP BY 1, 2),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rk
+    FROM cs) WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, cell FROM assign WHERE vec_id < 10),
+cand AS (SELECT q.query_id, b.vec_id AS neighbor_id
+         FROM q JOIN assign b ON b.cell = q.cell
+                             AND b.vec_id <> q.query_id),
+p AS (SELECT c.query_id, c.neighbor_id,
+             UNNEST(a.embedding)::DOUBLE AS xa, UNNEST(b.embedding)::DOUBLE AS xb
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id),
+s AS (SELECT query_id, neighbor_id,
+             SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+      FROM p GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rk::INT AS rank
+FROM r WHERE rk <= 5"""
+
+
 def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -1403,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_features_documents": q_multimodal_features_documents,
         "score_breakdown_column_co_li": q_score_breakdown_cols,
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
@@ -1451,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_pairs": _SQL_COSINE_PAIRS,
         "ann_topk_embeddings": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ivf_topk_embeddings": _SQL_IVF_TOPK,
         "multimodal_features_documents": _SQL_MULTIMODAL,
         "score_breakdown_column_co_li": ORC.score_card_breakdown_cols_sql(
             _SCORE_TABLES(), RUN_DATE, _score_test_selects()),

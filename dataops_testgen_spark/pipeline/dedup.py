@@ -193,12 +193,35 @@ def simhash(text: Column, k: int = 3, bits: int = 32) -> Column:
     return out
 
 
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       bits: int = 32) -> DataFrame:
+    """SimHash signatures via explode + ONE md5 per (doc, shingle) + codegen
+    bit-vote aggregation. The expression form (``simhash``) recomputes the
+    md5 inside every per-bit F.filter lambda — 32× per shingle and outside
+    whole-stage codegen (216s at sf0.1 vs ~2s for this shape). Shingle-less
+    docs keep signature 0 via explode_outer, matching the expression form."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingles(F.col(text_col), k)).alias("shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    hashed = exploded.select("id", h.alias("h"))
+    votes = hashed.groupBy("id").agg(
+        F.count(F.col("h")).alias("n"),
+        *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, 1)
+                .otherwise(0)).alias(f"v{i}") for i in range(bits)])
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") * 2 > F.col("n"),
+                           F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return votes.select("id", sig.alias("sig"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3, bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
     16-bit halves (a pair within distance ≤3 shares at least one half)."""
-    sig = df.select(F.col(id_col).alias("id"),
-                    simhash(F.col(text_col), k, bits).alias("sig"))
+    sig = simhash_signatures(df, text_col, id_col, k, bits)
     half = bits // 2
     blocked = sig.select(
         "id", "sig",

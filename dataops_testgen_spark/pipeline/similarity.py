@@ -155,6 +155,29 @@ def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
                  .filter(F.col("rank") <= k)
 
 
+def ivf_topk(df: DataFrame, queries: DataFrame,
+             centroids: list[list[float]], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search with nprobe=1: score only candidates in the query's coarse
+    cell. 100 TB shape: the assignment is a pure projection (no shuffle),
+    the candidate restriction is one equi-join on ivf_cell; cell population
+    is data/num_centroids, so work per query is ~N/C instead of N."""
+    base = ivf_assign(df, centroids, vec_col=vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("v"), "ivf_cell")
+    q = ivf_assign(queries, centroids, vec_col=vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"), "ivf_cell")
+    scored = (q.join(base, "ivf_cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("v")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+                 .filter(F.col("rank") <= k)
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).

@@ -105,3 +105,52 @@ def metric_trend_monitor(
         "result_measure",
     )
     return _with_tolerances(out, "result_measure", lower_tolerance, upper_tolerance)
+
+
+def stateful_freshness_monitor(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    stale_minutes: float = 24 * 60.0,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per key, keep the
+    latest event time seen across micro-batches in state; each batch emits
+    the gap since the previous batch's latest and flags staleness — the
+    streaming analogue of Freshness_Trend's gap check
+    (`prediction/freshness.py` does the batch-side tolerance math; here the
+    state machine IS the update-history tracker).
+
+    Output per (key, batch): (key, prev_ts, last_ts, gap_minutes, stale);
+    gap_minutes is NULL on the first observation of a key (training, like
+    result_code −1 in the batch path).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{key_col} string, prev_ts timestamp, last_ts timestamp,"
+                  " gap_minutes double, stale int")
+    state_schema = "last_ts timestamp"
+
+    def track(key, pdfs, state: GroupState):
+        mx = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pd.to_datetime(pdf[ts_col]).max()
+                mx = m if mx is None or m > mx else mx
+        if mx is None:
+            return
+        prev = pd.Timestamp(state.get[0]) if state.exists else None
+        gap = ((mx - prev).total_seconds() / 60.0) if prev is not None else None
+        stale = (1 if gap is not None and gap > stale_minutes else 0)
+        state.update((mx.to_pydatetime(),))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "prev_ts": [prev],
+            "last_ts": [mx],
+            "gap_minutes": [gap],
+            "stale": [stale],
+        })
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(track, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

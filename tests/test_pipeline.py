@@ -218,3 +218,15 @@ def test_media_header_parsing(spark):
     assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 12, 34)
     assert (out[4]["format"], out[4]["channels"], out[4]["sample_rate"]) == ("wav", 2, 44100)
     assert out[5]["format"] is None
+
+
+def test_ivf_topk_exact_within_cell(spark):
+    """ivf_topk(nprobe=1) returns the exact top-k among same-cell vectors."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [1.0, 0.0]), (2, [0.95, 0.05]), (3, [0.9, 0.2]),
+            (4, [0.1, 0.9]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = similarity.ivf_topk(df, df.filter("vec_id = 1"), cents, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    # cell 0 = {1,2,3}: neighbors of 1 are 2 then 3; 4/5 excluded (cell 1)
+    assert got == [(2, 1), (3, 2)]

@@ -83,3 +83,41 @@ def test_freshness_monitor_fingerprint(spark, events_dir):
                 if r["w"]["end"] <= max_ts}
     got = {(r["window_start"], r["fingerprint"]) for r in rows}
     assert got == expected
+
+
+def test_stateful_freshness_monitor(spark, tmp_path):
+    """applyInPandasWithState tracks the last event time per key ACROSS
+    micro-batches: batch 1 trains (gap NULL), batch 2 reports the gap from
+    batch 1's latest and flags staleness."""
+    import time
+
+    from dataops_testgen_spark.streaming import stateful_freshness_monitor
+
+    d = str(tmp_path / "stream_src")
+    early = spark.createDataFrame(
+        [("load", "2026-01-01 00:00:00"), ("load", "2026-01-01 06:00:00")],
+        "event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late = spark.createDataFrame(
+        [("load", "2026-01-03 06:00:00")],
+        "event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    early.coalesce(1).write.mode("overwrite").parquet(d)
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    late.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(early.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = stateful_freshness_monitor(stream, ts_col="ts",
+                                     key_col="event_type",
+                                     stale_minutes=24 * 60.0)
+    q = (out.writeStream.format("memory").queryName("stateful_fresh")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted(spark.table("stateful_fresh").collect(),
+                  key=lambda r: r["last_ts"])
+    assert len(rows) == 2
+    first, second = rows
+    assert first["gap_minutes"] is None and first["stale"] == 0
+    # 2026-01-01 06:00 -> 2026-01-03 06:00 = 2880 minutes > 1440
+    assert second["gap_minutes"] == 2880.0 and second["stale"] == 1
