@@ -399,14 +399,33 @@ def q_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_generated_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Selection-criteria test generation (SURVEY §2.4) over lineitem;
-    rows-only check (generation reads the inferred profile, pinned by
-    tests/test_generation.py incl. the generate→execute E2E loop)."""
+    """Selection-criteria test generation (SURVEY §2.4) over lineitem:
+    the full param payload, exploded to one row per (test, param) with
+    numeric values normalized to %.4f on both engines so double-to-string
+    formatting can't break the hash (r1's last rows-only gap)."""
     from dataops_testgen_spark.generation import generate_selection_tests
 
     gen = generate_selection_tests(_inferred(spark, sf_dir, "lineitem"))
-    return gen.select("test_type", "table_name", "column_name",
-                      F.to_json("params").alias("params"))
+    exploded = gen.select(
+        "test_type", "table_name", "column_name",
+        F.explode("params").alias("param_key", "param_value"))
+    is_num = F.col("param_value").rlike(
+        r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+    # Numeric params travel as (mantissa rounded to 6, decimal exponent):
+    # scale-INVARIANT normalization, so a 1e-4 engine delta on a 3e9
+    # baseline_sum rounds away exactly like a 1e-13 delta on an average
+    # (absolute rounding can't absorb both; formatted strings hash the
+    # stray digit). Strings stay verbatim.
+    x = F.col("param_value").cast("double")
+    ex = F.when(x == 0, F.lit(0)).otherwise(
+        F.floor(F.log10(F.abs(x)))).cast("int")
+    mantissa = F.when(x == 0, F.lit(0.0)).otherwise(
+        F.round(x / F.pow(F.lit(10.0), ex.cast("double")), 6))
+    return exploded.select(
+        "test_type", "table_name", "column_name", "param_key",
+        F.when(is_num, mantissa).alias("param_mantissa"),
+        F.when(is_num, ex).alias("param_exp"),
+        F.when(~is_num, F.col("param_value")).alias("param_value"))
 
 
 # --------------------------------------------------------------------------
@@ -1475,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
         "functional_types_orders": ORC.functional_types_sql(
             "orders", _ORDERS_COLS, RUN_DATE),
         "generated_test_keys_lineitem": ORC.generated_test_keys_sql(
+            "lineitem", _LINEITEM_COLS_SPEC, RUN_DATE),
+        "generated_tests_lineitem": ORC.generated_test_params_sql(
             "lineitem", _LINEITEM_COLS_SPEC, RUN_DATE),
         "anomaly_screen_orders": ORC.anomaly_screen_sql(
             "orders", _ORDERS_COLS, RUN_DATE),

@@ -742,16 +742,9 @@ SELECT column_name, general_type, datatype_suggestion,
 FROM pii"""
 
 
-def generated_test_keys_sql(
-    table: str,
-    columns: list[tuple[str, str, str, bool]],
-    run_date: str,
-) -> str:
-    """Selection-criteria test generation oracle: one row per
-    (test_type, table_name, column_name) whose criteria fire — the SQL
-    mirror of generation/selection.py's catalog (params excluded: numeric
-    literal formatting differs across engines; param values are pinned by
-    tests/test_generation.py instead)."""
+def _selection_criteria_sql(run_date: str) -> dict[str, str]:
+    """The SQL mirror of generation/selection.py's selection criteria —
+    shared by the test-keys and test-params oracles."""
     rf = "NULLIF(record_ct::DOUBLE, 0)"
     vf = "NULLIF(value_ct::DOUBLE, 0)"
     rd = f"DATE '{run_date}'"
@@ -861,6 +854,20 @@ def generated_test_keys_sql(
             f"{txn_cumulative} AND date_weeks_present > 3"
             f" AND date_weeks_present - ({wk_span} + 1) = 0 AND {future_ok}"),
     }
+    return criteria
+
+
+def generated_test_keys_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+) -> str:
+    """Selection-criteria test generation oracle: one row per
+    (test_type, table_name, column_name) whose criteria fire — the SQL
+    mirror of generation/selection.py's catalog (params excluded: numeric
+    literal formatting differs across engines; param values are pinned by
+    tests/test_generation.py instead)."""
+    criteria = _selection_criteria_sql(run_date)
     selects = "\nUNION ALL\n".join(
         f"SELECT '{tt}' AS test_type, '{table}' AS table_name, column_name\n"
         f"FROM pii WHERE {cond}"
@@ -1365,3 +1372,138 @@ SELECT table_name, column_name, test_type AS type,
        fail_status AS status, 'test' AS issue_type,
        {sev_t} AS severity_order
 FROM tres WHERE result_code = 0"""
+
+
+# ---------------------------------------------------------------------------
+# Selection-criteria PARAM payload oracle (generation/selection.py params)
+# ---------------------------------------------------------------------------
+
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+
+def _selection_params_sql(run_date: str) -> dict[str, list[tuple[str, str, bool]]]:
+    """test_type -> [(param_key, sql_expr over pii, is_numeric)] — the SQL
+    mirror of each catalog entry's params dict
+    (generation/selection.py:116-300). Numeric params are normalized to
+    printf('%%.4f') on BOTH engines, sidestepping double-to-string
+    formatting differences."""
+    lov = ("'(' || array_to_string(list_transform("
+           "str_split(top_freq_values, ' | '),"
+           " x -> '''' || replace(regexp_extract(x, '^(.*):[0-9]+$', 1),"
+           " '''', '''''') || ''''), ',') || ')'")
+    pattern_regex = (
+        r"trim(replace(replace(replace(regexp_replace(p1,"
+        r" '([*+\-%_])', '[\1]', 'g'),"
+        " 'A', '[A-Z]'), 'N', '[0-9]'), 'a', '[a-z]'))")
+    recency_thr = (
+        "CASE WHEN gap <= 3 THEN gap + 3 WHEN gap <= 7 THEN gap + 7"
+        " WHEN gap <= 31 THEN CEIL(gap/7.0)*7"
+        " ELSE CEIL(gap/30.0)*30 END").replace(
+        "gap", f"date_diff('day', CAST(max_date AS DATE), DATE '{run_date}')")
+    from dataops_testgen_spark.generation.selection import _MONTH_LISTS as _RAW_ML
+    ML = {k: v.replace("'", "''") for k, v in _RAW_ML.items()}
+    valid_month = (
+        "CASE"
+        f" WHEN max_length > 3 AND (upper(substr(min_text, 1, 1)) || lower(substr(min_text, 2))) = min_text THEN '{ML['full_init']}'"
+        f" WHEN max_length > 3 AND upper(min_text) = min_text THEN '{ML['full_upper']}'"
+        f" WHEN max_length > 3 AND lower(min_text) = min_text THEN '{ML['full_lower']}'"
+        f" WHEN max_length = 3 AND (upper(substr(min_text, 1, 1)) || lower(substr(min_text, 2))) = min_text THEN '{ML['abbr_init']}'"
+        f" WHEN max_length = 3 AND upper(min_text) = min_text THEN '{ML['abbr_upper']}'"
+        f" WHEN max_length = 3 AND lower(min_text) = min_text THEN '{ML['abbr_lower']}'"
+        f" WHEN max_length = 2 AND min_text = '01' THEN '{ML['two_dig']}'"
+        f" WHEN max_length = 2 AND min_text = '1' THEN '{ML['one_dig']}'"
+        " WHEN min_value = 1 THEN '1,2,3,4,5,6,7,8,9,10,11,12'"
+        " ELSE 'NULL' END")
+    num = True
+    return {
+        "Alpha_Trunc": [("threshold_value", "FLOOR(0.95*max_length)", num)],
+        "Avg_Shift": [("baseline_value_ct", "value_ct", num),
+                      ("baseline_avg", "avg_value", num),
+                      ("baseline_sd", "stdev_value", num),
+                      ("threshold_value", "0.5", num)],
+        "Daily_Record_Ct": [("threshold_value", "0", num)],
+        "Dec_Trunc": [("threshold_value", "ROUND(fractional_sum, 0)", num)],
+        "Distinct_Date_Ct": [("baseline_value", "date_days_present", num),
+                             ("threshold_value", "date_days_present", num)],
+        "Distinct_Value_Ct": [("baseline_value_ct", "distinct_value_ct", num),
+                              ("threshold_value", "distinct_value_ct", num)],
+        "Email_Format": [("threshold_value", "0", num)],
+        "Future_Date": [("threshold_value", "0", num)],
+        "Future_Date_1Y": [("threshold_value", "0", num)],
+        "Incr_Avg_Shift": [("baseline_value_ct", "value_ct", num),
+                           ("baseline_sum", "avg_value*value_ct", num),
+                           ("baseline_avg", "avg_value", num),
+                           ("baseline_sd", "stdev_value", num),
+                           ("threshold_value", "2", num)],
+        "LOV_Match": [("baseline_value", lov, False),
+                      ("threshold_value", "0", num)],
+        "Min_Date": [("baseline_value", "min_date::VARCHAR", False),
+                     ("threshold_value", "0", num)],
+        "Min_Val": [("baseline_value", "min_value", num),
+                    ("threshold_value", "0", num)],
+        "Missing_Pct": [("baseline_ct", "record_ct", num),
+                        ("baseline_value_ct", "value_ct", num),
+                        ("threshold_value", "2", num)],
+        "Monthly_Rec_Ct": [("threshold_value", "0", num)],
+        "Outlier_Pct_Above": [("baseline_avg", "avg_value", num),
+                              ("baseline_sd", "stdev_value", num),
+                              ("threshold_value", "0.05", num)],
+        "Outlier_Pct_Below": [("baseline_avg", "avg_value", num),
+                              ("baseline_sd", "stdev_value", num),
+                              ("threshold_value", "0.05", num)],
+        "Pattern_Match": [("baseline_value", pattern_regex, False),
+                          ("threshold_value", "0", num)],
+        "Recency": [("threshold_value", recency_thr, num)],
+        "Required": [("threshold_value", "0", num)],
+        "Street_Addr_Pattern": [("threshold_value", "75", num)],
+        "US_State": [("threshold_value", "0", num)],
+        "Unique": [("threshold_value", "0", num)],
+        "Unique_Pct": [("baseline_value_ct", "value_ct", num),
+                       ("baseline_unique_ct", "distinct_value_ct", num),
+                       ("threshold_value", "0.5", num)],
+        "Valid_Characters": [("threshold_value", "0", num)],
+        "Valid_Month": [("threshold_value", "0", num),
+                        ("baseline_value", valid_month, False)],
+        "Valid_US_Zip": [("threshold_value", "0", num)],
+        "Valid_US_Zip3": [("threshold_value", "0", num)],
+        "Variability_Increase": [("baseline_sd", "stdev_value", num),
+                                 ("threshold_value", "120", num)],
+        "Variability_Decrease": [("baseline_sd", "stdev_value", num),
+                                 ("threshold_value", "80", num)],
+        "Weekly_Rec_Ct": [("threshold_value", "0", num)],
+    }
+
+
+def generated_test_params_sql(
+    table: str,
+    columns: list[tuple[str, str, str, bool]],
+    run_date: str,
+) -> str:
+    """One row per (test_type, column, param) for every fired selection
+    criterion, with numeric values normalized to %.4f — the payload check
+    that closes the last rows-only gap (r1 VERDICT: 'pin numeric-literal
+    formatting on both sides')."""
+    criteria = _selection_criteria_sql(run_date)
+    params = _selection_params_sql(run_date)
+    selects = []
+    for tt, cond in criteria.items():
+        for key, expr, is_num in params.get(tt, []):
+            if is_num:
+                x = f"({expr})::DOUBLE"
+                e = (f"CASE WHEN {x} = 0 THEN 0"
+                     f" ELSE FLOOR(LOG10(ABS({x})))::INT END")
+                m = (f"CASE WHEN {x} = 0 THEN 0.0"
+                     f" ELSE ROUND({x} / POW(10.0, ({e})::DOUBLE), 6) END")
+                cols = (f"{m} AS param_mantissa, ({e})::INT AS param_exp,"
+                        " NULL::VARCHAR AS param_value")
+            else:
+                cols = ("NULL::DOUBLE AS param_mantissa,"
+                        " NULL::INT AS param_exp,"
+                        f" ({expr}) AS param_value")
+            selects.append(
+                f"SELECT '{tt}' AS test_type, '{table}' AS table_name,"
+                f" column_name, '{key}' AS param_key,\n"
+                f"       {cols}\n"
+                f"FROM pii WHERE {cond}")
+    ctes = _inference_ctes([(table, columns)], run_date)
+    return f"{ctes}\n" + "\nUNION ALL\n".join(selects)
