@@ -853,8 +853,10 @@ FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures, blocked
-    on 16-bit halves); oracle recomputes the same per-bit majority votes
-    from the shingle md5 prefixes."""
+    on max_hamming+1 = 4 bit-slices per Manku et al. so recall is exact);
+    the oracle recomputes the per-bit majority votes from the shingle md5
+    prefixes and joins ALL pairs unblocked — it verifies the semantics,
+    not the engine's blocking scheme."""
     docs = _load(spark, sf_dir, "documents")
     out = DD.simhash_pairs(docs, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -866,7 +868,6 @@ def _sql_simhash(bits: int = 32, max_hamming: int = 3) -> str:
         f"::BIGINT & {1 << i}) > 0)) > len(s) THEN {1 << i}::BIGINT"
         f" ELSE 0 END)"
         for i in range(bits))
-    half_mask = (1 << (bits // 2)) - 1
     return rf"""
 WITH t AS (SELECT doc_id,
                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -887,8 +888,6 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.sig, b.sig))::INT AS hamming
 FROM sig a JOIN sig b
   ON a.doc_id < b.doc_id
- AND ((a.sig & {half_mask}) = (b.sig & {half_mask})
-      OR (a.sig >> {bits // 2}) = (b.sig >> {bits // 2}))
 WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
 
 

@@ -220,16 +220,28 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3, bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
-    16-bit halves (a pair within distance ≤3 shares at least one half)."""
+    ``max_hamming + 1`` bit-slices of the signature (Manku et al., WWW'07):
+    a pair within hamming distance d flips bits in at most d slices, so by
+    pigeonhole at least one of the d+1 slices is bit-identical — the
+    slice-equality join therefore has FULL recall, and the final
+    ``bit_count(xor)`` filter restores exactness. (Two halves, the naive
+    choice, silently drop hamming-2/3 pairs with flips in both halves.)"""
     sig = simhash_signatures(df, text_col, id_col, k, bits)
-    half = bits // 2
+    num_blocks = max_hamming + 1
+    if num_blocks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {num_blocks} blocks "
+                         f"but signature has only {bits} bits")
+    base, extra = divmod(bits, num_blocks)
+    block_cols, start = [], 0
+    for j in range(num_blocks):
+        width = base + (1 if j < extra else 0)
+        mask = (1 << width) - 1
+        block_cols.append(F.concat(
+            F.lit(f"{j}|"),
+            F.shiftright(F.col("sig"), start).bitwiseAND(F.lit(mask)).cast("string")))
+        start += width
     blocked = sig.select(
-        "id", "sig",
-        F.explode(F.array(
-            F.concat(F.lit("lo|"), (F.col("sig").bitwiseAND(F.lit((1 << half) - 1))).cast("string")),
-            F.concat(F.lit("hi|"), F.shiftright(F.col("sig"), half).cast("string")),
-        )).alias("block"),
-    )
+        "id", "sig", F.explode(F.array(*block_cols)).alias("block"))
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))

@@ -80,6 +80,27 @@ def test_simhash_pairs(docs):
     assert pairs[(1, 3)] == 0
 
 
+def test_simhash_blocking_matches_brute_force(spark, sf_dir):
+    """The 4-slice pigeonhole blocking must have FULL recall: compare the
+    blocked pair set against an unblocked all-pairs bit_count(xor) ≤ d join
+    over the real sf0.001 documents fixture. (Two-half blocking — the r2
+    implementation — drops hamming-2/3 pairs with flips in both halves.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for d in (2, 3):
+        blocked = {(r["id_a"], r["id_b"], r["hamming"])
+                   for r in dedup.simhash_pairs(docs, max_hamming=d).collect()}
+        sig = dedup.simhash_signatures(docs)
+        a, b = sig.alias("a"), sig.alias("b")
+        brute = {(r["id_a"], r["id_b"], r["hamming"]) for r in (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                      .alias("hamming"))
+             .filter(F.col("hamming") <= d)).collect()}
+        assert blocked == brute, (
+            f"d={d}: blocking dropped {brute - blocked} / added {blocked - brute}")
+
+
 def test_cosine_and_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
