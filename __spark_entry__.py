@@ -1149,6 +1149,108 @@ FROM {td.table_name}""")
     return "\nUNION ALL\n".join(parts)
 
 
+# --------------------------------------------------------------------------
+# Q: Remaining CAT coverage — the last 8 measure types with no oracle row
+#    (r2 VERDICT item #1): Distinct_Date_Ct, Distinct_Value_Ct, Metric_Trend,
+#    Min_Date, Street_Addr_Pattern, Valid_Month, Valid_US_Zip3, Volume_Trend.
+#    Semantics per template/dbsetup_test_types/test_types_<type>.yaml.
+#    The two pattern-shaped types run on an inline fixture (the slim TPC-H
+#    tables carry no address/zip-shaped column); both engines construct the
+#    identical literal rows, so the hash compare still verifies the measure.
+# --------------------------------------------------------------------------
+
+_PATTERN_FIXTURE_ROWS = [
+    ("123 Main St", "021"),
+    ("45a Oak Ave", "999"),
+    ("9 Elm Blvd", "12a"),
+    ("not an address", "456"),
+    ("PO Box 77", "9990"),
+    ("77 Sunset Strip 4B", "00"),
+    ("1600 Penn Ave NW", "314"),
+    (None, None),
+]
+
+_STREET_RE_SQL = (r"^[0-9]{1,5}[a-zA-Z]?\s\w{1,5}\.?\s?\w*\s?\w*\s[a-zA-Z]{1,6}"
+                  r"\.?\s?[0-9]{0,5}[A-Z]{0,1}$")
+
+_VALID_MONTHS_PARTIAL = ["AUTOMOBILE", "BUILDING", "MACHINERY", "HOUSEHOLD"]
+
+_CAT_REM_SPECS: list[tuple[TestDef, str, str]] = [
+    (TestDef("r_distinct_date", "Distinct_Date_Ct", "lineitem", "l_shipdate",
+             params={"threshold_value": 100}),
+     "COUNT(DISTINCT l_shipdate)::DOUBLE", "{m} < 100"),
+    (TestDef("r_distinct_value", "Distinct_Value_Ct", "lineitem",
+             "l_returnflag", params={"threshold_value": 3}),
+     "COUNT(DISTINCT l_returnflag)::DOUBLE", "{m} <> 3"),
+    (TestDef("r_metric_trend", "Metric_Trend", "lineitem", "l_quantity",
+             params={"custom_query": "AVG(l_quantity)",
+                     "lower_tolerance": 24.0, "upper_tolerance": 27.0}),
+     "AVG(l_quantity)", "NOT ({m} BETWEEN 24.0 AND 27.0)"),
+    (TestDef("r_min_date", "Min_Date", "lineitem", "l_shipdate",
+             params={"baseline_value": "1996-01-01", "threshold_value": 0}),
+     "SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1996-01-01'"
+     " THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("r_volume_trend", "Volume_Trend", "orders",
+             params={"subset_condition": "o_totalprice > 100000",
+                     "lower_tolerance": 100.0, "upper_tolerance": 1000000.0}),
+     "SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::DOUBLE",
+     "NOT ({m} BETWEEN 100.0 AND 1000000.0)"),
+    (TestDef("r_valid_month", "Valid_Month", "customer", "c_mktsegment",
+             params={"baseline_value": _VALID_MONTHS_PARTIAL,
+                     "threshold_value": 0}),
+     "SUM(CASE WHEN NULLIF(c_mktsegment, '') NOT IN ("
+     + ",".join(f"'{m}'" for m in _VALID_MONTHS_PARTIAL)
+     + ") THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+    (TestDef("r_street_addr", "Street_Addr_Pattern", "pattern_fixture", "addr",
+             params={"threshold_value": 50}),
+     f"100.0*SUM(CASE WHEN regexp_matches(addr, '{_STREET_RE_SQL}')"
+     " THEN 1 ELSE 0 END)::DOUBLE / NULLIF(COUNT(addr), 0)::DOUBLE",
+     "{m} < 50"),
+    (TestDef("r_zip3", "Valid_US_Zip3", "pattern_fixture", "zip3",
+             params={"threshold_value": 0}),
+     "SUM(CASE WHEN translate(zip3, '012345678', '999999999') <> '999'"
+     " THEN 1 ELSE 0 END)::DOUBLE", "{m} > 0"),
+]
+
+
+def q_cat_tests_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    fixture = spark.createDataFrame(_PATTERN_FIXTURE_ROWS,
+                                    "addr string, zip3 string")
+    res = run_cat_tests(
+        {"lineitem": li, "orders": orders, "customer": cust,
+         "pattern_fixture": fixture},
+        [s[0] for s in _CAT_REM_SPECS], run_date=RUN_DATE)
+    return res.select(
+        "test_id", "test_type", "column_name",
+        F.round("result_measure", 5).alias("result_measure"),
+        "result_code")
+
+
+def _sql_cat_tests_remaining() -> str:
+    fixture_values = ", ".join(
+        "(" + ", ".join("NULL" if v is None else f"'{v}'" for v in row) + ")"
+        for row in _PATTERN_FIXTURE_ROWS)
+    parts = []
+    for td, m_sql, cond in _CAT_REM_SPECS:
+        col = "NULL::VARCHAR" if td.column_name is None else f"'{td.column_name}'"
+        if td.table_name == "pattern_fixture":
+            frm = f"(VALUES {fixture_values}) AS pattern_fixture(addr, zip3)"
+        else:
+            frm = td.table_name
+        where = td.p("subset_condition")
+        where_sql = f"\nWHERE {where}" if where else ""
+        parts.append(f"""
+SELECT '{td.test_id}' AS test_id, '{td.test_type}' AS test_type,
+       {col} AS column_name,
+       ROUND({m_sql}, 5) AS result_measure,
+       CASE WHEN {cond.format(m=m_sql)} THEN 0 ELSE 1 END AS result_code
+FROM {frm}{where_sql}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_aggregate_balance_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate_Balance_Range: per-order totals must land within ±3000 of
     the lineitem side (test_types_Aggregate_Balance_Range.yaml)."""
@@ -1451,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generated_test_keys_lineitem": q_generated_test_keys,
         "cat_tests_lineitem": q_cat_tests_lineitem,
         "cat_tests_extended": q_cat_tests_extended,
+        "cat_tests_remaining": q_cat_tests_remaining,
         "aggregate_balance_range_orders": q_aggregate_balance_range,
         "aggregate_minimum_orders": q_aggregate_minimum,
         "timeframe_gain_events": q_timeframe_combo_gain,
@@ -1502,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
             [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS)], RUN_DATE),
         "cat_tests_lineitem": _sql_cat_tests(),
         "cat_tests_extended": _sql_cat_tests_extended(),
+        "cat_tests_remaining": _sql_cat_tests_remaining(),
         "aggregate_balance_range_orders": _SQL_AGG_BALANCE_RANGE,
         "aggregate_minimum_orders": _SQL_AGG_MINIMUM,
         "timeframe_gain_events": _SQL_TIMEFRAME_GAIN,

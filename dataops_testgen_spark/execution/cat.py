@@ -280,6 +280,7 @@ def run_cat_tests(
 
     out_rows: list[dict] = []
     spark = None
+    jobs: list[tuple[DataFrame, list[tuple[int, TestDef]]]] = []
     for (table_name, subset), batch in groups.items():
         if table_name not in tables:
             # A missing/renamed table fails only ITS tests, not the run
@@ -298,42 +299,63 @@ def run_cat_tests(
         from dataops_testgen_spark.session import ensure_parallelism
 
         df = ensure_parallelism(df)
+        # Exact COUNT(DISTINCT) aggregates force a Catalyst Expand of
+        # every input row once per distinct group; fused with the other
+        # measures, ALL of them re-evaluate on the expanded stream
+        # (~(n_distinct+1)× the scan). Run distinct-bearing measures as
+        # their own agg job so the main fused agg stays one codegen'd
+        # hash pass (same split the profiler uses).
+        plain = [(i, td) for i, td in enumerate(batch)
+                 if td.test_type not in _DISTINCT_MEASURES]
+        dist = [(i, td) for i, td in enumerate(batch)
+                if td.test_type in _DISTINCT_MEASURES]
+        for group in (plain, dist):
+            if group:
+                jobs.append((df, group))
+
+    def _run_job(job: tuple[DataFrame, list[tuple[int, TestDef]]]) -> list[dict]:
+        df, group = job
+        rows: list[dict] = []
         try:
-            # Exact COUNT(DISTINCT) aggregates force a Catalyst Expand of
-            # every input row once per distinct group; fused with the other
-            # measures, ALL of them re-evaluate on the expanded stream
-            # (~(n_distinct+1)× the scan). Run distinct-bearing measures as
-            # their own agg job so the main fused agg stays one codegen'd
-            # hash pass (same split the profiler uses).
-            plain = [(i, td) for i, td in enumerate(batch)
-                     if td.test_type not in _DISTINCT_MEASURES]
-            dist = [(i, td) for i, td in enumerate(batch)
-                    if td.test_type in _DISTINCT_MEASURES]
-            row = {}
-            for group in (plain, dist):
-                if group:
-                    exprs = [cat_measure(td, run_date).alias(f"t{i}")
-                             for i, td in group]
-                    row.update(df.agg(*exprs).collect()[0].asDict())
-            for i, td in enumerate(batch):
-                out_rows.append(_evaluate(td, row[f"t{i}"]))
+            exprs = [cat_measure(td, run_date).alias(f"t{i}") for i, td in group]
+            res = df.agg(*exprs).collect()[0].asDict()
+            for i, td in group:
+                rows.append(_evaluate(td, res[f"t{i}"]))
         except Exception:
             # Error isolation: rerun singly so one bad test doesn't sink the
             # batch (run_test_execution.py:301-352).
-            for td in batch:
+            for _, td in group:
                 try:
                     row = df.agg(cat_measure(td, run_date).alias("t0")).collect()[0]
-                    out_rows.append(_evaluate(td, row["t0"]))
+                    rows.append(_evaluate(td, row["t0"]))
                 except Exception as exc:  # noqa: BLE001
                     rec = _evaluate(td, None)
                     rec["result_code"] = None
                     rec["result_status"] = "Error"
                     rec["result_message"] = f"{type(exc).__name__}: {exc}"[:500]
-                    out_rows.append(rec)
+                    rows.append(rec)
+        return rows
+
+    if len(jobs) > 1:
+        # Jobs touch distinct (table, subset, distinct-split) slices and are
+        # independent; submitting them from threads overlaps their Catalyst
+        # compiles and stages (local[N] has idle cores while one compiles) —
+        # same pattern as profiler.profile_table.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(len(jobs), 8)) as pool:
+            for rows in pool.map(_run_job, jobs):
+                out_rows.extend(rows)
+    elif jobs:
+        out_rows.extend(_run_job(jobs[0]))
 
     if spark is None:  # empty defs, or every referenced table missing
         spark = (next(iter(tables.values())).sparkSession if tables
                  else SparkSession.getActiveSession())
+        if spark is None:
+            raise ValueError(
+                "run_cat_tests: no SparkSession could be resolved — pass a "
+                "non-empty tables dict or create an active session first")
     return spark.createDataFrame(
         [tuple(r[f.name] for f in RESULT_SCHEMA.fields) for r in out_rows],
         RESULT_SCHEMA,

@@ -288,3 +288,63 @@ def test_freshness_baseline_update(spark):
     out = update_freshness_baselines(defs, results).collect()[0]
     assert out["baseline_value"] == "bbb"
     assert out["baseline_sum"] == "2026-01-03"
+
+
+def test_cat_remaining_measure_values(spark, num_df):
+    """Golden values for the 8 measure types the r2 oracle set left
+    unverified: Distinct_Date_Ct, Distinct_Value_Ct, Metric_Trend, Min_Date,
+    Street_Addr_Pattern, Valid_Month, Valid_US_Zip3, Volume_Trend."""
+    months = spark.createDataFrame(
+        [("JAN",), ("FEB",), ("XXX",), ("JAN",), (None,)], "m: string")
+    addrs = spark.createDataFrame(
+        [("123 Main St",), ("45a Oak Ave",), ("not an address",),
+         ("PO Box 77",), (None,)], "addr: string")
+    zips = spark.createDataFrame(
+        [("021",), ("999",), ("12a",), ("9990",), (None,)], "z: string")
+    defs = [
+        TestDef("t_ddate", "Distinct_Date_Ct", "t", "d",
+                params={"threshold_value": 5}),
+        TestDef("t_dval", "Distinct_Value_Ct", "t", "id",
+                params={"threshold_value": 10}),
+        TestDef("t_metric", "Metric_Trend", "t", "v",
+                params={"custom_query": "AVG(v)",
+                        "lower_tolerance": 5.0, "upper_tolerance": 6.0}),
+        TestDef("t_mindate", "Min_Date", "t", "d",
+                params={"baseline_value": "2025-12-05", "threshold_value": 0}),
+        TestDef("t_volume", "Volume_Trend", "t",
+                params={"subset_condition": "v > 5.0",
+                        "lower_tolerance": 1.0, "upper_tolerance": 4.0}),
+        TestDef("t_month", "Valid_Month", "months", "m",
+                params={"baseline_value": ["JAN", "FEB", "MAR"],
+                        "threshold_value": 0}),
+        TestDef("t_street", "Street_Addr_Pattern", "addrs", "addr",
+                params={"threshold_value": 60}),
+        TestDef("t_zip3", "Valid_US_Zip3", "zips", "z",
+                params={"threshold_value": 0}),
+    ]
+    r = _results({"t": num_df, "months": months, "addrs": addrs,
+                  "zips": zips}, defs)
+    # 10 distinct dates, >= 5 → pass ("<" fails below threshold)
+    assert r["t_ddate"]["result_measure"] == 10
+    assert r["t_ddate"]["result_status"] == "Passed"
+    # 10 distinct ids = threshold → pass ("<>" fails on mismatch)
+    assert r["t_dval"]["result_measure"] == 10
+    assert r["t_dval"]["result_status"] == "Passed"
+    # AVG(v) = 5.5, within [5, 6] → pass (NOT BETWEEN fails outside)
+    assert r["t_metric"]["result_measure"] == 5.5
+    assert r["t_metric"]["result_status"] == "Passed"
+    # dates 2025-12-01..04 precede the baseline → 4, > 0 → fail
+    assert r["t_mindate"]["result_measure"] == 4
+    assert r["t_mindate"]["result_status"] == "Failed"
+    # 5 rows with v > 5 (6..10), outside [1, 4] → fail
+    assert r["t_volume"]["result_measure"] == 5
+    assert r["t_volume"]["result_status"] == "Failed"
+    # "XXX" not in month list → 1 (NULL ignored), > 0 → fail
+    assert r["t_month"]["result_measure"] == 1
+    assert r["t_month"]["result_status"] == "Failed"
+    # 2 of 4 non-null addrs match the street shape → 50%, < 60 → fail
+    assert r["t_street"]["result_measure"] == 50.0
+    assert r["t_street"]["result_status"] == "Failed"
+    # "12a"→"99a" and "9990"→"9999" fail translate check → 2 → fail
+    assert r["t_zip3"]["result_measure"] == 2
+    assert r["t_zip3"]["result_status"] == "Failed"
