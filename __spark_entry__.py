@@ -1528,6 +1528,74 @@ FROM (
   ORDER BY c_acctbal LIMIT 500) t"""
 
 
+def q_drilldown_outlier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier_Pct_Above drill-down on lineitem.l_extendedprice: offending
+    values beyond baseline_avg + 2·sd with the computed bound echoed
+    (test_types_Outlier_Pct_Above.yaml lookup)."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    res = DR.source_data_lookup(
+        _load(spark, sf_dir, "lineitem"), "Outlier_Pct_Above",
+        "l_extendedprice",
+        {"baseline_avg": 53054.0, "baseline_sd": 25000.0}, limit=500)
+    return res.df.select(
+        F.round("outlier_threshold", 5).alias("outlier_threshold"),
+        "l_extendedprice", "count")
+
+
+_SQL_DRILLDOWN_OUTLIER = """
+SELECT ROUND(53054.0 + 2.0*25000.0, 5)::DOUBLE AS outlier_threshold,
+       l_extendedprice, COUNT(*)::BIGINT AS count
+FROM lineitem WHERE l_extendedprice > 53054.0 + 2.0*25000.0
+GROUP BY l_extendedprice ORDER BY l_extendedprice DESC LIMIT 500"""
+
+
+def q_drilldown_missing_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily_Record_Ct drill-down on events.ts: calendar days with no rows,
+    with the nearest populated neighbours and their counts
+    (test_types_Daily_Record_Ct.yaml lookup; window-based neighbours instead
+    of the reference's range-predicate triple join)."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    # one user's activity is sparse by construction (22-30 of 30 days at
+    # sf0.01) — the full table is calendar-dense, which would make this a
+    # 0-row no-op check
+    res = DR.source_data_lookup(
+        _load(spark, sf_dir, "events").filter(F.col("user_id") == 7),
+        "Daily_Record_Ct", "ts", limit=500)
+    return res.df.select(
+        F.col("missing_period").cast("date").alias("missing_period"),
+        F.col("prior_available_date").cast("date").alias("prior_available_date"),
+        "prior_available_date_count",
+        F.col("next_available_date").cast("date").alias("next_available_date"),
+        "next_available_date_count")
+
+
+_SQL_DRILLDOWN_MISSING_DAYS = """
+WITH existing AS (
+  SELECT CAST(ts AS DATE) AS period, COUNT(*)::BIGINT AS period_count
+  FROM events WHERE ts IS NOT NULL AND user_id = 7 GROUP BY 1),
+bounds AS (SELECT MIN(period) AS lo, MAX(period) AS hi FROM existing),
+all_periods AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS period
+  FROM bounds),
+missing AS (
+  SELECT a.period FROM all_periods a LEFT JOIN existing e USING (period)
+  WHERE e.period IS NULL)
+SELECT m.period AS missing_period,
+       (SELECT MAX(e1.period) FROM existing e1 WHERE e1.period < m.period)
+         AS prior_available_date,
+       (SELECT e1.period_count FROM existing e1 WHERE e1.period =
+         (SELECT MAX(e2.period) FROM existing e2 WHERE e2.period < m.period))
+         AS prior_available_date_count,
+       (SELECT MIN(e1.period) FROM existing e1 WHERE e1.period > m.period)
+         AS next_available_date,
+       (SELECT e1.period_count FROM existing e1 WHERE e1.period =
+         (SELECT MIN(e2.period) FROM existing e2 WHERE e2.period > m.period))
+         AS next_available_date_count
+FROM missing m ORDER BY missing_period LIMIT 500"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1581,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drilldown_unique_orders": q_drilldown_unique_orders,
         "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
         "drilldown_masked_customer": q_drilldown_masked_customer,
+        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
+        "drilldown_missing_days_events": q_drilldown_missing_days_events,
     }
 
 
@@ -1639,4 +1709,6 @@ def oracle_sql() -> dict[str, str]:
         "drilldown_unique_orders": _SQL_DRILLDOWN_UNIQUE,
         "drilldown_min_val_lineitem": _SQL_DRILLDOWN_MIN_VAL,
         "drilldown_masked_customer": _SQL_DRILLDOWN_MASKED,
+        "drilldown_outlier_lineitem": _SQL_DRILLDOWN_OUTLIER,
+        "drilldown_missing_days_events": _SQL_DRILLDOWN_MISSING_DAYS,
     }

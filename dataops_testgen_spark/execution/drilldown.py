@@ -209,6 +209,268 @@ def _lk_quoted_values(df, column, params, limit, run_date):
     return _value_counts(df, c.like('"%"') | c.like("'%'"), column, limit)
 
 
+def _lk_avg_shift(df, column, params, limit, run_date):
+    # test_types_Avg_Shift.yaml: SELECT AVG(col::FLOAT) AS current_average
+    return df.agg(F.avg(_col(column).cast("double")).alias("current_average"))
+
+
+def _lk_incr_avg_shift(df, column, params, limit, run_date):
+    # test_types_Incr_Avg_Shift.yaml: current average / sum / value count
+    d = _col(column).cast("double")
+    return df.agg(
+        F.avg(d).alias("current_average"),
+        F.sum(d).alias("current_sum"),
+        F.nullif(F.count(d).cast("double"), F.lit(0.0))
+        .alias("current_value_count"))
+
+
+def _lk_outlier(df, column, params, limit, run_date, above: bool):
+    # test_types_Outlier_Pct_Above/Below.yaml: rows beyond avg ± 2·sd with
+    # the computed bound echoed as outlier_threshold
+    b_avg = float(params["baseline_avg"])
+    b_sd = float(params["baseline_sd"])
+    bound = b_avg + 2.0 * b_sd if above else b_avg - 2.0 * b_sd
+    d = _col(column).cast("double")
+    cond = d > bound if above else d < bound
+    return (df.filter(cond)
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(F.lit(bound).alias("outlier_threshold"),
+                    F.col(column), F.col("count"))
+            .orderBy(F.col(column).desc())
+            .limit(limit))
+
+
+def _lk_outlier_above(df, column, params, limit, run_date):
+    return _lk_outlier(df, column, params, limit, run_date, above=True)
+
+
+def _lk_outlier_below(df, column, params, limit, run_date):
+    return _lk_outlier(df, column, params, limit, run_date, above=False)
+
+
+def _lk_missing_periods(df, column, limit, unit: str):
+    """Missing calendar periods with the nearest populated neighbours
+    (test_types_Daily/Weekly/Monthly_Rec_Ct.yaml lookups).
+
+    The reference triple-joins existing periods on range predicates; here the
+    missing periods are interleaved with the populated ones and the
+    neighbours come from two running-last/first window passes — period
+    cardinality is calendar-bounded (days/weeks/months in the data's range),
+    so the single-partition ordered window is a few thousand rows at most,
+    regardless of table size: the heavy groupBy underneath is distributed.
+    """
+    from pyspark.sql import Window
+
+    dt = F.to_date(_col(column))
+    period = dt if unit == "day" else F.to_date(F.date_trunc(unit, dt))
+    step = {"day": "interval 1 day", "week": "interval 1 week",
+            "month": "interval 1 month"}[unit]
+    name = {"day": "date", "week": "week", "month": "month"}[unit]
+    existing = (df.groupBy(period.alias("period"))
+                .agg(F.count(F.lit(1)).alias("period_count"))
+                .filter(F.col("period").isNotNull()))
+    bounds = existing.agg(F.min("period").alias("lo"), F.max("period").alias("hi"))
+    all_periods = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr(step)))
+        .alias("period"))
+    merged = (all_periods.join(existing, "period", "left")
+              .withColumn("is_missing", F.col("period_count").isNull()))
+    w_prior = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("period").rowsBetween(1, Window.unboundedFollowing)
+    present = F.when(~F.col("is_missing"), F.col("period"))
+    present_ct = F.when(~F.col("is_missing"), F.col("period_count"))
+    return (merged
+            .withColumn(f"prior_available_{name}",
+                        F.last(present, ignorenulls=True).over(w_prior))
+            .withColumn(f"prior_available_{name}_count",
+                        F.last(present_ct, ignorenulls=True).over(w_prior))
+            .withColumn(f"next_available_{name}",
+                        F.first(present, ignorenulls=True).over(w_next))
+            .withColumn(f"next_available_{name}_count",
+                        F.first(present_ct, ignorenulls=True).over(w_next))
+            .filter(F.col("is_missing"))
+            .select(F.col("period").alias("missing_period"),
+                    f"prior_available_{name}", f"prior_available_{name}_count",
+                    f"next_available_{name}", f"next_available_{name}_count")
+            .orderBy("missing_period")
+            .limit(limit))
+
+
+def _lk_daily_rec(df, column, params, limit, run_date):
+    return _lk_missing_periods(df, column, limit, "day")
+
+
+def _lk_weekly_rec(df, column, params, limit, run_date):
+    return _lk_missing_periods(df, column, limit, "week")
+
+
+def _lk_monthly_rec(df, column, params, limit, run_date):
+    return _lk_missing_periods(df, column, limit, "month")
+
+
+def _lk_valid_us_zip(df, column, params, limit, run_date):
+    # test_types_Valid_US_Zip.yaml: TRANSLATE digits→9 then shape check
+    z = F.translate(_col(column).cast("string"), "012345678", "999999999")
+    return (df.filter(~z.isin(["99999", "999999999", "99999-9999"]))
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("record_ct"))
+            .orderBy(F.col("record_ct").desc(), F.col(column))
+            .limit(limit))
+
+
+def _lk_valid_us_zip3(df, column, params, limit, run_date):
+    z = F.translate(_col(column).cast("string"), "012345678", "999999999")
+    return (df.filter(z != "999")
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("record_ct"))
+            .orderBy(F.col("record_ct").desc(), F.col(column))
+            .limit(limit))
+
+
+_STREET_ADDR_RE = (r"^[0-9]{1,5}[a-zA-Z]?\s\w{1,5}\.?\s?\w*\s?\w*\s"
+                   r"[a-zA-Z]{1,6}\.?\s?[0-9]{0,5}[A-Z]{0,1}$")
+
+
+def _lk_street_addr(df, column, params, limit, run_date):
+    # test_types_Street_Addr_Pattern.yaml: rows NOT matching the street shape
+    return (df.filter(~_col(column).cast("string").rlike(_STREET_ADDR_RE))
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col(column))
+            .limit(limit))
+
+
+def _lk_alpha_trunc(df, column, params, limit, run_date):
+    # test_types_Alpha_Trunc.yaml: values at the current max length when that
+    # max has shrunk below the baseline threshold
+    threshold = float(params["threshold_value"])
+    ln = F.length(_col(column))
+    mx = df.agg(F.max(ln).alias("max_length"))
+    return (df.join(F.broadcast(mx))
+            .filter((ln == F.col("max_length"))
+                    & (F.col("max_length") < threshold))
+            .select(F.col(column),
+                    ln.alias("current_max_length"),
+                    F.lit(threshold).alias("previous_max_length"))
+            .distinct()
+            .limit(limit))
+
+
+def _lk_us_state(df, column, params, limit, run_date):
+    from dataops_testgen_spark.execution.cat import US_STATES
+
+    nn = F.nullif(_col(column), F.lit(""))
+    return (df.filter(~nn.isin(US_STATES))
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col(column)).limit(limit))
+
+
+def _lk_valid_characters(df, column, params, limit, run_date):
+    # test_types_Valid_Characters.yaml: control chars / leading space /
+    # fully-quoted values
+    c = _col(column).cast("string")
+    return (df.filter(c.rlike(r"[\x00-\x1f]") | c.startswith(" ")
+                      | c.rlike("^'.*'$") | c.rlike('^".*"$'))
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("record_ct"))
+            .orderBy(F.col("record_ct").desc(), F.col(column))
+            .limit(limit))
+
+
+def _lk_min_date(df, column, params, limit, run_date):
+    baseline = str(params["baseline_value"])[:10]
+    return _value_counts(
+        df, _col(column).cast("date") < F.lit(baseline).cast("date"),
+        column, limit)
+
+
+def _lk_distinct_values(df, column, params, limit, run_date):
+    # Distinct_Value_Ct / Distinct_Date_Ct / Unique_Pct share the
+    # distinct-value frequency shape
+    return (df.filter(_col(column).isNotNull())
+            .groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col(column).desc())
+            .limit(limit))
+
+
+def _lk_unique_pct(df, column, params, limit, run_date):
+    return (df.groupBy(F.col(column))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col(column))
+            .limit(limit))
+
+
+def _lk_recency(df, column, params, limit, run_date):
+    # test_types_Recency.yaml: the max date, surfaced when out of tolerance
+    threshold = float(params["threshold_value"])
+    rd = F.lit(run_date).cast("date")
+    return (df.agg(F.max(_col(column)).alias("latest_date_available"))
+            .select(F.col("latest_date_available"), rd.alias("test_run_date"))
+            .filter(F.abs(F.datediff(F.col("latest_date_available").cast("date"),
+                                     rd)) > threshold)
+            .limit(limit))
+
+
+def _lk_row_ct(df, column, params, limit, run_date):
+    threshold = float(params["threshold_value"])
+    return (df.agg(F.count(F.lit(1)).alias("current_count"))
+            .filter(F.col("current_count") < threshold)
+            .select(F.col("current_count"),
+                    F.abs(F.round(100.0 * (F.col("current_count") - threshold)
+                                  / threshold, 2))
+                    .alias("row_count_pct_decrease")))
+
+
+def _lk_row_ct_pct(df, column, params, limit, run_date):
+    baseline = float(params["baseline_ct"])
+    return (df.agg(F.count(F.lit(1)).alias("current_count"))
+            .select(F.col("current_count"),
+                    F.lit(baseline).alias("baseline_count"),
+                    F.abs(F.round(100.0 * (F.col("current_count") - baseline)
+                                  / baseline, 2))
+                    .alias("row_count_pct_difference")))
+
+
+def _lk_lov_all(df, column, params, limit, run_date):
+    threshold = str(params["threshold_value"])
+    lov = F.array_join(F.array_sort(F.collect_set(_col(column))), "|")
+    return (df.agg(lov.alias("lov"))
+            .filter(F.col("lov") != threshold)
+            .limit(limit))
+
+
+def _lk_dec_trunc(df, column, params, limit, run_date):
+    # test_types_Dec_Trunc.yaml: frequency of decimal scales present
+    scale = F.length(F.split_part(_col(column).cast("string"), F.lit("."),
+                                  F.lit(2)))
+    return (df.groupBy(scale.alias("decimal_scale"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy("decimal_scale")
+            .limit(limit))
+
+
+def _lk_variability(df, column, params, limit, run_date):
+    return df.agg(F.stddev_samp(_col(column).cast("double"))
+                  .alias("current_standard_deviation"))
+
+
+def _lk_future_date_1y(df, column, params, limit, run_date):
+    rd = F.lit(run_date).cast("date")
+    return _value_counts(
+        df, _col(column).cast("date") > F.date_add(rd, 365), column, limit)
+
+
+def _lk_condition_flag(df, column, params, limit, run_date):
+    return df.filter(F.expr(params["custom_query"])).limit(limit)
+
+
+def _lk_valid_month(df, column, params, limit, run_date):
+    return _lk_lov_match(df, column, params, limit, run_date)
+
+
 TEST_LOOKUPS = {
     "Unique": _lk_unique,
     "Dupe_Rows": _lk_dupe_rows,
@@ -220,6 +482,33 @@ TEST_LOOKUPS = {
     "Pattern_Match": _lk_pattern_match,
     "Missing_Pct": _lk_missing,
     "Required": _lk_missing,
+    "Avg_Shift": _lk_avg_shift,
+    "Incr_Avg_Shift": _lk_incr_avg_shift,
+    "Outlier_Pct_Above": _lk_outlier_above,
+    "Outlier_Pct_Below": _lk_outlier_below,
+    "Daily_Record_Ct": _lk_daily_rec,
+    "Weekly_Rec_Ct": _lk_weekly_rec,
+    "Monthly_Rec_Ct": _lk_monthly_rec,
+    "Valid_US_Zip": _lk_valid_us_zip,
+    "Valid_US_Zip3": _lk_valid_us_zip3,
+    "Street_Addr_Pattern": _lk_street_addr,
+    "Alpha_Trunc": _lk_alpha_trunc,
+    "US_State": _lk_us_state,
+    "Valid_Characters": _lk_valid_characters,
+    "Valid_Month": _lk_valid_month,
+    "Min_Date": _lk_min_date,
+    "Distinct_Value_Ct": _lk_distinct_values,
+    "Distinct_Date_Ct": _lk_distinct_values,
+    "Unique_Pct": _lk_unique_pct,
+    "Recency": _lk_recency,
+    "Row_Ct": _lk_row_ct,
+    "Row_Ct_Pct": _lk_row_ct_pct,
+    "LOV_All": _lk_lov_all,
+    "Dec_Trunc": _lk_dec_trunc,
+    "Variability_Increase": _lk_variability,
+    "Variability_Decrease": _lk_variability,
+    "Future_Date_1Y": _lk_future_date_1y,
+    "Condition_Flag": _lk_condition_flag,
     # profile-anomaly lookups share the registry (error_type Profile Anomaly)
     "Leading_Spaces": _lk_leading_spaces,
     "Quoted_Values": _lk_quoted_values,

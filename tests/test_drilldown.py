@@ -106,3 +106,78 @@ def test_get_pii_columns(spark):
         [("t", "email", "B/CONTACT/Email"), ("t", "qty", None)],
         "table_name string, column_name string, pii_flag string")
     assert DR.get_pii_columns(inf) == {"email"}
+
+
+def test_registry_covers_major_types():
+    """r3: registry parity push — ≥25 test types must have a lookup."""
+    assert len(DR.TEST_LOOKUPS) >= 25
+    for t in ("Avg_Shift", "Outlier_Pct_Above", "Outlier_Pct_Below",
+              "Daily_Record_Ct", "Weekly_Rec_Ct", "Monthly_Rec_Ct",
+              "Valid_US_Zip", "Street_Addr_Pattern", "Alpha_Trunc",
+              "Recency", "Row_Ct", "LOV_All"):
+        assert t in DR.TEST_LOOKUPS, t
+
+
+def test_outlier_lookup(people):
+    # avg 2, sd 1 → above bound 4: only 10.0 qualifies
+    res = DR.source_data_lookup(people, "Outlier_Pct_Above", "bal",
+                                {"baseline_avg": 2.0, "baseline_sd": 1.0})
+    rows = [(r["outlier_threshold"], r["bal"], r["count"])
+            for r in res.df.collect()]
+    assert rows == [(4.0, 10.0, 1)]
+
+
+def test_missing_days_lookup(spark):
+    # days 1,2,3,6,7 of Jan → missing 4 and 5; neighbours 3 (2 rows) / 6 (1)
+    rows = [("2026-01-01",), ("2026-01-02",), ("2026-01-03",),
+            ("2026-01-03",), ("2026-01-06",), ("2026-01-07",)]
+    df = spark.createDataFrame(rows, "d: string").withColumn("d", F.to_date("d"))
+    res = DR.source_data_lookup(df, "Daily_Record_Ct", "d")
+    got = [(str(r["missing_period"]), str(r["prior_available_date"]),
+            r["prior_available_date_count"], str(r["next_available_date"]),
+            r["next_available_date_count"]) for r in res.df.collect()]
+    assert got == [
+        ("2026-01-04", "2026-01-03", 2, "2026-01-06", 1),
+        ("2026-01-05", "2026-01-03", 2, "2026-01-06", 1),
+    ]
+
+
+def test_monthly_rec_lookup(spark):
+    # Jan, Feb, Apr → March missing
+    rows = [("2026-01-15",), ("2026-02-10",), ("2026-04-01",)]
+    df = spark.createDataFrame(rows, "d: string").withColumn("d", F.to_date("d"))
+    res = DR.source_data_lookup(df, "Monthly_Rec_Ct", "d")
+    got = [str(r["missing_period"]) for r in res.df.collect()]
+    assert got == ["2026-03-01"]
+
+
+def test_alpha_trunc_lookup(people):
+    # max email length is 15 ("dan@example.com"/"ann@example.com"),
+    # threshold 20 → truncation suspected, those values surface
+    res = DR.source_data_lookup(people, "Alpha_Trunc", "email",
+                                {"threshold_value": 20})
+    vals = {(r["email"], r["current_max_length"]) for r in res.df.collect()}
+    assert vals == {("ann@example.com", 15), ("dan@example.com", 15)}
+
+
+def test_recency_row_ct_scalar_lookups(people):
+    res = DR.source_data_lookup(people, "Row_Ct", None,
+                                {"threshold_value": 10})
+    row = res.df.collect()[0]
+    assert row["current_count"] == 5
+    assert row["row_count_pct_decrease"] == 50.0
+    res2 = DR.source_data_lookup(people, "Row_Ct_Pct", None,
+                                 {"baseline_ct": 4})
+    row2 = res2.df.collect()[0]
+    assert row2["current_count"] == 5 and row2["row_count_pct_difference"] == 25.0
+
+
+def test_lov_all_and_zip_lookups(people, spark):
+    res = DR.source_data_lookup(people, "LOV_All", "grp",
+                                {"threshold_value": "x|y"})
+    # actual lov is '|x|y' (empty string sorts first) ≠ 'x|y' → surfaced
+    assert res.df.count() == 1
+    zips = spark.createDataFrame(
+        [("02134",), ("9021x",), ("12345-6789",)], "z: string")
+    res2 = DR.source_data_lookup(zips, "Valid_US_Zip", "z")
+    assert {r["z"] for r in res2.df.collect()} == {"9021x"}
