@@ -1597,6 +1597,146 @@ FROM missing m ORDER BY missing_period LIMIT 500"""
 
 
 # --------------------------------------------------------------------------
+# Q: Template generation (gen_Constant last-5-runs stability window) and
+#    Schema_Drift structure-log aggregation — r2 VERDICT item #5.
+# --------------------------------------------------------------------------
+
+_CONSTANT_RUNS = [f"2026-01-0{i}" for i in range(1, 7)]  # 6 runs, window = 5
+
+# (run_date, table, column, general_type, min_text, min_value, min_date,
+#  boolean_true_ct, value_ct, distinct_value_ct, max_length) — one shared
+# fixture drives both the Spark DataFrame and the DuckDB VALUES clause.
+_CONSTANT_HISTORY_ROWS = (
+    # colA: 'X' in all 6 runs → Constant('X')
+    [(r, "t", "colA", "A", "X", 0.0, "1900-01-01", 0, 10, 1, 1)
+     for r in _CONSTANT_RUNS]
+    # colB: 'Z' in the oldest run (outside the 5-run window), 'Y' after →
+    # Constant('Y') — pins the DENSE_RANK window semantics
+    + [(_CONSTANT_RUNS[0], "t", "colB", "A", "Z", 0.0, "1900-01-01", 0, 10, 1, 1)]
+    + [(r, "t", "colB", "A", "Y", 0.0, "1900-01-01", 0, 10, 1, 1)
+       for r in _CONSTANT_RUNS[1:]]
+    # colC: value changed inside the window → not constant
+    + [(r, "t", "colC", "A", "P", 0.0, "1900-01-01", 0, 10, 1, 1)
+       for r in _CONSTANT_RUNS[:4]]
+    + [(r, "t", "colC", "A", "Q", 0.0, "1900-01-01", 0, 10, 1, 1)
+       for r in _CONSTANT_RUNS[4:]]
+    # colD: numeric constant 42.0 → Constant('42.0')
+    + [(r, "t", "colD", "N", "", 42.0, "1900-01-01", 0, 10, 1, 4)
+       for r in _CONSTANT_RUNS]
+    # colE: constant but max_length ≥ 100 → excluded
+    + [(r, "t", "colE", "A", "W", 0.0, "1900-01-01", 0, 10, 1, 120)
+       for r in _CONSTANT_RUNS]
+    # colF: observed in a single run only → excluded (needs > 1 run)
+    + [(_CONSTANT_RUNS[-1], "t", "colF", "A", "V", 0.0, "1900-01-01", 0, 10, 1, 1)]
+    # colG: date column — the gen_Constant.sql date guard only drops the
+    # rank-1 row from the CANDIDATE aggregation (constancy judged on runs
+    # 2-5); latest_results keeps it, so the test still generates with the
+    # latest min_date as baseline
+    + [(r, "t", "colG", "D", "", 0.0, "2020-05-05", 0, 10, 1, 10)
+       for r in _CONSTANT_RUNS]
+    # colH: boolean always-true → Constant('TRUE')
+    + [(r, "t", "colH", "B", "", 0.0, "1900-01-01", 10, 10, 1, 4)
+       for r in _CONSTANT_RUNS]
+)
+
+_CONSTANT_HISTORY_SCHEMA = (
+    "run_date string, table_name string, column_name string, "
+    "general_type string, min_text string, min_value double, "
+    "min_date string, boolean_true_ct long, value_ct long, "
+    "distinct_value_ct long, max_length int")
+
+
+def q_gen_constant_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen_Constant over a synthetic 6-run profile history: the DENSE_RANK
+    last-5-runs stability window (gen_funny_cat_tests/gen_Constant.sql:25),
+    single-value / max-length / multi-run / date-column guards, and the
+    per-type baseline selection."""
+    from dataops_testgen_spark.generation.templates import generate_constant_tests
+
+    hist = spark.createDataFrame(_CONSTANT_HISTORY_ROWS,
+                                 _CONSTANT_HISTORY_SCHEMA)
+    out = generate_constant_tests(hist)
+    return out.select(
+        "test_type", "table_name", "column_name",
+        F.col("params")["baseline_value"].alias("baseline_value"),
+        "last_auto_gen_date")
+
+
+def _sql_gen_constant_history() -> str:
+    values = ",\n  ".join(
+        "(" + ", ".join(
+            f"'{v}'" if isinstance(v, str) else str(v) for v in row) + ")"
+        for row in _CONSTANT_HISTORY_ROWS)
+    return f"""
+WITH hist(run_date, table_name, column_name, general_type, min_text,
+          min_value, min_date, boolean_true_ct, value_ct,
+          distinct_value_ct, max_length) AS (VALUES
+  {values}),
+rr AS (SELECT run_date, DENSE_RANK() OVER (ORDER BY run_date DESC) AS run_rank
+       FROM (SELECT DISTINCT run_date FROM hist)),
+p AS (SELECT h.*, rr.run_rank FROM hist h JOIN rr USING (run_date)
+      WHERE run_rank <= 5),
+observed AS (
+  -- the date guard drops rank-1 date rows from the candidate aggregation
+  -- only (gen_Constant.sql selected_columns); latest keeps them
+  SELECT *, CASE WHEN general_type = 'A' THEN min_text
+                 WHEN general_type = 'N' THEN min_value::VARCHAR
+                 WHEN general_type IN ('D','T') THEN min_date::VARCHAR
+                 WHEN general_type = 'B' AND boolean_true_ct = value_ct
+                   THEN 'TRUE'
+                 WHEN general_type = 'B' AND boolean_true_ct = 0
+                      AND distinct_value_ct = 1 THEN 'FALSE'
+            END AS obs
+  FROM p WHERE NOT (general_type = 'D' AND run_rank = 1)),
+cand AS (
+  SELECT table_name, column_name FROM observed GROUP BY 1, 2
+  HAVING SUM(CASE WHEN distinct_value_ct = 1 THEN 0 ELSE 1 END) = 0
+     AND SUM(CASE WHEN max_length < 100 THEN 0 ELSE 1 END) = 0
+     AND COUNT(DISTINCT obs) = 1
+     AND COUNT(*) > 1)
+SELECT 'Constant' AS test_type, l.table_name, l.column_name,
+       CASE WHEN general_type = 'A' THEN min_text
+            WHEN general_type = 'D' THEN min_date::VARCHAR
+            WHEN general_type = 'N' THEN min_value::VARCHAR
+            WHEN general_type = 'B' AND boolean_true_ct = 0 THEN 'FALSE'
+            WHEN general_type = 'B' AND boolean_true_ct > 0 THEN 'TRUE'
+            ELSE '' END AS baseline_value,
+       l.run_date AS last_auto_gen_date
+FROM (SELECT * FROM p WHERE run_rank = 1) l
+JOIN cand USING (table_name, column_name)"""
+
+
+def q_schema_drift_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema_Drift end-to-end: snapshot the real customer/orders schemas,
+    diff against a perturbed previous snapshot (1 added + 1 dropped + 1
+    retyped column, 1 dropped table, orders newly tracked), aggregate the
+    structure log into per-table drift signals (execution/schema_drift.py;
+    ref dbsetup/030_initialize_new_schema_structure.sql:398-412)."""
+    from dataops_testgen_spark.execution import schema_drift as SD
+
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    current = SD.schema_snapshot({"customer": cust, "orders": orders})
+    previous = {
+        "customer": dict(current["customer"]),
+        "archived": {"old_col": "string"},      # → table_dropped
+    }
+    del previous["customer"]["c_mktsegment"]    # → column_added
+    previous["customer"]["c_legacy"] = "string"  # → column_dropped
+    previous["customer"]["c_acctbal"] = "float"  # → column_modified
+    log = SD.diff_snapshots(spark, previous, current, "2026-01-15")
+    return SD.schema_drift_test(log, since="2026-01-01")
+
+
+_SQL_SCHEMA_DRIFT = """
+SELECT * FROM (VALUES
+  ('archived', 0::BIGINT, 1::BIGINT, 0::BIGINT, 'A|0|1|0|2026-01-01', 0),
+  ('customer', 1::BIGINT, 1::BIGINT, 1::BIGINT, 'A|1|1|1|2026-01-01', 0),
+  ('orders',   6::BIGINT, 0::BIGINT, 0::BIGINT, 'A|6|0|0|2026-01-01', 0))
+AS t(table_name, adds, drops, mods, result_signal, result_code)"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -1651,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
+        "gen_constant_history": q_gen_constant_history,
+        "schema_drift_log": q_schema_drift_log,
     }
 
 
@@ -1711,4 +1853,6 @@ def oracle_sql() -> dict[str, str]:
         "drilldown_masked_customer": _SQL_DRILLDOWN_MASKED,
         "drilldown_outlier_lineitem": _SQL_DRILLDOWN_OUTLIER,
         "drilldown_missing_days_events": _SQL_DRILLDOWN_MISSING_DAYS,
+        "gen_constant_history": _sql_gen_constant_history(),
+        "schema_drift_log": _SQL_SCHEMA_DRIFT,
     }

@@ -3,7 +3,10 @@
 - ``generate_constant_tests`` — `gen_funny_cat_tests/gen_Constant.sql:1-45`:
   a column is Constant when across the last ≤5 profiling runs it always has
   exactly one distinct value, the same value in every run, max_length < 100,
-  more than one run observed, and (for run 1) it is not a date column.
+  and more than one run observed.  Date columns' rank-1 rows are excluded
+  from the candidate aggregation only (constancy judged on earlier runs);
+  the latest row still supplies the baseline, mirroring the reference's
+  selected_columns/latest_results split.
 - ``generate_table_tests`` — one definition per table:
   `gen_query_tests/gen_Volume_Trend.sql:1-47` (COUNT custom query, PREDICT
   thresholds) and `gen_query_tests/gen_Table_Freshness.sql` (MD5 fingerprint
