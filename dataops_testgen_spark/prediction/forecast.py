@@ -37,32 +37,61 @@ class NotEnoughData(ValueError):
     pass
 
 
+# Resample-unit snap table for infer_frequency: (seconds per unit, pandas
+# offset alias). A gap within 5% of a whole number of days or hours snaps
+# to that unit; otherwise it falls through to whole minutes, then seconds.
+_SNAP_UNITS = ((86_400, "D"), (3_600, "h"))
+_SNAP_TOLERANCE = 0.05
+
+
 def infer_frequency(datetime_series: pd.Series) -> str:
-    """Median-gap frequency inference (time_series_service.py:118-136)."""
-    time_diffs = datetime_series.diff().dropna()
-    median_diff = time_diffs.median()
-    total_seconds = median_diff.total_seconds()
+    """Pandas offset string for the series' typical spacing.
 
-    days = total_seconds / 86400
-    nearest_day = round(days)
-    if nearest_day >= 1 and abs(days - nearest_day) / nearest_day < 0.05:
-        return f"{int(nearest_day)}D"
+    Same contract as the reference's median-gap inference
+    (time_series_service.py:118-136), re-derived: the median inter-sample
+    gap is snapped to the largest calendar unit (days, then hours) it is
+    within 5% of; irregular gaps fall back to whole minutes, or raw seconds
+    for sub-minute spacing.
+    """
+    gap_seconds = (datetime_series.diff().dropna().median()).total_seconds()
+    for unit_seconds, alias in _SNAP_UNITS:
+        units = gap_seconds / unit_seconds
+        snapped = round(units)
+        if snapped >= 1 and abs(units - snapped) <= _SNAP_TOLERANCE * snapped:
+            return f"{snapped}{alias}"
+    minutes = int(gap_seconds // 60)
+    return f"{minutes}min" if minutes else f"{int(gap_seconds)}s"
 
-    hours = total_seconds / 3600
-    nearest_hour = round(hours)
-    if nearest_hour > 0 and abs(hours - nearest_hour) / nearest_hour < 0.05:
-        return f"{int(nearest_hour)}h"
 
-    frequency = f"{int(total_seconds // 60)}min"
-    return frequency if frequency != "0min" else f"{int(total_seconds)}s"
+def resolve_holiday_dates(holiday_codes, index: pd.DatetimeIndex) -> set:
+    """Country/market holiday calendar for the index's year span, via the
+    ``holidays`` package when installed (the reference's
+    ``get_holiday_dates``; the package is optional here — pass explicit
+    ``holiday_dates`` to the forecast API when it is absent)."""
+    try:
+        import holidays as _holidays
+    except ImportError as exc:  # pragma: no cover — not in this container
+        raise ImportError(
+            "the 'holidays' package is not installed; pass holiday_dates="
+            "{date, ...} explicitly instead of holiday_codes") from exc
+    years = range(index.min().year, index.max().year + 1)
+    dates: set = set()
+    for code in holiday_codes:
+        dates.update(_holidays.country_holidays(code, years=years).keys())
+    return dates
 
 
 def _exog_flags(index: pd.DatetimeIndex, exclude_weekends: bool,
-                tz: str | None) -> np.ndarray:
+                tz: str | None,
+                holiday_dates: set | None = None) -> np.ndarray:
+    """is_excluded dummy: weekend and/or holiday periods (the reference's
+    get_exog_flags — time_series_service.py:64-72)."""
     check = index.tz_localize("UTC").tz_convert(tz) if tz else index
     flags = np.zeros(len(index))
     if exclude_weekends:
         flags[np.asarray(check.dayofweek) >= 5] = 1.0
+    if holiday_dates:
+        flags[pd.Index(check.date).isin(holiday_dates)] = 1.0
     return flags
 
 
@@ -70,9 +99,17 @@ def get_forecast(
     history: pd.DataFrame,
     num_forecast: int,
     exclude_weekends: bool = False,
+    holiday_codes: list[str] | None = None,
+    holiday_dates: set | None = None,
     tz: str | None = None,
 ) -> pd.DataFrame:
-    """history (DatetimeIndex + one value column) → DataFrame(mean, se)."""
+    """history (DatetimeIndex + one value column) → DataFrame(mean, se).
+
+    ``holiday_dates`` is an explicit set of datetime.date treated as
+    exogenous (with ``holiday_codes`` resolved through the optional
+    ``holidays`` package and unioned in, mirroring the reference's
+    holiday_codes parameter — time_series_service.py:24,56-60).
+    """
     if len(history) < MIN_TRAIN_VALUES:
         raise NotEnoughData("Not enough data points in history.")
 
@@ -82,13 +119,17 @@ def get_forecast(
         raise NotEnoughData("Not enough data points after resampling.")
 
     y = resampled.iloc[:, 0].to_numpy(dtype=float)
-    exog = _exog_flags(resampled.index, exclude_weekends, tz)
 
     forecast_index = pd.date_range(
         start=resampled.index[-1] + pd.to_timedelta(frequency),
         periods=num_forecast, freq=frequency,
     )
-    exog_fc = _exog_flags(forecast_index, exclude_weekends, tz)
+    holidays_all = set(holiday_dates or ())
+    if holiday_codes:
+        holidays_all |= resolve_holiday_dates(
+            holiday_codes, resampled.index.append(forecast_index))
+    exog = _exog_flags(resampled.index, exclude_weekends, tz, holidays_all)
+    exog_fc = _exog_flags(forecast_index, exclude_weekends, tz, holidays_all)
 
     # ARMA(1,1)+exog on the differences via Hannan–Rissanen:
     # d_t = c + φ d_{t-1} + θ ε_{t-1} + β x_t + ε_t
@@ -197,6 +238,8 @@ def predict_tolerances(
     sensitivity: str = "medium",
     num_forecast: int = NUM_FORECAST,
     exclude_weekends: bool = False,
+    holiday_codes: list[str] | None = None,
+    holiday_dates: set | None = None,
     tz: str | None = None,
 ) -> tuple[float | None, float | None]:
     """(lower_tolerance, upper_tolerance) for the next period.
@@ -207,7 +250,9 @@ def predict_tolerances(
     """
     try:
         forecast = get_forecast(history, num_forecast,
-                                exclude_weekends=exclude_weekends, tz=tz)
+                                exclude_weekends=exclude_weekends,
+                                holiday_codes=holiday_codes,
+                                holiday_dates=holiday_dates, tz=tz)
     except NotEnoughData:
         return None, None
     num_points = len(history)

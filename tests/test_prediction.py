@@ -145,3 +145,92 @@ def test_ma_term_improves_ima_series():
     # the fitted residual-based SE should approach sigma=1, well below the
     # raw-diff SE (which inflates to sqrt(1+theta^2)~1.22 x sigma)
     assert fc["se"].iloc[0] <= np.std(np.diff(y), ddof=1) + 1e-9
+
+
+# --- golden forecasts: series whose SARIMAX(1,1,1) limit is known in
+#     closed form, so the numpy estimator is checked against the model it
+#     re-implements rather than against itself (r2 VERDICT item #6) ---
+
+def test_golden_constant_series():
+    """y = c: every ARIMA(1,1,1) forecast is exactly c with zero residual."""
+    idx = pd.date_range("2026-05-01", periods=30, freq="D")
+    hist = pd.DataFrame({"v": np.full(30, 500.0)}, index=idx)
+    fc = get_forecast(hist, 5)
+    assert np.allclose(fc["mean"], 500.0, atol=1e-9)
+    assert np.allclose(fc["se"], 0.0, atol=1e-9)
+
+
+def test_golden_linear_trend():
+    """y = a + b t: first differences are the constant b, so the forecast
+    continues the line exactly: mean_h = y_T + b·h."""
+    idx = pd.date_range("2026-05-01", periods=40, freq="D")
+    hist = pd.DataFrame({"v": 100.0 + 5.0 * np.arange(40)}, index=idx)
+    fc = get_forecast(hist, 5)
+    expected = hist["v"].iloc[-1] + 5.0 * np.arange(1, 6)
+    assert np.allclose(fc["mean"], expected, rtol=1e-6)
+
+
+def test_golden_ar1_differences():
+    """d_t = φ·d_{t-1} exactly (φ=0.6): the estimator must recover φ and the
+    h-step mean is y_T + d_T·Σ φ^k — SARIMAX(1,1,1)'s forecast function."""
+    phi, d0 = 0.6, 64.0
+    d = d0 * phi ** np.arange(39)
+    y = 1000.0 + np.concatenate([[0.0], np.cumsum(d)])
+    idx = pd.date_range("2026-05-01", periods=40, freq="D")
+    hist = pd.DataFrame({"v": y}, index=idx)
+    fc = get_forecast(hist, 5)
+    d_last = d[-1]
+    expected = y[-1] + d_last * np.cumsum(phi ** np.arange(1, 6))
+    assert np.allclose(fc["mean"], expected, rtol=0.05)
+
+
+def test_golden_weekend_exog():
+    """Level dips on weekends only; with exclude_weekends the forecast for a
+    weekend day must sit below the weekday forecast."""
+    idx = pd.date_range("2026-05-01", periods=42, freq="D")  # Fri start
+    is_wk = (idx.dayofweek >= 5).astype(float)
+    hist = pd.DataFrame({"v": 200.0 - 80.0 * is_wk}, index=idx)
+    fc = get_forecast(hist, 7, exclude_weekends=True)
+    wk = fc["mean"][fc.index.dayofweek >= 5]
+    wd = fc["mean"][fc.index.dayofweek < 5]
+    assert wk.mean() < wd.mean()
+
+
+def test_holiday_exog_flags():
+    """Explicit holiday dates set the is_excluded dummy exactly like the
+    reference's holiday_codes path (time_series_service.py:70-72)."""
+    from dataops_testgen_spark.prediction.forecast import _exog_flags
+
+    idx = pd.date_range("2026-07-01", periods=7, freq="D")
+    hols = {pd.Timestamp("2026-07-03").date(), pd.Timestamp("2026-07-04").date()}
+    flags = _exog_flags(idx, exclude_weekends=False, tz=None,
+                        holiday_dates=hols)
+    assert flags.tolist() == [0, 0, 1, 1, 0, 0, 0]
+    # weekends OR holidays union (Jul 4/5 2026 = Sat/Sun)
+    flags2 = _exog_flags(idx, exclude_weekends=True, tz=None,
+                         holiday_dates={pd.Timestamp("2026-07-03").date()})
+    assert flags2.tolist() == [0, 0, 1, 1, 1, 0, 0]
+
+
+def test_holiday_forecast_dips():
+    """A recurring monthly 'holiday' dip modeled as exogenous: the forecast
+    on a flagged future date sits below unflagged neighbours."""
+    idx = pd.date_range("2026-01-01", periods=60, freq="D")
+    hols = {d.date() for d in idx if d.day == 15} | {
+        pd.Timestamp("2026-03-15").date()}
+    dip = np.isin(pd.Index(idx.date), sorted(hols)).astype(float)
+    hist = pd.DataFrame({"v": 300.0 - 120.0 * dip}, index=idx)
+    fc = get_forecast(hist, 20, holiday_dates=hols)
+    flagged = fc["mean"][[d.date() in hols for d in fc.index]]
+    clear = fc["mean"][[d.date() not in hols for d in fc.index]]
+    assert len(flagged) > 0
+    assert flagged.mean() < clear.mean()
+
+
+def test_infer_frequency_minutes_seconds():
+    idx = pd.date_range("2026-05-01", periods=30, freq="45min").to_series()
+    assert infer_frequency(idx) == "45min"
+    idx_s = pd.date_range("2026-05-01", periods=30, freq="30s").to_series()
+    assert infer_frequency(idx_s) == "30s"
+    idx_2d = pd.date_range("2026-05-01", periods=30, freq="2D").to_series()
+    assert infer_frequency(idx_2d) == "2D"
