@@ -272,10 +272,25 @@ def selection_catalog() -> list[tuple[str, Column, dict[str, Column]]]:
     ]
 
 
-def generate_selection_tests(inferred_profile: DataFrame) -> DataFrame:
-    """Inferred profile DF → test_definitions DF (one pass, exploded)."""
+def generate_selection_tests(
+    inferred_profile: DataFrame,
+    test_types: set[str] | list[str] | None = None,
+    table_names: set[str] | list[str] | None = None,
+) -> DataFrame:
+    """Inferred profile DF → test_definitions DF (one pass, exploded).
+
+    ``test_types`` restricts generation to a subset of the catalog and
+    ``table_names`` to a subset of tables — the reference's
+    test_types_filter and TABLE_FILTER (commands/test_generation.py:133-135,
+    146-147)."""
+    if table_names is not None:
+        inferred_profile = inferred_profile.filter(
+            F.col("table_name").isin(list(table_names)))
+    wanted = set(test_types) if test_types is not None else None
     entries = []
     for test_type, criteria, params in selection_catalog():
+        if wanted is not None and test_type not in wanted:
+            continue
         entries.append(
             F.struct(
                 F.lit(test_type).alias("test_type"),
@@ -336,10 +351,14 @@ def to_test_defs(test_definitions: DataFrame) -> list[TestDef]:
         for k, v in list(params.items()):
             if k == "baseline_value" and isinstance(v, list):
                 continue
+            # numeric params arrive as strings; parse with float() so
+            # scientific notation ("1e9") round-trips, then downcast whole
+            # numbers so int-typed thresholds stay ints
             try:
-                params[k] = float(v) if "." in str(v) else int(v)
+                num = float(v)
             except (TypeError, ValueError):
-                pass
+                continue
+            params[k] = int(num) if num.is_integer() else num
         defs.append(TestDef(
             test_id=f"{r['test_type']}_{r['table_name']}_{r['column_name']}".lower(),
             test_type=r["test_type"],

@@ -175,3 +175,40 @@ def test_weekly_rec_ct_criteria(spark):
         ftype, ttype = fdt["tx_date"]
         assert not (ftype.lower().startswith("transactional date")
                     and "cumulative" in ttype.lower())
+
+
+def test_generation_set_filtering(spark, sf_dir):
+    """test_types / table_names subsets restrict generation (ref
+    commands/test_generation.py:133-135,146-147)."""
+    from dataops_testgen_spark.generation.selection import generate_selection_tests
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = profile_table(df, "lineitem", run_date=RUN_DATE)
+    inferred = apply_inference(prof)
+    subset = generate_selection_tests(
+        inferred, test_types={"Unique_Pct", "Valid_Characters"})
+    types = {r["test_type"] for r in subset.collect()}
+    assert types == {"Unique_Pct", "Valid_Characters"}
+    none_for_other_table = generate_selection_tests(
+        inferred, table_names={"not_a_table"})
+    assert none_for_other_table.count() == 0
+    same = generate_selection_tests(inferred, table_names={"lineitem"})
+    assert same.count() == generate_selection_tests(inferred).count()
+
+
+def test_param_coercion_round_trips_numbers(spark):
+    """'1e9' must become a number (the old '.'-sniffing int() path silently
+    left it a string); whole floats downcast to int, dates stay strings."""
+    gen = spark.createDataFrame(
+        [("Row_Ct", "t", "c", "Y", "2026-08-01",
+          {"threshold_value": "1e9", "baseline_ct": "2.5",
+           "baseline_value": "2026-01-01", "lower_tolerance": "4.0"})],
+        "test_type string, table_name string, column_name string, "
+        "test_active string, last_auto_gen_date string, "
+        "params map<string,string>")
+    td = to_test_defs(gen)[0]
+    assert td.p("threshold_value") == 1_000_000_000
+    assert isinstance(td.p("threshold_value"), int)
+    assert td.p("baseline_ct") == 2.5
+    assert td.p("lower_tolerance") == 4 and isinstance(td.p("lower_tolerance"), int)
+    assert td.p("baseline_value") == "2026-01-01"
