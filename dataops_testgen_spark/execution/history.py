@@ -88,22 +88,27 @@ def update_history_calc_thresholds(defs: DataFrame,
         F.avg("signal_numeric").alias("avg"),
         F.stddev_samp("signal_numeric").alias("stddev"),
     )
+    # the stats join carries a constant marker so the update gates on "any
+    # ranked history row exists" (the reference UPDATE's join condition) —
+    # NOT on the newest result_signal being non-NULL: a test whose latest
+    # signal is NULL but with older numeric history must still recompute
+    stats = stats.withColumn("_has_stats", F.lit(True))
     joined = (defs.join(stats.alias("s"), "test_id", "left")
               .join(filtered.select("test_id").withColumn("_eligible", F.lit(True)),
                     "test_id", "left"))
     s = {c: F.col(f"s.{c}") for c in ("val", "min", "max", "sum", "avg", "stddev")}
     lower = _stat_case("history_calculation", s)
     upper = _stat_case("history_calculation_upper", s)
+    apply_update = F.col("_eligible") & F.col("s._has_stats").isNotNull()
     out = joined.withColumn(
         "lower_tolerance",
-        F.when(F.col("_eligible") & F.col("s.val").isNotNull(), lower)
-        .otherwise(F.col("lower_tolerance")),
+        F.when(apply_update, lower).otherwise(F.col("lower_tolerance")),
     ).withColumn(
         "upper_tolerance",
-        F.when(F.col("_eligible") & F.col("s.val").isNotNull(), upper)
-        .otherwise(F.col("upper_tolerance")),
+        F.when(apply_update, upper).otherwise(F.col("upper_tolerance")),
     )
-    return out.drop("val", "min", "max", "sum", "avg", "stddev", "_eligible")
+    return out.drop("val", "min", "max", "sum", "avg", "stddev",
+                    "_eligible", "_has_stats")
 
 
 def update_freshness_baselines(defs: DataFrame,

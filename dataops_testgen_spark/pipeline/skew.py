@@ -49,9 +49,14 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     equals ``big.join(small, keys, how)`` row-for-row.
     """
     assert how in ("inner", "left"), "salted_join supports inner/left"
+    # collision-proof internal name: a user '_salt' column must survive
+    salt = "__tg_salt__"
+    if salt in big.columns or salt in small.columns:
+        raise ValueError(f"salted_join: reserved column name {salt!r} "
+                         "already present in an input")
     salted_big = big.withColumn(
-        "_salt", (F.rand(seed=7) * salt_n).cast("int"))
+        salt, (F.rand(seed=7) * salt_n).cast("int"))
     replicas = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
-    out = salted_big.join(replicas, [*keys, "_salt"], how)
-    return out.drop("_salt")
+        salt, F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+    out = salted_big.join(replicas, [*keys, salt], how)
+    return out.drop(salt)

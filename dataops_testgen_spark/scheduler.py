@@ -35,14 +35,17 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
         if "/" in part:
             part, step_s = part.split("/", 1)
             step = int(step_s)
+        # steps anchor at the RANGE start (standard cron: '12-30/5' on
+        # minutes → 12,17,22,27), not the field minimum
         if part in ("*", ""):
-            rng = range(lo, hi + 1)
+            rng_lo, rng_hi = lo, hi
         elif "-" in part:
             a, b = part.split("-", 1)
-            rng = range(int(a), int(b) + 1)
+            rng_lo, rng_hi = int(a), int(b)
         else:
-            rng = range(int(part), int(part) + 1)
-        vals.update(v for v in rng if (v - lo) % step == 0 or step == 1)
+            rng_lo = rng_hi = int(part)
+        vals.update(v for v in range(rng_lo, rng_hi + 1)
+                    if (v - rng_lo) % step == 0)
     return {v for v in vals if lo <= v <= hi}
 
 
@@ -58,11 +61,20 @@ class Cron:
         self.dom = _parse_field(f[2], 1, 31)
         self.months = _parse_field(f[3], 1, 12)
         self.dow = _parse_field(f[4], 0, 6)
+        # standard cron (and the cron_converter the reference uses) ORs the
+        # two day fields when BOTH are restricted; AND otherwise
+        self._dom_any = f[2].strip() == "*"
+        self._dow_any = f[4].strip() == "*"
 
     def matches(self, t: _dt.datetime) -> bool:
+        dom_ok = t.day in self.dom
+        dow_ok = (t.weekday() + 1) % 7 in self.dow
+        if self._dom_any or self._dow_any:
+            day_ok = dom_ok and dow_ok
+        else:
+            day_ok = dom_ok or dow_ok
         return (t.minute in self.minutes and t.hour in self.hours
-                and t.day in self.dom and t.month in self.months
-                and (t.weekday() + 1) % 7 in self.dow)
+                and day_ok and t.month in self.months)
 
     def next_after(self, t: _dt.datetime) -> _dt.datetime:
         """First matching minute strictly after ``t`` (bounded scan)."""
@@ -122,10 +134,20 @@ class Scheduler:
         t.start()
 
     def run_pending(self, base_time: _dt.datetime,
-                    until: _dt.datetime) -> int:
+                    until: _dt.datetime,
+                    current_within: _dt.timedelta = _dt.timedelta(minutes=1),
+                    ) -> int:
         """One synchronous sweep [base_time, until] — fire every due
         triggering time per job, honoring the delayed policy. The threaded
-        ``start()`` loop wraps this; it is also the unit-testable surface."""
+        ``start()`` loop wraps this; it is also the unit-testable surface.
+
+        Policies (scheduler/base.py:94-98): ALL fires every missed trigger;
+        ONCE collapses missed triggers into one run (attributed to the
+        earliest); SKIP drops missed triggers entirely — only times still
+        current relative to ``until`` (within ``current_within``, the poll
+        window) fire, so a job that stalled past its slot stays silent
+        until the next on-time trigger, matching the reference's
+        ``triggering_time >= now`` gate."""
         fired = 0
         for job in self.get_jobs():
             gen = job.get_triggering_times(base_time)
@@ -137,7 +159,7 @@ class Scheduler:
             if not due:
                 continue
             if job.delayed_policy is DelayedPolicy.SKIP:
-                due = due[-1:]
+                due = [t for t in due if until - t <= current_within]
             elif job.delayed_policy is DelayedPolicy.ONCE:
                 due = due[:1]
             for t in due:

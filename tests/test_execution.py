@@ -348,3 +348,24 @@ def test_cat_remaining_measure_values(spark, num_df):
     # "12a"→"99a" and "9990"→"9999" fail translate check → 2 → fail
     assert r["t_zip3"]["result_measure"] == 2
     assert r["t_zip3"]["result_status"] == "Failed"
+
+
+def test_history_thresholds_update_with_null_latest_signal(spark):
+    """A test whose LATEST result_signal is NULL but with older numeric
+    history must still recompute tolerances from min/max/sum/avg (the
+    reference UPDATE applies whenever any ranked history row exists)."""
+    from dataops_testgen_spark.execution.history import update_history_calc_thresholds
+
+    defs = spark.createDataFrame(
+        [("t1", "Y", "Minimum", "Maximum", 5, "100.0", "200.0")],
+        "test_id string, test_active string, history_calculation string, "
+        "history_calculation_upper string, history_lookback int, "
+        "lower_tolerance string, upper_tolerance string")
+    results = spark.createDataFrame(
+        [("t1", "2026-01-01 00:00:00", "10"),
+         ("t1", "2026-01-02 00:00:00", "30"),
+         ("t1", "2026-01-03 00:00:00", None)],   # newest signal NULL
+        "test_id string, test_time string, result_signal string")
+    out = update_history_calc_thresholds(defs, results).collect()[0]
+    assert float(out["lower_tolerance"]) == 10.0   # Minimum of numeric history
+    assert float(out["upper_tolerance"]) == 30.0   # Maximum of numeric history

@@ -71,9 +71,35 @@ def test_scheduler_policies():
     ]
     s = Scheduler(jobs)
     base = dt.datetime(2026, 1, 1, 0, 0)
-    # 35 minutes late -> 3 firings missed (00:10, 00:20, 00:30)
+    # 35 minutes late -> 3 firings missed (00:10, 00:20, 00:30), none of
+    # them still current -> SKIP drops ALL of them (scheduler/base.py:94-98)
     fired = s.run_pending(base, base + dt.timedelta(minutes=35))
     import time
     time.sleep(0.5)
-    assert fired == 5  # SKIP->1 (latest), ALL->3, ONCE->1 (first)
-    assert ran.count("skip") == 1 and ran.count("all") == 3 and ran.count("once") == 1
+    assert fired == 4  # SKIP->0, ALL->3, ONCE->1 (first)
+    assert ran.count("skip") == 0 and ran.count("all") == 3 and ran.count("once") == 1
+    # an on-time trigger (within the poll window of `until`) still fires
+    ran.clear()
+    s2 = Scheduler([Job("*/10 * * * *", lambda: ran.append("skip"),
+                        name="skip", delayed_policy=DelayedPolicy.SKIP)])
+    fired2 = s2.run_pending(base, base + dt.timedelta(minutes=10))
+    time.sleep(0.3)
+    assert fired2 == 1 and ran == ["skip"]
+
+
+def test_cron_step_anchor_and_dow_or():
+    # stepped range anchors at the range start: 12-30/5 -> 12,17,22,27
+    c = Cron("12-30/5 * * * *")
+    assert c.minutes == {12, 17, 22, 27}
+    # both day fields restricted -> OR semantics (standard cron):
+    # "0 0 13 * 5" fires on the 13th AND on every Friday
+    c2 = Cron("0 0 13 * 5")
+    assert c2.matches(dt.datetime(2026, 2, 13, 0, 0))   # Fri the 13th
+    assert c2.matches(dt.datetime(2026, 2, 6, 0, 0))    # a Friday, not 13th
+    assert c2.matches(dt.datetime(2026, 3, 13, 0, 0))   # 13th, a Friday
+    assert c2.matches(dt.datetime(2026, 4, 13, 0, 0))   # 13th, a Monday
+    assert not c2.matches(dt.datetime(2026, 2, 12, 0, 0))
+    # one day field unrestricted -> AND semantics
+    c3 = Cron("0 0 * * 5")
+    assert c3.matches(dt.datetime(2026, 2, 6, 0, 0))
+    assert not c3.matches(dt.datetime(2026, 2, 5, 0, 0))

@@ -31,3 +31,20 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = {(r["k"], r["tag"]) for r in
            skew.salted_join(big, small, ["k"], salt_n=4, how="left").collect()}
     assert out == {("a", "A"), ("b", None)}
+
+
+def test_salted_join_preserves_user_salt_column(spark):
+    from dataops_testgen_spark.pipeline.skew import salted_join
+    import pyspark.sql.functions as F
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k: long, _salt: string")
+    small = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k: long, v: double")
+    out = salted_join(big, small, ["k"]).orderBy("k").collect()
+    # the user's _salt column survives untouched
+    assert [(r["k"], r["_salt"], r["v"]) for r in out] == [
+        (1, "a", 10.0), (2, "b", 20.0)]
+    # the reserved internal name is refused outright
+    bad = big.withColumn("__tg_salt__", F.lit(1))
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(bad, small, ["k"])
