@@ -851,6 +851,34 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    pair list (min-label propagation; cluster_id = min doc id = the keep-one
+    representative). Oracle re-derives components with a recursive CTE over
+    the identical pair SQL."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(docs, num_hashes=_MINHASH_K,
+                                      bands=_MINHASH_BANDS)
+    return DD.duplicate_clusters(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+          FROM cc GROUP BY 1)
+SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size
+FROM cc JOIN sizes USING (cluster_id)"""
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures, blocked
     on max_hamming+1 = 4 bit-slices per Manku et al. so recall is exact);
@@ -1776,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
@@ -1832,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": _SQL_DEDUP_EXACT,
         "ngram_jaccard_documents": _SQL_NGRAM_JACCARD,
         "minhash_lsh_documents": _sql_minhash(),
+        "dedup_clusters_documents": _sql_dedup_clusters(),
         "simhash_documents": _sql_simhash(),
         "embedding_cosine_pairs": _SQL_COSINE_PAIRS,
         "ann_topk_embeddings": _SQL_ANN_TOPK,

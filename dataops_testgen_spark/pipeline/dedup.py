@@ -345,3 +345,48 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
 
     return df.select(id_col, vec_col).mapInPandas(
         compute, schema="id_a long, id_b long, cosine double")
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    (doc_id, cluster_id, cluster_size), cluster_id = min doc id in the
+    component (the canonical "representative document" for keep-one dedup).
+
+    Min-label propagation: each round every node takes the smallest label
+    among itself and its neighbours — one hash join + one partial-aggregated
+    groupBy per round, converging in O(component diameter) rounds (near-dup
+    clusters are shallow: text variants of one source, so diameter is small
+    even at corpus scale).  The label frontier holds only nodes that APPEAR
+    in a pair — typically a tiny fraction of the corpus — and is
+    localCheckpoint'ed each round so the loop's lineage (and Catalyst plan)
+    stays constant-size.  Convergence is detected by the monotone
+    sum-of-labels invariant: one scalar agg per round, no driver-side
+    row data.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr_min = (edges.join(labels, edges["src"] == labels["id"])
+                   .groupBy(edges["dst"].alias("nid"))
+                   .agg(F.min("label").alias("nbr_label")))
+        labels = (labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+                  .select(labels["id"],
+                          F.least(labels["label"],
+                                  F.coalesce(F.col("nbr_label"),
+                                             labels["label"])).alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"), "cluster_size"))

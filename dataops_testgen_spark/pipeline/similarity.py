@@ -197,3 +197,52 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     ]
     best = F.array_max(F.array(*scored))
     return df.withColumn("ivf_cell", (-best["neg_idx"]).cast("int"))
+
+
+def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        max_iterations: int = 8,
+                        tol: float = 1e-4) -> list[list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer, Spark-first.
+
+    Initialization is a deterministic pseudo-random sample (order by
+    md5(id), take the first ``num_centroids`` vectors — reproducible with
+    no Math.random). Each round is ONE distributed pass: assign via the
+    linear-argmax projection (no shuffle), then per-cell per-dimension
+    means via posexplode + partial-aggregated groupBy.  Only the
+    num_centroids × dim mean matrix is collected per round — metadata
+    scale, never row data — so the loop works unchanged at 100 TB where
+    the reference pattern (sampled centroids supplied externally) would
+    leave cell populations unbalanced.  Empty cells keep their previous
+    centroid.  Stops early when the max centroid movement drops below
+    ``tol`` (squared-distance on raw coordinates).
+    """
+    seed_rows = (df.select(F.col(vec_col).alias("v"),
+                           F.md5(F.col(id_col).cast("string")).alias("h"))
+                 .orderBy("h").limit(num_centroids).collect())
+    centroids = [list(map(float, r["v"])) for r in seed_rows]
+    if len(centroids) < num_centroids:
+        return centroids
+
+    for _ in range(max_iterations):
+        assigned = ivf_assign(df, centroids, vec_col=vec_col)
+        mean_rows = (assigned
+                     .select("ivf_cell",
+                             F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                     .groupBy("ivf_cell", "pos")
+                     .agg(F.avg("x").alias("m"))
+                     .collect())
+        new_centroids = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(r["ivf_cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new_centroids[cell] = [dims[p] for p in sorted(dims)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids))
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids

@@ -251,3 +251,58 @@ def test_ivf_topk_exact_within_cell(spark):
     got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
     # cell 0 = {1,2,3}: neighbors of 1 are 2 then 3; 4/5 excluded (cell 1)
     assert got == [(2, 1), (3, 2)]
+
+
+def test_duplicate_clusters(spark):
+    """Chain 1-2-3, pair 5-6, singleton-pair 8-9 + chain joining 3-7:
+    min-label propagation must converge to per-component minima."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6), (8, 9)], "id_a: long, id_b: long")
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: (1, 4), 2: (1, 4), 3: (1, 4), 7: (1, 4),
+                   5: (5, 2), 6: (5, 2), 8: (8, 2), 9: (8, 2)}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 12-node path graph needs multiple propagation rounds (diameter >
+    1) — exercises the convergence loop, not just one join."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a: long, id_b: long")
+    rows = dedup.duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {100}
+    assert all(r["cluster_size"] == 12 for r in rows)
+    assert len(rows) == 12
+
+
+def test_train_ivf_centroids_separates_clusters(spark):
+    """Three well-separated synthetic clusters: trained centroids must put
+    each cluster in its own cell, and IVF top-k with trained centroids must
+    agree with brute force within the cluster."""
+    import numpy as np
+
+    from dataops_testgen_spark.pipeline import similarity as SIM
+
+    rng = np.random.RandomState(3)
+    anchors = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for i in range(60):
+        a = anchors[i % 3]
+        rows.append((i, (a + rng.normal(0, 0.3, 4)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = SIM.train_ivf_centroids(df, num_centroids=3, max_iterations=6)
+    assert len(cents) == 3
+    assigned = SIM.ivf_assign(df, cents).collect()
+    # every member of a ground-truth cluster lands in the same cell, and
+    # the three clusters use three distinct cells
+    cells = {}
+    for r in assigned:
+        cells.setdefault(r["vec_id"] % 3, set()).add(r["ivf_cell"])
+    assert all(len(s) == 1 for s in cells.values())
+    assert len(set().union(*cells.values())) == 3
+    # convergence: trained centroids sit near the anchors (cosine ≈ 1)
+    import numpy.linalg as la
+    for a in anchors:
+        best = max(
+            float(np.dot(a, c) / (la.norm(a) * la.norm(c))) for c in cents)
+        assert best > 0.99
