@@ -1625,6 +1625,107 @@ FROM missing m ORDER BY missing_period LIMIT 500"""
 
 
 # --------------------------------------------------------------------------
+# Q: Category + historical overall scores (ref get_category_scores_by_column
+#    .sql, get_historical_overall_scores_by_column.sql) — previously
+#    unit-only; the fixture rows exercise NULL-pct coalescing, the
+#    full-outer label/run merge, and the CDE-restricted weighted average.
+# --------------------------------------------------------------------------
+
+# (label, good_data_pct, weight) — NULL pct exercises COALESCE(pct*w, 0)
+_CAT_PROF_ROWS = [("Completeness", 0.9, 100.0), ("Completeness", 0.8, 50.0),
+                  ("Validity", 0.99, 200.0), ("Validity", None, 50.0),
+                  ("", 0.5, 10.0)]
+_CAT_TEST_ROWS = [("Completeness", 0.95, 60.0), ("Uniqueness", 0.7, 40.0)]
+
+# (run_time, good_data_pct, weight, critical_data_element)
+_HIST_PROF_ROWS = [("2026-01-01", 0.9, 100.0, True),
+                   ("2026-01-01", 0.8, 100.0, False),
+                   ("2026-01-02", 0.95, 100.0, True)]
+_HIST_TEST_ROWS = [("2026-01-01", 0.99, 50.0, False),
+                   ("2026-01-03", 0.6, 10.0, True)]
+
+
+def q_score_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataops_testgen_spark.scoring import score_cards as SCC
+
+    prof = spark.createDataFrame(
+        _CAT_PROF_ROWS,
+        "dq_dimension string, good_data_pct double, weighted_record_ct double")
+    test = spark.createDataFrame(
+        _CAT_TEST_ROWS,
+        "dq_dimension string, good_data_pct double, weighted_dq_record_ct double")
+    out = SCC.category_scores(prof, test, "dq_dimension")
+    return out.select("label", F.round("score", 6).alias("score"))
+
+
+def _sql_rows(rows) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return str(v)
+    return ",\n  ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+def _sql_score_category() -> str:
+    return f"""
+WITH prof(label, pct, w) AS (VALUES
+  {_sql_rows(_CAT_PROF_ROWS)}),
+test(label, pct, w) AS (VALUES
+  {_sql_rows(_CAT_TEST_ROWS)}),
+p AS (SELECT label,
+             SUM(COALESCE(pct * w, 0)) / NULLIF(SUM(COALESCE(w, 0)), 0)
+               AS score
+      FROM prof WHERE NULLIF(label, '') IS NOT NULL GROUP BY 1),
+t AS (SELECT label,
+             SUM(COALESCE(pct * w, 0)) / NULLIF(SUM(COALESCE(w, 0)), 0)
+               AS score
+      FROM test WHERE NULLIF(label, '') IS NOT NULL GROUP BY 1)
+SELECT COALESCE(p.label, t.label) AS label,
+       ROUND(COALESCE(p.score, 1.0) * COALESCE(t.score, 1.0), 6) AS score
+FROM p FULL JOIN t ON p.label = t.label"""
+
+
+def q_score_overall_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataops_testgen_spark.scoring import score_cards as SCC
+
+    prof = spark.createDataFrame(
+        _HIST_PROF_ROWS,
+        "run_time string, good_data_pct double, weighted_record_ct double, "
+        "critical_data_element boolean")
+    test = spark.createDataFrame(
+        _HIST_TEST_ROWS,
+        "run_time string, good_data_pct double, weighted_dq_record_ct double, "
+        "critical_data_element boolean")
+    out = SCC.overall_scores_by_run(prof, test)
+    return out.select("run_time", F.round("score", 6).alias("score"),
+                      F.round("cde_score", 6).alias("cde_score"))
+
+
+def _sql_score_overall_history() -> str:
+    side = """SELECT run_time,
+             SUM(pct * w) / NULLIF(SUM(w), 0) AS score,
+             SUM(CASE WHEN cde THEN pct * w ELSE 0 END)
+               / NULLIF(SUM(CASE WHEN cde THEN w ELSE 0 END), 0) AS cde_score
+      FROM {t} GROUP BY 1"""
+    return f"""
+WITH prof(run_time, pct, w, cde) AS (VALUES
+  {_sql_rows(_HIST_PROF_ROWS)}),
+test(run_time, pct, w, cde) AS (VALUES
+  {_sql_rows(_HIST_TEST_ROWS)}),
+p AS ({side.format(t='prof')}),
+t AS ({side.format(t='test')})
+SELECT COALESCE(p.run_time, t.run_time) AS run_time,
+       ROUND(COALESCE(p.score, 1.0) * COALESCE(t.score, 1.0), 6) AS score,
+       ROUND(COALESCE(p.cde_score, 1.0) * COALESCE(t.cde_score, 1.0), 6)
+         AS cde_score
+FROM p FULL JOIN t ON p.run_time = t.run_time"""
+
+
+# --------------------------------------------------------------------------
 # Q: Template generation (gen_Constant last-5-runs stability window) and
 #    Schema_Drift structure-log aggregation — r2 VERDICT item #5.
 # --------------------------------------------------------------------------
@@ -1822,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
+        "score_category_fixture": q_score_category,
+        "score_overall_history_fixture": q_score_overall_history,
     }
 
 
@@ -1885,4 +1988,6 @@ def oracle_sql() -> dict[str, str]:
         "drilldown_missing_days_events": _SQL_DRILLDOWN_MISSING_DAYS,
         "gen_constant_history": _sql_gen_constant_history(),
         "schema_drift_log": _SQL_SCHEMA_DRIFT,
+        "score_category_fixture": _sql_score_category(),
+        "score_overall_history_fixture": _sql_score_overall_history(),
     }

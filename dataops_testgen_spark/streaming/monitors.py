@@ -24,7 +24,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet sources written without a
+    timezone surface as TIMESTAMP_NTZ, which ``withWatermark`` rejects —
+    normalize (wall-clock instant is preserved; session TZ is UTC)."""
+    field = stream.schema[ts_col]
+    if field.dataType.simpleString() == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def _windowed(stream: DataFrame, ts_col: str, window: str, watermark: str):
+    stream = _as_event_time(stream, ts_col)
     return (stream.withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window).alias("w")))
 
