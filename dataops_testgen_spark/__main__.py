@@ -126,6 +126,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--observability-out", default="",
                         help="append exported observability event payloads "
                              "to this JSONL file")
+    parser.add_argument("--test-types", default="",
+                        help="comma-separated test-type subset for "
+                             "generation (reference --generation-set / "
+                             "test_types_filter)")
+    parser.add_argument("--tables", default="",
+                        help="comma-separated table subset for generation")
     args = parser.parse_args(argv)
 
     from dataops_testgen_spark.session import get_spark
@@ -156,7 +162,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from dataops_testgen_spark.generation import generate_selection_tests
-    gen = generate_selection_tests(inferred)
+    gen = generate_selection_tests(
+        inferred,
+        test_types=({t.strip() for t in args.test_types.split(",") if t.strip()}
+                    or None),
+        table_names=({t.strip() for t in args.tables.split(",") if t.strip()}
+                     or None))
     if args.command == "run-test-generation":
         _write(gen, args.out, "test_definitions")
         return 0

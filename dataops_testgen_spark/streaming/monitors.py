@@ -165,3 +165,33 @@ def stateful_freshness_monitor(
     return (stream.groupBy(key_col)
             .applyInPandasWithState(track, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    text_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the first row per dedup key
+    seen within the watermark horizon.
+
+    The batch `dedup_exact` shape (md5-of-content groupBy) carried into
+    Structured Streaming: state is keyed on the dedup key and expired by the
+    watermark (``dropDuplicatesWithinWatermark``), so state size is bounded
+    by keys-per-horizon instead of growing with the whole stream — the
+    property that makes continuous ingest dedup feasible at 100 TB/day.
+    Pass ``key_cols`` for key-based identity or ``text_col`` to dedup on the
+    md5 of a content column.
+    """
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("pass exactly one of key_cols / text_col")
+    stream = _as_event_time(stream, ts_col)
+    content_key = "__tg_content_md5__"
+    if text_col is not None:
+        stream = stream.withColumn(content_key, F.md5(F.col(text_col)))
+        key_cols = [content_key]
+    out = (stream.withWatermark(ts_col, watermark)
+           .dropDuplicatesWithinWatermark(key_cols))
+    return out.drop(content_key) if text_col is not None else out

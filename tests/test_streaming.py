@@ -121,3 +121,41 @@ def test_stateful_freshness_monitor(spark, tmp_path):
     assert first["gap_minutes"] is None and first["stale"] == 0
     # 2026-01-01 06:00 -> 2026-01-03 06:00 = 2880 minutes > 1440
     assert second["gap_minutes"] == 2880.0 and second["stale"] == 1
+
+
+def test_streaming_exact_dedup(spark):
+    """Duplicate content across two appended files: only the first instance
+    per md5 survives within the watermark horizon."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from dataops_testgen_spark.streaming.monitors import streaming_exact_dedup
+
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    batch1 = spark.createDataFrame(
+        [(1, t0, "hello world"), (2, t0, "unique one")],
+        "doc_id: long, ts: timestamp, text: string")
+    batch2 = spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=5), "hello world"),   # dup of 1
+         (4, t0 + dt.timedelta(minutes=6), "unique two")],
+        "doc_id: long, ts: timestamp, text: string")
+    batch1.coalesce(1).write.mode("overwrite").parquet(d)
+    batch2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = streaming_exact_dedup(stream, ts_col="ts", text_col="text",
+                                watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("dedup_stream").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["hello world", "unique one", "unique two"]
+    assert {r["doc_id"] for r in rows} <= {1, 2, 3, 4} and len(rows) == 3
+    # schema untouched: helper key column does not leak
+    assert "__tg_content_md5__" not in spark.table("dedup_stream").columns
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
