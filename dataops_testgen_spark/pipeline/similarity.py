@@ -157,17 +157,26 @@ def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
 
 def ivf_topk(df: DataFrame, queries: DataFrame,
              centroids: list[list[float]], k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF search with nprobe=1: score only candidates in the query's coarse
-    cell. 100 TB shape: the assignment is a pure projection (no shuffle),
-    the candidate restriction is one equi-join on ivf_cell; cell population
-    is data/num_centroids, so work per query is ~N/C instead of N."""
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             nprobe: int = 1) -> DataFrame:
+    """IVF search: score only candidates in the query's ``nprobe`` nearest
+    coarse cells. 100 TB shape: the assignment is a pure projection (no
+    shuffle), the candidate restriction is one equi-join on ivf_cell; cell
+    population is data/num_centroids, so work per query is ~nprobe·N/C
+    instead of N — nprobe is the recall/cost dial (queries near a cell
+    boundary recover their neighbours from the adjacent cell)."""
     base = ivf_assign(df, centroids, vec_col=vec_col) \
         .select(F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("v"), "ivf_cell")
-    q = ivf_assign(queries, centroids, vec_col=vec_col) \
-        .select(F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"), "ivf_cell")
+    if nprobe <= 1:
+        q = ivf_assign(queries, centroids, vec_col=vec_col) \
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"), "ivf_cell")
+    else:
+        q = (ivf_probe_cells(queries, centroids, nprobe, vec_col=vec_col)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("qv"),
+                     F.explode("ivf_cells").alias("ivf_cell")))
     scored = (q.join(base, "ivf_cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
@@ -176,6 +185,26 @@ def ivf_topk(df: DataFrame, queries: DataFrame,
                                                F.col("neighbor_id").asc())
     return scored.select("*", F.row_number().over(w).alias("rank")) \
                  .filter(F.col("rank") <= k)
+
+
+def ivf_probe_cells(df: DataFrame, centroids: list[list[float]],
+                    nprobe: int, vec_col: str = "embedding") -> DataFrame:
+    """``ivf_cells`` = indices of the ``nprobe`` nearest centroids, by the
+    same linear-growth expression shape as ivf_assign: build the
+    (sim, -idx) struct array once, array_sort descending, slice, project
+    the indices. Still a pure projection — no shuffle, no UDF."""
+    v = F.col(vec_col)
+    scored = F.array(*[
+        F.struct(
+            cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+            F.lit(-i).alias("neg_idx"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return df.withColumn(
+        "ivf_cells",
+        F.transform(top, lambda s: (-s["neg_idx"]).cast("int")))
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]],

@@ -306,3 +306,30 @@ def test_train_ivf_centroids_separates_clusters(spark):
         best = max(
             float(np.dot(a, c) / (la.norm(a) * la.norm(c))) for c in cents)
         assert best > 0.99
+
+
+def test_ivf_nprobe_recall(spark):
+    """nprobe = num_centroids must reproduce brute force exactly; nprobe=2
+    recall must be ≥ nprobe=1 (boundary queries recover neighbours from the
+    adjacent cell)."""
+    import numpy as np
+
+    from dataops_testgen_spark.pipeline import similarity as SIM
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.normal(0, 1, 6).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    queries = spark.createDataFrame(rows[:10],
+                                    "vec_id: long, embedding: array<double>")
+    cents = SIM.train_ivf_centroids(df, num_centroids=4, max_iterations=4)
+
+    def pairs(out):
+        return {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+    exact = pairs(SIM.brute_force_topk(df, queries, k=5))
+    full_probe = pairs(SIM.ivf_topk(df, queries, cents, k=5,
+                                    nprobe=len(cents)))
+    assert full_probe == exact
+    p1 = pairs(SIM.ivf_topk(df, queries, cents, k=5, nprobe=1))
+    p2 = pairs(SIM.ivf_topk(df, queries, cents, k=5, nprobe=2))
+    assert len(p2 & exact) >= len(p1 & exact)
