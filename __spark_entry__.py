@@ -1726,6 +1726,56 @@ FROM p FULL JOIN t ON p.run_time = t.run_time"""
 
 
 # --------------------------------------------------------------------------
+# Q: merge_test_defs upsert semantics (ON CONFLICT DO UPDATE ... WHERE
+#    lock_refresh='N') — refresh overlapping keys, keep stale rows, never
+#    touch locked rows, insert new ones.
+# --------------------------------------------------------------------------
+
+_MERGE_KEYS_SCHEMA = ("test_type string, table_name string, "
+                      "column_name string, payload string")
+_MERGE_EXISTING = [("Unique", "t", "a", "old-a"),
+                   ("Unique", "t", "b", "locked-old-b"),
+                   ("Row_Ct", "t", None, "old-rowct")]
+_MERGE_GENERATED = [("Unique", "t", "a", "new-a"),
+                    ("Unique", "t", "b", "new-b-must-not-apply"),
+                    ("Min_Val", "t", "c", "new-c")]
+_MERGE_LOCKED = [("Unique", "t", "b")]
+
+
+def q_merge_defs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataops_testgen_spark.generation.selection import merge_test_defs
+
+    existing = spark.createDataFrame(_MERGE_EXISTING, _MERGE_KEYS_SCHEMA)
+    generated = spark.createDataFrame(_MERGE_GENERATED, _MERGE_KEYS_SCHEMA)
+    locked = spark.createDataFrame(
+        _MERGE_LOCKED, "test_type string, table_name string, column_name string")
+    return merge_test_defs(existing, generated, locked)
+
+
+def _sql_merge_defs() -> str:
+    return f"""
+WITH existing(test_type, table_name, column_name, payload) AS (VALUES
+  {_sql_rows(_MERGE_EXISTING)}),
+generated(test_type, table_name, column_name, payload) AS (VALUES
+  {_sql_rows(_MERGE_GENERATED)}),
+locked(test_type, table_name, column_name) AS (VALUES
+  {_sql_rows(_MERGE_LOCKED)}),
+gen_unlocked AS (
+  SELECT g.* FROM generated g ANTI JOIN locked l
+  USING (test_type, table_name, column_name)),
+refreshed AS (
+  SELECT e.* FROM existing e ANTI JOIN generated g
+  USING (test_type, table_name, column_name)),
+keep_locked AS (
+  SELECT e.* FROM existing e SEMI JOIN locked l
+  USING (test_type, table_name, column_name)),
+merged AS (SELECT * FROM refreshed UNION ALL SELECT * FROM gen_unlocked)
+SELECT m.* FROM merged m ANTI JOIN locked l
+  USING (test_type, table_name, column_name)
+UNION ALL SELECT * FROM keep_locked"""
+
+
+# --------------------------------------------------------------------------
 # Q: Template generation (gen_Constant last-5-runs stability window) and
 #    Schema_Drift structure-log aggregation — r2 VERDICT item #5.
 # --------------------------------------------------------------------------
@@ -1925,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_log": q_schema_drift_log,
         "score_category_fixture": q_score_category,
         "score_overall_history_fixture": q_score_overall_history,
+        "merge_defs_fixture": q_merge_defs_fixture,
     }
 
 
@@ -1990,4 +2041,5 @@ def oracle_sql() -> dict[str, str]:
         "schema_drift_log": _SQL_SCHEMA_DRIFT,
         "score_category_fixture": _sql_score_category(),
         "score_overall_history_fixture": _sql_score_overall_history(),
+        "merge_defs_fixture": _sql_merge_defs(),
     }
