@@ -879,6 +879,30 @@ SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size
 FROM cc JOIN sizes USING (cluster_id)"""
 
 
+def q_dedup_keep_one_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: drop every non-representative member of a
+    MinHash near-dup cluster; return the surviving doc ids."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(docs, num_hashes=_MINHASH_K,
+                                      bands=_MINHASH_BANDS)
+    return DD.dedup_keep_one(docs, pairs).select("doc_id")
+
+
+def _sql_dedup_keep_one() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)"""
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures, blocked
     on max_hamming+1 = 4 bit-slices per Manku et al. so recall is exact);
@@ -1956,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_keep_one_documents": q_dedup_keep_one_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
@@ -2016,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _SQL_NGRAM_JACCARD,
         "minhash_lsh_documents": _sql_minhash(),
         "dedup_clusters_documents": _sql_dedup_clusters(),
+        "dedup_keep_one_documents": _sql_dedup_keep_one(),
         "simhash_documents": _sql_simhash(),
         "embedding_cosine_pairs": _SQL_COSINE_PAIRS,
         "ann_topk_embeddings": _SQL_ANN_TOPK,

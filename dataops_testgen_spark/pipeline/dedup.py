@@ -390,3 +390,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     return (labels.join(sizes, "label")
             .select(F.col("id").alias("doc_id"),
                     F.col("label").alias("cluster_id"), "cluster_size"))
+
+
+def dedup_keep_one(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end corpus dedup: given near-dup pairs, keep one
+    representative per duplicate cluster (the min doc id) and every
+    untouched document.
+
+    Shape: duplicate_clusters works on the pair-member frontier only
+    (tiny); the final filter is ONE broadcast-able left-anti join against
+    the drop list — the corpus itself is scanned once and never shuffled.
+    """
+    clusters = duplicate_clusters(pairs)
+    drop = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("__drop_id__")))
+    return df.join(F.broadcast(drop),
+                   df[id_col] == F.col("__drop_id__"), "left_anti")

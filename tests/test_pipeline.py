@@ -333,3 +333,14 @@ def test_ivf_nprobe_recall(spark):
     p1 = pairs(SIM.ivf_topk(df, queries, cents, k=5, nprobe=1))
     p2 = pairs(SIM.ivf_topk(df, queries, cents, k=5, nprobe=2))
     assert len(p2 & exact) >= len(p1 & exact)
+
+
+def test_dedup_keep_one(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a: long, id_b: long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_keep_one(docs, pairs).collect())
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; untouched 4,7 stay
+    assert kept == [1, 4, 5, 7]
