@@ -172,14 +172,26 @@ def main(argv: list[str] | None = None) -> int:
         _write(gen, args.out, "test_definitions")
         return 0
 
-    # run-tests: execute generated CAT tests, score the run
-    from dataops_testgen_spark.execution.cat import run_cat_tests
+    # run-tests: validate, execute generated CAT tests, score the run
+    from dataops_testgen_spark.execution.cat import RESULT_SCHEMA, run_cat_tests
+    from dataops_testgen_spark.execution.validation import validate_tests
     from dataops_testgen_spark.generation.selection import to_test_defs
     from dataops_testgen_spark.scoring import rollup_scores
     from dataops_testgen_spark.scoring.rollup import attach_test_prevalence
 
     defs = to_test_defs(gen)
-    results = run_cat_tests(tables, defs, run_date=args.run_date)
+    # validation pre-pass (run_test_validation.py semantics): tests whose
+    # table/column no longer exists become Error rows and don't execute
+    outcome = validate_tests(tables, defs)
+    if outcome.errors:
+        print(f"validation: {len(outcome.errors)} test(s) reference missing "
+              "tables/columns — deactivated with Error results")
+    results = run_cat_tests(tables, outcome.valid, run_date=args.run_date)
+    if outcome.errors:
+        err_rows = [tuple(e.get(f.name) for f in RESULT_SCHEMA.fields)
+                    for e in outcome.errors]
+        results = results.unionByName(
+            spark.createDataFrame(err_rows, RESULT_SCHEMA))
     _write(results, args.out, "test_results")
 
     prof_rows = {(r["table_name"], r["column_name"]): r.asDict()

@@ -115,11 +115,13 @@ SAMPLE_PERCENT = 0.30
 SAMPLE_MAX_ROWS = 999_000
 SAMPLE_SEED = 64
 
-# Rows below which the pre-agg repartition is skipped: at mid size the
-# shuffle costs more than the parallelism buys (orders sf0.1, 150k rows:
-# 12.0s with repartition vs 9.6s without — the 3 agg jobs are compile-bound,
-# not data-bound).  Any table at cluster scale clears this and repartitions.
-_REPARTITION_MIN_ROWS = 500_000
+# Rows below which the pre-agg repartition is skipped.  Warm A/B on orders
+# sf0.1 (150k rows, 3 reps each): WITH repartition 4.5-6.6s, WITHOUT
+# 8.8-12.5s — the regex/date-parse block on a single file-granted partition
+# dominates, so parallelism wins from 50k rows up.  (A cold single-shot
+# comparison shows the opposite because the extra shuffle stage's compile
+# hides the win — always A/B warm.)
+_REPARTITION_MIN_ROWS = 50_000
 
 
 def _column_exprs(col: schema_scan.ColumnChars, idx: int, run_date: _dt.date,
