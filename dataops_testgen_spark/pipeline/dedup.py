@@ -365,9 +365,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     sum-of-labels invariant: one scalar agg per round, no driver-side
     row data.
     """
+    # checkpoint the symmetric edge list FIRST: every propagation round
+    # joins against it, and an unbroken lineage would re-derive the pair
+    # source (e.g. the whole MinHash shingle/band pipeline) once per round
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst"))))
+                                 F.col(id_a).alias("dst")))
+             .localCheckpoint())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
