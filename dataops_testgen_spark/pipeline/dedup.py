@@ -20,6 +20,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,13 +131,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # pair) instead of the three a self-join needs, and the shingle strings
     # never travel twice.
     if max_df is not None:
+        freq = exploded.groupBy("shingle").agg(
+            F.array_sort(F.collect_set("id")).alias("ids"))
         if isinstance(max_df, float) and max_df < 1:
-            max_df = max(16, int(max_df * df.count()))
-        kept = (
-            exploded.groupBy("shingle")
-            .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-            .filter(F.size("ids") <= max_df)
-        )
+            # resolve the fractional cap declaratively: broadcast the 1-row
+            # corpus count into the filter instead of a separate pre-scan
+            # count() job (same semantics: max(16, floor(frac * ndocs)))
+            ndocs = sh.agg(F.count(F.lit(1)).alias("__ndocs__"))
+            kept = (freq.crossJoin(F.broadcast(ndocs))
+                    .filter(F.size("ids") <= F.greatest(
+                        F.lit(16),
+                        F.floor(F.lit(max_df) * F.col("__ndocs__"))))
+                    .drop("__ndocs__"))
+        else:
+            kept = freq.filter(F.size("ids") <= F.lit(int(max_df)))
         sizes = (kept.select(F.explode("ids").alias("id"))
                  .groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
         ids_per_shingle = kept.filter(F.size("ids") > 1)
@@ -376,6 +385,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("label", F.col("id"))
               .localCheckpoint())
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (edges.join(labels, edges["src"] == labels["id"])
                    .groupBy(edges["dst"].alias("nid"))
@@ -388,8 +398,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                   .localCheckpoint())
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # min-label propagation advances one hop per round, so a component
+        # whose diameter exceeds max_iterations would silently come back
+        # split into several partial clusters — surface that loudly
+        warnings.warn(
+            f"duplicate_clusters: label propagation still changing after "
+            f"{max_iterations} rounds — a component's diameter exceeds the "
+            f"iteration budget and clusters may be partially merged; raise "
+            f"max_iterations",
+            RuntimeWarning, stacklevel=2)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
             .select(F.col("id").alias("doc_id"),
@@ -397,17 +418,27 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dedup_keep_one(df: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   broadcast_max_bytes: int = 256 * 1024 * 1024) -> DataFrame:
     """The end-to-end corpus dedup: given near-dup pairs, keep one
     representative per duplicate cluster (the min doc id) and every
     untouched document.
 
-    Shape: duplicate_clusters works on the pair-member frontier only
-    (tiny); the final filter is ONE broadcast-able left-anti join against
-    the drop list — the corpus itself is scanned once and never shuffled.
+    Shape: duplicate_clusters works on the pair-member frontier only; the
+    final filter is ONE left-anti join against the drop list. The join is
+    size-dispatched: a high-duplication corpus (20-50% dups is common at
+    100 TB) has a drop list far beyond broadcast limits, so the broadcast
+    hint is applied only when the measured drop count fits under
+    ``broadcast_max_bytes`` (~32 B/id incl. row overhead); above that the
+    join shuffles both sides on the id — still one corpus scan, and the
+    drop side is ids only, never content.  Counting the drop list is a
+    metadata-plane job: clusters derive from the localCheckpoint'ed label
+    frontier, not the corpus.
     """
     clusters = duplicate_clusters(pairs)
     drop = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias("__drop_id__")))
-    return df.join(F.broadcast(drop),
-                   df[id_col] == F.col("__drop_id__"), "left_anti")
+            .select(F.col("doc_id").alias("__drop_id__"))
+            .localCheckpoint())
+    if drop.count() * 32 <= broadcast_max_bytes:
+        drop = F.broadcast(drop)
+    return df.join(drop, df[id_col] == F.col("__drop_id__"), "left_anti")

@@ -247,8 +247,12 @@ def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
     centroid.  Stops early when the max centroid movement drops below
     ``tol`` (squared-distance on raw coordinates).
     """
+    # seed from clean vectors only: a NULL element or NULL array would
+    # poison the seed centroid (float(None)) before training even starts
     seed_rows = (df.select(F.col(vec_col).alias("v"),
                            F.md5(F.col(id_col).cast("string")).alias("h"))
+                 .filter(F.col("v").isNotNull()
+                         & ~F.exists("v", lambda x: x.isNull()))
                  .orderBy("h").limit(num_centroids).collect())
     centroids = [list(map(float, r["v"])) for r in seed_rows]
     if len(centroids) < num_centroids:
@@ -267,7 +271,17 @@ def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
         for r in mean_rows:
             by_cell.setdefault(r["ivf_cell"], {})[r["pos"]] = r["m"]
         for cell, dims in by_cell.items():
-            new_centroids[cell] = [dims[p] for p in sorted(dims)]
+            if cell is None or not (0 <= cell < len(centroids)):
+                continue  # NULL-scored rows assign to a NULL cell
+            dim_n = len(centroids[cell])
+            vals = [dims.get(p) for p in range(dim_n)]
+            if len(dims) != dim_n or any(v is None for v in vals):
+                # ragged or NULL-bearing embeddings in this cell: an
+                # all-NULL dimension yields m=None and a short array yields
+                # missing positions — keep the previous centroid rather
+                # than produce a ragged/NULL one
+                continue
+            new_centroids[cell] = vals
         shift = max(
             sum((a - b) ** 2 for a, b in zip(old, new))
             for old, new in zip(centroids, new_centroids))

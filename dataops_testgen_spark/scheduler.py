@@ -60,7 +60,8 @@ class Cron:
         self.hours = _parse_field(f[1], 0, 23)
         self.dom = _parse_field(f[2], 1, 31)
         self.months = _parse_field(f[3], 1, 12)
-        self.dow = _parse_field(f[4], 0, 6)
+        # standard cron accepts both 0 and 7 for Sunday; normalize 7 -> 0
+        self.dow = {0 if v == 7 else v for v in _parse_field(f[4], 0, 7)}
         # standard cron (and the cron_converter the reference uses) ORs the
         # two day fields when BOTH are restricted; AND otherwise
         self._dom_any = f[2].strip() == "*"

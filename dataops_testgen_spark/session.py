@@ -25,6 +25,12 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # the profiler and CAT engine overlap independent aggregation jobs
+        # from a thread pool (profiler.py / cat.py); FIFO would let one
+        # wide job starve the others on a busy cluster — FAIR round-robins
+        # task slots across the concurrently submitted jobs, preserving the
+        # overlap that local[N] gets for free
+        .config("spark.scheduler.mode", "FAIR")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

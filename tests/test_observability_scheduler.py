@@ -103,3 +103,16 @@ def test_cron_step_anchor_and_dow_or():
     c3 = Cron("0 0 * * 5")
     assert c3.matches(dt.datetime(2026, 2, 6, 0, 0))
     assert not c3.matches(dt.datetime(2026, 2, 5, 0, 0))
+
+
+def test_cron_dow_seven_is_sunday():
+    # standard cron accepts 7 as an alias for Sunday (0)
+    c = Cron("0 9 * * 7")
+    assert c.dow == {0}
+    sun = dt.datetime(2026, 8, 16, 9, 0)  # a Sunday
+    assert c.matches(sun)
+    assert not c.matches(sun + dt.timedelta(days=1))
+    # next_after from a Saturday lands on Sunday 09:00, not ValueError
+    assert c.next_after(dt.datetime(2026, 8, 15, 12, 0)) == sun
+    # ranges spanning the wrap: 5-7 = Fri, Sat, Sun
+    assert Cron("0 0 * * 5-7").dow == {5, 6, 0}

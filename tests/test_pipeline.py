@@ -344,3 +344,51 @@ def test_dedup_keep_one(spark):
                   dedup.dedup_keep_one(docs, pairs).collect())
     # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; untouched 4,7 stay
     assert kept == [1, 4, 5, 7]
+
+
+def test_dedup_keep_one_shuffled_join_path(spark):
+    """broadcast_max_bytes=0 forces the non-broadcast dispatch: identical
+    results, and NO broadcast hint on the drop side (AQE may still choose
+    broadcast at runtime when the measured size fits — that's the point:
+    the decision is size-driven, not forced)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a: long, id_b: long")
+    out = dedup.dedup_keep_one(docs, pairs, broadcast_max_bytes=0)
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5, 7]
+    # and the default path does apply the hint for a tiny drop list
+    hinted = dedup.dedup_keep_one(docs, pairs)
+    assert ("strategy=broadcast"
+            in hinted._jdf.queryExecution().analyzed().toString())
+
+
+def test_duplicate_clusters_nonconvergence_warns(spark):
+    """A path graph of diameter > max_iterations cannot finish merging —
+    the function must emit a RuntimeWarning instead of silently returning
+    partially-merged clusters."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 110)], "id_a: long, id_b: long")
+    with _pytest.warns(RuntimeWarning, match="still changing"):
+        dedup.duplicate_clusters(pairs, max_iterations=2)
+
+
+def test_train_ivf_centroids_null_dims_keep_previous(spark):
+    """Ragged / NULL-bearing embeddings: a cell whose per-dimension means
+    are incomplete keeps its previous centroid instead of raising or
+    producing a short/NULL centroid."""
+    from dataops_testgen_spark.pipeline import similarity as SIM
+
+    rows = [
+        (1, [10.0, 0.0, 0.0]), (2, [11.0, 0.0, 0.0]),
+        (3, [0.0, 10.0, None]), (4, [0.0, 11.0, None]),  # all-NULL dim
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+    cents = SIM.train_ivf_centroids(df, num_centroids=2, max_iterations=3)
+    assert len(cents) == 2
+    for c in cents:
+        assert len(c) == 3 and all(v is not None for v in c)
