@@ -1658,6 +1658,37 @@ SELECT m.period AS missing_period,
 FROM missing m ORDER BY missing_period LIMIT 500"""
 
 
+def q_drilldown_aggregate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate_Balance drill-down via the uniform registry: per-group
+    SUM(l_quantity) over the full lineitem vs a shipdate-bounded subset —
+    the mismatched (group, total, match_total) rows, the reference lookup's
+    union-all + regroup + `total <> match_total` shape
+    (test_types_Aggregate_Balance.yaml target_data_lookups)."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    li = _load(spark, sf_dir, "lineitem")
+    res = DR.source_data_lookup(
+        li, "Aggregate_Balance", "CAST(SUM(l_quantity) AS BIGINT)",
+        {"groupby_names": "l_returnflag", "match_df": li,
+         "match_subset_condition": "l_shipdate <= DATE '1996-06-30'"},
+        limit=500)
+    return res.df
+
+
+_SQL_DRILLDOWN_AGG_BALANCE = """
+WITH l AS (
+  SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS total
+  FROM lineitem GROUP BY 1),
+r AS (
+  SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS match_total
+  FROM lineitem WHERE l_shipdate <= DATE '1996-06-30' GROUP BY 1)
+SELECT COALESCE(l.l_returnflag, r.l_returnflag) AS l_returnflag,
+       total, match_total
+FROM l FULL OUTER JOIN r ON l.l_returnflag IS NOT DISTINCT FROM r.l_returnflag
+WHERE total IS DISTINCT FROM match_total
+ORDER BY 1 LIMIT 500"""
+
+
 # --------------------------------------------------------------------------
 # Q: Category + historical overall scores (ref get_category_scores_by_column
 #    .sql, get_historical_overall_scores_by_column.sql) — previously
@@ -2006,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
+        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
         "score_category_fixture": q_score_category,
@@ -2073,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "drilldown_masked_customer": _SQL_DRILLDOWN_MASKED,
         "drilldown_outlier_lineitem": _SQL_DRILLDOWN_OUTLIER,
         "drilldown_missing_days_events": _SQL_DRILLDOWN_MISSING_DAYS,
+        "drilldown_aggregate_balance": _SQL_DRILLDOWN_AGG_BALANCE,
         "gen_constant_history": _sql_gen_constant_history(),
         "schema_drift_log": _SQL_SCHEMA_DRIFT,
         "score_category_fixture": _sql_score_category(),

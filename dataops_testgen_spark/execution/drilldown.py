@@ -471,6 +471,160 @@ def _lk_valid_month(df, column, params, limit, run_date):
     return _lk_lov_match(df, column, params, limit, run_date)
 
 
+# ---------------------------------------------------------------------------
+# Cross-table / query-test lookups.  These route the uniform drill-down
+# interface to the query-test detail pipelines (execution/query_tests.py):
+# the reference's target_data_lookups for these types re-run the comparison
+# and return the offending groups/rows (e.g.
+# test_types_Aggregate_Balance.yaml `target_data_lookups`: union-all +
+# regroup + total<>match_total filter).  The second table arrives via
+# ``params["match_df"]`` — the Spark-first stand-in for
+# {MATCH_SCHEMA_NAME}.{MATCH_TABLE_NAME}.
+# ---------------------------------------------------------------------------
+
+def _csv(params, key, default=None):
+    v = params.get(key, default)
+    if v is None:
+        return None
+    return [c.strip() for c in v.split(",")] if isinstance(v, str) else list(v)
+
+
+def _lk_aggregate_balance(mode):
+    def build(df, column, params, limit, run_date):
+        from dataops_testgen_spark.execution.query_tests import aggregate_balance
+
+        groupby = _csv(params, "groupby_names")
+        out = aggregate_balance(
+            df, groupby, F.expr(column or params["column_name"]),
+            params["match_df"],
+            _csv(params, "match_groupby_names") or groupby,
+            F.expr(params.get("match_column_names")
+                   or column or params["column_name"]),
+            mode=mode,
+            lower_tolerance=params.get("lower_tolerance"),
+            upper_tolerance=params.get("upper_tolerance"),
+            subset_condition=params.get("subset_condition"),
+            match_subset_condition=params.get("match_subset_condition"),
+            having_condition=params.get("having_condition"),
+            match_having_condition=params.get("match_having_condition"),
+        )
+        return out.orderBy(*groupby).limit(limit)
+    return build
+
+
+def _lk_combo_match(df, column, params, limit, run_date):
+    from dataops_testgen_spark.execution.query_tests import combo_match
+
+    keys = _csv(params, "groupby_names")
+    out = combo_match(
+        df, keys, params["match_df"],
+        match_keys=_csv(params, "match_groupby_names") or keys,
+        subset_condition=params.get("subset_condition"),
+        match_subset_condition=params.get("match_subset_condition"))
+    return out.orderBy(*keys).limit(limit)
+
+
+def _lk_timeframe_combo(gain):
+    def build(df, column, params, limit, run_date):
+        from dataops_testgen_spark.execution import query_tests as QT
+
+        keys = _csv(params, "groupby_names")
+        fn = QT.timeframe_combo_gain if gain else QT.timeframe_combo_match
+        out = fn(df, keys, params["window_date_column"],
+                 int(params["window_days"]),
+                 subset_condition=params.get("subset_condition"))
+        return out.orderBy(*keys).limit(limit)
+    return build
+
+
+def _lk_distribution_shift(df, column, params, limit, run_date):
+    """Per-category share comparison — the reference lookup's latest_ver /
+    older_ver CTE full-join (test_types_Distribution_Shift.yaml), not the
+    JS-divergence scalar (which is the test's own output)."""
+    from pyspark.sql import Window
+
+    from dataops_testgen_spark.execution.query_tests import _subset
+
+    cols = _csv(params, "groupby_names") or [column]
+    match_cols = _csv(params, "match_groupby_names") or cols
+
+    def shares(d, cc, sub):
+        cat = F.concat_ws("|", *[F.col(c).cast("string") for c in cc])
+        g = _subset(d, sub).groupBy(cat.alias("category")).agg(
+            F.count(F.lit(1)).alias("ct"))
+        total = F.sum("ct").over(Window.partitionBy())
+        return g.select("category",
+                        F.round(F.col("ct") / total, 6).alias("pct"))
+
+    new = shares(df, cols, params.get("subset_condition"))
+    old = shares(params["match_df"], match_cols,
+                 params.get("match_subset_condition"))
+    return (new.alias("n")
+            .join(old.alias("o"), F.col("n.category") == F.col("o.category"),
+                  "full_outer")
+            .select(F.coalesce(F.col("n.category"),
+                               F.col("o.category")).alias("category"),
+                    F.col("n.pct").alias("latest_pct_of_total"),
+                    F.col("o.pct").alias("older_pct_of_total"))
+            .orderBy("category").limit(limit))
+
+
+def _lk_metric_trend(df, column, params, limit, run_date):
+    """Volume_Trend / Metric_Trend: current metric value against the
+    predicted [lower, upper] tolerance band (the reference lookup's
+    `{CUSTOM_QUERY} AS current_count, {LOWER,UPPER}_TOLERANCE` row)."""
+    from dataops_testgen_spark.execution.query_tests import _subset
+
+    base = _subset(df, params.get("subset_condition"))
+    out = base.agg(F.expr(params["custom_query"]).alias("current_count"))
+    lo, hi = params.get("lower_tolerance"), params.get("upper_tolerance")
+    return out.select(
+        "current_count",
+        F.lit(float(lo) if lo is not None else None).alias("lower_bound"),
+        F.lit(float(hi) if hi is not None else None).alias("upper_bound"))
+
+
+def _lk_table_freshness(df, column, params, limit, run_date):
+    """Table_Freshness / Freshness_Trend detail: the current fingerprint
+    beside the baseline (no reference lookup exists — detail IS the
+    fingerprint comparison the test runs)."""
+    from dataops_testgen_spark.execution.query_tests import _subset
+
+    base = _subset(df, params.get("subset_condition"))
+    fp = F.md5(F.concat_ws("|", *[
+        F.expr(e).cast("string")
+        for e in (params.get("fingerprint_exprs") or [params["custom_query"]])
+    ]))
+    baseline = params.get("baseline_value")
+    return base.agg(fp.alias("current_fingerprint")).select(
+        "current_fingerprint",
+        F.lit(baseline).alias("baseline_fingerprint"),
+        (F.col("current_fingerprint") != F.lit(baseline)).alias("changed")
+        if baseline is not None else F.lit(None).cast("boolean").alias("changed"))
+
+
+def _lk_schema_drift(df, column, params, limit, run_date):
+    """Schema_Drift detail: the structure-log rows since the last run
+    (params["structure_log_df"] + params["since"]) — the changes themselves
+    are the offending 'rows'."""
+    log = params["structure_log_df"]
+    since = params.get("since")
+    if since:
+        log = log.filter(F.col("change_date") >= F.lit(since))
+    return log.orderBy("table_name", "column_name").limit(limit)
+
+
+def _lk_custom(df, column, params, limit, run_date):
+    """CUSTOM test drill-down: the custom query itself is the lookup.
+    Accepts a full SQL string (run against a temp view of ``df`` named
+    ``target``) or a bare boolean condition."""
+    sql = params.get("custom_query", "")
+    if sql.strip().lower().startswith("select"):
+        df.createOrReplaceTempView("target")
+        return df.sparkSession.sql(sql).limit(limit)
+    return df.filter(F.expr(sql)).limit(limit)
+
+
 TEST_LOOKUPS = {
     "Unique": _lk_unique,
     "Dupe_Rows": _lk_dupe_rows,
@@ -509,6 +663,24 @@ TEST_LOOKUPS = {
     "Variability_Decrease": _lk_variability,
     "Future_Date_1Y": _lk_future_date_1y,
     "Condition_Flag": _lk_condition_flag,
+    # cross-table / query-test types (reference target_data_lookups in the
+    # corresponding test_types_*.yaml; routed to query_tests detail pipelines)
+    "Aggregate_Balance": _lk_aggregate_balance("exact"),
+    "Aggregate_Balance_Percent": _lk_aggregate_balance("percent"),
+    "Aggregate_Balance_Range": _lk_aggregate_balance("range"),
+    "Aggregate_Minimum": _lk_aggregate_balance("minimum"),
+    "Combo_Match": _lk_combo_match,
+    "Timeframe_Combo_Match": _lk_timeframe_combo(gain=False),
+    "Timeframe_Combo_Gain": _lk_timeframe_combo(gain=True),
+    "Distribution_Shift": _lk_distribution_shift,
+    "Volume_Trend": _lk_metric_trend,
+    "Metric_Trend": _lk_metric_trend,
+    # no reference lookup exists for these four — detail routes to the
+    # test's own comparison output instead of returning NA
+    "Table_Freshness": _lk_table_freshness,
+    "Freshness_Trend": _lk_table_freshness,
+    "Schema_Drift": _lk_schema_drift,
+    "CUSTOM": _lk_custom,
     # profile-anomaly lookups share the registry (error_type Profile Anomaly)
     "Leading_Spaces": _lk_leading_spaces,
     "Quoted_Values": _lk_quoted_values,

@@ -181,3 +181,96 @@ def test_lov_all_and_zip_lookups(people, spark):
         [("02134",), ("9021x",), ("12345-6789",)], "z: string")
     res2 = DR.source_data_lookup(zips, "Valid_US_Zip", "z")
     assert {r["z"] for r in res2.df.collect()} == {"9021x"}
+
+
+# --- cross-table / query-test lookups (r4: 14 new registry types) ---------
+
+def test_registry_covers_cross_table_types():
+    """All 46 reference test types bearing target_data_lookups + the 4
+    query types whose detail is the test's own comparison output."""
+    for t in ("Aggregate_Balance", "Aggregate_Balance_Percent",
+              "Aggregate_Balance_Range", "Aggregate_Minimum", "Combo_Match",
+              "Timeframe_Combo_Match", "Timeframe_Combo_Gain",
+              "Distribution_Shift", "Volume_Trend", "Metric_Trend",
+              "Table_Freshness", "Freshness_Trend", "Schema_Drift", "CUSTOM"):
+        assert t in DR.TEST_LOOKUPS, t
+    assert len(DR.TEST_LOOKUPS) >= 50
+
+
+def test_aggregate_balance_lookup(spark):
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], "grp: string, amt: long")
+    right = spark.createDataFrame(
+        [("a", 15), ("b", 9)], "grp: string, amt: long")
+    res = DR.source_data_lookup(
+        left, "Aggregate_Balance", "SUM(amt)",
+        {"groupby_names": "grp", "match_df": right})
+    assert res.status == "OK"
+    rows = {(r["grp"], r["total"], r["match_total"]) for r in res.df.collect()}
+    assert rows == {("b", 7, 9)}
+    # range mode: tolerance ±3 admits the b mismatch
+    res2 = DR.source_data_lookup(
+        left, "Aggregate_Balance_Range", "SUM(amt)",
+        {"groupby_names": "grp", "match_df": right,
+         "lower_tolerance": 3, "upper_tolerance": 3})
+    assert res2.df.count() == 0
+
+
+def test_combo_match_lookup(spark):
+    left = spark.createDataFrame([("a",), ("b",), ("c",)], "k: string")
+    right = spark.createDataFrame([("a",), ("b",)], "k: string")
+    res = DR.source_data_lookup(left, "Combo_Match", None,
+                                {"groupby_names": "k", "match_df": right})
+    assert {r["k"] for r in res.df.collect()} == {"c"}
+
+
+def test_timeframe_combo_lookup(spark):
+    rows = [("k1", "2026-01-10"), ("k2", "2026-01-10"),
+            ("k1", "2026-01-01"), ("k3", "2026-01-01")]
+    df = spark.createDataFrame(rows, "k: string, d: string") \
+        .withColumn("d", F.col("d").cast("date"))
+    res = DR.source_data_lookup(
+        df, "Timeframe_Combo_Gain", None,
+        {"groupby_names": "k", "window_date_column": "d", "window_days": 5})
+    assert {r["k"] for r in res.df.collect()} == {"k3"}
+    res2 = DR.source_data_lookup(
+        df, "Timeframe_Combo_Match", None,
+        {"groupby_names": "k", "window_date_column": "d", "window_days": 5})
+    got = {(r["missing_from"], r["k"]) for r in res2.df.collect()}
+    assert got == {("Prior Timeframe", "k2"), ("Latest Timeframe", "k3")}
+
+
+def test_distribution_shift_lookup(spark):
+    new = spark.createDataFrame([("x",)] * 3 + [("y",)], "c: string")
+    old = spark.createDataFrame([("x",)] * 2 + [("z",)] * 2, "c: string")
+    res = DR.source_data_lookup(new, "Distribution_Shift", None,
+                                {"groupby_names": "c", "match_df": old})
+    rows = {(r["category"], r["latest_pct_of_total"], r["older_pct_of_total"])
+            for r in res.df.collect()}
+    assert rows == {("x", 0.75, 0.5), ("y", 0.25, None), ("z", None, 0.5)}
+
+
+def test_metric_trend_and_freshness_lookups(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v: long")
+    res = DR.source_data_lookup(
+        df, "Volume_Trend", None,
+        {"custom_query": "COUNT(*)", "lower_tolerance": 5,
+         "upper_tolerance": 20})
+    row = res.df.collect()[0]
+    assert (row["current_count"], row["lower_bound"], row["upper_bound"]) \
+        == (10, 5.0, 20.0)
+    res2 = DR.source_data_lookup(
+        df, "Table_Freshness", None,
+        {"custom_query": "COUNT(*)", "baseline_value": "nope"})
+    row2 = res2.df.collect()[0]
+    assert row2["changed"] is True and row2["baseline_fingerprint"] == "nope"
+
+
+def test_custom_lookup(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, s: string")
+    res = DR.source_data_lookup(df, "CUSTOM", None, {"custom_query": "id > 1"})
+    assert {r["id"] for r in res.df.collect()} == {2}
+    res2 = DR.source_data_lookup(
+        df, "CUSTOM", None,
+        {"custom_query": "SELECT s FROM target WHERE id = 1"})
+    assert [r["s"] for r in res2.df.collect()] == ["a"]
