@@ -231,20 +231,38 @@ def profile_table(
             else:
                 main_exprs.append(e)
 
+    # The secondary (top-k unpivot) pass is independent of the primary aggs —
+    # materialize it from the same thread pool so its codegen compile and
+    # stage execution overlap the primaries instead of running serially
+    # after them (pre-r4 it ran inside the consumer's first action).
+    sec_holder = {}
+
+    def _run_secondary():
+        s = secondary_profile(
+            target, [c for c in cols if c.general_type == "A"], table_name)
+        sec_holder["df"] = None if s is None else s.localCheckpoint()
+
     row = {}
     jobs = [es for es in (main_exprs, dist_exprs, pct_exprs) if es]
-    if len(jobs) > 1:
-        # The three agg jobs are independent; submitting them from separate
-        # threads lets Spark's scheduler overlap their Catalyst compiles and
-        # stage execution (local[N] has idle cores while one job compiles).
+    tasks = [(lambda es=es: target.agg(*es).collect()[0].asDict())
+             for es in jobs]
+    if secondary:
+        tasks.append(lambda: _run_secondary())
+    if len(tasks) > 1:
+        # All jobs are independent; submitting them from separate threads
+        # lets Spark's scheduler overlap their Catalyst compiles and stage
+        # execution (local[N] has idle cores while one job compiles; FAIR
+        # scheduling in session.py keeps the overlap on busy clusters).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(len(jobs)) as pool:
-            for part in pool.map(
-                    lambda es: target.agg(*es).collect()[0].asDict(), jobs):
-                row.update(part)
-    elif jobs:
-        row.update(target.agg(*jobs[0]).collect()[0].asDict())
+        with ThreadPoolExecutor(len(tasks)) as pool:
+            for part in pool.map(lambda t: t(), tasks):
+                if part:
+                    row.update(part)
+    elif tasks:
+        part = tasks[0]()
+        if part:
+            row.update(part)
 
     out_rows = []
     for i, col in enumerate(cols):
@@ -292,20 +310,18 @@ def profile_table(
         PROFILE_SCHEMA,
     )
     if secondary:
-        sec = secondary_profile(target, [c for c in cols if c.general_type == "A"], table_name)
+        sec = sec_holder.get("df")
         if sec is not None:
+            # sec is already localCheckpoint'ed (materialized in the thread
+            # pool above), so this join carries no table-scan lineage —
+            # downstream consumers (inference self-joins, anomaly screening
+            # branches) never re-run the unpivot scan.
             profile = (
                 profile.drop("top_patterns", "distinct_pattern_ct",
                              "top_freq_values", "distinct_value_hash")
                 .join(sec, ["table_name", "column_name"], "left")
                 .select(*[f.name for f in PROFILE_SCHEMA.fields])
             )
-            # The joined plan carries the secondary-pass TABLE SCAN in its
-            # lineage; downstream consumers (inference self-joins, anomaly
-            # screening branches) would re-run that scan once per branch.
-            # The profile is one row per column — truncate the lineage here
-            # (materializes lazily at the first action).
-            profile = profile.localCheckpoint(eager=False)
     return profile
 
 
