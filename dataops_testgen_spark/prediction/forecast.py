@@ -131,10 +131,25 @@ def get_forecast(
     exog = _exog_flags(resampled.index, exclude_weekends, tz, holidays_all)
     exog_fc = _exog_flags(forecast_index, exclude_weekends, tz, holidays_all)
 
-    # ARMA(1,1)+exog on the differences via Hannan–Rissanen:
-    # d_t = c + φ d_{t-1} + θ ε_{t-1} + β x_t + ε_t
-    d = np.diff(y)
-    c0 = phi = theta = beta = 0.0
+    # Exogenous semantics match statsmodels SARIMAX (the reference's
+    # estimator): REGRESSION WITH ARIMA ERRORS — y_t = γ·x_t + u_t with
+    # (1-B)u_t ~ ARMA(1,1).  Two-step Cochrane–Orcutt-style estimate: γ by
+    # OLS on [1, t, x] (intercept + linear trend proxy the integrated
+    # part), then the ARMA fit runs on the exog-adjusted series.  The
+    # earlier x-on-differences parameterization left the full excluded-day
+    # level swing inside the residuals, inflating the SE floor by the
+    # swing magnitude (r4 Kalman-MLE golden comparison: 11-37× too wide).
+    gamma = 0.0
+    if exog.std() > 0:
+        xmat = np.column_stack([np.ones(len(y)), np.arange(len(y)), exog])
+        gcoef, *_ = np.linalg.lstsq(xmat, y, rcond=None)
+        gamma = float(gcoef[2])
+    y_adj = y - gamma * exog
+
+    # ARMA(1,1) on the adjusted differences via Hannan–Rissanen:
+    # d_t = c + φ d_{t-1} + θ ε_{t-1} + ε_t
+    d = np.diff(y_adj)
+    c0 = phi = theta = 0.0
     eps_last = 0.0
     resid = d
     if len(d) >= 6:
@@ -147,47 +162,63 @@ def get_forecast(
         # step 2: OLS with the lagged residual regressor
         for _pass in range(2):
             dx = np.column_stack([
-                np.ones(len(d) - 1), d[:-1], eps_hat[:-1], exog[2:],
+                np.ones(len(d) - 1), d[:-1], eps_hat[:-1],
             ])
             dy = d[1:]
             coef, *_ = np.linalg.lstsq(dx, dy, rcond=None)
-            c0, phi, theta, beta = coef
+            c0, phi, theta = coef
             theta = float(np.clip(theta, -0.98, 0.98))  # invertibility
+            # moment condition: pin the intercept to the unconditional mean,
+            # c = (1-φ)·E[d].  The OLS intercept carries a small bias under
+            # near-cancellation (φ ≈ -θ), and the CSS residual recursion
+            # below amplifies any intercept bias b into an eps_last error of
+            # b/(1+θ) — 50× at θ = -0.98 (r4 Kalman-MLE golden comparison:
+            # holiday fixture forecast off by 2-3 SE before this pin)
+            c0 = float((1 - phi) * np.mean(d))
             # step 3: recompute residuals RECURSIVELY under the fitted
             # ARMA(1,1) (CSS refinement pass), then refit once
             eps = np.zeros(len(d))
             for t in range(1, len(d)):
                 eps[t] = (d[t] - c0 - phi * d[t - 1]
-                          - theta * eps[t - 1] - beta * exog[t + 1])
+                          - theta * eps[t - 1])
             eps_hat = eps
         resid = eps_hat[1:]
         eps_last = float(eps_hat[-1])
     elif len(d) >= 3:
-        dx = np.column_stack([np.ones(len(d) - 1), d[:-1], exog[2:]])
+        dx = np.column_stack([np.ones(len(d) - 1), d[:-1]])
         dy = d[1:]
         coef, *_ = np.linalg.lstsq(dx, dy, rcond=None)
-        c0, phi, beta = coef
+        c0, phi = coef
         resid = dy - dx @ coef
 
     # Iterative mean forecast; ε_{T+h} = 0 for h ≥ 1, so the MA term only
-    # feeds the first step (as in SARIMAX's get_forecast)
+    # feeds the first step (as in SARIMAX's get_forecast); the γ·x exog
+    # effect re-enters on the level
     means = []
-    level, prev_d = y[-1], d[-1] if len(d) else 0.0
+    level, prev_d = y_adj[-1], d[-1] if len(d) else 0.0
     prev_eps = eps_last
     for step in range(num_forecast):
-        d_next = c0 + phi * prev_d + theta * prev_eps + beta * exog_fc[step]
+        d_next = c0 + phi * prev_d + theta * prev_eps
         level = level + d_next
-        means.append(level)
+        means.append(level + gamma * exog_fc[step])
         prev_d, prev_eps = d_next, 0.0
 
-    # SE floors (time_series_service.py:100-112); model SE grows like a
-    # random walk with the per-step residual sigma.
+    # SE floors (time_series_service.py:100-112).  Model SE grows with the
+    # ψ-weights of the fitted ARMA(1,1) cumulated through the integration —
+    # Var(y_{T+h}) = σ²·Σ_{i<h} Ψ_i², Ψ_i = 1 + (φ+θ)(1-φ^i)/(1-φ) — the
+    # same forecast-variance recursion statsmodels' SARIMAX uses.  This
+    # generalizes the old √h random-walk growth (exact for φ=θ=0) and stays
+    # flat for near-over-differenced series (θ→-1), where √h growth
+    # overstated the band (r4 Kalman-MLE golden comparison).
     burn_in = 3
     usable = resid[burn_in:] if len(resid) > burn_in else resid
     resid_se = float(np.std(usable, ddof=1)) if len(usable) >= 5 else 0.0
     raw_diff_se = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
     step_se = max(resid_se, raw_diff_se)
-    model_se = step_se * np.sqrt(np.arange(1, num_forecast + 1))
+    psi = np.array([1.0] + [(phi + theta) * phi ** (j - 1)
+                            for j in range(1, num_forecast)])
+    big_psi = np.cumsum(psi)
+    model_se = step_se * np.sqrt(np.cumsum(big_psi ** 2))
     se = np.maximum(model_se, max(resid_se, raw_diff_se))
 
     return pd.DataFrame({"mean": means, "se": se}, index=forecast_index)

@@ -234,3 +234,73 @@ def test_infer_frequency_minutes_seconds():
     assert infer_frequency(idx_s) == "30s"
     idx_2d = pd.date_range("2026-05-01", periods=30, freq="2D").to_series()
     assert infer_frequency(idx_2d) == "2D"
+
+
+# --- r4: exact-MLE Kalman goldens ------------------------------------------
+# tests/data/sarimax_goldens.json is produced by scripts/gen_sarimax_goldens
+# .py: an exact Gaussian-MLE ARIMA(1,1,1)(+exog) fit via Kalman filter — the
+# same estimator statsmodels SARIMAX uses (the reference's model,
+# time_series_service.py:76-84; statsmodels itself is absent in this env).
+# The engine's Hannan–Rissanen estimator must agree with the exact MLE
+# within a fraction of the MLE's own forecast SE.
+
+import json as _json
+import os as _os
+
+_GOLDENS = _json.load(open(_os.path.join(
+    _os.path.dirname(__file__), "data", "sarimax_goldens.json")))
+
+
+def _golden_history(name):
+    v = _GOLDENS[name]
+    idx = pd.date_range("2026-01-05", periods=len(v["y"]), freq="D")
+    return pd.DataFrame({"v": v["y"]}, index=idx), v
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("drift", {}),
+    ("arma", {}),
+    ("weekend", {"exclude_weekends": True}),
+    ("holiday", {"holiday_dates": {
+        d.date() for d in pd.date_range("2026-01-01", "2026-04-01")
+        if d.day == 15}}),
+])
+def test_kalman_mle_golden_forecasts(name, kw):
+    hist, v = _golden_history(name)
+    fc = get_forecast(hist, 10, **kw)
+    mean = fc["mean"].to_numpy()
+    se = fc["se"].to_numpy()
+    g_mean, g_se = np.array(v["mean"]), np.array(v["se"])
+    # forecast means within 0.6 exact-MLE SE at every horizon
+    assert np.all(np.abs(mean - g_mean) <= 0.6 * g_se + 1e-9), (
+        np.abs(mean - g_mean) / g_se)
+    # SE within a factor band of the exact-MLE SE (HR keeps the reference's
+    # conservative raw-diff floor, so mild overshoot is expected)
+    ratio = se / g_se
+    assert np.all((ratio > 0.5) & (ratio < 2.2)), ratio
+
+
+def test_not_enough_raw_points_parity():
+    """len(history) < MIN_TRAIN_VALUES raises BEFORE resampling, exactly as
+    the reference does (time_series_service.py:40-41) — even when daily
+    resampling would interpolate past the minimum."""
+    days = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 13, 17, 21, 25, 29, 33, 38, 43]
+    idx = pd.DatetimeIndex(
+        [pd.Timestamp("2026-03-02") + pd.Timedelta(days=d) for d in days])
+    hist = pd.DataFrame({"v": np.arange(len(days), dtype=float)}, index=idx)
+    with pytest.raises(NotEnoughData):
+        get_forecast(hist, 5)
+
+
+def test_t_ppf_matches_published_tables():
+    """Cornish–Fisher t quantile vs published two-sided 95% t-table values
+    (the n<20 multiplier path, test_thresholds_prediction.py:289-294)."""
+    # tolerance 4e-3: the Cornish–Fisher expansion degrades at low df
+    # (measured 2.8e-3 at df=5, <2e-4 from df=10 up)
+    published = {5: 2.570582, 10: 2.228139, 17: 2.109816, 19: 2.093024}
+    for df, expected in published.items():
+        assert abs(t_ppf(0.975, df) - expected) < 4e-3, df
+    # and at the Z_SCORE_MAP percentiles the multiplier widens vs normal
+    from dataops_testgen_spark.prediction.forecast import _norm_cdf
+    for z in (2.0, 2.5, 3.0):
+        assert t_ppf(_norm_cdf(z), 15) > z
