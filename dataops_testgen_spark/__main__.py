@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="dataops_testgen_spark")
     parser.add_argument("command", choices=[
         "run-profile", "run-anomalies", "run-test-generation", "run-tests",
-        "run-monitors"])
+        "run-monitors", "export-tests", "import-tests"])
     parser.add_argument("--data-dir", required=True)
     parser.add_argument("--out", default="")
     parser.add_argument("--run-date", default=dt.date.today().isoformat())
@@ -132,6 +132,25 @@ def main(argv: list[str] | None = None) -> int:
                              "test_types_filter)")
     parser.add_argument("--tables", default="",
                         help="comma-separated table subset for generation")
+    parser.add_argument("--doc", default="",
+                        help="export-tests: output JSON path; import-tests: "
+                             "input JSON document path")
+    parser.add_argument("--defs", default="",
+                        help="existing test_definitions parquet dir "
+                             "(import-tests target / export-tests source; "
+                             "export-tests defaults to freshly generated "
+                             "definitions when omitted)")
+    parser.add_argument("--mode", default="preview",
+                        choices=["preview", "apply", "apply_strict"],
+                        help="import-tests mode")
+    parser.add_argument("--on-match", default="overwrite_unlocked",
+                        choices=["overwrite_all", "overwrite_unlocked",
+                                 "skip"])
+    parser.add_argument("--on-new", default="create",
+                        choices=["skip", "create", "create_and_lock"])
+    parser.add_argument("--on-absence", default="do_nothing",
+                        choices=["do_nothing", "delete_all",
+                                 "delete_unlocked"])
     args = parser.parse_args(argv)
 
     from dataops_testgen_spark.session import get_spark
@@ -142,7 +161,48 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "run-monitors":
         return _run_monitors(spark, tables, args)
 
+    if args.command == "import-tests":
+        import json as _json
+
+        from dataops_testgen_spark.generation import export_import as EI
+
+        existing = (spark.read.parquet(args.defs)
+                    if args.defs else None)
+        with open(args.doc) as fh:
+            payload = _json.load(fh)
+        res = EI.import_definitions(
+            spark, existing, payload,
+            EI.ImportConfig(mode=args.mode, on_match=args.on_match,
+                            on_new=args.on_new, on_absence=args.on_absence),
+            profiled_tables=set(tables))
+        print(f"import ({args.mode}): {res.summary}")
+        for it in res.items:
+            if it.action == "skip":
+                print(f"  skip[{it.reason}]: {it.test_type} "
+                      f"{it.table_name}.{it.column_name}")
+        if res.applied and args.out:
+            _write(res.result_defs, args.out, "test_definitions")
+        return 0 if (res.applied or args.mode == "preview") else 1
+
     inferred = _profile_all(spark, tables, args.run_date)
+
+    if args.command == "export-tests":
+        import json as _json
+
+        from dataops_testgen_spark.generation import export_import as EI
+        from dataops_testgen_spark.generation import generate_selection_tests
+
+        if args.defs:
+            defs = spark.read.parquet(args.defs)
+        else:
+            defs = generate_selection_tests(inferred)
+        doc, _updated = EI.export_definitions(
+            defs, {"data_dir": args.data_dir, "run_date": args.run_date})
+        out_path = args.doc or "test_definitions_export.json"
+        with open(out_path, "w") as fh:
+            _json.dump(doc, fh, indent=1, default=str)
+        print(f"exported {len(doc['definitions'])} definitions -> {out_path}")
+        return 0
 
     if args.command == "run-profile":
         _write(inferred, args.out, "profile_results")
