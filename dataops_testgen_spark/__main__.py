@@ -1,22 +1,37 @@
-"""Thin CLI over the engine — mirrors the reference's primary commands
-(`testgen/__main__.py:238` run-profile, `:253` run-test-generation,
-`:311` run-tests) against a directory of parquet tables.
+"""CLI over the engine — mirrors the reference's command surface
+(`/root/reference/testgen/__main__.py:238-1006`) against parquet data
+directories, with the app DB replaced by a parquet RunStore (store.py).
 
-Usage:
-  python -m dataops_testgen_spark run-profile --data-dir DIR [--out DIR]
-  python -m dataops_testgen_spark run-anomalies --data-dir DIR [--out DIR]
-  python -m dataops_testgen_spark run-test-generation --data-dir DIR [--out DIR]
-  python -m dataops_testgen_spark run-tests --data-dir DIR [--out DIR]
+Run commands (ref run-profile/run-test-generation/run-tests/run-monitors):
+  run-profile            profile + infer every table in --data-dir
+  run-anomalies          hygiene screen + scores over a fresh profile
+  run-test-generation    selection-criteria test generation
+  run-monitor-generation monitor-set generation (Volume/Freshness monitors)
+  run-tests              full loop: profile -> generate -> execute -> score
+  run-monitors           one-shot or cron-looped monitor cycle
+  quick-start            write the demo star schema (seeded flaws) to a dir
 
-``run-tests`` executes the full loop: profile → infer → generate →
-CAT-execute → prevalence → score.
+Entity commands (ref list-*/get-* over the app DB — here over --store):
+  list-profiles, get-profile, get-profile-anomalies, list-test-generation,
+  list-tests, list-test-runs, get-test-results, list-test-types,
+  list-test-suites, list-table-groups, list-projects
+
+Exchange commands:
+  export-tests / import-tests    test-definition documents (export_import.py)
+  export-observability           test results -> observability event JSONL
+  export-test-metadata           test-type registry -> yaml files
+
+Out of scope by design (SURVEY §4): run-app/standalone-setup/setup-system-db/
+upgrade-system-version (web-serving + Postgres DDL) and exec-job (internal).
 """
 
 from __future__ import annotations
 
 import argparse
+import csv as _csv
 import datetime as dt
 import glob
+import json
 import os
 import sys
 
@@ -45,16 +60,189 @@ def _write(df, out_dir: str, name: str) -> None:
     df.show(20, truncate=False)
 
 
-def _run_monitors(spark, tables, args) -> int:
+def _emit(df, args, csv_name: str) -> None:
+    """Reference display_service semantics: always write `<command>.csv`,
+    print the table only with -d/--display (ref display_service.to_csv +
+    print_table)."""
+    rows = df.collect()
+    cols = df.columns
+    path = os.path.join(args.csv_dir or ".", csv_name)
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(cols)
+        for r in rows:
+            w.writerow([r[c] for c in cols])
+    if args.display:
+        df.show(100, truncate=False)
+    print(f"{len(rows)} row(s) -> {path}")
+
+
+def _store(spark, args):
+    from dataops_testgen_spark.store import RunStore
+
+    return RunStore(spark, args.store, project_key=args.project_key)
+
+
+def _spark():
+    from dataops_testgen_spark.session import get_spark
+
+    return get_spark("dataops-testgen-cli")
+
+
+# ---------------------------------------------------------------------------
+# run commands
+
+def cmd_run_profile(args) -> int:
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    inferred = _profile_all(spark, tables, args.run_date)
+    if args.store:
+        from dataops_testgen_spark.anomalies import screen_anomalies
+
+        store = _store(spark, args)
+        run_id = store.record_profile_run(
+            inferred, screen_anomalies(inferred),
+            table_group_id=args.table_group or "default",
+            run_date=args.run_date)
+        print(f"profile_run_id: {run_id}")
+    _write(inferred, args.out, "profile_results")
+    return 0
+
+
+def cmd_run_anomalies(args) -> int:
+    from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.scoring import rollup_scores
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    inferred = _profile_all(spark, tables, args.run_date)
+    anomalies = screen_anomalies(inferred)
+    if args.store:
+        store = _store(spark, args)
+        run_id = store.record_profile_run(
+            inferred, anomalies,
+            table_group_id=args.table_group or "default",
+            run_date=args.run_date)
+        print(f"profile_run_id: {run_id}")
+    _write(anomalies, args.out, "profile_anomaly_results")
+    detail = anomalies.join(
+        inferred.select("table_name", "column_name", "record_ct"),
+        ["table_name", "column_name"], "left")
+    _write(rollup_scores(detail.filter("record_ct IS NOT NULL")),
+           args.out, "profile_scores")
+    return 0
+
+
+def _generate(inferred, args):
+    from dataops_testgen_spark.generation import generate_selection_tests
+
+    return generate_selection_tests(
+        inferred,
+        test_types=({t.strip() for t in args.test_types.split(",")
+                     if t.strip()} or None),
+        table_names=({t.strip() for t in args.tables.split(",")
+                      if t.strip()} or None))
+
+
+def cmd_run_test_generation(args) -> int:
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    inferred = _profile_all(spark, tables, args.run_date)
+    gen = _generate(inferred, args)
+    if args.store:
+        _store(spark, args).record_test_generation(
+            gen, test_suite_key=args.test_suite, run_date=args.run_date)
+        print(f"test_suite_key: {args.test_suite}")
+    _write(gen, args.out, "test_definitions")
+    return 0
+
+
+def cmd_run_monitor_generation(args) -> int:
+    """Monitor-set generation (ref run-monitor-generation,
+    `__main__.py:297` — the 'Monitor' generation set: Volume_Trend /
+    Table_Freshness / Freshness_Trend table monitors)."""
+    from dataops_testgen_spark.generation.templates import (
+        generate_freshness_trend_tests, generate_table_tests)
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    inferred = _profile_all(spark, tables, args.run_date)
+    mon = generate_table_tests(inferred).unionByName(
+        generate_freshness_trend_tests(inferred), allowMissingColumns=True)
+    if args.store:
+        _store(spark, args).record_test_generation(
+            mon, test_suite_key=args.test_suite + "_monitors",
+            run_date=args.run_date)
+        print(f"test_suite_key: {args.test_suite}_monitors")
+    _write(mon, args.out, "monitor_definitions")
+    return 0
+
+
+def cmd_run_tests(args) -> int:
+    from dataops_testgen_spark.execution.cat import (RESULT_SCHEMA,
+                                                     run_cat_tests)
+    from dataops_testgen_spark.execution.validation import validate_tests
+    from dataops_testgen_spark.generation.selection import to_test_defs
+    from dataops_testgen_spark.scoring import rollup_scores
+    from dataops_testgen_spark.scoring.rollup import attach_test_prevalence
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    inferred = _profile_all(spark, tables, args.run_date)
+    gen = _generate(inferred, args)
+    defs = to_test_defs(gen)
+    # validation pre-pass (run_test_validation.py semantics): tests whose
+    # table/column no longer exists become Error rows and don't execute
+    outcome = validate_tests(tables, defs)
+    if outcome.errors:
+        print(f"validation: {len(outcome.errors)} test(s) reference missing "
+              "tables/columns — deactivated with Error results")
+    results = run_cat_tests(tables, outcome.valid, run_date=args.run_date)
+    if outcome.errors:
+        err_rows = [tuple(e.get(f.name) for f in RESULT_SCHEMA.fields)
+                    for e in outcome.errors]
+        results = results.unionByName(
+            spark.createDataFrame(err_rows, RESULT_SCHEMA))
+    if args.store:
+        store = _store(spark, args)
+        store.record_test_generation(gen, test_suite_key=args.test_suite,
+                                     run_date=args.run_date)
+        run_id = store.record_test_run(results,
+                                       test_suite_key=args.test_suite,
+                                       run_date=args.run_date)
+        print(f"test_run_id: {run_id}")
+    _write(results, args.out, "test_results")
+
+    prof_rows = {(r["table_name"], r["column_name"]): r.asDict()
+                 for r in inferred.collect()}
+    record_cts = {t: r["record_ct"] for (t, _c), r in prof_rows.items()}
+    scored = attach_test_prevalence(
+        [r.asDict() for r in results.collect()],
+        profile_lookup=prof_rows, record_cts=record_cts)
+    n_fail = sum(1 for r in scored if r.get("result_code") == 0)
+    print(f"tests: {len(scored)}, failed: {n_fail}")
+    detail = spark.createDataFrame(
+        [(r.get("table_name"), r.get("column_name"),
+          int(r.get("dq_record_ct") or 0),
+          float(r.get("dq_prevalence") or 0.0))
+         for r in scored],
+        "table_name string, column_name string, record_ct long, "
+        "dq_prevalence double")
+    _write(rollup_scores(detail), args.out, "test_scores")
+    return 0
+
+
+def cmd_run_monitors(args) -> int:
     """Monitor test types (Volume_Trend fingerprint-style volume +
     Table_Freshness MD5) over every table — one-shot, or looped on a cron
     schedule (ref scheduler/base.py:1-120; monitors are the 'Monitor'
     generation set in 050_populate_new_schema_metadata.sql:55-58)."""
-    import json
-
     from pyspark.sql import functions as F
 
     from dataops_testgen_spark.execution.query_tests import table_fingerprint
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
 
     def one_cycle() -> list[dict]:
         results = []
@@ -62,7 +250,8 @@ def _run_monitors(spark, tables, args) -> int:
             n = df.count()
             fp_cols = df.columns[: min(4, len(df.columns))]
             fp = table_fingerprint(
-                df, [F.count(F.lit(1))] + [F.max(c).cast("string") for c in fp_cols])
+                df, [F.count(F.lit(1))]
+                + [F.max(c).cast("string") for c in fp_cols])
             results.append({"test_id": f"mon_volume_{name}",
                             "test_type": "Volume_Trend", "table_name": name,
                             "column_name": None, "result_status": "Log",
@@ -70,7 +259,8 @@ def _run_monitors(spark, tables, args) -> int:
                             "result_measure": float(n),
                             "threshold_value": None})
             results.append({"test_id": f"mon_freshness_{name}",
-                            "test_type": "Table_Freshness", "table_name": name,
+                            "test_type": "Table_Freshness",
+                            "table_name": name,
                             "column_name": None, "result_status": "Log",
                             "result_message": fp, "result_measure": None,
                             "threshold_value": None})
@@ -89,186 +279,360 @@ def _run_monitors(spark, tables, args) -> int:
         one_cycle()
         return 0
 
-    import datetime as _dt
     import itertools
+    import time as _time
 
     from dataops_testgen_spark.scheduler import Cron
 
     cron = Cron(args.schedule)
-    cycles = itertools.count() if not args.max_cycles else range(args.max_cycles)
+    cycles = (itertools.count() if not args.max_cycles
+              else range(args.max_cycles))
     for _ in cycles:
-        now = _dt.datetime.now()
+        now = dt.datetime.now()
         nxt = cron.next_after(now)
         wait = (nxt - now).total_seconds()
         print(f"next monitor cycle at {nxt.isoformat()} (+{wait:.0f}s)")
-        import time as _time
-
         _time.sleep(max(0.0, wait))
         one_cycle()
     return 0
 
 
+def cmd_quick_start(args) -> int:
+    """Write the demo star schema with seeded quality flaws (ref
+    quick-start, `__main__.py:519` + template/quick_start/)."""
+    from dataops_testgen_spark.fixtures.quickstart import (
+        build_quickstart_tables)
+
+    spark = _spark()
+    os.makedirs(args.data_dir, exist_ok=True)
+    tables = build_quickstart_tables(spark)
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.data_dir, f"{name}.parquet"))
+        print(f"wrote {name}.parquet ({df.count()} rows)")
+    print(f"quick-start data in {args.data_dir}; next: run-profile "
+          f"--data-dir {args.data_dir}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# entity commands (RunStore-backed)
+
+def cmd_list_profiles(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).list_profiles(args.table_group or None),
+          args, "list_profiles.csv")
+    return 0
+
+
+def cmd_get_profile(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).profile_info(args.profile_run_id,
+                                           args.table_name or None),
+          args, "get_profile.csv")
+    return 0
+
+
+def cmd_get_profile_anomalies(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).profile_anomalies(args.profile_run_id,
+                                                args.table_name or None),
+          args, "get_profile_anomalies.csv")
+    return 0
+
+
+def cmd_list_test_generation(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).list_test_generation(args.test_suite),
+          args, "list_test_generation.csv")
+    return 0
+
+
+def cmd_list_tests(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).test_info(args.test_suite),
+          args, "list_tests.csv")
+    return 0
+
+
+def cmd_list_test_runs(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).list_test_runs(args.test_suite),
+          args, "list_test_runs.csv")
+    return 0
+
+
+def cmd_get_test_results(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).test_results_for_run(args.test_run_id,
+                                                   args.fails_only),
+          args, "get_test_results.csv")
+    return 0
+
+
+def cmd_list_test_types(args) -> int:
+    from dataops_testgen_spark.execution.test_types import list_test_types
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        list_test_types(),
+        "test_type string, test_description string, dq_dimension string")
+    _emit(df, args, "list_test_types.csv")
+    return 0
+
+
+def cmd_list_test_suites(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).list_test_suites(), args,
+          "list_test_suites.csv")
+    return 0
+
+
+def cmd_list_table_groups(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).list_table_groups(), args,
+          "list_table_groups.csv")
+    return 0
+
+
+def cmd_list_projects(args) -> int:
+    spark = _spark()
+    meta_path = os.path.join(args.store, "project.json")
+    rows = []
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        rows = [(meta.get("project_key", "DEFAULT"),
+                 meta.get("created", ""))]
+    df = spark.createDataFrame(rows, "project_key string, created string")
+    _emit(df, args, "list_projects.csv")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# exchange commands
+
+def cmd_export_tests(args) -> int:
+    from dataops_testgen_spark.generation import export_import as EI
+    from dataops_testgen_spark.generation import generate_selection_tests
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    if args.defs:
+        defs = spark.read.parquet(args.defs)
+    else:
+        inferred = _profile_all(spark, tables, args.run_date)
+        defs = generate_selection_tests(inferred)
+    doc, _updated = EI.export_definitions(
+        defs, {"data_dir": args.data_dir, "run_date": args.run_date})
+    out_path = args.doc or "test_definitions_export.json"
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1, default=str)
+    print(f"exported {len(doc['definitions'])} definitions -> {out_path}")
+    return 0
+
+
+def cmd_import_tests(args) -> int:
+    from dataops_testgen_spark.generation import export_import as EI
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    existing = spark.read.parquet(args.defs) if args.defs else None
+    with open(args.doc) as fh:
+        payload = json.load(fh)
+    res = EI.import_definitions(
+        spark, existing, payload,
+        EI.ImportConfig(mode=args.mode, on_match=args.on_match,
+                        on_new=args.on_new, on_absence=args.on_absence),
+        profiled_tables=set(tables))
+    print(f"import ({args.mode}): {res.summary}")
+    for it in res.items:
+        if it.action == "skip":
+            print(f"  skip[{it.reason}]: {it.test_type} "
+                  f"{it.table_name}.{it.column_name}")
+    if res.applied and args.out:
+        _write(res.result_defs, args.out, "test_definitions")
+    return 0 if (res.applied or args.mode == "preview") else 1
+
+
+def cmd_export_observability(args) -> int:
+    """Export a test run's results as observability event payloads
+    (ref export-observability, `__main__.py:802` — network send replaced
+    by JSONL sink; payload shape + <=500/batch chunking unchanged)."""
+    from dataops_testgen_spark.observability import export_test_results
+
+    spark = _spark()
+    store = _store(spark, args)
+    res = store.read("test_results")
+    if res is None:
+        print("no test_results in store")
+        return 1
+    from pyspark.sql import functions as F
+
+    run_id = args.test_run_id
+    if not run_id:
+        runs = store.read("test_runs")
+        last = (runs.orderBy(F.col("test_starttime").desc()).first()
+                if runs is not None else None)
+        if last is None:
+            print("no test_runs in store")
+            return 1
+        run_id = last["test_run_id"]
+    subset = res.filter(F.col("test_run_id") == run_id)
+    out_path = args.doc or "observability_events.jsonl"
+    batches = []
+    export_test_results(subset, args.test_suite,
+                        lambda body: batches.append(body))
+    with open(out_path, "w") as fh:
+        for b in batches:
+            fh.write(json.dumps(b, default=str) + "\n")
+    n = sum(len(b.get("test_outcomes", [])) for b in batches)
+    print(f"exported {n} outcomes in {len(batches)} event batch(es) "
+          f"-> {out_path}")
+    return 0
+
+
+def cmd_export_test_metadata(args) -> int:
+    """Export the test-type registry to yaml files (ref
+    export-test-metadata, `__main__.py:833` — one yaml per test type like
+    template/dbsetup_test_types/)."""
+    import yaml
+
+    from dataops_testgen_spark.execution.test_types import TEST_TYPES
+
+    os.makedirs(args.path, exist_ok=True)
+    for name, m in sorted(TEST_TYPES.items()):
+        doc = {"test_types": [{
+            "test_type": m.test_type,
+            "test_description": m.description,
+            "dq_dimension": m.dq_dimension,
+            "measure_uom": m.measure_uom,
+            "default_severity": m.default_severity,
+            "test_scope": m.test_scope,
+            "run_type": m.run_type,
+        }]}
+        with open(os.path.join(args.path,
+                               f"test_types_{name}.yaml"), "w") as fh:
+            yaml.safe_dump(doc, fh, sort_keys=False)
+    print(f"exported {len(TEST_TYPES)} test types -> {args.path}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+def _add_common(p, data=False, store=True, gen=False):
+    if data:
+        p.add_argument("--data-dir", required=True)
+        p.add_argument("--out", default="")
+        p.add_argument("--run-date", default=dt.date.today().isoformat())
+    if store:
+        p.add_argument("--store", default="",
+                       help="run-store root dir (parquet app DB)")
+        p.add_argument("--project-key", default="DEFAULT")
+        p.add_argument("--table-group", default="",
+                       help="table group id recorded with profile runs "
+                            "(default 'default'; empty = no filter on "
+                            "list commands)")
+        p.add_argument("--test-suite", default="default_suite",
+                       help="test suite key recorded with generation/runs")
+    if gen:
+        p.add_argument("--test-types", default="",
+                       help="comma-separated test-type subset for "
+                            "generation (reference --generation-set / "
+                            "test_types_filter)")
+        p.add_argument("--tables", default="",
+                       help="comma-separated table subset for generation")
+    p.add_argument("-d", "--display", action="store_true",
+                   help="print result table to the terminal")
+    p.add_argument("--csv-dir", default="",
+                   help="directory for the command's CSV output "
+                        "(default: cwd)")
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="dataops_testgen_spark")
-    parser.add_argument("command", choices=[
-        "run-profile", "run-anomalies", "run-test-generation", "run-tests",
-        "run-monitors", "export-tests", "import-tests"])
-    parser.add_argument("--data-dir", required=True)
-    parser.add_argument("--out", default="")
-    parser.add_argument("--run-date", default=dt.date.today().isoformat())
-    parser.add_argument("--schedule", default="",
-                        help="5-field cron expr: loop run-monitors on this "
-                             "schedule (scheduler/base.py semantics) instead "
-                             "of a one-shot run")
-    parser.add_argument("--max-cycles", type=int, default=0,
-                        help="with --schedule: stop after N firings (0 = "
-                             "run until interrupted)")
-    parser.add_argument("--observability-out", default="",
-                        help="append exported observability event payloads "
-                             "to this JSONL file")
-    parser.add_argument("--test-types", default="",
-                        help="comma-separated test-type subset for "
-                             "generation (reference --generation-set / "
-                             "test_types_filter)")
-    parser.add_argument("--tables", default="",
-                        help="comma-separated table subset for generation")
-    parser.add_argument("--doc", default="",
-                        help="export-tests: output JSON path; import-tests: "
-                             "input JSON document path")
-    parser.add_argument("--defs", default="",
-                        help="existing test_definitions parquet dir "
-                             "(import-tests target / export-tests source; "
-                             "export-tests defaults to freshly generated "
-                             "definitions when omitted)")
-    parser.add_argument("--mode", default="preview",
-                        choices=["preview", "apply", "apply_strict"],
-                        help="import-tests mode")
-    parser.add_argument("--on-match", default="overwrite_unlocked",
-                        choices=["overwrite_all", "overwrite_unlocked",
-                                 "skip"])
-    parser.add_argument("--on-new", default="create",
-                        choices=["skip", "create", "create_and_lock"])
-    parser.add_argument("--on-absence", default="do_nothing",
-                        choices=["do_nothing", "delete_all",
-                                 "delete_unlocked"])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def cmd(name, fn, **kw):
+        p = sub.add_parser(name)
+        _add_common(p, **kw)
+        p.set_defaults(fn=fn)
+        return p
+
+    cmd("run-profile", cmd_run_profile, data=True)
+    cmd("run-anomalies", cmd_run_anomalies, data=True)
+    cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
+    cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)
+    cmd("run-tests", cmd_run_tests, data=True, gen=True)
+
+    p = cmd("run-monitors", cmd_run_monitors, data=True, store=False)
+    p.add_argument("--schedule", default="",
+                   help="5-field cron expr: loop run-monitors on this "
+                        "schedule (scheduler/base.py semantics) instead of "
+                        "a one-shot run")
+    p.add_argument("--max-cycles", type=int, default=0,
+                   help="with --schedule: stop after N firings (0 = run "
+                        "until interrupted)")
+    p.add_argument("--observability-out", default="",
+                   help="append exported observability event payloads to "
+                        "this JSONL file")
+
+    p = sub.add_parser("quick-start")
+    p.add_argument("--data-dir", required=True)
+    p.set_defaults(fn=cmd_quick_start)
+
+    p = cmd("list-profiles", cmd_list_profiles)
+    p = cmd("get-profile", cmd_get_profile)
+    p.add_argument("--profile-run-id", required=True)
+    p.add_argument("--table-name", default="")
+    p = cmd("get-profile-anomalies", cmd_get_profile_anomalies)
+    p.add_argument("--profile-run-id", required=True)
+    p.add_argument("--table-name", default="")
+    cmd("list-test-generation", cmd_list_test_generation)
+    cmd("list-tests", cmd_list_tests)
+    cmd("list-test-runs", cmd_list_test_runs)
+    p = cmd("get-test-results", cmd_get_test_results)
+    p.add_argument("--test-run-id", required=True)
+    p.add_argument("-f", "--fails-only", action="store_true")
+    cmd("list-test-types", cmd_list_test_types, store=False)
+    cmd("list-test-suites", cmd_list_test_suites)
+    cmd("list-table-groups", cmd_list_table_groups)
+    cmd("list-projects", cmd_list_projects)
+
+    p = cmd("export-tests", cmd_export_tests, data=True, store=False)
+    p.add_argument("--doc", default="",
+                   help="output JSON path")
+    p.add_argument("--defs", default="",
+                   help="existing test_definitions parquet dir (defaults "
+                        "to freshly generated definitions when omitted)")
+
+    p = cmd("import-tests", cmd_import_tests, data=True, store=False)
+    p.add_argument("--doc", required=True, help="input JSON document path")
+    p.add_argument("--defs", default="",
+                   help="existing test_definitions parquet dir "
+                        "(import target)")
+    p.add_argument("--mode", default="preview",
+                   choices=["preview", "apply", "apply_strict"])
+    p.add_argument("--on-match", default="overwrite_unlocked",
+                   choices=["overwrite_all", "overwrite_unlocked", "skip"])
+    p.add_argument("--on-new", default="create",
+                   choices=["skip", "create", "create_and_lock"])
+    p.add_argument("--on-absence", default="do_nothing",
+                   choices=["do_nothing", "delete_all", "delete_unlocked"])
+
+    p = cmd("export-observability", cmd_export_observability)
+    p.add_argument("--test-run-id", default="",
+                   help="run to export (default: latest run in the store)")
+    p.add_argument("--doc", default="",
+                   help="output JSONL path")
+
+    p = sub.add_parser("export-test-metadata")
+    p.add_argument("--path", default="test_metadata",
+                   help="output directory for the yaml files")
+    p.set_defaults(fn=cmd_export_test_metadata)
+
     args = parser.parse_args(argv)
-
-    from dataops_testgen_spark.session import get_spark
-
-    spark = get_spark("dataops-testgen-cli")
-    tables = _load_tables(spark, args.data_dir)
-
-    if args.command == "run-monitors":
-        return _run_monitors(spark, tables, args)
-
-    if args.command == "import-tests":
-        import json as _json
-
-        from dataops_testgen_spark.generation import export_import as EI
-
-        existing = (spark.read.parquet(args.defs)
-                    if args.defs else None)
-        with open(args.doc) as fh:
-            payload = _json.load(fh)
-        res = EI.import_definitions(
-            spark, existing, payload,
-            EI.ImportConfig(mode=args.mode, on_match=args.on_match,
-                            on_new=args.on_new, on_absence=args.on_absence),
-            profiled_tables=set(tables))
-        print(f"import ({args.mode}): {res.summary}")
-        for it in res.items:
-            if it.action == "skip":
-                print(f"  skip[{it.reason}]: {it.test_type} "
-                      f"{it.table_name}.{it.column_name}")
-        if res.applied and args.out:
-            _write(res.result_defs, args.out, "test_definitions")
-        return 0 if (res.applied or args.mode == "preview") else 1
-
-    inferred = _profile_all(spark, tables, args.run_date)
-
-    if args.command == "export-tests":
-        import json as _json
-
-        from dataops_testgen_spark.generation import export_import as EI
-        from dataops_testgen_spark.generation import generate_selection_tests
-
-        if args.defs:
-            defs = spark.read.parquet(args.defs)
-        else:
-            defs = generate_selection_tests(inferred)
-        doc, _updated = EI.export_definitions(
-            defs, {"data_dir": args.data_dir, "run_date": args.run_date})
-        out_path = args.doc or "test_definitions_export.json"
-        with open(out_path, "w") as fh:
-            _json.dump(doc, fh, indent=1, default=str)
-        print(f"exported {len(doc['definitions'])} definitions -> {out_path}")
-        return 0
-
-    if args.command == "run-profile":
-        _write(inferred, args.out, "profile_results")
-        return 0
-
-    if args.command == "run-anomalies":
-        from dataops_testgen_spark.anomalies import screen_anomalies
-        from dataops_testgen_spark.scoring import rollup_scores
-
-        anomalies = screen_anomalies(inferred)
-        _write(anomalies, args.out, "profile_anomaly_results")
-        detail = anomalies.join(
-            inferred.select("table_name", "column_name", "record_ct"),
-            ["table_name", "column_name"], "left")
-        _write(rollup_scores(detail.filter("record_ct IS NOT NULL")),
-               args.out, "profile_scores")
-        return 0
-
-    from dataops_testgen_spark.generation import generate_selection_tests
-    gen = generate_selection_tests(
-        inferred,
-        test_types=({t.strip() for t in args.test_types.split(",") if t.strip()}
-                    or None),
-        table_names=({t.strip() for t in args.tables.split(",") if t.strip()}
-                     or None))
-    if args.command == "run-test-generation":
-        _write(gen, args.out, "test_definitions")
-        return 0
-
-    # run-tests: validate, execute generated CAT tests, score the run
-    from dataops_testgen_spark.execution.cat import RESULT_SCHEMA, run_cat_tests
-    from dataops_testgen_spark.execution.validation import validate_tests
-    from dataops_testgen_spark.generation.selection import to_test_defs
-    from dataops_testgen_spark.scoring import rollup_scores
-    from dataops_testgen_spark.scoring.rollup import attach_test_prevalence
-
-    defs = to_test_defs(gen)
-    # validation pre-pass (run_test_validation.py semantics): tests whose
-    # table/column no longer exists become Error rows and don't execute
-    outcome = validate_tests(tables, defs)
-    if outcome.errors:
-        print(f"validation: {len(outcome.errors)} test(s) reference missing "
-              "tables/columns — deactivated with Error results")
-    results = run_cat_tests(tables, outcome.valid, run_date=args.run_date)
-    if outcome.errors:
-        err_rows = [tuple(e.get(f.name) for f in RESULT_SCHEMA.fields)
-                    for e in outcome.errors]
-        results = results.unionByName(
-            spark.createDataFrame(err_rows, RESULT_SCHEMA))
-    _write(results, args.out, "test_results")
-
-    prof_rows = {(r["table_name"], r["column_name"]): r.asDict()
-                 for r in inferred.collect()}
-    record_cts = {t: r["record_ct"] for (t, _c), r in prof_rows.items()}
-    scored = attach_test_prevalence(
-        [r.asDict() for r in results.collect()],
-        profile_lookup=prof_rows, record_cts=record_cts)
-    n_fail = sum(1 for r in scored if r.get("result_code") == 0)
-    print(f"tests: {len(scored)}, failed: {n_fail}")
-    detail = spark.createDataFrame(
-        [(r.get("table_name"), r.get("column_name"),
-          int(r.get("dq_record_ct") or 0), float(r.get("dq_prevalence") or 0.0))
-         for r in scored],
-        "table_name string, column_name string, record_ct long, dq_prevalence double")
-    _write(rollup_scores(detail), args.out, "test_scores")
-    return 0
+    return args.fn(args)
 
 
 if __name__ == "__main__":

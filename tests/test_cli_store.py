@@ -1,0 +1,161 @@
+"""CLI command surface + RunStore entity queries — mirrors the reference's
+list/get command semantics (`testgen/__main__.py:370-930`,
+`commands/run_get_entities.py`, `template/get_entities/*.sql`)."""
+
+import csv
+import json
+import os
+
+import pytest
+
+from dataops_testgen_spark.__main__ import main
+from dataops_testgen_spark.store import RunStore
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store_env(spark, tmp_path_factory):
+    """One profile run + one test run recorded through the real CLI paths."""
+    root = tmp_path_factory.mktemp("store")
+    store_dir = str(root / "appdb")
+    csv_dir = str(root / "csvs")
+    os.makedirs(csv_dir)
+    rc = main(["run-profile", "--data-dir", SF_DIR, "--store", store_dir,
+               "--table-group", "tg1", "--csv-dir", csv_dir])
+    assert rc == 0
+    rc = main(["run-tests", "--data-dir", SF_DIR, "--store", store_dir,
+               "--test-suite", "suite1", "--tables", "orders,customer",
+               "--csv-dir", csv_dir])
+    assert rc == 0
+    return {"store": store_dir, "csv": csv_dir}
+
+
+def _read_csv(path):
+    with open(path) as fh:
+        rows = list(csv.reader(fh))
+    return rows[0], rows[1:]
+
+
+def test_list_profiles(store_env, spark):
+    store = RunStore(spark, store_env["store"])
+    rows = store.list_profiles("tg1").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tables"] == 10          # all sf0.001 tables profiled
+    assert r["columns"] > 40
+    assert r["status"] == "Complete"
+    # filter by unknown group -> empty
+    assert store.list_profiles("nope").count() == 0
+
+
+def test_profile_info_and_anomalies(store_env, spark):
+    store = RunStore(spark, store_env["store"])
+    run_id = store.list_profiles(None).first()["profile_run_id"]
+    info = store.profile_info(run_id, "orders").collect()
+    assert {r["table_name"] for r in info} == {"orders"}
+    assert {"general_type", "column_type", "functional_data_type"} <= set(
+        info[0].asDict())
+    anom = store.profile_anomalies(run_id).collect()
+    assert all(a["anomaly_type"] for a in anom)
+
+
+def test_list_test_runs_and_results(store_env, spark):
+    store = RunStore(spark, store_env["store"])
+    runs = store.list_test_runs("suite1").collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert r["result_ct"] > 0
+    assert r["table_ct"] == 2         # orders + customer only
+    res = store.test_results_for_run(r["test_run_id"]).collect()
+    assert len(res) == r["result_ct"]
+    fails = store.test_results_for_run(r["test_run_id"],
+                                       fails_only=True).count()
+    assert fails == (r["fail_ct"] or 0)
+    # measure_uom joined from the test-type registry
+    uoms = {x["measure_uom"] for x in res if x["test_type"] == "Unique"}
+    assert uoms <= {"Duplicate values"}
+
+
+def test_list_test_generation_and_info(store_env, spark):
+    store = RunStore(spark, store_env["store"])
+    gens = store.list_test_generation("suite1").collect()
+    assert len(gens) == 1 and gens[0]["tests"] > 0
+    info = store.test_info("suite1").collect()
+    assert len(info) == gens[0]["tests"]
+    assert all(i["dq_dimension"] for i in info if i["test_type"] == "Unique")
+
+
+def test_list_suites_and_groups(store_env, spark):
+    store = RunStore(spark, store_env["store"])
+    suites = {r["test_suite_key"]: r["tests"]
+              for r in store.list_test_suites().collect()}
+    assert "suite1" in suites and suites["suite1"] > 0
+    groups = store.list_table_groups().collect()
+    assert [g["table_groups_id"] for g in groups] == ["tg1"]
+
+
+def test_entity_commands_write_csv(store_env):
+    csv_dir = store_env["csv"]
+    assert main(["list-profiles", "--store", store_env["store"],
+                 "--csv-dir", csv_dir]) == 0
+    header, rows = _read_csv(os.path.join(csv_dir, "list_profiles.csv"))
+    assert "profile_run_id" in header and len(rows) == 1
+
+    assert main(["list-test-runs", "--store", store_env["store"],
+                 "--test-suite", "suite1", "--csv-dir", csv_dir]) == 0
+    header, rows = _read_csv(os.path.join(csv_dir, "list_test_runs.csv"))
+    run_id = rows[0][header.index("test_run_id")]
+
+    assert main(["get-test-results", "--store", store_env["store"],
+                 "--test-run-id", run_id, "--csv-dir", csv_dir]) == 0
+    header, rows = _read_csv(os.path.join(csv_dir, "get_test_results.csv"))
+    assert "result" in header and rows
+
+
+def test_list_test_types_cmd(tmp_path):
+    assert main(["list-test-types", "--csv-dir", str(tmp_path)]) == 0
+    header, rows = _read_csv(str(tmp_path / "list_test_types.csv"))
+    assert header == ["test_type", "test_description", "dq_dimension"]
+    assert len(rows) == 51            # full reference catalog breadth
+    types = {r[0] for r in rows}
+    assert {"Unique", "CUSTOM", "Schema_Drift", "Aggregate_Balance"} <= types
+
+
+def test_export_test_metadata(tmp_path):
+    import yaml
+
+    out = str(tmp_path / "meta")
+    assert main(["export-test-metadata", "--path", out]) == 0
+    files = sorted(os.listdir(out))
+    assert len(files) == 51
+    doc = yaml.safe_load(open(os.path.join(out, "test_types_Unique.yaml")))
+    t = doc["test_types"][0]
+    assert t["dq_dimension"] == "Uniqueness"
+    assert t["run_type"] == "CAT"
+
+
+def test_export_observability_cmd(store_env, tmp_path):
+    out = str(tmp_path / "events.jsonl")
+    assert main(["export-observability", "--store", store_env["store"],
+                 "--test-suite", "suite1", "--doc", out,
+                 "--csv-dir", str(tmp_path)]) == 0
+    lines = [json.loads(x) for x in open(out)]
+    assert lines and all(len(b["test_outcomes"]) <= 500 for b in lines)
+
+
+def test_monitor_generation_cmd(store_env, tmp_path):
+    assert main(["run-monitor-generation", "--data-dir", SF_DIR,
+                 "--store", store_env["store"],
+                 "--test-suite", "suite1",
+                 "--csv-dir", str(tmp_path)]) == 0
+
+
+def test_quickstart_cmd_roundtrip(tmp_path, spark):
+    data_dir = str(tmp_path / "demo")
+    assert main(["quick-start", "--data-dir", data_dir]) == 0
+    names = {f[:-8] for f in os.listdir(data_dir) if f.endswith(".parquet")}
+    assert names  # demo tables written
+    df = spark.read.parquet(os.path.join(data_dir, sorted(names)[0]
+                                         + ".parquet"))
+    assert df.count() > 0
