@@ -1980,6 +1980,33 @@ SELECT * FROM (VALUES
 AS t(table_name, adds, drops, mods, result_signal, result_code)"""
 
 
+def q_skew_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (pipeline/skew.py:hot_key_profile): keys holding
+    ≥ min_share of lineitem, the decision input for salted joins / AQE skew
+    handling. One partial-agg scan; the 1-row total is broadcast into the
+    share division."""
+    from dataops_testgen_spark.pipeline.skew import hot_key_profile
+
+    li = _load(spark, sf_dir, "lineitem")
+    return hot_key_profile(li, ["l_returnflag", "l_linestatus"],
+                           min_share=0.05).select(
+        "l_returnflag", "l_linestatus", "key_ct",
+        F.round("share", 5).alias("share"))
+
+
+_SQL_SKEW_HOT_KEYS = """
+WITH totals AS (SELECT COUNT(*) AS t FROM lineitem),
+counts AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS key_ct
+    FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, key_ct,
+       ROUND(key_ct / t, 5) AS share
+  FROM counts, totals
+ WHERE key_ct >= GREATEST(1, CAST(0.05 * t AS BIGINT))
+ ORDER BY key_ct DESC, l_returnflag, l_linestatus
+ LIMIT 100"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2043,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_category_fixture": q_score_category,
         "score_overall_history_fixture": q_score_overall_history,
         "merge_defs_fixture": q_merge_defs_fixture,
+        "skew_hot_keys_lineitem": q_skew_hot_keys,
     }
 
 
@@ -2111,4 +2139,5 @@ def oracle_sql() -> dict[str, str]:
         "score_category_fixture": _sql_score_category(),
         "score_overall_history_fixture": _sql_score_overall_history(),
         "merge_defs_fixture": _sql_merge_defs(),
+        "skew_hot_keys_lineitem": _SQL_SKEW_HOT_KEYS,
     }

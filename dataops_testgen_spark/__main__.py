@@ -46,11 +46,12 @@ def _load_tables(spark, data_dir: str) -> dict:
     return tables
 
 
-def _profile_all(spark, tables, run_date):
+def _profile_all(spark, tables, run_date, approx=False, sample=False):
     from dataops_testgen_spark.inference import apply_inference
     from dataops_testgen_spark.profiling.profiler import profile_tables
 
-    prof = profile_tables(tables, run_date=run_date)
+    prof = profile_tables(tables, run_date=run_date, approx=approx,
+                          sample=sample)
     return apply_inference(prof)
 
 
@@ -95,7 +96,8 @@ def _spark():
 def cmd_run_profile(args) -> int:
     spark = _spark()
     tables = _load_tables(spark, args.data_dir)
-    inferred = _profile_all(spark, tables, args.run_date)
+    inferred = _profile_all(spark, tables, args.run_date,
+                            approx=args.approx, sample=args.sample)
     if args.store:
         from dataops_testgen_spark.anomalies import screen_anomalies
 
@@ -115,7 +117,8 @@ def cmd_run_anomalies(args) -> int:
 
     spark = _spark()
     tables = _load_tables(spark, args.data_dir)
-    inferred = _profile_all(spark, tables, args.run_date)
+    inferred = _profile_all(spark, tables, args.run_date,
+                            approx=args.approx, sample=args.sample)
     anomalies = screen_anomalies(inferred)
     if args.store:
         store = _store(spark, args)
@@ -186,10 +189,32 @@ def cmd_run_tests(args) -> int:
     from dataops_testgen_spark.scoring import rollup_scores
     from dataops_testgen_spark.scoring.rollup import attach_test_prevalence
 
+    from pyspark.sql import functions as F
+
     spark = _spark()
     tables = _load_tables(spark, args.data_dir)
     inferred = _profile_all(spark, tables, args.run_date)
-    gen = _generate(inferred, args)
+    # Reference flow: run-tests executes the suite's STORED definitions
+    # (generation is its own command, and manual edits/locks must survive).
+    # With a store + an existing suite we do the same; standalone (no
+    # store) or --regenerate falls back to generate-then-run.
+    gen = None
+    store = _store(spark, args) if args.store else None
+    if store is not None and not args.regenerate:
+        stored = store.read("test_definitions")
+        if stored is not None:
+            mine = stored.filter(
+                F.col("test_suite_key") == args.test_suite)
+            latest = mine.agg(F.max("last_auto_gen_date")).first()[0]
+            if latest is not None:
+                gen = (mine.filter(F.col("last_auto_gen_date") == latest)
+                       .drop("test_suite_key", "last_auto_gen_date",
+                             "profiling_as_of_date"))
+                print(f"executing stored suite {args.test_suite} "
+                      f"(generated {latest})")
+    freshly_generated = gen is None
+    if freshly_generated:
+        gen = _generate(inferred, args)
     defs = to_test_defs(gen)
     # validation pre-pass (run_test_validation.py semantics): tests whose
     # table/column no longer exists become Error rows and don't execute
@@ -203,10 +228,11 @@ def cmd_run_tests(args) -> int:
                     for e in outcome.errors]
         results = results.unionByName(
             spark.createDataFrame(err_rows, RESULT_SCHEMA))
-    if args.store:
-        store = _store(spark, args)
-        store.record_test_generation(gen, test_suite_key=args.test_suite,
-                                     run_date=args.run_date)
+    if store is not None:
+        if freshly_generated:
+            store.record_test_generation(gen,
+                                         test_suite_key=args.test_suite,
+                                         run_date=args.run_date)
         run_id = store.record_test_run(results,
                                        test_suite_key=args.test_suite,
                                        run_date=args.run_date)
@@ -559,11 +585,22 @@ def main(argv: list[str] | None = None) -> int:
         p.set_defaults(fn=fn)
         return p
 
-    cmd("run-profile", cmd_run_profile, data=True)
-    cmd("run-anomalies", cmd_run_anomalies, data=True)
+    for name, fn in (("run-profile", cmd_run_profile),
+                     ("run-anomalies", cmd_run_anomalies)):
+        p = cmd(name, fn, data=True)
+        p.add_argument("--approx", action="store_true",
+                       help="HLL distincts + approx percentiles: one fused "
+                            "scan per table, the 100 TB profile mode")
+        p.add_argument("--sample", action="store_true",
+                       help="Bernoulli-sample tables over 100k rows and "
+                            "scale count metrics (reference sampling "
+                            "semantics, seed 64)")
     cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
     cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)
-    cmd("run-tests", cmd_run_tests, data=True, gen=True)
+    p = cmd("run-tests", cmd_run_tests, data=True, gen=True)
+    p.add_argument("--regenerate", action="store_true",
+                   help="ignore stored suite definitions and regenerate "
+                        "from a fresh profile")
 
     p = cmd("run-monitors", cmd_run_monitors, data=True, store=False)
     p.add_argument("--schedule", default="",

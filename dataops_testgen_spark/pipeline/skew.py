@@ -37,6 +37,26 @@ def top_keys(df: DataFrame, keys: list[str], min_share: float = 0.01,
     return [tuple(r[k] for k in keys) for r in rows]
 
 
+def hot_key_profile(df: DataFrame, keys: list[str],
+                    min_share: float = 0.01,
+                    max_keys: int = 100) -> DataFrame:
+    """DataFrame form of ``top_keys`` for pipelines/reporting: per hot key
+    its row count and corpus share, ordered hottest-first. Same single
+    partial-agg scan; the one-row total is broadcast into the share
+    division (no second pass, no driver collect)."""
+    total = df.agg(F.count(F.lit(1)).alias("__total__"))
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_ct"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("key_ct") >=
+                    F.greatest(F.lit(1),
+                               (F.lit(min_share) * F.col("__total__"))
+                               .cast("long")))
+            .select(*keys, "key_ct",
+                    (F.col("key_ct") / F.col("__total__")).alias("share"))
+            .orderBy(F.col("key_ct").desc(), *keys)
+            .limit(max_keys))
+
+
 def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
                 salt_n: int = 16, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: each ``big`` row gets a random salt in

@@ -24,6 +24,14 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # The engine's plans are codegen-heavy (a table profile alone emits
+        # dozens of generated classes); with the JVM's default 240 MB
+        # reserved code cache a long session can fill it, at which point
+        # the JIT stalls/flushes and individual queries intermittently run
+        # 5-10x slower (observed: same profile query 2.5 s vs 29 s across
+        # bench runs). 512 MB + explicit flushing keeps the JIT steady.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         # the profiler and CAT engine overlap independent aggregation jobs
         # from a thread pool (profiler.py / cat.py); FIFO would let one

@@ -61,8 +61,16 @@ class RunStore:
             raise ValueError(f"unknown store table {table!r}")
         return os.path.join(self.root, table)
 
-    def append(self, table: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._path(table))
+    def append(self, table: str, df: DataFrame,
+               partition_by: str | None = None) -> None:
+        """Append-mode parquet write; result tables are directory-partitioned
+        on their run/suite id so every entity query's leading filter becomes
+        a partition-pruned scan (one run's files read, not the whole
+        history)."""
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(self._path(table))
 
     def read(self, table: str) -> DataFrame | None:
         path = self._path(table)
@@ -91,9 +99,11 @@ class RunStore:
             "string, start_time string, run_date string, status string")
         self.append("profiling_runs", hdr)
         self.append("profile_results",
-                    inferred.withColumn("profile_run_id", F.lit(run_id)))
+                    inferred.withColumn("profile_run_id", F.lit(run_id)),
+                    partition_by="profile_run_id")
         self.append("profile_anomaly_results",
-                    anomalies.withColumn("profile_run_id", F.lit(run_id)))
+                    anomalies.withColumn("profile_run_id", F.lit(run_id)),
+                    partition_by="profile_run_id")
         return run_id
 
     def record_test_generation(self, test_definitions: DataFrame,
@@ -120,7 +130,8 @@ class RunStore:
             .withColumn("test_suite_key", F.lit(test_suite_key))
             .withColumn("last_auto_gen_date",
                         F.lit(dt.datetime.now().isoformat()))
-            .withColumn("profiling_as_of_date", F.lit(run_date)))
+            .withColumn("profiling_as_of_date", F.lit(run_date)),
+            partition_by="test_suite_key")
 
     def record_test_run(self, results: DataFrame, test_suite_key: str,
                         run_date: str, status: str = "Complete") -> str:
@@ -133,7 +144,8 @@ class RunStore:
             "test_starttime string, run_date string, status string"))
         self.append("test_results",
                     results.withColumn("test_run_id", F.lit(run_id))
-                    .withColumn("test_suite_key", F.lit(test_suite_key)))
+                    .withColumn("test_suite_key", F.lit(test_suite_key)),
+                    partition_by="test_run_id")
         return run_id
 
     # -- get_entities queries ----------------------------------------------

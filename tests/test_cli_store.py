@@ -151,6 +151,24 @@ def test_monitor_generation_cmd(store_env, tmp_path):
                  "--csv-dir", str(tmp_path)]) == 0
 
 
+def test_run_tests_reuses_stored_suite(store_env, spark, tmp_path, capsys):
+    """Second run-tests against the same store executes the STORED suite
+    (reference semantics: generation is a separate step; locks/edits
+    survive) — no new generation is recorded, a second test run is."""
+    rc = main(["run-tests", "--data-dir", SF_DIR,
+               "--store", store_env["store"], "--test-suite", "suite1",
+               "--csv-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "executing stored suite suite1" in out
+    store = RunStore(spark, store_env["store"])
+    assert store.list_test_generation("suite1").count() == 1
+    runs = store.list_test_runs("suite1").collect()
+    assert len(runs) == 2
+    # both runs executed the same definitions -> same result counts
+    assert runs[0]["result_ct"] == runs[1]["result_ct"]
+
+
 def test_quickstart_cmd_roundtrip(tmp_path, spark):
     data_dir = str(tmp_path / "demo")
     assert main(["quick-start", "--data-dir", data_dir]) == 0
