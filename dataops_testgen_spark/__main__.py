@@ -228,7 +228,13 @@ def cmd_run_tests(args) -> int:
                     for e in outcome.errors]
         results = results.unionByName(
             spark.createDataFrame(err_rows, RESULT_SCHEMA))
+    previous = None
     if store is not None:
+        prev_runs = store.list_test_runs(args.test_suite).take(1)
+        if prev_runs:
+            all_res = store.read("test_results")
+            previous = all_res.filter(
+                F.col("test_run_id") == prev_runs[0]["test_run_id"])
         if freshly_generated:
             store.record_test_generation(gen,
                                          test_suite_key=args.test_suite,
@@ -237,6 +243,19 @@ def cmd_run_tests(args) -> int:
                                        test_suite_key=args.test_suite,
                                        run_date=args.run_date)
         print(f"test_run_id: {run_id}")
+    if args.notify_out:
+        from dataops_testgen_spark.notifications import (
+            NotificationSetting, build_test_run_events, post_events)
+
+        settings = [NotificationSetting(["cli"], t)
+                    for t in args.notify_trigger.split(",") if t]
+        events = build_test_run_events(results, settings,
+                                       previous=previous,
+                                       suite_key=args.test_suite)
+        with open(args.notify_out, "a") as fh:
+            n = post_events(events,
+                            lambda e: fh.write(json.dumps(e) + "\n"))
+        print(f"notifications: {n} event(s) -> {args.notify_out}")
     _write(results, args.out, "test_results")
 
     prof_rows = {(r["table_name"], r["column_name"]): r.asDict()
@@ -601,6 +620,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--regenerate", action="store_true",
                    help="ignore stored suite definitions and regenerate "
                         "from a fresh profile")
+    p.add_argument("--notify-out", default="",
+                   help="append fired notification events (run summary + "
+                        "highlights) to this JSONL file")
+    p.add_argument("--notify-trigger", default="always",
+                   help="comma-separated triggers to register: always,"
+                        "on_changes,on_warnings,on_failures")
 
     p = cmd("run-monitors", cmd_run_monitors, data=True, store=False)
     p.add_argument("--schedule", default="",

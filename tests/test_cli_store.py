@@ -169,6 +169,20 @@ def test_run_tests_reuses_stored_suite(store_env, spark, tmp_path, capsys):
     assert runs[0]["result_ct"] == runs[1]["result_ct"]
 
 
+def test_run_tests_notify_out(store_env, tmp_path):
+    out = str(tmp_path / "notify.jsonl")
+    rc = main(["run-tests", "--data-dir", SF_DIR,
+               "--store", store_env["store"], "--test-suite", "suite1",
+               "--notify-out", out,
+               "--notify-trigger", "always,on_failures",
+               "--csv-dir", str(tmp_path)])
+    assert rc == 0
+    events = [json.loads(x) for x in open(out)]
+    assert events and all(e["event_type"] == "test_run" for e in events)
+    assert {e["trigger"] for e in events} >= {"always"}
+    assert all(e["test_ct"] > 0 for e in events)
+
+
 def test_quickstart_cmd_roundtrip(tmp_path, spark):
     data_dir = str(tmp_path / "demo")
     assert main(["quick-start", "--data-dir", data_dir]) == 0
