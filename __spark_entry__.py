@@ -2007,6 +2007,32 @@ SELECT l_returnflag, l_linestatus, key_ct,
  LIMIT 100"""
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (pipeline/text.py:chunk_documents): 64-token
+    chunks with 16-token overlap — narrow per-row expansion, no shuffle,
+    no Python."""
+    from dataops_testgen_spark.pipeline.text import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+    FROM documents
+   WHERE trim(text) <> '' AND text IS NOT NULL),
+starts AS (
+  SELECT id, t, unnest(generate_series(0, len(t) - 1, 48)) AS s
+    FROM toks)
+SELECT id,
+       CAST(s / 48 AS INT) AS chunk_index,
+       CAST(LEAST(64, len(t) - s) AS INT) AS n_tokens,
+       array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+  FROM starts"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2071,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_overall_history_fixture": q_score_overall_history,
         "merge_defs_fixture": q_merge_defs_fixture,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2140,4 +2167,5 @@ def oracle_sql() -> dict[str, str]:
         "score_overall_history_fixture": _sql_score_overall_history(),
         "merge_defs_fixture": _sql_merge_defs(),
         "skew_hot_keys_lineitem": _SQL_SKEW_HOT_KEYS,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
     }

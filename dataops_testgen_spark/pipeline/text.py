@@ -119,6 +119,42 @@ def fingerprint(text: Column, k: int = 3) -> Column:
                   F.array_min(F.transform(sh, F.md5))).otherwise(F.md5(text))
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 128,
+                    overlap: int = 0) -> DataFrame:
+    """Split each document into token-window chunks — the unit a training
+    pipeline feeds to a tokenizer/packer. Pure expressions: whitespace
+    tokens → ``sequence`` of window starts (stride = chunk_tokens −
+    overlap) → ``slice`` + ``posexplode``. No Python in the path, no
+    shuffle (a per-row narrow transform: each document expands to its own
+    chunks in place), so it runs at scan speed over 100 TB and parallelism
+    follows the input partitioning.
+
+    Returns (id, chunk_index, n_tokens, chunk_text); empty/blank documents
+    produce no chunks; the final window may be shorter than
+    ``chunk_tokens``; with ``overlap`` > 0 consecutive chunks share that
+    many tokens. A trailing window fully contained in the previous one is
+    never emitted (starts stop before token count).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.col("__n__") - 1, F.lit(stride))
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("__toks__"),
+                      F.size(toks).alias("__n__"))
+            .filter(F.col("__n__") > 0)
+            .select("id", "__toks__", "__n__",
+                    F.posexplode(starts).alias("chunk_index", "__start__")))
+    return base.select(
+        "id", "chunk_index",
+        F.least(F.lit(chunk_tokens),
+                F.col("__n__") - F.col("__start__")).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks__"), F.col("__start__") + 1,
+                    F.lit(chunk_tokens)), " ").alias("chunk_text"))
+
+
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text analysis: id, token counts, lang, quality, fingerprint."""
     t = F.col(text_col)

@@ -392,3 +392,45 @@ def test_train_ivf_centroids_null_dims_keep_previous(spark):
     assert len(cents) == 2
     for c in cents:
         assert len(c) == 3 and all(v is not None for v in c)
+
+
+def test_chunk_documents_windows(spark):
+    """Token-window chunking: stride = chunk - overlap, shorter tail,
+    blanks dropped (pipeline/text.py:chunk_documents)."""
+    from dataops_testgen_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),     # 7 tokens
+         (2, "x y"),               # fits one chunk
+         (3, "   "),               # blank -> no chunks
+         (4, None)],               # null  -> no chunks
+        "doc_id: long, text: string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    # starts 0,3,6 -> windows (a b c d), (d e f g), (g)
+    assert [r["chunk_text"] for r in c1] == ["a b c d", "d e f g", "g"]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 1]
+    assert by_doc[2][0]["chunk_text"] == "x y"
+
+
+def test_chunk_documents_no_shuffle(spark, capsys):
+    """The chunk plan is a narrow per-row expansion — no exchange."""
+    from dataops_testgen_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    chunk_documents(docs).explain(mode="formatted")
+    plan = capsys.readouterr().out
+    assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_chunk_documents_validation(spark):
+    from dataops_testgen_spark.pipeline.text import chunk_documents
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
