@@ -2033,6 +2033,37 @@ SELECT id,
   FROM starts"""
 
 
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling (pipeline/sampling.py): 20% salted
+    md5-hash Bernoulli, then a 5-per-source stratified cap — identical
+    rows on every run and re-derivable in audit SQL (the oracle IS that
+    audit query)."""
+    from dataops_testgen_spark.pipeline.sampling import (hash_sample,
+                                                         stratified_cap)
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = hash_sample(docs, id_col="doc_id", fraction=0.2, salt="r4")
+    return (stratified_cap(kept, ["source"], cap=5, id_col="doc_id",
+                           salt="r4")
+            .select("doc_id", "source"))
+
+
+_SQL_SAMPLE_DOCUMENTS = """
+WITH hashed AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('r4', '|',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+    FROM documents),
+kept AS (SELECT * FROM hashed WHERE u < 0.2),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY u, doc_id) AS rn
+    FROM kept)
+SELECT doc_id, source FROM ranked WHERE rn <= 5"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2098,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_defs_fixture": q_merge_defs_fixture,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "chunk_documents": q_chunk_documents,
+        "sample_documents": q_sample_documents,
     }
 
 
@@ -2168,4 +2200,5 @@ def oracle_sql() -> dict[str, str]:
         "merge_defs_fixture": _sql_merge_defs(),
         "skew_hot_keys_lineitem": _SQL_SKEW_HOT_KEYS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "sample_documents": _SQL_SAMPLE_DOCUMENTS,
     }

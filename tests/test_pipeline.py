@@ -434,3 +434,67 @@ def test_chunk_documents_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_hash_sample_deterministic(spark):
+    """Same (salt, id) -> same sample on every invocation; different salt
+    -> independent draw; fraction approximately honored."""
+    from dataops_testgen_spark.pipeline.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, fraction=0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, fraction=0.3).collect()}
+    assert a == b
+    c = {r["doc_id"] for r in
+         hash_sample(df, fraction=0.3, salt="other").collect()}
+    assert a != c
+    assert 0.2 < len(a) / 2000 < 0.4
+    # nested fractions: a 0.1 draw is a subset of the 0.3 draw (same salt)
+    d = {r["doc_id"] for r in hash_sample(df, fraction=0.1).collect()}
+    assert d <= a
+
+
+def test_stratified_sample_fractions(spark):
+    from dataops_testgen_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = stratified_sample(df, "lang", {"en": 1.0, "de": 0.2}).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    assert en == 500                      # fraction 1.0 keeps everything
+    assert 50 < de < 150                  # ~20% of 500
+    # unlisted strata use default_fraction (0.0)
+    out2 = stratified_sample(df, "lang", {"en": 1.0}).collect()
+    assert all(r["lang"] == "en" for r in out2)
+
+
+def test_stratified_cap(spark):
+    from dataops_testgen_spark.pipeline.sampling import stratified_cap
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = stratified_cap(df, ["source"], cap=7).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"s0": 7, "s1": 7, "s2": 7}
+    # stable across invocations
+    again = stratified_cap(df, ["source"], cap=7).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again)
+
+
+def test_sampling_validation(spark):
+    import pytest as _pytest
+
+    from dataops_testgen_spark.pipeline import sampling as S
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        S.hash_sample(df, fraction=1.5)
+    with _pytest.raises(ValueError):
+        S.stratified_sample(df.withColumn("g", df.doc_id % 2), "g",
+                            {"0": -0.1})
+    with _pytest.raises(ValueError):
+        S.stratified_cap(df.withColumn("g", df.doc_id % 2), ["g"], cap=0)
