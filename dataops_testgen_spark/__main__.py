@@ -281,13 +281,63 @@ def cmd_run_monitors(args) -> int:
     """Monitor test types (Volume_Trend fingerprint-style volume +
     Table_Freshness MD5) over every table — one-shot, or looped on a cron
     schedule (ref scheduler/base.py:1-120; monitors are the 'Monitor'
-    generation set in 050_populate_new_schema_metadata.sql:55-58)."""
+    generation set in 050_populate_new_schema_metadata.sql:55-58).
+
+    With --store, each cycle is recorded as a test run under
+    '<suite>_monitors', and once the stored history reaches the
+    forecaster's training minimum, Volume_Trend is EVALUATED against
+    ARIMA-predicted tolerances (ref threshold prediction,
+    run_test_execution's PREDICT path) instead of just logged;
+    Table_Freshness compares the fingerprint to the previous cycle."""
     from pyspark.sql import functions as F
 
     from dataops_testgen_spark.execution.query_tests import table_fingerprint
 
     spark = _spark()
     tables = _load_tables(spark, args.data_dir)
+    store = _store(spark, args) if args.store else None
+    mon_suite = args.test_suite + "_monitors"
+
+    def _history(test_id):
+        """(times, values) of past measures + last message for test_id."""
+        if store is None:
+            return [], [], None
+        res = store.read("test_results")
+        runs = store.read("test_runs")
+        if res is None or runs is None:
+            return [], [], None
+        rows = (res.filter((F.col("test_id") == test_id)
+                           & (F.col("test_suite_key") == mon_suite))
+                .join(runs.select("test_run_id", "test_starttime"),
+                      "test_run_id")
+                .select("test_starttime", "result_measure",
+                        "result_message")
+                .orderBy("test_starttime").collect())
+        return ([r["test_starttime"] for r in rows],
+                [r["result_measure"] for r in rows],
+                rows[-1]["result_message"] if rows else None)
+
+    def _volume_result(name, n):
+        times, values, _ = _history(f"mon_volume_{name}")
+        pairs = [(t, v) for t, v in zip(times, values) if v is not None]
+        if len(pairs) >= 20:     # forecast.MIN_TRAIN_VALUES
+            import pandas as pd
+
+            from dataops_testgen_spark.prediction.forecast import (
+                predict_tolerances)
+
+            hist = pd.DataFrame(
+                {"value": [v for _, v in pairs]},
+                index=pd.DatetimeIndex([pd.Timestamp(t)
+                                        for t, _ in pairs]))
+            lower, upper = predict_tolerances(hist)
+            if lower is not None:
+                ok = lower <= n <= upper
+                return {"result_status": "Passed" if ok else "Failed",
+                        "result_code": 1 if ok else 0,
+                        "threshold_value": f"{lower:.2f}..{upper:.2f}"}
+        return {"result_status": "Log", "result_code": None,
+                "threshold_value": None}
 
     def one_cycle() -> list[dict]:
         results = []
@@ -297,19 +347,43 @@ def cmd_run_monitors(args) -> int:
             fp = table_fingerprint(
                 df, [F.count(F.lit(1))]
                 + [F.max(c).cast("string") for c in fp_cols])
+            vol = _volume_result(name, n)
             results.append({"test_id": f"mon_volume_{name}",
                             "test_type": "Volume_Trend", "table_name": name,
-                            "column_name": None, "result_status": "Log",
+                            "column_name": None,
+                            "result_status": vol["result_status"],
+                            "result_code": vol["result_code"],
                             "result_message": None,
                             "result_measure": float(n),
-                            "threshold_value": None})
+                            "threshold_value": vol["threshold_value"]})
+            _, _, prev_fp = _history(f"mon_freshness_{name}")
+            changed = (None if prev_fp is None
+                       else ("Change detected" if fp != prev_fp
+                             else "No change"))
             results.append({"test_id": f"mon_freshness_{name}",
                             "test_type": "Table_Freshness",
                             "table_name": name,
                             "column_name": None, "result_status": "Log",
-                            "result_message": fp, "result_measure": None,
+                            "result_code": None,
+                            "result_message": fp,
+                            "result_measure": (None if changed is None else
+                                               float(changed ==
+                                                     "Change detected")),
                             "threshold_value": None})
         print(f"monitors: {len(results)} results over {len(tables)} tables")
+        if store is not None:
+            rows = [(r["test_id"], r["test_type"], r["table_name"],
+                     r["column_name"], r["result_status"], r["result_code"],
+                     r["result_message"], r["result_measure"],
+                     r["threshold_value"]) for r in results]
+            rdf = spark.createDataFrame(
+                rows, "test_id string, test_type string, table_name "
+                "string, column_name string, result_status string, "
+                "result_code int, result_message string, result_measure "
+                "double, threshold_value string")
+            run_id = store.record_test_run(rdf, test_suite_key=mon_suite,
+                                           run_date=args.run_date)
+            print(f"monitor test_run_id: {run_id}")
         if args.observability_out:
             from dataops_testgen_spark.observability import (
                 build_event_payload, post_event)
@@ -627,7 +701,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated triggers to register: always,"
                         "on_changes,on_warnings,on_failures")
 
-    p = cmd("run-monitors", cmd_run_monitors, data=True, store=False)
+    p = cmd("run-monitors", cmd_run_monitors, data=True)
     p.add_argument("--schedule", default="",
                    help="5-field cron expr: loop run-monitors on this "
                         "schedule (scheduler/base.py semantics) instead of "

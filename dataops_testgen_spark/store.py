@@ -134,9 +134,10 @@ class RunStore:
             partition_by="test_suite_key")
 
     def record_test_run(self, results: DataFrame, test_suite_key: str,
-                        run_date: str, status: str = "Complete") -> str:
+                        run_date: str, status: str = "Complete",
+                        start_time: str | None = None) -> str:
         run_id = self.new_run_id()
-        stamp = dt.datetime.now().isoformat()
+        stamp = start_time or dt.datetime.now().isoformat()
         self.append("test_runs", self.spark.createDataFrame(
             [(run_id, self.project_key, test_suite_key, stamp, run_date,
               status)],

@@ -183,6 +183,63 @@ def test_run_tests_notify_out(store_env, tmp_path):
     assert all(e["test_ct"] > 0 for e in events)
 
 
+def test_run_monitors_store_and_freshness(tmp_path, spark, capsys):
+    """Two monitor cycles against a store: cycles are recorded as test
+    runs under <suite>_monitors, and the second cycle's Table_Freshness
+    compares fingerprints (static data -> 'no change', measure 0.0)."""
+    store_dir = str(tmp_path / "monstore")
+    for _ in range(2):
+        assert main(["run-monitors", "--data-dir", SF_DIR,
+                     "--store", store_dir, "--test-suite", "mon",
+                     "--csv-dir", str(tmp_path)]) == 0
+    store = RunStore(spark, store_dir)
+    runs = store.list_test_runs("mon_monitors").collect()
+    assert len(runs) == 2
+    res = store.test_results_for_run(runs[0]["test_run_id"]).collect()
+    fresh = [r for r in res if r["test_type"] == "Table_Freshness"]
+    assert fresh and all(r["result_measure"] == 0.0 for r in fresh)
+    vol = [r for r in res if r["test_type"] == "Volume_Trend"]
+    # < 20 points of history -> still Log, no thresholds
+    assert vol and all(r["result"] == "Log" for r in vol)
+
+
+def test_run_monitors_volume_thresholds(tmp_path, spark):
+    """With >=20 stored cycles of volume history, Volume_Trend is
+    evaluated against ARIMA-predicted tolerances: a steady series passes,
+    and the thresholds bracket the stable value."""
+    import datetime as dt
+
+    store_dir = str(tmp_path / "volstore")
+    store = RunStore(spark, store_dir)
+    # seed 25 daily cycles of steady volume=100 for one tiny table dir
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    spark.range(100).toDF("v").coalesce(1).write.parquet(
+        os.path.join(data_dir, "tiny.parquet"))
+    base = dt.datetime(2026, 1, 1)
+    for i in range(25):
+        rdf = spark.createDataFrame(
+            [("mon_volume_tiny", "Volume_Trend", "tiny", None, "Log",
+              None, None, 100.0 + (i % 3), None)],
+            "test_id string, test_type string, table_name string, "
+            "column_name string, result_status string, result_code int, "
+            "result_message string, result_measure double, "
+            "threshold_value string")
+        store.record_test_run(
+            rdf, test_suite_key="mon_monitors", run_date="2026-01-01",
+            start_time=(base + dt.timedelta(days=i)).isoformat())
+    assert main(["run-monitors", "--data-dir", data_dir,
+                 "--store", store_dir, "--test-suite", "mon",
+                 "--csv-dir", str(tmp_path)]) == 0
+    runs = store.list_test_runs("mon_monitors").collect()
+    latest = runs[0]["test_run_id"]
+    res = {r["test_type"]: r
+           for r in store.test_results_for_run(latest).collect()}
+    vol = res["Volume_Trend"]
+    assert vol["result"] == "Passed"
+    assert vol["result_measure"] == 100.0
+
+
 def test_quickstart_cmd_roundtrip(tmp_path, spark):
     data_dir = str(tmp_path / "demo")
     assert main(["quick-start", "--data-dir", data_dir]) == 0
