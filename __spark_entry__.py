@@ -2064,6 +2064,61 @@ ranked AS (
 SELECT doc_id, source FROM ranked WHERE rn <= 5"""
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 quality-filter flags (pipeline/text.py:
+    gopher_quality_flags — published Rae et al. 2021 thresholds) over the
+    documents corpus; narrow one-pass plan."""
+    from dataops_testgen_spark.pipeline.text import gopher_filter
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return gopher_filter(docs)
+
+
+_SQL_GOPHER_QUALITY = """
+WITH base AS (
+  SELECT doc_id AS id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks,
+         regexp_split_to_array(text, '\\n') AS lines
+    FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT id, text, toks, lines,
+         len(toks) AS n_tokens,
+         length(regexp_replace(trim(text), '\\s+', '', 'g'))
+           / NULLIF(len(toks), 0)::DOUBLE AS mean_len,
+         len(list_filter(lines,
+             ln -> regexp_matches(trim(ln), '^([•‣▪-]\\s)')))
+           / NULLIF(len(lines), 0)::DOUBLE AS bullet_ratio,
+         len(list_filter(lines,
+             ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+           / NULLIF(len(lines), 0)::DOUBLE AS ellipsis_ratio,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+           / NULLIF(len(toks), 0)::DOUBLE AS alpha_ratio,
+         len(list_intersect(toks, ['the','be','to','of','and','that',
+                                   'have','with'])) AS stop_hits,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))
+           / NULLIF(len(toks), 0)::DOUBLE AS symbol_ratio
+    FROM base)
+SELECT id,
+       n_tokens >= 50 AND n_tokens <= 100000 AS word_count_ok,
+       mean_len >= 3 AND mean_len <= 10 AS mean_word_len_ok,
+       COALESCE(bullet_ratio <= 0.9, TRUE) AS bullet_ratio_ok,
+       COALESCE(ellipsis_ratio <= 0.3, TRUE) AS ellipsis_ratio_ok,
+       COALESCE(alpha_ratio >= 0.8, FALSE) AS alpha_ratio_ok,
+       stop_hits >= 2 AS stopword_ok,
+       COALESCE(symbol_ratio <= 0.1, FALSE) AS symbol_ratio_ok,
+       (n_tokens >= 50 AND n_tokens <= 100000)
+         AND (mean_len >= 3 AND mean_len <= 10)
+         AND COALESCE(bullet_ratio <= 0.9, TRUE)
+         AND COALESCE(ellipsis_ratio <= 0.3, TRUE)
+         AND COALESCE(alpha_ratio >= 0.8, FALSE)
+         AND stop_hits >= 2
+         AND COALESCE(symbol_ratio <= 0.1, FALSE) AS gopher_pass
+  FROM m"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2130,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "chunk_documents": q_chunk_documents,
         "sample_documents": q_sample_documents,
+        "gopher_quality_documents": q_gopher_quality,
     }
 
 
@@ -2201,4 +2257,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_hot_keys_lineitem": _SQL_SKEW_HOT_KEYS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "sample_documents": _SQL_SAMPLE_DOCUMENTS,
+        "gopher_quality_documents": _SQL_GOPHER_QUALITY,
     }

@@ -91,6 +91,64 @@ def quality_score(text: Column) -> Column:
     return (0.25 * len_ok + 0.25 * stop_ok + 0.25 * punct_ok + 0.25 * size_ok)
 
 
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style document quality filter flags (Rae et al. 2021 §A1.1
+    heuristics; all thresholds are the published ones). Each flag is True
+    when the document PASSES that rule; ``gopher_pass`` is their AND. Pure
+    expressions — one codegen'd pass per document, no shuffle:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    - ≥ 80% of words contain at least one alphabetic character
+    - ≥ 2 distinct hits from a small English stopword list
+    - symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    """
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    nt = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    mean_len = (F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / nt)
+    lines = F.split(text, r"\n")
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    bullet_ratio = (F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^([•‣▪-]\s)")))
+        / n_lines)
+    ellipsis_ratio = (F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) / n_lines)
+    alpha_ratio = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nt)
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in
+                        ("the", "be", "to", "of", "and", "that", "have",
+                         "with")])))
+    symbol_ratio = ((F.regexp_count(text, F.lit(r"#"))
+                     + F.regexp_count(text, F.lit(r"(\.\.\.|…)"))) / nt)
+    flags = {
+        "word_count_ok": (n_tokens >= 50) & (n_tokens <= 100_000),
+        "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "bullet_ratio_ok": F.coalesce(bullet_ratio <= 0.9, F.lit(True)),
+        "ellipsis_ratio_ok": F.coalesce(ellipsis_ratio <= 0.3, F.lit(True)),
+        "alpha_ratio_ok": F.coalesce(alpha_ratio >= 0.8, F.lit(False)),
+        "stopword_ok": stop_hits >= 2,
+        "symbol_ratio_ok": F.coalesce(symbol_ratio <= 0.1, F.lit(False)),
+    }
+    acc = None
+    for c in flags.values():
+        acc = c if acc is None else (acc & c)
+    flags["gopher_pass"] = acc
+    return flags
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  keep_only: bool = False) -> DataFrame:
+    """Attach the Gopher flags per document (or keep only passing docs).
+    Narrow scan-speed plan, composable before dedup/sampling stages."""
+    flags = gopher_quality_flags(F.col(text_col))
+    out = df.select(F.col(id_col).alias("id"),
+                    *[v.alias(k) for k, v in flags.items()])
+    return out.filter(F.col("gopher_pass")) if keep_only else out
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (empty when fewer than k tokens).
 

@@ -498,3 +498,26 @@ def test_sampling_validation(spark):
                             {"0": -0.1})
     with _pytest.raises(ValueError):
         S.stratified_cap(df.withColumn("g", df.doc_id % 2), ["g"], cap=0)
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher rule edge semantics: a clean 60-word doc passes; too-short,
+    bullet-heavy, and symbol-heavy docs fail the matching flag."""
+    from dataops_testgen_spark.pipeline.text import gopher_filter
+
+    clean = " ".join(["the quick brown fox and that dog have fun with it"]
+                     * 6)                         # 60 words, stopword-rich
+    bullets = "\n".join([f"- item {i} of the list and that thing with it"
+                         for i in range(10)])     # every line bullet-led
+    symbols = " ".join(["#tag"] * 60)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, "too short"), (3, bullets), (4, symbols)],
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in gopher_filter(docs).collect()}
+    assert rows[1]["gopher_pass"]
+    assert not rows[2]["word_count_ok"] and not rows[2]["gopher_pass"]
+    assert not rows[3]["bullet_ratio_ok"]
+    assert not rows[4]["symbol_ratio_ok"] and not rows[4]["stopword_ok"]
+    # keep_only returns just the passing docs
+    kept = gopher_filter(docs, keep_only=True).collect()
+    assert [r["id"] for r in kept] == [1]
