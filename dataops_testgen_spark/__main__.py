@@ -107,6 +107,17 @@ def cmd_run_profile(args) -> int:
             table_group_id=args.table_group or "default",
             run_date=args.run_date)
         print(f"profile_run_id: {run_id}")
+    if args.notify_out:
+        from dataops_testgen_spark.anomalies import screen_anomalies
+        from dataops_testgen_spark.notifications import (
+            build_profiling_run_event)
+
+        event = build_profiling_run_event(
+            screen_anomalies(inferred),
+            table_group=args.table_group or "default")
+        with open(args.notify_out, "a") as fh:
+            fh.write(json.dumps(event) + "\n")
+        print(f"notifications: 1 event -> {args.notify_out}")
     _write(inferred, args.out, "profile_results")
     return 0
 
@@ -127,6 +138,15 @@ def cmd_run_anomalies(args) -> int:
             table_group_id=args.table_group or "default",
             run_date=args.run_date)
         print(f"profile_run_id: {run_id}")
+    if args.notify_out:
+        from dataops_testgen_spark.notifications import (
+            build_profiling_run_event)
+
+        event = build_profiling_run_event(
+            anomalies, table_group=args.table_group or "default")
+        with open(args.notify_out, "a") as fh:
+            fh.write(json.dumps(event) + "\n")
+        print(f"notifications: 1 event -> {args.notify_out}")
     _write(anomalies, args.out, "profile_anomaly_results")
     detail = anomalies.join(
         inferred.select("table_name", "column_name", "record_ct"),
@@ -688,6 +708,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="Bernoulli-sample tables over 100k rows and "
                             "scale count metrics (reference sampling "
                             "semantics, seed 64)")
+        p.add_argument("--notify-out", default="",
+                       help="append the profiling-run notification event "
+                            "(hygiene counts by likelihood) to this JSONL "
+                            "file")
     cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
     cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)
     p = cmd("run-tests", cmd_run_tests, data=True, gen=True)
