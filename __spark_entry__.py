@@ -2119,6 +2119,209 @@ SELECT id,
   FROM m"""
 
 
+_PII_INJECT = (" contact user{id}@example.com or 555-123-4567 ssn 123-45-6789"
+               " card 4111-1111-1111-1111 ip 10.0.0.1")
+
+
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-text PII detection + redaction (pipeline/text.py: pii_scrub —
+    email/card/SSN/phone/IPv4, sequential regexp_replace, counts on the
+    original text). The synthetic corpus carries no PII, so the query
+    deterministically injects a PII suffix on every 7th document — the
+    oracle injects the identical suffix — making both the hit counts and
+    the scrubbed-content md5 a real test of the redaction semantics."""
+    from dataops_testgen_spark.pipeline.text import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(_PII_INJECT.split("{id}")[1])))
+        .otherwise(F.col("text")))
+    return pii_scrub(injected)
+
+
+_SQL_PII_SCRUB = """
+WITH inj AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR ||
+                   '@example.com or 555-123-4567 ssn 123-45-6789' ||
+                   ' card 4111-1111-1111-1111 ip 10.0.0.1'
+              ELSE text END AS t
+    FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT id, t,
+     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+     len(regexp_extract_all(t, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b'))::BIGINT AS n_credit_card,
+     len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn,
+     len(regexp_extract_all(t, '\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone,
+     len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+     md5(
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '<CARD>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+           '\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+     ) AS scrubbed_md5
+    FROM inj)
+SELECT id, n_email, n_credit_card, n_ssn, n_phone, n_ipv4,
+       n_email + n_credit_card + n_ssn + n_phone + n_ipv4 AS pii_total,
+       scrubbed_md5
+  FROM c"""
+
+
+def q_repetition_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (pipeline/text.py: repetition_flags — Rae
+    et al. 2021 Table A1 thresholds; duplicate-line and top-n-gram
+    character fractions as pure per-row array folds, no explode/shuffle)."""
+    from dataops_testgen_spark.pipeline.text import repetition_flags
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    flags = repetition_flags(F.col("text"))
+    fracs = ["dup_line_fraction", "dup_line_char_fraction",
+             "top_2gram_char_fraction", "top_3gram_char_fraction",
+             "top_4gram_char_fraction"]
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        *[F.round(flags[k], 5).alias(k) for k in fracs],
+        flags["repetition_pass"].alias("repetition_pass"))
+
+
+def _sql_repetition_flags() -> str:
+    def gram_cte(k: int) -> str:
+        return f"""
+g{k} AS (SELECT id, UNNEST(list_transform(range(1, len(toks)-{k-2}),
+                 i -> array_to_string(toks[i:i+{k-1}], ' '))) AS gram
+         FROM base WHERE len(toks) >= {k}),
+n{k} AS (SELECT id, MAX(ct * length(gram)) AS num FROM
+           (SELECT id, gram, COUNT(*) AS ct FROM g{k} GROUP BY 1, 2)
+         GROUP BY id)"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS text_chars
+    FROM documents WHERE text IS NOT NULL),
+le AS (SELECT id, UNNEST(lines) AS line FROM base),
+lc AS (SELECT id, line, COUNT(*) AS ct FROM le GROUP BY 1, 2),
+ld AS (SELECT id,
+              SUM(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS dup_lines,
+              SUM(CASE WHEN ct > 1 THEN ct * length(line) ELSE 0 END) AS dup_chars,
+              SUM(ct) AS n_lines, SUM(ct * length(line)) AS line_chars
+       FROM lc GROUP BY id),{gram_cte(2)},{gram_cte(3)},{gram_cte(4)}
+SELECT b.id,
+       ROUND(COALESCE(dup_lines, 0) / NULLIF(n_lines, 0)::DOUBLE, 5) AS dup_line_fraction,
+       ROUND(COALESCE(dup_chars, 0) / NULLIF(line_chars, 0)::DOUBLE, 5) AS dup_line_char_fraction,
+       ROUND(COALESCE(n2.num, 0) / NULLIF(b.text_chars, 0)::DOUBLE, 5) AS top_2gram_char_fraction,
+       ROUND(COALESCE(n3.num, 0) / NULLIF(b.text_chars, 0)::DOUBLE, 5) AS top_3gram_char_fraction,
+       ROUND(COALESCE(n4.num, 0) / NULLIF(b.text_chars, 0)::DOUBLE, 5) AS top_4gram_char_fraction,
+       COALESCE(COALESCE(dup_lines, 0) / NULLIF(n_lines, 0)::DOUBLE <= 0.30, TRUE)
+       AND COALESCE(COALESCE(dup_chars, 0) / NULLIF(line_chars, 0)::DOUBLE <= 0.20, TRUE)
+       AND COALESCE(COALESCE(n2.num, 0) / NULLIF(b.text_chars, 0)::DOUBLE <= 0.20, TRUE)
+       AND COALESCE(COALESCE(n3.num, 0) / NULLIF(b.text_chars, 0)::DOUBLE <= 0.18, TRUE)
+       AND COALESCE(COALESCE(n4.num, 0) / NULLIF(b.text_chars, 0)::DOUBLE <= 0.16, TRUE)
+         AS repetition_pass
+  FROM base b
+  LEFT JOIN ld ON ld.id = b.id
+  LEFT JOIN n2 ON n2.id = b.id
+  LEFT JOIN n3 ON n3.id = b.id
+  LEFT JOIN n4 ON n4.id = b.id"""
+
+
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: IVF-cluster the
+    embeddings (first 8 vectors as deterministic coarse centroids, as in
+    ivf_topk_embeddings), then within each cell drop items whose cosine to
+    a higher-priority member (lower centroid-similarity = more diverse,
+    ties by id) exceeds the threshold. 0.35 suits this synthetic corpus's
+    cosine range (cf. embedding_cosine_pairs); real near-dup corpora use
+    ~0.95."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [list(map(float, r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    out = SIM.semantic_dedup(emb, cents, threshold=0.35)
+    return out.select("vec_id", "ivf_cell", "keeper_id",
+                      F.round("cosine", 5).alias("cosine"))
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
+               FROM embeddings WHERE vec_id < 8),
+cp AS (SELECT e.vec_id, c.cid,
+              UNNEST(e.embedding)::DOUBLE AS xa, UNNEST(c.cemb)::DOUBLE AS xb
+       FROM embeddings e CROSS JOIN cents c),
+cs AS (SELECT vec_id, cid,
+              SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS sim
+       FROM cp GROUP BY 1, 2),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell, cent_sim FROM (
+    SELECT vec_id, cid AS cell, sim AS cent_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rk
+    FROM cs) WHERE rk = 1),
+pairs0 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         a.cent_sim AS cs_a
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+   AND (a.cent_sim < b.cent_sim
+        OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id))),
+p AS (SELECT p0.id_a, p0.id_b, p0.cell, p0.cs_a,
+             UNNEST(x.embedding)::DOUBLE AS xa, UNNEST(y.embedding)::DOUBLE AS xb
+      FROM pairs0 p0
+      JOIN embeddings x ON x.vec_id = p0.id_a
+      JOIN embeddings y ON y.vec_id = p0.id_b),
+s AS (SELECT id_a, id_b, cell, cs_a,
+             SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+      FROM p GROUP BY 1, 2, 3, 4),
+hit AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
+                                     ORDER BY cs_a ASC, id_a ASC) AS rk
+        FROM s WHERE cos >= 0.35)
+SELECT id_b AS vec_id, cell AS ivf_cell, id_a AS keeper_id,
+       ROUND(cos, 5) AS cosine
+  FROM hit WHERE rk = 1"""
+
+
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/dedup.py: ngram_contamination):
+    docs sharing any word 4-gram with the held-out 'benchmark' slice
+    (doc_id % 41 == 0) are flagged with overlap counts. k=4 fits the
+    ~30-token synthetic docs; production uses 8-13-grams (GPT-3 used 13)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return DD.ngram_contamination(corpus, bench, k=4)
+
+
+_SQL_DECONTAMINATE = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents
+           WHERE text IS NOT NULL AND trim(text) <> ''),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)-2),
+                  i -> array_to_string(toks[i:i+3], ' '))) AS s
+       FROM t WHERE len(toks) >= 4),
+ce AS (SELECT doc_id AS id, UNNEST(s) AS shingle FROM sh WHERE doc_id % 41 <> 0),
+be AS (SELECT doc_id AS bench_id, UNNEST(s) AS shingle FROM sh WHERE doc_id % 41 = 0)
+SELECT id, COUNT(DISTINCT shingle) AS n_contaminated_ngrams,
+       COUNT(DISTINCT bench_id) AS n_benchmark_docs,
+       MIN(shingle) AS sample_ngram
+  FROM ce JOIN be USING (shingle)
+ GROUP BY id"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2186,6 +2389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "sample_documents": q_sample_documents,
         "gopher_quality_documents": q_gopher_quality,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "repetition_flags_documents": q_repetition_flags_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "decontaminate_documents": q_decontaminate_documents,
     }
 
 
@@ -2258,4 +2465,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "sample_documents": _SQL_SAMPLE_DOCUMENTS,
         "gopher_quality_documents": _SQL_GOPHER_QUALITY,
+        "pii_scrub_documents": _SQL_PII_SCRUB,
+        "repetition_flags_documents": _sql_repetition_flags(),
+        "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
+        "decontaminate_documents": _SQL_DECONTAMINATE,
     }

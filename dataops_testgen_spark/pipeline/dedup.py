@@ -182,6 +182,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    k-gram with an evaluation/benchmark set (the standard train-test-overlap
+    screen — GPT-3 used 13-grams, PaLM/Llama 8–10; ``k`` is the dial).
+
+    Plan shape for 100 TB: the benchmark side is tiny (eval suites are
+    thousands of documents), so its DISTINCT shingle set is broadcast and
+    the corpus-side explode joins map-side — no shuffle of corpus shingles
+    at all; the only exchange is the per-document groupBy of matched
+    shingles, whose input is just the HITS (normally a vanishing fraction).
+    Set ``broadcast_benchmark=False`` for a giant benchmark side to fall
+    back to a shuffled equi-join.
+
+    Returns one row per CONTAMINATED corpus doc: (id, n_contaminated_ngrams
+    — distinct shingles shared, n_benchmark_docs — distinct benchmark docs
+    hit, sample_ngram — lexicographically first shared shingle for triage).
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k)))
+        .alias("shingle"))
+    b_sh = (benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k)))
+        .alias("shingle"))
+        .distinct())
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    return (c_sh.join(b_sh, "shingle")
+            .groupBy("id")
+            .agg(F.countDistinct("shingle").alias("n_contaminated_ngrams"),
+                 F.countDistinct("bench_id").alias("n_benchmark_docs"),
+                 F.min("shingle").alias("sample_ngram")))
+
+
 def simhash(text: Column, k: int = 3, bits: int = 32) -> Column:
     """SimHash over word k-shingles: per-bit majority vote of shingle hashes.
     Bit i of each shingle comes from ``conv(substr(md5, ...), 16, 10)``; the

@@ -228,6 +228,59 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.withColumn("ivf_cell", (-best["neg_idx"]).cast("int"))
 
 
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.95,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    WITHIN each cluster drop every item whose cosine similarity to a
+    higher-priority cluster member exceeds ``threshold``. Priority follows
+    the paper: among near-duplicates, the item with the LOWEST similarity
+    to its cluster centroid is kept (ties broken by id ASC), maximizing
+    retained diversity.
+
+    100 TB shape: assignment is a pure projection (no shuffle); the only
+    shuffle is the within-cell self-equi-join on ``ivf_cell``, so pair work
+    is Σ cell² rather than N² — cluster count is the knob that bounds cell
+    populations (the paper's design). No driver-side collect of row data.
+
+    Output: one row per DROPPED item — (vec_id, ivf_cell, keeper_id,
+    cosine) with keeper = the highest-priority member that evicted it.
+    """
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    cent_sim = None
+    for i, c in enumerate(centroids):
+        sim_i = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        cond = F.col("ivf_cell") == i
+        cent_sim = sim_i if cent_sim is None else F.when(cond, sim_i).otherwise(cent_sim)
+    # the when-chain above grows linearly (each branch is independent — no
+    # accumulator in the else feeding conditions, so no 2^n blowup)
+    assigned = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "ivf_cell",
+        cent_sim.alias("cent_sim"))
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        "ivf_cell", F.col("cent_sim").alias("cs_a"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        "ivf_cell", F.col("cent_sim").alias("cs_b"))
+    w = Window.partitionBy("id_b").orderBy(
+        F.col("cs_a").asc_nulls_last(), F.col("id_a").asc())
+    # a is higher priority than b: lower centroid-sim, tie by id ASC;
+    # keeper reported per dropped item = its single highest-priority evictor
+    pairs = (a.join(b, "ivf_cell")
+             .filter(F.col("id_a") != F.col("id_b"))
+             .filter((F.col("cs_a") < F.col("cs_b"))
+                     | ((F.col("cs_a") == F.col("cs_b"))
+                        & (F.col("id_a") < F.col("id_b"))))
+             .select("ivf_cell", "id_a", "id_b", "cs_a",
+                     cosine(F.col("va"), F.col("vb")).alias("cos"))
+             .filter(F.col("cos") >= threshold))
+    return (pairs.select("*", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select(F.col("id_b").alias("vec_id"), "ivf_cell",
+                    F.col("id_a").alias("keeper_id"), F.col("cos").alias("cosine")))
+
+
 def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",

@@ -149,6 +149,161 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     return out.filter(F.col("gopher_pass")) if keep_only else out
 
 
+# PII patterns for in-text scrubbing (training corpora must not memorize
+# these). Kept RE2-compatible (no backrefs/lookaheads) so the DuckDB oracle
+# runs the identical patterns; Java regex accepts the same syntax. Order
+# matters: longer/more-specific shapes first so e.g. a 16-digit card is
+# redacted before the phone pattern could claim a suffix. Mirrors the
+# reference's PII category list (ref testgen/template/profiling/pii_flag.sql
+# SSN/credit-card/email/phone rules) applied to free text instead of columns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              keep_text: bool = False) -> DataFrame:
+    """Detect and redact PII spans in free text — one codegen'd projection,
+    no shuffle, no Python in the path (scan-speed at 100 TB).
+
+    Counts are measured on the ORIGINAL text; the scrub applies the
+    patterns sequentially in ``PII_PATTERNS`` order, so an earlier
+    replacement cannot be double-counted by a later pattern. Returns
+    (id, n_<name>... per pattern, pii_total, scrubbed_md5[, scrubbed_text]);
+    the md5 lets correctness checks compare redacted content without
+    shipping it."""
+    t = F.col(text_col)
+    counts = {name: F.regexp_count(t, F.lit(rx)).cast("long")
+              for name, rx, _ in PII_PATTERNS}
+    scrubbed = t
+    for _, rx, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, rx, token)
+    total = None
+    for c in counts.values():
+        total = c if total is None else (total + c)
+    cols = [F.col(id_col).alias("id"),
+            *[c.alias(f"n_{name}") for name, c in counts.items()],
+            total.alias("pii_total"),
+            F.md5(scrubbed).alias("scrubbed_md5")]
+    if keep_text:
+        cols.append(scrubbed.alias("scrubbed_text"))
+    return df.select(*cols)
+
+
+def _run_fold(arr: Column, weighted: bool, dup_only: bool) -> Column:
+    """Fold a SORTED string array into a run statistic in one pass:
+
+    - weighted+not dup_only: max over distinct values of count*length
+      (numerator of Gopher's top-n-gram character fraction)
+    - weighted+dup_only: sum of count*length over values with count>1
+      (numerator of the duplicate-line character fraction)
+    - not weighted+dup_only: sum of counts over values with count>1
+      (numerator of the duplicate-line fraction)
+
+    Pure expression (F.aggregate with a struct accumulator) — the array
+    never leaves the row, so this stays a narrow projection."""
+    def run_val(prev: Column, run: Column) -> Column:
+        base = run * F.length(prev) if weighted else run.cast("long")
+        if dup_only:
+            return F.when(run > 1, base).otherwise(F.lit(0).cast("long"))
+        return base
+
+    def combine(acc: Column, best: Column) -> Column:
+        return (acc + best) if dup_only else F.greatest(acc, best)
+
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    zero.alias("run"), zero.alias("acc"))
+    folded = F.aggregate(
+        arr, init,
+        lambda a, x: F.when(
+            x.eqNullSafe(a["prev"]),
+            F.struct(a["prev"].alias("prev"), (a["run"] + 1).alias("run"),
+                     a["acc"].alias("acc")),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                F.when(a["prev"].isNull(), a["acc"])
+                 .otherwise(combine(a["acc"], run_val(a["prev"], a["run"])))
+                 .alias("acc"))),
+        lambda a: F.when(a["prev"].isNull(), a["acc"])
+                   .otherwise(combine(a["acc"], run_val(a["prev"], a["run"]))))
+    return folded
+
+
+def repetition_flags(text: Column) -> dict[str, Column]:
+    """Gopher repetition-filter signals (Rae et al. 2021 Table A1) as pure
+    per-row expressions — sort each document's lines / n-gram arrays in
+    place and fold runs, so the whole filter is one narrow scan (no
+    explode, no shuffle, nothing leaves the row):
+
+    - ``dup_line_fraction``: occurrences of non-unique lines / total lines
+      (threshold 0.30)
+    - ``dup_line_char_fraction``: characters inside non-unique lines /
+      total line characters (0.20)
+    - ``top_2gram_char_fraction`` / ``top_3gram_char_fraction`` /
+      ``top_4gram_char_fraction``: characters covered by the single most
+      frequent word n-gram / total characters (0.20 / 0.18 / 0.16)
+
+    Character coverage counts count*length(gram) over the space-joined
+    gram (a documented simplification of the paper's span accounting).
+    ``repetition_pass`` ANDs the five thresholds."""
+    lines = F.filter(F.transform(F.split(text, r"\n"), F.trim),
+                     lambda ln: ln != "")
+    sorted_lines = F.array_sort(lines)
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    line_chars = F.nullif(
+        F.aggregate(lines, F.lit(0).cast("long"),
+                    lambda acc, ln: acc + F.length(ln)).cast("double"),
+        F.lit(0.0))
+    text_chars = F.nullif(
+        F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double"),
+        F.lit(0.0))
+    out: dict[str, Column] = {
+        "dup_line_fraction":
+            _run_fold(sorted_lines, weighted=False, dup_only=True) / n_lines,
+        "dup_line_char_fraction":
+            _run_fold(sorted_lines, weighted=True, dup_only=True) / line_chars,
+    }
+    for n, col_name in ((2, "top_2gram_char_fraction"),
+                        (3, "top_3gram_char_fraction"),
+                        (4, "top_4gram_char_fraction")):
+        grams = F.array_sort(shingles(text, n))
+        # count*len over the space-joined gram, minus the joining spaces
+        # is not subtracted — documented simplification kept identical in
+        # the oracle SQL.
+        out[col_name] = (_run_fold(grams, weighted=True, dup_only=False)
+                         / text_chars)
+    thresholds = {
+        "dup_line_fraction": 0.30,
+        "dup_line_char_fraction": 0.20,
+        "top_2gram_char_fraction": 0.20,
+        "top_3gram_char_fraction": 0.18,
+        "top_4gram_char_fraction": 0.16,
+    }
+    acc = None
+    for name, thr in thresholds.items():
+        ok = F.coalesce(out[name] <= thr, F.lit(True))
+        acc = ok if acc is None else (acc & ok)
+    out["repetition_pass"] = acc
+    return out
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      keep_only: bool = False) -> DataFrame:
+    """Attach Gopher repetition signals per document (or keep passers)."""
+    flags = repetition_flags(F.col(text_col))
+    out = df.select(F.col(id_col).alias("id"),
+                    *[v.alias(k) for k, v in flags.items()])
+    return out.filter(F.col("repetition_pass")) if keep_only else out
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (empty when fewer than k tokens).
 

@@ -521,3 +521,113 @@ def test_gopher_quality_flags(spark):
     # keep_only returns just the passing docs
     kept = gopher_filter(docs, keep_only=True).collect()
     assert [r["id"] for r in kept] == [1]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Each PII pattern is counted on the original text and redacted in
+    order; a card number is never double-claimed by the phone pattern."""
+    from dataops_testgen_spark.pipeline.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d+x@e.org, call (555) 123-4567"),
+         (2, "ssn 123-45-6789 card 4111-1111-1111-1111 ip 10.0.0.255"),
+         (3, "clean text with no pii at all"),
+         (4, "phones 555-123-4567 and 555-987-6543")],
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in
+            pii_scrub(docs, keep_text=True).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_phone"] == 1
+    assert rows[1]["scrubbed_text"] == \
+        "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_credit_card"] == 1 \
+        and rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 0
+    assert rows[2]["scrubbed_text"] == "ssn <SSN> card <CARD> ip <IP>"
+    assert rows[3]["pii_total"] == 0
+    assert rows[4]["n_phone"] == 2
+
+
+def test_repetition_flags_fold(spark):
+    """The array-fold numerators equal a brute-force python recompute for
+    duplicate lines and the most frequent n-gram."""
+    from collections import Counter
+
+    from dataops_testgen_spark.pipeline.text import repetition_filter
+
+    rep_line = "same line here\n" * 5 + "unique one two three"
+    rep_gram = " ".join(["alpha beta"] * 10 + ["gamma delta epsilon"])
+    # long enough that no singleton n-gram covers >16% of the characters
+    clean = " ".join(f"word{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, rep_line), (2, rep_gram), (3, clean), (4, "")],
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in repetition_filter(docs).collect()}
+
+    # doc 1: 5 of 6 lines are the duplicate 'same line here'
+    assert rows[1]["dup_line_fraction"] == 5 / 6
+    dup_chars = 5 * len("same line here")
+    total = dup_chars + len("unique one two three")
+    assert abs(rows[1]["dup_line_char_fraction"] - dup_chars / total) < 1e-12
+    assert not rows[1]["repetition_pass"]
+
+    # doc 2: brute-force the top-2-gram char fraction
+    toks = rep_gram.lower().split()
+    grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    cnt = Counter(grams)
+    num = max(c * len(g) for g, c in cnt.items())
+    chars = len(rep_gram.replace(" ", ""))
+    assert abs(rows[2]["top_2gram_char_fraction"] - num / chars) < 1e-12
+    assert not rows[2]["repetition_pass"]
+
+    assert rows[3]["repetition_pass"]
+    assert rows[4]["dup_line_fraction"] is None  # no lines -> null ratios
+    assert rows[4]["repetition_pass"]            # nulls pass by coalesce
+
+
+def test_semantic_dedup_policy(spark):
+    """SemDeDup keep-policy: within a cell, the member FARTHEST from the
+    centroid survives; near-duplicates above threshold are dropped and
+    report their evictor."""
+    from dataops_testgen_spark.pipeline.similarity import semantic_dedup
+
+    # cell 0 centroid ~ [1,0]; ids 10,11,12 nearly collinear with it,
+    # id 13 orthogonal-ish (cell 1)
+    rows = [(10, [1.0, 0.0]), (11, [0.999, 0.01]), (12, [0.95, 0.30]),
+            (13, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    dropped = {r["vec_id"]: r for r in
+               semantic_dedup(emb, cents, threshold=0.99).collect()}
+    # 12 has the lowest centroid-sim in cell 0 -> highest priority keeper;
+    # 10 and 11 are ~collinear with each other and with 12? cos(12,10)=0.95+
+    # cos(12,*) ~= .953 < .99 so only the 10<->11 pair exceeds threshold:
+    # keeper among {10,11} is the lower centroid-sim one = 11 -> 10 dropped
+    assert set(dropped) == {10}
+    assert dropped[10]["keeper_id"] == 11
+    assert 13 not in dropped
+
+
+def test_ngram_contamination(spark):
+    """Corpus docs sharing a k-gram with the benchmark are flagged with
+    exact overlap counts; others are not."""
+    from dataops_testgen_spark.pipeline.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: long, text: string")
+    corpus = spark.createDataFrame(
+        [(1, "we saw the quick brown fox yesterday evening"),   # 2 shared 3-grams
+         (2, "totally unrelated text about spark plans"),
+         (3, "over the lazy dog it went")],                     # 2 shared 3-grams
+        "doc_id: long, text: string")
+    out = {r["id"]: r for r in
+           ngram_contamination(corpus, bench, k=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_contaminated_ngrams"] == 2
+    assert out[1]["n_benchmark_docs"] == 1
+    assert out[1]["sample_ngram"] == "quick brown fox"
+    assert out[3]["n_contaminated_ngrams"] == 2
+    # shuffled-join fallback gives identical results
+    out2 = {r["id"]: r["n_contaminated_ngrams"] for r in
+            ngram_contamination(corpus, bench, k=3,
+                                broadcast_benchmark=False).collect()}
+    assert out2 == {1: 2, 3: 2}
