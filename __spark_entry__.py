@@ -2322,6 +2322,74 @@ SELECT id, COUNT(DISTINCT shingle) AS n_contaminated_ngrams,
  GROUP BY id"""
 
 
+def q_c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (pipeline/text.py: c4_clean — Raffel et al.
+    2020 §2.2: terminal-punctuation + ≥5-word line retention, lorem-ipsum /
+    code-brace page flags, ≥3-sentence gate). The synthetic corpus has no
+    punctuation, so the query deterministically appends a passing sentence
+    line on every 3rd doc, a lorem-ipsum marker on every 13th and a code
+    brace on every 17th — the oracle injects identically, making the kept
+    line counts, flags and cleaned-text md5 real checks."""
+    from dataops_testgen_spark.pipeline.text import c4_filter
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nthis appended line keeps five words today."
+                         "\nshort line.\nanother kept sentence has six "
+                         "words! is that so?")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit("\nLorem Ipsum dolor sit amet line.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(" { code")).otherwise(F.lit(""))))
+    return c4_filter(injected)
+
+
+_SQL_C4_CLEAN = """
+WITH inj AS (
+  SELECT doc_id AS id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'this appended line keeps five words today.'
+                      || chr(10) || 'short line.'
+                      || chr(10) || 'another kept sentence has six words! is that so?'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'Lorem Ipsum dolor sit amet line.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' { code' ELSE '' END AS t
+    FROM documents WHERE text IS NOT NULL),
+parts AS (
+  SELECT id, t,
+         list_filter(list_transform(regexp_split_to_array(t, '\\n'),
+                                    x -> trim(x)), x -> x <> '') AS lines
+    FROM inj),
+k AS (
+  SELECT id, t, lines,
+         list_filter(lines,
+             ln -> regexp_matches(ln, '[.!?]"?$')
+                   AND len(string_split_regex(ln, '\\s+')) >= 5) AS kept
+    FROM parts),
+c AS (
+  SELECT id, t, lines, kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS cleaned,
+         contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(t, '{') AS has_code_brace
+    FROM k)
+SELECT id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_lines_kept,
+       len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+       has_lorem_ipsum, has_code_brace,
+       len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+         AND NOT has_lorem_ipsum AND NOT has_code_brace AS c4_pass,
+       md5(cleaned) AS cleaned_md5
+  FROM c"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2393,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags_documents": q_repetition_flags_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "decontaminate_documents": q_decontaminate_documents,
+        "c4_clean_documents": q_c4_clean_documents,
     }
 
 
@@ -2469,4 +2538,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_flags_documents": _sql_repetition_flags(),
         "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
         "decontaminate_documents": _SQL_DECONTAMINATE,
+        "c4_clean_documents": _SQL_C4_CLEAN,
     }

@@ -240,45 +240,83 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     to its cluster centroid is kept (ties broken by id ASC), maximizing
     retained diversity.
 
-    100 TB shape: assignment is a pure projection (no shuffle); the only
-    shuffle is the within-cell self-equi-join on ``ivf_cell``, so pair work
-    is Σ cell² rather than N² — cluster count is the knob that bounds cell
-    populations (the paper's design). No driver-side collect of row data.
+    100 TB shape, matching the paper's per-cluster matrix computation:
+    assignment is a shuffle-free Arrow ``mapInPandas`` pass against the
+    broadcast centroid matrix (one numpy matmul per batch — the
+    expression-HOF form was 25 s on sf0.1 because Catalyst higher-order
+    functions are interpreted, not codegen'd); the only shuffle is the
+    groupBy(ivf_cell), and each cell's pairwise cosine is one C×C numpy
+    matmul inside ``applyInPandas`` — pair work is per-cell, never global,
+    and cluster count is the knob that bounds cell size (the paper's
+    design). No driver-side collect of row data.
 
     Output: one row per DROPPED item — (vec_id, ivf_cell, keeper_id,
-    cosine) with keeper = the highest-priority member that evicted it.
+    cosine) with keeper = the highest-priority member that evicted it
+    (ties in centroid-similarity break by id ASC; argmax/first-match
+    semantics match the lowest-index rule of ``ivf_assign``).
     """
-    assigned = ivf_assign(df, centroids, vec_col=vec_col)
-    cent_sim = None
-    for i, c in enumerate(centroids):
-        sim_i = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        cond = F.col("ivf_cell") == i
-        cent_sim = sim_i if cent_sim is None else F.when(cond, sim_i).otherwise(cent_sim)
-    # the when-chain above grows linearly (each branch is independent — no
-    # accumulator in the else feeding conditions, so no 2^n blowup)
-    assigned = assigned.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "ivf_cell",
-        cent_sim.alias("cent_sim"))
-    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                        "ivf_cell", F.col("cent_sim").alias("cs_a"))
-    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                        "ivf_cell", F.col("cent_sim").alias("cs_b"))
-    w = Window.partitionBy("id_b").orderBy(
-        F.col("cs_a").asc_nulls_last(), F.col("id_a").asc())
-    # a is higher priority than b: lower centroid-sim, tie by id ASC;
-    # keeper reported per dropped item = its single highest-priority evictor
-    pairs = (a.join(b, "ivf_cell")
-             .filter(F.col("id_a") != F.col("id_b"))
-             .filter((F.col("cs_a") < F.col("cs_b"))
-                     | ((F.col("cs_a") == F.col("cs_b"))
-                        & (F.col("id_a") < F.col("id_b"))))
-             .select("ivf_cell", "id_a", "id_b", "cs_a",
-                     cosine(F.col("va"), F.col("vb")).alias("cos"))
-             .filter(F.col("cos") >= threshold))
-    return (pairs.select("*", F.row_number().over(w).alias("rk"))
-            .filter(F.col("rk") == 1)
-            .select(F.col("id_b").alias("vec_id"), "ivf_cell",
-                    F.col("id_a").alias("keeper_id"), F.col("cos").alias("cosine")))
+    import numpy as np
+
+    spark = df.sparkSession
+    cmat = np.array(centroids, dtype=float)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.nan
+    bc = spark.sparkContext.broadcast(cmat / cnorm[:, None])
+
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = np.nan
+            sims = (m / norms[:, None]) @ cn.T
+            # NaN rows (zero vectors) would poison argmax -> park in cell 0
+            # with cent_sim NaN; they can never exceed the threshold below
+            safe = np.nan_to_num(sims, nan=-np.inf)
+            cell = np.argmax(safe, axis=1)          # ties -> lowest index
+            cent_sim = sims[np.arange(len(m)), cell]
+            yield pd.DataFrame({
+                "id": pdf[id_col], "vec": pdf[vec_col],
+                "ivf_cell": cell.astype("int32"), "cent_sim": cent_sim})
+
+    assigned = clean.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign,
+        schema=f"id long, vec array<double>, ivf_cell int, cent_sim double")
+
+    def evict(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out = {"vec_id": [], "ivf_cell": [], "keeper_id": [], "cosine": []}
+        order = np.lexsort((pdf["id"].to_numpy(), pdf["cent_sim"].to_numpy()))
+        ids = pdf["id"].to_numpy()[order]
+        cells = pdf["ivf_cell"].to_numpy()[order]
+        m = np.array([np.asarray(v, dtype=float)
+                      for v in pdf["vec"].to_numpy()[order]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = np.nan
+        mn = m / norms[:, None]
+        s = mn @ mn.T
+        for j in range(1, len(ids)):
+            hits = s[j, :j] >= threshold        # NaN compares False
+            if hits.any():
+                i = int(np.argmax(hits))        # FIRST in priority order
+                out["vec_id"].append(ids[j])
+                out["ivf_cell"].append(cells[j])
+                out["keeper_id"].append(ids[i])
+                out["cosine"].append(float(s[j, i]))
+        return pd.DataFrame(out)
+
+    return assigned.groupBy("ivf_cell").applyInPandas(
+        evict, schema="vec_id long, ivf_cell int, keeper_id long, cosine double")
 
 
 def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,

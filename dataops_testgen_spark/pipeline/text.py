@@ -304,6 +304,59 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
     return out.filter(F.col("repetition_pass")) if keep_only else out
 
 
+def c4_clean(text: Column) -> dict[str, Column]:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) as pure per-row
+    expressions — one narrow pass, no explode/shuffle:
+
+    - keep only lines ending in terminal punctuation (. ! ? or a closing
+      double-quote after one) AND containing at least 5 words
+    - flag pages containing 'lorem ipsum' (case-insensitive) or '{' (code)
+    - count sentences (terminal-punctuation runs) in the KEPT text;
+      ``c4_pass`` = ≥3 sentences and neither flag
+
+    Returns cleaned_text (kept lines re-joined with newlines) plus the
+    stats; callers hash cleaned_text for correctness checks rather than
+    shipping it."""
+    lines = F.filter(F.transform(F.split(text, r"\n"), F.trim),
+                     lambda ln: ln != "")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?]"?$')
+        & (F.size(F.split(ln, r"\s+")) >= 5))
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_lines_kept": F.size(kept).cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem_ipsum": has_lorem,
+        "has_code_brace": has_brace,
+        "c4_pass": (n_sentences >= 3) & ~has_lorem & ~has_brace,
+        "cleaned_text": cleaned,
+    }
+
+
+def c4_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              keep_only: bool = False) -> DataFrame:
+    """Attach C4 cleaning stats per document (cleaned text as md5 so the
+    result stays metadata-sized); ``keep_only`` returns passers with their
+    cleaned text instead."""
+    parts = c4_clean(F.col(text_col))
+    if keep_only:
+        out = df.select(F.col(id_col).alias("id"),
+                        parts["cleaned_text"].alias("cleaned_text"),
+                        parts["c4_pass"].alias("c4_pass"))
+        return out.filter(F.col("c4_pass")).drop("c4_pass")
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[parts[k].alias(k) for k in
+          ("n_lines", "n_lines_kept", "n_sentences",
+           "has_lorem_ipsum", "has_code_brace", "c4_pass")],
+        F.md5(parts["cleaned_text"]).alias("cleaned_md5"))
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (empty when fewer than k tokens).
 

@@ -631,3 +631,79 @@ def test_ngram_contamination(spark):
             ngram_contamination(corpus, bench, k=3,
                                 broadcast_benchmark=False).collect()}
     assert out2 == {1: 2, 3: 2}
+
+
+def test_c4_clean(spark):
+    """C4 line rules: terminal punctuation + >=5 words kept; lorem-ipsum
+    and code-brace pages flagged; >=3 kept sentences to pass."""
+    from dataops_testgen_spark.pipeline.text import c4_filter
+
+    good = ("this first sentence has six words.\n"
+            "a second full sentence arrives here!\n"
+            'did the third one make it?"')
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "short line.\nno punctuation either way\nanother bare line"),
+         (3, good + "\nsome Lorem Ipsum filler text."),
+         (4, good + "\nfunction f() { return 1; }")],
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in c4_filter(docs).collect()}
+    assert rows[1]["n_lines_kept"] == 3 and rows[1]["n_sentences"] == 3
+    assert rows[1]["c4_pass"]
+    assert rows[2]["n_lines_kept"] == 0 and not rows[2]["c4_pass"]
+    assert rows[3]["has_lorem_ipsum"] and not rows[3]["c4_pass"]
+    assert rows[4]["has_code_brace"] and not rows[4]["c4_pass"]
+    kept = c4_filter(docs, keep_only=True).collect()
+    assert [r["id"] for r in kept] == [1]
+    assert kept[0]["cleaned_text"].count("\n") == 2
+
+
+def test_text_filters_no_shuffle(spark, capsys):
+    """gopher/repetition/c4/pii are all narrow one-pass projections — no
+    exchange anywhere in their plans."""
+    from dataops_testgen_spark.pipeline.text import (
+        c4_filter, gopher_filter, pii_scrub, repetition_filter)
+
+    docs = spark.createDataFrame([(1, "a b c.")], "doc_id: long, text: string")
+    for fn in (gopher_filter, repetition_filter, c4_filter, pii_scrub):
+        fn(docs).explain(mode="formatted")
+        plan = capsys.readouterr().out
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_semantic_dedup_matches_brute_force(spark, sf_dir):
+    """Full equivalence on the real sf0.001 embeddings: the distributed
+    per-cell eviction must equal an independent single-matrix numpy
+    recompute of the SemDeDup policy."""
+    import numpy as np
+
+    from dataops_testgen_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [list(map(float, r["embedding"]))
+             for r in emb.filter("vec_id < 6").orderBy("vec_id").collect()]
+    thr = 0.35
+    got = {(r["vec_id"], r["keeper_id"], round(r["cosine"], 9))
+           for r in semantic_dedup(emb, cents, threshold=thr).collect()}
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([np.asarray(r["embedding"], dtype=float) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = np.array(cents)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    sims = mn @ cn.T
+    cell = np.argmax(sims, axis=1)
+    cent_sim = sims[np.arange(len(m)), cell]
+    want = set()
+    for cl in range(len(cents)):
+        idx = np.where(cell == cl)[0]
+        order = idx[np.lexsort((ids[idx], cent_sim[idx]))]
+        s = mn[order] @ mn[order].T
+        for j in range(1, len(order)):
+            hits = s[j, :j] >= thr
+            if hits.any():
+                i = int(np.argmax(hits))
+                want.add((int(ids[order[j]]), int(ids[order[i]]),
+                          round(float(s[j, i]), 9)))
+    assert got == want and len(want) > 0
