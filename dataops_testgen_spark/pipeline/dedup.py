@@ -273,7 +273,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     slice-equality join therefore has FULL recall, and the final
     ``bit_count(xor)`` filter restores exactness. (Two halves, the naive
     choice, silently drop hamming-2/3 pairs with flips in both halves.)"""
-    sig = simhash_signatures(df, text_col, id_col, k, bits)
+    # materialize the (id, sig) relation once: the self-join below would
+    # otherwise re-derive the whole shingle->md5->vote pipeline for BOTH
+    # sides (2x the corpus scan — measured ~5s -> ~2.5s on sf0.1). 16
+    # bytes/doc, same tradeoff as the edge list in duplicate_clusters.
+    sig = simhash_signatures(df, text_col, id_col, k, bits) \
+        .localCheckpoint(eager=True)
     num_blocks = max_hamming + 1
     if num_blocks > bits:
         raise ValueError(f"max_hamming={max_hamming} needs {num_blocks} blocks "
