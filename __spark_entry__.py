@@ -2390,6 +2390,72 @@ SELECT id,
   FROM c"""
 
 
+def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram LM quality proxy (pipeline/text.py:
+    unigram_logprob_score — CCNet's perplexity filter reduced to unigrams,
+    add-one smoothing over the observed vocabulary)."""
+    from dataops_testgen_spark.pipeline.text import unigram_logprob_score
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = unigram_logprob_score(docs)
+    return out.select("id", "n_tokens", F.round("mean_nll", 5).alias("mean_nll"))
+
+
+_SQL_UNIGRAM_LOGPROB = r"""
+WITH t AS (SELECT doc_id AS id,
+                  UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+           WHERE text IS NOT NULL AND trim(text) <> ''),
+vocab AS (SELECT tok, COUNT(*)::BIGINT AS ct FROM t GROUP BY tok),
+totals AS (SELECT SUM(ct) AS n_total, COUNT(*) AS n_vocab FROM vocab)
+SELECT id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(AVG(-LN((v.ct + 1) / (totals.n_total + totals.n_vocab)::DOUBLE)), 5)
+         AS mean_nll
+  FROM t JOIN vocab v USING (tok) CROSS JOIN totals
+ GROUP BY id"""
+
+
+def q_boilerplate_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate line removal (pipeline/dedup.py:
+    boilerplate_line_dedup — C4's global span dedup at line granularity).
+    Every 5th document gets an identical injected footer line (classic
+    boilerplate) so the drop path is exercised beyond the corpus's natural
+    exact-duplicate documents; the oracle injects identically."""
+    from dataops_testgen_spark.pipeline.dedup import boilerplate_line_dedup
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\nsubscribe to our newsletter for updates")))
+        .otherwise(F.col("text")))
+    return boilerplate_line_dedup(injected)
+
+
+_SQL_BOILERPLATE_DEDUP = """
+WITH inj AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(10) || 'subscribe to our newsletter for updates'
+              ELSE text END AS t
+    FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT id,
+         list_filter(list_transform(regexp_split_to_array(t, '\\n'),
+                                    x -> trim(x)), x -> x <> '') AS lines
+    FROM inj),
+e AS (SELECT id, i AS pos, lines[i] AS line
+        FROM base, UNNEST(range(1, len(lines) + 1)) AS u(i)),
+freq AS (SELECT line, COUNT(DISTINCT id) AS n_docs FROM e GROUP BY line),
+m AS (SELECT e.id, e.pos, e.line, f.n_docs FROM e JOIN freq f USING (line))
+SELECT id, COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN n_docs <= 1 THEN line END,
+                               chr(10) ORDER BY pos), '')) AS cleaned_md5
+  FROM m GROUP BY id"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2462,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "decontaminate_documents": q_decontaminate_documents,
         "c4_clean_documents": q_c4_clean_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
     }
 
 
@@ -2539,4 +2607,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _SQL_SEMANTIC_DEDUP,
         "decontaminate_documents": _SQL_DECONTAMINATE,
         "c4_clean_documents": _SQL_C4_CLEAN,
+        "unigram_logprob_documents": _SQL_UNIGRAM_LOGPROB,
+        "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
     }

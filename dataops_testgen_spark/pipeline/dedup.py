@@ -220,6 +220,44 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
                  F.min("shingle").alias("sample_ngram")))
 
 
+def boilerplate_line_dedup(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_occurrences: int = 1) -> DataFrame:
+    """C4-style global boilerplate removal (Raffel et al. 2020 deduplicate
+    repeated three-sentence spans corpus-wide; the unit here is the LINE):
+    any trimmed non-empty line appearing in more than ``max_occurrences``
+    DISTINCT documents is dropped from ALL of them; each document is
+    reassembled in original line order.
+
+    100 TB shape: posexplode lines (narrow), ONE groupBy(line) partial-agg
+    for corpus-wide document counts, an equi-join back, and one
+    groupBy(id) sorted-collect to reassemble — the heavy relation is
+    (id, pos, line), the corpus's own size, shuffled twice (by line, by
+    id); hot boilerplate lines are exactly the skewed keys, but they only
+    feed a count (map-side combined), never a pair expansion.
+
+    Output: (id, n_lines, n_dropped, cleaned_md5) — md5 of the rejoined
+    cleaned text keeps the result metadata-sized; documents whose every
+    line is boilerplate hash the empty string."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+            lambda ln: ln != "")).alias("pos", "line"))
+    freq = lines.groupBy("line").agg(F.countDistinct("id").alias("n_docs"))
+    marked = lines.join(freq, "line")
+    keep = F.col("n_docs") <= max_occurrences
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(keep, F.struct("pos", "line")))),
+                lambda s: s["line"]),
+            "\n")).alias("cleaned_md5"))
+
+
 def simhash(text: Column, k: int = 3, bits: int = 32) -> Column:
     """SimHash over word k-shingles: per-bit majority vote of shingle hashes.
     Bit i of each shingle comes from ``conv(substr(md5, ...), 16, 10)``; the

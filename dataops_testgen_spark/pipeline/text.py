@@ -304,6 +304,44 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
     return out.filter(F.col("repetition_pass")) if keep_only else out
 
 
+def unigram_logprob_score(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          vocab_size: int | None = None) -> DataFrame:
+    """CCNet-style LM quality proxy (Wenzek et al. 2020 filter on KenLM
+    perplexity; this is the documented unigram reduction — a corpus-relative
+    signal, not a real LM): score(doc) = mean over tokens of −ln p(token),
+    p estimated from the corpus's own unigram counts with add-one smoothing
+    over the observed vocabulary. High score = rare-token-heavy documents
+    (typically noise); low = common-token prose.
+
+    100 TB shape: two corpus passes by design — one explode+groupBy builds
+    the unigram table (partial aggs), then scoring is an equi-join on token
+    + groupBy(id) mean. The vocab relation is an aggregate (≤ |V| rows);
+    no forced broadcast — AQE converts the join when it is small, and
+    ``vocab_size`` caps it by keeping the top-V tokens (OOV tokens fall to
+    the add-one floor). Output: (id, n_tokens, mean_nll)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    if vocab_size is not None:
+        w = Window.orderBy(F.col("ct").desc(), F.col("tok").asc())
+        vocab = (vocab.select("*", F.row_number().over(w).alias("rk"))
+                 .filter(F.col("rk") <= vocab_size).drop("rk"))
+    totals = vocab.agg(F.sum("ct").alias("n_total"),
+                       F.count(F.lit(1)).alias("n_vocab"))
+    scored = (toks.join(vocab, "tok", "left")
+              .crossJoin(F.broadcast(totals))      # one-row totals
+              .select("id",
+                      (-F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                              / (F.col("n_total") + F.col("n_vocab"))))
+                      .alias("nll")))
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nll").alias("mean_nll"))
+
+
 def c4_clean(text: Column) -> dict[str, Column]:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) as pure per-row
     expressions — one narrow pass, no explode/shuffle:

@@ -707,3 +707,49 @@ def test_semantic_dedup_matches_brute_force(spark, sf_dir):
                 want.add((int(ids[order[j]]), int(ids[order[i]]),
                           round(float(s[j, i]), 9)))
     assert got == want and len(want) > 0
+
+
+def test_unigram_logprob_score(spark):
+    """Hand-computed add-one unigram NLLs on a 2-doc corpus."""
+    import math
+
+    from dataops_testgen_spark.pipeline.text import unigram_logprob_score
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b c")],
+                                 "doc_id: long, text: string")
+    rows = {r["id"]: r for r in unigram_logprob_score(docs).collect()}
+    # counts a:2 b:2 c:1, total 5, vocab 3 -> denom 8
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["mean_nll"] - (-math.log(3 / 8))) < 1e-12
+    want2 = (-math.log(3 / 8) - math.log(2 / 8)) / 2
+    assert abs(rows[2]["mean_nll"] - want2) < 1e-12
+    # vocab cap: keep top-1 token (a wins the a/b tie alphabetically);
+    # OOV tokens get the add-one floor 1/(2+1)
+    capped = {r["id"]: r for r in
+              unigram_logprob_score(docs, vocab_size=1).collect()}
+    assert abs(capped[2]["mean_nll"] - (-math.log(1 / 3))) < 1e-12
+
+
+def test_boilerplate_line_dedup(spark):
+    """Lines shared by >1 doc vanish from every doc; order and uniqueness
+    of the survivors is preserved in the reassembled hash."""
+    import hashlib
+
+    from dataops_testgen_spark.pipeline.dedup import boilerplate_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "common header\nunique one alpha\ncommon footer"),
+         (2, "common header\nunique two beta\ncommon footer"),
+         (3, "only unique lines here\nand another")],
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in boilerplate_line_dedup(docs).collect()}
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dropped"] == 2
+    assert rows[1]["cleaned_md5"] == \
+        hashlib.md5(b"unique one alpha").hexdigest()
+    assert rows[3]["n_dropped"] == 0
+    assert rows[3]["cleaned_md5"] == \
+        hashlib.md5(b"only unique lines here\nand another").hexdigest()
+    # looser threshold keeps everything
+    rows2 = {r["id"]: r for r in
+             boilerplate_line_dedup(docs, max_occurrences=2).collect()}
+    assert all(r["n_dropped"] == 0 for r in rows2.values())
