@@ -2456,6 +2456,59 @@ SELECT id, COUNT(*)::BIGINT AS n_lines,
   FROM m GROUP BY id"""
 
 
+_MERGE_NUM_COLS = ["o_custkey", "o_totalprice"]
+
+
+def q_merged_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-incremental profiling (profiling/merge.py): profile three
+    disjoint slices of orders independently, fold them with
+    merge_profiles, and emit the mergeable numeric metrics — the oracle is
+    the straight full-table SQL, so the hash proves merged-slices ==
+    whole-table for every mergeable statistic (the 100 TB 'profile only
+    new partitions' path). The all-metric/all-type equivalence (incl.
+    strings and dates) is pinned by tests/test_profiler.py on lineitem."""
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    # only the checked columns travel through the slice profiles: the
+    # per-slice cost is agg-expression compilation, linear in column count
+    df = _load(spark, sf_dir, "orders").select("o_orderkey", *_MERGE_NUM_COLS)
+    parts = None
+    for i in range(3):
+        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
+                          "orders", run_date=RUN_DATE)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = merge_profiles(parts) \
+        .filter(F.col("column_name").isin(_MERGE_NUM_COLS)) \
+        .filter(F.col("general_type") == "N")
+    return merged.select(
+        "column_name", "record_ct", "value_ct", "null_value_ct",
+        "zero_value_ct",
+        F.round("min_value", 5).alias("min_value"),
+        F.round("max_value", 5).alias("max_value"),
+        F.round("min_value_over_0", 5).alias("min_value_over_0"),
+        F.round("avg_value", 5).alias("avg_value"),
+        F.round("stdev_value", 5).alias("stdev_value"))
+
+
+def _sql_profile_numeric_mergeable(table: str, cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       COUNT(*)::BIGINT AS record_ct,
+       COUNT({c})::BIGINT AS value_ct,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_value_ct,
+       SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_value_ct,
+       ROUND(MIN({c})::DOUBLE, 5) AS min_value,
+       ROUND(MAX({c})::DOUBLE, 5) AS max_value,
+       ROUND(MIN(CASE WHEN {c} > 0 THEN {c} END)::DOUBLE, 5) AS min_value_over_0,
+       ROUND(AVG({c}::DOUBLE), 5) AS avg_value,
+       ROUND(STDDEV_SAMP({c}::DOUBLE), 5) AS stdev_value
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2530,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_documents": q_c4_clean_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
+        "merged_profile_orders": q_merged_profile_orders,
     }
 
 
@@ -2609,4 +2663,6 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_documents": _SQL_C4_CLEAN,
         "unigram_logprob_documents": _SQL_UNIGRAM_LOGPROB,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
+        "merged_profile_orders": _sql_profile_numeric_mergeable(
+            "orders", _MERGE_NUM_COLS),
     }

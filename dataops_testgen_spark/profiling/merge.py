@@ -1,0 +1,126 @@
+"""Mergeable profile statistics — partition-incremental profiling at scale.
+
+At 100 TB a daily pipeline should profile only NEW partitions and fold the
+result into the running table profile, not rescan history. Most of the
+reference's ~60 metrics are algebraically mergeable from per-slice profile
+rows (the same idea as Spark's own partial aggregates, one level up):
+
+- count-like metrics add; min/max combine by min/max
+- means combine weighted by ``value_ct``
+- sample stddev combines through the sum-of-squares identity
+  ``SS_total = Σ((n_i−1)·sd_i² + n_i·mean_i²) − n·mean²`` (the grouped form
+  of Chan et al.'s pairwise update), then ``sd = sqrt(SS/(n−1))``
+
+Metrics that are NOT mergeable from scalars — exact distinct counts,
+exact percentiles, top-k lists, the distinct-value hash, and the derived
+``std_pattern_match`` label — come back NULL; at scale those are the
+metrics the profiler's ``approx=True`` path computes with sketches
+(HLL / KLL) which ARE mergeable, or that a scheduled full profile
+refreshes. Merging SAMPLED profiles is refused: scaled estimates of
+disjoint slices do not add.
+
+No reference-file counterpart: the reference re-profiles whole tables per
+run (`run_profiling.py`); this operator exists for the Spark target's
+partitioned-lake reality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.profiling.profiler import PROFILE_SCHEMA
+
+KEY_FIELDS = ["table_name", "column_name"]
+META_FIRST = ["ordinal_position", "column_type", "general_type", "is_decimal"]
+
+SUM_FIELDS = [
+    "record_ct", "value_ct", "null_value_ct", "zero_value_ct",
+    "zero_length_ct", "lead_space_ct", "quoted_value_ct",
+    "includes_digit_ct", "filled_value_ct", "upper_case_ct",
+    "lower_case_ct", "non_alpha_ct", "mixed_case_ct", "non_printing_ct",
+    "numeric_ct", "date_ct", "embedded_space_ct", "before_1yr_date_ct",
+    "before_5yr_date_ct", "before_20yr_date_ct", "before_100yr_date_ct",
+    "within_1yr_date_ct", "within_1mo_date_ct", "future_date_ct",
+    "distant_future_date_ct", "boolean_true_ct",
+]
+SUM_DOUBLE_FIELDS = ["fractional_sum"]
+MIN_FIELDS = ["min_length", "min_value", "min_value_over_0", "min_date",
+              "min_text"]
+MAX_FIELDS = ["max_length", "max_value", "max_date", "max_text"]
+# (metric, weight column): weighted means — every avg_* is over non-null
+# values of the profiled column, so the weight is value_ct
+WEIGHTED_AVG_FIELDS = [("avg_length", "value_ct"),
+                       ("avg_value", "value_ct"),
+                       ("avg_embedded_spaces", "value_ct")]
+NON_MERGEABLE_FIELDS = [
+    "distinct_value_ct", "distinct_std_value_ct", "std_pattern_match",
+    "percentile_25", "percentile_50", "percentile_75", "date_days_present",
+    "date_weeks_present", "date_months_present", "top_patterns",
+    "distinct_pattern_ct", "top_freq_values", "distinct_value_hash",
+]
+
+
+def merge_profiles(profiles: DataFrame) -> DataFrame:
+    """Fold per-slice profile rows (one row per (slice, table, column),
+    the output of ``profile_table`` over disjoint slices of the same
+    table) into whole-table profile rows. Metadata-plane: input size is
+    slices × columns. See the module docstring for merge rules; output
+    keeps the ``PROFILE_SCHEMA`` column order with non-mergeable metrics
+    NULL."""
+    if profiles.filter(F.coalesce(F.col("sample_ratio"), F.lit(1.0))
+                       < 1.0).limit(1).count():
+        raise ValueError(
+            "cannot merge sampled profiles: scaled estimates of disjoint "
+            "slices do not add — profile slices with sample=False")
+
+    aggs = []
+    for f in SUM_FIELDS:
+        aggs.append(F.sum(f).cast("long").alias(f))
+    for f in SUM_DOUBLE_FIELDS:
+        aggs.append(F.sum(f).alias(f))
+    for f in MIN_FIELDS:
+        aggs.append(F.min(f).alias(f))
+    for f in MAX_FIELDS:
+        aggs.append(F.max(f).alias(f))
+    for f, w in WEIGHTED_AVG_FIELDS:
+        aggs.append(
+            (F.sum(F.col(f) * F.col(w))
+             / F.nullif(F.sum(F.when(F.col(f).isNotNull(), F.col(w))),
+                        F.lit(0))).alias(f))
+    # sample stddev via the grouped sum-of-squares identity; slices with a
+    # single value carry sd NULL but still contribute their mean/count
+    n_i = F.col("value_ct")
+    ss_i = (F.coalesce(F.col("stdev_value"), F.lit(0.0)) ** 2) * (n_i - 1)
+    aggs.append(F.sum(F.when(F.col("avg_value").isNotNull(),
+                             ss_i + n_i * F.col("avg_value") ** 2))
+                .alias("__ss__"))
+    aggs.append(F.sum(F.when(F.col("avg_value").isNotNull(), n_i))
+                .alias("__n_num__"))
+    for f in META_FIRST:
+        aggs.append(F.first(f, ignorenulls=True).alias(f))
+    aggs.append(F.max("run_date").alias("run_date"))
+
+    g = profiles.groupBy(*KEY_FIELDS).agg(*aggs)
+    # avg_value in g is already the merged weighted mean, so the identity
+    # reduces to SS_total − n·mean², divided by n−1 for the sample sd
+    g = g.withColumn(
+        "stdev_value",
+        F.when(
+            F.col("__n_num__") > 1,
+            F.sqrt((F.col("__ss__")
+                    - F.col("__n_num__") * F.col("avg_value") ** 2)
+                   / (F.col("__n_num__") - 1)),
+        )).drop("__ss__", "__n_num__")
+
+    out_cols = []
+    for field in PROFILE_SCHEMA.fields:
+        name = field.name
+        if name in NON_MERGEABLE_FIELDS:
+            out_cols.append(F.lit(None).cast(field.dataType).alias(name))
+        elif name == "sample_ratio":
+            # merged-from-unsampled-slices is itself an unsampled profile
+            out_cols.append(F.lit(1.0).alias(name))
+        else:
+            out_cols.append(F.col(name).cast(field.dataType).alias(name))
+    return g.select(*out_cols)

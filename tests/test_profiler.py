@@ -137,3 +137,50 @@ def test_std_pattern_survives_sampling(spark):
     row = p.collect()[0]
     assert row["sample_ratio"] < 1.0
     assert row["std_pattern_match"] == "EMAIL"
+
+
+def test_merge_profiles_equals_full_profile(spark, sf_dir):
+    """Partition-incremental profiling: profile three disjoint slices of
+    lineitem, merge, and compare with the whole-table profile — every
+    mergeable metric must agree (floats to 1e-9 relative), non-mergeable
+    ones must come back NULL."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import (
+        NON_MERGEABLE_FIELDS, merge_profiles)
+    from dataops_testgen_spark.profiling.profiler import (
+        PROFILE_SCHEMA, profile_table)
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rd = datetime.date(2026, 1, 1)
+    slices = [df.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    parts = None
+    for s in slices:
+        p = profile_table(s, "lineitem", run_date=rd)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = {r["column_name"]: r for r in merge_profiles(parts).collect()}
+    full = {r["column_name"]: r
+            for r in profile_table(df, "lineitem", run_date=rd).collect()}
+    assert set(merged) == set(full)
+
+    mergeable = [f.name for f in PROFILE_SCHEMA.fields
+                 if f.name not in NON_MERGEABLE_FIELDS
+                 and f.name not in ("sample_ratio",)]
+    for col, m in merged.items():
+        f = full[col]
+        for name in mergeable:
+            a, b = m[name], f[name]
+            if isinstance(a, float) and a is not None and b is not None:
+                assert a == _pytest.approx(b, rel=1e-9, abs=1e-9), (col, name)
+            else:
+                assert a == b, (col, name, a, b)
+        for name in NON_MERGEABLE_FIELDS:
+            assert m[name] is None, (col, name)
+
+    # sampled slices must be refused
+    sampled = parts.withColumn("sample_ratio", F.lit(0.5))
+    with _pytest.raises(ValueError):
+        merge_profiles(sampled).collect()

@@ -69,3 +69,48 @@ def test_quickstart_score(quickstart):
     row = rollup_scores(detail.filter("record_ct IS NOT NULL")).collect()[0]
     assert 0.90 < row["dq_score"] < 0.99
     assert row["dq_total_data_points"] == 522.0
+
+
+def test_quickstart_mutation_iteration_trips_tests(quickstart, spark):
+    """The reference demo's iteration loop (`update_target_data_iter3.sql`
+    + `run_monitor_iteration.sql`): mutate the target data, re-run the SAME
+    generated tests, and watch previously-passing tests trip. Seeded
+    mutations: 30 duplicated sale rows (uniqueness drift), a negative
+    unit_price (below baseline min), a year-2031 sale_date (future date),
+    and a leading-space status (invalid characters)."""
+    from pyspark.sql import functions as F
+
+    tables, inferred = quickstart
+    defs = to_test_defs(generate_selection_tests(inferred))
+
+    def result_map(tbls):
+        res = run_cat_tests(tbls, defs, run_date=RUN_DATE)
+        return {(r["table_name"], r["column_name"], r["test_type"]):
+                r["result_code"] for r in res.collect()}
+
+    before = result_map(tables)
+
+    sales = tables["sales"]
+    mutated_sales = (
+        sales
+        .withColumn("unit_price", F.when(F.col("sale_id") == 11,
+                                         F.lit(-5.0))
+                    .otherwise(F.col("unit_price")))
+        .withColumn("sale_date", F.when(F.col("sale_id") == 7,
+                                        F.lit("2031-01-01").cast("date"))
+                    .otherwise(F.col("sale_date")))
+        .withColumn("status", F.when(F.col("sale_id") == 3,
+                                     F.lit(" refunded"))
+                    .otherwise(F.col("status")))
+        .unionByName(sales.filter(F.col("sale_id") < 30)))
+    mutated = dict(tables, sales=mutated_sales)
+    after = result_map(mutated)
+
+    flipped = {k for k in before
+               if before[k] == 1 and after.get(k) == 0}
+    flipped_types = {(k[0], k[2]) for k in flipped}
+    for want in (("sales", "Min_Val"), ("sales", "Future_Date"),
+                 ("sales", "Valid_Characters"), ("sales", "Unique_Pct")):
+        assert want in flipped_types, (want, sorted(flipped_types))
+    # nothing outside the mutated table spuriously trips
+    assert all(k[0] == "sales" for k in flipped), sorted(flipped)
