@@ -53,6 +53,9 @@ MAX_FIELDS = ["max_length", "max_value", "max_date", "max_text"]
 WEIGHTED_AVG_FIELDS = [("avg_length", "value_ct"),
                        ("avg_value", "value_ct"),
                        ("avg_embedded_spaces", "value_ct")]
+# distinct_value_ct IS merged (approximately) when the slices carry HLL
+# sketches (profile_table(keep_sketches=True)); without sketches it stays
+# NULL like the rest of this list.
 NON_MERGEABLE_FIELDS = [
     "distinct_value_ct", "distinct_std_value_ct", "std_pattern_match",
     "percentile_25", "percentile_50", "percentile_75", "date_days_present",
@@ -100,6 +103,14 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
     for f in META_FIRST:
         aggs.append(F.first(f, ignorenulls=True).alias(f))
     aggs.append(F.max("run_date").alias("run_date"))
+    has_sketches = "distinct_hll" in profiles.columns
+    if has_sketches:
+        # mergeable distinct counts: union the slices' DataSketches HLLs
+        # (guarded — an all-NULL union yields an EMPTY sketch, which would
+        # turn "sketches not kept" into a false distinct count of 0)
+        aggs.append(F.when(F.count("distinct_hll") > 0,
+                           F.hll_union_agg("distinct_hll"))
+                    .alias("distinct_hll"))
 
     g = profiles.groupBy(*KEY_FIELDS).agg(*aggs)
     # avg_value in g is already the merged weighted mean, so the identity
@@ -116,7 +127,14 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
     out_cols = []
     for field in PROFILE_SCHEMA.fields:
         name = field.name
-        if name in NON_MERGEABLE_FIELDS:
+        if name == "distinct_hll":
+            out_cols.append(
+                (F.col(name) if has_sketches
+                 else F.lit(None).cast("binary")).alias(name))
+        elif name == "distinct_value_ct" and has_sketches:
+            out_cols.append(
+                F.hll_sketch_estimate("distinct_hll").cast("long").alias(name))
+        elif name in NON_MERGEABLE_FIELDS:
             out_cols.append(F.lit(None).cast(field.dataType).alias(name))
         elif name == "sample_ratio":
             # merged-from-unsampled-slices is itself an unsampled profile

@@ -101,6 +101,7 @@ PROFILE_SCHEMA = T.StructType([
     T.StructField("date_weeks_present", T.LongType()),
     T.StructField("date_months_present", T.LongType()),
     T.StructField("boolean_true_ct", T.LongType()),
+    T.StructField("distinct_hll", T.BinaryType()),
     T.StructField("top_patterns", T.StringType()),
     T.StructField("distinct_pattern_ct", T.LongType()),
     T.StructField("top_freq_values", T.StringType()),
@@ -164,11 +165,18 @@ def profile_table(
     sample: bool = False,
     secondary: bool = True,
     columns: list[str] | None = None,
+    keep_sketches: bool = False,
 ) -> DataFrame:
     """Profile every column of ``df`` → one row per column (profile_results).
 
     One aggregate job for all primary metrics + one unpivot job for the
     secondary (top-k) metrics.
+
+    ``keep_sketches=True`` additionally stores a mergeable HLL sketch of
+    each column (``distinct_hll``, Apache DataSketches binary via
+    ``hll_sketch_agg``) so ``merge_profiles`` can fold distinct counts
+    across partition-incremental profile runs — the 100 TB path where
+    exact distincts of historical partitions are never rescanned.
     """
     spark = df.sparkSession
     if isinstance(run_date, str):
@@ -213,6 +221,12 @@ def profile_table(
     exprs = []
     for i, col in enumerate(cols):
         exprs.extend(_column_exprs(col, i, run_date, distinct, exact_percentiles))
+    # TypedImperativeAggregates: keep sketches out of the codegen'd main agg
+    sketch_exprs = [
+        F.hll_sketch_agg(F.col(col.column_name).cast("string"))
+         .alias(f"c{i}__distinct_hll")
+        for i, col in enumerate(cols)
+    ] if keep_sketches else []
 
     if approx:
         main_exprs = [e for _, e in exprs]
@@ -243,7 +257,8 @@ def profile_table(
         sec_holder["df"] = None if s is None else s.localCheckpoint()
 
     row = {}
-    jobs = [es for es in (main_exprs, dist_exprs, pct_exprs) if es]
+    jobs = [es for es in (main_exprs, dist_exprs, pct_exprs, sketch_exprs)
+            if es]
     tasks = [(lambda es=es: target.agg(*es).collect()[0].asDict())
              for es in jobs]
     if secondary:

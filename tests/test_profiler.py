@@ -184,3 +184,35 @@ def test_merge_profiles_equals_full_profile(spark, sf_dir):
     sampled = parts.withColumn("sample_ratio", F.lit(0.5))
     with _pytest.raises(ValueError):
         merge_profiles(sampled).collect()
+
+
+def test_merge_profiles_hll_sketches(spark, sf_dir):
+    """With keep_sketches=True the slice profiles carry mergeable HLL
+    sketches, and merged distinct_value_ct lands within HLL error of the
+    exact full-table distinct count."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    rd = datetime.date(2026, 1, 1)
+    parts = None
+    for i in range(2):
+        p = profile_table(df.filter(F.col("o_orderkey") % 2 == i),
+                          "orders", run_date=rd, keep_sketches=True)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = {r["column_name"]: r for r in merge_profiles(parts).collect()}
+    exact = {c: df.select(c).distinct().count() for c in df.columns}
+    for c, want in exact.items():
+        got = merged[c]["distinct_value_ct"]
+        assert got is not None
+        assert abs(got - want) <= max(2, 0.03 * want), (c, got, want)
+        assert merged[c]["distinct_hll"] is not None
+    # without sketches the distinct count stays NULL
+    p0 = profile_table(df, "orders", run_date=rd)
+    plain = merge_profiles(p0).collect()[0]
+    assert plain["distinct_value_ct"] is None
