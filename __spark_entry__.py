@@ -2509,6 +2509,39 @@ FROM {table}""")
     return "\nUNION ALL\n".join(parts)
 
 
+def q_pack_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing plan (pipeline/text.py:
+    pack_token_spans): documents laid end-to-end in id order, cut every
+    256 tokens; one row per (document, training-sequence) overlap."""
+    from dataops_testgen_spark.pipeline.text import pack_token_spans
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return pack_token_spans(docs, window=256)
+
+
+_SQL_PACK_SPANS = r"""
+WITH c AS (
+  SELECT doc_id AS id,
+         len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n
+    FROM documents
+   WHERE text IS NOT NULL AND trim(text) <> ''),
+placed AS (
+  SELECT id, n,
+         COALESCE(SUM(n) OVER (ORDER BY id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS o
+    FROM c),
+spans AS (
+  SELECT id, n, o, UNNEST(range((o // 256)::BIGINT, ((o + n - 1) // 256 + 1)::BIGINT))
+           AS seq_id
+    FROM placed)
+SELECT seq_id::BIGINT AS seq_id, id,
+       GREATEST(seq_id * 256 - o, 0)::BIGINT AS tok_start,
+       (LEAST(seq_id * 256 + 256 - o, n)
+        - GREATEST(seq_id * 256 - o, 0))::BIGINT AS tok_count
+  FROM spans"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2584,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
         "merged_profile_orders": q_merged_profile_orders,
+        "pack_spans_documents": q_pack_spans_documents,
     }
 
 
@@ -2665,4 +2699,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),
+        "pack_spans_documents": _SQL_PACK_SPANS,
     }

@@ -459,6 +459,48 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                     F.lit(chunk_tokens)), " ").alias("chunk_text"))
 
 
+def pack_token_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", window: int = 2048) -> DataFrame:
+    """Concat-and-cut sequence packing — the standard LLM-pretraining step:
+    documents are laid end-to-end in ``id`` order and the token stream is
+    cut every ``window`` tokens; a document overlapping a cut is split
+    across the adjacent training sequences. Returns the packing PLAN, one
+    row per (document, sequence) overlap: (seq_id, id, tok_start — 0-based
+    offset within the document, tok_count), which a writer can apply
+    without ever materializing the global stream.
+
+    100 TB shape: token counts reduce per document first, so the only
+    global ordering is a running-sum window over ONE ROW PER DOCUMENT
+    (metadata-plane; the classic prefix-sum bottleneck is over doc-count,
+    not token-count — range-partition the id space and two-phase the
+    prefix sum when doc count itself is huge). The span explode is a
+    narrow per-row expansion joined back by id, so document text never
+    shuffles.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    from pyspark.sql import Window
+
+    counts = df.select(F.col(id_col).alias("id"),
+                       token_count(F.col(text_col)).alias("n")) \
+               .filter(F.col("n") > 0)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    placed = counts.select(
+        "id", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset"))
+    first_bin = F.floor(F.col("offset") / window)
+    last_bin = F.floor((F.col("offset") + F.col("n") - 1) / window)
+    spans = placed.select(
+        "id", "n", "offset",
+        F.explode(F.sequence(first_bin, last_bin)).alias("seq_id"))
+    bin_start = F.col("seq_id") * window
+    tok_start = F.greatest(bin_start - F.col("offset"), F.lit(0))
+    tok_end = F.least(bin_start + window - F.col("offset"), F.col("n"))
+    return spans.select(
+        F.col("seq_id").cast("long"), "id",
+        tok_start.cast("long").alias("tok_start"),
+        (tok_end - tok_start).cast("long").alias("tok_count"))
+
+
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text analysis: id, token counts, lang, quality, fingerprint."""
     t = F.col(text_col)

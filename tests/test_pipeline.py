@@ -753,3 +753,29 @@ def test_boilerplate_line_dedup(spark):
     rows2 = {r["id"]: r for r in
              boilerplate_line_dedup(docs, max_occurrences=2).collect()}
     assert all(r["n_dropped"] == 0 for r in rows2.values())
+
+
+def test_pack_token_spans(spark):
+    """Concat-and-cut packing: spans tile the global token stream exactly,
+    split docs carry correct intra-doc offsets, empty docs vanish."""
+    import pytest as _pytest
+
+    from dataops_testgen_spark.pipeline.text import pack_token_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # 5 tokens -> seq 0
+         (2, "f g h i j k"),      # 6 tokens: 3 in seq 0, 3 in seq 1
+         (3, ""),                 # no tokens -> no spans
+         (4, "l m")],             # 2 tokens -> seq 1
+        "doc_id: long, text: string")
+    rows = [(r["seq_id"], r["id"], r["tok_start"], r["tok_count"])
+            for r in pack_token_spans(docs, window=8)
+            .orderBy("seq_id", "id").collect()]
+    assert rows == [(0, 1, 0, 5), (0, 2, 0, 3), (1, 2, 3, 3), (1, 4, 0, 2)]
+    # every sequence except the last is exactly full
+    per_seq = {}
+    for s, _i, _t, n in rows:
+        per_seq[s] = per_seq.get(s, 0) + n
+    assert per_seq == {0: 8, 1: 5}
+    with _pytest.raises(ValueError):
+        pack_token_spans(docs, window=0)

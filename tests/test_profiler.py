@@ -216,3 +216,31 @@ def test_merge_profiles_hll_sketches(spark, sf_dir):
     p0 = profile_table(df, "orders", run_date=rd)
     plain = merge_profiles(p0).collect()[0]
     assert plain["distinct_value_ct"] is None
+
+
+def test_merge_profiles_with_empty_slice(spark, sf_dir):
+    """A slice with zero rows (e.g. an empty new partition) contributes
+    nothing and must not poison means/stddev or min/max."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    rd = datetime.date(2026, 1, 1)
+    full = profile_table(df, "orders", run_date=rd)
+    empty = profile_table(df.filter(F.lit(False)), "orders", run_date=rd)
+    merged = {r["column_name"]: r for r in
+              merge_profiles(full.unionByName(empty)).collect()}
+    want = {r["column_name"]: r for r in full.collect()}
+    for c in want:
+        for m in ("record_ct", "value_ct", "min_value", "max_value",
+                  "avg_value", "stdev_value"):
+            a, b = merged[c][m], want[c][m]
+            if isinstance(a, float) and b is not None:
+                assert abs(a - b) < 1e-9 + 1e-9 * abs(b), (c, m, a, b)
+            else:
+                assert a == b, (c, m, a, b)
