@@ -2542,6 +2542,57 @@ SELECT seq_id::BIGINT AS seq_id, id,
   FROM spans"""
 
 
+def q_centroid_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality scores (pipeline/similarity.py:
+    centroid_outlier_scores — cosine to the corpus mean vector, the
+    SSL-prototype pruning signal)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = SIM.centroid_outlier_scores(emb)
+    return out.select("id", F.round("centroid_cosine", 5).alias("centroid_cosine"))
+
+
+_SQL_CENTROID_OUTLIERS = """
+WITH d AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+                  generate_subscripts(embedding, 1) AS pos
+             FROM embeddings),
+m AS (SELECT pos, AVG(x) AS mx FROM d GROUP BY pos),
+s AS (SELECT d.vec_id,
+             SUM(d.x * m.mx) AS dp,
+             SQRT(SUM(d.x * d.x)) AS na,
+             SQRT(SUM(m.mx * m.mx)) AS nb
+        FROM d JOIN m USING (pos) GROUP BY d.vec_id)
+SELECT vec_id AS id, ROUND(dp / NULLIF(na * nb, 0), 5) AS centroid_cosine
+  FROM s"""
+
+
+def q_tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (pipeline/text.py:
+    tfidf_keywords; deterministic score/term tiebreak)."""
+    from dataops_testgen_spark.pipeline.text import tfidf_keywords
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = tfidf_keywords(docs, k=3)
+    return out.select("id", "term", F.round("tfidf", 5).alias("tfidf"), "rank")
+
+
+_SQL_TFIDF_KEYWORDS = r"""
+WITH t AS (SELECT doc_id AS id,
+                  UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+             FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''),
+tf AS (SELECT id, term, COUNT(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM t GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT id) AS n_docs FROM t),
+scored AS (
+  SELECT id, term, tf * LN(n_docs::DOUBLE / df) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+         FROM scored)
+SELECT id, term, ROUND(tfidf, 5) AS tfidf, rank::INT AS rank
+  FROM rk WHERE rank <= 3"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2618,6 +2669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
         "merged_profile_orders": q_merged_profile_orders,
         "pack_spans_documents": q_pack_spans_documents,
+        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
+        "tfidf_keywords_documents": q_tfidf_keywords_documents,
     }
 
 
@@ -2700,4 +2753,6 @@ def oracle_sql() -> dict[str, str]:
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),
         "pack_spans_documents": _SQL_PACK_SPANS,
+        "centroid_outliers_embeddings": _SQL_CENTROID_OUTLIERS,
+        "tfidf_keywords_documents": _SQL_TFIDF_KEYWORDS,
     }

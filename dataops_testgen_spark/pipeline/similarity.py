@@ -404,6 +404,27 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         evict, schema="vec_id long, ivf_cell int, keeper_id long, cosine double")
 
 
+def centroid_outlier_scores(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Prototypicality / outlier scoring for dataset pruning (the signal
+    behind SSL-prototype pruning, Sorscher et al. 2022): cosine of every
+    embedding to the CORPUS MEAN vector. Low scores = atypical examples
+    (candidates for inspection or up-weighting), high = prototypical
+    (candidates for pruning dense redundancy).
+
+    100 TB shape: the mean vector is one posexplode+groupBy partial agg
+    (D rows collected — metadata), then scoring is a shuffle-free
+    projection. Output: (id, centroid_cosine)."""
+    dims = (df.select(F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos").agg(F.avg("x").alias("m"))
+            .orderBy("pos").collect())
+    mean_vec = [float(r["m"]) for r in dims]
+    c = F.array(*[F.lit(x) for x in mean_vec])
+    return df.select(
+        F.col(id_col).alias("id"),
+        cosine(F.col(vec_col), c).alias("centroid_cosine"))
+
+
 def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",

@@ -459,6 +459,35 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                     F.lit(chunk_tokens)), " ").alias("chunk_text"))
 
 
+def tfidf_keywords(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF keywords per document — corpus-relative salience for
+    tagging/routing. tf = in-doc term count, idf = ln(N/df) over distinct
+    document frequency; ties break (score DESC, term ASC) so results are
+    deterministic.
+
+    100 TB shape: one explode feeds both the per-(doc, term) counts and
+    the document-frequency agg (partial aggs); the idf join is on term
+    (AQE broadcasts the df relation when small) and the top-k is a
+    per-doc window — no global sort. Output: (id, term, tfidf, rank)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    ndocs = toks.agg(F.countDistinct("id").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(ndocs))     # one-row total
+              .select("id", "term",
+                      (F.col("tf")
+                       * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf")))
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(),
+                                         F.col("term").asc())
+    return (scored.select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k))
+
+
 def pack_token_spans(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", window: int = 2048) -> DataFrame:
     """Concat-and-cut sequence packing — the standard LLM-pretraining step:

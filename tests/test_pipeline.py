@@ -779,3 +779,48 @@ def test_pack_token_spans(spark):
     assert per_seq == {0: 8, 1: 5}
     with _pytest.raises(ValueError):
         pack_token_spans(docs, window=0)
+
+
+def test_centroid_outlier_scores(spark):
+    """Cosine-to-mean: collinear vectors score ~1, the orthogonal outlier
+    scores lowest."""
+    from dataops_testgen_spark.pipeline.similarity import (
+        centroid_outlier_scores)
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.0]), (3, [1.1, 0.0]),
+            (4, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {r["id"]: r["centroid_cosine"]
+           for r in centroid_outlier_scores(emb).collect()}
+    # mean = [0.75, 0.25]; the x-axis vectors score equal (to float ulp,
+    # cosine is scale-invariant) and higher than the orthogonal outlier
+    import math
+    want_x = 0.75 / math.hypot(0.75, 0.25)
+    for i in (1, 2, 3):
+        assert abs(got[i] - want_x) < 1e-12
+    want4 = 0.25 / math.hypot(0.75, 0.25)
+    assert abs(got[4] - want4) < 1e-12
+    assert got[4] < got[1]
+
+
+def test_tfidf_keywords(spark):
+    """A term unique to one doc outranks corpus-wide terms; ubiquitous
+    terms carry zero idf."""
+    from dataops_testgen_spark.pipeline.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark shuffle common"),
+         (2, "duckdb vector common"),
+         (3, "common common plain words")],
+        "doc_id: long, text: string")
+    out = {(r["id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_keywords(docs, k=2).collect()}
+    import math
+    assert out[(1, 1)][0] == "spark"
+    assert abs(out[(1, 1)][1] - 2 * math.log(3)) < 1e-12
+    assert out[(2, 1)][0] in ("duckdb", "vector")  # tie -> term ASC
+    assert out[(2, 1)][0] == "duckdb"
+    # 'common' appears in every doc -> idf 0 -> never a top keyword unless
+    # nothing else exists
+    assert all(term != "common" or score == 0.0
+               for term, score in out.values())
