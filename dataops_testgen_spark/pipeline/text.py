@@ -26,7 +26,12 @@ _PUNCT_RE = r"[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of lowercased text (empty array for blank)."""
+    """Whitespace tokenization of lowercased text (empty array for blank).
+
+    Edge semantics, deliberately shared with every DuckDB oracle: the
+    blank guard uses ``trim`` (SPACES only — Spark and DuckDB agree), so a
+    tab/newline-only string is NOT blank and splits to empty-string
+    tokens; `tests/test_regex_parity.py` fuzzes this equivalence."""
     t = F.split(F.trim(F.lower(text)), r"\s+")
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
 

@@ -1,0 +1,96 @@
+"""Property-based cross-engine parity fuzz for the regex-semantics helpers.
+
+The profiling metrics are defined by regex LITERALS shared between the
+Spark plan (Java regex via ``rlike``) and the DuckDB oracle (RE2 via
+``regexp_matches``). The two engines' regex dialects differ at the edges
+(unicode classes, anchors, possessiveness), so this fuzz feeds the same
+adversarial ASCII-ish strings through BOTH engines and requires identical
+match verdicts for every shared pattern — the drift class that hash
+matching at sf0.01 would only catch if the fixture happened to contain a
+triggering value.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.profiling import regexes as RX
+
+PATTERNS = {
+    "is_num": RX.IS_NUM_RE,
+    "quoted": RX.QUOTED_RE,
+    "filled_run": RX.FILLED_RUN_RE,
+    "filled_wrapped": RX.FILLED_WRAPPED_RE,
+    "zero_text": RX.ZERO_TEXT_RE,
+}
+
+# adversarial alphabet: digits, signs, currency, separators, quotes,
+# whitespace runs, word-list fragments, brackets
+_FRAGS = st.sampled_from(
+    ["0", "9", "1,234", "12,34", ".", "..", "-", "?", "x", "z", "$",
+     "+", "%", " ", "  ", "\t", "'", '"', "(", ")", "[", "]", "n/a",
+     "null", "unknown", "missing", "error", "3.14", ",", "a", "Z",
+     "0.0", "00", ".5", "5.", "1,234,567", "$1,0", "e", "E", "-1"])
+strings = st.lists(_FRAGS, min_size=0, max_size=6).map("".join)
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    con = duckdb.connect()
+    return spark, con
+
+
+@settings(max_examples=30, deadline=None)
+@given(batch=st.lists(strings, min_size=1, max_size=40, unique=True))
+def test_pattern_parity(engines, batch):
+    spark, con = engines
+    df = spark.createDataFrame([(s,) for s in batch], "s: string")
+    sel = [F.col("s")]
+    for name, rx in PATTERNS.items():
+        sel.append(F.coalesce(F.col("s").rlike(rx), F.lit(False)).alias(name))
+    got_spark = {r["s"]: tuple(bool(r[n]) for n in PATTERNS)
+                 for r in df.select(*sel).collect()}
+    got_duck = {}
+    for s in batch:
+        row = []
+        for name, rx in PATTERNS.items():
+            sql_rx = rx.replace("'", "''")
+            v = con.execute(
+                "SELECT regexp_matches(?, '" + sql_rx + "')", [s]
+            ).fetchone()[0]
+            row.append(bool(v))
+        got_duck[s] = tuple(row)
+    assert got_spark == got_duck
+
+
+_WS_FRAGS = st.sampled_from(
+    ["word", "Tok", "a", "bc", " ", "  ", "\t", "\n", "x,y", "7", "-",
+     "end.", "Ü"])
+ws_strings = st.lists(_WS_FRAGS, min_size=1, max_size=8).map("".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(batch=st.lists(ws_strings, min_size=1, max_size=25, unique=True))
+def test_tokenization_parity(engines, batch):
+    """Every shingle/tfidf/unigram/jaccard oracle assumes
+    string_split_regex(trim(lower(s)), '\\s+') ≡ the engine's tokens();
+    fuzz that equivalence, including unicode letters and mixed whitespace."""
+    from dataops_testgen_spark.pipeline.text import tokens
+
+    spark, con = engines
+    df = spark.createDataFrame([(s,) for s in batch], "s: string")
+    got_spark = {r["s"]: list(r["t"]) for r in
+                 df.select("s", tokens(F.col("s")).alias("t")).collect()}
+    for s in batch:
+        # the blank-guard must use SQL trim (spaces only — Spark and
+        # DuckDB agree), not Python strip (which also eats tabs/newlines):
+        # a tab-only string tokenizes to ['', ''] in BOTH engines
+        want = con.execute(
+            "SELECT CASE WHEN trim(?) = '' THEN []::VARCHAR[] "
+            "ELSE string_split_regex(trim(lower(?)), '\\s+') END",
+            [s, s]).fetchone()[0]
+        assert got_spark[s] == want, repr(s)
