@@ -159,3 +159,41 @@ def test_streaming_exact_dedup(spark):
     assert "__tg_content_md5__" not in spark.table("dedup_stream").columns
     import shutil
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_document_filters_match_batch(spark):
+    """The document quality filters (Gopher flags + C4 cleaning + PII
+    scrub) are pure narrow projections, so they compose with Structured
+    Streaming unchanged: an availableNow pass over a parquet stream must
+    produce exactly the batch results."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataops_testgen_spark.pipeline.text import (
+        c4_filter, gopher_filter, pii_scrub)
+
+    d = tempfile.mkdtemp(prefix="filter_stream_")
+    clean = " ".join(["the quick brown fox and that dog have fun with it"]
+                     * 6)
+    rows = [
+        (1, clean + "\nthis appended line keeps five words today."),
+        (2, "too short"),
+        (3, clean + " mail me: a@b.com or 555-123-4567"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id: long, text: string")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+
+    def run_stream(fn, name):
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        q = (fn(stream).writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    for fn, name in ((gopher_filter, "s_gopher"), (c4_filter, "s_c4"),
+                     (pii_scrub, "s_pii")):
+        got = run_stream(fn, name)
+        want = {tuple(r) for r in fn(batch).collect()}
+        assert got == want, name
+    shutil.rmtree(d, ignore_errors=True)
