@@ -2593,6 +2593,51 @@ SELECT id, term, ROUND(tfidf, 5) AS tfidf, rank::INT AS rank
   FROM rk WHERE rank <= 3"""
 
 
+def q_corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report (pipeline/text.py: corpus_report):
+    volume, exact-dup rate, English share, Gopher pass rate in one scan."""
+    from dataops_testgen_spark.pipeline.text import corpus_report
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return corpus_report(docs)
+
+
+def _sql_corpus_report() -> str:
+    gopher = _SQL_GOPHER_QUALITY.strip()
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+    FROM documents WHERE text IS NOT NULL),
+l AS (
+  SELECT doc_id, text, len(toks)::BIGINT AS n,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['de'])} AS s_de,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['en'])} AS s_en,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['es'])} AS s_es,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['fr'])} AS s_fr,
+         {_lang_filter_sql(TX.LANG_STOPWORDS['zh'])} AS s_zh
+    FROM t),
+lng AS (
+  SELECT doc_id, text, n,
+         CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+              WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+              WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+              WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+              ELSE 'zh' END AS lang
+    FROM l),
+g AS ({gopher})
+SELECT COUNT(*)::BIGINT AS n_docs,
+       SUM(n)::BIGINT AS total_tokens,
+       ROUND(AVG(n), 5) AS avg_tokens,
+       COUNT(DISTINCT md5(lng.text))::BIGINT AS distinct_texts,
+       (COUNT(*) - COUNT(DISTINCT md5(lng.text)))::BIGINT AS dup_docs,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en_docs,
+       SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)::BIGINT AS gopher_pass_docs
+  FROM lng JOIN g ON g.id = lng.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2671,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_spans_documents": q_pack_spans_documents,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
+        "corpus_report_documents": q_corpus_report_documents,
     }
 
 
@@ -2755,4 +2801,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_spans_documents": _SQL_PACK_SPANS,
         "centroid_outliers_embeddings": _SQL_CENTROID_OUTLIERS,
         "tfidf_keywords_documents": _SQL_TFIDF_KEYWORDS,
+        "corpus_report_documents": _sql_corpus_report(),
     }

@@ -535,6 +535,27 @@ def pack_token_spans(df: DataFrame, text_col: str = "text",
         (tok_end - tok_start).cast("long").alias("tok_count"))
 
 
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus health report — the dashboard a pipeline owner reads
+    before training: document/token volume, exact-duplicate rate, English
+    share (stopword language-ID), and Gopher quality pass rate. ONE
+    partial-aggregate scan (the exact distinct adds Catalyst's expand;
+    swap md5 for an HLL sketch at 100 TB if one pass matters more than
+    exactness)."""
+    t = F.col(text_col)
+    n_toks = token_count(t)
+    gp = gopher_quality_flags(t)["gopher_pass"]
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).alias("total_tokens"),
+        F.round(F.avg(n_toks), 5).alias("avg_tokens"),
+        F.countDistinct(F.md5(t)).alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(t))).alias("dup_docs"),
+        F.sum((lang_id(t) == "en").cast("long")).alias("en_docs"),
+        F.sum(gp.cast("long")).alias("gopher_pass_docs"))
+
+
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text analysis: id, token counts, lang, quality, fingerprint."""
     t = F.col(text_col)

@@ -824,3 +824,21 @@ def test_tfidf_keywords(spark):
     # nothing else exists
     assert all(term != "common" or score == 0.0
                for term, score in out.values())
+
+
+def test_corpus_report(spark):
+    """Corpus health report: counts, dup rate, language share, and the
+    Gopher pass count on a corpus with one exact duplicate pair."""
+    from dataops_testgen_spark.pipeline.text import corpus_report
+
+    good = " ".join(["the quick brown fox and that dog have fun with it"]
+                    * 6)
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, "el gato y el perro pequeno"),
+         (4, "tiny text")],
+        "doc_id: long, text: string")
+    r = corpus_report(docs).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["distinct_texts"] == 3 and r["dup_docs"] == 1
+    assert r["en_docs"] == 2 and r["gopher_pass_docs"] == 2
+    assert r["total_tokens"] == 66 + 66 + 6 + 2
