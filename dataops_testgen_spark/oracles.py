@@ -15,11 +15,32 @@ from __future__ import annotations
 
 from dataops_testgen_spark.profiling import regexes as RX
 
-# DuckDB strptime equivalents of profiling.regexes.DATE_FORMATS
-_DUCK_DATE_FORMATS = (
-    "['%Y-%m-%d', '%Y-%m-%d %H:%M:%S', '%m/%d/%Y', '%-m/%-d/%Y', "
-    "'%d-%b-%Y', '%b %d %Y', '%b %d, %Y', '%Y%m%d']"
-)
+# DuckDB strptime equivalents of profiling.regexes.DATE_FORMATS.
+# Each format is shape-guarded by a regex enforcing the digit widths the
+# Java pattern enforces, and parsed with the SINGLE-format try_strptime:
+# the LIST variant takes a different (timestamptz) code path that ROLLS
+# INVALID DATES OVER (Feb 30 -> Mar 1) and accepts 1-digit fields where
+# %m/%d would not — both divergences from Spark's strict try_to_timestamp
+# were caught by tests/test_regex_parity.py::test_is_date_parity.
+_DUCK_DATE_SHAPES = [
+    (r"^\d{4}-\d{2}-\d{2}$", "%Y-%m-%d"),
+    (r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$", "%Y-%m-%d %H:%M:%S"),
+    (r"^\d{2}/\d{2}/\d{4}$", "%m/%d/%Y"),
+    (r"^\d{1,2}/\d{1,2}/\d{4}$", "%-m/%-d/%Y"),
+    (r"^\d{2}-[A-Za-z]{3}-\d{4}$", "%d-%b-%Y"),
+    (r"^[A-Za-z]{3} \d{2} \d{4}$", "%b %d %Y"),
+    (r"^[A-Za-z]{3} \d{2}, \d{4}$", "%b %d, %Y"),
+    (r"^\d{8}$", "%Y%m%d"),
+]
+
+
+def duck_is_date(expr: str) -> str:
+    """IS_DATE in DuckDB SQL with Spark-strict semantics over ``expr``."""
+    attempts = " OR ".join(
+        f"(regexp_matches({expr}, '{shape}')"
+        f" AND try_strptime({expr}, '{fmt}') IS NOT NULL)"
+        for shape, fmt in _DUCK_DATE_SHAPES)
+    return f"({attempts})"
 
 _FULL_NAME_RE = (
     "(approver|full|contact|emp|employee|hcp|manager|mgr|owner|party|person|"
@@ -84,7 +105,7 @@ def _alpha_metrics_sql(t: str, c: str) -> dict[str, str]:
         ),
         "date_ct": (
             f"SUM(CASE WHEN {c} IS NOT NULL AND "
-            f"try_strptime(TRIM(substr({c}, 1, 26)), {_DUCK_DATE_FORMATS}) IS NOT NULL"
+            f"{duck_is_date(f'TRIM(substr({c}, 1, 26))')}"
             " THEN 1 ELSE 0 END)::BIGINT"
         ),
         "min_text": f"LEFT(MIN(NULLIF({c}, '')), 100)",

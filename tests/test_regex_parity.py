@@ -94,3 +94,38 @@ def test_tokenization_parity(engines, batch):
             "ELSE string_split_regex(trim(lower(?)), '\\s+') END",
             [s, s]).fetchone()[0]
         assert got_spark[s] == want, repr(s)
+
+
+_DATE_FRAGS = st.sampled_from(
+    ["2024-03-15", "2024-3-5", "2024-13-40", "03/15/2024", "3/5/2024",
+     "31/12/2024", "15-Mar-2024", "15-mar-2024", "Mar 15 2024",
+     "Mar 15, 2024", "20240315", "2024-02-30", "2024-02-29", "2023-02-29",
+     "2024-03-15 10:20:30", "2024-03-15 25:00:00", "99990101", "0",
+     "12345678", "hello", "", " 2024-03-15", "2024-03-15 ", "Mar 99 2024",
+     "5-Mar-2024", "Mar 5 2024", "Mar 5, 2024", "2024-03-15 1:2:3",
+     "00000101", "13/13/2024", "02/29/2023", "2024-00-10", "2024-01-00"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(batch=st.lists(_DATE_FRAGS, min_size=1, max_size=20, unique=True))
+def test_is_date_parity(engines, batch):
+    """The IS_DATE multi-format semantics (profiling date_ct) must agree
+    between Spark's try_to_timestamp chain and the oracle's try_strptime
+    format list — including month-length/leap-day rejection and the
+    whitespace TRIM."""
+    from dataops_testgen_spark.profiling.expressions import _is_date
+
+    spark, con = engines
+    df = spark.createDataFrame([(s,) for s in batch], "s: string")
+    got_spark = {r["s"]: bool(r["d"]) for r in df.select(
+        "s", F.coalesce(_is_date(F.substring(F.col("s"), 1, 26)),
+                        F.lit(False)).alias("d")).collect()}
+    from dataops_testgen_spark.oracles import duck_is_date
+
+    expr = duck_is_date("TRIM(substr(s, 1, 26))")
+    got_duck = {}
+    for s in batch:
+        v = con.execute(f"SELECT {expr} FROM (SELECT ? AS s)",
+                        [s]).fetchone()[0]
+        got_duck[s] = bool(v)
+    assert got_spark == got_duck
