@@ -246,6 +246,30 @@ def _evaluate(td: TestDef, raw) -> dict:
                                     thr,
                                     float(lower) if lower is not None else None,
                                     float(upper) if upper is not None else None)
+    if failed is None:
+        # Reference parity (execute_tests_query.py:108-122): the condition
+        # is a SQL CASE WHEN measure <op> threshold THEN fail ELSE pass —
+        # a NULL measure or threshold falls through to ELSE and PASSES
+        # (e.g. Min_Val over an empty table). The one exception is a
+        # monitor (NOT BETWEEN) with missing tolerances: that is the
+        # PREDICT training window, recorded as the -1/Log sentinel.
+        if op == "NOT BETWEEN" and (lower is None or upper is None):
+            code, status = -1, "Log"
+        else:
+            code, status = 1, result_status(False, td.severity)
+        return {
+            "test_id": td.test_id,
+            "test_type": td.test_type,
+            "table_name": td.table_name,
+            "column_name": td.column_name,
+            "test_operator": op,
+            "threshold_value": None if threshold is None else str(threshold),
+            "result_measure": measure_num,
+            "result_measure_str": measure_str,
+            "result_code": code,
+            "result_status": status,
+            "result_message": None,
+        }
     status = result_status(failed, td.severity)
     return {
         "test_id": td.test_id,

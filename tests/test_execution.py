@@ -369,3 +369,40 @@ def test_history_thresholds_update_with_null_latest_signal(spark):
     out = update_history_calc_thresholds(defs, results).collect()[0]
     assert float(out["lower_tolerance"]) == 10.0   # Minimum of numeric history
     assert float(out["upper_tolerance"]) == 30.0   # Maximum of numeric history
+
+
+def test_cat_tests_on_empty_and_all_null_table(spark):
+    """Degenerate inputs must not crash the fused agg: an empty table and
+    an all-NULL column produce NULL measures with defined result codes
+    (Required compares counts and still passes at 0; Min_Val with a NULL
+    measure cannot violate the threshold)."""
+    from dataops_testgen_spark.execution.cat import run_cat_tests
+    from dataops_testgen_spark.execution.defs import TestDef
+
+    empty = spark.createDataFrame([], "v: double")
+    nulls = spark.createDataFrame([(None,), (None,), (None,)], "v: double")
+    defs = [
+        TestDef(test_id="t1", test_type="Required", table_name="t",
+                column_name="v", params={"threshold_value": "0"}),
+        TestDef(test_id="t2", test_type="Min_Val", table_name="t",
+                column_name="v", params={"baseline_value": "5",
+                                         "threshold_value": "0"}),
+        TestDef(test_id="t3", test_type="Row_Ct", table_name="t",
+                column_name="v", params={"threshold_value": "1"}),
+    ]
+    for tbl, name in ((empty, "empty"), (nulls, "all-null")):
+        res = {r["test_id"]: r for r in
+               run_cat_tests({"t": tbl}, defs,
+                             run_date="2026-01-01").collect()}
+        assert set(res) == {"t1", "t2", "t3"}, name
+        # Required counts new nulls: 0 on empty (passes), 3 on all-null
+        assert res["t1"]["result_code"] in (0, 1)
+        if name == "all-null":
+            assert res["t1"]["result_measure"] == 3.0
+            assert res["t1"]["result_code"] == 0
+        else:
+            assert res["t1"]["result_code"] == 1
+        # Row_Ct below threshold fails on empty, passes on 3 rows
+        assert res["t3"]["result_code"] == (0 if name == "empty" else 1)
+        # no exceptions, no Error statuses from the degenerate agg
+        assert all(r["result_status"] != "Error" for r in res.values()), name

@@ -129,3 +129,30 @@ def test_is_date_parity(engines, batch):
                         [s]).fetchone()[0]
         got_duck[s] = bool(v)
     assert got_spark == got_duck
+
+
+dates = st.dates(min_value=__import__("datetime").date(1900, 1, 1),
+                 max_value=__import__("datetime").date(2100, 12, 28))
+
+
+@settings(max_examples=20, deadline=None)
+@given(batch=st.lists(st.tuples(dates, dates), min_size=1, max_size=30,
+                      unique=True))
+def test_date_arithmetic_parity(engines, batch):
+    """The profile/CAT date metrics use boundary-count months and day
+    diffs; both must equal DuckDB's date_diff semantics for arbitrary
+    date pairs (Spark's months_between is fractional and was deliberately
+    avoided — this pins the replacement)."""
+    spark, con = engines
+    df = spark.createDataFrame(batch, "a: date, b: date")
+    months = ((F.year("a") - F.year("b")) * 12
+              + (F.month("a") - F.month("b")))
+    got = {(str(r["a"]), str(r["b"])): (r["m"], r["d"]) for r in
+           df.select("a", "b", months.alias("m"),
+                     F.datediff("a", "b").alias("d")).collect()}
+    for a, b in batch:
+        m, d = con.execute(
+            "SELECT date_diff('month', ?::DATE, ?::DATE),"
+            " date_diff('day', ?::DATE, ?::DATE)",
+            [b, a, b, a]).fetchone()
+        assert got[(str(a), str(b))] == (m, d), (a, b)
