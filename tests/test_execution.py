@@ -406,3 +406,28 @@ def test_cat_tests_on_empty_and_all_null_table(spark):
         assert res["t3"]["result_code"] == (0 if name == "empty" else 1)
         # no exceptions, no Error statuses from the degenerate agg
         assert all(r["result_status"] != "Error" for r in res.values()), name
+
+
+def test_query_tests_on_empty_inputs(spark):
+    """Referential QUERY tests behave on empty inputs: zero detail rows,
+    zero measures, and a NULL JS divergence (no categories) — not errors."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.execution import query_tests as QT
+
+    e1 = spark.createDataFrame([], "k: string, v: double")
+    e2 = spark.createDataFrame([], "j: string, w: double")
+    assert QT.dupe_rows(e1, ["k"]).count() == 0
+    assert QT.dupe_rows_measure(QT.dupe_rows(e1, ["k"])) == 0
+    assert QT.combo_match(e1, ["k"], e2, ["j"]).count() == 0
+    assert QT.aggregate_balance(e1, ["k"], F.sum("v"),
+                                e2, ["j"], F.sum("w")).count() == 0
+    assert QT.distribution_shift(e1, ["k"], e2, ["j"]) \
+        .collect()[0]["js_divergence"] is None
+    # identical column names on both sides must not trip self-join
+    # ambiguity in the anti/full-outer joins
+    a = spark.createDataFrame([("x", 1.0)], "k: string, v: double")
+    b = spark.createDataFrame([("y", 2.0)], "k: string, v: double")
+    assert QT.combo_match(a, ["k"], b, ["k"]).count() == 1
+    assert QT.aggregate_balance(a, ["k"], F.sum("v"),
+                                b, ["k"], F.sum("v")).count() == 2
