@@ -2002,7 +2002,7 @@ counts AS (
 SELECT l_returnflag, l_linestatus, key_ct,
        ROUND(key_ct / t, 5) AS share
   FROM counts, totals
- WHERE key_ct >= GREATEST(1, CAST(0.05 * t AS BIGINT))
+ WHERE key_ct >= GREATEST(1, CAST(FLOOR(0.05 * t) AS BIGINT))
  ORDER BY key_ct DESC, l_returnflag, l_linestatus
  LIMIT 100"""
 

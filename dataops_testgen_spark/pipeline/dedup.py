@@ -399,7 +399,8 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     ``lsh_cosine_pairs`` (bucketed joins, no collect) — the default path
     can never pull an unbounded matrix onto the driver.
     """
-    from dataops_testgen_spark.pipeline.similarity import collect_normalized
+    from dataops_testgen_spark.pipeline.similarity import (_id_type,
+                                                           collect_normalized)
 
     n = df.count()
     dim_row = df.select(F.size(vec_col)).first()
@@ -433,8 +434,9 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                 "cosine": sims[rows, cols],
             })
 
+    idt = _id_type(df, id_col)
     return df.select(id_col, vec_col).mapInPandas(
-        compute, schema="id_a long, id_b long, cosine double")
+        compute, schema=f"id_a {idt}, id_b {idt}, cosine double")
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",

@@ -35,6 +35,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / F.nullif(norm(ad) * norm(bd), F.lit(0.0))
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """SQL type string of the id column, for mapInPandas output schemas.
+    The Arrow-path operators carry ids opaquely (joins, argsorts, equality
+    masks), so any Arrow-convertible scalar type works — deriving the type
+    here instead of hardcoding ``long`` keeps string/decimal ids supported
+    like the pre-Arrow expression forms were."""
+    return df.schema[id_col].dataType.simpleString()
+
+
 def collect_normalized(df: DataFrame, id_col: str, vec_col: str):
     """(ids ndarray, row-normalized matrix) for broadcasting — the small
     side of a similarity search. Zero vectors normalize to NaN (cosine
@@ -42,24 +51,61 @@ def collect_normalized(df: DataFrame, id_col: str, vec_col: str):
     import numpy as np
 
     rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.array([r[0] for r in rows])
     m = np.array([np.asarray(r[1], dtype=float) for r in rows])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = np.nan
     return ids, m / norms[:, None]
 
 
+MAX_BROADCAST_MATRIX_BYTES = 256 * 1024 * 1024
+
+
+def _bruteforce_topk_shuffled(df: DataFrame, queries: DataFrame, k: int,
+                              vec_col: str, id_col: str) -> DataFrame:
+    """Exact top-k without a driver collect: crossJoin every query against
+    the base relation, Arrow-batch the pair cosines, window the top-k.
+    O(N·Q) pair work — the exact fallback when the base matrix exceeds the
+    broadcast cap; ``lsh_topk``/``ivf_topk`` are the sublinear scale paths."""
+    idt = _id_type(df, id_col)
+    base = df.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    cand = (q.crossJoin(base)
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = _pair_cosine_pandas(cand, "qv", "v",
+                                 [("query_id", idt), ("neighbor_id", idt)])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+                 .filter(F.col("rank") <= k)
+
+
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
-                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     max_broadcast_bytes: int = MAX_BROADCAST_MATRIX_BYTES) -> DataFrame:
     """Exact top-k cosine neighbors for each query row.
     Output: (query_id, neighbor_id, cosine, rank). Deterministic tiebreak:
     cosine DESC, neighbor_id ASC.
 
-    Same broadcast-matrix design as embedding_cosine_pairs: the base matrix
-    is broadcast, each query partition does one numpy matmul and a
-    per-row lexsort top-k — no crossJoin, no shuffle beyond the query scan.
+    Same broadcast-matrix design as embedding_cosine_pairs, with the same
+    size dispatch (dedup.py:embedding_cosine_pairs): when the base matrix
+    fits under ``max_broadcast_bytes`` it is collected once and broadcast,
+    and each query partition does one numpy matmul plus a per-row lexsort
+    top-k — no crossJoin, no shuffle beyond the query scan. Above the cap
+    the driver collect would OOM, so the call falls back to the exact
+    shuffled crossJoin+window form (distributed, O(N·Q) pairs); callers
+    needing sublinear work at that scale should use ``lsh_topk``/
+    ``ivf_topk`` instead.
     """
     spark = df.sparkSession
+    n = df.count()
+    dim_row = df.select(F.size(vec_col)).first()
+    dim = dim_row[0] if dim_row else 0
+    if n * dim * 8 > max_broadcast_bytes:
+        return _bruteforce_topk_shuffled(df, queries, k, vec_col, id_col)
+    idt = _id_type(df, id_col)
     ids, matrix = collect_normalized(df, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, matrix))
 
@@ -91,7 +137,8 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                                 "cosine": out_c, "rank": out_r})
 
     return queries.select(id_col, vec_col).mapInPandas(
-        compute, schema="query_id long, neighbor_id long, cosine double, rank int")
+        compute,
+        schema=f"query_id {idt}, neighbor_id {idt}, cosine double, rank int")
 
 
 def _hyperplane(table_id: int, dim: int, n_dims: int) -> list[float]:
@@ -152,12 +199,15 @@ def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
             yield pd.DataFrame({"id": pdf[id_col], "vec": pdf[vec_col],
                                 "buckets": [list(row) for row in b]})
 
+    idt = _id_type(df, id_col)
+
     def sig(src):
         # all num_tables signatures in ONE Arrow pass against the broadcast
         # plane tensor (the per-table expression form re-scanned the input
         # num_tables times through interpreted HOF projections)
         return src.select(id_col, vec_col).mapInPandas(
-            buckets, schema="id long, vec array<double>, buckets array<long>")
+            buckets,
+            schema=f"id {idt}, vec array<double>, buckets array<long>")
 
     base = sig(df).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("v"),
@@ -170,7 +220,7 @@ def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
             .select("query_id", "neighbor_id", "qv", "v")
             .dropDuplicates(["query_id", "neighbor_id"]))
     scored = _pair_cosine_pandas(cand, "qv", "v",
-                                 ["query_id", "neighbor_id"])
+                                 [("query_id", idt), ("neighbor_id", idt)])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return scored.select("*", F.row_number().over(w).alias("rank")) \
@@ -212,14 +262,16 @@ def _assign_cells_pandas(df: DataFrame, centroids: list[list[float]],
 
     clean = df.filter(F.col(vec_col).isNotNull()
                       & ~F.exists(vec_col, lambda x: x.isNull()))
+    idt = _id_type(df, id_col)
     return clean.select(id_col, vec_col).mapInPandas(
-        run, schema="id long, vec array<double>, cells array<int>")
+        run, schema=f"id {idt}, vec array<double>, cells array<int>")
 
 
 def _pair_cosine_pandas(pairs: DataFrame, a_col: str, b_col: str,
-                        out_cols: list[str]) -> DataFrame:
+                        out_cols: list[tuple[str, str]]) -> DataFrame:
     """Vectorized cosine over joined (vector, vector) rows — one einsum per
-    Arrow batch instead of an interpreted fold per row."""
+    Arrow batch instead of an interpreted fold per row. ``out_cols`` is
+    (name, sql_type) pairs for the carried-through id columns."""
     def score(batches):
         import numpy as np
         import pandas as pd
@@ -233,11 +285,11 @@ def _pair_cosine_pandas(pairs: DataFrame, a_col: str, b_col: str,
             nb = np.linalg.norm(b, axis=1)
             na[na == 0] = np.nan
             nb[nb == 0] = np.nan
-            out = {c: pdf[c] for c in out_cols}
+            out = {c: pdf[c] for c, _ in out_cols}
             out["cosine"] = np.einsum("ij,ij->i", a, b) / (na * nb)
             yield pd.DataFrame(out)
 
-    schema = ", ".join(f"{c} long" for c in out_cols) + ", cosine double"
+    schema = ", ".join(f"{c} {t}" for c, t in out_cols) + ", cosine double"
     return pairs.mapInPandas(score, schema=schema)
 
 
@@ -264,8 +316,9 @@ def ivf_topk(df: DataFrame, queries: DataFrame,
     cand = (q.join(base, "ivf_cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", "qv", "v"))
+    idt = _id_type(df, id_col)
     scored = _pair_cosine_pandas(cand, "qv", "v",
-                                 ["query_id", "neighbor_id"])
+                                 [("query_id", idt), ("neighbor_id", idt)])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return scored.select("*", F.row_number().over(w).alias("rank")) \
@@ -316,7 +369,8 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   max_block_rows: int = 4096) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
     WITHIN each cluster drop every item whose cosine similarity to a
@@ -330,10 +384,21 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     broadcast centroid matrix (one numpy matmul per batch — the
     expression-HOF form was 25 s on sf0.1 because Catalyst higher-order
     functions are interpreted, not codegen'd); the only shuffle is the
-    groupBy(ivf_cell), and each cell's pairwise cosine is one C×C numpy
-    matmul inside ``applyInPandas`` — pair work is per-cell, never global,
-    and cluster count is the knob that bounds cell size (the paper's
-    design). No driver-side collect of row data.
+    groupBy(ivf_cell), and each cell's pairwise cosine runs inside
+    ``applyInPandas`` — pair work is per-cell, never global, and cluster
+    count is the knob that bounds cell size (the paper's design). No
+    driver-side collect of row data.
+
+    Hot-cell guard: a pathologically dense cell (bad centroids, near-dup-
+    heavy corpus) must not become one O(cell²)-MEMORY straggler, so cells
+    larger than ``max_block_rows`` switch from one C×C matmul to block-
+    chunked matmuls (``max_block_rows``² pair scores in flight at a time,
+    128 MB at the default) with per-row early exit once a keeper is found.
+    The same dot products are compared in the same priority order, so
+    drop/keeper decisions match the one-shot matmul (cosine values agree
+    to float ulp — BLAS summation order differs with matrix shape). The
+    C×D cell matrix itself is the irreducible per-task term; raise the
+    cluster count to shrink it.
 
     Output: one row per DROPPED item — (vec_id, ivf_cell, keeper_id,
     cosine) with keeper = the highest-priority member that evicted it
@@ -372,9 +437,10 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                 "id": pdf[id_col], "vec": pdf[vec_col],
                 "ivf_cell": cell.astype("int32"), "cent_sim": cent_sim})
 
+    idt = _id_type(df, id_col)
     assigned = clean.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         assign,
-        schema=f"id long, vec array<double>, ivf_cell int, cent_sim double")
+        schema=f"id {idt}, vec array<double>, ivf_cell int, cent_sim double")
 
     def evict(pdf):
         import numpy as np
@@ -389,19 +455,53 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = np.nan
         mn = m / norms[:, None]
-        s = mn @ mn.T
-        for j in range(1, len(ids)):
-            hits = s[j, :j] >= threshold        # NaN compares False
-            if hits.any():
-                i = int(np.argmax(hits))        # FIRST in priority order
-                out["vec_id"].append(ids[j])
-                out["ivf_cell"].append(cells[j])
-                out["keeper_id"].append(ids[i])
-                out["cosine"].append(float(s[j, i]))
+        n = len(ids)
+        if n <= max_block_rows:
+            # common case: one C×C matmul
+            s = mn @ mn.T
+            for j in range(1, n):
+                hits = s[j, :j] >= threshold    # NaN compares False
+                if hits.any():
+                    i = int(np.argmax(hits))    # FIRST in priority order
+                    out["vec_id"].append(ids[j])
+                    out["ivf_cell"].append(cells[j])
+                    out["keeper_id"].append(ids[i])
+                    out["cosine"].append(float(s[j, i]))
+            return pd.DataFrame(out)
+        # hot cell: block-chunked pair scores, ≤ max_block_rows² in flight.
+        # Column blocks advance in priority order, so dropping a row at its
+        # first hit preserves the FIRST-keeper rule exactly.
+        B = max_block_rows
+        keeper_idx = np.full(n, -1, dtype=np.int64)
+        keeper_cos = np.zeros(n)
+        for a in range(1, n, B):
+            b = min(a + B, n)
+            pending = np.arange(a, b)
+            for ca in range(0, b, B):
+                if not len(pending):
+                    break
+                cb = min(ca + B, b)
+                s_blk = mn[pending] @ mn[ca:cb].T
+                col_idx = np.arange(ca, cb)
+                hits = ((s_blk >= threshold)
+                        & (col_idx[None, :] < pending[:, None]))
+                has = hits.any(axis=1)
+                if has.any():
+                    first = np.argmax(hits[has], axis=1)
+                    rows = pending[has]
+                    keeper_idx[rows] = col_idx[first]
+                    keeper_cos[rows] = s_blk[np.flatnonzero(has), first]
+                    pending = pending[~has]
+        dropped = np.flatnonzero(keeper_idx >= 0)
+        out["vec_id"] = list(ids[dropped])
+        out["ivf_cell"] = list(cells[dropped])
+        out["keeper_id"] = list(ids[keeper_idx[dropped]])
+        out["cosine"] = [float(c) for c in keeper_cos[dropped]]
         return pd.DataFrame(out)
 
     return assigned.groupBy("ivf_cell").applyInPandas(
-        evict, schema="vec_id long, ivf_cell int, keeper_id long, cosine double")
+        evict,
+        schema=f"vec_id {idt}, ivf_cell int, keeper_id {idt}, cosine double")
 
 
 def centroid_outlier_scores(df: DataFrame, vec_col: str = "embedding",

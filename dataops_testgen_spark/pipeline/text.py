@@ -176,9 +176,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Detect and redact PII spans in free text — one codegen'd projection,
     no shuffle, no Python in the path (scan-speed at 100 TB).
 
-    Counts are measured on the ORIGINAL text; the scrub applies the
-    patterns sequentially in ``PII_PATTERNS`` order, so an earlier
-    replacement cannot be double-counted by a later pattern. Returns
+    The scrub applies the patterns sequentially in ``PII_PATTERNS`` order,
+    so replaced text is never re-redacted by a later pattern. Per-pattern
+    counts (and ``pii_total``) are measured independently on the ORIGINAL
+    text, so a single span matching two patterns (e.g. an SSN-shaped digit
+    run inside an email local part) is counted by both even though only
+    one token appears in the scrubbed output. Returns
     (id, n_<name>... per pattern, pii_total, scrubbed_md5[, scrubbed_text]);
     the md5 lets correctness checks compare redacted content without
     shipping it."""
@@ -324,16 +327,19 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     + groupBy(id) mean. The vocab relation is an aggregate (≤ |V| rows);
     no forced broadcast — AQE converts the join when it is small, and
     ``vocab_size`` caps it by keeping the top-V tokens (OOV tokens fall to
-    the add-one floor). Output: (id, n_tokens, mean_nll)."""
-    from pyspark.sql import Window
-
+    the add-one floor). The top-V selection is ``orderBy().limit()``,
+    which Spark executes as TakeOrderedAndProject — each partition keeps
+    its own top V and the driver merges the per-partition heads — so a
+    web-corpus vocabulary (100 M+ terms) never sorts through one
+    partition the way a global ``row_number`` window would.
+    Output: (id, n_tokens, mean_nll)."""
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
     if vocab_size is not None:
-        w = Window.orderBy(F.col("ct").desc(), F.col("tok").asc())
-        vocab = (vocab.select("*", F.row_number().over(w).alias("rk"))
-                 .filter(F.col("rk") <= vocab_size).drop("rk"))
+        # same deterministic total order as the row_number form it replaces
+        vocab = vocab.orderBy(F.col("ct").desc(), F.col("tok").asc()) \
+                     .limit(vocab_size)
     totals = vocab.agg(F.sum("ct").alias("n_total"),
                        F.count(F.lit(1)).alias("n_vocab"))
     scored = (toks.join(vocab, "tok", "left")
@@ -442,8 +448,11 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     Returns (id, chunk_index, n_tokens, chunk_text); empty/blank documents
     produce no chunks; the final window may be shorter than
     ``chunk_tokens``; with ``overlap`` > 0 consecutive chunks share that
-    many tokens. A trailing window fully contained in the previous one is
-    never emitted (starts stop before token count).
+    many tokens. Window starts run by ``stride`` up to the last token, so
+    with ``overlap`` > 0 a short trailing window CAN be fully contained in
+    its predecessor (e.g. 7 tokens, chunk 4 / overlap 3 emits 'g' after
+    'd e f g') — packers that must not duplicate tail text should drop
+    chunks with ``n_tokens`` ≤ ``overlap`` whose index > 0.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -494,7 +503,8 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
 
 
 def pack_token_spans(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", window: int = 2048) -> DataFrame:
+                     id_col: str = "doc_id", window: int = 2048,
+                     num_buckets: int | None = None) -> DataFrame:
     """Concat-and-cut sequence packing — the standard LLM-pretraining step:
     documents are laid end-to-end in ``id`` order and the token stream is
     cut every ``window`` tokens; a document overlapping a cut is split
@@ -503,24 +513,73 @@ def pack_token_spans(df: DataFrame, text_col: str = "text",
     offset within the document, tok_count), which a writer can apply
     without ever materializing the global stream.
 
-    100 TB shape: token counts reduce per document first, so the only
-    global ordering is a running-sum window over ONE ROW PER DOCUMENT
-    (metadata-plane; the classic prefix-sum bottleneck is over doc-count,
-    not token-count — range-partition the id space and two-phase the
-    prefix sum when doc count itself is huge). The span explode is a
-    narrow per-row expansion joined back by id, so document text never
-    shuffles.
+    100 TB shape: token counts reduce per document first, so the global
+    prefix sum runs over ONE ROW PER DOCUMENT (metadata-plane) — and even
+    that never funnels through one partition. The prefix sum is two-phase:
+    deterministic id-range buckets (approxQuantile boundaries → a codegen'd
+    monotone bucket expression), per-bucket token totals collected as
+    ``num_buckets`` scalars, cumulative bucket base offsets re-broadcast as
+    a literal map, and a PARTITIONED window adds the within-bucket running
+    sum — no ``Exchange SinglePartition`` anywhere in the plan, so at
+    billions of docs each bucket is an independent task. Bucketing only
+    changes physical grouping, never offsets, so results are identical to
+    the naive global window. The (id, n) relation is persisted
+    (MEMORY_AND_DISK) because both phases read it — one tokenize scan of
+    the corpus total. The span explode is a narrow per-row expansion, so
+    document text never shuffles. Non-numeric id columns (no quantile
+    boundaries) fall back to the single global window.
     """
     if window <= 0:
         raise ValueError("window must be positive")
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     counts = df.select(F.col(id_col).alias("id"),
                        token_count(F.col(text_col)).alias("n")) \
                .filter(F.col("n") > 0)
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
-    placed = counts.select(
-        "id", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset"))
+    if num_buckets is None:
+        try:
+            num_buckets = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            num_buckets = 200
+    numeric_id = isinstance(df.schema[id_col].dataType, T.NumericType)
+    bounds: list[float] = []
+    if numeric_id and num_buckets > 1:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(set(counts.approxQuantile("id", qs, 0.001)))
+    if bounds:
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + (F.col("id") > F.lit(b)).cast("int")
+        parts = counts.withColumn("__pid__", pid)
+        totals = {r["__pid__"]: r["t"] for r in
+                  parts.groupBy("__pid__").agg(F.sum("n").alias("t"))
+                       .collect()}
+        base: dict[int, int] = {}
+        acc = 0
+        for p in sorted(totals):
+            base[p] = acc
+            acc += totals[p]
+        base_map = F.create_map(
+            *[F.lit(x) for p in sorted(base) for x in (p, base[p])])
+        w = Window.partitionBy("__pid__").orderBy("id") \
+                  .rowsBetween(Window.unboundedPreceding, -1)
+        placed = parts.select(
+            "id", "n",
+            (F.coalesce(F.sum("n").over(w), F.lit(0))
+             + F.coalesce(F.element_at(base_map, F.col("__pid__")),
+                          F.lit(0))).alias("offset"))
+    else:
+        # empty input, non-numeric ids, or a single bucket: the plain
+        # global running sum (correct, single-partition — small inputs only)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        placed = counts.select(
+            "id", "n",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset"))
     first_bin = F.floor(F.col("offset") / window)
     last_bin = F.floor((F.col("offset") + F.col("n") - 1) / window)
     spans = placed.select(
