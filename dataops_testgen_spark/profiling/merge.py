@@ -11,13 +11,15 @@ rows (the same idea as Spark's own partial aggregates, one level up):
   ``SS_total = Σ((n_i−1)·sd_i² + n_i·mean_i²) − n·mean²`` (the grouped form
   of Chan et al.'s pairwise update), then ``sd = sqrt(SS/(n−1))``
 
-Metrics that are NOT mergeable from scalars — exact distinct counts,
-exact percentiles, top-k lists, the distinct-value hash, and the derived
-``std_pattern_match`` label — come back NULL; at scale those are the
-metrics the profiler's ``approx=True`` path computes with sketches
-(HLL / KLL) which ARE mergeable, or that a scheduled full profile
-refreshes. Merging SAMPLED profiles is refused: scaled estimates of
-disjoint slices do not add.
+Metrics that are NOT mergeable from scalars come back NULL — unless the
+slices were profiled with ``keep_sketches=True``, which carries mergeable
+sketches per column: DataSketches HLL for ``distinct_value_ct`` and a
+quantile sketch (profiling/sketches.py — exact below capacity, bounded
+rank error above) for ``percentile_25/50/75``. Still NULL without a
+sketch path: top-k lists, the distinct-value hash, date bucket counts,
+and the derived ``std_pattern_match`` label — those a scheduled full
+profile refreshes. Merging SAMPLED profiles is refused: scaled estimates
+of disjoint slices do not add.
 
 No reference-file counterpart: the reference re-profiles whole tables per
 run (`run_profiling.py`); this operator exists for the Spark target's
@@ -54,14 +56,47 @@ WEIGHTED_AVG_FIELDS = [("avg_length", "value_ct"),
                        ("avg_value", "value_ct"),
                        ("avg_embedded_spaces", "value_ct")]
 # distinct_value_ct IS merged (approximately) when the slices carry HLL
-# sketches (profile_table(keep_sketches=True)); without sketches it stays
-# NULL like the rest of this list.
+# sketches, and percentile_25/50/75 ARE merged when they carry quantile
+# sketches (profile_table(keep_sketches=True) stores both); without
+# sketches they stay NULL like the rest of this list.
 NON_MERGEABLE_FIELDS = [
     "distinct_value_ct", "distinct_std_value_ct", "std_pattern_match",
     "percentile_25", "percentile_50", "percentile_75", "date_days_present",
     "date_weeks_present", "date_months_present", "top_patterns",
     "distinct_pattern_ct", "top_freq_values", "distinct_value_hash",
 ]
+_SKETCH_PERCENTILES = {"percentile_25": "p25", "percentile_50": "p50",
+                       "percentile_75": "p75"}
+
+
+def _merge_quantile_sketches_udf():
+    """Arrow-batched merge of per-slice quantile-sketch blobs → merged
+    percentiles + merged sketch (metadata-plane: one input row per
+    (table, column)). The multiset merge in sketches.py makes the result
+    independent of slice order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<p25:double,p50:double,p75:double,sketch:binary>")
+    def _merge(blob_lists):
+        import pandas as pd
+
+        from dataops_testgen_spark.profiling.sketches import (
+            merge_sketch_blobs)
+
+        out = {"p25": [], "p50": [], "p75": [], "sketch": []}
+        for blobs in blob_lists:
+            if blobs is None or not len(blobs):
+                for k in out:
+                    out[k].append(None)
+                continue
+            s = merge_sketch_blobs(blobs)
+            out["p25"].append(s.percentile(0.25))
+            out["p50"].append(s.percentile(0.50))
+            out["p75"].append(s.percentile(0.75))
+            out["sketch"].append(s.to_bytes() if s.n else None)
+        return pd.DataFrame(out)
+
+    return _merge
 
 
 def merge_profiles(profiles: DataFrame) -> DataFrame:
@@ -111,8 +146,16 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
         aggs.append(F.when(F.count("distinct_hll") > 0,
                            F.hll_union_agg("distinct_hll"))
                     .alias("distinct_hll"))
+    has_qsketch = "quantile_sketch" in profiles.columns
+    if has_qsketch:
+        # collect_list drops NULL blobs, so string/date columns (no numeric
+        # sketch) arrive as empty lists and merge to NULL percentiles
+        aggs.append(F.collect_list("quantile_sketch").alias("__qsk__"))
 
     g = profiles.groupBy(*KEY_FIELDS).agg(*aggs)
+    if has_qsketch:
+        g = g.withColumn("__q__", _merge_quantile_sketches_udf()(F.col("__qsk__"))) \
+             .drop("__qsk__")
     # avg_value in g is already the merged weighted mean, so the identity
     # reduces to SS_total − n·mean², divided by n−1 for the sample sd
     g = g.withColumn(
@@ -131,9 +174,16 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
             out_cols.append(
                 (F.col(name) if has_sketches
                  else F.lit(None).cast("binary")).alias(name))
+        elif name == "quantile_sketch":
+            out_cols.append(
+                (F.col("__q__.sketch") if has_qsketch
+                 else F.lit(None).cast("binary")).alias(name))
         elif name == "distinct_value_ct" and has_sketches:
             out_cols.append(
                 F.hll_sketch_estimate("distinct_hll").cast("long").alias(name))
+        elif name in _SKETCH_PERCENTILES and has_qsketch:
+            out_cols.append(
+                F.col(f"__q__.{_SKETCH_PERCENTILES[name]}").alias(name))
         elif name in NON_MERGEABLE_FIELDS:
             out_cols.append(F.lit(None).cast(field.dataType).alias(name))
         elif name == "sample_ratio":

@@ -102,6 +102,7 @@ PROFILE_SCHEMA = T.StructType([
     T.StructField("date_months_present", T.LongType()),
     T.StructField("boolean_true_ct", T.LongType()),
     T.StructField("distinct_hll", T.BinaryType()),
+    T.StructField("quantile_sketch", T.BinaryType()),
     T.StructField("top_patterns", T.StringType()),
     T.StructField("distinct_pattern_ct", T.LongType()),
     T.StructField("top_freq_values", T.StringType()),
@@ -166,17 +167,20 @@ def profile_table(
     secondary: bool = True,
     columns: list[str] | None = None,
     keep_sketches: bool = False,
+    sketch_capacity: int = 4096,
 ) -> DataFrame:
     """Profile every column of ``df`` → one row per column (profile_results).
 
     One aggregate job for all primary metrics + one unpivot job for the
     secondary (top-k) metrics.
 
-    ``keep_sketches=True`` additionally stores a mergeable HLL sketch of
-    each column (``distinct_hll``, Apache DataSketches binary via
-    ``hll_sketch_agg``) so ``merge_profiles`` can fold distinct counts
-    across partition-incremental profile runs — the 100 TB path where
-    exact distincts of historical partitions are never rescanned.
+    ``keep_sketches=True`` additionally stores per-column mergeable
+    sketches so ``merge_profiles`` can fold partition-incremental profile
+    runs — the 100 TB path where historical partitions are never
+    rescanned: ``distinct_hll`` (Apache DataSketches HLL via
+    ``hll_sketch_agg``) for distinct counts, and ``quantile_sketch``
+    (profiling/sketches.py — exact below ``sketch_capacity`` distinct
+    values, ~2/capacity rank error above) for the numeric percentiles.
     """
     spark = df.sparkSession
     if isinstance(run_date, str):
@@ -256,6 +260,16 @@ def profile_table(
             target, [c for c in cols if c.general_type == "A"], table_name)
         sec_holder["df"] = None if s is None else s.localCheckpoint()
 
+    qsketch_holder: dict[str, bytes] = {}
+
+    def _run_quantile_sketches():
+        from dataops_testgen_spark.profiling.sketches import (
+            column_quantile_sketches)
+
+        num_cols = [c.column_name for c in cols if c.general_type == "N"]
+        qsketch_holder.update(
+            column_quantile_sketches(target, num_cols, sketch_capacity))
+
     row = {}
     jobs = [es for es in (main_exprs, dist_exprs, pct_exprs, sketch_exprs)
             if es]
@@ -263,6 +277,8 @@ def profile_table(
              for es in jobs]
     if secondary:
         tasks.append(lambda: _run_secondary())
+    if keep_sketches and any(c.general_type == "N" for c in cols):
+        tasks.append(lambda: _run_quantile_sketches())
     if len(tasks) > 1:
         # All jobs are independent; submitting them from separate threads
         # lets Spark's scheduler overlap their Catalyst compiles and stage
@@ -308,6 +324,7 @@ def profile_table(
         }
         for m in _METRIC_FIELDS:
             rec[m] = vals.get(m)
+        rec["quantile_sketch"] = qsketch_holder.get(col.column_name)
         if col.general_type == "A":
             value_ct = vals.get("value_ct") or 0
             rec["std_pattern_match"] = raw_std_pattern

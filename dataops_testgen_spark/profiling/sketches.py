@@ -1,0 +1,198 @@
+"""Mergeable quantile sketches for partition-incremental profiling.
+
+``merge_profiles`` (profiling/merge.py) folds per-slice profile rows into a
+whole-table profile; scalar metrics merge algebraically, distinct counts
+merge through DataSketches HLL — and percentiles, which the reference
+computes exactly per profiling run (ref
+``template/project_profiling_query.sql:150-152``), need a mergeable
+quantile summary. Spark exposes no KLL/t-digest SQL aggregate (4.x ships
+HLL only), so this module provides one with the properties the
+incremental-profile path needs:
+
+- **Exact below capacity.** The sketch is a sorted (value, weight) centroid
+  list; duplicate values consolidate losslessly, so until a column exceeds
+  ``capacity`` DISTINCT values the sketch is a lossless frequency table and
+  percentile estimates equal the exact percentiles bit-for-bit (the
+  interpolation reproduces Spark's ``percentile`` formula:
+  ``(hi-pos)·v_lo + (pos-lo)·v_hi`` at ``pos = p·(n-1)``).
+- **Bounded error above capacity.** Compression merges adjacent centroids
+  into ~capacity/2 equal-weight groups (weighted-mean value), a simplified
+  one-level t-digest (Dunning & Ertl 2019) with uniform (not tail-biased)
+  buckets: rank error ≤ total_weight / (capacity/2) ≈ 2/capacity of the
+  mass. capacity=4096 → ~0.05 % rank error, 64 KB per column.
+- **Multiset merge.** ``merge`` concatenates centroid lists, re-sorts by
+  value, consolidates, and compresses ONCE — the result depends only on
+  the multiset of input centroids, not merge order, so per-partition
+  sketches collected in whatever order the scheduler finishes them still
+  merge deterministically.
+
+100 TB shape: per-partition sketches stream through ``mapInPandas`` (fold
+batch-by-batch, recompress at 4× capacity — memory per task is O(capacity)
+per column, never the partition's row count), and only partitions × columns
+sketch blobs ever reach the driver. The driver-side final merge is
+metadata-plane by construction.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_MAGIC = b"QSK1"
+
+
+class QuantileSketch:
+    """Sorted (value, weight) centroids. Immutable-ish: operations return
+    new sketches. ``values`` float64 ascending, ``weights`` int64 > 0."""
+
+    __slots__ = ("values", "weights", "capacity")
+
+    def __init__(self, values: np.ndarray, weights: np.ndarray,
+                 capacity: int = 4096):
+        self.values = values
+        self.weights = weights
+        self.capacity = capacity
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def empty(cls, capacity: int = 4096) -> "QuantileSketch":
+        return cls(np.empty(0), np.empty(0, dtype=np.int64), capacity)
+
+    @classmethod
+    def from_values(cls, arr, capacity: int = 4096) -> "QuantileSketch":
+        a = np.asarray(arr, dtype=float)
+        a = a[~np.isnan(a)]
+        if not len(a):
+            return cls.empty(capacity)
+        vals, counts = np.unique(a, return_counts=True)  # lossless consolidation
+        return cls(vals, counts.astype(np.int64), capacity)._compressed()
+
+    # -- core ---------------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return int(self.weights.sum())
+
+    def _compressed(self) -> "QuantileSketch":
+        if len(self.values) <= self.capacity:
+            return self
+        target = max(2, self.capacity // 2)
+        total = self.weights.sum()
+        # equal-weight bucketing on the cumulative mass BEFORE each
+        # centroid: the grouping is integer arithmetic over the centroid
+        # multiset only, so merge order can't perturb it
+        cum_before = np.concatenate(([0], np.cumsum(self.weights)[:-1]))
+        group = (cum_before * target) // total
+        # weighted mean per group, weights add
+        sums = np.bincount(group, weights=self.values * self.weights)
+        wsum = np.bincount(group, weights=self.weights.astype(float))
+        keep = wsum > 0
+        return QuantileSketch(sums[keep] / wsum[keep],
+                              wsum[keep].astype(np.int64), self.capacity)
+
+    def merge(self, *others: "QuantileSketch") -> "QuantileSketch":
+        """Multiset merge: concat → sort → consolidate → compress once.
+        Order-insensitive by construction."""
+        vs = [self.values] + [o.values for o in others]
+        ws = [self.weights] + [o.weights for o in others]
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        if not len(v):
+            return QuantileSketch.empty(self.capacity)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        # consolidate equal values (keeps the sketch exact as long as the
+        # merged distinct count fits under capacity)
+        boundary = np.concatenate(([True], np.diff(v) != 0))
+        idx = np.cumsum(boundary) - 1
+        vals = v[boundary]
+        weights = np.bincount(idx, weights=w.astype(float)).astype(np.int64)
+        return QuantileSketch(vals, weights, self.capacity)._compressed()
+
+    def percentile(self, p: float) -> float | None:
+        """Estimate the p-quantile with Spark's exact-``percentile``
+        interpolation over the weighted ranks; equals the exact percentile
+        whenever no compression has occurred."""
+        n = self.n
+        if n == 0:
+            return None
+        pos = p * (n - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        cum = np.cumsum(self.weights)
+        v_lo = float(self.values[np.searchsorted(cum, lo, side="right")])
+        if lo == hi:
+            return v_lo
+        v_hi = float(self.values[np.searchsorted(cum, hi, side="right")])
+        return (hi - pos) * v_lo + (pos - lo) * v_hi
+
+    # -- serialization ------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return (_MAGIC + struct.pack("<qq", len(self.values), self.capacity)
+                + self.values.astype("<f8").tobytes()
+                + self.weights.astype("<i8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "QuantileSketch":
+        if b[:4] != _MAGIC:
+            raise ValueError("not a QSK1 quantile sketch")
+        k, capacity = struct.unpack_from("<qq", b, 4)
+        off = 4 + 16
+        values = np.frombuffer(b, dtype="<f8", count=k, offset=off).copy()
+        weights = np.frombuffer(b, dtype="<i8", count=k,
+                                offset=off + 8 * k).copy()
+        return cls(values, weights, int(capacity))
+
+
+def merge_sketch_blobs(blobs, capacity: int | None = None) -> QuantileSketch:
+    """Merge serialized sketches (skipping NULLs) into one sketch."""
+    sketches = [QuantileSketch.from_bytes(b) for b in blobs if b is not None]
+    if not sketches:
+        return QuantileSketch.empty(capacity or 4096)
+    if capacity is not None:
+        for s in sketches:
+            s.capacity = capacity
+    return sketches[0].merge(*sketches[1:])
+
+
+def column_quantile_sketches(df, columns: list[str],
+                             capacity: int = 4096) -> dict[str, bytes]:
+    """One distributed pass → {column: serialized sketch} for the numeric
+    ``columns`` of ``df``. Per-partition fold via ``mapInPandas`` (bounded
+    memory: recompress at 4× capacity), then an order-insensitive driver
+    merge of partitions × columns blobs (metadata-plane)."""
+    from pyspark.sql import functions as F
+
+    if not columns:
+        return {}
+
+    def per_partition(batches):
+        import pandas as pd
+
+        accs = {c: QuantileSketch.empty(capacity * 4) for c in columns}
+        for pdf in batches:
+            for c in columns:
+                vals = pd.to_numeric(pdf[c], errors="coerce").to_numpy(
+                    dtype=float, na_value=np.nan)
+                if len(vals):
+                    accs[c] = accs[c].merge(
+                        QuantileSketch.from_values(vals, capacity * 4))
+        rows = {"column": [], "sketch": []}
+        for c in columns:
+            s = accs[c]
+            s.capacity = capacity * 4  # final per-partition blob stays wide
+            rows["column"].append(c)
+            rows["sketch"].append(s.to_bytes())
+        yield pd.DataFrame(rows)
+
+    part_rows = (df.select(*[F.col(c).cast("double").alias(c)
+                             for c in columns])
+                 .mapInPandas(per_partition,
+                              schema="column string, sketch binary")
+                 .collect())
+    out = {}
+    for c in columns:
+        blobs = [r["sketch"] for r in part_rows if r["column"] == c]
+        out[c] = merge_sketch_blobs(blobs, capacity).to_bytes()
+    return out
