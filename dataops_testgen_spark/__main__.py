@@ -455,6 +455,60 @@ def cmd_quick_start(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# scoring refresh commands (ref run_rollup_scores.py /
+# run_recalculate_project_scores.py / run_refresh_score_cards_results.py)
+
+def cmd_run_rollup_scores(args) -> int:
+    """Re-roll one stored run's DQ score from the store alone — no source
+    rescan (ref run_rollup_scores.py:9-21)."""
+    from dataops_testgen_spark.scoring.refresh import (rollup_profile_scores,
+                                                       rollup_test_scores)
+
+    spark = _spark()
+    store = _store(spark, args)
+    if args.test_run_id or args.kind == "test":
+        out = rollup_test_scores(store, test_run_id=args.test_run_id or None,
+                                 test_suite_key=args.test_suite)
+        _emit(out, args, "rollup_test_scores.csv")
+    else:
+        out = rollup_profile_scores(
+            store, profile_run_id=args.profile_run_id or None,
+            table_group_id=args.table_group or None)
+        _emit(out, args, "rollup_profile_scores.csv")
+    return 0
+
+
+def cmd_recalculate_scores(args) -> int:
+    """Re-roll the latest Complete run of every table group and test suite,
+    then refresh score cards (ref run_recalculate_project_scores.py:22-58
+    — run after weighting/config changes so stored scores reflect them
+    without new runs)."""
+    from dataops_testgen_spark.scoring.refresh import (
+        recalculate_project_scores)
+
+    spark = _spark()
+    out = recalculate_project_scores(_store(spark, args))
+    _emit(out, args, "recalculate_scores.csv")
+    return 0
+
+
+def cmd_refresh_score_cards(args) -> int:
+    """Recompute score-card category scores from the stored latest runs and
+    append a timestamped snapshot (ref
+    run_refresh_score_cards_results.py:20-60; the snapshot history is what
+    score-drop notifications diff)."""
+    from dataops_testgen_spark.scoring.refresh import refresh_score_cards
+
+    spark = _spark()
+    out = refresh_score_cards(
+        _store(spark, args),
+        profile_run_id=args.profile_run_id or None,
+        test_run_id=args.test_run_id or None)
+    _emit(out, args, "score_cards.csv")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # entity commands (RunStore-backed)
 
 def cmd_list_profiles(args) -> int:
@@ -740,6 +794,18 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("quick-start")
     p.add_argument("--data-dir", required=True)
     p.set_defaults(fn=cmd_quick_start)
+
+    p = cmd("run-rollup-scores", cmd_run_rollup_scores)
+    p.add_argument("--kind", default="profile", choices=["profile", "test"],
+                   help="which run type to re-roll when no run id is given")
+    p.add_argument("--profile-run-id", default="",
+                   help="profile run to re-roll (default: latest Complete)")
+    p.add_argument("--test-run-id", default="",
+                   help="test run to re-roll (implies --kind test)")
+    p = cmd("recalculate-scores", cmd_recalculate_scores)
+    p = cmd("refresh-score-cards", cmd_refresh_score_cards)
+    p.add_argument("--profile-run-id", default="")
+    p.add_argument("--test-run-id", default="")
 
     p = cmd("list-profiles", cmd_list_profiles)
     p = cmd("get-profile", cmd_get_profile)

@@ -36,6 +36,9 @@ TABLES = (
     "test_definitions",
     "test_runs",
     "test_results",
+    # scoring refresh layer (ref run_rollup_scores / score card results)
+    "score_history",
+    "score_cards",
 )
 
 

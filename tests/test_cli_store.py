@@ -248,3 +248,102 @@ def test_quickstart_cmd_roundtrip(tmp_path, spark):
     df = spark.read.parquet(os.path.join(data_dir, sorted(names)[0]
                                          + ".parquet"))
     assert df.count() > 0
+
+
+def test_rollup_scores_cli_roundtrip(store_env, spark):
+    """run-rollup-scores re-rolls a stored profile run's score from the
+    store alone and the result equals rollup_scores computed directly over
+    the same stored anomalies + record counts (the round-trip the
+    reference's run_rollup_scores performs against its app DB)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.scoring import rollup_scores
+    from dataops_testgen_spark.store import RunStore
+
+    rc = main(["run-rollup-scores", "--store", store_env["store"],
+               "--csv-dir", store_env["csv"]])
+    assert rc == 0
+    hdr, rows = _read_csv(os.path.join(store_env["csv"],
+                                       "rollup_profile_scores.csv"))
+    assert rows and hdr[:4] == ["refresh_time", "kind", "run_id",
+                                "group_key"]
+    got = float(rows[0][hdr.index("dq_score")])
+
+    store = RunStore(spark, store_env["store"])
+    run_id = rows[0][hdr.index("run_id")]
+    anomalies = store.read("profile_anomaly_results").filter(
+        F.col("profile_run_id") == run_id)
+    profile = store.read("profile_results").filter(
+        F.col("profile_run_id") == run_id)
+    detail = anomalies.join(
+        profile.select("table_name", "column_name", "record_ct"),
+        ["table_name", "column_name"], "left").filter("record_ct IS NOT NULL")
+    want = rollup_scores(detail).collect()[0]["dq_score"]
+    assert got == pytest.approx(want, rel=1e-9)
+    # the re-roll landed in score_history
+    hist = store.read("score_history")
+    assert hist is not None and hist.filter(
+        F.col("run_id") == run_id).count() >= 1
+
+
+def test_rollup_scores_cli_test_kind(store_env, spark):
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.store import RunStore
+
+    rc = main(["run-rollup-scores", "--kind", "test",
+               "--store", store_env["store"], "--test-suite", "suite1",
+               "--csv-dir", store_env["csv"]])
+    assert rc == 0
+    hdr, rows = _read_csv(os.path.join(store_env["csv"],
+                                       "rollup_test_scores.csv"))
+    assert rows and rows[0][hdr.index("kind")] == "test"
+    score = float(rows[0][hdr.index("dq_score")])
+    assert 0.0 <= score <= 1.0
+    store = RunStore(spark, store_env["store"])
+    assert store.read("score_history").filter(
+        F.col("kind") == "test").count() >= 1
+
+
+def test_recalculate_and_refresh_score_cards(store_env, spark):
+    """recalculate-scores re-rolls every group + suite and refreshes the
+    score-card snapshot; refresh-score-cards appends another timestamped
+    snapshot with dimension and table categories (ref
+    run_recalculate_project_scores + run_refresh_score_cards_results)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.store import RunStore
+
+    rc = main(["recalculate-scores", "--store", store_env["store"],
+               "--csv-dir", store_env["csv"]])
+    assert rc == 0
+    hdr, rows = _read_csv(os.path.join(store_env["csv"],
+                                       "recalculate_scores.csv"))
+    kinds = {r[hdr.index("kind")] for r in rows}
+    assert kinds == {"profile", "test"}
+
+    store = RunStore(spark, store_env["store"])
+    cards0 = store.read("score_cards").count()
+    assert cards0 > 0  # recalculate refreshed the cards too
+    rc = main(["refresh-score-cards", "--store", store_env["store"],
+               "--csv-dir", store_env["csv"]])
+    assert rc == 0
+    hdr, rows = _read_csv(os.path.join(store_env["csv"], "score_cards.csv"))
+    cats = {r[hdr.index("category")] for r in rows}
+    assert cats == {"dq_dimension", "table_name"}
+    for r in rows:
+        assert 0.0 <= float(r[hdr.index("score")]) <= 1.0
+    assert store.read("score_cards").count() > cards0
+
+
+def test_recalculated_scores_stable_across_refreshes(store_env, spark):
+    """Two refreshes over an unchanged store produce identical scores —
+    the reference's idempotence expectation for recalculation."""
+    from dataops_testgen_spark.scoring.refresh import rollup_profile_scores
+    from dataops_testgen_spark.store import RunStore
+
+    store = RunStore(spark, store_env["store"])
+    a = rollup_profile_scores(store, record=False).collect()[0]
+    b = rollup_profile_scores(store, record=False).collect()[0]
+    assert a["dq_score"] == b["dq_score"]
+    assert a["dq_total_data_points"] == b["dq_total_data_points"]
