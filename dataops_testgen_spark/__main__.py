@@ -672,6 +672,15 @@ def cmd_export_observability(args) -> int:
             return 1
         run_id = last["test_run_id"]
     subset = res.filter(F.col("test_run_id") == run_id)
+    if args.api_url:
+        # reference transport: POST each chunk to the Observability API
+        # (run_observability_exporter.py wire format via http_sender)
+        from dataops_testgen_spark.observability import http_sender
+
+        n = export_test_results(subset, args.test_suite,
+                                http_sender(args.api_url, args.api_key))
+        print(f"posted {n} outcomes to {args.api_url}")
+        return 0
     out_path = args.doc or "observability_events.jsonl"
     batches = []
     export_test_results(subset, args.test_suite,
@@ -851,6 +860,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="run to export (default: latest run in the store)")
     p.add_argument("--doc", default="",
                    help="output JSONL path")
+    p.add_argument("--api-url", default="",
+                   help="Observability API base URL: POST event chunks "
+                        "instead of writing JSONL (reference transport)")
+    p.add_argument("--api-key", default="",
+                   help="ServiceAccountAuthenticationKey header value")
 
     p = sub.add_parser("export-test-metadata")
     p.add_argument("--path", default="test_metadata",

@@ -112,6 +112,41 @@ def export_test_results(results: DataFrame, dataset_key: str,
     return post_event(payload, outcomes, post)
 
 
+def http_sender(api_url: str, api_key: str,
+                event_type: str = "test_results",
+                opener: Callable | None = None) -> Callable[[dict], None]:
+    """Pluggable HTTP transport matching the reference's exporter wire
+    format (`run_observability_exporter.py:36-76`): POST each chunk as
+    JSON to ``{scheme}://{netloc}{path}/events/v1/{event_type}`` with the
+    ``ServiceAccountAuthenticationKey`` header; non-2xx raises. Built on
+    stdlib urllib (no client dependency); ``opener`` is injectable for
+    tests and for environments (like this sandbox) with no egress — the
+    JSONL file export in __main__.py remains the default transport."""
+    import urllib.parse
+    import urllib.request
+
+    if not api_url:
+        raise ValueError("Unable to post events: misconfigured "
+                         "Observability API URL")
+    parsed = urllib.parse.urlparse(api_url)
+    url = f"{parsed.scheme}://{parsed.netloc}{parsed.path}/events/v1/{event_type}"
+    open_fn = opener or urllib.request.urlopen
+
+    def post(payload: dict) -> None:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload, default=str).encode(),
+            headers={"Content-Type": "application/json",
+                     "ServiceAccountAuthenticationKey": api_key},
+            method="POST")
+        resp = open_fn(req)
+        status = getattr(resp, "status", 200)
+        if not 200 <= status < 300:
+            raise RuntimeError(
+                f"Call to {url} failed with status code: {status}")
+
+    return post
+
+
 def mark_exported(results: DataFrame) -> DataFrame:
     """update_test_results_exported_to_observability.sql: flip the queued
     status after a successful export."""

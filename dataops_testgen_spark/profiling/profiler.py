@@ -146,6 +146,29 @@ def _column_exprs(col: schema_scan.ColumnChars, idx: int, run_date: _dt.date,
             for name, expr in metrics.items()]
 
 
+# (app_id, column signature, slot, run_date, mode) -> (alias, Column) list.
+# A profile plan is ~60 metrics × columns of py4j Column trees; assembling
+# one is thousands of driver round-trips (~1-2 s for a wide table) repeated
+# IDENTICALLY for every same-shaped table/slice in a session — the
+# incremental-profiling and monitor paths profile the same shape every
+# cycle. Columns are unbound to any DataFrame, so reuse is safe; keying on
+# the applicationId drops entries from a stopped session's dead gateway.
+_EXPR_CACHE: dict[tuple, list] = {}
+
+
+def _column_exprs_cached(app_id: str, col: schema_scan.ColumnChars, idx: int,
+                         run_date: _dt.date, distinct: str,
+                         exact_percentiles: bool):
+    key = (app_id, col.column_name, col.column_type, col.general_type,
+           col.is_decimal, idx, run_date.toordinal(), distinct,
+           exact_percentiles)
+    got = _EXPR_CACHE.get(key)
+    if got is None:
+        got = _column_exprs(col, idx, run_date, distinct, exact_percentiles)
+        _EXPR_CACHE[key] = got
+    return got
+
+
 def _classify_std_pattern(vals: dict, value_ct: int) -> str | None:
     """First pattern whose match ratio clears its threshold (:85-106)."""
     if not value_ct:
@@ -222,9 +245,11 @@ def profile_table(
     # pure noise at scale.
     distinct = "approx" if approx else "exact"
 
+    app_id = spark.sparkContext.applicationId
     exprs = []
     for i, col in enumerate(cols):
-        exprs.extend(_column_exprs(col, i, run_date, distinct, exact_percentiles))
+        exprs.extend(_column_exprs_cached(app_id, col, i, run_date,
+                                          distinct, exact_percentiles))
     # TypedImperativeAggregates: keep sketches out of the codegen'd main agg
     sketch_exprs = [
         F.hll_sketch_agg(F.col(col.column_name).cast("string"))

@@ -116,3 +116,62 @@ def test_cron_dow_seven_is_sunday():
     assert c.next_after(dt.datetime(2026, 8, 15, 12, 0)) == sun
     # ranges spanning the wrap: 5-7 = Fri, Sat, Sun
     assert Cron("0 0 * * 5-7").dow == {5, 6, 0}
+
+
+def test_http_sender_wire_format():
+    """http_sender builds the reference's endpoint + auth header
+    (run_observability_exporter.py:53-60) and raises on non-2xx; the
+    opener is injected so no egress happens."""
+    import json as _json
+
+    import pytest as _pytest
+
+    seen = []
+
+    class _Resp:
+        status = 200
+
+    def fake_open(req):
+        seen.append(req)
+        return _Resp()
+
+    post = OBS.http_sender("https://obs.example.com/api", "sekret",
+                           opener=fake_open)
+    post({"project": "p1", "test_outcomes": [{"id": 1}]})
+    assert len(seen) == 1
+    req = seen[0]
+    assert req.full_url == \
+        "https://obs.example.com/api/events/v1/test_results"
+    assert req.get_header("Serviceaccountauthenticationkey") == "sekret"
+    body = _json.loads(req.data.decode())
+    assert body["test_outcomes"] == [{"id": 1}]
+
+    class _Bad:
+        status = 422
+
+    post_bad = OBS.http_sender("https://x.example/", "k",
+                               opener=lambda r: _Bad())
+    with _pytest.raises(RuntimeError, match="422"):
+        post_bad({})
+    with _pytest.raises(ValueError):
+        OBS.http_sender("", "k")
+
+
+def test_http_sender_as_export_transport(spark):
+    """The sender plugs into export_test_results as the transport —
+    chunking and payload assembly are unchanged."""
+    rows = [(f"t{i}", "Condition_Flag", "orders", "o_x", "Passed", "", 1.0,
+             "0") for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "test_id string, test_type string, table_name string, "
+              "column_name string, result_status string, result_message "
+              "string, result_measure double, threshold_value string")
+    sent = []
+
+    class _Resp:
+        status = 200
+
+    post = OBS.http_sender("http://localhost:1/x", "k",
+                           opener=lambda r: sent.append(r) or _Resp())
+    n = OBS.export_test_results(df, "suite-key", post)
+    assert n == 7 and len(sent) >= 1

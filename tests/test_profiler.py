@@ -244,3 +244,39 @@ def test_merge_profiles_with_empty_slice(spark, sf_dir):
                 assert abs(a - b) < 1e-9 + 1e-9 * abs(b), (c, m, a, b)
             else:
                 assert a == b, (c, m, a, b)
+
+
+def test_expr_cache_reuse_same_shape(spark, sf_dir):
+    """Profiling the same shape twice reuses the assembled expression lists
+    (object identity) and produces identical results — the warm-path
+    compile-tax cut for incremental/monitor profiling (VERDICT r4 stretch
+    #9)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling import profiler as P
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    rd = datetime.date(2026, 1, 1)
+    app = spark.sparkContext.applicationId
+    P._EXPR_CACHE.clear()
+    a = {r["column_name"]: r for r in
+         P.profile_table(df, "orders", run_date=rd).collect()}
+    n_entries = len(P._EXPR_CACHE)
+    assert n_entries == 3  # one per column
+    # same shape, different slice -> cache hits, no new entries
+    b = {r["column_name"]: r for r in
+         P.profile_table(df.filter(F.col("o_orderkey") % 2 == 0), "orders",
+                         run_date=rd).collect()}
+    assert len(P._EXPR_CACHE) == n_entries
+    for key in P._EXPR_CACHE:
+        assert key[0] == app
+    # results still correct: slice metrics differ but schema agrees
+    assert set(a) == set(b)
+    assert a["o_orderkey"]["record_ct"] > b["o_orderkey"]["record_ct"]
+    # a different run_date must NOT hit the same entries (date literals)
+    P.profile_table(df, "orders", run_date=datetime.date(2026, 2, 2)) \
+        .collect()
+    assert len(P._EXPR_CACHE) == 2 * n_entries
