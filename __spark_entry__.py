@@ -2521,6 +2521,92 @@ def q_merged_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("percentile_75", 5).alias("percentile_75"))
 
 
+def q_dup_substrings_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (pipeline/dedup.py:
+    duplicate_substring_spans — the ExactSubstr screen of Lee et al.
+    2021 as a k-gram hash pass): any 8-token window occurring more than
+    once corpus-wide marks its positions; overlapping windows merge into
+    maximal per-doc spans. The corpus's natural exact-duplicate docs
+    produce whole-doc spans; partial overlaps report their exact token
+    ranges."""
+    from dataops_testgen_spark.pipeline.dedup import (
+        duplicate_substring_spans)
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return duplicate_substring_spans(docs, k=8)
+
+
+_SQL_DUP_SUBSTRINGS = r"""
+WITH t AS (SELECT doc_id AS id,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+             FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (SELECT id, i - 1 AS start,
+             md5(array_to_string(toks[i:i+7], ' ')) AS h
+        FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+       WHERE len(toks) >= 8),
+occ AS (SELECT id, start, COUNT(*) OVER (PARTITION BY h) AS n FROM g),
+hits AS (SELECT id, start FROM occ WHERE n > 1),
+flagged AS (
+  -- new span when this window starts past the running max end of all
+  -- earlier windows (NULL on the first row -> COALESCE(-1) < start)
+  SELECT id, start,
+         CASE WHEN COALESCE(MAX(start + 8) OVER (
+                       PARTITION BY id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) < start
+              THEN 1 ELSE 0 END AS newgrp
+    FROM hits),
+grp AS (SELECT id, start,
+               SUM(newgrp) OVER (PARTITION BY id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM flagged)
+SELECT id, MIN(start)::BIGINT AS span_start,
+       (MAX(start) + 8)::BIGINT AS span_end,
+       (MAX(start) + 8 - MIN(start))::BIGINT AS span_tokens,
+       COUNT(*)::BIGINT AS n_windows
+  FROM grp GROUP BY id, grp"""
+
+
+_MERGE_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def q_merged_topfreq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merged secondary metrics (profiling/sketches.py:FreqSketch +
+    merge.py): the orders slices carry bounded exact value/pattern
+    counters, and the fold reproduces top_freq_values /
+    distinct_value_hash / top_patterns / distinct_pattern_ct — NULL in
+    r4's scalar-only merge. Exact-or-NULL by the reference's own 70-
+    distinct qualification: any qualifying column fits a capacity-256
+    sketch losslessly, so the oracle is the straight full-table secondary
+    SQL."""
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = _load(spark, sf_dir, "orders").select("o_orderkey",
+                                               *_MERGE_STR_COLS)
+    parts = None
+    for i in range(3):
+        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
+                          "orders", run_date=RUN_DATE, keep_sketches=True,
+                          secondary=False)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = merge_profiles(parts) \
+        .filter(F.col("column_name").isin(_MERGE_STR_COLS))
+    return merged.select("column_name", "top_freq_values",
+                         "distinct_value_hash", "top_patterns",
+                         "distinct_pattern_ct")
+
+
+def _sql_merged_topfreq(table: str, cols: list[str]) -> str:
+    return f"""
+WITH f AS ({_sql_top_freq(table, cols)}),
+p AS ({_sql_top_patterns(table, cols)})
+SELECT f.column_name, f.top_freq_values, f.distinct_value_hash,
+       p.top_patterns, p.distinct_pattern_ct
+FROM f JOIN p USING (column_name)"""
+
+
 def _sql_merged_percentiles(table: str, cols: list[str]) -> str:
     parts = []
     for c in cols:
@@ -2720,6 +2806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_documents": q_corpus_report_documents,
         # --- new in r5 ---
         "merged_profile_percentiles": q_merged_profile_percentiles,
+        "merged_topfreq_orders": q_merged_topfreq_orders,
+        "dup_substrings_documents": q_dup_substrings_documents,
         # --- paths touched by r5 scale work / complex operators ---
         "anomaly_screen_customer_orders": q_anomaly_screen,
         "anomaly_screen_orders": q_anomaly_screen_orders,
@@ -2751,8 +2839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
         "score_category_fixture": q_score_category,
-        "score_overall_history_fixture": q_score_overall_history,
         # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
+        "score_overall_history_fixture": q_score_overall_history,
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
         "profile_customer_strings": q_profile_customer_strings,
         "profile_orders_dates": q_profile_orders_dates,
@@ -2855,6 +2943,9 @@ def oracle_sql() -> dict[str, str]:
             "orders", _MERGE_NUM_COLS),
         "merged_profile_percentiles": _sql_merged_percentiles(
             "orders", _MERGE_NUM_COLS),
+        "merged_topfreq_orders": _sql_merged_topfreq(
+            "orders", _MERGE_STR_COLS),
+        "dup_substrings_documents": _SQL_DUP_SUBSTRINGS,
         "pack_spans_documents": _SQL_PACK_SPANS,
         "centroid_outliers_embeddings": _SQL_CENTROID_OUTLIERS,
         "tfidf_keywords_documents": _SQL_TFIDF_KEYWORDS,

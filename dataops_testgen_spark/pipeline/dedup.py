@@ -182,6 +182,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              k: int = 50) -> DataFrame:
+    """Exact duplicate-substring detection — the ExactSubstr screen of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", the 50-token suffix-array pass), re-expressed as a k-gram
+    hash join instead of a monolithic suffix array: any k-token window
+    whose content occurs MORE THAN ONCE corpus-wide (same doc or cross-
+    doc) marks its positions as duplicated, and overlapping/adjacent
+    duplicated windows per document merge into maximal spans. A writer
+    can cut the reported spans exactly like the paper's pipeline.
+
+    100 TB shape: one narrow pass builds each doc's k-gram md5 array in
+    place (the shared-subexpression form of ``shingles``), posexplode is
+    the only data-plane expansion (one row per token position, ~32 B
+    each), and duplicate detection is ONE shuffle by hash with a window
+    count over each hash group — a single lineage, deliberately NOT the
+    groupBy+self-join-back formulation (two scans of the explode and an
+    AQE-broadcast self-join that showed cold-session result instability
+    in testing). A hash group's size equals a substring's corpus-wide
+    multiplicity, so per-group work is bounded by the worst duplication
+    depth, not corpus size. Span merging is a per-document window
+    (partitioned by id, never global): cummax interval merge, group flag
+    prefix-sum, min/max per group.
+
+    Output: (id, span_start, span_end — token offsets [start, end),
+    span_tokens, n_windows — duplicated k-gram windows merged into the
+    span). Docs shorter than ``k`` tokens never report.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    grams = F.transform(shingles(F.col(text_col), k), F.md5)
+    pos = (df.select(F.col(id_col).alias("id"), grams.alias("__g__"))
+           .filter(F.size("__g__") > 0)
+           .select("id", F.posexplode("__g__").alias("start", "h")))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    hits = (pos.select("id", "start", occ.alias("__occ__"))
+            .filter(F.col("__occ__") > 1)
+            .select("id", "start"))
+    # per-doc interval merge of [start, start+k): a window opens a new
+    # span when it starts beyond the running max end of everything before
+    w = Window.partitionBy("id").orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.select(
+        "id", "start",
+        F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end),
+               F.lit(1)).otherwise(F.lit(0)).alias("__new__"))
+    grouped = flagged.select(
+        "id", "start",
+        F.sum("__new__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("__grp__"))
+    return (grouped.groupBy("id", "__grp__")
+            .agg(F.min("start").alias("span_start"),
+                 (F.max("start") + k).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select("id",
+                    F.col("span_start").cast("long"),
+                    F.col("span_end").cast("long"),
+                    (F.col("span_end") - F.col("span_start"))
+                    .cast("long").alias("span_tokens"),
+                    F.col("n_windows").cast("long")))
+
+
 def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 8,

@@ -69,6 +69,70 @@ _SKETCH_PERCENTILES = {"percentile_25": "p25", "percentile_50": "p50",
                        "percentile_75": "p75"}
 
 
+def _merge_freq_sketches_udf():
+    """Arrow-batched merge of per-slice value/pattern frequency sketches →
+    the secondary-profile metrics (top_freq_values / distinct_value_hash /
+    top_patterns / distinct_pattern_ct) plus the merged sketches for
+    further folding. Exact-or-NULL: a qualifying column (2–70 distinct,
+    max length ≤ 70 — secondary_profiling_columns.sql) can't overflow a
+    capacity-256 sketch, so survivors reproduce the full-table strings
+    bit-for-bit; overflowed VALUE sketches mean > 70 distinct → NULL is
+    the reference's own answer. Overflowed PATTERN sketches (> 256
+    distinct patterns) also yield NULL — the one documented divergence,
+    since the reference computes top_patterns for every string column."""
+    from pyspark.sql.functions import pandas_udf
+
+    from dataops_testgen_spark.profiling.secondary import (FREQ_MAX_DISTINCT,
+                                                           FREQ_MAX_LENGTH,
+                                                           FREQ_MIN_DISTINCT,
+                                                           TOP_FREQ_K,
+                                                           TOP_PATTERN_K)
+
+    @pandas_udf("struct<top_freq_values:string, distinct_value_hash:string, "
+                "top_patterns:string, distinct_pattern_ct:bigint, "
+                "freq_sketch:binary, pattern_sketch:binary>")
+    def _merge(val_lists, pat_lists):
+        import pandas as pd
+
+        from dataops_testgen_spark.profiling.sketches import merge_freq_blobs
+
+        out = {"top_freq_values": [], "distinct_value_hash": [],
+               "top_patterns": [], "distinct_pattern_ct": [],
+               "freq_sketch": [], "pattern_sketch": []}
+        for vblobs, pblobs in zip(val_lists, pat_lists):
+            if vblobs is None or not len(vblobs):
+                for k in out:
+                    out[k].append(None)
+                continue
+            vs = merge_freq_blobs(vblobs)
+            ps = merge_freq_blobs(pblobs if pblobs is not None else [])
+            qualifies = (not vs.overflowed
+                         and FREQ_MIN_DISTINCT <= len(vs.counts)
+                         <= FREQ_MAX_DISTINCT
+                         and vs.max_len <= FREQ_MAX_LENGTH)
+            if qualifies:
+                top = vs.top_k(TOP_FREQ_K)
+                out["top_freq_values"].append(
+                    " | ".join(f"{v}:{c}" for v, c in top))
+                out["distinct_value_hash"].append(vs.distinct_hash())
+            else:
+                out["top_freq_values"].append(None)
+                out["distinct_value_hash"].append(None)
+            if not ps.overflowed and ps.counts:
+                ptop = ps.top_k(TOP_PATTERN_K)
+                out["top_patterns"].append(
+                    " | ".join(f"{v}:{c}" for v, c in ptop))
+                out["distinct_pattern_ct"].append(len(ps.counts))
+            else:
+                out["top_patterns"].append(None)
+                out["distinct_pattern_ct"].append(None)
+            out["freq_sketch"].append(vs.to_bytes())
+            out["pattern_sketch"].append(ps.to_bytes())
+        return pd.DataFrame(out)
+
+    return _merge
+
+
 def _merge_quantile_sketches_udf():
     """Arrow-batched merge of per-slice quantile-sketch blobs → merged
     percentiles + merged sketch (metadata-plane: one input row per
@@ -151,11 +215,19 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
         # collect_list drops NULL blobs, so string/date columns (no numeric
         # sketch) arrive as empty lists and merge to NULL percentiles
         aggs.append(F.collect_list("quantile_sketch").alias("__qsk__"))
+    has_fsketch = "freq_sketch" in profiles.columns
+    if has_fsketch:
+        aggs.append(F.collect_list("freq_sketch").alias("__fsk__"))
+        aggs.append(F.collect_list("pattern_sketch").alias("__psk__"))
 
     g = profiles.groupBy(*KEY_FIELDS).agg(*aggs)
     if has_qsketch:
         g = g.withColumn("__q__", _merge_quantile_sketches_udf()(F.col("__qsk__"))) \
              .drop("__qsk__")
+    if has_fsketch:
+        g = g.withColumn("__f__", _merge_freq_sketches_udf()(
+                F.col("__fsk__"), F.col("__psk__"))) \
+             .drop("__fsk__", "__psk__")
     # avg_value in g is already the merged weighted mean, so the identity
     # reduces to SS_total − n·mean², divided by n−1 for the sample sd
     g = g.withColumn(
@@ -178,6 +250,13 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
             out_cols.append(
                 (F.col("__q__.sketch") if has_qsketch
                  else F.lit(None).cast("binary")).alias(name))
+        elif name in ("freq_sketch", "pattern_sketch"):
+            out_cols.append(
+                (F.col(f"__f__.{name}") if has_fsketch
+                 else F.lit(None).cast("binary")).alias(name))
+        elif name in ("top_freq_values", "distinct_value_hash",
+                      "top_patterns", "distinct_pattern_ct") and has_fsketch:
+            out_cols.append(F.col(f"__f__.{name}").alias(name))
         elif name == "distinct_value_ct" and has_sketches:
             out_cols.append(
                 F.hll_sketch_estimate("distinct_hll").cast("long").alias(name))

@@ -103,6 +103,8 @@ PROFILE_SCHEMA = T.StructType([
     T.StructField("boolean_true_ct", T.LongType()),
     T.StructField("distinct_hll", T.BinaryType()),
     T.StructField("quantile_sketch", T.BinaryType()),
+    T.StructField("freq_sketch", T.BinaryType()),
+    T.StructField("pattern_sketch", T.BinaryType()),
     T.StructField("top_patterns", T.StringType()),
     T.StructField("distinct_pattern_ct", T.LongType()),
     T.StructField("top_freq_values", T.StringType()),
@@ -201,9 +203,12 @@ def profile_table(
     sketches so ``merge_profiles`` can fold partition-incremental profile
     runs — the 100 TB path where historical partitions are never
     rescanned: ``distinct_hll`` (Apache DataSketches HLL via
-    ``hll_sketch_agg``) for distinct counts, and ``quantile_sketch``
+    ``hll_sketch_agg``) for distinct counts, ``quantile_sketch``
     (profiling/sketches.py — exact below ``sketch_capacity`` distinct
-    values, ~2/capacity rank error above) for the numeric percentiles.
+    values, ~2/capacity rank error above) for the numeric percentiles,
+    and ``freq_sketch``/``pattern_sketch`` (bounded exact counters) for
+    the string top-k metrics, which are exact-or-NULL by the reference's
+    own 70-distinct qualification rule.
     """
     spark = df.sparkSession
     if isinstance(run_date, str):
@@ -295,6 +300,15 @@ def profile_table(
         qsketch_holder.update(
             column_quantile_sketches(target, num_cols, sketch_capacity))
 
+    fsketch_holder: dict[str, tuple[bytes, bytes]] = {}
+
+    def _run_freq_sketches():
+        from dataops_testgen_spark.profiling.sketches import (
+            column_freq_sketches)
+
+        alpha_cols = [c.column_name for c in cols if c.general_type == "A"]
+        fsketch_holder.update(column_freq_sketches(target, alpha_cols))
+
     row = {}
     jobs = [es for es in (main_exprs, dist_exprs, pct_exprs, sketch_exprs)
             if es]
@@ -304,6 +318,8 @@ def profile_table(
         tasks.append(lambda: _run_secondary())
     if keep_sketches and any(c.general_type == "N" for c in cols):
         tasks.append(lambda: _run_quantile_sketches())
+    if keep_sketches and any(c.general_type == "A" for c in cols):
+        tasks.append(lambda: _run_freq_sketches())
     if len(tasks) > 1:
         # All jobs are independent; submitting them from separate threads
         # lets Spark's scheduler overlap their Catalyst compiles and stage
@@ -350,6 +366,9 @@ def profile_table(
         for m in _METRIC_FIELDS:
             rec[m] = vals.get(m)
         rec["quantile_sketch"] = qsketch_holder.get(col.column_name)
+        fs = fsketch_holder.get(col.column_name)
+        rec["freq_sketch"] = fs[0] if fs else None
+        rec["pattern_sketch"] = fs[1] if fs else None
         if col.general_type == "A":
             value_ct = vals.get("value_ct") or 0
             rec["std_pattern_match"] = raw_std_pattern

@@ -156,6 +156,171 @@ def merge_sketch_blobs(blobs, capacity: int | None = None) -> QuantileSketch:
     return sketches[0].merge(*sketches[1:])
 
 
+class FreqSketch:
+    """Bounded exact value-frequency summary for the merged top-k metrics.
+
+    The reference's secondary profile only reports top_freq_values /
+    distinct_value_hash for columns with 2–70 distinct values
+    (``secondary_profiling_columns.sql:1-12``), so a bounded EXACT counter
+    with capacity ≥ 70 makes the merged metrics exact-or-NULL by
+    construction: a column whose distinct count stays under ``capacity``
+    keeps every (value, count) pair exactly and reproduces the full-table
+    top-k / distinct hash bit-for-bit, and a column that overflows has
+    > capacity ≥ 70 distinct values — disqualified by the reference's own
+    rule, so NULL is the *correct* answer, not an approximation. (This is
+    deliberately NOT Misra-Gries: approximate heavy-hitter counts would
+    silently diverge from the reference's exact strings.)
+
+    ``max_len`` merges exactly even after overflow (it gates the ≤ 70
+    length qualifier). Merge is a counter union — order-insensitive."""
+
+    __slots__ = ("counts", "capacity", "overflowed", "max_len")
+
+    def __init__(self, capacity: int = 256):
+        self.counts: dict[str, int] = {}
+        self.capacity = capacity
+        self.overflowed = False
+        self.max_len = 0
+
+    def add_counts(self, items) -> None:
+        for v, c in items:
+            if v is None:
+                continue
+            self.max_len = max(self.max_len, len(v))
+            if self.overflowed:
+                continue
+            if v in self.counts:
+                self.counts[v] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[v] = c
+            else:
+                self.overflowed = True
+                self.counts = {}
+
+    def merge(self, other: "FreqSketch") -> "FreqSketch":
+        out = FreqSketch(self.capacity)
+        out.max_len = max(self.max_len, other.max_len)
+        out.overflowed = self.overflowed or other.overflowed
+        if not out.overflowed:
+            out.counts = dict(self.counts)
+            for v, c in other.counts.items():
+                if v in out.counts:
+                    out.counts[v] += c
+                elif len(out.counts) < out.capacity:
+                    out.counts[v] = c
+                else:
+                    out.overflowed = True
+                    out.counts = {}
+                    break
+        return out
+
+    @property
+    def n_distinct(self) -> int | None:
+        return None if self.overflowed else len(self.counts)
+
+    def top_k(self, k: int) -> list[tuple[str, int]] | None:
+        """Top-k by (count DESC, value ASC) — the secondary profile's
+        deterministic tiebreak; None once overflowed."""
+        if self.overflowed:
+            return None
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def distinct_hash(self) -> str | None:
+        """md5 of the '|'-joined sorted distinct values — the secondary
+        profile's distinct_value_hash."""
+        import hashlib
+
+        if self.overflowed:
+            return None
+        return hashlib.md5(
+            "|".join(sorted(self.counts)).encode()).hexdigest()
+
+    def to_bytes(self) -> bytes:
+        import json as _json
+
+        return ("FQS1" + _json.dumps(
+            {"cap": self.capacity, "over": self.overflowed,
+             "max_len": self.max_len,
+             "counts": self.counts}, sort_keys=True)).encode()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "FreqSketch":
+        import json as _json
+
+        s = b.decode()
+        if not s.startswith("FQS1"):
+            raise ValueError("not a FQS1 frequency sketch")
+        d = _json.loads(s[4:])
+        out = cls(d["cap"])
+        out.overflowed = d["over"]
+        out.max_len = d["max_len"]
+        out.counts = {k: int(v) for k, v in d["counts"].items()}
+        return out
+
+
+def merge_freq_blobs(blobs, capacity: int | None = None) -> FreqSketch:
+    sketches = [FreqSketch.from_bytes(b) for b in blobs if b is not None]
+    if not sketches:
+        return FreqSketch(capacity or 256)
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = acc.merge(s)
+    return acc
+
+
+def _pattern_of(value: str) -> str:
+    """Python twin of secondary.pattern_of ([a-z]→a, [A-Z]→A, [0-9]→N) —
+    ASCII classes, identical in Java and Python regex."""
+    import re
+
+    return re.sub("[0-9]", "N",
+                  re.sub("[A-Z]", "A", re.sub("[a-z]", "a", value)))
+
+
+def column_freq_sketches(df, columns: list[str],
+                         capacity: int = 256) -> dict[str, tuple[bytes, bytes]]:
+    """One distributed pass → {column: (value_sketch, pattern_sketch)} for
+    the string ``columns``. Same shape as column_quantile_sketches:
+    per-partition bounded fold in mapInPandas, partitions × columns blobs
+    to the driver, order-insensitive merge."""
+    from pyspark.sql import functions as F
+
+    if not columns:
+        return {}
+
+    def per_partition(batches):
+        import pandas as pd
+
+        vals = {c: FreqSketch(capacity) for c in columns}
+        pats = {c: FreqSketch(capacity) for c in columns}
+        for pdf in batches:
+            for c in columns:
+                counted = pdf[c].dropna().value_counts()
+                vals[c].add_counts(
+                    (str(v), int(n)) for v, n in counted.items())
+                pats[c].add_counts(
+                    (_pattern_of(str(v)), int(n))
+                    for v, n in counted.items())
+        yield pd.DataFrame({
+            "column": list(columns),
+            "value_sketch": [vals[c].to_bytes() for c in columns],
+            "pattern_sketch": [pats[c].to_bytes() for c in columns]})
+
+    rows = (df.select(*[F.col(c).cast("string").alias(c) for c in columns])
+            .mapInPandas(per_partition,
+                         schema="column string, value_sketch binary, "
+                                "pattern_sketch binary")
+            .collect())
+    out = {}
+    for c in columns:
+        out[c] = (
+            merge_freq_blobs([r["value_sketch"] for r in rows
+                              if r["column"] == c], capacity).to_bytes(),
+            merge_freq_blobs([r["pattern_sketch"] for r in rows
+                              if r["column"] == c], capacity).to_bytes())
+    return out
+
+
 def column_quantile_sketches(df, columns: list[str],
                              capacity: int = 4096) -> dict[str, bytes]:
     """One distributed pass → {column: serialized sketch} for the numeric

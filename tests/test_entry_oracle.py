@@ -53,6 +53,8 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "corpus_report_documents",
     # new in r5
     "merged_profile_percentiles",
+    "merged_topfreq_orders",
+    "dup_substrings_documents",
 }
 
 

@@ -998,3 +998,38 @@ def test_decontaminate_shuffled_join_fallback(spark):
         docs, bench, k=4, broadcast_benchmark=False).collect()))
     assert a == b and a  # non-empty: docs 1 and 3 share 'one two three four'
     assert {r[0] for r in a} == {1, 3}
+
+
+def test_duplicate_substring_spans(spark):
+    """ExactSubstr screen (Lee et al. 2021 as a k-gram hash pass):
+    cross-doc shared substrings report merged maximal spans on BOTH
+    docs, same-doc repetition reports both occurrences, unique docs
+    report nothing."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),           # shares 'a b c d' with doc 2
+         (2, "x x a b c d y"),
+         (3, "q w e r t y u"),         # unique -> no spans
+         (4, "z1 z2 z3 m z1 z2 z3"),   # self-repeat 'z1 z2 z3'
+         (5, "")],                     # blank -> no windows
+        "doc_id: long, text: string")
+    rows = sorted((r["id"], r["span_start"], r["span_end"],
+                   r["span_tokens"], r["n_windows"])
+                  for r in dedup.duplicate_substring_spans(docs, k=3)
+                  .collect())
+    assert rows == [(1, 0, 4, 4, 2),   # windows at 0,1 merge -> [0,4)
+                    (2, 2, 6, 4, 2),
+                    (4, 0, 3, 3, 1), (4, 4, 7, 3, 1)]
+    with pytest.raises(ValueError):
+        dedup.duplicate_substring_spans(docs, k=1)
+
+
+def test_duplicate_substring_spans_single_shuffle_lineage(spark):
+    """The dup screen is one lineage through one hash shuffle — no
+    self-join of the explode (the join+AQE-broadcast form produced
+    unstable cold-session results; see docstring)."""
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b c")],
+                                 "doc_id: long, text: string")
+    plan = dedup.duplicate_substring_spans(docs, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1  # the explode is scanned once

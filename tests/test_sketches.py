@@ -143,3 +143,84 @@ def test_merged_profile_percentiles_compressed(spark, sf_dir):
                  ("percentile_75", 0.75)):
         rank = float((vals <= row[m]).mean())
         assert abs(rank - p) <= 4 * (2 / 128), (m, rank)
+
+
+# ---------------------------------------------------------------------------
+# FreqSketch: exact-or-NULL frequency summary for merged top-k metrics
+
+
+def test_freq_sketch_exact_below_capacity():
+    from dataops_testgen_spark.profiling.sketches import FreqSketch
+
+    s = FreqSketch(capacity=8)
+    s.add_counts([("b", 3), ("a", 5), ("c", 3)])
+    s.add_counts([("b", 2)])
+    assert s.n_distinct == 3 and not s.overflowed
+    # tiebreak: count DESC, value ASC — b(5) before a(5) is wrong, a wins
+    assert s.top_k(2) == [("a", 5), ("b", 5)]
+    import hashlib
+    assert s.distinct_hash() == hashlib.md5(b"a|b|c").hexdigest()
+    assert s.max_len == 1
+
+
+def test_freq_sketch_overflow_is_null():
+    from dataops_testgen_spark.profiling.sketches import FreqSketch
+
+    s = FreqSketch(capacity=3)
+    s.add_counts([(f"v{i}", 1) for i in range(5)])
+    assert s.overflowed and s.top_k(3) is None
+    assert s.n_distinct is None and s.distinct_hash() is None
+    assert s.max_len == 2  # still tracked exactly through overflow
+    # overflow is sticky through merges
+    t = FreqSketch(capacity=3)
+    t.add_counts([("x", 1)])
+    assert t.merge(s).overflowed and s.merge(t).overflowed
+
+
+def test_freq_sketch_merge_order_insensitive():
+    from dataops_testgen_spark.profiling.sketches import (FreqSketch,
+                                                          merge_freq_blobs)
+
+    parts = []
+    for i in range(4):
+        s = FreqSketch(capacity=64)
+        s.add_counts([(f"v{j}", j + i) for j in range(10)])
+        parts.append(s)
+    a = merge_freq_blobs([p.to_bytes() for p in parts])
+    b = merge_freq_blobs([p.to_bytes() for p in reversed(parts)])
+    assert a.counts == b.counts and a.top_k(5) == b.top_k(5)
+
+
+def test_merged_profile_topfreq_exact(spark, sf_dir):
+    """merge_profiles folds value/pattern frequency sketches: merged
+    top_freq_values / distinct_value_hash / top_patterns /
+    distinct_pattern_ct equal the full-table secondary profile exactly;
+    a > capacity-distinct column (c_name) reports the same NULL/values
+    the full profile's qualification rule produces."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_name", "c_mktsegment")
+    rd = datetime.date(2026, 1, 1)
+    full = {r["column_name"]: r
+            for r in profile_table(df, "customer", run_date=rd).collect()}
+    parts = None
+    for i in range(3):
+        p = profile_table(df.filter(F.col("c_custkey") % 3 == i),
+                          "customer", run_date=rd, keep_sketches=True,
+                          secondary=False)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = {r["column_name"]: r for r in merge_profiles(parts).collect()}
+    for c in ("c_name", "c_mktsegment"):
+        for fld in ("top_freq_values", "distinct_value_hash",
+                    "top_patterns", "distinct_pattern_ct"):
+            assert merged[c][fld] == full[c][fld], (c, fld)
+    # the high-cardinality column exercised the NULL path for values but
+    # kept its (few) patterns
+    assert merged["c_name"]["top_freq_values"] is None
+    assert merged["c_name"]["top_patterns"] is not None
