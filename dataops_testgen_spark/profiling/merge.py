@@ -13,13 +13,16 @@ rows (the same idea as Spark's own partial aggregates, one level up):
 
 Metrics that are NOT mergeable from scalars come back NULL — unless the
 slices were profiled with ``keep_sketches=True``, which carries mergeable
-sketches per column: DataSketches HLL for ``distinct_value_ct`` and a
+sketches per column: DataSketches HLL for ``distinct_value_ct``, a
 quantile sketch (profiling/sketches.py — exact below capacity, bounded
-rank error above) for ``percentile_25/50/75``. Still NULL without a
-sketch path: top-k lists, the distinct-value hash, date bucket counts,
-and the derived ``std_pattern_match`` label — those a scheduled full
-profile refreshes. Merging SAMPLED profiles is refused: scaled estimates
-of disjoint slices do not add.
+rank error above) for ``percentile_25/50/75``, and bounded exact
+value/pattern counters for ``top_freq_values`` / ``distinct_value_hash``
+/ ``top_patterns`` / ``distinct_pattern_ct`` (exact-or-NULL by the
+reference's own 70-distinct qualification). Still NULL without a sketch
+path: date bucket counts (``date_days/weeks/months_present``),
+``distinct_std_value_ct``, and the derived ``std_pattern_match`` label —
+those a scheduled full profile refreshes. Merging SAMPLED profiles is
+refused: scaled estimates of disjoint slices do not add.
 
 No reference-file counterpart: the reference re-profiles whole tables per
 run (`run_profiling.py`); this operator exists for the Spark target's
@@ -56,9 +59,10 @@ WEIGHTED_AVG_FIELDS = [("avg_length", "value_ct"),
                        ("avg_value", "value_ct"),
                        ("avg_embedded_spaces", "value_ct")]
 # distinct_value_ct IS merged (approximately) when the slices carry HLL
-# sketches, and percentile_25/50/75 ARE merged when they carry quantile
-# sketches (profile_table(keep_sketches=True) stores both); without
-# sketches they stay NULL like the rest of this list.
+# sketches, percentile_25/50/75 ARE merged when they carry quantile
+# sketches, and the top_freq/pattern metrics ARE merged (exact-or-NULL)
+# when they carry frequency sketches — profile_table(keep_sketches=True)
+# stores all three; without sketches everything here stays NULL.
 NON_MERGEABLE_FIELDS = [
     "distinct_value_ct", "distinct_std_value_ct", "std_pattern_match",
     "percentile_25", "percentile_50", "percentile_75", "date_days_present",
