@@ -2507,9 +2507,15 @@ def q_merged_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "orders").select("o_orderkey", *_MERGE_NUM_COLS)
     parts = None
     for i in range(3):
+        # approx=True: the slice profiles fuse into ONE agg job each (no
+        # exact-distinct / exact-percentile side jobs) — every metric this
+        # query SELECTS is either a plain count (identical in approx mode)
+        # or derived from the quantile sketches, so the hash is unchanged
+        # while the per-slice job count drops from ~5 to 2
         p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
                           "orders", run_date=RUN_DATE, keep_sketches=True,
-                          sketch_capacity=100_000)
+                          sketch_capacity=100_000, approx=True,
+                          secondary=False)
         parts = p if parts is None else parts.unionByName(p)
     merged = merge_profiles(parts) \
         .filter(F.col("column_name").isin(_MERGE_NUM_COLS)) \
@@ -2587,9 +2593,12 @@ def q_merged_topfreq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                *_MERGE_STR_COLS)
     parts = None
     for i in range(3):
+        # approx=True fuses each slice into one agg job; every metric this
+        # query selects comes from the frequency sketches, so the hash is
+        # unchanged (see q_merged_profile_percentiles)
         p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
                           "orders", run_date=RUN_DATE, keep_sketches=True,
-                          secondary=False)
+                          approx=True, secondary=False)
         parts = p if parts is None else parts.unionByName(p)
     merged = merge_profiles(parts) \
         .filter(F.col("column_name").isin(_MERGE_STR_COLS))
