@@ -83,6 +83,70 @@ FROM {table}""")
 
 
 # --------------------------------------------------------------------------
+# Q: profile_sampled_lineitem — SURVEY §2.2 sampling + estimate scaling
+# --------------------------------------------------------------------------
+
+_SAMPLED_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_sampled_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled profiling with estimate scaling (reference
+    `profiling_query.py:22-53` + `project_update_profile_results_to_
+    estimates.sql` semantics), made oracle-checkable: the sample is a
+    deterministic salted md5-hash Bernoulli draw (pipeline/sampling.py)
+    instead of df.sample's Spark-private RNG stream, so the EXACT same
+    rows — and therefore the exact scaled estimates — are re-derivable in
+    audit SQL. Count-like metrics scale by 1/ratio (0.25 → ×4, exact);
+    distinct counts and value-range metrics stay sample-level, matching
+    the reference's estimate rules."""
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = _load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 *_SAMPLED_NUM_COLS)
+    p = profile_table(df, "lineitem", run_date=RUN_DATE, sample=True,
+                      sample_key_col="l_orderkey", sample_fraction=0.25,
+                      sample_salt="r5", secondary=False,
+                      columns=_SAMPLED_NUM_COLS)
+    return p.select(
+        "column_name", "record_ct",
+        F.round("sample_ratio", 5).alias("sample_ratio"),
+        "value_ct", "null_value_ct", "zero_value_ct", "distinct_value_ct",
+        F.round("min_value", 5).alias("min_value"),
+        F.round("max_value", 5).alias("max_value"),
+        F.round("avg_value", 5).alias("avg_value"),
+        F.round("stdev_value", 5).alias("stdev_value"),
+        F.round("percentile_50", 5).alias("percentile_50"),
+    )
+
+
+def _sql_profile_sampled_numeric(table: str, key: str, cols: list[str],
+                                 fraction: float, salt: str) -> str:
+    scale = int(round(1.0 / fraction))
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       (SELECT COUNT(*)::BIGINT FROM {table}) AS record_ct,
+       ROUND(CAST({fraction} AS DOUBLE), 5) AS sample_ratio,
+       (COUNT({c}) * {scale})::BIGINT AS value_ct,
+       (SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * {scale})::BIGINT
+         AS null_value_ct,
+       (SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) * {scale})::BIGINT
+         AS zero_value_ct,
+       COUNT(DISTINCT {c})::BIGINT AS distinct_value_ct,
+       ROUND(MIN({c})::DOUBLE, 5) AS min_value,
+       ROUND(MAX({c})::DOUBLE, 5) AS max_value,
+       ROUND(AVG({c}::DOUBLE), 5) AS avg_value,
+       ROUND(STDDEV_SAMP({c}::DOUBLE), 5) AS stdev_value,
+       ROUND(QUANTILE_CONT({c}::DOUBLE, 0.50), 5) AS percentile_50
+FROM (SELECT * FROM {table}
+      WHERE CAST(concat('0x', substr(md5(concat('{salt}', '|',
+                 CAST({key} AS VARCHAR))), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {fraction})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
 # Q: profile_customer_strings — SURVEY §2.2 alpha metric block
 # --------------------------------------------------------------------------
 
@@ -2847,8 +2911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
-        "score_category_fixture": q_score_category,
+        "profile_sampled_lineitem": q_profile_sampled_lineitem,
         # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
+        "score_category_fixture": q_score_category,
         "score_overall_history_fixture": q_score_overall_history,
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
         "profile_customer_strings": q_profile_customer_strings,
@@ -2874,6 +2939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "profile_sampled_lineitem": _sql_profile_sampled_numeric(
+            "lineitem", "l_orderkey", _SAMPLED_NUM_COLS, 0.25, "r5"),
         "profile_lineitem_numeric": _sql_profile_numeric("lineitem", _LINEITEM_NUM_COLS),
         "profile_customer_strings": _sql_profile_strings("customer", _CUSTOMER_STR_COLS),
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),

@@ -189,6 +189,9 @@ def profile_table(
     approx: bool = False,
     exact_percentiles: bool = True,
     sample: bool = False,
+    sample_key_col: str | None = None,
+    sample_fraction: float | None = None,
+    sample_salt: str = "tg",
     secondary: bool = True,
     columns: list[str] | None = None,
     keep_sketches: bool = False,
@@ -221,7 +224,26 @@ def profile_table(
 
     sample_ratio = 1.0
     target = df
-    if sample and record_ct > SAMPLE_MIN_COUNT:
+    if sample and sample_key_col is not None:
+        # Deterministic content-addressed Bernoulli sample (the salted
+        # md5-prefix trick from pipeline/sampling.py): the SAME rows on
+        # every run, every cluster, and every engine, so an estimate-scaled
+        # profile is itself auditable/oracle-checkable in plain SQL —
+        # unlike df.sample, whose XORShift stream is Spark-private. An
+        # explicit sample_fraction applies unconditionally (explicit
+        # intent); otherwise the reference's row-count gate and fraction
+        # formula apply unchanged (profiling_query.py:22-53 semantics).
+        from dataops_testgen_spark.pipeline.sampling import _unit_hash
+
+        frac = sample_fraction
+        if frac is None and record_ct > SAMPLE_MIN_COUNT:
+            frac = max(SAMPLE_PERCENT, min(1.0, SAMPLE_MIN_COUNT / record_ct))
+            frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
+        if frac is not None and frac < 1.0:
+            target = df.filter(
+                _unit_hash(F.col(sample_key_col), sample_salt) < F.lit(frac))
+            sample_ratio = frac
+    elif sample and record_ct > SAMPLE_MIN_COUNT:
         frac = max(SAMPLE_PERCENT, min(1.0, SAMPLE_MIN_COUNT / record_ct))
         frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
         target = df.sample(fraction=frac, seed=SAMPLE_SEED)

@@ -55,6 +55,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "merged_profile_percentiles",
     "merged_topfreq_orders",
     "dup_substrings_documents",
+    "profile_sampled_lineitem",
 }
 
 

@@ -125,6 +125,45 @@ def test_sampling_scales_counts(spark):
     assert row["record_ct"] == 200_000
 
 
+def test_hash_sampling_deterministic_and_scaled(spark):
+    """sample_key_col switches the profiler to the salted md5-hash Bernoulli
+    draw: the same rows on every run (unlike df.sample's RNG stream), so
+    scaled estimates are exactly reproducible — and re-derivable in SQL,
+    which is what makes the sampled-profile driver query oracle-checkable."""
+    from dataops_testgen_spark.pipeline.sampling import hash_sample
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "v")
+    kw = dict(sample=True, sample_key_col="v", sample_fraction=0.25,
+              sample_salt="s1", secondary=False, exact_percentiles=False,
+              run_date=RUN_DATE)
+    a = profile_table(df, "t", **kw).collect()[0]
+    b = profile_table(df, "t", **kw).collect()[0]
+    assert a["value_ct"] == b["value_ct"]          # bit-identical reruns
+    assert a["min_value"] == b["min_value"]
+    assert a["sample_ratio"] == 0.25
+    assert a["record_ct"] == 10_000
+    # the scaled estimate is exactly 4x the deterministic sample count
+    n_sample = hash_sample(df, id_col="v", fraction=0.25, salt="s1").count()
+    assert a["value_ct"] == int(round(n_sample / 0.25))
+    # a different salt draws an independent sample
+    c = profile_table(df, "t", sample=True, sample_key_col="v",
+                      sample_fraction=0.25, sample_salt="s2",
+                      secondary=False, exact_percentiles=False,
+                      run_date=RUN_DATE).collect()[0]
+    assert c["value_ct"] != a["value_ct"] or c["min_value"] != a["min_value"]
+
+
+def test_hash_sampling_gate_without_explicit_fraction(spark):
+    """Without an explicit sample_fraction the reference's row-count gate
+    applies: below SAMPLE_MIN_COUNT the deterministic mode must NOT sample."""
+    df = spark.range(0, 1_000).withColumnRenamed("id", "v")
+    p = profile_table(df, "t", run_date=RUN_DATE, sample=True,
+                      sample_key_col="v", secondary=False,
+                      exact_percentiles=False).collect()[0]
+    assert p["sample_ratio"] == 1.0
+    assert p["value_ct"] == 1_000
+
+
 def test_std_pattern_survives_sampling(spark):
     """std_pattern_match is a same-sample ratio: scaling value_ct up before
     classification deflated it by the sample fraction (ADVICE r1)."""
