@@ -781,6 +781,178 @@ FROM d"""
 
 
 # --------------------------------------------------------------------------
+# Q: incremental_screen_orders — flagship incremental-DQ path
+# --------------------------------------------------------------------------
+
+def q_incremental_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 100 TB path: profile three disjoint slices with mergeable
+    sketches (profiling/sketches.py), fold them with merge_profiles — now
+    METRIC-COMPLETE: exact-or-NULL distincts/top-k, exact day sets for the
+    date buckets, summed std-pattern counts — then run the SAME functional
+    type cascade + hygiene screen as a full rescan. The oracle is the
+    full-path screen SQL (anomaly_screen_sql), so a hash match proves the
+    incremental path reaches IDENTICAL downstream DQ decisions without
+    ever rescanning history."""
+    from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = _load(spark, sf_dir, "orders")
+    parts = None
+    for i in range(3):
+        # approx=True: every merged field the screen consumes is either a
+        # plain additive count or derived from the mergeable sketches, so
+        # the slices' exact-distinct / exact-percentile side jobs are pure
+        # waste — approx fuses each slice into one agg pass with an
+        # A/B-verified identical merged profile (2x wall-clock at sf0.1)
+        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i), "orders",
+                          run_date=RUN_DATE, keep_sketches=True, approx=True,
+                          secondary=False, sketch_capacity=200_000)
+        parts = p if parts is None else parts.unionByName(p)
+    out = screen_anomalies(apply_inference(merge_profiles(parts)))
+    return out.select("table_name", "column_name", "anomaly_type")
+
+
+# --------------------------------------------------------------------------
+# Q: freshness_threshold_events — SURVEY §2.6 freshness gap thresholds
+# --------------------------------------------------------------------------
+
+def q_freshness_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness gap thresholds (prediction/freshness.py — reference
+    `freshness_service.py:39-111` band math): update times are the distinct
+    hours with a purchase event of value >= 150; thresholds use the
+    medium-urgency defaults (p95 upper with a 1.25x max floor, p10 lower,
+    0.85x median staleness) over the last 40 completed gaps in business
+    minutes. The update-time collect is metadata-plane (one row per update
+    hour — the reference computes this per-table on monitor history in
+    Python too); the oracle re-derives every band in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.prediction.freshness import (
+        MAX_FRESHNESS_GAPS, classify_frequency, get_freshness_gap_threshold)
+
+    ev = _load(spark, sf_dir, "events")
+    upd = (ev.filter((F.col("event_type") == "purchase")
+                     & (F.col("value") >= 150))
+             .select(F.date_trunc("hour", "ts").alias("d"))
+             .distinct().orderBy("d").collect())
+    times = pd.DatetimeIndex([r["d"] for r in upd])
+    hist = pd.DataFrame({"result_signal": np.zeros(len(times))}, index=times)
+    thr = get_freshness_gap_threshold(hist)
+    gaps = np.diff(times).astype("timedelta64[m]").astype(float)
+    gaps = gaps[-MAX_FRESHNESS_GAPS:]
+    freq = classify_frequency(gaps / 60.0)
+    row = [(round(thr.upper, 5),
+            None if thr.lower is None else round(thr.lower, 5),
+            round(thr.staleness, 5),
+            thr.last_update.isoformat(sep=" "),
+            int(len(gaps)), freq)]
+    return spark.createDataFrame(
+        row, schema="upper_minutes double, lower_minutes double, "
+                    "staleness_minutes double, last_update string, "
+                    "n_gaps long, frequency string")
+
+
+_SQL_FRESHNESS_THRESHOLD = """
+WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS d FROM events
+           WHERE event_type = 'purchase' AND value >= 150),
+g AS (SELECT date_diff('minute', lag(d) OVER (ORDER BY d), d)::DOUBLE AS gap,
+             ROW_NUMBER() OVER (ORDER BY d DESC) AS rn
+      FROM u),
+last40 AS (SELECT gap FROM g WHERE gap IS NOT NULL AND rn <= 40)
+SELECT ROUND(GREATEST(QUANTILE_CONT(gap, 0.95), MAX(gap) * 1.25), 5)
+         AS upper_minutes,
+       CASE WHEN QUANTILE_CONT(gap, 0.10) <= 0 THEN NULL
+            ELSE ROUND(QUANTILE_CONT(gap, 0.10), 5) END AS lower_minutes,
+       ROUND(QUANTILE_CONT(gap, 0.50) * 0.85, 5) AS staleness_minutes,
+       CAST((SELECT MAX(d) FROM u) AS VARCHAR) AS last_update,
+       COUNT(*)::BIGINT AS n_gaps,
+       CASE WHEN QUANTILE_CONT(gap, 0.50) / 60.0 < 6 THEN 'sub_daily'
+            WHEN QUANTILE_CONT(gap, 0.50) / 60.0 < 36 THEN 'daily'
+            WHEN QUANTILE_CONT(gap, 0.50) / 60.0 > 120
+                 AND QUANTILE_CONT(gap, 0.50) / 60.0 < 240 THEN 'weekly'
+            ELSE 'irregular' END AS frequency
+FROM last40"""
+
+
+# --------------------------------------------------------------------------
+# Q: validation_prepass — SURVEY §2.5 test-definition validation
+# --------------------------------------------------------------------------
+
+_VALIDATION_DEFS = [
+    # (test_id, test_type, table_name, column_name) — two valid, one missing
+    # column, one missing table, one table-scope def (no column)
+    ("t1", "Unique", "orders", "o_orderkey"),
+    ("t2", "Null", "orders", "o_missing_col"),
+    ("t3", "Row_Ct", "ghost_table", None),
+    ("t4", "Min_Val", "lineitem", "l_quantity"),
+    ("t5", "Row_Ct", "lineitem", None),
+    ("t6", "Unique", "lineitem", "l_dropped"),
+]
+
+
+def q_validation_prepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation pre-pass (execution/validation.py — reference
+    `run_test_validation.py:12-168`): every referenced table/column is
+    checked against the live target schema; missing references become
+    Error rows with the test deactivated. The oracle derives the column
+    inventory independently via DuckDB's pragma_table_info, so the check
+    isn't self-referential."""
+    from dataops_testgen_spark.execution.defs import TestDef
+    from dataops_testgen_spark.execution.validation import validate_tests
+
+    tables = {t: _load(spark, sf_dir, t) for t in ("orders", "lineitem")}
+    defs = [TestDef(test_id=i, test_type=tt, table_name=tn, column_name=cn)
+            for i, tt, tn, cn in _VALIDATION_DEFS]
+    out = validate_tests(tables, defs)
+    rows = [(e["test_id"], e["test_type"], e["table_name"], e["column_name"],
+             e["result_status"], e["result_message"], e["test_active"])
+            for e in out.errors]
+    rows += [(td.test_id, td.test_type, td.table_name, td.column_name,
+              "Valid", None, "Y") for td in out.valid]
+    return spark.createDataFrame(
+        rows, schema="test_id string, test_type string, table_name string, "
+                     "column_name string, result_status string, "
+                     "result_message string, test_active string")
+
+
+_SQL_VALIDATION_PREPASS = """
+WITH defs(test_id, test_type, table_name, column_name) AS (
+  VALUES ('t1', 'Unique', 'orders', 'o_orderkey'),
+         ('t2', 'Null', 'orders', 'o_missing_col'),
+         ('t3', 'Row_Ct', 'ghost_table', NULL),
+         ('t4', 'Min_Val', 'lineitem', 'l_quantity'),
+         ('t5', 'Row_Ct', 'lineitem', NULL),
+         ('t6', 'Unique', 'lineitem', 'l_dropped')),
+cols AS (
+  SELECT 'orders' AS t, name AS c FROM pragma_table_info('orders')
+  UNION ALL
+  SELECT 'lineitem' AS t, name AS c FROM pragma_table_info('lineitem')),
+judged AS (
+  SELECT d.*,
+         d.table_name IN ('orders', 'lineitem') AS table_ok,
+         d.column_name IS NULL OR EXISTS (
+           SELECT 1 FROM cols
+            WHERE cols.t = d.table_name AND cols.c = d.column_name
+         ) AS column_ok
+    FROM defs d)
+SELECT test_id, test_type, table_name, column_name,
+       CASE WHEN NOT table_ok OR NOT column_ok THEN 'Error'
+            ELSE 'Valid' END AS result_status,
+       CASE WHEN NOT table_ok
+              THEN 'Table ' || table_name || ' not present in target'
+            WHEN NOT column_ok
+              THEN 'Column ' || table_name || '.' || column_name
+                   || ' not present in target'
+            END AS result_message,
+       CASE WHEN NOT table_ok OR NOT column_ok THEN 'N' ELSE 'Y' END
+         AS test_active
+  FROM judged"""
+
+
+# --------------------------------------------------------------------------
 # Q: LLM-pipeline operators — text analysis / dedup / similarity / multimodal
 # --------------------------------------------------------------------------
 
@@ -2903,16 +3075,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_card_issues_co_li": q_score_card_issues,
-        "drilldown_unique_orders": q_drilldown_unique_orders,
         "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
         "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
+        "profile_sampled_lineitem": q_profile_sampled_lineitem,
+        "freshness_threshold_events": q_freshness_threshold_events,
+        "validation_prepass": q_validation_prepass,
+        "incremental_screen_orders": q_incremental_screen_orders,
+        # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
+        "drilldown_unique_orders": q_drilldown_unique_orders,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
-        "profile_sampled_lineitem": q_profile_sampled_lineitem,
-        # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
         "score_category_fixture": q_score_category,
         "score_overall_history_fixture": q_score_overall_history,
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
@@ -2941,6 +3116,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "profile_sampled_lineitem": _sql_profile_sampled_numeric(
             "lineitem", "l_orderkey", _SAMPLED_NUM_COLS, 0.25, "r5"),
+        "freshness_threshold_events": _SQL_FRESHNESS_THRESHOLD,
+        "validation_prepass": _SQL_VALIDATION_PREPASS,
+        "incremental_screen_orders": ORC.anomaly_screen_sql(
+            "orders", _ORDERS_COLS, RUN_DATE),
         "profile_lineitem_numeric": _sql_profile_numeric("lineitem", _LINEITEM_NUM_COLS),
         "profile_customer_strings": _sql_profile_strings("customer", _CUSTOMER_STR_COLS),
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),

@@ -18,10 +18,15 @@ quantile sketch (profiling/sketches.py — exact below capacity, bounded
 rank error above) for ``percentile_25/50/75``, and bounded exact
 value/pattern counters for ``top_freq_values`` / ``distinct_value_hash``
 / ``top_patterns`` / ``distinct_pattern_ct`` (exact-or-NULL by the
-reference's own 70-distinct qualification). Still NULL without a sketch
-path: date bucket counts (``date_days/weeks/months_present``),
-``distinct_std_value_ct``, and the derived ``std_pattern_match`` label —
-those a scheduled full profile refreshes. Merging SAMPLED profiles is
+reference's own 70-distinct qualification), plus the carriers that make
+the remaining metrics mergeable: an exact distinct-day set
+(``day_set_json`` — intrinsically bounded at ~36.5k days/century, so the
+union is metadata-plane at any row count) for
+``date_days/weeks/months_present``, a bounded exact standardized-value
+counter for ``distinct_std_value_ct`` (exact-or-NULL at 4096), and the
+raw std-pattern match counts (``stdpat_json``) summed and re-classified
+for ``std_pattern_match`` — making the merged profile METRIC-COMPLETE
+for unsampled slices profiled with sketches. Merging SAMPLED profiles is
 refused: scaled estimates of disjoint slices do not add.
 
 No reference-file counterpart: the reference re-profiles whole tables per
@@ -94,6 +99,7 @@ def _merge_freq_sketches_udf():
 
     @pandas_udf("struct<top_freq_values:string, distinct_value_hash:string, "
                 "top_patterns:string, distinct_pattern_ct:bigint, "
+                "freq_distinct_ct:bigint, "
                 "freq_sketch:binary, pattern_sketch:binary>")
     def _merge(val_lists, pat_lists):
         import pandas as pd
@@ -102,6 +108,7 @@ def _merge_freq_sketches_udf():
 
         out = {"top_freq_values": [], "distinct_value_hash": [],
                "top_patterns": [], "distinct_pattern_ct": [],
+               "freq_distinct_ct": [],
                "freq_sketch": [], "pattern_sketch": []}
         for vblobs, pblobs in zip(val_lists, pat_lists):
             if vblobs is None or not len(vblobs):
@@ -130,8 +137,37 @@ def _merge_freq_sketches_udf():
             else:
                 out["top_patterns"].append(None)
                 out["distinct_pattern_ct"].append(None)
+            out["freq_distinct_ct"].append(vs.n_distinct)
             out["freq_sketch"].append(vs.to_bytes())
             out["pattern_sketch"].append(ps.to_bytes())
+        return pd.DataFrame(out)
+
+    return _merge
+
+
+def _merge_std_sketches_udf():
+    """Arrow-batched merge of per-slice standardized-value counters →
+    distinct_std_value_ct (exact-or-NULL: the counter is exact until its
+    capacity, default 4096 distinct standardized values, then overflows
+    to NULL) plus the merged counter for further folding."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<distinct_std_value_ct:bigint, "
+                "std_value_sketch:binary>")
+    def _merge(blob_lists):
+        import pandas as pd
+
+        from dataops_testgen_spark.profiling.sketches import merge_freq_blobs
+
+        out = {"distinct_std_value_ct": [], "std_value_sketch": []}
+        for blobs in blob_lists:
+            if blobs is None or not len(blobs):
+                out["distinct_std_value_ct"].append(None)
+                out["std_value_sketch"].append(None)
+                continue
+            s = merge_freq_blobs(blobs)
+            out["distinct_std_value_ct"].append(s.n_distinct)
+            out["std_value_sketch"].append(s.to_bytes())
         return pd.DataFrame(out)
 
     return _merge
@@ -144,14 +180,16 @@ def _merge_quantile_sketches_udf():
     independent of slice order."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("struct<p25:double,p50:double,p75:double,sketch:binary>")
+    @pandas_udf("struct<p25:double,p50:double,p75:double,"
+                "distinct_ct:bigint,sketch:binary>")
     def _merge(blob_lists):
         import pandas as pd
 
         from dataops_testgen_spark.profiling.sketches import (
             merge_sketch_blobs)
 
-        out = {"p25": [], "p50": [], "p75": [], "sketch": []}
+        out = {"p25": [], "p50": [], "p75": [], "distinct_ct": [],
+               "sketch": []}
         for blobs in blob_lists:
             if blobs is None or not len(blobs):
                 for k in out:
@@ -161,6 +199,7 @@ def _merge_quantile_sketches_udf():
             out["p25"].append(s.percentile(0.25))
             out["p50"].append(s.percentile(0.50))
             out["p75"].append(s.percentile(0.75))
+            out["distinct_ct"].append(s.distinct_ct if s.n else None)
             out["sketch"].append(s.to_bytes() if s.n else None)
         return pd.DataFrame(out)
 
@@ -223,6 +262,28 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
     if has_fsketch:
         aggs.append(F.collect_list("freq_sketch").alias("__fsk__"))
         aggs.append(F.collect_list("pattern_sketch").alias("__psk__"))
+    has_ssketch = "std_value_sketch" in profiles.columns
+    if has_ssketch:
+        aggs.append(F.collect_list("std_value_sketch").alias("__ssk__"))
+    has_days = "day_set_json" in profiles.columns
+    _DAYSET_SCHEMA = "struct<granular:boolean, days:array<string>>"
+    if has_days:
+        # exact distinct-day union, all JVM-side: flatten the slices' day
+        # lists; weeks/months derive from the merged day set below
+        aggs.append(F.flatten(F.collect_list(
+            F.from_json("day_set_json", _DAYSET_SCHEMA).days))
+            .alias("__days_raw__"))
+        aggs.append(F.count("day_set_json").alias("__day_slices__"))
+        # day-granular in EVERY slice ⇒ merged day set is the exact
+        # distinct value set (exact distinct_value_ct for date columns)
+        aggs.append(F.min(
+            F.from_json("day_set_json", _DAYSET_SCHEMA)
+             .granular.cast("int")).alias("__day_gran__"))
+    has_stdpat = "stdpat_json" in profiles.columns
+    if has_stdpat:
+        aggs.append(F.collect_list(
+            F.from_json("stdpat_json", "map<string,bigint>"))
+            .alias("__stdpats__"))
 
     g = profiles.groupBy(*KEY_FIELDS).agg(*aggs)
     if has_qsketch:
@@ -232,6 +293,42 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
         g = g.withColumn("__f__", _merge_freq_sketches_udf()(
                 F.col("__fsk__"), F.col("__psk__"))) \
              .drop("__fsk__", "__psk__")
+    if has_ssketch:
+        g = g.withColumn("__s__", _merge_std_sketches_udf()(F.col("__ssk__"))) \
+             .drop("__ssk__")
+    if has_days:
+        g = g.withColumn(
+            "__days__",
+            F.when(F.col("__day_slices__") > 0,
+                   F.array_sort(F.array_distinct("__days_raw__")))) \
+             .drop("__days_raw__", "__day_slices__")
+    if has_stdpat:
+        # element-wise sum of the slices' raw pattern-match counters, then
+        # re-classify exactly like the profiler post-step (first catalog
+        # pattern whose summed ratio clears its threshold)
+        from dataops_testgen_spark.profiling import regexes as RX
+
+        zero = F.lit(0).cast("bigint")
+        merged_map = F.aggregate(
+            "__stdpats__",
+            F.create_map().cast("map<string,bigint>"),
+            lambda acc, m: F.map_zip_with(
+                acc, m,
+                lambda _k, a, b: F.coalesce(a, zero) + F.coalesce(b, zero)))
+        label = F.lit(None).cast("string")
+        for lbl, _rx, thr in reversed(RX.STD_PATTERNS):
+            ratio = (F.element_at(merged_map, F.lit(lbl)).cast("double")
+                     / F.col("value_ct"))
+            label = F.when(ratio >= F.lit(float(thr)), F.lit(lbl)) \
+                     .otherwise(label)
+        g = g.withColumn(
+            "__stdpat_map__",
+            F.when(F.size("__stdpats__") > 0, merged_map)) \
+             .withColumn(
+            "__stdpat_label__",
+            F.when((F.size("__stdpats__") > 0) & (F.col("value_ct") > 0),
+                   label)) \
+             .drop("__stdpats__")
     # avg_value in g is already the merged weighted mean, so the identity
     # reduces to SS_total − n·mean², divided by n−1 for the sample sd
     g = g.withColumn(
@@ -262,11 +359,64 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
                       "top_patterns", "distinct_pattern_ct") and has_fsketch:
             out_cols.append(F.col(f"__f__.{name}").alias(name))
         elif name == "distinct_value_ct" and has_sketches:
+            # exact-when-possible: a non-overflowed value counter (strings)
+            # or a never-compressed quantile sketch (numerics) IS an exact
+            # frequency table, so its distinct count is exact; only columns
+            # whose cardinality exceeded every sketch capacity fall back to
+            # the HLL estimate
+            exact_sources = []
+            if has_fsketch:
+                exact_sources.append(F.col("__f__.freq_distinct_ct"))
+            if has_qsketch:
+                exact_sources.append(F.col("__q__.distinct_ct"))
+            if has_days:
+                exact_sources.append(
+                    F.when(F.col("__days__").isNotNull()
+                           & (F.col("__day_gran__") == 1),
+                           F.size("__days__").cast("long")))
             out_cols.append(
-                F.hll_sketch_estimate("distinct_hll").cast("long").alias(name))
+                F.coalesce(
+                    *exact_sources,
+                    F.hll_sketch_estimate("distinct_hll").cast("long"))
+                .alias(name))
         elif name in _SKETCH_PERCENTILES and has_qsketch:
             out_cols.append(
                 F.col(f"__q__.{_SKETCH_PERCENTILES[name]}").alias(name))
+        elif name == "distinct_std_value_ct" and has_ssketch:
+            out_cols.append(
+                F.col("__s__.distinct_std_value_ct").alias(name))
+        elif name == "std_value_sketch":
+            out_cols.append(
+                (F.col("__s__.std_value_sketch") if has_ssketch
+                 else F.lit(None).cast("binary")).alias(name))
+        elif name in ("date_days_present", "date_weeks_present",
+                      "date_months_present") and has_days:
+            if name == "date_days_present":
+                c = F.size("__days__")
+            elif name == "date_weeks_present":
+                c = F.size(F.array_distinct(F.transform(
+                    "__days__",
+                    lambda d: F.date_trunc("week", F.to_date(d)))))
+            else:
+                c = F.size(F.array_distinct(F.transform(
+                    "__days__", lambda d: F.trunc(F.to_date(d), "month"))))
+            out_cols.append(
+                F.when(F.col("__days__").isNotNull(), c)
+                 .cast("long").alias(name))
+        elif name == "day_set_json":
+            out_cols.append(
+                (F.when(F.col("__days__").isNotNull(),
+                        F.to_json(F.struct(
+                            (F.col("__day_gran__") == 1).alias("granular"),
+                            F.col("__days__").alias("days")))) if has_days
+                 else F.lit(None).cast("string")).alias(name))
+        elif name == "std_pattern_match" and has_stdpat:
+            out_cols.append(F.col("__stdpat_label__").alias(name))
+        elif name == "stdpat_json":
+            out_cols.append(
+                (F.when(F.col("__stdpat_map__").isNotNull(),
+                        F.to_json("__stdpat_map__")) if has_stdpat
+                 else F.lit(None).cast("string")).alias(name))
         elif name in NON_MERGEABLE_FIELDS:
             out_cols.append(F.lit(None).cast(field.dataType).alias(name))
         elif name == "sample_ratio":

@@ -105,6 +105,14 @@ PROFILE_SCHEMA = T.StructType([
     T.StructField("quantile_sketch", T.BinaryType()),
     T.StructField("freq_sketch", T.BinaryType()),
     T.StructField("pattern_sketch", T.BinaryType()),
+    # incremental-profiling carriers for the last non-mergeable metrics:
+    # bounded exact counter of standardized values (distinct_std_value_ct),
+    # exact distinct-day set as sorted JSON (date_*_present — intrinsically
+    # bounded: ≤ ~36.5k entries per century regardless of row count), and
+    # the raw std-pattern match counts (std_pattern_match re-derivation)
+    T.StructField("std_value_sketch", T.BinaryType()),
+    T.StructField("day_set_json", T.StringType()),
+    T.StructField("stdpat_json", T.StringType()),
     T.StructField("top_patterns", T.StringType()),
     T.StructField("distinct_pattern_ct", T.LongType()),
     T.StructField("top_freq_values", T.StringType()),
@@ -322,7 +330,7 @@ def profile_table(
         qsketch_holder.update(
             column_quantile_sketches(target, num_cols, sketch_capacity))
 
-    fsketch_holder: dict[str, tuple[bytes, bytes]] = {}
+    fsketch_holder: dict[str, tuple[bytes, bytes, bytes]] = {}
 
     def _run_freq_sketches():
         from dataops_testgen_spark.profiling.sketches import (
@@ -330,6 +338,32 @@ def profile_table(
 
         alpha_cols = [c.column_name for c in cols if c.general_type == "A"]
         fsketch_holder.update(column_freq_sketches(target, alpha_cols))
+
+    dayset_holder: dict[str, str] = {}
+
+    def _run_day_sets():
+        # Exact distinct-day sets for the D columns: distinct DAYS are
+        # intrinsically bounded (~36.5k per century) no matter how many
+        # rows feed them, so a collect_set here is metadata-plane even at
+        # 100 TB; weeks/months derive from the day set at merge time.
+        import json as _json
+
+        date_cols = [c.column_name for c in cols if c.general_type == "D"]
+        exprs = []
+        for c in date_cols:
+            exprs.append(F.sort_array(F.collect_set(F.to_date(c)))
+                         .alias(f"{c}__days"))
+            # day-granular ⇒ the day set is ALSO the exact distinct value
+            # set, letting merge_profiles report an exact distinct_value_ct
+            # for date columns instead of the HLL estimate
+            exprs.append(F.coalesce(
+                F.min((F.col(c) == F.date_trunc("day", F.col(c)))
+                      .cast("int")), F.lit(1)).alias(f"{c}__gran"))
+        got = target.agg(*exprs).collect()[0].asDict()
+        for c in date_cols:
+            dayset_holder[c] = _json.dumps(
+                {"granular": bool(got[f"{c}__gran"]),
+                 "days": [d.isoformat() for d in got[f"{c}__days"]]})
 
     row = {}
     jobs = [es for es in (main_exprs, dist_exprs, pct_exprs, sketch_exprs)
@@ -342,6 +376,8 @@ def profile_table(
         tasks.append(lambda: _run_quantile_sketches())
     if keep_sketches and any(c.general_type == "A" for c in cols):
         tasks.append(lambda: _run_freq_sketches())
+    if keep_sketches and any(c.general_type == "D" for c in cols):
+        tasks.append(lambda: _run_day_sets())
     if len(tasks) > 1:
         # All jobs are independent; submitting them from separate threads
         # lets Spark's scheduler overlap their Catalyst compiles and stage
@@ -391,6 +427,17 @@ def profile_table(
         fs = fsketch_holder.get(col.column_name)
         rec["freq_sketch"] = fs[0] if fs else None
         rec["pattern_sketch"] = fs[1] if fs else None
+        rec["std_value_sketch"] = fs[2] if fs else None
+        rec["day_set_json"] = dayset_holder.get(col.column_name)
+        if keep_sketches and col.general_type == "A":
+            # raw (never scale-estimated) pattern-match counts: summed at
+            # merge time and re-classified against the merged value_ct
+            import json as _json
+
+            rec["stdpat_json"] = _json.dumps(
+                {label: int(vals.get(f"stdpat_{label}") or 0)
+                 for label, _rx, _thr in RX.STD_PATTERNS},
+                sort_keys=True)
         if col.general_type == "A":
             value_ct = vals.get("value_ct") or 0
             rec["std_pattern_match"] = raw_std_pattern

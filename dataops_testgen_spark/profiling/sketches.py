@@ -41,19 +41,26 @@ import struct
 import numpy as np
 
 _MAGIC = b"QSK1"
+_MAGIC2 = b"QSK2"
 
 
 class QuantileSketch:
     """Sorted (value, weight) centroids. Immutable-ish: operations return
-    new sketches. ``values`` float64 ascending, ``weights`` int64 > 0."""
+    new sketches. ``values`` float64 ascending, ``weights`` int64 > 0.
+    ``lossless`` tracks whether compression has EVER occurred in this
+    sketch's lineage: while True, the centroid list is an exact frequency
+    table — percentiles are exact AND ``len(values)`` is the exact
+    distinct count (merge.py uses this for an exact merged
+    ``distinct_value_ct`` on numeric columns)."""
 
-    __slots__ = ("values", "weights", "capacity")
+    __slots__ = ("values", "weights", "capacity", "lossless")
 
     def __init__(self, values: np.ndarray, weights: np.ndarray,
-                 capacity: int = 4096):
+                 capacity: int = 4096, lossless: bool = True):
         self.values = values
         self.weights = weights
         self.capacity = capacity
+        self.lossless = lossless
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -74,6 +81,11 @@ class QuantileSketch:
     def n(self) -> int:
         return int(self.weights.sum())
 
+    @property
+    def distinct_ct(self) -> int | None:
+        """Exact distinct count — only while the sketch is lossless."""
+        return len(self.values) if self.lossless else None
+
     def _compressed(self) -> "QuantileSketch":
         if len(self.values) <= self.capacity:
             return self
@@ -89,13 +101,15 @@ class QuantileSketch:
         wsum = np.bincount(group, weights=self.weights.astype(float))
         keep = wsum > 0
         return QuantileSketch(sums[keep] / wsum[keep],
-                              wsum[keep].astype(np.int64), self.capacity)
+                              wsum[keep].astype(np.int64), self.capacity,
+                              lossless=False)
 
     def merge(self, *others: "QuantileSketch") -> "QuantileSketch":
         """Multiset merge: concat → sort → consolidate → compress once.
         Order-insensitive by construction."""
         vs = [self.values] + [o.values for o in others]
         ws = [self.weights] + [o.weights for o in others]
+        lossless = self.lossless and all(o.lossless for o in others)
         v = np.concatenate(vs)
         w = np.concatenate(ws)
         if not len(v):
@@ -108,7 +122,8 @@ class QuantileSketch:
         idx = np.cumsum(boundary) - 1
         vals = v[boundary]
         weights = np.bincount(idx, weights=w.astype(float)).astype(np.int64)
-        return QuantileSketch(vals, weights, self.capacity)._compressed()
+        return QuantileSketch(vals, weights, self.capacity,
+                              lossless=lossless)._compressed()
 
     def percentile(self, p: float) -> float | None:
         """Estimate the p-quantile with Spark's exact-``percentile``
@@ -129,20 +144,30 @@ class QuantileSketch:
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:
-        return (_MAGIC + struct.pack("<qq", len(self.values), self.capacity)
+        return (_MAGIC2
+                + struct.pack("<qqb", len(self.values), self.capacity,
+                              1 if self.lossless else 0)
                 + self.values.astype("<f8").tobytes()
                 + self.weights.astype("<i8").tobytes())
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "QuantileSketch":
-        if b[:4] != _MAGIC:
-            raise ValueError("not a QSK1 quantile sketch")
-        k, capacity = struct.unpack_from("<qq", b, 4)
-        off = 4 + 16
+        if b[:4] == _MAGIC2:
+            k, capacity, lossless = struct.unpack_from("<qqb", b, 4)
+            off = 4 + 17
+        elif b[:4] == _MAGIC:
+            # pre-flag blobs (e.g. profiles persisted by an older RunStore):
+            # conservatively treat as compressed — percentile estimates
+            # still work, exact distinct_ct is simply unavailable
+            k, capacity = struct.unpack_from("<qq", b, 4)
+            lossless = 0
+            off = 4 + 16
+        else:
+            raise ValueError("not a QSK1/QSK2 quantile sketch")
         values = np.frombuffer(b, dtype="<f8", count=k, offset=off).copy()
         weights = np.frombuffer(b, dtype="<i8", count=k,
                                 offset=off + 8 * k).copy()
-        return cls(values, weights, int(capacity))
+        return cls(values, weights, int(capacity), lossless=bool(lossless))
 
 
 def merge_sketch_blobs(blobs, capacity: int | None = None) -> QuantileSketch:
@@ -277,12 +302,29 @@ def _pattern_of(value: str) -> str:
                   re.sub("[A-Z]", "A", re.sub("[a-z]", "a", value)))
 
 
-def column_freq_sketches(df, columns: list[str],
-                         capacity: int = 256) -> dict[str, tuple[bytes, bytes]]:
-    """One distributed pass → {column: (value_sketch, pattern_sketch)} for
-    the string ``columns``. Same shape as column_quantile_sketches:
-    per-partition bounded fold in mapInPandas, partitions × columns blobs
-    to the driver, order-insensitive merge."""
+_STD_DELETE = str.maketrans("", "", " ',.-")
+_STD_CAPACITY = 4096
+
+
+def _standardize(value: str) -> str:
+    """Python twin of the profiler's standardized-value expression
+    ``upper(translate(c, " ',.-", ""))`` (expressions.py alpha_metrics) —
+    both strip the same 5 chars then uppercase, so the distinct count of
+    standardized values merges exactly."""
+    return value.translate(_STD_DELETE).upper()
+
+
+def column_freq_sketches(
+        df, columns: list[str], capacity: int = 256,
+        std_capacity: int = _STD_CAPACITY,
+) -> dict[str, tuple[bytes, bytes, bytes]]:
+    """One distributed pass → {column: (value_sketch, pattern_sketch,
+    std_value_sketch)} for the string ``columns``. Same shape as
+    column_quantile_sketches: per-partition bounded fold in mapInPandas,
+    partitions × columns blobs to the driver, order-insensitive merge.
+    The std sketch counts standardized values (upper + strip " ',.-")
+    with a larger capacity — it only feeds a distinct COUNT
+    (distinct_std_value_ct), not reference-exact strings."""
     from pyspark.sql import functions as F
 
     if not columns:
@@ -293,6 +335,7 @@ def column_freq_sketches(df, columns: list[str],
 
         vals = {c: FreqSketch(capacity) for c in columns}
         pats = {c: FreqSketch(capacity) for c in columns}
+        stds = {c: FreqSketch(std_capacity) for c in columns}
         for pdf in batches:
             for c in columns:
                 counted = pdf[c].dropna().value_counts()
@@ -301,15 +344,20 @@ def column_freq_sketches(df, columns: list[str],
                 pats[c].add_counts(
                     (_pattern_of(str(v)), int(n))
                     for v, n in counted.items())
+                stds[c].add_counts(
+                    (_standardize(str(v)), int(n))
+                    for v, n in counted.items())
         yield pd.DataFrame({
             "column": list(columns),
             "value_sketch": [vals[c].to_bytes() for c in columns],
-            "pattern_sketch": [pats[c].to_bytes() for c in columns]})
+            "pattern_sketch": [pats[c].to_bytes() for c in columns],
+            "std_value_sketch": [stds[c].to_bytes() for c in columns]})
 
     rows = (df.select(*[F.col(c).cast("string").alias(c) for c in columns])
             .mapInPandas(per_partition,
                          schema="column string, value_sketch binary, "
-                                "pattern_sketch binary")
+                                "pattern_sketch binary, "
+                                "std_value_sketch binary")
             .collect())
     out = {}
     for c in columns:
@@ -317,7 +365,9 @@ def column_freq_sketches(df, columns: list[str],
             merge_freq_blobs([r["value_sketch"] for r in rows
                               if r["column"] == c], capacity).to_bytes(),
             merge_freq_blobs([r["pattern_sketch"] for r in rows
-                              if r["column"] == c], capacity).to_bytes())
+                              if r["column"] == c], capacity).to_bytes(),
+            merge_freq_blobs([r["std_value_sketch"] for r in rows
+                              if r["column"] == c], std_capacity).to_bytes())
     return out
 
 

@@ -56,6 +56,9 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "merged_topfreq_orders",
     "dup_substrings_documents",
     "profile_sampled_lineitem",
+    "freshness_threshold_events",
+    "validation_prepass",
+    "incremental_screen_orders",
 }
 
 

@@ -225,6 +225,68 @@ def test_merge_profiles_equals_full_profile(spark, sf_dir):
         merge_profiles(sampled).collect()
 
 
+def test_merge_profiles_metric_complete(spark, sf_dir):
+    """With keep_sketches=True and capacities above the fixture's
+    cardinalities, the merged profile must equal the full-table profile on
+    EVERY metric field — including the formerly non-mergeable ones: exact
+    distinct_value_ct (freq counter for strings, lossless quantile sketch
+    for numerics, day-granular day set for dates), distinct_std_value_ct,
+    std_pattern_match, the date bucket counts, percentiles, and the
+    secondary top-k strings."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rd = datetime.date(2026, 1, 1)
+    parts = None
+    for i in range(3):
+        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i), "orders",
+                          run_date=rd, keep_sketches=True, secondary=False,
+                          sketch_capacity=100_000)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = {r["column_name"]: r for r in merge_profiles(parts).collect()}
+    full = {r["column_name"]: r for r in
+            profile_table(df, "orders", run_date=rd,
+                          secondary=True).collect()}
+    assert set(merged) == set(full)
+    skip = {"distinct_hll", "quantile_sketch", "freq_sketch",
+            "pattern_sketch", "std_value_sketch", "day_set_json",
+            "stdpat_json", "run_date"}
+    for col, m in merged.items():
+        f = full[col]
+        for name in f.asDict():
+            if name in skip:
+                continue
+            a, b = m[name], f[name]
+            if isinstance(a, float) and a is not None and b is not None:
+                assert a == _pytest.approx(b, rel=1e-9, abs=1e-9), (col, name)
+            else:
+                assert a == b, (col, name, a, b)
+
+
+def test_quantile_sketch_lossless_flag():
+    """distinct_ct is exact while lossless and None once compression has
+    occurred anywhere in the merge lineage (including through bytes)."""
+    import numpy as np
+
+    from dataops_testgen_spark.profiling.sketches import QuantileSketch
+
+    s = QuantileSketch.from_values(np.arange(100.0), capacity=256)
+    assert s.lossless and s.distinct_ct == 100
+    rt = QuantileSketch.from_bytes(s.to_bytes())
+    assert rt.lossless and rt.distinct_ct == 100
+    big = QuantileSketch.from_values(np.arange(1000.0), capacity=256)
+    assert not big.lossless and big.distinct_ct is None
+    m = s.merge(big)
+    assert not m.lossless and m.distinct_ct is None
+    assert not QuantileSketch.from_bytes(m.to_bytes()).lossless
+
+
 def test_merge_profiles_hll_sketches(spark, sf_dir):
     """With keep_sketches=True the slice profiles carry mergeable HLL
     sketches, and merged distinct_value_ct lands within HLL error of the
