@@ -319,6 +319,44 @@ def test_merge_profiles_hll_sketches(spark, sf_dir):
     assert plain["distinct_value_ct"] is None
 
 
+def test_merge_profiles_refold(spark, sf_dir):
+    """The production incremental pattern is merge(running, new_partition),
+    i.e. a merge of an already-merged profile — every sketch carrier
+    (quantile blob + lossless flag, freq/std counters, day-set JSON,
+    stdpat JSON) must round-trip so refolding equals the flat 3-way
+    merge on every metric field."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rd = datetime.date(2026, 1, 1)
+    slices = [profile_table(df.filter(F.col("o_orderkey") % 3 == i),
+                            "orders", run_date=rd, keep_sketches=True,
+                            secondary=False, sketch_capacity=100_000)
+              for i in range(3)]
+    flat = {r["column_name"]: r for r in merge_profiles(
+        slices[0].unionByName(slices[1]).unionByName(slices[2])).collect()}
+    running = merge_profiles(slices[0].unionByName(slices[1]))
+    refolded = {r["column_name"]: r for r in merge_profiles(
+        running.unionByName(slices[2])).collect()}
+    skip = {"distinct_hll", "quantile_sketch", "freq_sketch",
+            "pattern_sketch", "std_value_sketch", "day_set_json",
+            "stdpat_json"}
+    for c, fl in flat.items():
+        for name, b in fl.asDict().items():
+            if name in skip:
+                continue
+            a = refolded[c][name]
+            if isinstance(a, float) and a is not None and b is not None:
+                assert abs(a - b) < 1e-9 + 1e-9 * abs(b), (c, name, a, b)
+            else:
+                assert a == b, (c, name, a, b)
+
+
 def test_merge_profiles_with_empty_slice(spark, sf_dir):
     """A slice with zero rows (e.g. an empty new partition) contributes
     nothing and must not poison means/stddev or min/max."""
