@@ -4,6 +4,8 @@ directories, with the app DB replaced by a parquet RunStore (store.py).
 
 Run commands (ref run-profile/run-test-generation/run-tests/run-monitors):
   run-profile            profile + infer every table in --data-dir
+                         (--incremental: fold a --subset-condition
+                         slice into the stored profile, no rescan)
   run-anomalies          hygiene screen + scores over a fresh profile
   run-test-generation    selection-criteria test generation
   run-monitor-generation monitor-set generation (Volume/Freshness monitors)
@@ -55,6 +57,54 @@ def _profile_all(spark, tables, run_date, approx=False, sample=False):
     return apply_inference(prof)
 
 
+def _profile_incremental(spark, tables, args):
+    """run-profile --incremental: profile only the NEW slice (the
+    --subset-condition predicate — typically a partition filter) with
+    mergeable sketches, fold it into the latest stored profile of the
+    same table group (profiling/merge.py), and return inference over the
+    MERGED profile — the 100 TB never-rescan-history path. The merged
+    profile is stored with its merged sketch carriers, so the next
+    increment folds again (round-trip pinned by
+    test_merge_profiles_refold). A first run against an empty store just
+    establishes the sketch-kept baseline. No reference counterpart: the
+    reference re-profiles whole tables per run (run_profiling.py)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.inference import apply_inference
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import (PROFILE_SCHEMA,
+                                                          profile_tables)
+
+    if args.subset_condition:
+        tables = {n: t.filter(args.subset_condition)
+                  for n, t in tables.items()}
+    prof = profile_tables(tables, run_date=args.run_date, approx=args.approx,
+                          keep_sketches=True, secondary=False)
+    prev = None
+    if args.store:
+        store = _store(spark, args)
+        runs = store.read("profiling_runs")
+        prior = store.read("profile_results")
+        if runs is not None and prior is not None:
+            latest = (runs.filter(
+                F.col("table_groups_id") == (args.table_group or "default"))
+                .orderBy(F.col("start_time").desc()).limit(1).collect())
+            if latest:
+                run_id = latest[0]["profile_run_id"]
+                prev = prior.filter(F.col("profile_run_id") == run_id)
+    if prev is not None:
+        cols = [f.name for f in PROFILE_SCHEMA.fields]
+        avail = set(prev.columns)
+        # a store written before a carrier column existed merges with that
+        # carrier NULL (the affected metrics degrade to NULL, not an error)
+        sel = [F.col(f.name) if f.name in avail
+               else F.lit(None).cast(f.dataType).alias(f.name)
+               for f in PROFILE_SCHEMA.fields]
+        prof = merge_profiles(
+            prev.select(*sel).unionByName(prof.select(*cols)))
+    return apply_inference(prof)
+
+
 def _write(df, out_dir: str, name: str) -> None:
     if out_dir:
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
@@ -96,8 +146,16 @@ def _spark():
 def cmd_run_profile(args) -> int:
     spark = _spark()
     tables = _load_tables(spark, args.data_dir)
-    inferred = _profile_all(spark, tables, args.run_date,
-                            approx=args.approx, sample=args.sample)
+    if getattr(args, "incremental", False):
+        if args.sample:
+            print("error: --incremental cannot be combined with --sample "
+                  "(scaled estimates of disjoint slices do not add)",
+                  file=sys.stderr)
+            return 2
+        inferred = _profile_incremental(spark, tables, args)
+    else:
+        inferred = _profile_all(spark, tables, args.run_date,
+                                approx=args.approx, sample=args.sample)
     if args.store:
         from dataops_testgen_spark.anomalies import screen_anomalies
 
@@ -775,6 +833,17 @@ def main(argv: list[str] | None = None) -> int:
                        help="append the profiling-run notification event "
                             "(hygiene counts by likelihood) to this JSONL "
                             "file")
+        if name == "run-profile":
+            p.add_argument("--incremental", action="store_true",
+                           help="profile only the --subset-condition slice "
+                                "with mergeable sketches and fold it into "
+                                "the table group's latest stored profile "
+                                "(never rescans history; requires --store "
+                                "for history, excludes --sample)")
+            p.add_argument("--subset-condition", default="",
+                           help="SQL predicate selecting the NEW rows to "
+                                "profile incrementally, e.g. a partition "
+                                "filter")
     cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
     cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)
     p = cmd("run-tests", cmd_run_tests, data=True, gen=True)

@@ -195,3 +195,51 @@ def streaming_exact_dedup(
     out = (stream.withWatermark(ts_col, watermark)
            .dropDuplicatesWithinWatermark(key_cols))
     return out.drop(content_key) if text_col is not None else out
+
+
+def incremental_profile_sink(table_name: str, state_dir: str,
+                             run_date=None, sketch_capacity: int = 4096):
+    """foreachBatch sink: fold each micro-batch's sketch-kept profile into
+    the running table profile persisted at ``state_dir`` — continuous
+    incremental profiling for streams (profiling/merge.py semantics driven
+    by arriving micro-batches instead of partition predicates).
+
+    The sink state is the merged profile ITSELF: one row per column plus
+    bounded sketch blobs, so state is O(columns × sketch_capacity)
+    regardless of rows ingested — the streaming twin of
+    ``run-profile --incremental``. Metric-completeness matches the batch
+    merge: exact-or-NULL distincts/top-k/std metrics, exact day sets,
+    HLL fallback past capacity (test_merge_profiles_metric_complete).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(incremental_profile_sink("events", state_dir))
+             .trigger(availableNow=True).start())
+    """
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from dataops_testgen_spark.profiling.merge import merge_profiles
+        from dataops_testgen_spark.profiling.profiler import (PROFILE_SCHEMA,
+                                                              profile_table)
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # approx=True: every folded field is count- or sketch-derived, so
+        # the exact-distinct/percentile side jobs would be pure waste here
+        prof = profile_table(batch_df, table_name, run_date=run_date,
+                             keep_sketches=True, secondary=False,
+                             approx=True, sketch_capacity=sketch_capacity)
+        cols = [f.name for f in PROFILE_SCHEMA.fields]
+        if os.path.isdir(state_dir):
+            prev = spark.read.parquet(state_dir).select(*cols)
+            prof = merge_profiles(prev.unionByName(prof.select(*cols)))
+        # the state is metadata-plane (one row per column) — materialize on
+        # the driver before overwriting the very path we just read from
+        rows = prof.select(*cols).collect()
+        spark.createDataFrame(rows, PROFILE_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(state_dir)
+
+    return fold

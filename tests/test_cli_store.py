@@ -347,3 +347,51 @@ def test_recalculated_scores_stable_across_refreshes(store_env, spark):
     b = rollup_profile_scores(store, record=False).collect()[0]
     assert a["dq_score"] == b["dq_score"]
     assert a["dq_total_data_points"] == b["dq_total_data_points"]
+
+
+def test_incremental_profile_cli(spark, tmp_path):
+    """run-profile --incremental: two disjoint --subset-condition slices
+    (never rescanning the first) must reconstruct the full-table profile —
+    record_ct/value_ct add, the sketch-backed metrics (distinct counts,
+    date buckets, percentiles) match the one-shot full profile, and the
+    store holds one run per increment."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    shutil.copy(os.path.join(SF_DIR, "orders.parquet"),
+                os.path.join(data_dir, "orders.parquet"))
+    store_dir = str(tmp_path / "store")
+    csv_dir = str(tmp_path / "csv")
+    os.makedirs(csv_dir)
+    for cond in ("o_orderkey % 2 = 0", "o_orderkey % 2 = 1"):
+        rc = main(["run-profile", "--data-dir", data_dir,
+                   "--store", store_dir, "--table-group", "tg-inc",
+                   "--csv-dir", csv_dir, "--incremental",
+                   "--subset-condition", cond])
+        assert rc == 0
+
+    store = RunStore(spark, store_dir)
+    runs = store.read("profiling_runs").orderBy("start_time").collect()
+    assert len(runs) == 2
+    last = store.read("profile_results").filter(
+        F.col("profile_run_id") == runs[-1]["profile_run_id"])
+    merged = {r["column_name"]: r for r in last.collect()}
+
+    df = spark.read.parquet(os.path.join(data_dir, "orders.parquet"))
+    full = {r["column_name"]: r for r in
+            profile_table(df, "orders", run_date=runs[-1]["run_date"],
+                          secondary=False).collect()}
+    for c, f in full.items():
+        m = merged[c]
+        assert m["record_ct"] == f["record_ct"], c
+        assert m["value_ct"] == f["value_ct"], c
+        assert m["distinct_value_ct"] == f["distinct_value_ct"], c
+        assert m["date_days_present"] == f["date_days_present"], c
+        assert m["std_pattern_match"] == f["std_pattern_match"], c
+        if f["percentile_50"] is not None:
+            assert abs(m["percentile_50"] - f["percentile_50"]) < 1e-9, c

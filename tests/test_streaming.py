@@ -197,3 +197,55 @@ def test_streaming_document_filters_match_batch(spark):
         want = {tuple(r) for r in fn(batch).collect()}
         assert got == want, name
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_profile_sink_matches_batch(spark, tmp_path):
+    """Streaming incremental profiling: an availableNow pass over two
+    parquet files (one micro-batch each) folds per-batch sketch profiles
+    into a running state whose final metrics equal the one-shot batch
+    profile of all the data — the streaming twin of
+    run-profile --incremental."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.profiler import profile_table
+    from dataops_testgen_spark.streaming.monitors import (
+        incremental_profile_sink)
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    d = str(tmp_path / "stream_src")
+    src.filter(F.col("o_orderkey") % 2 == 0).coalesce(1) \
+       .write.mode("overwrite").parquet(d)
+    src.filter(F.col("o_orderkey") % 2 == 1).coalesce(1) \
+       .write.mode("append").parquet(d)
+
+    state = str(tmp_path / "profile_state")
+    rd = dt.date(2026, 1, 1)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stream.writeStream
+         .foreachBatch(incremental_profile_sink("orders", state, run_date=rd))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    merged = {r["column_name"]: r
+              for r in spark.read.parquet(state).collect()}
+    full = {r["column_name"]: r
+            for r in profile_table(src, "orders", run_date=rd,
+                                   secondary=False).collect()}
+    assert set(merged) == set(full)
+    for c, f in full.items():
+        m = merged[c]
+        for name in ("record_ct", "value_ct", "distinct_value_ct",
+                     "null_value_ct", "date_days_present",
+                     "date_weeks_present", "std_pattern_match",
+                     "distinct_std_value_ct", "min_value", "max_value"):
+            assert m[name] == f[name], (c, name, m[name], f[name])
+        for name in ("avg_value", "stdev_value", "percentile_50"):
+            a, b = m[name], f[name]
+            if b is None:
+                assert a is None, (c, name)
+            else:
+                assert abs(a - b) < 1e-9 + 1e-9 * abs(b), (c, name, a, b)
