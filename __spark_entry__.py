@@ -2288,6 +2288,87 @@ SELECT id,
   FROM starts"""
 
 
+def q_dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (pipeline/sampling.py dsir_logweights —
+    Xie et al. 2023): score every document against the English subset as
+    the target distribution via hashed unigram+bigram buckets (salted
+    md5 buckets, engine-portable). Two partial-agg count passes + one
+    broadcast log-ratio join; the oracle re-derives the whole pipeline
+    in SQL."""
+    from dataops_testgen_spark.pipeline.sampling import dsir_logweights
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_logweights(docs, target, n_buckets=2048, smoothing=1.0,
+                        salt="dsir")
+    return w.select("id", "n_features",
+                    F.round("dsir_logweight", 5).alias("dsir_logweight"))
+
+
+_SQL_DSIR_WEIGHTS = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks,
+         lang
+    FROM documents WHERE text IS NOT NULL),
+cg AS (
+  SELECT doc_id, unnest(toks) AS gram FROM corpus
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM corpus, UNNEST(range(1, len(toks))) AS r(i)),
+tg AS (
+  SELECT cg.doc_id, cg.gram FROM cg
+    JOIN corpus USING (doc_id) WHERE corpus.lang = 'en'),
+cb AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5('dsir' || '|' || gram), 1, 8))
+                   AS UBIGINT) % 2048 AS bucket
+         FROM cg),
+tb AS (SELECT CAST(concat('0x', substr(md5('dsir' || '|' || gram), 1, 8))
+                   AS UBIGINT) % 2048 AS bucket
+         FROM tg),
+c AS (SELECT bucket, COUNT(*)::BIGINT AS c_ct FROM cb GROUP BY 1),
+t AS (SELECT bucket, COUNT(*)::BIGINT AS t_ct FROM tb GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c_ct) FROM c) AS ct,
+               (SELECT COALESCE(SUM(t_ct), 0) FROM t) AS tt),
+r AS (SELECT c.bucket,
+             ln((COALESCE(t.t_ct, 0) + 1.0) / (tot.tt + 2048.0))
+           - ln((c.c_ct + 1.0) / (tot.ct + 2048.0)) AS logratio
+        FROM c LEFT JOIN t USING (bucket), tot)
+SELECT cb.doc_id AS id, COUNT(*)::BIGINT AS n_features,
+       ROUND(SUM(r.logratio), 5) AS dsir_logweight
+  FROM cb JOIN r USING (bucket) GROUP BY 1"""
+
+
+def q_dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resample step (pipeline/sampling.py dsir_gumbel_topk): draw 25
+    documents without replacement ∝ softmax of the DSIR weights via the
+    Gumbel-max trick, with hash-derived noise so the oracle re-derives the
+    exact selection. Global top-k plans as TakeOrderedAndProject."""
+    from dataops_testgen_spark.pipeline.sampling import (dsir_gumbel_topk,
+                                                         dsir_logweights)
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_logweights(docs, target, n_buckets=2048, smoothing=1.0,
+                        salt="dsir")
+    top = dsir_gumbel_topk(w, k=25, salt="r5sel")
+    return top.select("id", F.round("gumbel_score", 5).alias("gumbel_score"))
+
+
+_SQL_DSIR_SELECT = f"""
+SELECT id, ROUND(score, 5) AS gumbel_score FROM (
+  SELECT id,
+         dsir_logweight_raw
+           - ln(-ln((CAST(concat('0x', substr(md5('r5sel' || '|'
+                     || CAST(id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+                    / 4294967296.0)) AS score
+    FROM ({_SQL_DSIR_WEIGHTS.replace(
+        "ROUND(SUM(r.logratio), 5) AS dsir_logweight",
+        "SUM(r.logratio) AS dsir_logweight_raw")}) base)
+ ORDER BY score DESC, id LIMIT 25"""
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus sampling (pipeline/sampling.py): 20% salted
     md5-hash Bernoulli, then a 5-per-source stratified cap — identical
@@ -3094,7 +3175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_card_issues_co_li": q_score_card_issues,
-        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
         "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
@@ -3103,8 +3183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_threshold_events": q_freshness_threshold_events,
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
+        "dsir_weights_documents": q_dsir_weights_documents,
         # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
         "drilldown_unique_orders": q_drilldown_unique_orders,
+        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
+        "dsir_select_documents": q_dsir_select_documents,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
         "score_category_fixture": q_score_category,
@@ -3139,6 +3222,8 @@ def oracle_sql() -> dict[str, str]:
         "validation_prepass": _SQL_VALIDATION_PREPASS,
         "incremental_screen_orders": ORC.anomaly_screen_sql(
             "orders", _ORDERS_COLS, RUN_DATE),
+        "dsir_weights_documents": _SQL_DSIR_WEIGHTS,
+        "dsir_select_documents": _SQL_DSIR_SELECT,
         "profile_lineitem_numeric": _sql_profile_numeric("lineitem", _LINEITEM_NUM_COLS),
         "profile_customer_strings": _sql_profile_strings("customer", _CUSTOMER_STR_COLS),
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),

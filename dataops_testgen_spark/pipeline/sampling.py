@@ -78,3 +78,124 @@ def stratified_cap(df: DataFrame, strata_cols: list[str], cap: int,
          .orderBy(_unit_hash(F.col(id_col), salt), F.col(id_col)))
     return (df.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= cap).drop("__rn__"))
+
+
+def _hashed_grams(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int, salt: str) -> DataFrame:
+    """(id, bucket) rows — one per unigram/bigram OCCURRENCE (DSIR uses
+    feature counts, so multiplicity is kept). Buckets come from the salted
+    md5-prefix trick (pipeline/sampling._unit_hash's portable scheme), not
+    an engine-private hash, so the same features land in the same buckets
+    in the audit SQL."""
+    from dataops_testgen_spark.pipeline.text import tokens
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(t, bigrams)
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col("gram"))),
+            1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(grams).alias("gram"))
+            .select("id", bucket.alias("bucket")))
+
+
+def dsir_logweights(corpus: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 10_000,
+                    smoothing: float = 1.0,
+                    salt: str = "dsir") -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every corpus document by how much it looks like the ``target``
+    distribution, using hashed unigram+bigram importance weights.
+
+    Each side's feature-bucket counts define a Laplace-smoothed categorical
+    distribution over ``n_buckets``; a document's log importance weight is
+    the sum over its feature occurrences of
+    ``ln p_target(bucket) − ln p_corpus(bucket)``. Resample the corpus by
+    these weights (e.g. keep the top fraction, or Gumbel-top-k on
+    ``dsir_logweight``) to shift it toward the target domain.
+
+    Returns (id, n_features, dsir_logweight) for every corpus document
+    with at least one feature (blank documents carry no evidence and are
+    omitted).
+
+    100 TB shape: two partial-agg bucket-count passes (map-side combine,
+    agg state ≤ n_buckets rows per side), the totals folded in as
+    broadcast 1-row frames (declarative — no driver .count()), the
+    ≤ n_buckets log-ratio table broadcast onto the exploded corpus
+    features, and one groupBy(id) sum. No all-pairs work, nothing
+    collects rows to the driver."""
+    from pyspark.sql.functions import broadcast
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    corpus_feats = _hashed_grams(corpus, text_col, id_col, n_buckets, salt)
+    target_feats = _hashed_grams(target, text_col, id_col, n_buckets, salt)
+
+    c_counts = corpus_feats.groupBy("bucket").agg(
+        F.count("*").alias("c_ct"))
+    t_counts = target_feats.groupBy("bucket").agg(
+        F.count("*").alias("t_ct"))
+    c_total = c_counts.agg(F.sum("c_ct").alias("c_total"))
+    t_total = t_counts.agg(F.coalesce(F.sum("t_ct"), F.lit(0))
+                           .alias("t_total"))
+
+    sm = F.lit(float(smoothing))
+    denom = F.lit(float(smoothing) * n_buckets)
+    # every bucket a corpus document can hit appears in c_counts by
+    # construction, so a left join covers the full support
+    ratio = (c_counts
+             .join(broadcast(t_counts), "bucket", "left")
+             .crossJoin(broadcast(c_total))
+             .crossJoin(broadcast(t_total))
+             .select(
+                 "bucket",
+                 (F.log((F.coalesce(F.col("t_ct"), F.lit(0)) + sm)
+                        / (F.col("t_total") + denom))
+                  - F.log((F.col("c_ct") + sm)
+                          / (F.col("c_total") + denom)))
+                 .alias("logratio")))
+    return (corpus_feats
+            .join(broadcast(ratio), "bucket")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_features"),
+                 F.sum("logratio").alias("dsir_logweight")))
+
+
+def dsir_gumbel_topk(weights: DataFrame, k: int,
+                     id_col: str = "id",
+                     weight_col: str = "dsir_logweight",
+                     salt: str = "gumbel") -> DataFrame:
+    """The resample step of DSIR: Gumbel-top-k over the log importance
+    weights draws an exact without-replacement sample proportional to the
+    softmax of the weights (the Gumbel-max trick, Vieira 2014). The Gumbel
+    noise derives from the salted id hash — ``-ln(-ln(u))`` with u from
+    the same md5 scheme as hash_sample — so the draw is bit-reproducible
+    across runs and engines, and an audit SQL query can re-derive exactly
+    which documents were selected.
+
+    Plan shape: one narrow projection + a global top-k
+    (TakeOrderedAndProject — per-partition heaps, no single-partition
+    window), so it scales to any corpus for the k a training run keeps."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # (h + 0.5) / 2^32 lies strictly inside (0, 1): both ln calls stay
+    # finite, and the shift is exactly representable so engines agree
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(id_col).cast("string"))), 1, 8), 16, 10) \
+        .cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_BUCKETS)
+    score = F.col(weight_col) + (-F.log(-F.log(u)))
+    return (weights.withColumn("gumbel_score", score)
+            .orderBy(F.desc("gumbel_score"), F.col(id_col))
+            .limit(k))

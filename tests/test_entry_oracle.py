@@ -59,6 +59,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "freshness_threshold_events",
     "validation_prepass",
     "incremental_screen_orders",
+    "dsir_weights_documents",
 }
 
 

@@ -1033,3 +1033,55 @@ def test_duplicate_substring_spans_single_shuffle_lineage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Generate") == 1  # the explode is scanned once
+
+
+def test_dsir_logweights_favors_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): documents drawn from the target domain's
+    vocabulary must out-weigh off-domain documents, reruns are
+    bit-identical, and every weight row counts the doc's own features."""
+    from dataops_testgen_spark.pipeline.sampling import dsir_logweights
+
+    legal = "the party of the first part shall hold the contract"
+    code = "def foo ( x ) : return x + 1 # comment"
+    rows = ([(i, legal) for i in range(10)]
+            + [(100 + i, code) for i in range(10)]
+            + [(200, "the contract shall hold"), (201, "return x + 1")])
+    corpus = spark.createDataFrame(rows, "doc_id: long, text: string")
+    target = corpus.filter(F.col("doc_id") < 100)  # the legal-English side
+    w = {r["id"]: r for r in
+         dsir_logweights(corpus, target, n_buckets=512).collect()}
+    # a target-vocabulary doc must out-weigh an off-domain doc
+    assert w[200]["dsir_logweight"] > w[201]["dsir_logweight"]
+    # per-occurrence feature count: unigrams + bigrams of doc 200 (4 + 3)
+    assert w[200]["n_features"] == 7
+    # deterministic rerun
+    w2 = {r["id"]: r["dsir_logweight"] for r in
+          dsir_logweights(corpus, target, n_buckets=512).collect()}
+    assert all(w2[k] == w[k]["dsir_logweight"] for k in w2)
+    # blank/empty docs carry no features and are omitted
+    with_blank = corpus.union(spark.createDataFrame(
+        [(300, "")], "doc_id: long, text: string"))
+    ids = {r["id"] for r in
+           dsir_logweights(with_blank, target, n_buckets=512).collect()}
+    assert 300 not in ids
+
+
+def test_dsir_gumbel_topk_plan_and_softmax_bias(spark):
+    """Gumbel-top-k: the plan is a distributed TakeOrderedAndProject (no
+    single-partition window), reruns are identical, and across many salted
+    draws the high-weight doc is selected far more often (softmax bias)."""
+    from dataops_testgen_spark.pipeline.sampling import dsir_gumbel_topk
+
+    rows = [(i, 3.0 if i == 0 else -1.0) for i in range(40)]
+    w = spark.createDataFrame(rows, "id: long, dsir_logweight: double")
+    top = dsir_gumbel_topk(w, k=5, salt="s")
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    a = [r["id"] for r in top.collect()]
+    b = [r["id"] for r in dsir_gumbel_topk(w, k=5, salt="s").collect()]
+    assert a == b
+    hits = sum(0 in {r["id"] for r in
+                     dsir_gumbel_topk(w, k=5, salt=f"s{j}").collect()}
+               for j in range(20))
+    assert hits >= 18  # weight gap of 4 nats ≈ always beats the field
