@@ -2795,6 +2795,29 @@ SELECT id, COUNT(*)::BIGINT AS n_lines,
 _MERGE_NUM_COLS = ["o_custkey", "o_totalprice"]
 
 
+def _slice_profiles_parallel(df, n, profile_kwargs):
+    """Profile n disjoint modulo-slices of df concurrently (thread pool —
+    the jobs are independent and eager, FAIR scheduler overlaps their
+    compiles and stages; in production each arriving partition profiles
+    on its own schedule anyway) and return the unioned profile rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    key = profile_kwargs.pop("slice_key")
+
+    def one(i):
+        return profile_table(df.filter(F.col(key) % n == i), "orders",
+                             run_date=RUN_DATE, **profile_kwargs)
+
+    with ThreadPoolExecutor(n) as pool:
+        parts_list = list(pool.map(one, range(n)))
+    parts = None
+    for p in parts_list:
+        parts = p if parts is None else parts.unionByName(p)
+    return parts
+
+
 def q_merged_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-incremental profiling (profiling/merge.py): profile three
     disjoint slices of orders independently, fold them with
@@ -2804,16 +2827,11 @@ def q_merged_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     new partitions' path). The all-metric/all-type equivalence (incl.
     strings and dates) is pinned by tests/test_profiler.py on lineitem."""
     from dataops_testgen_spark.profiling.merge import merge_profiles
-    from dataops_testgen_spark.profiling.profiler import profile_table
 
     # only the checked columns travel through the slice profiles: the
     # per-slice cost is agg-expression compilation, linear in column count
     df = _load(spark, sf_dir, "orders").select("o_orderkey", *_MERGE_NUM_COLS)
-    parts = None
-    for i in range(3):
-        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
-                          "orders", run_date=RUN_DATE)
-        parts = p if parts is None else parts.unionByName(p)
+    parts = _slice_profiles_parallel(df, 3, {"slice_key": "o_orderkey"})
     merged = merge_profiles(parts) \
         .filter(F.col("column_name").isin(_MERGE_NUM_COLS)) \
         .filter(F.col("general_type") == "N")
@@ -2838,21 +2856,16 @@ def q_merged_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime's rank-error bound is pinned by tests/test_sketches.py. At
     100 TB a capacity of ~4k gives ~0.05 % rank error in 64 KB/column."""
     from dataops_testgen_spark.profiling.merge import merge_profiles
-    from dataops_testgen_spark.profiling.profiler import profile_table
 
     df = _load(spark, sf_dir, "orders").select("o_orderkey", *_MERGE_NUM_COLS)
-    parts = None
-    for i in range(3):
-        # approx=True: the slice profiles fuse into ONE agg job each (no
-        # exact-distinct / exact-percentile side jobs) — every metric this
-        # query SELECTS is either a plain count (identical in approx mode)
-        # or derived from the quantile sketches, so the hash is unchanged
-        # while the per-slice job count drops from ~5 to 2
-        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
-                          "orders", run_date=RUN_DATE, keep_sketches=True,
-                          sketch_capacity=100_000, approx=True,
-                          secondary=False)
-        parts = p if parts is None else parts.unionByName(p)
+    # approx=True: the slice profiles fuse into ONE agg job each (no
+    # exact-distinct / exact-percentile side jobs) — every metric this
+    # query SELECTS is either a plain count (identical in approx mode)
+    # or derived from the quantile sketches, so the hash is unchanged
+    # while the per-slice job count drops from ~5 to 2
+    parts = _slice_profiles_parallel(df, 3, {
+        "slice_key": "o_orderkey", "keep_sketches": True,
+        "sketch_capacity": 100_000, "approx": True, "secondary": False})
     merged = merge_profiles(parts) \
         .filter(F.col("column_name").isin(_MERGE_NUM_COLS)) \
         .filter(F.col("general_type") == "N")
@@ -2923,19 +2936,15 @@ def q_merged_topfreq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch losslessly, so the oracle is the straight full-table secondary
     SQL."""
     from dataops_testgen_spark.profiling.merge import merge_profiles
-    from dataops_testgen_spark.profiling.profiler import profile_table
 
     df = _load(spark, sf_dir, "orders").select("o_orderkey",
                                                *_MERGE_STR_COLS)
-    parts = None
-    for i in range(3):
-        # approx=True fuses each slice into one agg job; every metric this
-        # query selects comes from the frequency sketches, so the hash is
-        # unchanged (see q_merged_profile_percentiles)
-        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
-                          "orders", run_date=RUN_DATE, keep_sketches=True,
-                          approx=True, secondary=False)
-        parts = p if parts is None else parts.unionByName(p)
+    # approx=True fuses each slice into one agg job; every metric this
+    # query selects comes from the frequency sketches, so the hash is
+    # unchanged (see q_merged_profile_percentiles)
+    parts = _slice_profiles_parallel(df, 3, {
+        "slice_key": "o_orderkey", "keep_sketches": True,
+        "approx": True, "secondary": False})
     merged = merge_profiles(parts) \
         .filter(F.col("column_name").isin(_MERGE_STR_COLS))
     return merged.select("column_name", "top_freq_values",
