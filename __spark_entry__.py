@@ -2795,7 +2795,7 @@ SELECT id, COUNT(*)::BIGINT AS n_lines,
 _MERGE_NUM_COLS = ["o_custkey", "o_totalprice"]
 
 
-def _slice_profiles_parallel(df, n, profile_kwargs):
+def _slice_profiles_parallel(df, n, profile_kwargs, table_name="orders"):
     """Profile n disjoint modulo-slices of df concurrently (thread pool —
     the jobs are independent and eager, FAIR scheduler overlaps their
     compiles and stages; in production each arriving partition profiles
@@ -2807,7 +2807,7 @@ def _slice_profiles_parallel(df, n, profile_kwargs):
     key = profile_kwargs.pop("slice_key")
 
     def one(i):
-        return profile_table(df.filter(F.col(key) % n == i), "orders",
+        return profile_table(df.filter(F.col(key) % n == i), table_name,
                              run_date=RUN_DATE, **profile_kwargs)
 
     with ThreadPoolExecutor(n) as pool:
