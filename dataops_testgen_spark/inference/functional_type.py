@@ -602,6 +602,32 @@ def _apply_measurement_pct(df: DataFrame) -> DataFrame:
     )
 
 
+# (app_id, id_mask, sk_mask) -> the 7 cascade layer Columns. Assembling the
+# 622-line cascade is thousands of py4j round-trips (~3-6 s per call,
+# measured) repeated IDENTICALLY on every apply_inference; the Columns are
+# unbound to any DataFrame, so reuse is safe — same precedent as the
+# profiler's _EXPR_CACHE. Keying on applicationId drops entries from a
+# stopped session's dead gateway.
+_CASCADE_CACHE: dict[tuple, tuple] = {}
+
+
+def _cascade_layers(app_id: str, id_mask: str, sk_mask: str) -> tuple:
+    key = (app_id, id_mask, sk_mask)
+    got = _CASCADE_CACHE.get(key)
+    if got is None:
+        c = F.col
+        rd = F.to_date(c("run_date"))
+        got = (_layer1_initial(c, rd, id_mask, sk_mask),
+               _layer2_process_ts(c),
+               _layer3_periods(c, rd),
+               _layer4_period_overrides(c),
+               _layer5_address(c),
+               _layer6_names_users(c),
+               _layer7_classes_final(c))
+        _CASCADE_CACHE[key] = got
+    return got
+
+
 def infer_functional_datatypes(
     profile: DataFrame,
     id_mask: str = "%id",
@@ -612,21 +638,21 @@ def infer_functional_datatypes(
     Mask defaults follow table_groups defaults
     (`dbsetup/030_initialize_new_schema_structure.sql:110-111`).
     """
-    c = F.col
-    rd = F.to_date(c("run_date"))
-    df = profile.withColumn(FDT, _layer1_initial(c, rd, id_mask, sk_mask))
-    df = df.withColumn(FDT, _layer2_process_ts(c))
-    df = df.withColumn(FDT, _layer3_periods(c, rd))
-    df = df.withColumn(FDT, _layer4_period_overrides(c))
-    df = df.withColumn(FDT, _layer5_address(c))
+    l1, l2, l3, l4, l5, l6, l7 = _cascade_layers(
+        profile.sparkSession.sparkContext.applicationId, id_mask, sk_mask)
+    df = profile.withColumn(FDT, l1)
+    df = df.withColumn(FDT, l2)
+    df = df.withColumn(FDT, l3)
+    df = df.withColumn(FDT, l4)
+    df = df.withColumn(FDT, l5)
     # Truncate lineage before the self-join passes: each join branch would
     # otherwise embed (and re-optimize/codegen) the full cascade expression
     # tree once per occurrence — minutes of pure Catalyst time on a
     # rows==columns DataFrame.
     df = df.localCheckpoint(eager=False)
     df = _apply_positional_city_1(df)
-    df = df.withColumn(FDT, _layer6_names_users(c))
-    df = df.withColumn(FDT, _layer7_classes_final(c))
+    df = df.withColumn(FDT, l6)
+    df = df.withColumn(FDT, l7)
     df = df.localCheckpoint(eager=False)
     df = _apply_positional_city_2(df)
     df = _apply_id_refinement(df)
