@@ -156,3 +156,44 @@ def test_date_arithmetic_parity(engines, batch):
             " date_diff('day', ?::DATE, ?::DATE)",
             [b, a, b, a]).fetchone()
         assert got[(str(a), str(b))] == (m, d), (a, b)
+
+
+_TEXT_FRAGS = st.sampled_from(
+    ["the", "fox", "a", "", " ", "  ", "\t", "\n", "Ü", "ß", "x'y",
+     "don't", "1,2", "end.", "...", "a-b", "Mixed", "CASE", "λ", "ω"])
+_texts = st.lists(_TEXT_FRAGS, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(batch=st.lists(_texts, min_size=1, max_size=20, unique=True))
+def test_dsir_gram_parity(engines, batch):
+    """The DSIR oracle re-derives the hashed-gram pipeline in SQL; fuzz
+    that the GRAM MULTISET (unigrams + bigrams, pre-hash) is identical
+    across engines — md5 agreement is then automatic. Covers mixed
+    whitespace, unicode letters, and the tab-only tokenization edge."""
+    from dataops_testgen_spark.pipeline.sampling import _hashed_grams
+
+    spark, con = engines
+    df = spark.createDataFrame(list(enumerate(batch)),
+                               "doc_id: long, text: string")
+    # _hashed_grams emits buckets; to compare the raw grams, rebuild with a
+    # 1:1 "bucket" — n_buckets so large no modulo collision changes counts
+    from collections import Counter
+
+    got = Counter((r["id"], r["bucket"]) for r in
+                  _hashed_grams(df, "text", "doc_id", 2**62, "p").collect())
+    want = Counter()
+    for i, s in enumerate(batch):
+        rows = con.execute("""
+            WITH t AS (SELECT CASE WHEN trim(?) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(lower(?)), '\\s+') END AS toks),
+            g AS (SELECT unnest(toks) AS gram FROM t
+                  UNION ALL
+                  SELECT toks[i] || ' ' || toks[i + 1]
+                    FROM t, UNNEST(range(1, len(toks))) AS r(i))
+            SELECT CAST(concat('0x', substr(md5('p' || '|' || gram), 1, 8))
+                        AS UBIGINT) % ? FROM g""",
+            [s, s, 2**62]).fetchall()
+        for (b,) in rows:
+            want[(i, int(b))] += 1
+    assert got == want
