@@ -14,7 +14,8 @@ Run commands (ref run-profile/run-test-generation/run-tests/run-monitors):
   quick-start            write the demo star schema (seeded flaws) to a dir
 
 Entity commands (ref list-*/get-* over the app DB — here over --store):
-  list-profiles, get-profile, get-profile-anomalies, list-test-generation,
+  list-profiles, get-profile, get-profile-anomalies, diff-profiles,
+  list-test-generation,
   list-tests, list-test-runs, get-test-results, list-test-types,
   list-test-suites, list-table-groups, list-projects
 
@@ -584,6 +585,15 @@ def cmd_get_profile(args) -> int:
     return 0
 
 
+def cmd_diff_profiles(args) -> int:
+    spark = _spark()
+    _emit(_store(spark, args).diff_profiles(
+        args.run_a or None, args.run_b or None,
+        table_group_id=args.table_group or None),
+        args, "diff_profiles.csv")
+    return 0
+
+
 def cmd_get_profile_anomalies(args) -> int:
     spark = _spark()
     _emit(_store(spark, args).profile_anomalies(args.profile_run_id,
@@ -892,6 +902,12 @@ def main(argv: list[str] | None = None) -> int:
     p = cmd("get-profile-anomalies", cmd_get_profile_anomalies)
     p.add_argument("--profile-run-id", required=True)
     p.add_argument("--table-name", default="")
+    p = cmd("diff-profiles", cmd_diff_profiles)
+    p.add_argument("--run-a", default="",
+                   help="older profile_run_id (default: second-latest run "
+                        "of --table-group)")
+    p.add_argument("--run-b", default="",
+                   help="newer profile_run_id (default: latest run)")
     cmd("list-test-generation", cmd_list_test_generation)
     cmd("list-tests", cmd_list_tests)
     cmd("list-test-runs", cmd_list_test_runs)

@@ -196,6 +196,65 @@ class RunStore:
                            "functional_data_type")
                 .orderBy("table_name", "column_name"))
 
+    def diff_profiles(self, run_a: str | None = None,
+                      run_b: str | None = None,
+                      table_group_id: str | None = None) -> DataFrame:
+        """Per-column metric drift between two stored profile runs —
+        volume (record/value/null counts), cardinality, and semantic
+        changes (functional type, std pattern). Defaults to the table
+        group's two most recent runs so a scheduled
+        ``run-profile --store`` cycle can be followed by
+        ``diff-profiles`` with no ids. Only columns where a tracked field
+        changed (or that appear/disappear) are emitted. No reference CLI
+        counterpart (the reference shows run-over-run drift in its UI
+        trend views); the metric set mirrors profile_results.
+
+        Metadata-plane: both sides are one row per column."""
+        runs = self.read("profiling_runs")
+        res = self.read("profile_results")
+        empty_schema = (
+            "table_name string, column_name string, change string, "
+            "record_ct_a long, record_ct_b long, value_ct_a long, "
+            "value_ct_b long, null_value_ct_a long, null_value_ct_b long, "
+            "distinct_value_ct_a long, distinct_value_ct_b long, "
+            "functional_data_type_a string, functional_data_type_b string, "
+            "std_pattern_match_a string, std_pattern_match_b string")
+        if runs is None or res is None:
+            return self._empty(empty_schema)
+        if run_a is None or run_b is None:
+            r = runs
+            if table_group_id:
+                r = r.filter(F.col("table_groups_id") == table_group_id)
+            latest = [x["profile_run_id"] for x in
+                      r.orderBy(F.col("start_time").desc()).limit(2)
+                       .collect()]
+            if len(latest) < 2:
+                return self._empty(empty_schema)
+            run_b, run_a = latest[0], latest[1]  # b = newest
+        tracked = ["record_ct", "value_ct", "null_value_ct",
+                   "distinct_value_ct", "functional_data_type",
+                   "std_pattern_match"]
+        keys = ["table_name", "column_name"]
+        a = res.filter(F.col("profile_run_id") == run_a).select(
+            *keys, *[F.col(m).alias(f"{m}_a") for m in tracked])
+        b = res.filter(F.col("profile_run_id") == run_b).select(
+            *keys, *[F.col(m).alias(f"{m}_b") for m in tracked])
+        j = a.join(b, keys, "full_outer")
+        added = F.col("record_ct_a").isNull() & F.col("record_ct_b").isNotNull()
+        dropped = F.col("record_ct_b").isNull() & F.col("record_ct_a").isNotNull()
+        changed = None
+        for m in tracked:
+            ne = ~(F.col(f"{m}_a").eqNullSafe(F.col(f"{m}_b")))
+            changed = ne if changed is None else (changed | ne)
+        change = (F.when(added, F.lit("added"))
+                   .when(dropped, F.lit("dropped"))
+                   .when(changed, F.lit("changed")))
+        out_cols = [*keys, change.alias("change")]
+        for m in tracked:
+            out_cols.extend([F.col(f"{m}_a"), F.col(f"{m}_b")])
+        return (j.select(*out_cols).filter(F.col("change").isNotNull())
+                .orderBy("table_name", "column_name"))
+
     def profile_anomalies(self, profile_run_id: str,
                           table_name: str | None = None) -> DataFrame:
         """get_profile_screen.sql analogue — the hygiene-screen findings

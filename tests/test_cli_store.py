@@ -395,3 +395,46 @@ def test_incremental_profile_cli(spark, tmp_path):
         assert m["std_pattern_match"] == f["std_pattern_match"], c
         if f["percentile_50"] is not None:
             assert abs(m["percentile_50"] - f["percentile_50"]) < 1e-9, c
+
+
+def test_diff_profiles_cli(spark, tmp_path):
+    """diff-profiles: defaults to the table group's two latest runs and
+    reports per-column metric drift — every orders column 'changed'
+    between the half-corpus baseline and the full merged profile (counts
+    doubled), with the a/b values matching the stored runs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    shutil.copy(os.path.join(SF_DIR, "orders.parquet"),
+                os.path.join(data_dir, "orders.parquet"))
+    store_dir = str(tmp_path / "store")
+    csv_dir = str(tmp_path / "csv")
+    os.makedirs(csv_dir)
+    for cond in ("o_orderkey % 2 = 0", "o_orderkey % 2 = 1"):
+        rc = main(["run-profile", "--data-dir", data_dir,
+                   "--store", store_dir, "--table-group", "tg-diff",
+                   "--csv-dir", csv_dir, "--incremental",
+                   "--subset-condition", cond])
+        assert rc == 0
+    rc = main(["diff-profiles", "--store", store_dir,
+               "--table-group", "tg-diff", "--csv-dir", csv_dir])
+    assert rc == 0
+    hdr, rows = _read_csv(os.path.join(csv_dir, "diff_profiles.csv"))
+    assert len(rows) == 6          # all orders columns drifted
+    by_col = {r[hdr.index("column_name")]: r for r in rows}
+    ok = by_col["o_orderkey"]
+    assert ok[hdr.index("change")] == "changed"
+    a = int(ok[hdr.index("record_ct_a")])
+    b = int(ok[hdr.index("record_ct_b")])
+    assert a < b and b == 1500     # sf0.001 orders full count
+    # explicit run ids in either order work too
+    store = RunStore(spark, store_dir)
+    runs = [r["profile_run_id"] for r in
+            store.read("profiling_runs").orderBy("start_time").collect()]
+    d = store.diff_profiles(runs[0], runs[1]).collect()
+    assert len(d) == 6
+    # identical runs diff to nothing
+    assert store.diff_profiles(runs[0], runs[0]).count() == 0
