@@ -56,20 +56,13 @@ def minhash_signature(text: Column, k: int = 3, num_hashes: int = 16) -> Column:
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", k: int = 3,
-                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding: docs sharing any band
-    bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
-
-    Shape: explode shingles → ``num_hashes`` MIN(md5(seed|shingle)) hash
-    aggregates in one codegen'd groupBy — O(n·shingles) map side with partial
-    aggregation, one shuffle on doc id. Docs with fewer than ``k`` tokens
-    have an all-NULL signature and are dropped before banding — otherwise
-    every shingle-less doc shares the md5('') band hash and the band join
-    emits them all-pairs (false positives plus an O(n²) blowup on corpora
-    with many short/empty docs).
-    """
+def _banded_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int, num_hashes: int, bands: int):
+    """(signatures, banded) for LSH: signatures is one row per doc with
+    m0..mN min-hashes (codegen'd explode + MIN aggs, partial map-side);
+    banded is one row per (doc, band) with the band bucket hash. Shared by
+    the one-shot candidate join and the persisted-index path — identical
+    hashing by construction."""
     from dataops_testgen_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -94,6 +87,25 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("band")
     ).select("id", "band.band_id", "band.band_hash")
+    return sig, banded
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any band
+    bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Shape: explode shingles → ``num_hashes`` MIN(md5(seed|shingle)) hash
+    aggregates in one codegen'd groupBy — O(n·shingles) map side with partial
+    aggregation, one shuffle on doc id. Docs with fewer than ``k`` tokens
+    have an all-NULL signature and are dropped before banding — otherwise
+    every shingle-less doc shares the md5('') band hash and the band join
+    emits them all-pairs (false positives plus an O(n²) blowup on corpora
+    with many short/empty docs).
+    """
+    _sig, banded = _banded_signatures(df, text_col, id_col, k,
+                                      num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -103,6 +115,84 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_index_append(df: DataFrame, index_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3, num_hashes: int = 16,
+                         bands: int = 4) -> None:
+    """Append a batch's MinHash state to a persisted LSH index:
+    ``<index_dir>/signatures`` (one row per doc, m0..mN) and
+    ``<index_dir>/bands`` (one row per doc×band with the bucket hash).
+
+    The index is the cross-RUN twin of ``minhash_lsh_candidates``: once a
+    corpus increment is indexed, later increments dedup against ALL
+    history via ``minhash_index_probe`` without ever rescanning (or even
+    retaining) the historical text — index size is O(docs × num_hashes)
+    hashes, not corpus bytes. Same hashing as the one-shot path by
+    construction (shared ``_banded_signatures``)."""
+    import os
+
+    sig, banded = _banded_signatures(df, text_col, id_col, k,
+                                     num_hashes, bands)
+    sig.write.mode("append").parquet(os.path.join(index_dir, "signatures"))
+    banded.write.mode("append").parquet(os.path.join(index_dir, "bands"))
+
+
+def minhash_index_probe(df: DataFrame, index_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, num_hashes: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs between a NEW batch and everything
+    indexed so far, plus within-batch pairs — without touching historical
+    text. Returns (id_a, id_b, est_jaccard) with id_a < id_b;
+    ``est_jaccard`` is the MinHash estimate (fraction of equal signature
+    components), computable purely from stored signatures.
+
+    Scale shape: the batch's band hashes BROADCAST against one pruned
+    scan of the persisted band index (no shuffle of the index), so probe
+    cost is O(index scan) regardless of batch size skew; the signature
+    join for the estimate touches only candidate ids. Probing the full
+    history then appending the batch (``minhash_index_append``) yields
+    exactly the pairs the one-shot LSH would find on the union corpus —
+    pinned by test_minhash_index_incremental_equals_oneshot."""
+    import os
+
+    spark = df.sparkSession
+    sig_new, banded_new = _banded_signatures(df, text_col, id_col, k,
+                                             num_hashes, bands)
+    bands_path = os.path.join(index_dir, "bands")
+    sig_path = os.path.join(index_dir, "signatures")
+    have_index = os.path.isdir(bands_path)
+    idx_bands = (spark.read.parquet(bands_path) if have_index
+                 else banded_new.limit(0))
+    idx_sigs = (spark.read.parquet(sig_path) if have_index
+                else sig_new.limit(0))
+
+    nb = F.broadcast(banded_new)
+    cross = (idx_bands.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") != F.col("b.id"))))
+    within = (banded_new.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id"))))
+    pairs = (cross.union(within)
+             .select(F.least("a.id", "b.id").alias("id_a"),
+                     F.greatest("a.id", "b.id").alias("id_b"))
+             .distinct())
+
+    all_sigs = idx_sigs.unionByName(sig_new).dropDuplicates(["id"])
+    eq = [(F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("int")
+          for i in range(num_hashes)]
+    est = sum(eq[1:], eq[0]) / F.lit(float(num_hashes))
+    return (pairs
+            .join(all_sigs.alias("sa"), F.col("id_a") == F.col("sa.id"))
+            .join(all_sigs.alias("sb"), F.col("id_b") == F.col("sb.id"))
+            .select("id_a", "id_b", est.alias("est_jaccard")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -1085,3 +1085,40 @@ def test_dsir_gumbel_topk_plan_and_softmax_bias(spark):
                      dsir_gumbel_topk(w, k=5, salt=f"s{j}").collect()}
                for j in range(20))
     assert hits >= 18  # weight gap of 4 nats ≈ always beats the field
+
+
+def test_minhash_index_incremental_equals_oneshot(spark, tmp_path):
+    """Persisted LSH index: probe(B vs index(A)) ∪ within(A) candidate
+    pairs must equal the one-shot LSH over A∪B — incremental corpus dedup
+    never rescans history yet finds exactly the same candidates; the
+    minhash-estimated jaccard is 1.0 for identical texts."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_index")
+
+    within_a = {(r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_candidates(a).collect()}
+    dedup.minhash_index_append(a, idx)
+    probed = dedup.minhash_index_probe(b, idx).collect()
+    dedup.minhash_index_append(b, idx)
+
+    got = within_a | {(r["id_a"], r["id_b"]) for r in probed}
+    want = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_candidates(docs).collect()}
+    assert got == want and len(want) > 0
+    for r in probed:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in probed:  # identical texts -> identical signatures -> est 1.0
+        if texts[r["id_a"]] == texts[r["id_b"]]:
+            assert r["est_jaccard"] == 1.0
+    # near-dup-heavy fixture: at least one probed candidate is high-sim
+    assert max(r["est_jaccard"] for r in probed) >= 0.9
+    # probing again after B was appended is a superset read of the same
+    # state: it re-reports every cross/within-B pair (append-only index,
+    # not a dedup gate)
+    again = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_index_probe(b, idx).collect()}
+    assert again == {(r["id_a"], r["id_b"]) for r in probed}
