@@ -1104,6 +1104,69 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
 
+def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-LSH-index cross-run dedup (pipeline/dedup.py
+    minhash_index_append/probe): the even-doc_id half of the corpus is
+    indexed (band buckets + signatures parquet), then the odd half probes
+    against that history WITHOUT rescanning it — emitting candidate pairs
+    with the minhash-estimated jaccard computed purely from stored
+    signatures. The oracle re-derives signatures/bands for the whole
+    corpus in SQL and keeps exactly the pairs a probe of the odd half
+    would see (any pair touching an odd doc)."""
+    import tempfile
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    DD.minhash_index_append(docs.filter(F.col("doc_id") % 2 == 0), idx,
+                            num_hashes=_MINHASH_K, bands=_MINHASH_BANDS)
+    out = DD.minhash_index_probe(docs.filter(F.col("doc_id") % 2 == 1), idx,
+                                 num_hashes=_MINHASH_K, bands=_MINHASH_BANDS)
+    return out.select("id_a", "id_b",
+                      F.round("est_jaccard", 5).alias("est_jaccard"))
+
+
+def _sql_minhash_index_probe() -> str:
+    rpb = _MINHASH_K // _MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}' || '|' || s)), 'min') AS m{i}"
+        for i in range(_MINHASH_K))
+    band_cols = ",\n         ".join(
+        "md5(concat_ws('|', " + ", ".join(f"m{b * rpb + j}" for j in range(rpb))
+        + f")) AS b{b}" for b in range(_MINHASH_BANDS))
+    band_join = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_MINHASH_BANDS))
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K))
+    return rf"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+shg AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE []::VARCHAR[] END AS sh
+        FROM t),
+sigs AS (SELECT doc_id,
+         {sig_cols}
+         FROM shg),
+good AS (SELECT * FROM sigs WHERE m0 IS NOT NULL),
+bands AS (SELECT doc_id,
+         {band_cols}
+          FROM good),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id AND ({band_join})
+   WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+SELECT p.id_a, p.id_b,
+       ROUND(({eq_sum}) / {float(_MINHASH_K)}, 5) AS est_jaccard
+  FROM pairs p
+  JOIN good sa ON p.id_a = sa.doc_id
+  JOIN good sb ON p.id_b = sb.doc_id"""
+
+
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
@@ -3184,7 +3247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_card_issues_co_li": q_score_card_issues,
-        "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
@@ -3193,9 +3255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
         "dsir_weights_documents": q_dsir_weights_documents,
+        "minhash_index_probe_documents": q_minhash_index_probe,
         # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
         "drilldown_unique_orders": q_drilldown_unique_orders,
         "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
+        "drilldown_masked_customer": q_drilldown_masked_customer,
         "dsir_select_documents": q_dsir_select_documents,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
@@ -3233,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", _ORDERS_COLS, RUN_DATE),
         "dsir_weights_documents": _SQL_DSIR_WEIGHTS,
         "dsir_select_documents": _SQL_DSIR_SELECT,
+        "minhash_index_probe_documents": _sql_minhash_index_probe(),
         "profile_lineitem_numeric": _sql_profile_numeric("lineitem", _LINEITEM_NUM_COLS),
         "profile_customer_strings": _sql_profile_strings("customer", _CUSTOMER_STR_COLS),
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),

@@ -60,6 +60,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "validation_prepass",
     "incremental_screen_orders",
     "dsir_weights_documents",
+    "minhash_index_probe_documents",
 }
 
 
