@@ -198,7 +198,8 @@ def streaming_exact_dedup(
 
 
 def incremental_profile_sink(table_name: str, state_dir: str,
-                             run_date=None, sketch_capacity: int = 4096):
+                             run_date=None, sketch_capacity: int = 4096,
+                             screen_dir: str | None = None):
     """foreachBatch sink: fold each micro-batch's sketch-kept profile into
     the running table profile persisted at ``state_dir`` — continuous
     incremental profiling for streams (profiling/merge.py semantics driven
@@ -210,6 +211,9 @@ def incremental_profile_sink(table_name: str, state_dir: str,
     ``run-profile --incremental``. Metric-completeness matches the batch
     merge: exact-or-NULL distincts/top-k/std metrics, exact day sets,
     HLL fallback past capacity (test_merge_profiles_metric_complete).
+    With ``screen_dir`` set, every fold also refreshes the anomaly screen
+    over the running profile (same inference cascade as the batch path),
+    so the stream continuously maintains current DQ decisions.
 
     Usage::
 
@@ -239,7 +243,17 @@ def incremental_profile_sink(table_name: str, state_dir: str,
         # the state is metadata-plane (one row per column) — materialize on
         # the driver before overwriting the very path we just read from
         rows = prof.select(*cols).collect()
-        spark.createDataFrame(rows, PROFILE_SCHEMA).coalesce(1) \
-            .write.mode("overwrite").parquet(state_dir)
+        merged = spark.createDataFrame(rows, PROFILE_SCHEMA)
+        merged.coalesce(1).write.mode("overwrite").parquet(state_dir)
+        if screen_dir is not None:
+            # continuous DQ: re-run the SAME inference cascade + hygiene
+            # screen the batch path uses, over the running merged profile
+            # (metric-complete, so decisions match a full rescan — the
+            # streaming twin of the incremental_screen flagship)
+            from dataops_testgen_spark.anomalies import screen_anomalies
+            from dataops_testgen_spark.inference import apply_inference
+
+            screen_anomalies(apply_inference(merged)).coalesce(1) \
+                .write.mode("overwrite").parquet(screen_dir)
 
     return fold

@@ -221,11 +221,13 @@ def test_incremental_profile_sink_matches_batch(spark, tmp_path):
        .write.mode("append").parquet(d)
 
     state = str(tmp_path / "profile_state")
+    screen = str(tmp_path / "screen_state")
     rd = dt.date(2026, 1, 1)
     stream = (spark.readStream.schema(src.schema)
               .option("maxFilesPerTrigger", 1).parquet(d))
     q = (stream.writeStream
-         .foreachBatch(incremental_profile_sink("orders", state, run_date=rd))
+         .foreachBatch(incremental_profile_sink("orders", state, run_date=rd,
+                                                screen_dir=screen))
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
@@ -249,3 +251,17 @@ def test_incremental_profile_sink_matches_batch(spark, tmp_path):
                 assert a is None, (c, name)
             else:
                 assert abs(a - b) < 1e-9 + 1e-9 * abs(b), (c, name, a, b)
+
+    # continuous DQ: the stream-maintained screen equals the batch path's
+    # screen over the one-shot full profile
+    from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
+
+    got = {tuple(r) for r in spark.read.parquet(screen)
+           .select("table_name", "column_name", "anomaly_type").collect()}
+    want_df = screen_anomalies(apply_inference(
+        profile_table(src, "orders", run_date=rd, secondary=False)))
+    want = {tuple(r) for r in
+            want_df.select("table_name", "column_name",
+                           "anomaly_type").collect()}
+    assert got == want
