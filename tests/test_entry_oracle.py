@@ -61,6 +61,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "incremental_screen_orders",
     "dsir_weights_documents",
     "minhash_index_probe_documents",
+    "pq_topk_embeddings",
 }
 
 
