@@ -195,6 +195,71 @@ def minhash_index_probe(df: DataFrame, index_dir: str,
             .select("id_a", "id_b", est.alias("est_jaccard")))
 
 
+def exact_index_append(df: DataFrame, index_dir: str,
+                       text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Append a batch's content hashes to a persisted EXACT-dedup index —
+    the cross-run twin of ``exact_duplicates`` the way
+    ``minhash_index_append`` is for the LSH path. The index stores one
+    row per NEW distinct md5 (hash + the first batch id that carried it);
+    hashes already indexed are not re-appended, so index size is
+    O(distinct texts ever seen), never corpus bytes.
+
+    100 TB shape: the batch's distinct hashes broadcast against one scan
+    of the index for the already-seen anti-join (same probe shape as
+    ``minhash_index_probe``); the index itself is hash-only parquet."""
+    import os
+
+    spark = df.sparkSession
+    batch = (df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+             .agg(F.min(F.col(id_col)).alias("first_id")))
+    path = os.path.join(index_dir, "hashes")
+    if os.path.isdir(path):
+        idx = spark.read.parquet(path).select("content_md5")
+        batch = batch.join(idx, "content_md5", "left_anti")
+    batch.write.mode("append").parquet(path)
+
+
+def exact_index_probe(df: DataFrame, index_dir: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Arrival-order exact dedup of a NEW batch against everything indexed
+    so far: a row keeps iff its content hash is not in the index AND it is
+    the min-id holder of that hash within the batch (keep-first
+    semantics — the cross-run stream analogue of ``exact_duplicates``;
+    a later batch never evicts an earlier keeper).
+
+    Returns (id, content_md5, in_index, dup_in_batch, keep). Probing then
+    appending each batch in sequence keeps exactly one row per distinct
+    text across all batches (pinned by
+    test_exact_index_incremental_covers_union).
+
+    Scale shape: within-batch keeper via one groupBy(min) on the hash;
+    the history check broadcasts the batch's distinct hashes against one
+    pruned index scan — the index never shuffles."""
+    import os
+
+    spark = df.sparkSession
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.md5(F.col(text_col)).alias("content_md5"))
+    keeper = hashed.groupBy("content_md5").agg(F.min("id").alias("keep_id"))
+    path = os.path.join(index_dir, "hashes")
+    if os.path.isdir(path):
+        idx = spark.read.parquet(path).select(
+            "content_md5", F.lit(True).alias("in_index"))
+        seen = (idx.join(F.broadcast(keeper.select("content_md5")),
+                         "content_md5"))
+    else:
+        seen = spark.createDataFrame([], "content_md5 string, in_index boolean")
+    return (hashed.join(keeper, "content_md5")
+            .join(seen, "content_md5", "left")
+            .select("id", "content_md5",
+                    F.coalesce(F.col("in_index"), F.lit(False))
+                    .alias("in_index"),
+                    (F.col("id") != F.col("keep_id")).alias("dup_in_batch"))
+            .withColumn("keep",
+                        ~F.col("in_index") & ~F.col("dup_in_batch")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,

@@ -208,3 +208,68 @@ def dsir_gumbel_topk(weights: DataFrame, k: int,
     return (weights.withColumn("gumbel_score", score)
             .orderBy(F.desc("gumbel_score"), F.col(id_col))
             .limit(k))
+
+
+def source_mixture_plan(df: DataFrame, target_weights: dict[str, float],
+                        source_col: str = "source",
+                        text_col: str | None = None) -> DataFrame:
+    """Static domain-mixture planning (the Pile / RedPajama recipe step):
+    given target mixture weights per source (e.g. ``{"web": 0.6,
+    "wiki": 0.2, "books": 0.2}``), find the LARGEST total budget T such
+    that no source is oversampled (T = min over sources of n_s / w_s,
+    epochs > 1 deliberately out of scope — this operator subsamples,
+    never repeats), and emit the per-source Bernoulli keep-fraction that
+    realizes it: fraction_s = (w_s * T) / n_s.
+
+    Sizes are document counts, or token counts when ``text_col`` is given
+    (token-budgeted mixing, the form training actually needs). Weights
+    are normalized internally, so any positive ratios work.
+
+    100 TB shape: one partial-agg groupBy(source) — the plan relation is
+    |sources| rows. Pair with ``apply_mixture_plan`` (a broadcast join +
+    hash filter, no collect) to materialize the mix.
+
+    Output: (source, n_units, weight, fraction, expect_units), fraction
+    rounded to 9 decimals (engine-exact re-derivation in audit SQL).
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(w <= 0 for w in target_weights.values()):
+        raise ValueError("target weights must be positive")
+    total_w = float(sum(target_weights.values()))
+    unit = (F.count(F.lit(1)) if text_col is None
+            else F.sum(F.size(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+"))))
+    weight = F.lit(None).cast("double")
+    for k, v in sorted(target_weights.items()):
+        weight = F.when(F.col("source") == k,
+                        F.lit(v / total_w)).otherwise(weight)
+    sizes = (df.filter(F.col(source_col).isin(*target_weights.keys()))
+             .groupBy(F.col(source_col).alias("source"))
+             .agg(unit.cast("long").alias("n_units"))
+             .withColumn("weight", weight.alias("weight")))
+    # T = min over sources of n_s / w_s  (1-row relation, broadcast back)
+    budget = sizes.agg(F.min(F.col("n_units") / F.col("weight"))
+                       .alias("t_budget"))
+    return (sizes.crossJoin(F.broadcast(budget))
+            .select("source", "n_units", F.round("weight", 9).alias("weight"),
+                    F.round(F.col("weight") * F.col("t_budget")
+                            / F.col("n_units"), 9).alias("fraction"),
+                    (F.col("weight") * F.col("t_budget")).cast("long")
+                    .alias("expect_units"))
+            .orderBy("source"))
+
+
+def apply_mixture_plan(df: DataFrame, plan: DataFrame,
+                       source_col: str = "source",
+                       id_col: str = "doc_id",
+                       salt: str = "mix") -> DataFrame:
+    """Materialize a ``source_mixture_plan``: keep each row with its
+    source's planned Bernoulli fraction, drawn from the salted id hash
+    (deterministic across runs/engines, like ``hash_sample``). Sources
+    absent from the plan are dropped. Declarative end-to-end — the plan
+    joins in broadcast, no driver collect, narrow filter after the join."""
+    frac = plan.select(F.col("source").alias(source_col), "fraction")
+    return (df.join(F.broadcast(frac), source_col)
+            .filter(_unit_hash(F.col(id_col), salt) < F.col("fraction"))
+            .drop("fraction"))

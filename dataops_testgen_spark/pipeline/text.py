@@ -594,6 +594,53 @@ def pack_token_spans(df: DataFrame, text_col: str = "text",
         (tok_end - tok_start).cast("long").alias("tok_count"))
 
 
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       sample_fraction: float = 1.0,
+                       salt: str = "ppl",
+                       vocab_size: int | None = None) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.4):
+    score every document with the corpus-relative LM proxy
+    (``unigram_logprob_score``), estimate the corpus tercile thresholds,
+    and tag each document ``head`` (lowest third of mean NLL — most
+    fluent), ``middle``, or ``tail``. CCNet trains its LM on a sample and
+    buckets the full crawl; ``sample_fraction`` mirrors that — thresholds
+    come from a deterministic salted-hash sample (same draw every
+    run/engine, see ``sampling.hash_sample``) while every document is
+    tagged.
+
+    100 TB shape: the exact tercile aggregate (``percentile`` collects
+    the score multiset on one reducer) runs over the hash SAMPLE, which
+    is how it stays bounded — size ``sample_fraction`` so the sampled
+    score column fits one executor (it is one double per sampled doc).
+    The resulting 1-row threshold relation is broadcast back over the
+    full scored corpus; no global sort or window anywhere. Scores are
+    rounded to 5 decimals BEFORE the percentile so the threshold — and
+    every boundary comparison — is engine-exact.
+
+    Output: (id, n_tokens, mean_nll, bucket)."""
+    from dataops_testgen_spark.pipeline.sampling import _unit_hash
+
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    scored = (unigram_logprob_score(df, text_col, id_col,
+                                    vocab_size=vocab_size)
+              .select("id", "n_tokens",
+                      F.round("mean_nll", 5).alias("mean_nll")))
+    sample = scored
+    if sample_fraction < 1.0:
+        sample = scored.filter(
+            _unit_hash(F.col("id"), salt) < F.lit(sample_fraction))
+    thr = sample.agg(
+        F.percentile("mean_nll", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("mean_nll", F.lit(2.0 / 3)).alias("t2"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select("id", "n_tokens", "mean_nll",
+                    F.when(F.col("mean_nll") <= F.col("t1"), F.lit("head"))
+                    .when(F.col("mean_nll") <= F.col("t2"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
+
+
 def corpus_report(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """One-row corpus health report — the dashboard a pipeline owner reads

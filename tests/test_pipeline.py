@@ -1151,3 +1151,124 @@ def test_pq_encode_and_topk_semantics(spark):
         len(x[qid]) for qid in x)
     n = emb.count()
     assert recall > 10 * (5 / (n - 1))  # far above the random baseline
+
+
+def test_exact_index_incremental_covers_union(spark, tmp_path):
+    """Persisted exact-dedup index: probing batches in sequence keeps
+    exactly one row per distinct text across ALL batches (keep-first by
+    arrival), matching a one-shot exact_duplicates over the union; the
+    index never stores more rows than distinct texts seen."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "ex_index")
+
+    first = dedup.exact_index_probe(a, idx).collect()
+    dedup.exact_index_append(a, idx)
+    second = dedup.exact_index_probe(b, idx).collect()
+    dedup.exact_index_append(b, idx)
+
+    kept = ({r["id"] for r in first if r["keep"]}
+            | {r["id"] for r in second if r["keep"]})
+    # one-shot reference: min doc_id per distinct md5 over the union,
+    # but arrival order is batch-major (all of A before any of B), so a
+    # text seen in both batches keeps its A-min, not the global min
+    by_hash = {}
+    for r in sorted(a.select(
+            "doc_id", F.md5("text").alias("h")).collect(),
+            key=lambda r: r["doc_id"]):
+        by_hash.setdefault(r["h"], r["doc_id"])
+    for r in sorted(b.select(
+            "doc_id", F.md5("text").alias("h")).collect(),
+            key=lambda r: r["doc_id"]):
+        by_hash.setdefault(r["h"], r["doc_id"])
+    assert kept == set(by_hash.values())
+    # a fresh-directory probe flags nothing as in_index
+    assert all(not r["in_index"] for r in first)
+    # index size == distinct texts ever seen, not corpus rows
+    stored = spark.read.parquet(str(tmp_path / "ex_index" / "hashes"))
+    assert stored.count() == docs.select("text").distinct().count()
+    assert stored.select("content_md5").distinct().count() == stored.count()
+    # re-probing B after its append: every kept-B row is now in_index
+    again = {r["id"]: r for r in dedup.exact_index_probe(b, idx).collect()}
+    for r in second:
+        if r["keep"]:
+            assert again[r["id"]]["in_index"]
+
+
+def _bm25_reference(corpus, queries, k1=1.2, b=0.75):
+    """Independent plain-Python Okapi BM25 (Lucene idf variant)."""
+    import math
+
+    toks = {i: t.lower().split() for i, t in corpus.items() if t.strip()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {}
+    for ts in toks.values():
+        for term in set(ts):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries.items():
+        for did, ts in toks.items():
+            s = 0.0
+            for term in sorted(set(qtext.lower().split())):
+                tf = ts.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - dfreq[term] + 0.5)
+                               / (dfreq[term] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(ts) / avgdl))
+            if s > 0.0:
+                out[(qid, did)] = s
+    return out
+
+
+def test_bm25_topk_matches_reference(spark):
+    """bm25_topk matches an independent plain-Python BM25 to 5 decimals,
+    honors k, and ranks by (score desc, id asc)."""
+    from dataops_testgen_spark.pipeline import retrieval
+
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a lazy dog sleeps all day the dog dreams",
+        3: "quick quick quick brown foxes everywhere",
+        4: "unrelated words about spark dataframes and shuffles",
+        5: "the fox and the dog are friends",
+        6: "",
+    }
+    queries = {10: "quick fox", 20: "lazy dog", 30: "zebra"}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    qs = spark.createDataFrame(list(queries.items()),
+                               "query_id long, query_text string")
+    got = retrieval.bm25_topk(df, qs, k=3).collect()
+    ref = _bm25_reference(corpus, queries)
+    for r in got:
+        assert abs(r["score"] - ref[(r["query_id"], r["id"])]) < 1e-4
+    # per-query ranking agrees with the reference ordering
+    for qid in (10, 20):
+        want = sorted((did for (q, did) in ref if q == qid),
+                      key=lambda d: (-round(ref[(qid, d)], 5), d))[:3]
+        assert [r["id"] for r in sorted(got, key=lambda r: r["rnk"])
+                if r["query_id"] == qid] == want
+    # zero-match query contributes no rows; k honored
+    assert not [r for r in got if r["query_id"] == 30]
+    assert max(r["rnk"] for r in got) <= 3
+
+
+def test_bm25_topk_duplicate_query_terms_count_once(spark):
+    from dataops_testgen_spark.pipeline import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple apple banana")],
+        "doc_id long, text string")
+    one = retrieval.bm25_topk(
+        df, spark.createDataFrame([(1, "apple")],
+                                  "query_id long, query_text string"), k=5)
+    twice = retrieval.bm25_topk(
+        df, spark.createDataFrame([(1, "apple apple")],
+                                  "query_id long, query_text string"), k=5)
+    assert sorted(map(tuple, one.collect())) == \
+        sorted(map(tuple, twice.collect()))
