@@ -615,6 +615,10 @@ def _cascade_layers(app_id: str, id_mask: str, sk_mask: str) -> tuple:
     key = (app_id, id_mask, sk_mask)
     got = _CASCADE_CACHE.get(key)
     if got is None:
+        # evict other sessions' entries so stopped-gateway handles don't
+        # accumulate across sessions in a long-lived process
+        for stale in [k for k in _CASCADE_CACHE if k[0] != app_id]:
+            del _CASCADE_CACHE[stale]
         c = F.col
         rd = F.to_date(c("run_date"))
         got = (_layer1_initial(c, rd, id_mask, sk_mask),

@@ -1,0 +1,27 @@
+"""Filesystem helpers that work on every Hadoop-supported store.
+
+The persisted-index and streaming-state paths (minhash/exact dedup
+indexes, the incremental-profile sink) need an "is there prior state at
+this path?" check. ``os.path.isdir`` answers that only for the local
+filesystem — for ``hdfs://``/``s3a://``/``abfs://`` URIs it is always
+False even though Spark reads and writes them fine, so on cluster
+storage a probe would silently treat history as absent (missing every
+cross-run duplicate) and the streaming sink would overwrite its running
+profile instead of folding into it. Existence must therefore be asked
+of the Hadoop FileSystem that owns the path, resolved through the
+session's Hadoop configuration (which also carries the credentials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists on whatever filesystem its scheme names
+    (local, HDFS, S3A, ABFS, ...), using the same Hadoop configuration
+    Spark's own readers/writers resolve the path with."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))

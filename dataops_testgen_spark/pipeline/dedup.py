@@ -131,12 +131,12 @@ def minhash_index_append(df: DataFrame, index_dir: str,
     retaining) the historical text — index size is O(docs × num_hashes)
     hashes, not corpus bytes. Same hashing as the one-shot path by
     construction (shared ``_banded_signatures``)."""
-    import os
+    import posixpath
 
     sig, banded = _banded_signatures(df, text_col, id_col, k,
                                      num_hashes, bands)
-    sig.write.mode("append").parquet(os.path.join(index_dir, "signatures"))
-    banded.write.mode("append").parquet(os.path.join(index_dir, "bands"))
+    sig.write.mode("append").parquet(posixpath.join(index_dir, "signatures"))
+    banded.write.mode("append").parquet(posixpath.join(index_dir, "bands"))
 
 
 def minhash_index_probe(df: DataFrame, index_dir: str,
@@ -156,14 +156,17 @@ def minhash_index_probe(df: DataFrame, index_dir: str,
     history then appending the batch (``minhash_index_append``) yields
     exactly the pairs the one-shot LSH would find on the union corpus —
     pinned by test_minhash_index_incremental_equals_oneshot."""
-    import os
+    import posixpath
+
+    from dataops_testgen_spark.io.fs import path_exists
 
     spark = df.sparkSession
     sig_new, banded_new = _banded_signatures(df, text_col, id_col, k,
                                              num_hashes, bands)
-    bands_path = os.path.join(index_dir, "bands")
-    sig_path = os.path.join(index_dir, "signatures")
-    have_index = os.path.isdir(bands_path)
+    bands_path = posixpath.join(index_dir, "bands")
+    sig_path = posixpath.join(index_dir, "signatures")
+    # Hadoop-FS existence (not os.path): the index may live on HDFS/S3
+    have_index = path_exists(spark, bands_path)
     idx_bands = (spark.read.parquet(bands_path) if have_index
                  else banded_new.limit(0))
     idx_sigs = (spark.read.parquet(sig_path) if have_index
@@ -207,13 +210,15 @@ def exact_index_append(df: DataFrame, index_dir: str,
     100 TB shape: the batch's distinct hashes broadcast against one scan
     of the index for the already-seen anti-join (same probe shape as
     ``minhash_index_probe``); the index itself is hash-only parquet."""
-    import os
+    import posixpath
+
+    from dataops_testgen_spark.io.fs import path_exists
 
     spark = df.sparkSession
     batch = (df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
              .agg(F.min(F.col(id_col)).alias("first_id")))
-    path = os.path.join(index_dir, "hashes")
-    if os.path.isdir(path):
+    path = posixpath.join(index_dir, "hashes")
+    if path_exists(spark, path):
         idx = spark.read.parquet(path).select("content_md5")
         batch = batch.join(idx, "content_md5", "left_anti")
     batch.write.mode("append").parquet(path)
@@ -236,14 +241,16 @@ def exact_index_probe(df: DataFrame, index_dir: str,
     Scale shape: within-batch keeper via one groupBy(min) on the hash;
     the history check broadcasts the batch's distinct hashes against one
     pruned index scan — the index never shuffles."""
-    import os
+    import posixpath
+
+    from dataops_testgen_spark.io.fs import path_exists
 
     spark = df.sparkSession
     hashed = df.select(F.col(id_col).alias("id"),
                        F.md5(F.col(text_col)).alias("content_md5"))
     keeper = hashed.groupBy("content_md5").agg(F.min("id").alias("keep_id"))
-    path = os.path.join(index_dir, "hashes")
-    if os.path.isdir(path):
+    path = posixpath.join(index_dir, "hashes")
+    if path_exists(spark, path):
         idx = spark.read.parquet(path).select(
             "content_md5", F.lit(True).alias("in_index"))
         seen = (idx.join(F.broadcast(keeper.select("content_md5")),

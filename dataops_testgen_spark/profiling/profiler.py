@@ -174,6 +174,11 @@ def _column_exprs_cached(app_id: str, col: schema_scan.ColumnChars, idx: int,
            exact_percentiles)
     got = _EXPR_CACHE.get(key)
     if got is None:
+        # evict entries from stopped sessions (dead py4j gateways): a
+        # long-lived process spanning many Spark sessions would otherwise
+        # accumulate unreachable Column handles without bound
+        for stale in [k for k in _EXPR_CACHE if k[0] != app_id]:
+            del _EXPR_CACHE[stale]
         got = _column_exprs(col, idx, run_date, distinct, exact_percentiles)
         _EXPR_CACHE[key] = got
     return got

@@ -222,15 +222,27 @@ class RunStore:
         if runs is None or res is None:
             return self._empty(empty_schema)
         if run_a is None or run_b is None:
+            # default each missing id INDEPENDENTLY: a caller passing only
+            # one id means "diff that run against its natural counterpart",
+            # not "ignore what I passed and use the latest two"
             r = runs
             if table_group_id:
                 r = r.filter(F.col("table_groups_id") == table_group_id)
-            latest = [x["profile_run_id"] for x in
-                      r.orderBy(F.col("start_time").desc()).limit(2)
-                       .collect()]
-            if len(latest) < 2:
-                return self._empty(empty_schema)
-            run_b, run_a = latest[0], latest[1]  # b = newest
+            ordered = [x["profile_run_id"] for x in
+                       r.orderBy(F.col("start_time").desc()).collect()]
+            if run_b is None:
+                # newest run (newest distinct from run_a when only a given)
+                cands = [x for x in ordered if x != run_a]
+                if not cands:
+                    return self._empty(empty_schema)
+                run_b = cands[0]
+            if run_a is None:
+                # the run immediately BEFORE run_b in start_time order
+                later = (ordered.index(run_b) + 1 if run_b in ordered
+                         else len(ordered))
+                if later >= len(ordered):
+                    return self._empty(empty_schema)
+                run_a = ordered[later]
         tracked = ["record_ct", "value_ct", "null_value_ct",
                    "distinct_value_ct", "functional_data_type",
                    "std_pattern_match"]

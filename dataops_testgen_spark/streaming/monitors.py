@@ -215,6 +215,15 @@ def incremental_profile_sink(table_name: str, state_dir: str,
     over the running profile (same inference cascade as the batch path),
     so the stream continuously maintains current DQ decisions.
 
+    Exactly-once folding: foreachBatch is at-least-once — after a failure
+    or restart Structured Streaming MAY re-deliver the last micro-batch
+    with the SAME batch_id. Folding a replayed batch twice would silently
+    inflate record_ct/value_ct, sums, day sets and every sketch-derived
+    metric, so the sink persists the last folded batch_id next to the
+    state (``<state_dir>__last_batch``) and returns early when the
+    incoming batch_id is not greater. Batch ids are monotonically
+    increasing per query, so one scalar suffices.
+
     Usage::
 
         q = (stream.writeStream
@@ -222,8 +231,7 @@ def incremental_profile_sink(table_name: str, state_dir: str,
              .trigger(availableNow=True).start())
     """
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
+        from dataops_testgen_spark.io.fs import path_exists
         from dataops_testgen_spark.profiling.merge import merge_profiles
         from dataops_testgen_spark.profiling.profiler import (PROFILE_SCHEMA,
                                                               profile_table)
@@ -231,13 +239,20 @@ def incremental_profile_sink(table_name: str, state_dir: str,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # replay guard: skip batch ids already folded into the state
+        marker_dir = state_dir.rstrip("/") + "__last_batch"
+        have_state = path_exists(spark, state_dir)
+        if have_state and path_exists(spark, marker_dir):
+            last = spark.read.parquet(marker_dir).first()
+            if last is not None and batch_id <= last["batch_id"]:
+                return
         # approx=True: every folded field is count- or sketch-derived, so
         # the exact-distinct/percentile side jobs would be pure waste here
         prof = profile_table(batch_df, table_name, run_date=run_date,
                              keep_sketches=True, secondary=False,
                              approx=True, sketch_capacity=sketch_capacity)
         cols = [f.name for f in PROFILE_SCHEMA.fields]
-        if os.path.isdir(state_dir):
+        if have_state:
             prev = spark.read.parquet(state_dir).select(*cols)
             prof = merge_profiles(prev.unionByName(prof.select(*cols)))
         # the state is metadata-plane (one row per column) — materialize on
@@ -245,6 +260,8 @@ def incremental_profile_sink(table_name: str, state_dir: str,
         rows = prof.select(*cols).collect()
         merged = spark.createDataFrame(rows, PROFILE_SCHEMA)
         merged.coalesce(1).write.mode("overwrite").parquet(state_dir)
+        spark.createDataFrame([(int(batch_id),)], "batch_id long") \
+            .coalesce(1).write.mode("overwrite").parquet(marker_dir)
         if screen_dir is not None:
             # continuous DQ: re-run the SAME inference cascade + hygiene
             # screen the batch path uses, over the running merged profile

@@ -438,3 +438,11 @@ def test_diff_profiles_cli(spark, tmp_path):
     assert len(d) == 6
     # identical runs diff to nothing
     assert store.diff_profiles(runs[0], runs[0]).count() == 0
+    # single-id defaults resolve INDEPENDENTLY (r5 ADVICE): run_a alone
+    # diffs against the latest run; run_b alone against its predecessor —
+    # both equal the explicit (runs[0], runs[1]) diff here
+    want = sorted(map(tuple, d))
+    assert sorted(map(tuple,
+                      store.diff_profiles(run_a=runs[0]).collect())) == want
+    assert sorted(map(tuple,
+                      store.diff_profiles(run_b=runs[1]).collect())) == want

@@ -265,3 +265,54 @@ def test_incremental_profile_sink_matches_batch(spark, tmp_path):
             want_df.select("table_name", "column_name",
                            "anomaly_type").collect()}
     assert got == want
+
+    # sketch-carried secondary metrics survive the multi-batch fold too:
+    # top-freq/pattern counters and value hashes folded across micro-
+    # batches equal the one-shot secondary profile (the last untested
+    # corner of the metric-complete merge under streaming)
+    sec = {r["column_name"]: r
+           for r in profile_table(src, "orders", run_date=rd,
+                                  secondary=True).collect()}
+    for c, m in merged.items():
+        s = sec[c]
+        for name in ("top_freq_values", "distinct_value_hash",
+                     "top_patterns", "distinct_pattern_ct"):
+            assert m[name] == s[name], (c, name, m[name], s[name])
+
+
+def test_incremental_profile_sink_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: after a failure Structured Streaming
+    may re-deliver the last micro-batch with the SAME batch_id. The sink
+    must treat a batch_id it has already folded as a no-op — otherwise the
+    replay silently doubles record_ct, sums, day sets and every
+    sketch-derived metric (r5 ADVICE)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.streaming.monitors import (
+        incremental_profile_sink)
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    state = str(tmp_path / "profile_state")
+    fold = incremental_profile_sink("orders", state,
+                                    run_date=dt.date(2026, 1, 1))
+    even = src.filter(F.col("o_orderkey") % 2 == 0)
+    odd = src.filter(F.col("o_orderkey") % 2 == 1)
+    fold(even, 0)
+    fold(odd, 1)
+
+    def snap():
+        return sorted(
+            (r["column_name"], r["record_ct"], r["value_ct"],
+             r["null_value_ct"], r["distinct_value_ct"])
+            for r in spark.read.parquet(state).collect())
+
+    before = snap()
+    assert before and before[0][1] == 1500   # both halves folded once
+    fold(odd, 1)    # replay of the last batch — must not re-fold
+    assert snap() == before
+    fold(even, 0)   # stale batch id — must not re-fold either
+    assert snap() == before
+    fold(odd.limit(100), 2)   # a genuinely new batch still folds
+    assert snap() != before
