@@ -20,6 +20,7 @@ from dataops_testgen_spark.execution.cat import run_cat_tests
 from dataops_testgen_spark.execution.defs import TestDef
 from dataops_testgen_spark.pipeline import dedup as DD
 from dataops_testgen_spark.pipeline import multimodal as MM
+from dataops_testgen_spark.pipeline import retrieval as RET
 from dataops_testgen_spark.pipeline import similarity as SIM
 from dataops_testgen_spark.pipeline import text as TX
 from dataops_testgen_spark.profiling.profiler import profile_table
@@ -1399,6 +1400,119 @@ rk AS (SELECT query_id, neighbor_id, est_cos,
 SELECT query_id, neighbor_id, ROUND(est_cos, 5) AS est_cosine,
        rnk::INT AS rank
   FROM rk WHERE rnk <= 5"""
+
+
+def _pq_driver_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic quantizers shared by the IVFADC queries: coarse
+    centroids = the first 8 embeddings, PQ codebook = the 16-dim
+    sub-vectors of the first 16 (the same oracle-checkable trick the
+    standalone IVF/PQ queries use)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    cb = [[list(map(float, r["embedding"]))[s * 16:(s + 1) * 16]
+           for r in rows] for s in range(4)]
+    cents = [list(map(float, rows[i]["embedding"])) for i in range(8)]
+    return emb, cents, cb
+
+
+def q_ivfadc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011's actual search system): IVF cell pruning
+    composed with PQ asymmetric-distance scoring — each query scans the
+    codes of its nprobe=2 nearest coarse cells instead of all N
+    (pipeline/similarity.py pq_index/ivfadc_probe). The oracle re-derives
+    coarse assignment, PQ encoding, LUTs, the cell restriction and the
+    ranking in SQL."""
+    emb, cents, cb = _pq_driver_fixture(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.ivfadc_topk(emb, q, cents, cb, k=5, nprobe=2)
+    return out.select("query_id", "neighbor_id",
+                      F.round("est_cosine", 5).alias("est_cosine"), "rank")
+
+
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index (similarity.py ann_index_append/probe — the
+    vector twin of minhash_index_probe): the even-vec_id half of the
+    corpus is indexed in TWO increments (codes parquet partitioned by
+    ivf_cell + persisted quantizers), then queries probe all indexed
+    history without rescanning it — the probed cells arrive at the scan
+    as partition filters. The oracle runs the same IVFADC math restricted
+    to the even half."""
+    import tempfile
+
+    emb, cents, cb = _pq_driver_fixture(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    d = tempfile.mkdtemp(prefix="ann_idx_")
+    SIM.ann_index_append(base.filter(F.col("vec_id") % 4 == 0), d, cents, cb)
+    SIM.ann_index_append(base.filter(F.col("vec_id") % 4 == 2), d, cents, cb)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.ann_index_probe(q, d, k=5, nprobe=2)
+    return out.select("query_id", "neighbor_id",
+                      F.round("est_cosine", 5).alias("est_cosine"), "rank")
+
+
+def _sql_ivfadc(base_where: str, nprobe: int = 2, k: int = 5) -> str:
+    """DuckDB IVFADC: the _SQL_PQ_TOPK encoding/LUT machinery plus the
+    _SQL_IVF_TOPK coarse assignment, joined so a (query, neighbor) pair
+    only scores when the neighbor's cell is among the query's nprobe
+    probed cells. ``base_where`` restricts which vectors are indexed."""
+    return f"""
+WITH dims AS (
+  SELECT vec_id, embedding[i]::DOUBLE AS x,
+         CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS j
+    FROM embeddings, UNNEST(range(1, 65)) AS r(i)),
+cw AS (SELECT vec_id AS c, s, j, x AS w FROM dims WHERE vec_id < 16),
+cents AS (SELECT vec_id AS cid, embedding AS cemb
+          FROM embeddings WHERE vec_id < 8),
+cp AS (SELECT e.vec_id, c.cid,
+              UNNEST(e.embedding)::DOUBLE AS xa, UNNEST(c.cemb)::DOUBLE AS xb
+       FROM embeddings e CROSS JOIN cents c),
+cs AS (SELECT vec_id, cid,
+              SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS sim
+       FROM cp GROUP BY 1, 2),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell, rn FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+      FROM cs) WHERE rn <= {nprobe}),
+d2 AS (SELECT b.vec_id, b.s, cw.c,
+              SUM((b.x - cw.w) * (b.x - cw.w)) AS dist
+         FROM dims b JOIN cw ON b.s = cw.s AND b.j = cw.j
+        WHERE {base_where}
+        GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, c) AS rn
+              FROM d2) WHERE rn = 1),
+recon AS (SELECT codes.vec_id, SQRT(SUM(cw.w * cw.w)) AS est_norm
+            FROM codes JOIN cw ON codes.s = cw.s AND codes.c = cw.c
+           GROUP BY 1),
+qnorm AS (SELECT vec_id, SQRT(SUM(x * x)) AS qn
+            FROM dims WHERE vec_id < 10 GROUP BY 1),
+lut AS (SELECT q.vec_id AS query_id, cw.s, cw.c, SUM(q.x * cw.w) AS dp
+          FROM dims q JOIN cw ON q.s = cw.s AND q.j = cw.j
+         WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+score AS (SELECT lut.query_id, codes.vec_id AS neighbor_id,
+                 SUM(lut.dp) AS dot
+            FROM codes
+            JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+            JOIN assign ba ON ba.vec_id = codes.vec_id AND ba.rn = 1
+            JOIN assign qa ON qa.vec_id = lut.query_id
+                          AND qa.cell = ba.cell
+           WHERE codes.vec_id != lut.query_id
+           GROUP BY 1, 2),
+est AS (SELECT s.query_id, s.neighbor_id,
+               s.dot / NULLIF(q.qn * r.est_norm, 0) AS est_cos
+          FROM score s JOIN qnorm q ON s.query_id = q.vec_id
+          JOIN recon r ON s.neighbor_id = r.vec_id),
+rk AS (SELECT query_id, neighbor_id, est_cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY est_cos DESC, neighbor_id) AS rnk
+         FROM est)
+SELECT query_id, neighbor_id, ROUND(est_cos, 5) AS est_cosine,
+       rnk::INT AS rank
+  FROM rk WHERE rnk <= {k}"""
 
 
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3246,6 +3360,73 @@ SELECT COUNT(*)::BIGINT AS n_docs,
 # Driver contract
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Q: bm25_topk_documents — lexical retrieval (pipeline/retrieval.py bm25_topk)
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [(1, "spark shuffle window"), (2, "customer filter join"),
+                 (3, "vector scan hash table")]
+
+
+def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per probe query over the documents corpus
+    (pipeline/retrieval.py bm25_topk — Lucene non-negative idf, k1=1.2,
+    b=0.75). Cross-engine determinism comes from the operator's design:
+    the per-(query, doc) score is folded over the TERM-SORTED contribution
+    array in both engines, so double sums are bit-identical and rankings
+    agree; the oracle mirrors the fold with list_reduce over
+    list(contrib ORDER BY term)."""
+    docs = _load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id: int, query_text: string")
+    out = RET.bm25_topk(docs, qs, k=10)
+    return out.select("query_id", F.col("id").alias("doc_id"), "score",
+                      "rnk")
+
+
+def _sql_bm25_topk() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return rf"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       FROM (SELECT doc_id, UNNEST(toks) AS term FROM t) GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                 SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {values}) v(query_id, query_text)),
+qterms AS (SELECT DISTINCT query_id,
+                  UNNEST(CASE WHEN trim(query_text) = '' THEN []::VARCHAR[]
+                         ELSE string_split_regex(trim(lower(query_text)), '\s+')
+                         END) AS term
+           FROM q),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS contrib
+    FROM tf
+    JOIN qterms qt USING (term)
+    JOIN dfreq d USING (term)
+    JOIN dl USING (doc_id)
+   CROSS JOIN stats s),
+scored AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+    FROM contrib GROUP BY 1, 2),
+rk AS (SELECT query_id, doc_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rnk
+         FROM scored)
+SELECT query_id::INT AS query_id, doc_id, ROUND(score, 5) AS score,
+       rnk::INT AS rnk
+  FROM rk WHERE rnk <= 10"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full profile of lineitem at sf0.001 (one agg + one top-k job)."""
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -3260,13 +3441,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- r4 queries that missed the r4 driver window (17) ---
+        # --- new in r6 (must carry the hard driver signal this round) ---
+        "bm25_topk_documents": q_bm25_topk_documents,
+        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
+        "ann_index_probe_embeddings": q_ann_index_probe,
+        # --- the one query never driver-checked through r5 (VERDICT #1) ---
+        "dsir_select_documents": q_dsir_select_documents,
+        # --- r4/r5 queries kept in-window ---
         "merge_defs_fixture": q_merge_defs_fixture,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
-        "chunk_documents": q_chunk_documents,
-        "sample_documents": q_sample_documents,
-        "gopher_quality_documents": q_gopher_quality,
-        "pii_scrub_documents": q_pii_scrub_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "decontaminate_documents": q_decontaminate_documents,
@@ -3313,12 +3496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_documents": q_dsir_weights_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
-        # --- tail: long-stable, driver-green r1-r4, pytest-oracle-pinned ---
+        # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "chunk_documents": q_chunk_documents,
+        "sample_documents": q_sample_documents,
+        "gopher_quality_documents": q_gopher_quality,
+        "pii_scrub_documents": q_pii_scrub_documents,
         "drilldown_unique_orders": q_drilldown_unique_orders,
         "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
         "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
-        "dsir_select_documents": q_dsir_select_documents,
         "gen_constant_history": q_gen_constant_history,
         "schema_drift_log": q_schema_drift_log,
         "score_category_fixture": q_score_category,
@@ -3347,6 +3533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk_documents": _sql_bm25_topk(),
+        "ivfadc_topk_embeddings": _sql_ivfadc("TRUE"),
+        "ann_index_probe_embeddings": _sql_ivfadc("b.vec_id % 2 = 0"),
         "profile_sampled_lineitem": _sql_profile_sampled_numeric(
             "lineitem", "l_orderkey", _SAMPLED_NUM_COLS, 0.25, "r5"),
         "freshness_threshold_events": _SQL_FRESHNESS_THRESHOLD,

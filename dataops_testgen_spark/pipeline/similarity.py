@@ -61,6 +61,23 @@ def collect_normalized(df: DataFrame, id_col: str, vec_col: str):
 MAX_BROADCAST_MATRIX_BYTES = 256 * 1024 * 1024
 
 
+def _rank_topk(scored: DataFrame, k: int, score_col: str = "cosine") -> DataFrame:
+    """Per-query top-k window with NaN-LAST ordering. Spark sorts NaN as
+    the LARGEST double, so a plain ``orderBy(desc)`` would seat zero-norm
+    vectors (cosine undefined → NaN) at rank 1 — while the broadcast-numpy
+    paths' lexsort puts NaN last. Mapping NaN to -inf for the sort (every
+    real cosine ≥ -1 beats it; ties fall to the id tiebreak, numpy
+    lexsort's rule) makes both dispatch branches of brute_force_topk — and
+    lsh/ivf/pq ranking — agree regardless of which side of the size
+    threshold the data lands on."""
+    s = F.col(score_col)
+    sort_key = F.when(F.isnan(s), F.lit(float("-inf"))).otherwise(s)
+    w = Window.partitionBy("query_id").orderBy(sort_key.desc(),
+                                               F.col("neighbor_id").asc())
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+                 .filter(F.col("rank") <= k)
+
+
 def _bruteforce_topk_shuffled(df: DataFrame, queries: DataFrame, k: int,
                               vec_col: str, id_col: str) -> DataFrame:
     """Exact top-k without a driver collect: crossJoin every query against
@@ -76,10 +93,7 @@ def _bruteforce_topk_shuffled(df: DataFrame, queries: DataFrame, k: int,
             .filter(F.col("query_id") != F.col("neighbor_id")))
     scored = _pair_cosine_pandas(cand, "qv", "v",
                                  [("query_id", idt), ("neighbor_id", idt)])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return scored.select("*", F.row_number().over(w).alias("rank")) \
-                 .filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -221,10 +235,7 @@ def lsh_topk(df: DataFrame, queries: DataFrame, n_dims: int, k: int = 10,
             .dropDuplicates(["query_id", "neighbor_id"]))
     scored = _pair_cosine_pandas(cand, "qv", "v",
                                  [("query_id", idt), ("neighbor_id", idt)])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return scored.select("*", F.row_number().over(w).alias("rank")) \
-                 .filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def _assign_cells_pandas(df: DataFrame, centroids: list[list[float]],
@@ -319,10 +330,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame,
     idt = _id_type(df, id_col)
     scored = _pair_cosine_pandas(cand, "qv", "v",
                                  [("query_id", idt), ("neighbor_id", idt)])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return scored.select("*", F.row_number().over(w).alias("rank")) \
-                 .filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def ivf_probe_cells(df: DataFrame, centroids: list[list[float]],
@@ -636,8 +644,233 @@ def pq_encode(df: DataFrame, codebook, vec_col: str = "embedding",
         encode, schema=f"id {idt}, codes array<bigint>, est_norm double")
 
 
+def pq_index(df: DataFrame, centroids: list[list[float]], codebook,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVFADC index rows (Jégou, Douze & Schmid 2011 §V): each base vector
+    coarse-assigned to its nearest centroid AND PQ-encoded, in ONE
+    shuffle-free Arrow pass (the broadcast carries centroids + codebook
+    together, so the corpus is scanned once — not once per quantizer).
+    Returns (id, ivf_cell, codes, est_norm): the relation a production
+    IVFADC system persists — m code bytes + one cell id per vector instead
+    of D floats. Encoding quantizes the raw vector (the paper's refinement
+    encodes the residual x - centroid; raw-vector encoding keeps every
+    stage oracle-checkable in SQL and shares ``pq_encode``'s math).
+    Coarse assignment is cosine-argmax with ties to the lowest centroid
+    index — identical to ``ivf_assign``/``_assign_cells_pandas``."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cmat = np.asarray(centroids, dtype=float)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = np.nan
+    cb = np.asarray(codebook, dtype=float)
+    bc = spark.sparkContext.broadcast((cmat / cn[:, None], cb))
+    idt = _id_type(df, id_col)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents_n, cbv = bc.value
+        m = cbv.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            n = len(x)
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = np.nan
+            sims = (x / norms[:, None]) @ cents_n.T
+            cell = np.argmax(np.nan_to_num(sims, nan=-np.inf), axis=1)
+            xs = x.reshape(n, m, -1)
+            codes = np.empty((n, m), dtype=np.int64)
+            recon_sq = np.zeros(n)
+            for s in range(m):
+                d2 = ((xs[:, s, None, :] - cbv[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+                w = cbv[s][codes[:, s]]
+                recon_sq += (w * w).sum(-1)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "ivf_cell": cell.astype("int32"),
+                                "codes": list(codes),
+                                "est_norm": np.sqrt(recon_sq)})
+
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+    return clean.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id {idt}, ivf_cell int, codes array<bigint>, "
+                    "est_norm double")
+
+
+def _adc_score_pandas(cand: DataFrame, codebook, idt: str) -> DataFrame:
+    """ADC scoring over joined (query vector, base codes) rows: per Arrow
+    batch, ONE m×K lookup table per distinct query (sub-vector·codeword
+    dots against the broadcast codebook), then a vectorized gather+sum
+    across that query's candidate codes — O(m·K·sub) per query plus
+    O(rows·m) gathers, never a per-row LUT rebuild. Input columns:
+    (query_id, qv, neighbor_id, codes, est_norm)."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=float)
+    bc = cand.sparkSession.sparkContext.broadcast(cb)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        cbv = bc.value
+        m = cbv.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist())          # [n, m]
+            norms = pdf["est_norm"].to_numpy(dtype=float)
+            norms = np.where(norms == 0, np.nan, norms)
+            est = np.empty(len(pdf))
+            for _qid, idx in pdf.groupby("query_id").indices.items():
+                qv = np.asarray(pdf["qv"].iloc[idx[0]], dtype=float)
+                qn = np.linalg.norm(qv)
+                lut = np.einsum("sd,scd->sc", qv.reshape(m, -1), cbv)
+                dots = lut[np.arange(m)[None, :], codes[idx]].sum(1)
+                # dot / (qn * norm), matching pq_topk's broadcast kernel
+                # bit-for-bit (float division is not associative)
+                est[idx] = dots / ((qn if qn else np.nan) * norms[idx])
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "est_cosine": est})
+
+    return cand.mapInPandas(
+        score, schema=f"query_id {idt}, neighbor_id {idt}, est_cosine double")
+
+
+def ivfadc_probe(index: DataFrame, queries: DataFrame,
+                 centroids: list[list[float]], codebook, k: int = 10,
+                 nprobe: int = 1, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Search a ``pq_index`` relation: each query probes its ``nprobe``
+    nearest coarse cells and ADC-scores ONLY the codes in those cells —
+    the composition Jégou et al. call IVFADC (inverted file + asymmetric
+    distance). Per-query work is ~nprobe·N/C code gathers instead of N,
+    and nothing is collected to the driver: the candidate restriction is
+    one equi-join on ivf_cell against the (already tiny) code relation.
+    Output (query_id, neighbor_id, est_cosine, rank) with the same
+    NaN-last ranking as every other top-k here."""
+    q = _assign_cells_pandas(queries, centroids, vec_col, id_col,
+                             nprobe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"),
+        F.explode("cells").alias("ivf_cell"))
+    base = index.select(F.col("id").alias("neighbor_id"), "ivf_cell",
+                        "codes", "est_norm")
+    cand = (q.join(base, "ivf_cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "qv", "neighbor_id", "codes", "est_norm"))
+    idt = _id_type(queries, id_col)
+    return _rank_topk(_adc_score_pandas(cand, codebook, idt), k,
+                      "est_cosine")
+
+
+def ivfadc_topk(df: DataFrame, queries: DataFrame,
+                centroids: list[list[float]], codebook, k: int = 10,
+                nprobe: int = 1, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """One-shot IVFADC: build the (cell, codes) index in one Arrow pass
+    over the corpus, then probe it. With ``nprobe`` = len(centroids) the
+    cell restriction vanishes and results equal ``pq_topk`` exactly
+    (pinned by test); at production scale nprobe/C is the recall/cost
+    dial and the index is persisted once (``ann_index_append``) instead
+    of rebuilt per query batch."""
+    idx = pq_index(df, centroids, codebook, vec_col, id_col)
+    return ivfadc_probe(idx, queries, centroids, codebook, k, nprobe,
+                        vec_col, id_col)
+
+
+def ann_index_append(df: DataFrame, index_dir: str,
+                     centroids: list[list[float]], codebook,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Append a batch's IVFADC rows to a PERSISTED vector index — the ANN
+    twin of ``dedup.minhash_index_append``: once an embedding increment is
+    indexed, later probes search ALL history without rescanning (or even
+    retaining) the historical vectors. On disk: ``<dir>/codes`` parquet
+    PARTITIONED BY ivf_cell (so a probe's nprobe-cell restriction becomes
+    static partition pruning — only the probed cells' files are read) plus
+    the quantizers (``centroids``/``codebook``) so the index is
+    self-describing. Index size is O(docs × m) code bytes, ~1000× under
+    the vectors at 100 TB."""
+    import posixpath
+
+    spark = df.sparkSession
+    idx = pq_index(df, centroids, codebook, vec_col, id_col)
+    idx.write.mode("append").partitionBy("ivf_cell") \
+       .parquet(posixpath.join(index_dir, "codes"))
+    # quantizers are immutable per index — idempotent overwrite
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>").coalesce(1) \
+        .write.mode("overwrite").parquet(posixpath.join(index_dir, "centroids"))
+    cb_rows = [(s, c, [float(x) for x in codeword])
+               for s, sub in enumerate(codebook)
+               for c, codeword in enumerate(sub)]
+    spark.createDataFrame(
+        cb_rows, "s int, c int, codeword array<double>").coalesce(1) \
+        .write.mode("overwrite").parquet(posixpath.join(index_dir, "codebook"))
+
+
+def ann_index_probe(queries: DataFrame, index_dir: str, k: int = 10,
+                    nprobe: int = 1, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Top-``k`` neighbors for each query from EVERYTHING indexed so far
+    (IVFADC over the persisted index). The probe collects only the
+    queries' probed cell ids (≤ |queries|·nprobe ints) and pushes them as
+    an ``isin`` filter on the partition column, so Spark plans a scan of
+    JUST those cells' files — probe I/O is nprobe/C of the index
+    regardless of history size. Probing then appending each increment
+    yields exactly the results of one-shot indexing the union (pinned by
+    test_ann_index_incremental_equals_oneshot)."""
+    import posixpath
+
+    import numpy as np
+
+    spark = queries.sparkSession
+    cent_rows = (spark.read.parquet(posixpath.join(index_dir, "centroids"))
+                 .orderBy("cell").collect())
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    cb_rows = (spark.read.parquet(posixpath.join(index_dir, "codebook"))
+               .orderBy("s", "c").collect())
+    m = cb_rows[-1]["s"] + 1
+    kk = cb_rows[-1]["c"] + 1
+    codebook = np.array([r["codeword"] for r in cb_rows]).reshape(m, kk, -1)
+
+    qcells = _assign_cells_pandas(queries, centroids, vec_col, id_col,
+                                  nprobe)
+    probed = sorted({c for r in qcells.select("cells").collect()
+                     for c in r["cells"]})
+    idx = (spark.read.parquet(posixpath.join(index_dir, "codes"))
+           .filter(F.col("ivf_cell").isin(probed)))
+    return ivfadc_probe(idx, queries, centroids, codebook, k, nprobe,
+                        vec_col, id_col)
+
+
+def _pq_topk_shuffled(df: DataFrame, queries: DataFrame, codebook, k: int,
+                      vec_col: str, id_col: str) -> DataFrame:
+    """Full-scan ADC without a driver collect: the code relation stays
+    distributed and every query crossJoins it (O(N·Q) code gathers,
+    Arrow-batched). The fallback when the code matrix exceeds the
+    broadcast cap; ``ivfadc_topk`` is the sublinear path."""
+    enc = pq_encode(df, codebook, vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"), "codes", "est_norm")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    cand = (q.crossJoin(enc)
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    idt = _id_type(df, id_col)
+    return _rank_topk(_adc_score_pandas(cand, codebook, idt), k,
+                      "est_cosine")
+
+
 def pq_topk(df: DataFrame, queries: DataFrame, codebook, k: int = 10,
-            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            max_broadcast_bytes: int = MAX_BROADCAST_MATRIX_BYTES) -> DataFrame:
     """PQ asymmetric-distance top-k: the base side is its PQ CODES only
     (pq_encode), queries stay exact. Per query, one m×K lookup table of
     sub-vector·codeword dots, then a numpy gather+sum over the broadcast
@@ -651,12 +884,20 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebook, k: int = 10,
 
     The codes matrix collected here is N×m int8-scale data (the thing a
     production PQ index persists in RAM); at 100 TB that is still ~1000×
-    smaller than the vectors. A deterministic codebook (sub-vectors of
-    the first K base rows) keeps the whole path oracle-checkable;
-    production would train per-subspace k-means."""
+    smaller than the vectors — but not driver-sized, so the collect gets
+    the same ``max_broadcast_bytes`` dispatch as ``brute_force_topk``:
+    above the cap the call falls back to the exact-same-scoring shuffled
+    crossJoin form (``_pq_topk_shuffled``), and ``ivfadc_topk`` is the
+    sublinear path that prunes the scan to nprobe cells. A deterministic
+    codebook (sub-vectors of the first K base rows) keeps the whole path
+    oracle-checkable; production would train per-subspace k-means."""
     import numpy as np
 
     cb = np.asarray(codebook, dtype=float)
+    n_rows = df.count()
+    # ids + m int64 codes + one norm per row is what the driver would hold
+    if n_rows * (cb.shape[0] * 8 + 16) > max_broadcast_bytes:
+        return _pq_topk_shuffled(df, queries, codebook, k, vec_col, id_col)
     spark = df.sparkSession
     enc = pq_encode(df, codebook, vec_col, id_col).collect()
     ids = np.array([r["id"] for r in enc])

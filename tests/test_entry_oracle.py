@@ -39,28 +39,29 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 10
 
 
-# Queries whose hard driver-correctness signal is the priority this round:
-# the 17 r4 entries that sat past the driver's first-50 oracle window in
-# CORRECTNESS_r04 (VERDICT r4 'do this' #1), plus everything new in r5.
+# Queries whose hard driver-correctness signal is the priority this round
+# (r6): everything NEW this round, plus dsir_select_documents — the only
+# query of r5's 78 that never carried a driver row (VERDICT r5 'do this'
+# #1) — plus the r5 head that stays seated.
 _MUST_BE_IN_DRIVER_WINDOW = {
-    "merge_defs_fixture", "skew_hot_keys_lineitem", "chunk_documents",
-    "sample_documents", "gopher_quality_documents", "pii_scrub_documents",
+    # new in r6
+    "bm25_topk_documents",
+    "ivfadc_topk_embeddings",
+    "ann_index_probe_embeddings",
+    # the one never-driver-checked query
+    "dsir_select_documents",
+    # r5 window keepers
+    "merge_defs_fixture", "skew_hot_keys_lineitem",
     "repetition_flags_documents", "semantic_dedup_embeddings",
     "decontaminate_documents", "c4_clean_documents",
     "unigram_logprob_documents", "boilerplate_dedup_documents",
     "merged_profile_orders", "pack_spans_documents",
     "centroid_outliers_embeddings", "tfidf_keywords_documents",
-    "corpus_report_documents",
-    # new in r5
-    "merged_profile_percentiles",
-    "merged_topfreq_orders",
-    "dup_substrings_documents",
-    "profile_sampled_lineitem",
-    "freshness_threshold_events",
-    "validation_prepass",
-    "incremental_screen_orders",
-    "dsir_weights_documents",
-    "minhash_index_probe_documents",
+    "corpus_report_documents", "merged_profile_percentiles",
+    "merged_topfreq_orders", "dup_substrings_documents",
+    "profile_sampled_lineitem", "freshness_threshold_events",
+    "validation_prepass", "incremental_screen_orders",
+    "dsir_weights_documents", "minhash_index_probe_documents",
     "pq_topk_embeddings",
 }
 
