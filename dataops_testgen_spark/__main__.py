@@ -39,13 +39,23 @@ import os
 import sys
 
 
-def _load_tables(spark, data_dir: str) -> dict:
+def _load_tables(spark, data_dir: str, bucket_dir: str = "") -> dict:
+    """Data-dir tables; with ``bucket_dir`` (prepare-bucketed output) each
+    table reads from its bucketed catalog variant when one exists, so
+    downstream joins/groupBys on the bucket keys plan Exchange-free."""
     from dataops_testgen_spark.io.loaders import load_table
 
+    bucketed = {}
+    if bucket_dir:
+        from dataops_testgen_spark.io.bucketing import register_bucketed
+        bucketed = register_bucketed(spark, bucket_dir)
     tables = {}
     for path in sorted(glob.glob(os.path.join(data_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(path))[0]
-        tables[name] = load_table(spark, data_dir, name)
+        if name in bucketed:
+            tables[name] = spark.table(bucketed[name])
+        else:
+            tables[name] = load_table(spark, data_dir, name)
     return tables
 
 
@@ -132,7 +142,8 @@ def _emit(df, args, csv_name: str) -> None:
 def _store(spark, args):
     from dataops_testgen_spark.store import RunStore
 
-    return RunStore(spark, args.store, project_key=args.project_key)
+    return RunStore(spark, args.store, project_key=args.project_key,
+                    bucket_results=getattr(args, "bucket_store", 0) or None)
 
 
 def _spark():
@@ -263,6 +274,8 @@ def cmd_run_monitor_generation(args) -> int:
 def cmd_run_tests(args) -> int:
     from dataops_testgen_spark.execution.cat import (RESULT_SCHEMA,
                                                      run_cat_tests)
+    from dataops_testgen_spark.execution.query_runner import (QUERY_TYPES,
+                                                              run_query_tests)
     from dataops_testgen_spark.execution.validation import validate_tests
     from dataops_testgen_spark.generation.selection import to_test_defs
     from dataops_testgen_spark.scoring import rollup_scores
@@ -271,7 +284,8 @@ def cmd_run_tests(args) -> int:
     from pyspark.sql import functions as F
 
     spark = _spark()
-    tables = _load_tables(spark, args.data_dir)
+    tables = _load_tables(spark, args.data_dir,
+                          bucket_dir=getattr(args, "bucketed", ""))
     inferred = _profile_all(spark, tables, args.run_date)
     # Reference flow: run-tests executes the suite's STORED definitions
     # (generation is its own command, and manual edits/locks must survive).
@@ -301,7 +315,14 @@ def cmd_run_tests(args) -> int:
     if outcome.errors:
         print(f"validation: {len(outcome.errors)} test(s) reference missing "
               "tables/columns — deactivated with Error results")
-    results = run_cat_tests(tables, outcome.valid, run_date=args.run_date)
+    # reference parity: one run executes BOTH engines — the fused CAT agg
+    # batch and the per-test QUERY pipelines (referential/dupe/timeframe)
+    cat_defs = [t for t in outcome.valid if t.test_type not in QUERY_TYPES]
+    query_defs = [t for t in outcome.valid if t.test_type in QUERY_TYPES]
+    results = run_cat_tests(tables, cat_defs, run_date=args.run_date)
+    qres = run_query_tests(tables, query_defs, run_date=args.run_date)
+    if qres is not None:
+        results = results.unionByName(qres)
     if outcome.errors:
         err_rows = [tuple(e.get(f.name) for f in RESULT_SCHEMA.fields)
                     for e in outcome.errors]
@@ -353,6 +374,25 @@ def cmd_run_tests(args) -> int:
         "table_name string, column_name string, record_ct long, "
         "dq_prevalence double")
     _write(rollup_scores(detail), args.out, "test_scores")
+    return 0
+
+
+def cmd_prepare_bucketed(args) -> int:
+    """One-time physical design for every-cycle referential tests: write
+    the data tables as external bucketed catalog tables keyed on their
+    join/group columns (io/bucketing.py DEFAULT_BUCKET_KEYS). Later
+    ``run-tests --bucketed <dir>`` reads them with compatible
+    HashPartitioning on both sides, so the referential joins and groupBys
+    plan with ZERO shuffle Exchange. No reference counterpart: this is
+    the lakehouse-native equivalent of the app-DB's B-tree indexes."""
+    from dataops_testgen_spark.io.bucketing import bucketize_data_dir
+
+    spark = _spark()
+    out = bucketize_data_dir(spark, args.data_dir, args.bucket_dir,
+                             num_buckets=args.buckets)
+    for t, name in out.items():
+        print(f"{t} -> {name}")
+    print(f"{len(out)} table(s) bucketed -> {args.bucket_dir}")
     return 0
 
 
@@ -857,6 +897,17 @@ def main(argv: list[str] | None = None) -> int:
     cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
     cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)
     p = cmd("run-tests", cmd_run_tests, data=True, gen=True)
+    p.add_argument("--bucketed", default="",
+                   help="bucket dir written by prepare-bucketed: read data "
+                        "tables through their bucketed catalog variants so "
+                        "referential joins/groupBys plan with no shuffle "
+                        "Exchange")
+    p.add_argument("--bucket-store", type=int, default=0,
+                   help="bucket count for the store's result tables "
+                        "(profile/anomaly/test results become bucketed "
+                        "catalog tables keyed on (table_name, column_name) "
+                        "— the scoring-refresh join/rollup path plans "
+                        "Exchange-free; sticky per store root)")
     p.add_argument("--regenerate", action="store_true",
                    help="ignore stored suite definitions and regenerate "
                         "from a fresh profile")
@@ -882,6 +933,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("quick-start")
     p.add_argument("--data-dir", required=True)
     p.set_defaults(fn=cmd_quick_start)
+
+    p = sub.add_parser("prepare-bucketed")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--bucket-dir", required=True,
+                   help="output dir for the bucketed external tables + "
+                        "manifest.json (pass to run-tests --bucketed)")
+    p.add_argument("--buckets", type=int, default=32)
+    p.set_defaults(fn=cmd_prepare_bucketed)
 
     p = cmd("run-rollup-scores", cmd_run_rollup_scores)
     p.add_argument("--kind", default="profile", choices=["profile", "test"],

@@ -38,15 +38,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    num_buckets: int = 32, sort: bool = True,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite", path: str | None = None) -> None:
     """Persist ``df`` as a bucketed catalog table keyed for co-located
-    joins/aggs on ``bucket_cols``."""
+    joins/aggs on ``bucket_cols``. With ``path`` the table is EXTERNAL
+    (data at ``path``), which lets a later session re-register it from
+    the manifest — the in-memory catalog of a non-Hive session dies with
+    the process, the bucketed files don't."""
     if not bucket_cols:
         raise ValueError("bucket_cols must be non-empty")
     w = (df.write.mode(mode)
          .bucketBy(num_buckets, bucket_cols[0], *bucket_cols[1:]))
     if sort:
         w = w.sortBy(bucket_cols[0], *bucket_cols[1:])
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 
@@ -54,6 +59,102 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (bucket metadata comes from the catalog, so
     this is just ``spark.table`` — named for symmetry/discoverability)."""
     return spark.table(table)
+
+
+# Referential join/group keys per fixture table: customer-orders co-bucket
+# on the customer key (Combo_Match / Aggregate_Balance group on it);
+# lineitem on its order key (order-balance pairs); the rest on their PKs.
+DEFAULT_BUCKET_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_custkey"],
+    "lineitem": ["l_orderkey"], "events": ["user_id"],
+    "documents": ["doc_id"], "embeddings": ["vec_id"],
+}
+
+_BUCKET_PREFIX = "tg_bkt"
+
+
+def bucket_table_name(table: str) -> str:
+    return f"{_BUCKET_PREFIX}_{table}"
+
+
+def bucketize_data_dir(spark: SparkSession, data_dir: str, bucket_dir: str,
+                       num_buckets: int = 32,
+                       keys: dict[str, list[str]] | None = None,
+                       tables: list[str] | None = None) -> dict[str, str]:
+    """Write every parquet table in ``data_dir`` as an EXTERNAL bucketed
+    catalog table under ``bucket_dir`` keyed for its referential joins
+    (DEFAULT_BUCKET_KEYS unless overridden) — the one-time
+    physical-design step that makes every subsequent
+    ``run-tests --bucketed`` cycle's joins and groupBys plan
+    Exchange-free. A ``manifest.json`` records each table's bucket spec
+    and schema DDL so a LATER session (non-Hive catalogs are
+    process-scoped) re-registers the same tables with
+    ``register_bucketed``. Returns {table: catalog_name}; tables with no
+    key mapping are skipped (they read from parquet as before)."""
+    import glob
+    import json
+    import os
+
+    keys = {**DEFAULT_BUCKET_KEYS, **(keys or {})}
+    os.makedirs(bucket_dir, exist_ok=True)
+    manifest: dict[str, dict] = {}
+    out: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(data_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        if tables is not None and name not in tables:
+            continue
+        if name not in keys:
+            continue
+        df = spark.read.parquet(path)
+        bucket_cols = [k for k in keys[name] if k in df.columns]
+        if not bucket_cols:
+            continue
+        tbl = bucket_table_name(name)
+        loc = os.path.join(bucket_dir, name)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        write_bucketed(df, tbl, bucket_cols, num_buckets=num_buckets,
+                       path=loc)
+        manifest[name] = {"catalog_name": tbl, "location": loc,
+                          "bucket_cols": bucket_cols,
+                          "num_buckets": num_buckets,
+                          "schema_ddl": df._jdf.schema().toDDL()}
+        out[name] = tbl
+    with open(os.path.join(bucket_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return out
+
+
+def register_bucketed(spark: SparkSession, bucket_dir: str) -> dict[str, str]:
+    """Re-register the external bucketed tables described by
+    ``bucket_dir``'s manifest into THIS session's catalog (no data is
+    read or moved — the DDL points at the bucketed files, whose names
+    carry their bucket ids). Idempotent. Returns {table: catalog_name}."""
+    import json
+    import os
+
+    with open(os.path.join(bucket_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    out: dict[str, str] = {}
+    for name, m in manifest.items():
+        tbl = m["catalog_name"]
+        if not spark.catalog.tableExists(tbl):
+            cols = ", ".join(m["bucket_cols"])
+            spark.sql(
+                f"CREATE TABLE {tbl} ({m['schema_ddl']}) USING parquet "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {m['num_buckets']} BUCKETS "
+                f"LOCATION '{m['location']}'")
+        out[name] = tbl
+    return out
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame | None:
+    """The bucketed catalog variant of a data-dir table, or None if it was
+    never bucketized/registered in this session."""
+    tbl = bucket_table_name(table)
+    return spark.table(tbl) if spark.catalog.tableExists(tbl) else None
 
 
 def is_exchange_free_join(a: DataFrame, b: DataFrame, on: list[str]) -> bool:

@@ -41,21 +41,53 @@ TABLES = (
     "score_cards",
 )
 
+# The store's largest relations and the keys their every-refresh consumers
+# join/group on: the scoring refresh joins profile_anomaly_results to
+# profile_results on (table_name, column_name) and rollup_scores groups on
+# the same pair. Bucketing these three on that key makes the whole scoring
+# path plan with zero shuffle Exchange (the run-id filter stays a parquet
+# min/max pushdown — these are metadata-plane tables, so losing the run-id
+# DIRECTORY pruning costs little next to losing the per-refresh shuffles).
+BUCKETED_STORE_KEYS: dict[str, list[str]] = {
+    "profile_results": ["table_name", "column_name"],
+    "profile_anomaly_results": ["table_name", "column_name"],
+    "test_results": ["table_name", "column_name"],
+}
+
 
 class RunStore:
-    """Append/read accessors + the get_entities query layer."""
+    """Append/read accessors + the get_entities query layer.
+
+    ``bucket_results=N`` switches the BUCKETED_STORE_KEYS tables to
+    external bucketed catalog tables (data stays under the store root);
+    reads re-register the table in a fresh session from the bucketed
+    files, so the layout survives process restarts."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 project_key: str = "DEFAULT"):
+                 project_key: str = "DEFAULT",
+                 bucket_results: int | None = None):
         self.spark = spark
         self.root = root
         self.project_key = project_key
+        self.bucket_results = bucket_results
         os.makedirs(root, exist_ok=True)
         meta = os.path.join(root, "project.json")
         if not os.path.exists(meta):
             with open(meta, "w") as fh:
                 json.dump({"project_key": project_key,
-                           "created": dt.datetime.now().isoformat()}, fh)
+                           "created": dt.datetime.now().isoformat(),
+                           "bucket_results": bucket_results}, fh)
+        else:
+            with open(meta) as fh:
+                m = json.load(fh)
+            if bucket_results is None:
+                # a store written bucketed stays bucketed: later sessions
+                # pick the layout up from the meta, no flag needed
+                self.bucket_results = m.get("bucket_results")
+            elif m.get("bucket_results") != bucket_results:
+                m["bucket_results"] = bucket_results
+                with open(meta, "w") as fh:
+                    json.dump(m, fh)
 
     # -- raw table access ---------------------------------------------------
 
@@ -64,18 +96,63 @@ class RunStore:
             raise ValueError(f"unknown store table {table!r}")
         return os.path.join(self.root, table)
 
+    def _bucketed(self, table: str) -> bool:
+        return bool(self.bucket_results) and table in BUCKETED_STORE_KEYS
+
+    def _catalog_name(self, table: str) -> str:
+        import hashlib
+        h = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        return f"tg_store_{h}_{table}"
+
+    def _bucketed_path(self, table: str) -> str:
+        return self._path(table) + "_bucketed"
+
     def append(self, table: str, df: DataFrame,
                partition_by: str | None = None) -> None:
         """Append-mode parquet write; result tables are directory-partitioned
         on their run/suite id so every entity query's leading filter becomes
         a partition-pruned scan (one run's files read, not the whole
-        history)."""
+        history). In bucketed mode the BUCKETED_STORE_KEYS tables append
+        through the bucketed catalog table instead."""
+        if self._bucketed(table):
+            self._register_bucketed(table)
+            keys = BUCKETED_STORE_KEYS[table]
+            (df.write.mode("append")
+             .bucketBy(self.bucket_results, keys[0], *keys[1:])
+             .sortBy(*keys)
+             .option("path", self._bucketed_path(table))
+             .format("parquet").saveAsTable(self._catalog_name(table)))
+            return
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(self._path(table))
 
+    def _register_bucketed(self, table: str) -> bool:
+        """Re-create the catalog entry for a bucketed store table written
+        by an earlier session (external-table DDL over the existing
+        bucketed files; their names carry the bucket ids). True when the
+        table exists (already or after registration)."""
+        name = self._catalog_name(table)
+        if self.spark.catalog.tableExists(name):
+            return True
+        path = self._bucketed_path(table)
+        if not os.path.isdir(path):
+            return False
+        ddl = self.spark.read.parquet(path)._jdf.schema().toDDL()
+        keys = ", ".join(BUCKETED_STORE_KEYS[table])
+        self.spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {self.bucket_results} BUCKETS LOCATION '{path}'")
+        return True
+
     def read(self, table: str) -> DataFrame | None:
+        if self._bucketed(table):
+            if self._register_bucketed(table):
+                return self.spark.table(self._catalog_name(table))
+            # fall through: a store created without bucketing may still
+            # hold this table as plain parquet
         path = self._path(table)
         if not os.path.isdir(path):
             return None

@@ -446,3 +446,71 @@ def test_diff_profiles_cli(spark, tmp_path):
                       store.diff_profiles(run_a=runs[0]).collect())) == want
     assert sorted(map(tuple,
                       store.diff_profiles(run_b=runs[1]).collect())) == want
+
+
+def test_bucketed_referential_run(spark, tmp_path):
+    """The bucketing layer wired end-to-end through the CLI (r5 VERDICT
+    'do this' #6): prepare-bucketed writes the data tables as external
+    bucketed catalog tables; a STORED suite holding a referential
+    Combo_Match definition executes through run-tests --bucketed (the
+    QUERY-engine leg) and records its result; the same referential detail
+    plan over the bucketed inputs contains NO shuffle Exchange; and with
+    --bucket-store the store's result tables come back as bucketed
+    catalog tables whose scoring join/rollup groupBy also plans
+    Exchange-free — in a FRESH RunStore that learns the layout from the
+    store meta, no flag."""
+    store_dir = str(tmp_path / "appdb")
+    bucket_dir = str(tmp_path / "bkt")
+    csv_dir = str(tmp_path / "csv")
+    os.makedirs(csv_dir)
+    rc = main(["prepare-bucketed", "--data-dir", SF_DIR,
+               "--bucket-dir", bucket_dir, "--buckets", "8"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(bucket_dir, "manifest.json"))
+
+    # store a suite with a referential QUERY test: every ordering customer
+    # must exist in customer (passes on TPC-H by construction)
+    store = RunStore(spark, store_dir)
+    defs_df = spark.createDataFrame(
+        [("Combo_Match", "orders", None,
+          {"groupby_names": "o_custkey", "match_table_name": "customer",
+           "match_groupby_names": "c_custkey", "threshold_value": "0"})],
+        "test_type string, table_name string, column_name string, "
+        "params map<string,string>")
+    store.record_test_generation(defs_df, test_suite_key="ref_suite",
+                                 run_date="2026-01-01")
+    rc = main(["run-tests", "--data-dir", SF_DIR, "--store", store_dir,
+               "--test-suite", "ref_suite", "--bucketed", bucket_dir,
+               "--bucket-store", "8", "--csv-dir", csv_dir])
+    assert rc == 0
+
+    # the referential detail over bucketed inputs: zero shuffle Exchange
+    from dataops_testgen_spark.__main__ import _load_tables
+    from dataops_testgen_spark.execution.defs import TestDef
+    from dataops_testgen_spark.execution.query_runner import (
+        query_test_detail)
+
+    tables = _load_tables(spark, SF_DIR, bucket_dir=bucket_dir)
+    td = TestDef(test_id="cm", test_type="Combo_Match", table_name="orders",
+                 params={"groupby_names": "o_custkey",
+                         "match_table_name": "customer",
+                         "match_groupby_names": "c_custkey",
+                         "threshold_value": 0})
+    plan = (query_test_detail(tables, td)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    # bucketed store: fresh RunStore picks the layout up from the meta and
+    # the rollup-side groupBy on the bucket key plans Exchange-free
+    fresh = RunStore(spark, store_dir)
+    assert fresh.bucket_results == 8
+    res = fresh.read("test_results")
+    assert res is not None
+    cm = res.filter(res.test_type == "Combo_Match").collect()
+    assert len(cm) == 1
+    assert cm[0]["result_status"] == "Passed"
+    assert float(cm[0]["result_measure"]) == 0.0
+    agg_plan = (res.groupBy("table_name", "column_name")
+                .count()._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in agg_plan

@@ -431,3 +431,50 @@ def test_query_tests_on_empty_inputs(spark):
     assert QT.combo_match(a, ["k"], b, ["k"]).count() == 1
     assert QT.aggregate_balance(a, ["k"], F.sum("v"),
                                 b, ["k"], F.sum("v")).count() == 2
+
+
+def test_run_query_tests_dispatch(spark):
+    """The QUERY-engine executor (execution/query_runner.py): stored-def
+    dispatch to the relational pipelines, measure/threshold evaluation via
+    the shared operator table, and per-test error isolation."""
+    from dataops_testgen_spark.execution.query_runner import (
+        QUERY_TYPES, run_query_tests)
+
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "c_custkey: long, c_name: string")
+    orders = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 5.0), (12, 2, 3.0), (13, 9, 1.0)],
+        "o_orderkey: long, o_custkey: long, o_totalprice: double")
+    tables = {"customer": cust, "orders": orders}
+    defs = [
+        # one o_custkey (9) has no customer -> measure 1 -> fail at 0
+        TestDef("t_cm", "Combo_Match", "orders", params={
+            "groupby_names": "o_custkey", "match_table_name": "customer",
+            "match_groupby_names": "c_custkey", "threshold_value": 0}),
+        # per-customer totals orders vs orders: balances exactly -> pass
+        TestDef("t_ab", "Aggregate_Balance", "orders", "o_totalprice",
+                params={"groupby_names": "o_custkey",
+                        "match_table_name": "orders",
+                        "match_groupby_names": "o_custkey",
+                        "match_column_names": "o_totalprice",
+                        "threshold_value": 0}),
+        # two orders share (o_custkey, o_totalprice) -> dupe SUM=2 -> fail
+        TestDef("t_dr", "Dupe_Rows", "orders", params={
+            "groupby_names": "o_custkey,o_totalprice",
+            "threshold_value": 0}),
+        # missing match table -> Error row, run survives
+        TestDef("t_err", "Combo_Match", "orders", params={
+            "groupby_names": "o_custkey", "match_table_name": "nope",
+            "threshold_value": 0}),
+    ]
+    assert all(d.test_type in QUERY_TYPES for d in defs)
+    res = {r["test_id"]: r for r in
+           run_query_tests(tables, defs, run_date="2026-01-01").collect()}
+    assert res["t_cm"]["result_measure"] == 1.0
+    assert res["t_cm"]["result_status"] == "Failed"
+    assert res["t_ab"]["result_measure"] == 0.0
+    assert res["t_ab"]["result_status"] == "Passed"
+    assert res["t_dr"]["result_measure"] == 2.0
+    assert res["t_dr"]["result_status"] == "Failed"
+    assert res["t_err"]["result_status"] == "Error"
+    assert "nope" in res["t_err"]["result_message"]
