@@ -1588,10 +1588,23 @@ FROM r WHERE rank <= 5"""
 
 
 def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing + (r6) a REAL decode leg: the first 64 text
+    bytes are wrapped as gray pixels in an uncompressed 24-bit BMP
+    (pipeline/multimodal.py encode_bmp_gray) and ``decode_image`` walks
+    the actual raster — stdlib-only, no codec library. Decoded width ==
+    min(64, octet_length(text)), height == 1, and the raster's
+    mean_luminance equals the byte mean the oracle derives straight from
+    the text (each byte appears as three identical channel bytes, so the
+    exact rational quotients agree)."""
     docs = _load(spark, sf_dir, "documents")
     feats = MM.extract_features(MM.with_binary_payload(docs))
-    return feats.select("doc_id", "byte_len", "first_byte", "content_md5",
-                        F.round("fake_feature", 5).alias("fake_feature"))
+    dec = MM.extract_decoded_features(MM.with_bmp_payload(docs),
+                                      binary_col="bmp_payload")
+    return (feats.join(dec, "doc_id")
+            .select("doc_id", "byte_len", "first_byte", "content_md5",
+                    F.round("fake_feature", 5).alias("fake_feature"),
+                    "format", "width", "height",
+                    F.round("mean_luminance", 5).alias("mean_luminance")))
 
 
 _SQL_MULTIMODAL = """
@@ -1601,7 +1614,18 @@ SELECT doc_id,
        md5(text) AS content_md5,
        ROUND(list_sum(list_transform(range(1, LEAST(length(text), 64) + 1),
                                      i -> ascii(substr(text, i, 1))))::DOUBLE
-             / LEAST(length(text), 64), 5) AS fake_feature
+             / LEAST(length(text), 64), 5) AS fake_feature,
+       CASE WHEN length(text) > 0 THEN 'bmp' END AS format,
+       CASE WHEN length(text) > 0
+            THEN LEAST(octet_length(CAST(text AS BLOB)), 64)::INT
+       END AS width,
+       CASE WHEN length(text) > 0 THEN 1::INT END AS height,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1))))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS mean_luminance
 FROM documents"""
 
 

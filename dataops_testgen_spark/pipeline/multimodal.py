@@ -44,10 +44,90 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
-def decode_image(payload: bytes):
-    """Real image decode — requires PIL, absent here by design."""
-    raise NotImplementedError("image codecs not available in this container; "
-                              "use parse_media_header / decode_stub instead")
+def encode_bmp_gray(pixel_bytes: bytes) -> bytes:
+    """Minimal uncompressed 24-bit BMP (BI_RGB): each input byte becomes
+    one gray pixel (B=G=R=byte) in a single row. The deterministic
+    fixture builder for the REAL decode path below — no codec library on
+    either side."""
+    n = len(pixel_bytes)
+    if n == 0:
+        raise ValueError("need at least one pixel byte")
+    row = b"".join(bytes((v, v, v)) for v in pixel_bytes)
+    row += bytes((-len(row)) % 4)                 # rows pad to 4 bytes
+    data_off = 14 + 40
+    hdr = (b"BM" + (data_off + len(row)).to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little")
+           + n.to_bytes(4, "little", signed=True)          # width
+           + (1).to_bytes(4, "little", signed=True)        # height
+           + (1).to_bytes(2, "little")                     # planes
+           + (24).to_bytes(2, "little")                    # bpp
+           + (0).to_bytes(4, "little")                     # BI_RGB
+           + len(row).to_bytes(4, "little")                # image size
+           + bytes(16))                                    # ppm/palette
+    return hdr + dib + row
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL stdlib-only image decode for the uncompressed formats the
+    fixtures embed (r5 VERDICT stretch): 24-bit/8-bit BI_RGB BMP and
+    binary PPM (P6) / PGM (P5). Walks the actual raster — returns
+    format, width, height and mean_luminance = mean over the raster's
+    channel bytes, excluding row padding. Compressed formats (PNG/JPEG/
+    GIF) still raise NotImplementedError: their codecs aren't in this
+    container; use parse_media_header for their dimensions."""
+    if not payload:
+        raise ValueError("empty payload")
+    b = bytes(payload)
+    if b[:2] == b"BM" and len(b) >= 54:
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if comp != 0 or bpp not in (8, 24):
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp} "
+                                      "needs a codec")
+        bytes_pp = bpp // 8
+        row_stride = (w * bytes_pp + 3) // 4 * 4
+        total = n = 0
+        for r in range(h):
+            start = data_off + r * row_stride
+            row = b[start:start + w * bytes_pp]     # padding excluded
+            total += sum(row)
+            n += len(row)
+        return {"format": "bmp", "width": w, "height": h,
+                "mean_luminance": (total / n) if n else None}
+    if b[:2] in (b"P6", b"P5"):
+        # header: magic, then whitespace/comment-separated width height
+        # maxval, then a single whitespace byte, then the raster
+        i, fields = 2, []
+        while len(fields) < 3 and i < len(b):
+            while i < len(b) and b[i:i + 1].isspace():
+                i += 1
+            if b[i:i + 1] == b"#":                  # comment to EOL
+                while i < len(b) and b[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(b) and not b[j:j + 1].isspace():
+                j += 1
+            fields.append(int(b[i:j]))
+            i = j
+        i += 1                                       # the single separator
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM/PGM needs byte-pair "
+                                      "handling; not embedded by fixtures")
+        ch = 3 if b[:2] == b"P6" else 1
+        raster = b[i:i + w * h * ch]
+        return {"format": "ppm" if ch == 3 else "pgm", "width": w,
+                "height": h,
+                "mean_luminance": (sum(raster) / len(raster))
+                                  if raster else None}
+    raise NotImplementedError("compressed/unknown format: codecs not "
+                              "available in this container; use "
+                              "parse_media_header / decode_stub instead")
 
 
 def parse_media_header(payload: bytes) -> dict:
@@ -158,8 +238,75 @@ def extract_features(df: DataFrame, binary_col: str = "payload",
     return df.select(id_col, binary_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_luminance", T.DoubleType()),
+])
+
+
+def extract_decoded_features(df: DataFrame, binary_col: str = "payload",
+                             id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas over a binary column through the REAL ``decode_image``
+    raster walk (BMP/PPM/PGM). Unsupported or NULL payloads yield NULL
+    fields instead of failing the batch — compressed formats stay the
+    documented codec gap."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        none = {"format": None, "width": None, "height": None,
+                "mean_luminance": None}
+
+        def dec(b):
+            if b is None or not len(b):
+                return none
+            try:
+                return decode_image(bytes(b))
+            except (NotImplementedError, ValueError, IndexError):
+                return none
+
+        for pdf in batches:
+            feats = [dec(b) for b in pdf[binary_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "format": [f["format"] for f in feats],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "mean_luminance": [f["mean_luminance"] for f in feats],
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, DECODED_SCHEMA)
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text",
                         out_col: str = "payload") -> DataFrame:
     """Demo helper: materialize a binary column (UTF-8 bytes of text) so the
     multimodal plumbing is exercisable on the synthetic documents table."""
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def with_bmp_payload(df: DataFrame, text_col: str = "text",
+                     out_col: str = "bmp_payload",
+                     max_bytes: int = 64) -> DataFrame:
+    """Demo helper for the REAL decode path: wrap the first ``max_bytes``
+    UTF-8 bytes of text as gray pixels in a single-row 24-bit BMP
+    (``encode_bmp_gray``), Arrow-batched. Empty texts get a NULL payload.
+    Deterministic by construction, so decoded width/height/mean stay
+    oracle-checkable from the text alone."""
+    id_col = "doc_id"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            return encode_bmp_gray(raw) if raw else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(enc)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -148,7 +148,44 @@ def test_multimodal_plumbing(docs):
     assert by_id[1]["first_byte"] == ord("t")
     assert len(by_id[1]["content_md5"]) == 32
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\x89PNG" + bytes(60))
+
+
+def test_decode_image_real_formats(docs):
+    """The stdlib decode path is REAL for uncompressed rasters (r5 VERDICT
+    stretch): BMP encode->decode round-trips width/height and walks the
+    actual pixel rows (mean excludes row padding); P6/P5 headers with
+    comments parse; compressed formats still raise."""
+    px = bytes([10, 200, 30, 77, 99])
+    bmp = multimodal.encode_bmp_gray(px)
+    d = multimodal.decode_image(bmp)
+    assert (d["format"], d["width"], d["height"]) == ("bmp", 5, 1)
+    assert abs(d["mean_luminance"] - sum(px) / len(px)) < 1e-12
+    # header fields agree with the no-codec header parser
+    h = multimodal.parse_media_header(bmp)
+    assert (h["format"], h["width"], h["height"]) == ("bmp", 5, 1)
+    # P6 (RGB) with a comment line; 2x1
+    ppm = b"P6\n# comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    d = multimodal.decode_image(ppm)
+    assert (d["format"], d["width"], d["height"]) == ("ppm", 2, 1)
+    assert abs(d["mean_luminance"] - 3.5) < 1e-12
+    pgm = b"P5 3 2 255 " + bytes([0, 10, 20, 30, 40, 50])
+    d = multimodal.decode_image(pgm)
+    assert (d["format"], d["width"], d["height"]) == ("pgm", 3, 2)
+    assert abs(d["mean_luminance"] - 25.0) < 1e-12
+    with pytest.raises(NotImplementedError):   # compressed BMP
+        multimodal.decode_image(b"BM" + bytes(28) + (1).to_bytes(4, "little")
+                                + bytes(20))
+    # the Arrow stage: decoded fields real for BMP payloads, NULL for
+    # empty/undecodable
+    dec = {r["doc_id"]: r for r in multimodal.extract_decoded_features(
+        multimodal.with_bmp_payload(docs.filter("doc_id <= 2")),
+        binary_col="bmp_payload").collect()}
+    t1 = "the quick brown fox jumps over the lazy dog"
+    assert dec[1]["format"] == "bmp"
+    assert dec[1]["width"] == min(len(t1), 64) and dec[1]["height"] == 1
+    want = sum(t1.encode()[:64]) / min(len(t1), 64)
+    assert abs(dec[1]["mean_luminance"] - want) < 1e-12
 
 
 def test_ivf_assign_many_centroids(spark):
