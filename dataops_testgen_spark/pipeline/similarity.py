@@ -596,6 +596,96 @@ def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
     return centroids
 
 
+def train_pq_codebook(df: DataFrame, m: int = 4, k: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      max_iterations: int = 8, tol: float = 1e-4):
+    """Per-subspace Lloyd's k-means for the PQ codebook (Jégou, Douze &
+    Schmid 2011 §II trains one K-word quantizer per sub-vector) —
+    Spark-first, the codebook analogue of ``train_ivf_centroids``.
+
+    Initialization is the deterministic md5-ordered sample the IVF
+    trainer uses (first ``k`` clean rows' sub-vectors), so training is
+    reproducible with no RNG. Each round is ONE Arrow pass: every batch
+    L2-assigns all ``m`` sub-vectors against the broadcast codebook and
+    emits only its per-(subspace, codeword) partial count and coordinate
+    sums — m·K·(sub_dim+1) numbers per batch, folded by a tiny groupBy;
+    the driver updates the codebook from m·K·sub_dim means (metadata
+    scale, never row data), so the loop works unchanged at 100 TB.
+    Assignment ties break to the lowest codeword index — identical to
+    ``pq_encode``. Empty codewords keep their previous value. Stops when
+    the max squared codeword movement drops below ``tol``.
+
+    Returns the [m, k, sub_dim] codebook as nested lists (feedable
+    straight into pq_encode / pq_index / ivfadc_topk).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+    seed_rows = (clean.select(F.col(vec_col).alias("v"),
+                              F.md5(F.col(id_col).cast("string")).alias("h"))
+                 .orderBy("h").limit(k).collect())
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} clean vectors to seed")
+    dim = len(seed_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cb = np.array([[list(map(float, r["v"]))[s * sub:(s + 1) * sub]
+                    for r in seed_rows] for s in range(m)])   # [m, k, sub]
+
+    for _ in range(max_iterations):
+        bc = spark.sparkContext.broadcast(cb)
+
+        def part(batches):
+            import numpy as np
+            import pandas as pd
+
+            cbv = bc.value
+            mm, kk, ss = cbv.shape
+            counts = np.zeros((mm, kk), dtype=np.int64)
+            sums = np.zeros((mm, kk, ss))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=float)
+                              for v in pdf[vec_col]])
+                xs = x.reshape(len(x), mm, ss)
+                for s in range(mm):
+                    d2 = ((xs[:, s, None, :] - cbv[s][None, :, :]) ** 2).sum(-1)
+                    codes = np.argmin(d2, axis=1)
+                    np.add.at(counts[s], codes, 1)
+                    np.add.at(sums[s], codes, xs[:, s, :])
+            s_idx, c_idx = np.nonzero(counts)
+            yield pd.DataFrame({
+                "s": s_idx.astype("int32"), "c": c_idx.astype("int32"),
+                "ct": counts[s_idx, c_idx],
+                "vsum": [list(v) for v in sums[s_idx, c_idx]]})
+
+        parts = clean.select(vec_col).mapInPandas(
+            part, schema="s int, c int, ct long, vsum array<double>")
+        folded = (parts.select("s", "c", "ct",
+                               F.posexplode("vsum").alias("j", "x"))
+                  .groupBy("s", "c", "j")
+                  .agg(F.sum("ct").alias("ct"), F.sum("x").alias("xs"))
+                  .collect())
+        new_cb = cb.copy()
+        agg: dict[tuple[int, int], tuple[int, dict[int, float]]] = {}
+        for r in folded:
+            key = (r["s"], r["c"])
+            ct, dims = agg.setdefault(key, (r["ct"], {}))
+            dims[r["j"]] = r["xs"]
+        for (s, c), (ct, dims) in agg.items():
+            if ct and len(dims) == sub:
+                new_cb[s, c] = [dims[j] / ct for j in range(sub)]
+        shift = float(((new_cb - cb) ** 2).sum(axis=2).max())
+        cb = new_cb
+        if shift < tol:
+            break
+    return [[list(map(float, w)) for w in cb[s]] for s in range(m)]
+
+
 def pq_encode(df: DataFrame, codebook, vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
     """Product-quantization encoding (Jégou, Douze & Schmid 2011): split

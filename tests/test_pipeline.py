@@ -1037,6 +1037,39 @@ def test_ivfadc_pruning_and_recall(spark, sf_dir):
     assert hits / total > 0.2, (hits, total)
 
 
+def test_train_pq_codebook(spark, sf_dir):
+    """Distributed per-subspace k-means: deterministic (md5-ordered seed,
+    no RNG), monotone — the trained codebook's quantization error is no
+    worse than its seed's (Lloyd's never increases the objective) and
+    strictly better here — and shaped [m, k, sub] for pq_encode."""
+    import numpy as np
+
+    from dataops_testgen_spark.io.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = similarity.train_pq_codebook(emb, m=4, k=16)
+    again = similarity.train_pq_codebook(emb, m=4, k=16)
+    assert trained == again
+    assert (len(trained), len(trained[0]), len(trained[0][0])) == (4, 16, 16)
+
+    # seed codebook = iteration-zero state: same init, zero rounds
+    seed = similarity.train_pq_codebook(emb, m=4, k=16, max_iterations=0)
+
+    x = np.array([np.asarray(r["embedding"], dtype=float)
+                  for r in emb.collect()])
+    xs = x.reshape(len(x), 4, 16)
+
+    def sse(cb):
+        cbv = np.asarray(cb)
+        total = 0.0
+        for s in range(4):
+            d2 = ((xs[:, s, None, :] - cbv[s][None, :, :]) ** 2).sum(-1)
+            total += d2.min(axis=1).sum()
+        return total
+
+    assert sse(trained) < sse(seed)
+
+
 def test_ann_index_incremental_equals_oneshot(spark, sf_dir, tmp_path):
     """Persisted IVFADC index: appending the corpus in two increments then
     probing equals probing a one-shot index of the union — the ANN leg of
