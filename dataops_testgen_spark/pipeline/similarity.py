@@ -735,16 +735,23 @@ def pq_encode(df: DataFrame, codebook, vec_col: str = "embedding",
 
 
 def pq_index(df: DataFrame, centroids: list[list[float]], codebook,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             residual: bool = False) -> DataFrame:
     """IVFADC index rows (Jégou, Douze & Schmid 2011 §V): each base vector
     coarse-assigned to its nearest centroid AND PQ-encoded, in ONE
     shuffle-free Arrow pass (the broadcast carries centroids + codebook
     together, so the corpus is scanned once — not once per quantizer).
     Returns (id, ivf_cell, codes, est_norm): the relation a production
     IVFADC system persists — m code bytes + one cell id per vector instead
-    of D floats. Encoding quantizes the raw vector (the paper's refinement
-    encodes the residual x - centroid; raw-vector encoding keeps every
-    stage oracle-checkable in SQL and shares ``pq_encode``'s math).
+    of D floats.
+
+    ``residual=False`` quantizes the raw vector (shares ``pq_encode``'s
+    math, keeping every stage oracle-checkable in SQL);
+    ``residual=True`` is the paper's actual refinement — quantize
+    r = x − centroid[cell], whose spread is much smaller than the
+    vectors', so the same codebook budget spends itself on finer error.
+    In both modes est_norm is the reconstruction's true norm
+    (|centroid + r̂| for residuals), so ADC cosine needs no extra state.
     Coarse assignment is cosine-argmax with ties to the lowest centroid
     index — identical to ``ivf_assign``/``_assign_cells_pandas``."""
     import numpy as np
@@ -754,14 +761,14 @@ def pq_index(df: DataFrame, centroids: list[list[float]], codebook,
     cn = np.linalg.norm(cmat, axis=1)
     cn[cn == 0] = np.nan
     cb = np.asarray(codebook, dtype=float)
-    bc = spark.sparkContext.broadcast((cmat / cn[:, None], cb))
+    bc = spark.sparkContext.broadcast((cmat, cmat / cn[:, None], cb))
     idt = _id_type(df, id_col)
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
-        cents_n, cbv = bc.value
+        cents, cents_n, cbv = bc.value
         m = cbv.shape[0]
         for pdf in batches:
             if not len(pdf):
@@ -772,18 +779,29 @@ def pq_index(df: DataFrame, centroids: list[list[float]], codebook,
             norms[norms == 0] = np.nan
             sims = (x / norms[:, None]) @ cents_n.T
             cell = np.argmax(np.nan_to_num(sims, nan=-np.inf), axis=1)
-            xs = x.reshape(n, m, -1)
+            target = x - cents[cell] if residual else x
+            xs = target.reshape(n, m, -1)
             codes = np.empty((n, m), dtype=np.int64)
             recon_sq = np.zeros(n)
+            recon = np.empty_like(target) if residual else None
             for s in range(m):
                 d2 = ((xs[:, s, None, :] - cbv[s][None, :, :]) ** 2).sum(-1)
                 codes[:, s] = np.argmin(d2, axis=1)
                 w = cbv[s][codes[:, s]]
+                # raw mode keeps pq_encode's exact per-subspace fold so the
+                # oracle-matched est_norm doubles are bit-identical
                 recon_sq += (w * w).sum(-1)
+                if residual:
+                    recon.reshape(n, m, -1)[:, s, :] = w
+            if residual:
+                full = recon + cents[cell]
+                est_norm = np.sqrt((full * full).sum(-1))
+            else:
+                est_norm = np.sqrt(recon_sq)
             yield pd.DataFrame({"id": pdf[id_col],
                                 "ivf_cell": cell.astype("int32"),
                                 "codes": list(codes),
-                                "est_norm": np.sqrt(recon_sq)})
+                                "est_norm": est_norm})
 
     clean = df.filter(F.col(vec_col).isNotNull()
                       & ~F.exists(vec_col, lambda x: x.isNull()))
@@ -792,23 +810,31 @@ def pq_index(df: DataFrame, centroids: list[list[float]], codebook,
                     "est_norm double")
 
 
-def _adc_score_pandas(cand: DataFrame, codebook, idt: str) -> DataFrame:
+def _adc_score_pandas(cand: DataFrame, codebook, idt: str,
+                      centroids: list[list[float]] | None = None) -> DataFrame:
     """ADC scoring over joined (query vector, base codes) rows: per Arrow
     batch, ONE m×K lookup table per distinct query (sub-vector·codeword
     dots against the broadcast codebook), then a vectorized gather+sum
     across that query's candidate codes — O(m·K·sub) per query plus
     O(rows·m) gathers, never a per-row LUT rebuild. Input columns:
-    (query_id, qv, neighbor_id, codes, est_norm)."""
+    (query_id, qv, neighbor_id, codes, est_norm).
+
+    With ``centroids`` the codes are RESIDUAL codes (pq_index
+    residual=True): the reconstruction is centroid + r̂, so the dot gains
+    a q·centroid term — one [n_queries × C] matmul per batch against the
+    broadcast centroid matrix, gathered per row by the required
+    ``ivf_cell`` column."""
     import numpy as np
 
     cb = np.asarray(codebook, dtype=float)
-    bc = cand.sparkSession.sparkContext.broadcast(cb)
+    cents = None if centroids is None else np.asarray(centroids, dtype=float)
+    bc = cand.sparkSession.sparkContext.broadcast((cb, cents))
 
     def score(batches):
         import numpy as np
         import pandas as pd
 
-        cbv = bc.value
+        cbv, cv = bc.value
         m = cbv.shape[0]
         for pdf in batches:
             if not len(pdf):
@@ -816,12 +842,15 @@ def _adc_score_pandas(cand: DataFrame, codebook, idt: str) -> DataFrame:
             codes = np.array(pdf["codes"].tolist())          # [n, m]
             norms = pdf["est_norm"].to_numpy(dtype=float)
             norms = np.where(norms == 0, np.nan, norms)
+            cells = (pdf["ivf_cell"].to_numpy() if cv is not None else None)
             est = np.empty(len(pdf))
             for _qid, idx in pdf.groupby("query_id").indices.items():
                 qv = np.asarray(pdf["qv"].iloc[idx[0]], dtype=float)
                 qn = np.linalg.norm(qv)
                 lut = np.einsum("sd,scd->sc", qv.reshape(m, -1), cbv)
                 dots = lut[np.arange(m)[None, :], codes[idx]].sum(1)
+                if cv is not None:
+                    dots = dots + cv[cells[idx]] @ qv
                 # dot / (qn * norm), matching pq_topk's broadcast kernel
                 # bit-for-bit (float division is not associative)
                 est[idx] = dots / ((qn if qn else np.nan) * norms[idx])
@@ -836,7 +865,7 @@ def _adc_score_pandas(cand: DataFrame, codebook, idt: str) -> DataFrame:
 def ivfadc_probe(index: DataFrame, queries: DataFrame,
                  centroids: list[list[float]], codebook, k: int = 10,
                  nprobe: int = 1, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id", residual: bool = False) -> DataFrame:
     """Search a ``pq_index`` relation: each query probes its ``nprobe``
     nearest coarse cells and ADC-scores ONLY the codes in those cells —
     the composition Jégou et al. call IVFADC (inverted file + asymmetric
@@ -851,27 +880,33 @@ def ivfadc_probe(index: DataFrame, queries: DataFrame,
         F.explode("cells").alias("ivf_cell"))
     base = index.select(F.col("id").alias("neighbor_id"), "ivf_cell",
                         "codes", "est_norm")
+    keep = ["query_id", "qv", "neighbor_id", "codes", "est_norm"]
+    if residual:
+        keep.append("ivf_cell")     # the q·centroid term needs the cell
     cand = (q.join(base, "ivf_cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "qv", "neighbor_id", "codes", "est_norm"))
+            .select(*keep))
     idt = _id_type(queries, id_col)
-    return _rank_topk(_adc_score_pandas(cand, codebook, idt), k,
-                      "est_cosine")
+    scored = _adc_score_pandas(cand, codebook, idt,
+                               centroids=centroids if residual else None)
+    return _rank_topk(scored, k, "est_cosine")
 
 
 def ivfadc_topk(df: DataFrame, queries: DataFrame,
                 centroids: list[list[float]], codebook, k: int = 10,
                 nprobe: int = 1, vec_col: str = "embedding",
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id", residual: bool = False) -> DataFrame:
     """One-shot IVFADC: build the (cell, codes) index in one Arrow pass
     over the corpus, then probe it. With ``nprobe`` = len(centroids) the
     cell restriction vanishes and results equal ``pq_topk`` exactly
     (pinned by test); at production scale nprobe/C is the recall/cost
     dial and the index is persisted once (``ann_index_append``) instead
-    of rebuilt per query batch."""
-    idx = pq_index(df, centroids, codebook, vec_col, id_col)
+    of rebuilt per query batch. ``residual=True`` switches both halves
+    to residual encoding/scoring — the paper's full IVFADC."""
+    idx = pq_index(df, centroids, codebook, vec_col, id_col,
+                   residual=residual)
     return ivfadc_probe(idx, queries, centroids, codebook, k, nprobe,
-                        vec_col, id_col)
+                        vec_col, id_col, residual=residual)
 
 
 def ann_index_append(df: DataFrame, index_dir: str,

@@ -1037,6 +1037,51 @@ def test_ivfadc_pruning_and_recall(spark, sf_dir):
     assert hits / total > 0.2, (hits, total)
 
 
+def test_ivfadc_residual_matches_numpy_reference(spark, sf_dir):
+    """residual=True is the paper's full IVFADC (quantize x − centroid,
+    score dot = q·centroid + LUT(residual codes)). Pin the distributed
+    pipeline against an independent plain-numpy implementation of exactly
+    that math, at full probe so every (query, neighbor) pair is scored."""
+    import numpy as np
+
+    emb, cents, codebook = _pq_fixture(spark, sf_dir)
+    q = emb.filter("vec_id < 10")
+    got = {(r["query_id"], r["neighbor_id"]):
+           (round(r["est_cosine"], 9), r["rank"])
+           for r in similarity.ivfadc_topk(emb, q, cents, codebook, k=5,
+                                           nprobe=len(cents),
+                                           residual=True).collect()}
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([np.asarray(r["embedding"], dtype=float) for r in rows])
+    cv = np.asarray(cents)
+    cbv = np.asarray(codebook)
+    m, _k, sub = cbv.shape
+    cn = np.linalg.norm(cv, axis=1)
+    xn = np.linalg.norm(x, axis=1)
+    cell = np.argmax((x / xn[:, None]) @ (cv / cn[:, None]).T, axis=1)
+    resid = (x - cv[cell]).reshape(len(x), m, sub)
+    codes = np.stack([((resid[:, s, None, :] - cbv[s][None]) ** 2)
+                      .sum(-1).argmin(1) for s in range(m)], axis=1)
+    recon = np.concatenate([cbv[s][codes[:, s]] for s in range(m)],
+                           axis=1) + cv[cell]
+    est_norm = np.linalg.norm(recon, axis=1)
+    want = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= 10:
+            continue
+        qv = x[qi]
+        lut = np.einsum("sd,scd->sc", qv.reshape(m, sub), cbv)
+        dots = lut[np.arange(m)[None, :], codes].sum(1) + cv[cell] @ qv
+        est = dots / (xn[qi] * est_norm)
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -est[mask]))[:5]
+        for rk, j in enumerate(order, 1):
+            want[(ids[qi], ids[mask][j])] = (round(est[mask][j], 9), rk)
+    assert got == want and got
+
+
 def test_train_pq_codebook(spark, sf_dir):
     """Distributed per-subspace k-means: deterministic (md5-ordered seed,
     no RNG), monotone — the trained codebook's quantization error is no
