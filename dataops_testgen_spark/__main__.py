@@ -545,7 +545,10 @@ def cmd_quick_start(args) -> int:
     os.makedirs(args.data_dir, exist_ok=True)
     tables = build_quickstart_tables(spark)
     for name, df in tables.items():
-        df.coalesce(1).write.mode("overwrite").parquet(
+        # repartition, not coalesce: coalescing a createDataFrame local
+        # relation makes one task run every pickled slice through
+        # sequential Python-worker round-trips (~5 s/table on local[32])
+        df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(args.data_dir, f"{name}.parquet"))
         print(f"wrote {name}.parquet ({df.count()} rows)")
     print(f"quick-start data in {args.data_dir}; next: run-profile "

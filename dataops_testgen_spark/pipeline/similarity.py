@@ -928,17 +928,20 @@ def ann_index_append(df: DataFrame, index_dir: str,
     idx = pq_index(df, centroids, codebook, vec_col, id_col)
     idx.write.mode("append").partitionBy("ivf_cell") \
        .parquet(posixpath.join(index_dir, "codes"))
-    # quantizers are immutable per index — idempotent overwrite
-    spark.createDataFrame(
+    # quantizers are immutable per index — idempotent overwrite (single-
+    # slice writes: see io/fs.py write_small_df for why not coalesce(1))
+    from dataops_testgen_spark.io.fs import write_small_df
+
+    write_small_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>").coalesce(1) \
-        .write.mode("overwrite").parquet(posixpath.join(index_dir, "centroids"))
+        "cell int, centroid array<double>",
+        posixpath.join(index_dir, "centroids"))
     cb_rows = [(s, c, [float(x) for x in codeword])
                for s, sub in enumerate(codebook)
                for c, codeword in enumerate(sub)]
-    spark.createDataFrame(
-        cb_rows, "s int, c int, codeword array<double>").coalesce(1) \
-        .write.mode("overwrite").parquet(posixpath.join(index_dir, "codebook"))
+    write_small_df(spark, cb_rows, "s int, c int, codeword array<double>",
+                   posixpath.join(index_dir, "codebook"))
 
 
 def ann_index_probe(queries: DataFrame, index_dir: str, k: int = 10,

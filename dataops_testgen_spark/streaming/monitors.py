@@ -197,6 +197,58 @@ def streaming_exact_dedup(
     return out.drop(content_key) if text_col is not None else out
 
 
+def _already_folded(spark, marker_dir: str, batch_id: int) -> bool:
+    """Replay guard shared by the stateful foreachBatch sinks: batch ids
+    are monotonic per query, so one persisted scalar decides whether an
+    (at-least-once re-delivered) batch was already folded."""
+    from dataops_testgen_spark.io.fs import path_exists
+
+    if not path_exists(spark, marker_dir):
+        return False
+    last = spark.read.parquet(marker_dir).first()
+    return last is not None and batch_id <= last["batch_id"]
+
+
+def _mark_folded(spark, marker_dir: str, batch_id: int) -> None:
+    from dataops_testgen_spark.io.fs import write_small_df
+
+    write_small_df(spark, [(int(batch_id),)], "batch_id long", marker_dir)
+
+
+def ann_index_sink(index_dir: str, centroids: list[list[float]], codebook,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """foreachBatch sink that maintains the PERSISTED IVFADC vector index
+    (similarity.ann_index_append) from a stream — the ANN leg of the
+    streaming-incremental story (profiles: ``incremental_profile_sink``;
+    the index state is cell-partitioned codes + quantizers, so state size
+    is O(rows × m) code bytes, never vectors). Same monotone-batch-id
+    replay guard as the profile sink: a re-delivered micro-batch must not
+    double-append its codes (duplicate index rows would surface duplicate
+    (query, neighbor) candidates at probe time).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(ann_index_sink(index_dir, centroids, codebook))
+             .trigger(availableNow=True).start())
+    """
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from dataops_testgen_spark.pipeline.similarity import (
+            ann_index_append)
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker_dir = index_dir.rstrip("/") + "__last_batch"
+        if _already_folded(spark, marker_dir, batch_id):
+            return
+        ann_index_append(batch_df, index_dir, centroids, codebook,
+                         vec_col, id_col)
+        _mark_folded(spark, marker_dir, batch_id)
+
+    return fold
+
+
 def incremental_profile_sink(table_name: str, state_dir: str,
                              run_date=None, sketch_capacity: int = 4096,
                              screen_dir: str | None = None):
@@ -242,10 +294,8 @@ def incremental_profile_sink(table_name: str, state_dir: str,
         # replay guard: skip batch ids already folded into the state
         marker_dir = state_dir.rstrip("/") + "__last_batch"
         have_state = path_exists(spark, state_dir)
-        if have_state and path_exists(spark, marker_dir):
-            last = spark.read.parquet(marker_dir).first()
-            if last is not None and batch_id <= last["batch_id"]:
-                return
+        if have_state and _already_folded(spark, marker_dir, batch_id):
+            return
         # approx=True: every folded field is count- or sketch-derived, so
         # the exact-distinct/percentile side jobs would be pure waste here
         prof = profile_table(batch_df, table_name, run_date=run_date,
@@ -256,12 +306,15 @@ def incremental_profile_sink(table_name: str, state_dir: str,
             prev = spark.read.parquet(state_dir).select(*cols)
             prof = merge_profiles(prev.unionByName(prof.select(*cols)))
         # the state is metadata-plane (one row per column) — materialize on
-        # the driver before overwriting the very path we just read from
+        # the driver before overwriting the very path we just read from.
+        # Single-slice parallelize: createDataFrame+coalesce(1) would make
+        # one task pay 32 sequential Python-worker evals PER MICRO-BATCH
+        # (io/fs.py write_small_df rationale)
         rows = prof.select(*cols).collect()
-        merged = spark.createDataFrame(rows, PROFILE_SCHEMA)
-        merged.coalesce(1).write.mode("overwrite").parquet(state_dir)
-        spark.createDataFrame([(int(batch_id),)], "batch_id long") \
-            .coalesce(1).write.mode("overwrite").parquet(marker_dir)
+        merged = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA)
+        merged.write.mode("overwrite").parquet(state_dir)
+        _mark_folded(spark, marker_dir, batch_id)
         if screen_dir is not None:
             # continuous DQ: re-run the SAME inference cascade + hygiene
             # screen the batch path uses, over the running merged profile

@@ -316,3 +316,50 @@ def test_incremental_profile_sink_replayed_batch_is_skipped(spark, tmp_path):
     assert snap() == before
     fold(odd.limit(100), 2)   # a genuinely new batch still folds
     assert snap() != before
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """A stream maintains the persisted IVFADC index: availableNow over
+    two parquet files (one micro-batch each) appends codes per batch via
+    ann_index_sink; probing afterwards equals a one-shot index of all the
+    data, and a replayed batch_id is a no-op (no duplicate codes)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline import similarity
+    from dataops_testgen_spark.streaming.monitors import ann_index_sink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    codebook = [[list(map(float, r["embedding"]))[s * 16:(s + 1) * 16]
+                 for r in rows] for s in range(4)]
+    cents = [list(map(float, r["embedding"])) for r in rows[:8]]
+
+    src = str(tmp_path / "stream_src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+       .write.mode("overwrite").parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+       .write.mode("append").parquet(src)
+    idx = str(tmp_path / "ann_idx")
+    q = (spark.readStream.schema(emb.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(ann_index_sink(idx, cents, codebook))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    queries = emb.filter("vec_id < 10")
+    probed = similarity.ann_index_probe(queries, idx, k=5, nprobe=2)
+    oneshot = similarity.ivfadc_probe(
+        similarity.pq_index(emb, cents, codebook), queries, cents,
+        codebook, k=5, nprobe=2)
+
+    def canon(df):
+        return sorted((r["query_id"], r["neighbor_id"],
+                       round(r["est_cosine"], 9), r["rank"])
+                      for r in df.collect())
+    assert canon(probed) == canon(oneshot) and canon(probed)
+
+    # replayed batch id -> no duplicate codes appended
+    n_before = spark.read.parquet(idx + "/codes").count()
+    ann_index_sink(idx, cents, codebook)(emb.limit(50), 1)
+    assert spark.read.parquet(idx + "/codes").count() == n_before
