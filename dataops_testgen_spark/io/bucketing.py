@@ -75,8 +75,14 @@ DEFAULT_BUCKET_KEYS: dict[str, list[str]] = {
 _BUCKET_PREFIX = "tg_bkt"
 
 
-def bucket_table_name(table: str) -> str:
-    return f"{_BUCKET_PREFIX}_{table}"
+def bucket_table_name(table: str, bucket_dir: str) -> str:
+    """Catalog name scoped by the bucket dir (hash suffix): two bucket
+    dirs in one session must not silently alias each other's tables."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(bucket_dir).encode()).hexdigest()[:8]
+    return f"{_BUCKET_PREFIX}_{h}_{table}"
 
 
 def bucketize_data_dir(spark: SparkSession, data_dir: str, bucket_dir: str,
@@ -111,7 +117,7 @@ def bucketize_data_dir(spark: SparkSession, data_dir: str, bucket_dir: str,
         bucket_cols = [k for k in keys[name] if k in df.columns]
         if not bucket_cols:
             continue
-        tbl = bucket_table_name(name)
+        tbl = bucket_table_name(name, bucket_dir)
         loc = os.path.join(bucket_dir, name)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         write_bucketed(df, tbl, bucket_cols, num_buckets=num_buckets,
@@ -150,10 +156,11 @@ def register_bucketed(spark: SparkSession, bucket_dir: str) -> dict[str, str]:
     return out
 
 
-def load_bucketed(spark: SparkSession, table: str) -> DataFrame | None:
+def load_bucketed(spark: SparkSession, table: str,
+                  bucket_dir: str) -> DataFrame | None:
     """The bucketed catalog variant of a data-dir table, or None if it was
     never bucketized/registered in this session."""
-    tbl = bucket_table_name(table)
+    tbl = bucket_table_name(table, bucket_dir)
     return spark.table(tbl) if spark.catalog.tableExists(tbl) else None
 
 

@@ -85,6 +85,13 @@ class RunStore:
                 # pick the layout up from the meta, no flag needed
                 self.bucket_results = m.get("bucket_results")
             elif m.get("bucket_results") != bucket_results:
+                if m.get("bucket_results"):
+                    # appending with a different bucket count into the
+                    # existing bucketed files would corrupt the layout
+                    raise ValueError(
+                        f"store at {root} is bucketed with "
+                        f"{m['bucket_results']} buckets; cannot switch to "
+                        f"{bucket_results} (rewrite the store to change)")
                 m["bucket_results"] = bucket_results
                 with open(meta, "w") as fh:
                     json.dump(m, fh)

@@ -514,3 +514,16 @@ def test_bucketed_referential_run(spark, tmp_path):
     agg_plan = (res.groupBy("table_name", "column_name")
                 .count()._jdf.queryExecution().executedPlan().toString())
     assert "Exchange hashpartitioning" not in agg_plan
+
+
+def test_bucket_store_count_change_refused(spark, tmp_path):
+    """Appending with a different bucket count into an established
+    bucketed store would corrupt the file layout — refused explicitly."""
+    import pytest as _pytest
+
+    store_dir = str(tmp_path / "appdb")
+    RunStore(spark, store_dir, bucket_results=8)
+    RunStore(spark, store_dir, bucket_results=8)           # same: fine
+    assert RunStore(spark, store_dir).bucket_results == 8  # sticky
+    with _pytest.raises(ValueError, match="bucketed with 8"):
+        RunStore(spark, store_dir, bucket_results=16)
