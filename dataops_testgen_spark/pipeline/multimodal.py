@@ -44,28 +44,144 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
-def encode_bmp_gray(pixel_bytes: bytes) -> bytes:
+def encode_bmp_gray(pixel_bytes: bytes, width: int | None = None) -> bytes:
     """Minimal uncompressed 24-bit BMP (BI_RGB): each input byte becomes
-    one gray pixel (B=G=R=byte) in a single row. The deterministic
-    fixture builder for the REAL decode path below — no codec library on
-    either side."""
+    one gray pixel (B=G=R=byte), ``width`` pixels per row (default: one
+    single row). ``len(pixel_bytes)`` must divide evenly into rows. The
+    deterministic fixture builder for the REAL decode path below — no
+    codec library on either side."""
     n = len(pixel_bytes)
     if n == 0:
         raise ValueError("need at least one pixel byte")
-    row = b"".join(bytes((v, v, v)) for v in pixel_bytes)
-    row += bytes((-len(row)) % 4)                 # rows pad to 4 bytes
+    w = width or n
+    if n % w:
+        raise ValueError(f"{n} pixels do not fill rows of width {w}")
+    h = n // w
+    stride_pad = (-(w * 3)) % 4                   # rows pad to 4 bytes
+    rows = []
+    # BMP stores rows bottom-up; emit them so row 0 is the TOP row
+    for r in range(h - 1, -1, -1):
+        seg = pixel_bytes[r * w:(r + 1) * w]
+        rows.append(b"".join(bytes((v, v, v)) for v in seg)
+                    + bytes(stride_pad))
+    raster = b"".join(rows)
     data_off = 14 + 40
-    hdr = (b"BM" + (data_off + len(row)).to_bytes(4, "little")
+    hdr = (b"BM" + (data_off + len(raster)).to_bytes(4, "little")
            + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little"))
     dib = ((40).to_bytes(4, "little")
-           + n.to_bytes(4, "little", signed=True)          # width
-           + (1).to_bytes(4, "little", signed=True)        # height
+           + w.to_bytes(4, "little", signed=True)          # width
+           + h.to_bytes(4, "little", signed=True)          # height (+: bottom-up)
            + (1).to_bytes(2, "little")                     # planes
            + (24).to_bytes(2, "little")                    # bpp
            + (0).to_bytes(4, "little")                     # BI_RGB
-           + len(row).to_bytes(4, "little")                # image size
+           + len(raster).to_bytes(4, "little")             # image size
            + bytes(16))                                    # ppm/palette
-    return hdr + dib + row
+    return hdr + dib + raster
+
+
+def decode_bmp_gray(payload: bytes):
+    """(width, height, top-down gray pixel bytes) from an uncompressed
+    24-bit BI_RGB BMP, taking the blue channel as the gray value — the
+    raster accessor ``resize_image`` builds on. Stdlib-only."""
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 54:
+        raise NotImplementedError("not an uncompressed BMP")
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        start = data_off + r * stride
+        rows.append(bytes(b[start + 3 * i] for i in range(w)))
+    if h_raw > 0:                  # bottom-up storage -> flip to top-down
+        rows.reverse()
+    return w, h, b"".join(rows)
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbour resize of an uncompressed 24-bit BMP — REAL,
+    stdlib-only (decode raster → index-map sample → re-encode). The
+    resize stage of an image pipeline; compressed formats raise like
+    ``decode_image``."""
+    w, h, px = decode_bmp_gray(payload)
+    out = bytearray()
+    for oy in range(out_h):
+        sy = min(h - 1, (oy * h) // out_h)
+        base = sy * w
+        for ox in range(out_w):
+            out.append(px[base + min(w - 1, (ox * w) // out_w)])
+    return encode_bmp_gray(bytes(out), width=out_w)
+
+
+def resize_features(df: DataFrame, out_w: int, out_h: int,
+                    binary_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize stage: (doc_id, resized payload, width, height).
+    Undecodable/NULL payloads yield NULL payload (same fallback contract
+    as extract_decoded_features)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rz(b):
+            if b is None or not len(b):
+                return None
+            try:
+                return resize_image(bytes(b), out_w, out_h)
+            except (NotImplementedError, ValueError, IndexError):
+                return None
+
+        for pdf in batches:
+            res = pdf[binary_col].map(rz)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col], "payload": res,
+                "width": [None if r is None else out_w for r in res],
+                "height": [None if r is None else out_h for r in res]})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType())])
+    return df.select(id_col, binary_col).mapInPandas(run, schema)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int, every_k: int = 1,
+                  binary_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over an opaque video-like binary column: treat the
+    payload as concatenated fixed-size frames and emit every ``k``-th as
+    its own row (doc_id, frame_idx, frame). This IS the real Spark-side
+    shape of video frame extraction — per-batch Arrow iteration, row
+    explosion bounded by payload size, partitioning preserved; only the
+    frame boundary rule is the deterministic stand-in (a real container
+    demuxer — PyAV et al. — replaces the fixed-size slicing; no video
+    codecs in this container)."""
+    if frame_bytes < 1 or every_k < 1:
+        raise ValueError("frame_bytes and every_k must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc, b in zip(pdf[id_col], pdf[binary_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                for i in range(0, len(raw) // frame_bytes, every_k):
+                    ids.append(doc)
+                    idxs.append(i)
+                    frames.append(raw[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType())])
+    return df.select(id_col, binary_col).mapInPandas(run, schema)
 
 
 def decode_image(payload: bytes) -> dict:

@@ -77,8 +77,14 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                             + F.lit(b) * F.col("dl") / F.col("avgdl")))
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
 
+    # document frequency only matters for terms some query contains:
+    # semi-restrict the (vocab-sized) dfreq relation through the broadcast
+    # query terms, leaving a ≤|query-vocabulary| relation that broadcasts
+    # into the scoring join — the full vocabulary never shuffles
+    qdfreq = dfreq.join(F.broadcast(qterms.select("term").distinct()),
+                        "term")
     matched = (tf.join(F.broadcast(qterms), "term")
-               .join(dfreq, "term")
+               .join(F.broadcast(qdfreq), "term")
                .join(dl, "id")
                .crossJoin(F.broadcast(stats))
                .select("query_id", "id", "term", contrib.alias("contrib")))

@@ -944,6 +944,38 @@ def ann_index_append(df: DataFrame, index_dir: str,
                    posixpath.join(index_dir, "codebook"))
 
 
+def ann_index_compact(spark, index_dir: str) -> int:
+    """Compact the index's codes relation to ~one file per cell. Every
+    ``ann_index_append`` (or streaming ``ann_index_sink`` micro-batch)
+    adds a file set per cell; thousands of appends make probes pay the
+    small-files tax (open/footer cost per file) instead of scan cost.
+    Rewrite shuffles only the code relation — O(rows × m) code bytes,
+    never vectors — into cell-hashed partitions and swaps it in via a
+    filesystem rename (atomic on HDFS/local; on object stores run it in
+    a maintenance window). Returns the data-file count after compaction."""
+    import posixpath
+
+    codes_path = posixpath.join(index_dir, "codes")
+    tmp_path = codes_path + "__compacting"
+    df = spark.read.parquet(codes_path)
+    (df.repartition("ivf_cell")
+       .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp_path))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    old = jvm.org.apache.hadoop.fs.Path(codes_path)
+    new = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs = old.getFileSystem(conf)
+    fs.delete(old, True)
+    fs.rename(new, old)
+    it = fs.listFiles(old, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
 def ann_index_probe(queries: DataFrame, index_dir: str, k: int = 10,
                     nprobe: int = 1, vec_col: str = "embedding",
                     id_col: str = "vec_id") -> DataFrame:

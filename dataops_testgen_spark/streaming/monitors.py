@@ -249,6 +249,56 @@ def ann_index_sink(index_dir: str, centroids: list[list[float]], codebook,
     return fold
 
 
+def minhash_index_sink(index_dir: str, k: int = 3, num_hashes: int = 16,
+                       bands: int = 4, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """foreachBatch sink that maintains the persisted MinHash LSH index
+    (dedup.minhash_index_append) from a document stream — each
+    micro-batch's band buckets + signatures append without rescanning
+    (or retaining) earlier text. Probe results stay CORRECT under
+    replays (the probe's pair list is DISTINCT), but a re-delivered
+    batch would still bloat the index with duplicate rows, so the shared
+    monotone-batch-id guard skips it."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from dataops_testgen_spark.pipeline.dedup import minhash_index_append
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker_dir = index_dir.rstrip("/") + "__last_batch"
+        if _already_folded(spark, marker_dir, batch_id):
+            return
+        minhash_index_append(batch_df, index_dir, text_col=text_col,
+                             id_col=id_col, k=k, num_hashes=num_hashes,
+                             bands=bands)
+        _mark_folded(spark, marker_dir, batch_id)
+
+    return fold
+
+
+def exact_index_sink(index_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """foreachBatch sink for the persisted EXACT-dedup index
+    (dedup.exact_index_append). The append itself is idempotent for
+    already-indexed hashes (anti-join against the index), so replays are
+    naturally harmless; the batch-id guard still skips them to avoid the
+    wasted scan."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from dataops_testgen_spark.pipeline.dedup import exact_index_append
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker_dir = index_dir.rstrip("/") + "__last_batch"
+        if _already_folded(spark, marker_dir, batch_id):
+            return
+        exact_index_append(batch_df, index_dir, text_col=text_col,
+                           id_col=id_col)
+        _mark_folded(spark, marker_dir, batch_id)
+
+    return fold
+
+
 def incremental_profile_sink(table_name: str, state_dir: str,
                              run_date=None, sketch_capacity: int = 4096,
                              screen_dir: str | None = None):

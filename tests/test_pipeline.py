@@ -188,6 +188,43 @@ def test_decode_image_real_formats(docs):
     assert abs(dec[1]["mean_luminance"] - want) < 1e-12
 
 
+def test_resize_and_frame_sample(spark):
+    """resize_image is a REAL nearest-neighbour resample (decode raster ->
+    sample -> re-encode, round-trips through decode_bmp_gray);
+    sample_frames explodes fixed-size frames per doc with every-k
+    selection."""
+    px = bytes(range(16))                       # 4x4 gradient
+    bmp = multimodal.encode_bmp_gray(px, width=4)
+    w, h, back = multimodal.decode_bmp_gray(bmp)
+    assert (w, h, back) == (4, 4, px)           # multi-row round trip
+    small = multimodal.resize_image(bmp, 2, 2)
+    w2, h2, px2 = multimodal.decode_bmp_gray(small)
+    # nearest-neighbour with 2x downscale picks rows/cols 0 and 2
+    assert (w2, h2) == (2, 2) and list(px2) == [0, 2, 8, 10]
+    big = multimodal.resize_image(bmp, 8, 8)
+    _, _, px8 = multimodal.decode_bmp_gray(big)
+    assert len(px8) == 64 and px8[0] == 0 and px8[-1] == 15
+    # decoded stats of the resize agree with decode_image on the output
+    d = multimodal.decode_image(small)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert abs(d["mean_luminance"] - (0 + 2 + 8 + 10) / 4) < 1e-12
+
+    # Arrow stages
+    df = spark.createDataFrame([(1, bmp), (2, None), (3, b"\x89PNG" + bytes(60))],
+                               "doc_id: long, payload: binary")
+    rz = {r["doc_id"]: r for r in
+          multimodal.resize_features(df, 2, 2).collect()}
+    assert bytes(rz[1]["payload"]) == small and rz[1]["width"] == 2
+    assert rz[2]["payload"] is None and rz[3]["payload"] is None
+
+    vid = spark.createDataFrame([(7, bytes(range(100)))],
+                                "doc_id: long, payload: binary")
+    frames = multimodal.sample_frames(vid, frame_bytes=10, every_k=3) \
+        .orderBy("frame_idx").collect()
+    assert [f["frame_idx"] for f in frames] == [0, 3, 6, 9]
+    assert bytes(frames[1]["frame"]) == bytes(range(30, 40))
+
+
 def test_ivf_assign_many_centroids(spark):
     """64 centroids must plan linearly (the old when/otherwise fold was 2^n)
     and ties must break to the lowest centroid index."""
@@ -1143,6 +1180,15 @@ def test_ann_index_incremental_equals_oneshot(spark, sf_dir, tmp_path):
     import re
     part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("ivf_cell" in pf for pf in part_filters), part_filters
+
+    # compaction: same probe results from ~one file per cell
+    import glob
+    before = len(glob.glob(d + "/codes/*/*.parquet"))
+    after = similarity.ann_index_compact(spark, d)
+    assert after < before
+    assert len(glob.glob(d + "/codes/*/*.parquet")) == after
+    assert canon(similarity.ann_index_probe(q, d, k=5, nprobe=2)) \
+        == canon(oneshot)
 
 
 def test_semantic_dedup_hot_cell_guard(spark, sf_dir):

@@ -363,3 +363,58 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     n_before = spark.read.parquet(idx + "/codes").count()
     ann_index_sink(idx, cents, codebook)(emb.limit(50), 1)
     assert spark.read.parquet(idx + "/codes").count() == n_before
+
+
+def test_streaming_dedup_index_maintenance(spark, tmp_path):
+    """Streams maintain the persisted dedup indexes too: minhash bands +
+    signatures and exact content hashes append per micro-batch; after
+    availableNow drains, a probe of a new increment against the
+    stream-built history equals one built by direct appends."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline import dedup
+    from dataops_testgen_spark.streaming.monitors import (exact_index_sink,
+                                                          minhash_index_sink)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    src = str(tmp_path / "docs_src")
+    hist.filter(F.col("doc_id") % 4 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    hist.filter(F.col("doc_id") % 4 == 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    mh_idx = str(tmp_path / "mh_idx")
+    ex_idx = str(tmp_path / "ex_idx")
+    for sink in (minhash_index_sink(mh_idx), exact_index_sink(ex_idx)):
+        q = (spark.readStream.schema(docs.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation",
+                     str(tmp_path / f"ckpt_{id(sink)}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    got_mh = {tuple(r) for r in
+              dedup.minhash_index_probe(probe, mh_idx)
+              .select("id_a", "id_b").collect()}
+    want_dir = str(tmp_path / "mh_direct")
+    dedup.minhash_index_append(hist, want_dir)
+    want_mh = {tuple(r) for r in
+               dedup.minhash_index_probe(probe, want_dir)
+               .select("id_a", "id_b").collect()}
+    assert got_mh == want_mh and got_mh
+
+    got_ex = {(r["id"], r["keep"]) for r in
+              dedup.exact_index_probe(probe, ex_idx).collect()}
+    want_ex_dir = str(tmp_path / "ex_direct")
+    dedup.exact_index_append(hist, want_ex_dir)
+    want_ex = {(r["id"], r["keep"]) for r in
+               dedup.exact_index_probe(probe, want_ex_dir).collect()}
+    assert got_ex == want_ex and got_ex
+
+    # replayed batch ids are no-ops (no index bloat)
+    n_bands = spark.read.parquet(mh_idx + "/bands").count()
+    minhash_index_sink(mh_idx)(hist.limit(20), 1)
+    assert spark.read.parquet(mh_idx + "/bands").count() == n_bands
