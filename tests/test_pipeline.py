@@ -1564,3 +1564,29 @@ def test_bm25_topk_duplicate_query_terms_count_once(spark):
                                   "query_id long, query_text string"), k=5)
     assert sorted(map(tuple, one.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+def test_bmp_codec_roundtrip_property():
+    """Property: encode->decode round-trips any gray raster exactly, for
+    every (pixel count, width) shape including stride-padded widths; the
+    decoded mean equals the byte mean; resize to the same shape is
+    identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.integers(0, 2 ** 32 - 1))
+    def run(w, h, seed):
+        import hashlib
+        raw = hashlib.md5(str(seed).encode()).digest() * 9
+        px = raw[:w * h]
+        bmp = multimodal.encode_bmp_gray(px, width=w)
+        assert multimodal.decode_bmp_gray(bmp) == (w, h, px)
+        d = multimodal.decode_image(bmp)
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_luminance"] - sum(px) / len(px)) < 1e-9
+        same = multimodal.resize_image(bmp, w, h)
+        assert multimodal.decode_bmp_gray(same)[2] == px
+
+    run()
