@@ -36,6 +36,7 @@ QUERY_OPERATORS: dict[str, str] = {
     "Aggregate_Balance": ">", "Aggregate_Balance_Percent": ">",
     "Aggregate_Balance_Range": ">", "Aggregate_Minimum": ">",
     "Timeframe_Combo_Match": ">", "Timeframe_Combo_Gain": ">",
+    "CUSTOM": ">",
 }
 # _evaluate resolves the operator through the shared per-type table
 CAT_OPERATORS.update(QUERY_OPERATORS)
@@ -97,6 +98,18 @@ def query_test_detail(tables: dict[str, DataFrame], td: TestDef) -> DataFrame:
             match_subset_condition=td.p("match_subset_condition"),
             having_condition=td.p("having_condition"),
             match_having_condition=td.p("match_having_condition"))
+    if t == "CUSTOM":
+        # user-supplied SQL returning the offending rows (ref
+        # test_types_CUSTOM.yaml: any returned row is a failure). The
+        # data tables are exposed as temp views; Spark SQL IS the
+        # dialect, so no per-flavor template substitution is needed.
+        sql = td.p("custom_query")
+        if not sql:
+            raise ValueError("CUSTOM test without custom_query")
+        spark = df.sparkSession
+        for name, tdf in tables.items():
+            tdf.createOrReplaceTempView(name)
+        return spark.sql(sql)
     if t == "Timeframe_Combo_Match":
         return QT.timeframe_combo_match(
             df, _names(td.p("groupby_names"), _names(td.column_name)),

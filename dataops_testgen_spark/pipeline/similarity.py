@@ -944,6 +944,33 @@ def ann_index_append(df: DataFrame, index_dir: str,
                    posixpath.join(index_dir, "codebook"))
 
 
+def rerank_exact(df: DataFrame, candidates: DataFrame,
+                 queries: DataFrame | None = None, k: int = 10,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Production second stage for every approximate path here: take an
+    ANN shortlist — (query_id, neighbor_id) pairs from pq_topk /
+    ivfadc_probe / lsh_topk / ann_index_probe — and re-rank it by EXACT
+    cosine over the true vectors, returning the top ``k`` per query.
+
+    100 TB shape: only the shortlist joins back to the vector relation
+    (twice, on id — candidate-cardinality, never the corpus crossed with
+    itself); scoring is the shared Arrow einsum kernel; ranking is the
+    shared NaN-last window. ``queries`` defaults to ``df`` (self-corpus
+    search); pass it when query vectors live elsewhere."""
+    q = (queries if queries is not None else df)
+    qv = q.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"))
+    nv = df.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("v"))
+    cand = (candidates.select("query_id", "neighbor_id").distinct()
+            .join(qv, "query_id").join(nv, "neighbor_id"))
+    idt = _id_type(df, id_col)
+    scored = _pair_cosine_pandas(cand, "qv", "v",
+                                 [("query_id", idt), ("neighbor_id", idt)])
+    return _rank_topk(scored, k)
+
+
 def ann_index_compact(spark, index_dir: str) -> int:
     """Compact the index's codes relation to ~one file per cell. Every
     ``ann_index_append`` (or streaming ``ann_index_sink`` micro-batch)
@@ -964,9 +991,17 @@ def ann_index_compact(spark, index_dir: str) -> int:
     conf = spark._jsc.hadoopConfiguration()
     old = jvm.org.apache.hadoop.fs.Path(codes_path)
     new = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    bak = jvm.org.apache.hadoop.fs.Path(codes_path + "__pre_compact")
     fs = old.getFileSystem(conf)
-    fs.delete(old, True)
-    fs.rename(new, old)
+    # keep the old relation until the new one is in place: a crash
+    # mid-swap leaves either the original or the compacted codes intact
+    fs.delete(bak, True)
+    if not fs.rename(old, bak):
+        raise IOError(f"could not stage {codes_path} for swap")
+    if not fs.rename(new, old):
+        fs.rename(bak, old)     # roll back
+        raise IOError(f"could not swap compacted codes into {codes_path}")
+    fs.delete(bak, True)
     it = fs.listFiles(old, True)
     n = 0
     while it.hasNext():

@@ -478,3 +478,28 @@ def test_run_query_tests_dispatch(spark):
     assert res["t_dr"]["result_status"] == "Failed"
     assert res["t_err"]["result_status"] == "Error"
     assert "nope" in res["t_err"]["result_message"]
+
+
+def test_run_query_tests_custom_sql(spark):
+    """CUSTOM QUERY tests execute user SQL (tables exposed as temp views);
+    any returned row is a failure at threshold 0."""
+    from dataops_testgen_spark.execution.query_runner import run_query_tests
+
+    orders = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "o_orderkey: long, o_totalprice: double")
+    defs = [
+        TestDef("t_neg", "CUSTOM", "orders", params={
+            "custom_query": "SELECT * FROM orders WHERE o_totalprice < 0",
+            "threshold_value": 0}),
+        TestDef("t_ok", "CUSTOM", "orders", params={
+            "custom_query": "SELECT * FROM orders WHERE o_totalprice < -99",
+            "threshold_value": 0}),
+        TestDef("t_bad_sql", "CUSTOM", "orders", params={
+            "custom_query": "SELECT FROM nowhere !", "threshold_value": 0}),
+    ]
+    res = {r["test_id"]: r for r in
+           run_query_tests({"orders": orders}, defs).collect()}
+    assert res["t_neg"]["result_status"] == "Failed"
+    assert res["t_neg"]["result_measure"] == 1.0
+    assert res["t_ok"]["result_status"] == "Passed"
+    assert res["t_bad_sql"]["result_status"] == "Error"

@@ -1590,3 +1590,39 @@ def test_bmp_codec_roundtrip_property():
         assert multimodal.decode_bmp_gray(same)[2] == px
 
     run()
+
+
+def test_rerank_exact_second_stage(spark, sf_dir):
+    """Two-stage retrieval: an IVFADC shortlist (k=20) re-ranked by exact
+    cosine equals brute force restricted to that shortlist, and recall@5
+    vs full brute force is at least the unreranked shortlist's."""
+    emb, cents, codebook = _pq_fixture(spark, sf_dir)
+    q = emb.filter("vec_id < 10")
+    shortlist = similarity.ivfadc_topk(emb, q, cents, codebook, k=20,
+                                       nprobe=4)
+    reranked = similarity.rerank_exact(emb, shortlist, queries=q, k=5)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+
+    def key(r):
+        return (r["query_id"], r["neighbor_id"])
+
+    allowed = {key(r) for r in shortlist.collect()}
+    # re-ranked rows come only from the shortlist, with exact cosines
+    true_cos = {key(r): round(r["cosine"], 9) for r in
+                similarity.brute_force_topk(emb, q, k=2000).collect()}
+    for r in reranked.collect():
+        assert key(r) in allowed
+        assert round(r["cosine"], 9) == true_cos[key(r)]
+
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    def recall(df_):
+        by_q = {}
+        for r in df_.collect():
+            if r["rank"] <= 5:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(by_q.get(qid, set()) & nb)
+                   for qid, nb in want.items())
+        return hits / sum(len(nb) for nb in want.values())
+    assert recall(reranked) >= recall(shortlist)
