@@ -3451,6 +3451,101 @@ SELECT query_id::INT AS query_id, doc_id, ROUND(score, 5) AS score,
   FROM rk WHERE rnk <= 10"""
 
 
+# --------------------------------------------------------------------------
+# Q: rerank_ivfadc_embeddings — two-stage retrieval (ANN shortlist -> exact)
+# --------------------------------------------------------------------------
+
+def q_rerank_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production two-stage retrieval: IVFADC shortlist (k=20, nprobe=2)
+    re-ranked by EXACT cosine (similarity.py rerank_exact — only the
+    shortlist joins back to the vectors). The oracle composes the full
+    IVFADC SQL as a CTE and re-derives the exact-cosine re-rank."""
+    emb, cents, cb = _pq_driver_fixture(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    short = SIM.ivfadc_topk(emb, q, cents, cb, k=20, nprobe=2)
+    out = SIM.rerank_exact(emb, short, queries=q, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 5).alias("cosine"), "rank")
+
+
+def _sql_rerank_ivfadc() -> str:
+    return f"""
+WITH short AS ({_sql_ivfadc("TRUE", nprobe=2, k=20)}),
+p AS (SELECT s.query_id, s.neighbor_id,
+             UNNEST(a.embedding)::DOUBLE AS xa,
+             UNNEST(b.embedding)::DOUBLE AS xb
+        FROM short s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.neighbor_id),
+sc AS (SELECT query_id, neighbor_id,
+              SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+         FROM p GROUP BY 1, 2),
+rr AS (SELECT query_id, neighbor_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM sc)
+SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rnk::INT AS rank
+  FROM rr WHERE rnk <= 5"""
+
+
+# --------------------------------------------------------------------------
+# Q: resize_documents / frame_sample_documents — multimodal resize + frames
+# --------------------------------------------------------------------------
+
+def q_resize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the Spark stages: text bytes → gray BMP
+    (with_bmp_payload) → nearest-neighbour resize to 4x2
+    (resize_features) → raster decode of the RESIZED image
+    (extract_decoded_features). The oracle re-derives the sampled pixel
+    positions ((ox·w)//4 of the first min(64, len) bytes) and their mean
+    straight from the text — byte-for-byte the resize the raster walk
+    sees."""
+    docs = _load(spark, sf_dir, "documents")
+    bmp = MM.with_bmp_payload(docs)
+    rz = MM.resize_features(bmp, 4, 2, binary_col="bmp_payload")
+    dec = MM.extract_decoded_features(rz, binary_col="payload")
+    return dec.select("doc_id", "format", "width", "height",
+                      F.round("mean_luminance", 5).alias("mean_luminance"))
+
+
+def _sql_resize_documents() -> str:
+    # sampled 0-indexed pixel positions for out_w=4 from a w-pixel row
+    samples = " + ".join(
+        f"ascii(substr(text, ({ox} * LEAST(octet_length(CAST(text AS BLOB)), 64)) // 4 + 1, 1))"
+        for ox in range(4))
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(text) > 0 THEN 'bmp' END AS format,
+       CASE WHEN length(text) > 0 THEN 4::INT END AS width,
+       CASE WHEN length(text) > 0 THEN 2::INT END AS height,
+       CASE WHEN length(text) > 0
+            THEN ROUND(({samples}) / 4.0, 5)
+       END AS mean_luminance
+FROM documents"""
+
+
+def q_frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary column (multimodal.sample_frames):
+    the payload (utf-8 text bytes here) splits into 32-byte frames and
+    every 2nd frame emits as its own row; the oracle re-derives frame
+    count, indices and per-frame md5 from the text."""
+    docs = _load(spark, sf_dir, "documents")
+    payload = MM.with_binary_payload(docs)
+    frames = MM.sample_frames(payload, frame_bytes=32, every_k=2)
+    return frames.select("doc_id", "frame_idx",
+                         F.md5(F.col("frame")).alias("frame_md5"))
+
+
+_SQL_FRAME_SAMPLE = """
+WITH f AS (SELECT doc_id, text,
+                  UNNEST(range(0, octet_length(CAST(text AS BLOB)) // 32))
+                  AS i
+           FROM documents)
+SELECT doc_id, i::INT AS frame_idx,
+       md5(substr(text, (i * 32 + 1)::INT, 32)) AS frame_md5
+  FROM f WHERE i % 2 = 0"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full profile of lineitem at sf0.001 (one agg + one top-k job)."""
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -3469,15 +3564,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": q_bm25_topk_documents,
         "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
         "ann_index_probe_embeddings": q_ann_index_probe,
+        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
+        "resize_documents": q_resize_documents,
+        "frame_sample_documents": q_frame_sample_documents,
         # --- the one query never driver-checked through r5 (VERDICT #1) ---
         "dsir_select_documents": q_dsir_select_documents,
         # --- r4/r5 queries kept in-window ---
         "merge_defs_fixture": q_merge_defs_fixture,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
-        "repetition_flags_documents": q_repetition_flags_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        "decontaminate_documents": q_decontaminate_documents,
-        "c4_clean_documents": q_c4_clean_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
         "merged_profile_orders": q_merged_profile_orders,
@@ -3521,6 +3616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "repetition_flags_documents": q_repetition_flags_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "c4_clean_documents": q_c4_clean_documents,
         "chunk_documents": q_chunk_documents,
         "sample_documents": q_sample_documents,
         "gopher_quality_documents": q_gopher_quality,
@@ -3560,6 +3658,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _sql_bm25_topk(),
         "ivfadc_topk_embeddings": _sql_ivfadc("TRUE"),
         "ann_index_probe_embeddings": _sql_ivfadc("b.vec_id % 2 = 0"),
+        "rerank_ivfadc_embeddings": _sql_rerank_ivfadc(),
+        "resize_documents": _sql_resize_documents(),
+        "frame_sample_documents": _SQL_FRAME_SAMPLE,
         "profile_sampled_lineitem": _sql_profile_sampled_numeric(
             "lineitem", "l_orderkey", _SAMPLED_NUM_COLS, 0.25, "r5"),
         "freshness_threshold_events": _SQL_FRESHNESS_THRESHOLD,

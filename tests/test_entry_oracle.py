@@ -48,12 +48,14 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "bm25_topk_documents",
     "ivfadc_topk_embeddings",
     "ann_index_probe_embeddings",
+    "rerank_ivfadc_embeddings",
+    "resize_documents",
+    "frame_sample_documents",
     # the one never-driver-checked query
     "dsir_select_documents",
     # r5 window keepers
     "merge_defs_fixture", "skew_hot_keys_lineitem",
-    "repetition_flags_documents", "semantic_dedup_embeddings",
-    "decontaminate_documents", "c4_clean_documents",
+    "semantic_dedup_embeddings",
     "unigram_logprob_documents", "boilerplate_dedup_documents",
     "merged_profile_orders", "pack_spans_documents",
     "centroid_outliers_embeddings", "tfidf_keywords_documents",
