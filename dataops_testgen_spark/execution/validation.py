@@ -33,6 +33,24 @@ def validate_tests(tables: dict[str, DataFrame], defs: list[TestDef]) -> Validat
             message = (f"Column {td.table_name}.{td.column_name} "
                        "not present in target")
         if message is None:
+            # referential QUERY params: the match table and every named
+            # group-by column are referenced identifiers too (the
+            # reference validates all of them before execution)
+            mt = td.p("match_table_name")
+            if mt and mt not in columns:
+                message = f"Table {mt} not present in target"
+            else:
+                gb = td.p("groupby_names")
+                gb_cols = ([str(c).strip() for c in gb]
+                           if isinstance(gb, (list, tuple))
+                           else [c.strip() for c in str(gb).split(",")
+                                 if c.strip()]) if gb else []
+                for c in gb_cols:
+                    if c not in columns[td.table_name]:
+                        message = (f"Column {td.table_name}.{c} "
+                                   "not present in target")
+                        break
+        if message is None:
             valid.append(td)
         else:
             errors.append({

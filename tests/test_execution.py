@@ -503,3 +503,28 @@ def test_run_query_tests_custom_sql(spark):
     assert res["t_neg"]["result_measure"] == 1.0
     assert res["t_ok"]["result_status"] == "Passed"
     assert res["t_bad_sql"]["result_status"] == "Error"
+
+
+def test_validation_covers_query_test_refs(spark):
+    """The validation pre-pass also checks referential QUERY params: a
+    missing match table or group-by column deactivates the test with an
+    Error row instead of failing at execution."""
+    from dataops_testgen_spark.execution.validation import validate_tests
+
+    orders = spark.createDataFrame([(1, 2)], "o_orderkey: long, o_custkey: long")
+    tables = {"orders": orders}
+    defs = [
+        TestDef("ok", "Combo_Match", "orders", params={
+            "groupby_names": "o_custkey", "match_table_name": "orders",
+            "threshold_value": 0}),
+        TestDef("bad_match", "Combo_Match", "orders", params={
+            "groupby_names": "o_custkey", "match_table_name": "ghost",
+            "threshold_value": 0}),
+        TestDef("bad_col", "Dupe_Rows", "orders", params={
+            "groupby_names": "o_custkey,o_missing", "threshold_value": 0}),
+    ]
+    out = validate_tests(tables, defs)
+    assert [t.test_id for t in out.valid] == ["ok"]
+    msgs = {e["test_id"]: e["result_message"] for e in out.errors}
+    assert "ghost" in msgs["bad_match"]
+    assert "o_missing" in msgs["bad_col"]
