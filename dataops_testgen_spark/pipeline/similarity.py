@@ -865,7 +865,8 @@ def _adc_score_pandas(cand: DataFrame, codebook, idt: str,
 def ivfadc_probe(index: DataFrame, queries: DataFrame,
                  centroids: list[list[float]], codebook, k: int = 10,
                  nprobe: int = 1, vec_col: str = "embedding",
-                 id_col: str = "vec_id", residual: bool = False) -> DataFrame:
+                 id_col: str = "vec_id", residual: bool = False,
+                 q_cells: DataFrame | None = None) -> DataFrame:
     """Search a ``pq_index`` relation: each query probes its ``nprobe``
     nearest coarse cells and ADC-scores ONLY the codes in those cells —
     the composition Jégou et al. call IVFADC (inverted file + asymmetric
@@ -873,9 +874,14 @@ def ivfadc_probe(index: DataFrame, queries: DataFrame,
     and nothing is collected to the driver: the candidate restriction is
     one equi-join on ivf_cell against the (already tiny) code relation.
     Output (query_id, neighbor_id, est_cosine, rank) with the same
-    NaN-last ranking as every other top-k here."""
-    q = _assign_cells_pandas(queries, centroids, vec_col, id_col,
-                             nprobe).select(
+    NaN-last ranking as every other top-k here. ``q_cells`` lets a
+    caller that already assigned the queries (ann_index_probe needs the
+    probed cell list for partition pruning) reuse that relation instead
+    of paying a second Arrow assignment pass."""
+    if q_cells is None:
+        q_cells = _assign_cells_pandas(queries, centroids, vec_col,
+                                       id_col, nprobe)
+    q = q_cells.select(
         F.col("id").alias("query_id"), F.col("vec").alias("qv"),
         F.explode("cells").alias("ivf_cell"))
     base = index.select(F.col("id").alias("neighbor_id"), "ivf_cell",
@@ -1037,13 +1043,13 @@ def ann_index_probe(queries: DataFrame, index_dir: str, k: int = 10,
     codebook = np.array([r["codeword"] for r in cb_rows]).reshape(m, kk, -1)
 
     qcells = _assign_cells_pandas(queries, centroids, vec_col, id_col,
-                                  nprobe)
+                                  nprobe).localCheckpoint()
     probed = sorted({c for r in qcells.select("cells").collect()
                      for c in r["cells"]})
     idx = (spark.read.parquet(posixpath.join(index_dir, "codes"))
            .filter(F.col("ivf_cell").isin(probed)))
     return ivfadc_probe(idx, queries, centroids, codebook, k, nprobe,
-                        vec_col, id_col)
+                        vec_col, id_col, q_cells=qcells)
 
 
 def _pq_topk_shuffled(df: DataFrame, queries: DataFrame, codebook, k: int,
