@@ -3546,6 +3546,121 @@ SELECT doc_id, i::INT AS frame_idx,
   FROM f WHERE i % 2 = 0"""
 
 
+# --------------------------------------------------------------------------
+# Q: nb_classify_documents — trained NB quality/language classifier
+# (pipeline/classify.py — the fastText-style model-based corpus gate)
+# --------------------------------------------------------------------------
+
+def q_nb_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes: train on the even-doc_id half of the corpus
+    (label = lang, Laplace alpha=1), predict the odd half
+    (pipeline/classify.py nb_train/nb_predict). Distributed training is two
+    count aggs off one explode; the model broadcasts; scoring seeds each
+    (doc, label) fold with the log-prior and folds tf*logprob contributions
+    in TERM order, so double sums are bit-identical across engines (same
+    determinism design as bm25_topk)."""
+    from dataops_testgen_spark.pipeline.classify import nb_predict, nb_train
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    cond, priors = nb_train(train, text_col="text", label_col="lang",
+                            alpha=1.0)
+    out = nb_predict(test, cond, priors, text_col="text", id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("label").alias("pred_lang"),
+                      F.round("score", 5).alias("score"))
+
+
+_SQL_NB_CLASSIFY = r"""
+WITH tr AS (
+  SELECT lang AS label,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+posting AS (
+  SELECT label, term, COUNT(*)::BIGINT AS c
+    FROM (SELECT label, UNNEST(toks) AS term FROM tr) GROUP BY 1, 2),
+vc AS (SELECT COUNT(DISTINCT term)::BIGINT AS v FROM posting),
+tot AS (SELECT label, SUM(c)::BIGINT AS t FROM posting GROUP BY 1),
+nd AS (SELECT COUNT(*)::BIGINT AS n FROM tr),
+cond AS (
+  SELECT p.label, p.term,
+         ln((p.c::DOUBLE + 1.0) / (t.t::DOUBLE + 1.0 * v.v::DOUBLE))
+           AS log_cond
+    FROM posting p JOIN tot t USING (label) CROSS JOIN vc v),
+priors AS (
+  SELECT d.label,
+         ln(d.cnt::DOUBLE / n.n::DOUBLE) AS log_prior,
+         ln(1.0 / (t.t::DOUBLE + 1.0 * v.v::DOUBLE)) AS log_unseen
+    FROM (SELECT label, COUNT(*)::BIGINT AS cnt FROM tr GROUP BY 1) d
+    JOIN tot t USING (label) CROSS JOIN vc v CROSS JOIN nd n),
+te AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+postings AS (
+  SELECT id, term, COUNT(*)::BIGINT AS tf
+    FROM (SELECT id, UNNEST(toks) AS term FROM te) GROUP BY 1, 2),
+cand AS (
+  SELECT po.id, pr.label, po.term, pr.log_prior,
+         po.tf::DOUBLE * COALESCE(c.log_cond, pr.log_unseen) AS contrib
+    FROM postings po
+    JOIN (SELECT DISTINCT term FROM cond) vt USING (term)
+    CROSS JOIN priors pr
+    LEFT JOIN cond c ON c.term = po.term AND c.label = pr.label),
+scored AS (
+  SELECT id, label,
+         list_reduce(list_prepend(log_prior, list(contrib ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+    FROM cand GROUP BY id, label, log_prior),
+allscores AS (
+  SELECT * FROM scored
+  UNION ALL
+  SELECT te.id, pr.label, pr.log_prior AS score
+    FROM te CROSS JOIN priors pr
+   WHERE te.id NOT IN (SELECT DISTINCT id FROM scored)),
+rk AS (
+  SELECT id, label, score,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY score DESC, label) AS rn
+    FROM allscores)
+SELECT id AS doc_id, label AS pred_lang, ROUND(score, 5) AS score
+  FROM rk WHERE rn = 1"""
+
+
+# --------------------------------------------------------------------------
+# Q: shuffle_shards_documents — deterministic global shuffle for shard writes
+# --------------------------------------------------------------------------
+
+def q_shuffle_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle (pipeline/sampling.py
+    shuffle_shards): shard AND within-shard order both derive from the
+    salted md5 of doc_id, so the exact layout re-derives on any engine —
+    the oracle IS that re-derivation. Only shuffle: the window partition
+    on shard (= output parallelism); no global sort."""
+    from dataops_testgen_spark.pipeline.sampling import shuffle_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return (shuffle_shards(docs, 8, id_col="doc_id", salt="r6shuf")
+            .select("doc_id", "shard", "pos"))
+
+
+_SQL_SHUFFLE_SHARDS = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(concat('r6shuf', '|', CAST(doc_id AS VARCHAR))) AS h
+    FROM documents),
+a AS (
+  SELECT doc_id, h,
+         (CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT) % 8)::INT AS shard
+    FROM hashed)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)::INT AS pos
+  FROM a"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full profile of lineitem at sf0.001 (one agg + one top-k job)."""
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -3561,6 +3676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
         # --- new in r6 (must carry the hard driver signal this round) ---
+        "nb_classify_documents": q_nb_classify_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_topk_documents": q_bm25_topk_documents,
         "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
         "ann_index_probe_embeddings": q_ann_index_probe,
@@ -3602,8 +3719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_features_documents": q_multimodal_features_documents,
-        "score_breakdown_column_co_li": q_score_breakdown_cols,
-        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_card_issues_co_li": q_score_card_issues,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
@@ -3616,6 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "score_breakdown_column_co_li": q_score_breakdown_cols,
+        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "repetition_flags_documents": q_repetition_flags_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "c4_clean_documents": q_c4_clean_documents,
@@ -3655,6 +3772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nb_classify_documents": _SQL_NB_CLASSIFY,
+        "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_topk_documents": _sql_bm25_topk(),
         "ivfadc_topk_embeddings": _sql_ivfadc("TRUE"),
         "ann_index_probe_embeddings": _sql_ivfadc("b.vec_id % 2 = 0"),

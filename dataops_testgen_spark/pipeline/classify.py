@@ -1,0 +1,135 @@
+"""Model-based document classification: multinomial Naive Bayes.
+
+The standard LLM-data-pipeline quality/language gate is a tiny linear
+text classifier trained on labeled seed data and applied to the whole
+corpus (CCNet's fastText language filter; the "quality classifier"
+filtering in GPT-3 / LLaMA data work — train on a trusted positive set,
+score everything, keep high scorers). Multinomial Naive Bayes is the
+closed-form member of that family: training is nothing but token
+counts, so it distributes as two partial aggregations, and scoring is a
+per-token log-probability sum — exactly re-derivable in audit SQL.
+
+Spark-first shape:
+
+- ``nb_train``: ONE explode of the labeled seed feeds both count aggs
+  (per-(label, term) and per-label totals); doc priors are a second
+  metadata-sized agg. The returned model is two small DataFrames
+  (observed (label, term) log-probs + per-label priors/unseen mass) —
+  vocab x labels rows, broadcastable by construction; an optional
+  ``max_vocab`` keeps only the most frequent terms (plans as
+  TakeOrderedAndProject, no global sort) so the model stays
+  broadcast-sized on open-domain corpora.
+- ``nb_score`` / ``nb_predict``: the corpus explodes once into
+  (id, term, tf) postings, is semi-restricted by the BROADCAST vocab
+  (out-of-vocabulary terms drop out, the standard NB convention), and
+  each surviving posting meets the broadcast model; the only shuffle is
+  the per-(id, label) score fold. Docs with no in-vocab token still get
+  prior-only scores via an anti-join union.
+
+Determinism (shared with every DuckDB oracle in ``__spark_entry__``):
+log-prob arguments are ratios of exact integer counts, computed with
+the same double ops in both engines; the per-(doc, label) score seeds
+the fold with the label's log-prior and folds contributions in TERM
+order, so double sums are bit-identical across engines (same trick as
+``pipeline/retrieval.py`` BM25).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.pipeline.text import tokens
+
+
+def nb_train(df: DataFrame, text_col: str = "text",
+             label_col: str = "label", alpha: float = 1.0,
+             max_vocab: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB with Laplace smoothing ``alpha`` on labeled
+    text; returns ``(cond, priors)``:
+
+    - ``cond``  — (label, term, log_cond) for every OBSERVED pair:
+      ``ln((c(term,label) + alpha) / (T(label) + alpha*V))``.
+    - ``priors``— (label, log_prior, log_unseen) where ``log_prior =
+      ln(n_docs(label)/N)`` and ``log_unseen`` is the smoothed mass of
+      an in-vocab term never seen with that label.
+
+    ``max_vocab`` caps the vocabulary to the most frequent terms by
+    corpus count (ties broken by term) — the cap both bounds the
+    broadcast and is the usual feature-selection step.
+    """
+    if alpha <= 0.0:
+        raise ValueError("alpha must be > 0")
+    labeled = df.select(F.col(label_col).alias("label"),
+                        tokens(F.col(text_col)).alias("toks"))
+    posting = (labeled.select("label", F.explode("toks").alias("term"))
+               .groupBy("label", "term")
+               .agg(F.count(F.lit(1)).alias("c")))
+    if max_vocab is not None:
+        if max_vocab < 1:
+            raise ValueError("max_vocab must be >= 1")
+        # most frequent terms overall; orderBy+limit plans as
+        # TakeOrderedAndProject (cf. text.py unigram_logprob_score)
+        keep = (posting.groupBy("term").agg(F.sum("c").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("term"))
+                .limit(max_vocab).select("term"))
+        posting = posting.join(F.broadcast(keep), "term")
+    vocab_ct = posting.select("term").distinct().count()
+    # per-label token mass over the (possibly capped) vocabulary
+    totals = posting.groupBy("label").agg(F.sum("c").alias("t"))
+    denom = F.col("t").cast("double") + F.lit(alpha) * F.lit(float(vocab_ct))
+    cond = (posting.join(F.broadcast(totals), "label")
+            .select("label", "term",
+                    F.log((F.col("c").cast("double") + F.lit(alpha))
+                          / denom).alias("log_cond")))
+    n_docs = df.count()
+    priors = (df.groupBy(F.col(label_col).alias("label"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .join(F.broadcast(totals), "label")
+              .select("label",
+                      F.log(F.col("n").cast("double")
+                            / F.lit(float(n_docs))).alias("log_prior"),
+                      F.log(F.lit(alpha) / denom).alias("log_unseen")))
+    return cond, priors
+
+
+def nb_score(df: DataFrame, cond: DataFrame, priors: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, label) log-posterior scores (up to the shared evidence
+    constant): (id, label, score). OOV terms are ignored; docs with no
+    in-vocab token score on priors alone."""
+    postings = (df.select(F.col(id_col).alias("id"),
+                          F.explode(tokens(F.col(text_col))).alias("term"))
+                .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    vocab = cond.select("term").distinct()
+    cand = (postings.join(F.broadcast(vocab), "term")
+            .crossJoin(F.broadcast(priors))
+            .join(F.broadcast(cond), ["term", "label"], "left")
+            .select("id", "label", "term", "log_prior",
+                    (F.col("tf").cast("double")
+                     * F.coalesce("log_cond", "log_unseen"))
+                    .alias("contrib")))
+    # canonical-order fold seeded with the prior (bit-stable across engines)
+    scored = (cand.groupBy("id", "label", "log_prior")
+              .agg(F.array_sort(F.collect_list(F.struct("term", "contrib")))
+                   .alias("parts"))
+              .select("id", "label",
+                      F.aggregate("parts", F.col("log_prior"),
+                                  lambda acc, p: acc + p["contrib"])
+                      .alias("score")))
+    # docs whose every token is OOV: prior-only rows (anti-join is tiny)
+    missing = (df.select(F.col(id_col).alias("id"))
+               .join(scored.select("id").distinct(), "id", "left_anti")
+               .crossJoin(F.broadcast(priors))
+               .select("id", "label", F.col("log_prior").alias("score")))
+    return scored.unionByName(missing)
+
+
+def nb_predict(df: DataFrame, cond: DataFrame, priors: DataFrame,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Argmax label per document: (id, label, score); ties break to the
+    alphabetically first label (engine-stable)."""
+    scored = nb_score(df, cond, priors, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("label").asc())
+    return (scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1).drop("__rn__"))

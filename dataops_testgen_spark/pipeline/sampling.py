@@ -273,3 +273,52 @@ def apply_mixture_plan(df: DataFrame, plan: DataFrame,
     return (df.join(F.broadcast(frac), source_col)
             .filter(_unit_hash(F.col(id_col), salt) < F.col("fraction"))
             .drop("fraction"))
+
+
+def shuffle_shards(df: DataFrame, n_shards: int,
+                   id_col: str = "doc_id", salt: str = "shuf") -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    Training-data writers need the corpus in RANDOM order split across a
+    fixed number of shard files (so data loaders stream i.i.d.-ish
+    batches without a global shuffle at train time). A true global sort
+    by ``rand()`` is neither reproducible nor cheap; instead the shard
+    AND the within-shard order both derive from the salted md5 of the
+    stable id — the same engine-portable trick as ``hash_sample`` — so
+    the exact layout re-derives on any rerun or in audit SQL.
+
+    100 TB shape: the only shuffle is the window partition on ``shard``
+    (= the output parallelism you asked for); hash order inside a shard
+    is a sort of that shard's rows only, never a global sort. Shard
+    sizes concentrate tightly around N/n_shards (md5 is uniform), so no
+    shard becomes a straggler.
+
+    Adds two columns: ``shard`` (int, 0..n_shards-1) and ``pos`` (int,
+    1..|shard| — the within-shard write order). Change ``salt`` for an
+    independent shuffle (e.g. per epoch).
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(id_col).cast("string")))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h__"), F.col(id_col))
+    return (df.withColumn("__h__", h)
+            .withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w))
+            .drop("__h__"))
+
+
+def write_shuffled_shards(df: DataFrame, path: str, n_shards: int,
+                          id_col: str = "doc_id", salt: str = "shuf") -> None:
+    """Materialize ``shuffle_shards`` as one parquet directory per shard
+    (``path/shard=K/``): rows land partitioned by shard and sorted in
+    shuffle order within each shard file, so a loader reading shard
+    files sequentially replays the deterministic shuffle."""
+    assigned = shuffle_shards(df, n_shards, id_col=id_col, salt=salt)
+    (assigned.repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", "pos")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))

@@ -45,6 +45,8 @@ def test_entry_smoke(spark):
 # #1) — plus the r5 head that stays seated.
 _MUST_BE_IN_DRIVER_WINDOW = {
     # new in r6
+    "nb_classify_documents",
+    "shuffle_shards_documents",
     "bm25_topk_documents",
     "ivfadc_topk_embeddings",
     "ann_index_probe_embeddings",
