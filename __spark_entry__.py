@@ -3631,6 +3631,35 @@ SELECT id AS doc_id, label AS pred_lang, ROUND(score, 5) AS score
 
 
 # --------------------------------------------------------------------------
+# Q: bm25_index_probe_documents — persisted lexical index (cross-run search)
+# --------------------------------------------------------------------------
+
+def q_bm25_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted lexical (BM25) index — the third member of the cross-run
+    index trio (MinHash dedup, ANN vectors, now lexical search): the even
+    and odd halves of the corpus are appended as two increments
+    (pipeline/retrieval.py lexical_index_append — postings parquet
+    PARTITIONED BY term_bucket + doclen), then bm25_index_topk searches
+    the index WITHOUT touching corpus text, pushing the query terms'
+    buckets as partition filters. Probe scores are bit-identical to the
+    one-shot bm25_topk over the union (shared term-sorted fold), so the
+    oracle is the full-corpus BM25 SQL re-derivation."""
+    import tempfile
+
+    from dataops_testgen_spark.pipeline import retrieval as RETR
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="lex_idx_")
+    RETR.lexical_index_append(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    RETR.lexical_index_append(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id: int, query_text: string")
+    out = RETR.bm25_index_topk(spark, qs, idx, k=10)
+    return out.select("query_id", F.col("id").alias("doc_id"), "score",
+                      "rnk")
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3678,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (must carry the hard driver signal this round) ---
         "nb_classify_documents": q_nb_classify_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
+        "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "bm25_topk_documents": q_bm25_topk_documents,
         "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
         "ann_index_probe_embeddings": q_ann_index_probe,
@@ -3719,7 +3749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_features_documents": q_multimodal_features_documents,
-        "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_card_issues_co_li": q_score_card_issues,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
@@ -3731,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_breakdown_column_co_li": q_score_breakdown_cols,
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "repetition_flags_documents": q_repetition_flags_documents,
@@ -3774,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "nb_classify_documents": _SQL_NB_CLASSIFY,
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
+        "bm25_index_probe_documents": _sql_bm25_topk(),
         "bm25_topk_documents": _sql_bm25_topk(),
         "ivfadc_topk_embeddings": _sql_ivfadc("TRUE"),
         "ann_index_probe_embeddings": _sql_ivfadc("b.vec_id % 2 = 0"),

@@ -59,16 +59,26 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # doc length re-derived from the postings agg (no second corpus scan)
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    qterms = (queries.select(F.col(query_id_col).alias("query_id"),
+                             F.explode(tokens(F.col(query_text_col)))
+                             .alias("term"))
+              .distinct())
+    return _bm25_rank(tf, dl, qterms, k, k1, b)
+
+
+def _bm25_rank(tf: DataFrame, dl: DataFrame, qterms: DataFrame,
+               k: int, k1: float, b: float) -> DataFrame:
+    """Shared BM25 scorer over a postings relation ``tf`` (id, term, tf)
+    and a doc-length relation ``dl`` (id, dl). ``tf`` may be pruned to the
+    query terms' partitions (the persisted-index probe path) — document
+    frequency stays exact for every query term as long as the pruning
+    keeps ALL postings of those terms; ``dl`` must cover the whole corpus
+    (it defines n_docs/avgdl)."""
     # exact integer sum, THEN one double division — engine-stable avgdl
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    (F.sum("dl").cast("double")
                     / F.count(F.lit(1))).alias("avgdl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    qterms = (queries.select(F.col(query_id_col).alias("query_id"),
-                             F.explode(tokens(F.col(query_text_col)))
-                             .alias("term"))
-              .distinct())
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
@@ -105,3 +115,78 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rnk") <= k)
             .select("query_id", "id", F.round("score", 5).alias("score"),
                     "rnk"))
+
+
+# --------------------------------------------------------------------------
+# Persisted lexical index — the third member of the cross-run index trio
+# (MinHash LSH: dedup.py minhash_index_*; ANN: similarity.py ann_index_*)
+# --------------------------------------------------------------------------
+
+def _term_bucket(term: Column, n_buckets: int) -> Column:
+    """Stable term → partition bucket (salted-md5 prefix, engine-portable
+    like sampling._unit_hash)."""
+    return F.pmod(F.conv(F.substring(F.md5(term), 1, 8), 16, 10)
+                  .cast("long"), F.lit(n_buckets)).cast("int")
+
+
+def lexical_index_append(df: DataFrame, index_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = 64) -> None:
+    """Append a corpus increment to a persisted lexical (BM25) index:
+    ``<index_dir>/postings`` — (id, term, tf) parquet PARTITIONED BY
+    ``term_bucket`` (salted md5 of the term mod ``n_buckets``) — and
+    ``<index_dir>/doclen`` — (id, dl).
+
+    Once an increment is indexed, any later search runs against ALL
+    history without rescanning (or retaining) the text: a probe's term
+    set maps to a handful of buckets, which push down as PARTITION
+    filters, so probe I/O is ~|query buckets|/n_buckets of the postings
+    regardless of history size — the lexical twin of
+    ``ann_index_append``'s ivf_cell pruning. Append each increment
+    exactly once (the index is postings, not a log); global stats
+    (n_docs, avgdl, df) are NOT frozen at append time — probes recompute
+    them exactly from the index, so scores always reflect the full
+    indexed corpus."""
+    import posixpath
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    (tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
+     .write.mode("append").partitionBy("term_bucket")
+     .parquet(posixpath.join(index_dir, "postings")))
+    dl.write.mode("append").parquet(posixpath.join(index_dir, "doclen"))
+
+
+def bm25_index_topk(spark, queries: DataFrame, index_dir: str,
+                    k: int = 10, k1: float = 1.2, b: float = 0.75,
+                    n_buckets: int = 64,
+                    query_id_col: str = "query_id",
+                    query_text_col: str = "query_text") -> DataFrame:
+    """Top-``k`` BM25 search over everything ever indexed by
+    ``lexical_index_append`` — same scoring (and bit-identical scores,
+    shared ``_bm25_rank`` fold) as a one-shot ``bm25_topk`` over the
+    union of all appended increments, without touching corpus text.
+
+    Scale shape: the query terms' buckets are computed driver-side from
+    the (tiny) query relation and pushed as PARTITION filters into the
+    postings scan — only ~|query buckets|/n_buckets of the index is
+    read; document frequency stays exact because a bucket holds ALL
+    postings of its terms. The doclen relation (one short row per doc)
+    is scanned once for exact n_docs/avgdl."""
+    import posixpath
+
+    qterms = (queries.select(F.col(query_id_col).alias("query_id"),
+                             F.explode(tokens(F.col(query_text_col)))
+                             .alias("term"))
+              .distinct())
+    buckets = sorted({r["b"] for r in qterms.select(
+        _term_bucket(F.col("term"), n_buckets).alias("b")).distinct()
+        .collect()})
+    postings = spark.read.parquet(posixpath.join(index_dir, "postings"))
+    if buckets:
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    tf = postings.select("id", "term", "tf")
+    dl = spark.read.parquet(posixpath.join(index_dir, "doclen"))
+    return _bm25_rank(tf, dl, qterms, k, k1, b)

@@ -299,6 +299,32 @@ def exact_index_sink(index_dir: str, text_col: str = "text",
     return fold
 
 
+def lexical_index_sink(index_dir: str, text_col: str = "text",
+                       id_col: str = "doc_id", n_buckets: int = 64):
+    """foreachBatch sink that maintains the persisted lexical BM25 index
+    (retrieval.lexical_index_append) from a document stream — each
+    micro-batch's postings/doclen append so searches
+    (``bm25_index_topk``) always reflect everything streamed so far. A
+    re-delivered batch would double postings (inflating tf/df/n_docs and
+    corrupting scores), so the shared monotone-batch-id guard skips it —
+    the same replay discipline as the profile/ANN sinks."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from dataops_testgen_spark.pipeline.retrieval import (
+            lexical_index_append)
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker_dir = index_dir.rstrip("/") + "__last_batch"
+        if _already_folded(spark, marker_dir, batch_id):
+            return
+        lexical_index_append(batch_df, index_dir, text_col=text_col,
+                             id_col=id_col, n_buckets=n_buckets)
+        _mark_folded(spark, marker_dir, batch_id)
+
+    return fold
+
+
 def incremental_profile_sink(table_name: str, state_dir: str,
                              run_date=None, sketch_capacity: int = 4096,
                              screen_dir: str | None = None):

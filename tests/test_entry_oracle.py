@@ -47,6 +47,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # new in r6
     "nb_classify_documents",
     "shuffle_shards_documents",
+    "bm25_index_probe_documents",
     "bm25_topk_documents",
     "ivfadc_topk_embeddings",
     "ann_index_probe_embeddings",

@@ -1566,6 +1566,49 @@ def test_bm25_topk_duplicate_query_terms_count_once(spark):
         sorted(map(tuple, twice.collect()))
 
 
+def test_bm25_index_incremental_equals_oneshot(spark, tmp_path):
+    """Append two corpus increments to the persisted lexical index; a
+    probe equals the one-shot bm25_topk over the union BIT-FOR-BIT (same
+    term-sorted fold), and the probe's postings scan carries a
+    term_bucket partition filter."""
+    from dataops_testgen_spark.pipeline import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "lex_index")
+    retrieval.lexical_index_append(docs.filter("doc_id % 2 = 0"), idx)
+    retrieval.lexical_index_append(docs.filter("doc_id % 2 = 1"), idx)
+    qs = spark.createDataFrame(
+        [(1, "spark shuffle window"), (2, "customer filter join")],
+        "query_id long, query_text string")
+    probe = retrieval.bm25_index_topk(spark, qs, idx, k=10)
+    oneshot = retrieval.bm25_topk(docs, qs, k=10)
+    assert sorted(map(tuple, probe.collect())) == \
+        sorted(map(tuple, oneshot.collect()))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan and "PartitionFilters: [" in plan
+
+
+def test_bm25_index_probe_prunes_buckets(spark, tmp_path):
+    """A one-term probe reads only that term's bucket partition, and a
+    no-term (empty-text) query set returns no rows."""
+    from dataops_testgen_spark.pipeline import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "banana cherry")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "lex1")
+    retrieval.lexical_index_append(df, idx, n_buckets=16)
+    qs = spark.createDataFrame([(1, "apple")],
+                               "query_id long, query_text string")
+    got = retrieval.bm25_index_topk(spark, qs, idx, k=5, n_buckets=16)
+    assert {r["id"] for r in got.collect()} == {1, 2}
+    empty = retrieval.bm25_index_topk(
+        spark, spark.createDataFrame([(1, " ")],
+                                     "query_id long, query_text string"),
+        idx, k=5, n_buckets=16)
+    assert empty.count() == 0
+
+
 def test_bmp_codec_roundtrip_property():
     """Property: encode->decode round-trips any gray raster exactly, for
     every (pixel count, width) shape including stride-padded widths; the

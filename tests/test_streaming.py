@@ -418,3 +418,43 @@ def test_streaming_dedup_index_maintenance(spark, tmp_path):
     n_bands = spark.read.parquet(mh_idx + "/bands").count()
     minhash_index_sink(mh_idx)(hist.limit(20), 1)
     assert spark.read.parquet(mh_idx + "/bands").count() == n_bands
+
+
+def test_streaming_lexical_index_maintenance(spark, tmp_path):
+    """The lexical BM25 index is stream-maintained too: after an
+    availableNow drain over two micro-batch files, a search of the
+    stream-built index equals the one-shot bm25_topk over the streamed
+    corpus bit-for-bit; a replayed batch id appends nothing."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline import retrieval
+    from dataops_testgen_spark.streaming.monitors import lexical_index_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    src = str(tmp_path / "lex_src")
+    hist.filter(F.col("doc_id") % 4 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    hist.filter(F.col("doc_id") % 4 == 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "lex_idx")
+    q = (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(lexical_index_sink(idx))
+         .option("checkpointLocation", str(tmp_path / "lex_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    qs = spark.createDataFrame([(1, "spark shuffle window")],
+                               "query_id long, query_text string")
+    got = sorted(map(tuple,
+                     retrieval.bm25_index_topk(spark, qs, idx, k=10)
+                     .collect()))
+    want = sorted(map(tuple, retrieval.bm25_topk(hist, qs, k=10).collect()))
+    assert got == want and got
+
+    # replayed batch id: postings unchanged
+    n = spark.read.parquet(idx + "/postings").count()
+    lexical_index_sink(idx)(hist.limit(10), 0)
+    assert spark.read.parquet(idx + "/postings").count() == n
