@@ -3660,6 +3660,69 @@ def q_bm25_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: hard_negatives_embeddings — contrastive hard-negative mining
+# --------------------------------------------------------------------------
+
+def q_hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.py hard_negatives): top-5 most
+    cosine-similar DIFFERENT-label rows per query (vec_id < 10) — the
+    ANCE-style negatives a contrastive trainer feeds on. Exact path:
+    broadcast queries, label-mismatch filter, shared Arrow einsum kernel,
+    NaN-last per-query window."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.hard_negatives(emb, q, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 5).alias("cosine"), "rank")
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+             FROM embeddings WHERE vec_id < 10),
+p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             UNNEST(q.qe)::DOUBLE AS xa, UNNEST(e.embedding)::DOUBLE AS xb
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+s AS (SELECT query_id, neighbor_id,
+             SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+      FROM p GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 5"""
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_profile_embeddings — per-dimension embedding health profile
+# --------------------------------------------------------------------------
+
+def q_embedding_profile_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile (similarity.py
+    embedding_dim_profile): one posexplode into a single partial-agg
+    groupBy(dim) — D groups regardless of corpus size. Dead dims,
+    mean drift and range blowups are the pre-indexing health signals."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = SIM.embedding_dim_profile(emb)
+    return out.select("dim", "n", F.round("mean", 5).alias("mean"),
+                      F.round("std", 5).alias("std"),
+                      F.round("vmin", 5).alias("vmin"),
+                      F.round("vmax", 5).alias("vmax"))
+
+
+_SQL_EMBEDDING_PROFILE = """
+WITH v AS (SELECT UNNEST(range(len(embedding)))::INT AS dim,
+                  UNNEST(embedding)::DOUBLE AS x
+             FROM embeddings)
+SELECT dim, COUNT(*)::BIGINT AS n, ROUND(AVG(x), 5) AS mean,
+       ROUND(STDDEV_SAMP(x), 5) AS std, ROUND(MIN(x), 5) AS vmin,
+       ROUND(MAX(x), 5) AS vmax
+  FROM v GROUP BY dim"""
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3708,6 +3771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_documents": q_nb_classify_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
+        "hard_negatives_embeddings": q_hard_negatives_embeddings,
+        "embedding_profile_embeddings": q_embedding_profile_embeddings,
         "bm25_topk_documents": q_bm25_topk_documents,
         "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
         "ann_index_probe_embeddings": q_ann_index_probe,
@@ -3749,9 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_features_documents": q_multimodal_features_documents,
-        "score_card_issues_co_li": q_score_card_issues,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
-        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "freshness_threshold_events": q_freshness_threshold_events,
         "validation_prepass": q_validation_prepass,
@@ -3760,6 +3823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "score_card_issues_co_li": q_score_card_issues,
+        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_breakdown_column_co_li": q_score_breakdown_cols,
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
@@ -3805,6 +3870,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify_documents": _SQL_NB_CLASSIFY,
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_index_probe_documents": _sql_bm25_topk(),
+        "hard_negatives_embeddings": _SQL_HARD_NEGATIVES,
+        "embedding_profile_embeddings": _SQL_EMBEDDING_PROFILE,
         "bm25_topk_documents": _sql_bm25_topk(),
         "ivfadc_topk_embeddings": _sql_ivfadc("TRUE"),
         "ann_index_probe_embeddings": _sql_ivfadc("b.vec_id % 2 = 0"),

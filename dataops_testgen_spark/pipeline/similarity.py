@@ -1142,3 +1142,70 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebook, k: int = 10,
     return queries.select(id_col, vec_col).mapInPandas(
         score, schema=f"query_id {idt}, neighbor_id {idt}, "
                       "est_cosine double, rank int")
+
+
+def hard_negatives(df: DataFrame, queries: DataFrame | None = None,
+                   k: int = 10, label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: the top ``k`` most
+    cosine-similar rows whose ``label_col`` DIFFERS from the query's —
+    the negatives that actually move a contrastive loss (Xiong et al.
+    2021, ANCE). Output: (query_id, neighbor_id, cosine, rank).
+
+    Two dispatch modes, mirroring the retrieval stack:
+
+    - exact (``candidates=None``): the (small) query relation broadcasts
+      against the base, label-mismatched pairs score through the shared
+      Arrow einsum kernel, and ranking is the shared NaN-last per-query
+      window. O(N·Q) pair work — the verifier / small-Q path.
+    - shortlist: pass ``candidates`` (query_id, neighbor_id — e.g.
+      ``ivfadc_topk``/``ann_index_probe`` with an oversampled k' ≈ a few
+      × k, since same-label rows will be filtered out): only the
+      shortlist joins back to vectors and labels (candidate-cardinality
+      joins, never the corpus crossed with itself) — the production
+      path at corpus scale, recall bounded by the ANN stage like
+      ``rerank_exact``.
+    """
+    q = (queries if queries is not None else df)
+    idt = _id_type(df, id_col)
+    qv = q.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"),
+                  F.col(label_col).alias("q_label"))
+    nv = df.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("v"),
+                   F.col(label_col).alias("n_label"))
+    if candidates is None:
+        cand = nv.join(F.broadcast(qv),
+                       F.col("query_id") != F.col("neighbor_id"))
+    else:
+        cand = (candidates.select("query_id", "neighbor_id").distinct()
+                .join(qv, "query_id").join(nv, "neighbor_id"))
+    cand = cand.filter(F.col("q_label") != F.col("n_label"))
+    scored = _pair_cosine_pandas(cand.select("query_id", "neighbor_id",
+                                             "qv", "v"),
+                                 "qv", "v",
+                                 [("query_id", idt), ("neighbor_id", idt)])
+    return _rank_topk(scored, k)
+
+
+def embedding_dim_profile(df: DataFrame,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension embedding health profile: (dim, n, mean, std, vmin,
+    vmax) — the embedding-space analogue of the column profiler. Dead
+    dimensions (std ≈ 0), mean drift away from 0, and range blowups are
+    the standard QA signals before indexing / training on a vector
+    column (and after any encoder change).
+
+    100 TB shape: one posexplode feeds a single partial-agg groupBy(dim)
+    — D groups regardless of row count, all sums map-side combined;
+    no window, no collect. Values cast float→double before aggregating
+    so engines agree bit-for-bit on each addend."""
+    vals = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x")) \
+             .select("dim", F.col("x").cast("double").alias("x"))
+    return (vals.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("x").alias("mean"),
+                 F.stddev_samp("x").alias("std"),
+                 F.min("x").alias("vmin"),
+                 F.max("x").alias("vmax")))

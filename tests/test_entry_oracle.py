@@ -48,6 +48,8 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "nb_classify_documents",
     "shuffle_shards_documents",
     "bm25_index_probe_documents",
+    "hard_negatives_embeddings",
+    "embedding_profile_embeddings",
     "bm25_topk_documents",
     "ivfadc_topk_embeddings",
     "ann_index_probe_embeddings",
