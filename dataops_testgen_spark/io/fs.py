@@ -39,3 +39,38 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def staged_swap(spark: SparkSession, live_path: str, tmp_path: str) -> None:
+    """Swap a rewritten relation at ``tmp_path`` into ``live_path`` via
+    filesystem renames (atomic on HDFS/local; on object stores run the
+    caller in a maintenance window). The old relation is staged to
+    ``<live>__pre_compact`` until the new one is in place, so a crash
+    mid-swap leaves either the original or the rewritten relation intact
+    — never neither."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    old = jvm.org.apache.hadoop.fs.Path(live_path)
+    new = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    bak = jvm.org.apache.hadoop.fs.Path(live_path + "__pre_compact")
+    fs = old.getFileSystem(conf)
+    fs.delete(bak, True)
+    if not fs.rename(old, bak):
+        raise IOError(f"could not stage {live_path} for swap")
+    if not fs.rename(new, old):
+        fs.rename(bak, old)     # roll back
+        raise IOError(f"could not swap rewritten relation into {live_path}")
+    fs.delete(bak, True)
+
+
+def count_data_files(spark: SparkSession, path: str) -> int:
+    """Number of ``.parquet`` data files under ``path`` (recursive)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

@@ -190,3 +190,33 @@ def bm25_index_topk(spark, queries: DataFrame, index_dir: str,
     tf = postings.select("id", "term", "tf")
     dl = spark.read.parquet(posixpath.join(index_dir, "doclen"))
     return _bm25_rank(tf, dl, qterms, k, k1, b)
+
+
+def lexical_index_compact(spark, index_dir: str,
+                          doclen_rows_per_file: int = 1_000_000) -> int:
+    """Compact the lexical index after many appends: every
+    ``lexical_index_append`` (or ``lexical_index_sink`` micro-batch)
+    adds a file set per term bucket, so thousands of increments make
+    probes pay the small-files tax (open/footer cost per file) instead
+    of scan cost. Rewrites postings to ~one file per bucket and doclen
+    to ~``doclen_rows_per_file`` rows per file, each swapped in via the
+    shared staged rename (crash leaves old or new intact, never
+    neither). Returns the postings data-file count after compaction."""
+    import posixpath
+
+    from dataops_testgen_spark.io.fs import count_data_files, staged_swap
+
+    postings_path = posixpath.join(index_dir, "postings")
+    tmp = postings_path + "__compacting"
+    (spark.read.parquet(postings_path)
+     .repartition("term_bucket")
+     .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
+    staged_swap(spark, postings_path, tmp)
+
+    doclen_path = posixpath.join(index_dir, "doclen")
+    dl = spark.read.parquet(doclen_path)
+    parts = max(1, -(-dl.count() // doclen_rows_per_file))
+    tmp_dl = doclen_path + "__compacting"
+    dl.repartition(parts).write.mode("overwrite").parquet(tmp_dl)
+    staged_swap(spark, doclen_path, tmp_dl)
+    return count_data_files(spark, postings_path)

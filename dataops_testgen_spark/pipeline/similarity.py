@@ -988,33 +988,15 @@ def ann_index_compact(spark, index_dir: str) -> int:
     a maintenance window). Returns the data-file count after compaction."""
     import posixpath
 
+    from dataops_testgen_spark.io.fs import count_data_files, staged_swap
+
     codes_path = posixpath.join(index_dir, "codes")
     tmp_path = codes_path + "__compacting"
     df = spark.read.parquet(codes_path)
     (df.repartition("ivf_cell")
        .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp_path))
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    old = jvm.org.apache.hadoop.fs.Path(codes_path)
-    new = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    bak = jvm.org.apache.hadoop.fs.Path(codes_path + "__pre_compact")
-    fs = old.getFileSystem(conf)
-    # keep the old relation until the new one is in place: a crash
-    # mid-swap leaves either the original or the compacted codes intact
-    fs.delete(bak, True)
-    if not fs.rename(old, bak):
-        raise IOError(f"could not stage {codes_path} for swap")
-    if not fs.rename(new, old):
-        fs.rename(bak, old)     # roll back
-        raise IOError(f"could not swap compacted codes into {codes_path}")
-    fs.delete(bak, True)
-    it = fs.listFiles(old, True)
-    n = 0
-    while it.hasNext():
-        f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            n += 1
-    return n
+    staged_swap(spark, codes_path, tmp_path)
+    return count_data_files(spark, codes_path)
 
 
 def ann_index_probe(queries: DataFrame, index_dir: str, k: int = 10,

@@ -1669,3 +1669,32 @@ def test_rerank_exact_second_stage(spark, sf_dir):
                    for qid, nb in want.items())
         return hits / sum(len(nb) for nb in want.values())
     assert recall(reranked) >= recall(shortlist)
+
+
+def test_lexical_index_compact_preserves_search(spark, tmp_path):
+    """After many small appends, compaction shrinks the postings file
+    count to ~one per populated bucket and search results are unchanged
+    bit-for-bit."""
+    from dataops_testgen_spark.io.fs import count_data_files
+    from dataops_testgen_spark.pipeline import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(60)
+    idx = str(tmp_path / "lex_c")
+    for i in range(4):
+        retrieval.lexical_index_append(
+            docs.filter(f"doc_id % 4 = {i}"), idx, n_buckets=8)
+    qs = spark.createDataFrame([(1, "spark shuffle window")],
+                               "query_id long, query_text string")
+    before = sorted(map(tuple,
+                        retrieval.bm25_index_topk(spark, qs, idx, k=10,
+                                                  n_buckets=8).collect()))
+    files_before = count_data_files(spark, idx + "/postings")
+    n_after = retrieval.lexical_index_compact(spark, idx)
+    assert n_after < files_before
+    after = sorted(map(tuple,
+                       retrieval.bm25_index_topk(spark, qs, idx, k=10,
+                                                 n_buckets=8).collect()))
+    assert after == before and after
+    # doclen compacted to one file at this size
+    assert count_data_files(spark, idx + "/doclen") == 1
