@@ -3572,7 +3572,8 @@ def q_nb_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 5).alias("score"))
 
 
-_SQL_NB_CLASSIFY = r"""
+def _sql_nb_classify(test_pred: str = "doc_id % 2 = 1") -> str:
+    return rf"""
 WITH tr AS (
   SELECT lang AS label,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -3599,7 +3600,7 @@ te AS (
   SELECT doc_id AS id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
-    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+    FROM documents WHERE text IS NOT NULL AND {test_pred}),
 postings AS (
   SELECT id, term, COUNT(*)::BIGINT AS tf
     FROM (SELECT id, UNNEST(toks) AS term FROM te) GROUP BY 1, 2),
@@ -3723,6 +3724,48 @@ SELECT dim, COUNT(*)::BIGINT AS n, ROUND(AVG(x), 5) AS mean,
 
 
 # --------------------------------------------------------------------------
+# Q: curation_gate_documents — end-to-end keep/drop curation decision
+# --------------------------------------------------------------------------
+
+def q_curation_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation composition (pipeline/curation.py curation_gate):
+    ONE declarative decision per document combining Gopher rule quality
+    (codegen'd, fused into the scan), exact-duplicate canonicalization
+    (min-id per md5(text) window), and the trained NB language classifier
+    (seed = even half labeled by lang) — keep = quality AND canonical AND
+    predicted language in {de, en}. The quality leg uses the flags that
+    discriminate on this corpus (word_count + alpha_ratio; the synthetic
+    vocab contains no Gopher stopwords, so the stopword rule would zero
+    the gate — the per-domain flag tuning the operator exists for). The
+    oracle re-derives all three legs (the proven gopher + NB SQL as CTEs
+    plus the keeper window) and the final boolean."""
+    from dataops_testgen_spark.pipeline.curation import curation_gate
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    out = curation_gate(docs, train, allowed_langs=["de", "en"],
+                        required_flags=["word_count_ok", "alpha_ratio_ok"])
+    return out.select(F.col("id").alias("doc_id"), "quality_ok",
+                      "is_canonical", "pred_lang", "keep")
+
+
+def _sql_curation_gate() -> str:
+    return f"""
+WITH g AS ({_SQL_GOPHER_QUALITY}),
+k AS (SELECT doc_id AS id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+               AS is_canonical
+        FROM documents WHERE text IS NOT NULL),
+nbp AS ({_sql_nb_classify("TRUE")})
+SELECT g.id AS doc_id,
+       (g.word_count_ok AND g.alpha_ratio_ok) AS quality_ok,
+       k.is_canonical, nbp.pred_lang,
+       ((g.word_count_ok AND g.alpha_ratio_ok) AND k.is_canonical
+        AND nbp.pred_lang IN ('de', 'en')) AS keep
+  FROM g JOIN k USING (id) JOIN nbp ON nbp.doc_id = g.id"""
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3769,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r6 (must carry the hard driver signal this round) ---
         "nb_classify_documents": q_nb_classify_documents,
+        "curation_gate_documents": q_curation_gate_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -3814,7 +3858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_features_documents": q_multimodal_features_documents,
-        "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "freshness_threshold_events": q_freshness_threshold_events,
         "validation_prepass": q_validation_prepass,
@@ -3823,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "score_card_issues_co_li": q_score_card_issues,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
@@ -3867,7 +3911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "nb_classify_documents": _SQL_NB_CLASSIFY,
+        "nb_classify_documents": _sql_nb_classify(),
+        "curation_gate_documents": _sql_curation_gate(),
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_index_probe_documents": _sql_bm25_topk(),
         "hard_negatives_embeddings": _SQL_HARD_NEGATIVES,

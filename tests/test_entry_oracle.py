@@ -46,6 +46,7 @@ def test_entry_smoke(spark):
 _MUST_BE_IN_DRIVER_WINDOW = {
     # new in r6
     "nb_classify_documents",
+    "curation_gate_documents",
     "shuffle_shards_documents",
     "bm25_index_probe_documents",
     "hard_negatives_embeddings",
