@@ -3591,11 +3591,14 @@ cond AS (
            AS log_cond
     FROM posting p JOIN tot t USING (label) CROSS JOIN vc v),
 priors AS (
+  -- LEFT JOIN + COALESCE mirrors nb_train: a label whose seed docs carry
+  -- no tokens still keeps its prior and smoothed unseen mass
   SELECT d.label,
          ln(d.cnt::DOUBLE / n.n::DOUBLE) AS log_prior,
-         ln(1.0 / (t.t::DOUBLE + 1.0 * v.v::DOUBLE)) AS log_unseen
+         ln(1.0 / (COALESCE(t.t, 0)::DOUBLE + 1.0 * v.v::DOUBLE))
+           AS log_unseen
     FROM (SELECT label, COUNT(*)::BIGINT AS cnt FROM tr GROUP BY 1) d
-    JOIN tot t USING (label) CROSS JOIN vc v CROSS JOIN nd n),
+    LEFT JOIN tot t USING (label) CROSS JOIN vc v CROSS JOIN nd n),
 te AS (
   SELECT doc_id AS id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]

@@ -833,6 +833,71 @@ def cmd_export_test_metadata(args) -> int:
 
 # ---------------------------------------------------------------------------
 
+def cmd_corpus_curate(args) -> int:
+    """One-pass corpus curation gate (pipeline/curation.py): quality
+    flags x exact-dup canonicalization x trained NB language filter —
+    writes the per-doc decision and prints the keep rate."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.curation import curation_gate
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus).filter(F.col(args.text_col)
+                                                  .isNotNull())
+    train = docs.filter(args.train_condition) if args.train_condition \
+        else docs.filter(F.col(args.label_col).isNotNull())
+    flags = ([f for f in args.quality_flags.split(",") if f]
+             if args.quality_flags else None)
+    out = curation_gate(docs, train,
+                        allowed_langs=args.allowed_langs.split(","),
+                        required_flags=flags, text_col=args.text_col,
+                        id_col=args.id_col, label_col=args.label_col)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    kept = out.filter("keep").count()
+    total = out.count()
+    print(f"kept {kept}/{total} "
+          f"({100.0 * kept / max(total, 1):.1f}%)"
+          + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
+def cmd_corpus_index(args) -> int:
+    """Append a corpus increment to the persisted lexical BM25 index
+    (retrieval.lexical_index_append); searches then run against all
+    indexed history without rescanning text."""
+    from dataops_testgen_spark.pipeline.retrieval import (
+        lexical_index_append, lexical_index_compact)
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    if args.condition:
+        docs = docs.filter(args.condition)
+    lexical_index_append(docs, args.index_dir, text_col=args.text_col,
+                         id_col=args.id_col, n_buckets=args.buckets)
+    msg = f"indexed {docs.count()} docs -> {args.index_dir}"
+    if args.compact:
+        n = lexical_index_compact(spark, args.index_dir)
+        msg += f" (compacted to {n} postings files)"
+    print(msg)
+    return 0
+
+
+def cmd_corpus_search(args) -> int:
+    """BM25 top-k search over everything indexed by corpus-index."""
+    from dataops_testgen_spark.pipeline.retrieval import bm25_index_topk
+
+    spark = _spark()
+    qs = spark.createDataFrame([(1, args.query)],
+                               "query_id long, query_text string")
+    out = bm25_index_topk(spark, qs, args.index_dir, k=args.k,
+                          n_buckets=args.buckets).select("id", "score",
+                                                         "rnk")
+    for r in out.orderBy("rnk").collect():
+        print(f"{r['rnk']:>3}  {r['score']:>10.5f}  {r['id']}")
+    return 0
+
+
 def _add_common(p, data=False, store=True, gen=False):
     if data:
         p.add_argument("--data-dir", required=True)
@@ -1017,6 +1082,42 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--path", default="test_metadata",
                    help="output directory for the yaml files")
     p.set_defaults(fn=cmd_export_test_metadata)
+
+    p = sub.add_parser("corpus-curate")
+    p.add_argument("--corpus", required=True,
+                   help="parquet dir/file of documents")
+    p.add_argument("--out", default="", help="parquet output for decisions")
+    p.add_argument("--allowed-langs", required=True,
+                   help="comma-separated predicted-language allowlist")
+    p.add_argument("--quality-flags", default="",
+                   help="comma-separated Gopher flags to require "
+                        "(default: the full gopher_pass)")
+    p.add_argument("--train-condition", default="",
+                   help="SQL predicate selecting the labeled seed rows "
+                        "(default: rows where --label-col is not null)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--label-col", default="lang")
+    p.set_defaults(fn=cmd_corpus_curate)
+
+    p = sub.add_parser("corpus-index")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--condition", default="",
+                   help="SQL predicate selecting the increment to append")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--compact", action="store_true",
+                   help="compact postings/doclen after the append")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_corpus_index)
+
+    p = sub.add_parser("corpus-search")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10, dest="k")
+    p.add_argument("--buckets", type=int, default=64)
+    p.set_defaults(fn=cmd_corpus_search)
 
     args = parser.parse_args(argv)
     return args.fn(args)

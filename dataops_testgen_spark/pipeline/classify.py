@@ -82,9 +82,15 @@ def nb_train(df: DataFrame, text_col: str = "text",
                     F.log((F.col("c").cast("double") + F.lit(alpha))
                           / denom).alias("log_cond")))
     n_docs = df.count()
+    if n_docs == 0:
+        raise ValueError("training DataFrame is empty")
+    # LEFT join + zero-coalesce: a label whose seed docs carry no tokens
+    # (all empty/whitespace) still exists — it must keep its prior and a
+    # smoothed unseen mass, exactly like the textbook formulation
     priors = (df.groupBy(F.col(label_col).alias("label"))
               .agg(F.count(F.lit(1)).alias("n"))
-              .join(F.broadcast(totals), "label")
+              .join(F.broadcast(totals), "label", "left")
+              .withColumn("t", F.coalesce("t", F.lit(0)))
               .select("label",
                       F.log(F.col("n").cast("double")
                             / F.lit(float(n_docs))).alias("log_prior"),

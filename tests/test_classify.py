@@ -116,3 +116,57 @@ def test_nb_rejects_bad_params(spark):
         nb_train(train, label_col="label", alpha=0.0)
     with pytest.raises(ValueError):
         nb_train(train, label_col="label", max_vocab=0)
+
+
+def test_nb_label_with_tokenless_seed_keeps_prior(spark):
+    """A label whose every seed doc is empty/whitespace must still exist
+    in the model (prior + smoothed unseen mass) — the textbook NB
+    formulation, and what the plain-Python reference does."""
+    train = [(0, "apple banana", "a"), (1, " ", "b"), (2, "", "b")]
+    test = [(10, "apple"), (11, "")]
+    tr = spark.createDataFrame(train, "doc_id: long, text: string, label: string")
+    cond, priors = nb_train(tr, label_col="label")
+    assert {r["label"] for r in priors.collect()} == {"a", "b"}
+    te = spark.createDataFrame(test, "doc_id: long, text: string")
+    got = {(r["id"], r["label"]): r["score"]
+           for r in nb_score(te, cond, priors).collect()}
+    want = _python_nb(train, test)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # prior-only argmax: 'b' has the majority prior
+    pred = {r["id"]: r["label"]
+            for r in nb_predict(te, cond, priors).collect()}
+    assert pred[11] == "b"
+
+
+def test_nb_property_parity_with_python_reference(spark):
+    """Property: for random small corpora (empty docs, unseen words,
+    single-label strata all included), every (doc, label) score matches
+    the independent plain-Python NB."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["ab", "cd", "ef", "gh", "ij"])
+    doc = st.lists(words, min_size=0, max_size=5).map(" ".join)
+    labels = st.sampled_from(["x", "y", "z"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(train=st.lists(st.tuples(doc, labels), min_size=1, max_size=6)
+           .filter(lambda t: any(txt.strip() for txt, _ in t)),
+           test=st.lists(doc, min_size=1, max_size=4))
+    def check(train, test):
+        train_rows = [(i, t, lb) for i, (t, lb) in enumerate(train)]
+        test_rows = [(100 + i, t) for i, t in enumerate(test)]
+        tr = spark.createDataFrame(
+            train_rows, "doc_id: long, text: string, label: string")
+        te = spark.createDataFrame(test_rows, "doc_id: long, text: string")
+        cond, priors = nb_train(tr, label_col="label")
+        got = {(r["id"], r["label"]): r["score"]
+               for r in nb_score(te, cond, priors).collect()}
+        want = _python_nb(train_rows, test_rows)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+    check()

@@ -527,3 +527,30 @@ def test_bucket_store_count_change_refused(spark, tmp_path):
     assert RunStore(spark, store_dir).bucket_results == 8  # sticky
     with _pytest.raises(ValueError, match="bucketed with 8"):
         RunStore(spark, store_dir, bucket_results=16)
+
+
+def test_corpus_cli_roundtrip(spark, tmp_path, capsys):
+    """corpus-index (two increments + compaction) -> corpus-search finds
+    the indexed docs; corpus-curate writes per-doc decisions."""
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "cli_lex")
+    assert main(["corpus-index", "--corpus", corpus, "--index-dir", idx,
+                 "--condition", "doc_id % 2 = 0"]) == 0
+    assert main(["corpus-index", "--corpus", corpus, "--index-dir", idx,
+                 "--condition", "doc_id % 2 = 1", "--compact"]) == 0
+    assert main(["corpus-search", "--index-dir", idx,
+                 "--query", "spark shuffle window", "-k", "5"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.strip() and ln.split()[0].isdigit()]
+    assert len(lines) == 5
+
+    out = str(tmp_path / "decisions")
+    assert main(["corpus-curate", "--corpus", corpus, "--out", out,
+                 "--allowed-langs", "de,en",
+                 "--quality-flags", "word_count_ok,alpha_ratio_ok",
+                 "--train-condition", "doc_id % 2 = 0"]) == 0
+    dec = spark.read.parquet(out)
+    assert dec.count() == 500
+    assert set(dec.columns) == {"id", "quality_ok", "is_canonical",
+                                "pred_lang", "keep"}
+    assert 0 < dec.filter("keep").count() < 500
