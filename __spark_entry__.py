@@ -3769,6 +3769,52 @@ SELECT g.id AS doc_id,
 
 
 # --------------------------------------------------------------------------
+# Q: session_stats_events — gap-based event sessionization
+# --------------------------------------------------------------------------
+
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (pipeline/sessions.py): per-user sessions
+    split by >= 30 min of silence (half-open session_window semantics —
+    batch == Structured Streaming session_window pinned by test), then
+    per-session aggregates. One shuffle on the actor key; the gap test is
+    exact microsecond integer math (unix_micros vs the oracle's
+    epoch_us); total_value folds in event_id order for bit-identical
+    double sums."""
+    from dataops_testgen_spark.pipeline.sessions import session_stats
+
+    events = _load(spark, sf_dir, "events")
+    out = session_stats(events, gap_minutes=30.0)
+    # duration is exact micros / 1e6 — the SAME double in both engines
+    # (identical integer inputs, one division), and it always carries six
+    # decimals, so rounding to five would sit exactly on the half-way
+    # boundary where Spark and DuckDB round differently. Emit it raw.
+    return out.select("user_id", "session_idx", "n_events", "start_ts",
+                      "end_ts", "duration_s",
+                      F.round("total_value", 5).alias("total_value"))
+
+
+_SQL_SESSION_STATS = """
+WITH o AS (
+  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us FROM events),
+b AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 0
+                 WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+                 ELSE 0 END AS brk
+    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+    FROM b)
+SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       (MAX(us) - MIN(us)) / 1000000.0 AS duration_s,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(value ORDER BY event_id)),
+                         (acc, x) -> acc + x), 5) AS total_value
+  FROM s GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3816,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (must carry the hard driver signal this round) ---
         "nb_classify_documents": q_nb_classify_documents,
         "curation_gate_documents": q_curation_gate_documents,
+        "session_stats_events": q_session_stats_events,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -3849,7 +3896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "distribution_shift_events": q_distribution_shift_events,
-        "text_analysis_documents": q_text_analysis_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
@@ -3869,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "text_analysis_documents": q_text_analysis_documents,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "score_card_issues_co_li": q_score_card_issues,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
@@ -3916,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
+        "session_stats_events": _SQL_SESSION_STATS,
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_index_probe_documents": _sql_bm25_topk(),
         "hard_negatives_embeddings": _SQL_HARD_NEGATIVES,

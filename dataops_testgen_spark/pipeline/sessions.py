@@ -1,0 +1,71 @@
+"""Event sessionization: gap-based sessions over an event stream/table.
+
+The standard event-pipeline primitive (user behavior analytics, training
+on interaction traces, rate/abuse analysis): consecutive events of the
+same actor belong to one session until a silence of ``gap`` or longer,
+matching Structured Streaming's ``session_window`` semantics (a session
+spans ``[first, last + gap)``, so an event exactly ``gap`` after the
+last one opens a NEW session) — the batch and streaming views of the
+same sessions agree, pinned by test.
+
+Spark shape: ONE shuffle on the actor key; the session index is a
+running sum of gap-break flags inside the per-actor window (lag +
+cumulative sum — no explode, no self-join); session aggregates are a
+partial-agg groupBy on (actor, session). Timestamps compare as exact
+microsecond longs (``unix_micros``), so the gap test is integer math —
+bit-identical in any engine (DuckDB: ``epoch_us``).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: float = 30.0,
+               order_col: str = "event_id") -> DataFrame:
+    """Attach ``session_idx`` (0-based per actor, in time order) to every
+    event. A new session starts when the microsecond gap to the previous
+    event is >= ``gap_minutes`` (half-open session-window semantics).
+    ``order_col`` breaks exact timestamp ties deterministically; the
+    session assignment itself depends only on timestamps."""
+    if gap_minutes <= 0:
+        raise ValueError("gap_minutes must be > 0")
+    gap_us = int(gap_minutes * 60_000_000)
+    # cast handles TIMESTAMP_NTZ sources (parquet naive timestamps): the
+    # session timezone is UTC (session.py), so the cast preserves the
+    # wall-clock microseconds exactly
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us, F.col(order_col))
+    brk = (F.when(F.lag(us).over(w).isNull(), F.lit(0))
+           .when(us - F.lag(us).over(w) >= F.lit(gap_us), F.lit(1))
+           .otherwise(F.lit(0)))
+    return df.withColumn("session_idx",
+                         F.sum(brk).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  gap_minutes: float = 30.0,
+                  order_col: str = "event_id") -> DataFrame:
+    """Per-session aggregates: (user, session_idx, n_events, start_ts,
+    end_ts, duration_s, total_value). ``total_value`` folds in
+    ``order_col`` order so the double sum is bit-identical across
+    engines (the shared canonical-fold trick)."""
+    s = sessionize(df, user_col, ts_col, gap_minutes, order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (s.groupBy(F.col(user_col).alias("user_id"), "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("end_ts"),
+                 ((F.max(us) - F.min(us)) / F.lit(1_000_000.0))
+                 .alias("duration_s"),
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col(order_col).alias("o"),
+                              F.col(value_col).alias("v")))).alias("parts"))
+            .select("user_id", "session_idx", "n_events", "start_ts",
+                    "end_ts", "duration_s",
+                    F.aggregate("parts", F.lit(0.0),
+                                lambda acc, p: acc + p["v"])
+                    .alias("total_value")))

@@ -47,7 +47,9 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # new in r6
     "nb_classify_documents",
     "curation_gate_documents",
+    "session_stats_events",
     "shuffle_shards_documents",
+    "multimodal_features_documents",
     "bm25_index_probe_documents",
     "hard_negatives_embeddings",
     "embedding_profile_embeddings",

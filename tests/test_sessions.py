@@ -1,0 +1,81 @@
+"""sessionize / session_stats (pipeline/sessions.py): hand-built gaps,
+half-open boundary semantics, and batch == streaming session_window."""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.pipeline.sessions import (session_stats,
+                                                     sessionize)
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+EVENTS = [
+    # user 1: two sessions split by a 30-min silence; exact-gap boundary
+    (1, 1, _ts(0), 1.0),
+    (2, 1, _ts(10), 2.0),
+    (3, 1, _ts(40), 4.0),      # exactly 30 min after event 2 -> NEW session
+    (4, 1, _ts(41), 8.0),
+    # user 2: one session, gap just under 30 min keeps it together
+    (5, 2, _ts(0), 1.5),
+    (6, 2, _ts(29, 59, 999999), 2.5),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        EVENTS, "event_id long, user_id long, ts timestamp, value double")
+
+
+def test_sessionize_boundaries(spark, events):
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessionize(events).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0}
+
+
+def test_session_stats(spark, events):
+    rows = {(r["user_id"], r["session_idx"]): r
+            for r in session_stats(events).collect()}
+    a = rows[(1, 0)]
+    assert a["n_events"] == 2 and a["total_value"] == 3.0
+    assert a["duration_s"] == pytest.approx(600.0)
+    b = rows[(1, 1)]
+    assert b["n_events"] == 2 and b["total_value"] == 12.0
+    c = rows[(2, 0)]
+    assert c["n_events"] == 2 and c["duration_s"] == pytest.approx(
+        30 * 60 - 1e-6)
+
+
+def test_sessionize_rejects_bad_gap(spark, events):
+    with pytest.raises(ValueError):
+        sessionize(events, gap_minutes=0)
+
+
+def test_batch_sessions_equal_streaming_session_window(spark, tmp_path):
+    """The batch sessionizer's (user, session) partitions carry exactly
+    the aggregates Structured Streaming's session_window(30 min) emits
+    over the same events — same session boundaries, counts and spans."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(events.schema).parquet(src)
+              .groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("sw"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.min("ts").alias("start_ts"),
+                   F.max("ts").alias("end_ts")))
+    q = (stream.writeStream.format("memory").queryName("sess_sw")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["user_id"], r["start_ts"]): (r["n_events"], r["end_ts"])
+           for r in spark.sql("select * from sess_sw").collect()}
+
+    want = {(r["user_id"], r["start_ts"]): (r["n_events"], r["end_ts"])
+            for r in session_stats(events).collect()}
+    assert got == want and len(want) > len(
+        {u for u, _ in want})  # multiple sessions per some user
