@@ -3815,6 +3815,43 @@ SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
 
 
 # --------------------------------------------------------------------------
+# Q: rolling_features_events — per-event trailing-window training features
+# --------------------------------------------------------------------------
+
+def q_rolling_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal feature engineering (pipeline/sessions.py
+    rolling_features): per event, the actor's trailing 1h/24h activity
+    count + value sum (inclusive RANGE frames over exact microsecond
+    longs — order-independent sets, so no tiebreak needed) and the exact
+    seconds since the actor's previous event. One shuffle on the actor
+    key; all frames share one per-actor sort."""
+    from dataops_testgen_spark.pipeline.sessions import rolling_features
+
+    events = _load(spark, sf_dir, "events")
+    out = rolling_features(events, windows_minutes=(60, 1440))
+    return out.select("event_id", "n_60m",
+                      F.round("sum_60m", 5).alias("sum_60m"),
+                      "n_1440m", F.round("sum_1440m", 5).alias("sum_1440m"),
+                      "secs_since_prev")
+
+
+_SQL_ROLLING_FEATURES = """
+WITH o AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+SELECT event_id,
+       (COUNT(*) OVER w60)::BIGINT AS n_60m,
+       ROUND(SUM(value) OVER w60, 5) AS sum_60m,
+       (COUNT(*) OVER w14)::BIGINT AS n_1440m,
+       ROUND(SUM(value) OVER w14, 5) AS sum_1440m,
+       (us - lag(us) OVER wl) / 1000000.0 AS secs_since_prev
+  FROM o
+WINDOW w60 AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+       w14 AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY user_id ORDER BY us, event_id)"""
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3863,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_documents": q_nb_classify_documents,
         "curation_gate_documents": q_curation_gate_documents,
         "session_stats_events": q_session_stats_events,
+        "rolling_features_events": q_rolling_features_events,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -3896,7 +3934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "distribution_shift_events": q_distribution_shift_events,
-        "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -3915,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "dedup_exact_documents": q_dedup_exact_documents,
         "text_analysis_documents": q_text_analysis_documents,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "score_card_issues_co_li": q_score_card_issues,
@@ -3964,6 +4002,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,
+        "rolling_features_events": _SQL_ROLLING_FEATURES,
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_index_probe_documents": _sql_bm25_topk(),
         "hard_negatives_embeddings": _SQL_HARD_NEGATIVES,

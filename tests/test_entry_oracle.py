@@ -48,6 +48,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "nb_classify_documents",
     "curation_gate_documents",
     "session_stats_events",
+    "rolling_features_events",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",

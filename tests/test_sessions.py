@@ -79,3 +79,26 @@ def test_batch_sessions_equal_streaming_session_window(spark, tmp_path):
             for r in session_stats(events).collect()}
     assert got == want and len(want) > len(
         {u for u, _ in want})  # multiple sessions per some user
+
+
+def test_rolling_features_hand_check(spark):
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 30), 2.0),   # within 60m of 1
+        (3, 1, dt.datetime(2024, 1, 1, 1, 30), 4.0),   # exactly 60m after 2
+        (4, 2, dt.datetime(2024, 1, 1, 0, 5), 8.0),
+    ]
+    from dataops_testgen_spark.pipeline.sessions import rolling_features
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r
+           for r in rolling_features(df, windows_minutes=(60,)).collect()}
+    assert got[1]["n_60m"] == 1 and got[1]["sum_60m"] == 1.0
+    assert got[1]["secs_since_prev"] is None
+    assert got[2]["n_60m"] == 2 and got[2]["sum_60m"] == 3.0
+    assert got[2]["secs_since_prev"] == 1800.0
+    # inclusive trailing boundary: event 2 (exactly 60m earlier) counts
+    assert got[3]["n_60m"] == 2 and got[3]["sum_60m"] == 6.0
+    # other users never leak in
+    assert got[4]["n_60m"] == 1 and got[4]["sum_60m"] == 8.0
