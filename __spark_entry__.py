@@ -3852,6 +3852,44 @@ WINDOW w60 AS (PARTITION BY user_id ORDER BY us
 
 
 # --------------------------------------------------------------------------
+# Q: funnel_events — ordered multi-step funnel analysis
+# --------------------------------------------------------------------------
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (pipeline/sessions.py funnel): first view -> first
+    click strictly after it -> first purchase strictly after that, per
+    user — k conditional first-timestamp aggregates chained on the actor
+    key (no window over raw events, no full-log self-join). Exact
+    microsecond comparisons; the oracle is the same CTE chain."""
+    from dataops_testgen_spark.pipeline.sessions import funnel
+
+    events = _load(spark, sf_dir, "events")
+    out = funnel(events, ["view", "click", "purchase"])
+    return out.select("user_id", "ts_step_1", "ts_step_2", "ts_step_3",
+                      "steps_completed")
+
+
+_SQL_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type AS etype, epoch_us(ts) AS us
+              FROM events),
+s1 AS (SELECT user_id, MIN(us) AS us_1 FROM ev
+        WHERE etype = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.us) AS us_2
+         FROM ev e JOIN s1 USING (user_id)
+        WHERE e.etype = 'click' AND e.us > s1.us_1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.us) AS us_3
+         FROM ev e JOIN s2 USING (user_id)
+        WHERE e.etype = 'purchase' AND e.us > s2.us_2 GROUP BY 1)
+SELECT s1.user_id,
+       make_timestamp(us_1) AS ts_step_1,
+       make_timestamp(us_2) AS ts_step_2,
+       make_timestamp(us_3) AS ts_step_3,
+       (1 + (us_2 IS NOT NULL)::INT + (us_3 IS NOT NULL)::INT)
+         AS steps_completed
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3901,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gate_documents": q_curation_gate_documents,
         "session_stats_events": q_session_stats_events,
         "rolling_features_events": q_rolling_features_events,
+        "funnel_events": q_funnel_events,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -3934,7 +3973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "distribution_shift_events": q_distribution_shift_events,
-        "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_keep_one_documents": q_dedup_keep_one_documents,
@@ -3952,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_analysis_documents": q_text_analysis_documents,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
@@ -4003,6 +4042,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,
         "rolling_features_events": _SQL_ROLLING_FEATURES,
+        "funnel_events": _SQL_FUNNEL,
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_index_probe_documents": _sql_bm25_topk(),
         "hard_negatives_embeddings": _SQL_HARD_NEGATIVES,

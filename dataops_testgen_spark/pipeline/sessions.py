@@ -104,3 +104,58 @@ def rolling_features(df: DataFrame, user_col: str = "user_id",
         "secs_since_prev",
         (us - F.lag(us).over(lag_w)) / F.lit(1_000_000.0))
     return out
+
+
+def funnel(df: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           within_minutes: float | None = None) -> DataFrame:
+    """Ordered funnel analysis: for each actor, the FIRST time they
+    completed each step strictly after completing the previous one
+    (view -> click -> buy conversion, activation funnels, abuse
+    escalation chains). ``within_minutes`` optionally requires the whole
+    chain to fit in a window after step 1 (classic "converted within
+    24h" semantics).
+
+    Output: one row per actor that completed step 1 —
+    (user, ts_step_1..ts_step_k, steps_completed), where ts_step_i is
+    NULL once the chain breaks.
+
+    Spark shape: k conditional first-timestamp aggregates over ONE
+    groupBy of the (type-filtered) events — step i's condition
+    references step i-1's aggregate, expressed as chained min(CASE)
+    subqueries (k tiny joins on the actor key, each metadata-plane
+    after the first shuffle). No window over raw events, no self-join
+    of the full log.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(F.col(user_col).alias("user_id"),
+                   F.col(type_col).alias("etype"), us.alias("us"))
+    cur = (ev.filter(F.col("etype") == steps[0])
+           .groupBy("user_id").agg(F.min("us").alias("us_1")))
+    limit_expr = None
+    if within_minutes is not None:
+        limit_expr = int(within_minutes * 60_000_000)
+    for i, step in enumerate(steps[1:], start=2):
+        # one join carries both the previous step's time and (for the
+        # completion window) step 1's — deduped to avoid self-ambiguity
+        carry = list(dict.fromkeys(
+            ["user_id", f"us_{i-1}"]
+            + (["us_1"] if limit_expr is not None else [])))
+        nxt = (ev.filter(F.col("etype") == step)
+               .join(cur.select(*carry), "user_id")
+               .filter(F.col("us") > F.col(f"us_{i-1}")))
+        if limit_expr is not None:
+            nxt = nxt.filter(
+                F.col("us") <= F.col("us_1") + F.lit(limit_expr))
+        nxt = nxt.groupBy("user_id").agg(F.min("us").alias(f"us_{i}"))
+        cur = cur.join(nxt, "user_id", "left")
+    done = sum((F.col(f"us_{i}").isNotNull().cast("int")
+                for i in range(2, len(steps) + 1)),
+               F.lit(1))
+    ts_cols = [F.timestamp_micros(F.col(f"us_{i}")).alias(f"ts_step_{i}")
+               for i in range(1, len(steps) + 1)]
+    return cur.select("user_id", *ts_cols,
+                      done.alias("steps_completed"))

@@ -140,7 +140,25 @@ def main(out_dir: str = "/tmp/sf1") -> None:
         lab.alias("label"))
     emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
-    for t in ("orders", "lineitem", "documents", "embeddings"):
+    # --- events: 1M over 30 days, 15k users (10x sf0.1's 100k/1.5k) ---
+    ev = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(secs=_h(F.col("id"), "ets")
+                           * (30 * 24 * 3600))).alias("ts"),
+        (F.floor(_h(F.col("id"), "eu") * 15_000)).alias("user_id"),
+        F.element_at(F.array(*[F.lit(s) for s in
+                               ("view", "click", "buy", "search")]),
+                     (F.floor(_h(F.col("id"), "et") * 4) + 1).cast("int")
+                     ).alias("event_type"),
+        F.round(_h(F.col("id"), "ev") * 100, 2).alias("value"),
+        F.concat(F.lit('{"k": '),
+                 F.floor(_h(F.col("id"), "ek") * 100).cast("int")
+                 .cast("string"), F.lit("}")).alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    for t in ("orders", "lineitem", "documents", "embeddings", "events"):
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 

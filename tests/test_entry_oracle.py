@@ -49,6 +49,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "curation_gate_documents",
     "session_stats_events",
     "rolling_features_events",
+    "funnel_events",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",

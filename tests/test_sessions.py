@@ -102,3 +102,44 @@ def test_rolling_features_hand_check(spark):
     assert got[3]["n_60m"] == 2 and got[3]["sum_60m"] == 6.0
     # other users never leak in
     assert got[4]["n_60m"] == 1 and got[4]["sum_60m"] == 8.0
+
+
+def test_funnel_hand_check(spark):
+    from dataops_testgen_spark.pipeline.sessions import funnel
+
+    rows = [
+        # user 1 completes view->click->buy in order
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), "view"),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 5), "click"),
+        (3, 1, dt.datetime(2024, 1, 1, 0, 9), "buy"),
+        # user 2: buy BEFORE click -> chain breaks at step 2? no: click
+        # at 0:10, buy at 0:02 (before click) -> steps_completed = 2
+        (4, 2, dt.datetime(2024, 1, 1, 0, 0), "view"),
+        (5, 2, dt.datetime(2024, 1, 1, 0, 2), "buy"),
+        (6, 2, dt.datetime(2024, 1, 1, 0, 10), "click"),
+        # user 3 never views -> absent from output
+        (7, 3, dt.datetime(2024, 1, 1, 0, 0), "click"),
+        # user 4: completes, but only within 20 minutes at step 2
+        (8, 4, dt.datetime(2024, 1, 1, 0, 0), "view"),
+        (9, 4, dt.datetime(2024, 1, 1, 0, 15), "click"),
+        (10, 4, dt.datetime(2024, 1, 1, 1, 0), "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r
+           for r in funnel(df, ["view", "click", "buy"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["steps_completed"] == 3
+    assert got[1]["ts_step_3"] == dt.datetime(2024, 1, 1, 0, 9)
+    assert got[2]["steps_completed"] == 2 and got[2]["ts_step_3"] is None
+    assert got[2]["ts_step_2"] == dt.datetime(2024, 1, 1, 0, 10)
+    assert got[4]["steps_completed"] == 3
+    # 20-minute completion window: user 4's buy at +60m is out
+    within = {r["user_id"]: r["steps_completed"]
+              for r in funnel(df, ["view", "click", "buy"],
+                              within_minutes=20).collect()}
+    assert within[4] == 2 and within[1] == 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel(df, ["view"])
