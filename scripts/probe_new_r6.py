@@ -23,7 +23,8 @@ from dataops_testgen_spark.session import get_spark  # noqa: E402
 QUERIES = ["nb_classify_documents", "shuffle_shards_documents",
            "bm25_index_probe_documents", "hard_negatives_embeddings",
            "embedding_profile_embeddings", "curation_gate_documents",
-           "session_stats_events", "rolling_features_events"]
+           "session_stats_events", "rolling_features_events",
+           "funnel_events"]
 
 
 def main() -> None:
