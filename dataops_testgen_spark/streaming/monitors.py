@@ -403,3 +403,78 @@ def incremental_profile_sink(table_name: str, state_dir: str,
                 .write.mode("overwrite").parquet(screen_dir)
 
     return fold
+
+
+def streaming_sessionize(stream_df, gap_minutes: float = 30.0,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value"):
+    """TRUE incremental sessionization as a custom stateful operator
+    (``applyInPandasWithState``): per-actor state is the one OPEN session
+    (start, last-event, count, value sum); each micro-batch folds its
+    events in time order, emitting a session the moment a gap of
+    >= ``gap_minutes`` closes it — the same half-open semantics as
+    ``pipeline/sessions.py`` and ``session_window``, but with
+    hand-managed state (the escape hatch for session logic
+    ``session_window`` can't express: value-dependent gaps, per-actor
+    caps, session-long derived features).
+
+    Emits CLOSED sessions only: (user_id, start_us, end_us, n_events,
+    total_value) with microsecond-long timestamps. The final open
+    session per actor stays in state (a production stream would close it
+    by event-time timeout; with availableNow triggers the stream simply
+    ends first). Requires micro-batches to arrive in per-actor time
+    order (true for time-split file feeds and watermarked sources).
+
+    Usage::
+
+        out = streaming_sessionize(spark.readStream...load(...))
+        q = out.writeStream.format("memory").queryName("s").start()
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    gap_us = int(gap_minutes * 60_000_000)
+
+    out_type = StructType([
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+    state_type = StructType([
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        start = last = n = total = None
+        if state.exists:
+            start, last, n, total = state.get
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if start is None:
+                    start, last, n, total = us, us, 1, float(val)
+                elif us - last >= gap_us:
+                    closed.append((key[0], start, last, n, total))
+                    start, last, n, total = us, us, 1, float(val)
+                else:
+                    last, n, total = us, n + 1, total + float(val)
+        if start is not None:
+            state.update((start, last, n, total))
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "start_us",
+                                                "end_us", "n_events",
+                                                "total_value"])
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(fold, out_type, state_type, "append",
+                                    GroupStateTimeout.NoTimeout))

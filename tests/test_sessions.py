@@ -143,3 +143,55 @@ def test_funnel_hand_check(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         funnel(df, ["view"])
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: feeding the events in two
+    time-ordered micro-batches emits exactly the batch sessionizer's
+    CLOSED sessions (every session except each user's chronologically
+    last, which stays open in state)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.sessions import session_stats
+    from dataops_testgen_spark.streaming.monitors import (
+        streaming_sessionize)
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    us = "unix_micros(cast(ts as timestamp))"
+    split = events.selectExpr(f"percentile({us}, 0.5) p").first()["p"]
+    src = str(tmp_path / "sess_src")
+    events.filter(F.expr(us) <= split).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    events.filter(F.expr(us) > split).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = streaming_sessionize(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (out.writeStream.format("memory").queryName("sess_state")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"]):
+           r["total_value"]
+           for r in spark.sql("select * from sess_state").collect()}
+
+    full = session_stats(events).collect()
+    last_per_user = {}
+    for r in full:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_idx"] > cur["session_idx"]:
+            last_per_user[r["user_id"]] = r
+    want = {}
+    for r in full:
+        if r is last_per_user[r["user_id"]]:
+            continue
+        key = (r["user_id"],
+               int(r["start_ts"].timestamp() * 1_000_000),
+               int(r["end_ts"].timestamp() * 1_000_000),
+               r["n_events"])
+        want[key] = r["total_value"]
+    assert set(got) == set(want) and got
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
