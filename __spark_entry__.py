@@ -3890,6 +3890,28 @@ SELECT s1.user_id,
 
 
 # --------------------------------------------------------------------------
+# Q: bpe_merges_documents — distributed BPE vocabulary induction
+# (rows-only driver check: iterative argmax -> next-round segmentation is
+# not SQL-expressible; correctness is pinned against an independent
+# plain-Python BPE in tests/test_bpe.py, merge-for-merge)
+# --------------------------------------------------------------------------
+
+def q_bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (pipeline/bpe.py bpe_train, Sennrich et
+    al. 2016): 10 merge rounds over the documents corpus — one corpus
+    scan builds the word-frequency relation, every round is one cheap
+    pair-count job over it (count DESC, lexicographic tiebreak). Output:
+    (merge_idx, a, b) — deterministic for a given corpus."""
+    from dataops_testgen_spark.pipeline.bpe import bpe_train
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    merges = bpe_train(docs, n_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx: int, a: string, b: string")
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards_documents — deterministic global shuffle for shard writes
 # --------------------------------------------------------------------------
 
@@ -3940,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "rolling_features_events": q_rolling_features_events,
         "funnel_events": q_funnel_events,
+        "bpe_merges_documents": q_bpe_merges_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -3973,7 +3996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "distribution_shift_events": q_distribution_shift_events,
-        "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_keep_one_documents": q_dedup_keep_one_documents,
         "simhash_documents": q_simhash_documents,
@@ -3990,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "minhash_lsh_documents": q_minhash_lsh_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_analysis_documents": q_text_analysis_documents,

@@ -50,6 +50,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "session_stats_events",
     "rolling_features_events",
     "funnel_events",
+    "bpe_merges_documents",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",
