@@ -2995,6 +2995,45 @@ def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "n_tokens", F.round("mean_nll", 5).alias("mean_nll"))
 
 
+def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (pipeline/text.py: bigram_lm_score —
+    one Markov order closer to CCNet's KenLM gate: add-one-smoothed
+    p(w2|w1) trained on the corpus's own adjacent pairs, scored as mean
+    bigram NLL + perplexity per doc; <2-token docs carry NULL scores)."""
+    from dataops_testgen_spark.pipeline.text import bigram_lm_score
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = bigram_lm_score(docs)
+    return out.select("id", "n_bigrams",
+                      F.round("mean_nll", 5).alias("mean_nll"),
+                      F.round("perplexity", 5).alias("perplexity"))
+
+
+_SQL_BIGRAM_LM = r"""
+WITH d AS (SELECT doc_id AS id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+             FROM documents WHERE text IS NOT NULL),
+i AS (SELECT id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        FROM d WHERE len(toks) >= 2),
+pairs AS (SELECT id, toks[i] AS w1, toks[i + 1] AS w2 FROM i),
+bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS c_bg FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, COUNT(*)::BIGINT AS c_ctx FROM pairs GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS v_size
+        FROM (SELECT UNNEST(toks) AS tok FROM d)),
+nll AS (SELECT p.id,
+               -LN((b.c_bg + 1) / (c.c_ctx + v.v_size)::DOUBLE) AS nll
+          FROM pairs p JOIN bg b USING (w1, w2) JOIN ctx c USING (w1)
+         CROSS JOIN v),
+agg AS (SELECT id, COUNT(*)::BIGINT AS n_bigrams, ROUND(AVG(nll), 5) AS mean_nll,
+               ROUND(EXP(AVG(nll)), 5) AS perplexity
+          FROM nll GROUP BY id)
+SELECT d.id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       a.mean_nll, a.perplexity
+  FROM d LEFT JOIN agg a USING (id)"""
+
+
 _SQL_UNIGRAM_LOGPROB = r"""
 WITH t AS (SELECT doc_id AS id,
                   UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -3963,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features_events": q_rolling_features_events,
         "funnel_events": q_funnel_events,
         "bpe_merges_documents": q_bpe_merges_documents,
+        "bigram_lm_documents": q_bigram_lm_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -4010,8 +4050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_screen_orders": q_incremental_screen_orders,
         "dsir_weights_documents": q_dsir_weights_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
-        "pq_topk_embeddings": q_pq_topk_embeddings,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -4159,6 +4199,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_documents": _SQL_DECONTAMINATE,
         "c4_clean_documents": _SQL_C4_CLEAN,
         "unigram_logprob_documents": _SQL_UNIGRAM_LOGPROB,
+        "bigram_lm_documents": _SQL_BIGRAM_LM,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),

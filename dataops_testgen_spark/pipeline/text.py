@@ -353,6 +353,69 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
         F.avg("nll").alias("mean_nll"))
 
 
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM perplexity filter — one Markov order closer to CCNet's
+    actual KenLM gate (Wenzek et al. 2020 filter on 5-gram perplexity;
+    ``unigram_logprob_score`` is the order-0 reduction, this is order-1):
+    train add-one-smoothed bigram probabilities on the corpus's own
+    adjacent-token pairs, then score every document by its mean bigram
+    negative log-likelihood and perplexity. High perplexity = token
+    sequences the corpus itself finds improbable (shuffled text, tag soup,
+    mid-word line breaks) — exactly what a fluency gate drops; documents
+    with <2 tokens carry n_bigrams=0 and NULL scores so callers can route
+    them separately.
+
+        p(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V)
+
+    with V = the corpus's distinct-unigram vocabulary size, C(w1 ·) = the
+    count of w1 in bigram-context (non-final) position.
+
+    100 TB shape: bigram pairs come from ``zip_with`` over each doc's own
+    token array (narrow, no posexplode self-join); the model is ONE
+    partial-agg groupBy over the exploded pairs (bigram counts — a
+    vocabulary²-bounded relation, never corpus-sized) and the context
+    counts re-aggregate that model by w1 (vocab-sized work, no extra
+    corpus scan); scoring re-joins pairs to the two count relations on
+    their keys (AQE broadcasts them when small) and folds per-doc means
+    with plain AVG. Three column-pruned corpus scans total — vocab size,
+    bigram counts, scoring — the same shape as ``unigram_logprob_score``.
+
+    Output: (id, n_bigrams, mean_nll, perplexity)."""
+    arr = tokens(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.when(
+                F.size(arr) >= 2,
+                F.zip_with(F.slice(arr, 1, F.size(arr) - 1),
+                           F.slice(arr, 2, F.size(arr) - 1),
+                           lambda a, b: F.struct(a.alias("w1"),
+                                                 b.alias("w2"))))
+            .otherwise(F.array().cast(
+                "array<struct<w1: string, w2: string>>"))).alias("bg"))
+    pairs = pairs.select("id", F.col("bg.w1").alias("w1"),
+                         F.col("bg.w2").alias("w2"))
+    # explode_outer keeps 0/1-token docs as a NULL-pair row -> n_bigrams 0
+    bg_ct = (pairs.filter(F.col("w1").isNotNull())
+             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")))
+    # C(w1 ·) = Σ_w2 C(w1 w2): re-agg the model, don't rescan the corpus
+    ctx_ct = bg_ct.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+             .agg(F.countDistinct("tok").alias("v_size")))
+    scored = (pairs.join(bg_ct, ["w1", "w2"], "left")
+              .join(ctx_ct, "w1", "left")
+              .crossJoin(F.broadcast(vocab))      # one-row vocab size
+              .select("id",
+                      (-F.log((F.col("c_bg") + 1)
+                              / (F.col("c_ctx") + F.col("v_size"))))
+                      .alias("nll")))
+    return scored.groupBy("id").agg(
+        F.count("nll").alias("n_bigrams"),
+        F.avg("nll").alias("mean_nll"),
+        F.exp(F.avg("nll")).alias("perplexity"))
+
+
 def c4_clean(text: Column) -> dict[str, Column]:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) as pure per-row
     expressions — one narrow pass, no explode/shuffle:

@@ -51,6 +51,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "rolling_features_events",
     "funnel_events",
     "bpe_merges_documents",
+    "bigram_lm_documents",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",
@@ -75,7 +76,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "profile_sampled_lineitem", "freshness_threshold_events",
     "validation_prepass", "incremental_screen_orders",
     "dsir_weights_documents", "minhash_index_probe_documents",
-    "pq_topk_embeddings",
 }
 
 

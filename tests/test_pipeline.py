@@ -804,6 +804,70 @@ def test_unigram_logprob_score(spark):
     assert abs(capped[2]["mean_nll"] - (-math.log(1 / 3))) < 1e-12
 
 
+def test_bigram_lm_score(spark):
+    """Hand-computed add-one bigram NLLs; short docs carry NULL scores."""
+    import math
+
+    from dataops_testgen_spark.pipeline.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a c"), (3, "x"), (4, "")],
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in bigram_lm_score(docs).collect()}
+    # pairs: doc1 (a,b)(b,a); doc2 (b,a)(a,c). C(a,b)=1 C(b,a)=2 C(a,c)=1
+    # ctx: a:2 b:2.  V = |{a,b,c,x}| = 4
+    p_ab, p_ba, p_ac = 2 / 6, 3 / 6, 2 / 6
+    want1 = (-math.log(p_ab) - math.log(p_ba)) / 2
+    want2 = (-math.log(p_ba) - math.log(p_ac)) / 2
+    assert rows[1]["n_bigrams"] == 2
+    assert abs(rows[1]["mean_nll"] - want1) < 1e-12
+    assert abs(rows[1]["perplexity"] - math.exp(want1)) < 1e-12
+    assert abs(rows[2]["mean_nll"] - want2) < 1e-12
+    # 1-token and blank docs: kept, zero bigrams, NULL scores
+    for short_id in (3, 4):
+        assert rows[short_id]["n_bigrams"] == 0
+        assert rows[short_id]["mean_nll"] is None
+        assert rows[short_id]["perplexity"] is None
+
+
+def test_bigram_lm_score_python_parity(spark, sf_dir):
+    """Independent plain-Python bigram LM on the real fixture slice."""
+    import math
+    import re
+    from collections import Counter
+
+    from dataops_testgen_spark.pipeline.text import bigram_lm_score
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL").limit(60).cache())
+    got = {r["id"]: r for r in bigram_lm_score(docs).collect()}
+
+    def toks(text):
+        t = text.lower().strip(" ")          # F.trim strips spaces only
+        return [] if t.strip(" ") == "" else re.split(r"\s+", t)
+
+    corpus = {r["doc_id"]: toks(r["text"]) for r in docs.collect()}
+    bg, ctx, vocab = Counter(), Counter(), set()
+    for ts in corpus.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] += 1
+            ctx[a] += 1
+    v = len(vocab)
+    for doc_id, ts in corpus.items():
+        pairs = list(zip(ts, ts[1:]))
+        row = got[doc_id]
+        assert row["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert row["mean_nll"] is None
+            continue
+        want = sum(-math.log((bg[p] + 1) / (ctx[p[0]] + v))
+                   for p in pairs) / len(pairs)
+        assert abs(row["mean_nll"] - want) < 1e-9
+        assert abs(row["perplexity"] - math.exp(want)) < 1e-9
+    docs.unpersist()
+
+
 def test_boilerplate_line_dedup(spark):
     """Lines shared by >1 doc vanish from every doc; order and uniqueness
     of the survivors is preserved in the reassembled hash."""
