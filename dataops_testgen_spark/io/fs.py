@@ -63,6 +63,64 @@ def staged_swap(spark: SparkSession, live_path: str, tmp_path: str) -> None:
     fs.delete(bak, True)
 
 
+def recover_state_swap(spark: SparkSession, live_path: str) -> None:
+    """Crash recovery for ``commit_state_swap``: restore ``live_path`` to
+    a complete state and clear swap leftovers, so an interrupted fold can
+    simply run again when Structured Streaming re-delivers its batch.
+
+    Cases (see commit_state_swap for the rename sequence):
+    - live absent + backup present → the crash hit between the two
+      renames; roll BACK (backup → live). The interrupted fold never
+      returned, so its batch will be re-delivered and re-folded from the
+      restored previous state — no data is lost and nothing double-folds.
+    - staged dir present (complete or torn) → delete it; the re-fold
+      rebuilds it from scratch.
+    - live present + backup present → the crash hit after the commit
+      rename; the new state (with its batch marker) is already live, so
+      the replay-guard will skip the re-delivered batch. Just drop the
+      backup."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(live_path)
+    bak = jvm.org.apache.hadoop.fs.Path(live_path + "__pre_commit")
+    staged = jvm.org.apache.hadoop.fs.Path(live_path + "__staged")
+    fs = live.getFileSystem(conf)
+    if not fs.exists(live) and fs.exists(bak):
+        if not fs.rename(bak, live):
+            raise IOError(f"could not roll back {live_path} from backup")
+    fs.delete(staged, True)
+    if fs.exists(live):
+        fs.delete(bak, True)
+
+
+def commit_state_swap(spark: SparkSession, live_path: str) -> None:
+    """Atomically publish ``<live>__staged`` as ``live_path``.
+
+    The caller writes a COMPLETE next state under ``<live>__staged`` —
+    data files plus anything that must commit with them (e.g. a
+    ``_last_batch`` replay marker; underscore-prefixed subpaths are
+    invisible to parquet readers of the live dir) — then calls this.
+    Sequence: delete old backup, rename live → ``<live>__pre_commit``,
+    rename staged → live, delete backup. Each rename is atomic on
+    HDFS/local, and every crash window is handled by
+    ``recover_state_swap``, so state and marker can never tear apart —
+    the exactly-once commit for overwrite-style streaming sink state."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(live_path)
+    bak = jvm.org.apache.hadoop.fs.Path(live_path + "__pre_commit")
+    staged = jvm.org.apache.hadoop.fs.Path(live_path + "__staged")
+    fs = live.getFileSystem(conf)
+    fs.delete(bak, True)
+    if fs.exists(live) and not fs.rename(live, bak):
+        raise IOError(f"could not stage {live_path} for commit")
+    if not fs.rename(staged, live):
+        if fs.exists(bak):
+            fs.rename(bak, live)    # roll back
+        raise IOError(f"could not commit staged state into {live_path}")
+    fs.delete(bak, True)
+
+
 def count_data_files(spark: SparkSession, path: str) -> int:
     """Number of ``.parquet`` data files under ``path`` (recursive)."""
     jvm = spark._jvm

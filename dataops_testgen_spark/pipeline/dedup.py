@@ -209,7 +209,16 @@ def exact_index_append(df: DataFrame, index_dir: str,
 
     100 TB shape: the batch's distinct hashes broadcast against one scan
     of the index for the already-seen anti-join (same probe shape as
-    ``minhash_index_probe``); the index itself is hash-only parquet."""
+    ``minhash_index_probe``); the index itself is hash-only parquet.
+
+    The append is IDEMPOTENT at row granularity: every index row is one
+    distinct hash and the anti-join strips hashes already present, so
+    re-appending the same batch adds nothing — and even a crash that
+    committed only part of an append converges, because the retry
+    anti-joins away the committed rows and appends exactly the missing
+    complement (first_id is recomputed identically from the batch). The
+    streaming sink's replay marker is therefore a work-saver here, not a
+    correctness guard (pinned by test_exact_index_append_idempotent)."""
     import posixpath
 
     from dataops_testgen_spark.io.fs import path_exists

@@ -347,10 +347,19 @@ def incremental_profile_sink(table_name: str, state_dir: str,
     or restart Structured Streaming MAY re-deliver the last micro-batch
     with the SAME batch_id. Folding a replayed batch twice would silently
     inflate record_ct/value_ct, sums, day sets and every sketch-derived
-    metric, so the sink persists the last folded batch_id next to the
-    state (``<state_dir>__last_batch``) and returns early when the
-    incoming batch_id is not greater. Batch ids are monotonically
-    increasing per query, so one scalar suffices.
+    metric, so the sink persists the last folded batch_id INSIDE the
+    state (``<state_dir>/_last_batch`` — underscore-prefixed, so parquet
+    readers of the state dir never see it) and returns early when the
+    incoming batch_id is not greater. State + marker commit in ONE
+    atomic rename (``io/fs.py commit_state_swap``): the next state is
+    fully staged (profile parquet plus marker) before a single
+    filesystem rename publishes both, and ``recover_state_swap`` rolls
+    any crash window back to a complete previous state — there is no
+    instant where the profile and its replay marker disagree, closing
+    the re-fold-once window a separate marker write left open. Batch ids
+    are monotonically increasing per query, so one scalar suffices (a
+    pre-existing external ``<state_dir>__last_batch`` marker from an
+    older layout is still honored read-only).
 
     Usage::
 
@@ -358,8 +367,21 @@ def incremental_profile_sink(table_name: str, state_dir: str,
              .foreachBatch(incremental_profile_sink("events", state_dir))
              .trigger(availableNow=True).start())
     """
+    def _refresh_screen(spark, profile_df) -> None:
+        # continuous DQ: re-run the SAME inference cascade + hygiene
+        # screen the batch path uses, over the running merged profile
+        # (metric-complete, so decisions match a full rescan — the
+        # streaming twin of the incremental_screen flagship)
+        from dataops_testgen_spark.anomalies import screen_anomalies
+        from dataops_testgen_spark.inference import apply_inference
+
+        screen_anomalies(apply_inference(profile_df)).coalesce(1) \
+            .write.mode("overwrite").parquet(screen_dir)
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        from dataops_testgen_spark.io.fs import path_exists
+        from dataops_testgen_spark.io.fs import (commit_state_swap,
+                                                 path_exists,
+                                                 recover_state_swap)
         from dataops_testgen_spark.profiling.merge import merge_profiles
         from dataops_testgen_spark.profiling.profiler import (PROFILE_SCHEMA,
                                                               profile_table)
@@ -367,10 +389,21 @@ def incremental_profile_sink(table_name: str, state_dir: str,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        base = state_dir.rstrip("/")
+        # roll any half-finished commit back to a complete previous state
+        recover_state_swap(spark, base)
+        have_state = path_exists(spark, base)
         # replay guard: skip batch ids already folded into the state
-        marker_dir = state_dir.rstrip("/") + "__last_batch"
-        have_state = path_exists(spark, state_dir)
-        if have_state and _already_folded(spark, marker_dir, batch_id):
+        # (marker lives inside the state dir and commits atomically with
+        # it; an older layout's external marker is honored read-only)
+        if have_state and (
+                _already_folded(spark, base + "/_last_batch", batch_id)
+                or _already_folded(spark, base + "__last_batch", batch_id)):
+            if screen_dir is not None:
+                # the crash may have hit after the state commit but before
+                # the screen write — the screen is derived state, so just
+                # re-derive it from the live profile (idempotent)
+                _refresh_screen(spark, spark.read.parquet(base))
             return
         # approx=True: every folded field is count- or sketch-derived, so
         # the exact-distinct/percentile side jobs would be pure waste here
@@ -379,28 +412,24 @@ def incremental_profile_sink(table_name: str, state_dir: str,
                              approx=True, sketch_capacity=sketch_capacity)
         cols = [f.name for f in PROFILE_SCHEMA.fields]
         if have_state:
-            prev = spark.read.parquet(state_dir).select(*cols)
+            prev = spark.read.parquet(base).select(*cols)
             prof = merge_profiles(prev.unionByName(prof.select(*cols)))
-        # the state is metadata-plane (one row per column) — materialize on
-        # the driver before overwriting the very path we just read from.
-        # Single-slice parallelize: createDataFrame+coalesce(1) would make
-        # one task pay 32 sequential Python-worker evals PER MICRO-BATCH
-        # (io/fs.py write_small_df rationale)
+        # the state is metadata-plane (one row per column) — materialize
+        # on the driver so the staged write doesn't re-read the live path
+        # mid-overwrite. Single-slice parallelize: createDataFrame+
+        # coalesce(1) would make one task pay 32 sequential Python-worker
+        # evals PER MICRO-BATCH (io/fs.py write_small_df rationale)
         rows = prof.select(*cols).collect()
         merged = spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA)
-        merged.write.mode("overwrite").parquet(state_dir)
-        _mark_folded(spark, marker_dir, batch_id)
+        # stage the COMPLETE next state (profile + replay marker), then
+        # publish both with one atomic rename
+        staged = base + "__staged"
+        merged.write.mode("overwrite").parquet(staged)
+        _mark_folded(spark, staged + "/_last_batch", batch_id)
+        commit_state_swap(spark, base)
         if screen_dir is not None:
-            # continuous DQ: re-run the SAME inference cascade + hygiene
-            # screen the batch path uses, over the running merged profile
-            # (metric-complete, so decisions match a full rescan — the
-            # streaming twin of the incremental_screen flagship)
-            from dataops_testgen_spark.anomalies import screen_anomalies
-            from dataops_testgen_spark.inference import apply_inference
-
-            screen_anomalies(apply_inference(merged)).coalesce(1) \
-                .write.mode("overwrite").parquet(screen_dir)
+            _refresh_screen(spark, merged)
 
     return fold
 

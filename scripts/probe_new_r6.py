@@ -24,7 +24,7 @@ QUERIES = ["nb_classify_documents", "shuffle_shards_documents",
            "bm25_index_probe_documents", "hard_negatives_embeddings",
            "embedding_profile_embeddings", "curation_gate_documents",
            "session_stats_events", "rolling_features_events",
-           "funnel_events"]
+           "funnel_events", "bigram_lm_documents", "bpe_merges_documents"]
 
 
 def main() -> None:

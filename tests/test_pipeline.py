@@ -1553,6 +1553,39 @@ def test_exact_index_incremental_covers_union(spark, tmp_path):
             assert again[r["id"]]["in_index"]
 
 
+def test_exact_index_append_idempotent(spark, tmp_path):
+    """exact_index_append is idempotent at row granularity: re-appending
+    the same batch adds nothing (anti-join strips indexed hashes), and a
+    retry after a partial append commits exactly the missing complement —
+    the streaming sink's replay marker is a work-saver, not a correctness
+    guard, for this index."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "ex_index")
+    hashes = str(tmp_path / "ex_index" / "hashes")
+
+    dedup.exact_index_append(a, idx)
+
+    def snap():
+        return sorted((r["content_md5"], r["first_id"])
+                      for r in spark.read.parquet(hashes).collect())
+
+    once = snap()
+    dedup.exact_index_append(a, idx)          # full replay: no-op
+    assert snap() == once
+    # partial-append crash: only half the batch's hashes got committed;
+    # the retry must converge to exactly the full content, same first_ids
+    import shutil
+    shutil.rmtree(hashes)
+    half = {h for h, _ in once[: len(once) // 2]}
+    dedup.exact_index_append(
+        a.filter(F.md5("text").isin(half)), idx)
+    assert 0 < len(snap()) < len(once)
+    dedup.exact_index_append(a, idx)          # retry with the whole batch
+    assert snap() == once
+
+
 def _bm25_reference(corpus, queries, k1=1.2, b=0.75):
     """Independent plain-Python Okapi BM25 (Lucene idf variant)."""
     import math

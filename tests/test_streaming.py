@@ -318,6 +318,75 @@ def test_incremental_profile_sink_replayed_batch_is_skipped(spark, tmp_path):
     assert snap() != before
 
 
+def test_incremental_profile_sink_crash_atomicity(spark, tmp_path):
+    """State + replay marker commit in ONE rename: every crash window of
+    the staged-swap protocol recovers to a state indistinguishable from
+    a crash-free run, whether the interrupted batch was or wasn't
+    committed (foreachBatch re-delivers it either way)."""
+    import datetime as dt
+    import os
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.streaming.monitors import (
+        incremental_profile_sink)
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    b0 = src.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = src.filter(F.col("o_orderkey") % 2 == 1)
+    b2 = src.filter(F.col("o_orderkey") % 10 == 3)
+    rd = dt.date(2026, 1, 1)
+
+    def snap(state):
+        return sorted(
+            (r["column_name"], r["record_ct"], r["value_ct"],
+             r["null_value_ct"], r["distinct_value_ct"])
+            for r in spark.read.parquet(state).collect())
+
+    # crash-free control
+    control = str(tmp_path / "control")
+    fold_c = incremental_profile_sink("orders", control, run_date=rd)
+    fold_c(b0, 0), fold_c(b1, 1), fold_c(b2, 2)
+    want = snap(control)
+
+    # window (a): crash after staging, before the commit renames — a torn
+    # staged dir is lying around when the batch is re-delivered
+    sa = str(tmp_path / "state_a")
+    fold_a = incremental_profile_sink("orders", sa, run_date=rd)
+    fold_a(b0, 0), fold_a(b1, 1)
+    os.makedirs(sa + "__staged")
+    pathlib.Path(sa + "__staged", "part-torn.parquet").write_bytes(b"junk")
+    fold_a(b2, 2)
+    assert snap(sa) == want
+    assert not os.path.exists(sa + "__staged")
+    assert not os.path.exists(sa + "__pre_commit")
+
+    # window (b): crash BETWEEN the two renames — live is gone, the
+    # previous state sits at __pre_commit, a staged next state exists.
+    # Recovery must roll back and re-fold the re-delivered batch once.
+    sb = str(tmp_path / "state_b")
+    fold_b = incremental_profile_sink("orders", sb, run_date=rd)
+    fold_b(b0, 0), fold_b(b1, 1)
+    os.rename(sb, sb + "__pre_commit")
+    os.makedirs(sb + "__staged")
+    pathlib.Path(sb + "__staged", "part-next.parquet").write_bytes(b"junk")
+    fold_b(b2, 2)
+    assert snap(sb) == want
+
+    # window (c): crash after the commit rename, before backup cleanup —
+    # the new state (marker included) is live; the replayed batch must
+    # SKIP, and the stale backup must be cleared
+    sc = str(tmp_path / "state_c")
+    fold_sc = incremental_profile_sink("orders", sc, run_date=rd)
+    fold_sc(b0, 0), fold_sc(b1, 1), fold_sc(b2, 2)
+    os.makedirs(sc + "__pre_commit")
+    pathlib.Path(sc + "__pre_commit", "part-old.parquet").write_bytes(b"junk")
+    fold_sc(b2, 2)
+    assert snap(sc) == want
+    assert not os.path.exists(sc + "__pre_commit")
+
+
 def test_streaming_ann_index_maintenance(spark, tmp_path):
     """A stream maintains the persisted IVFADC index: availableNow over
     two parquet files (one micro-batch each) appends codes per batch via
