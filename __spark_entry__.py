@@ -2658,6 +2658,71 @@ ranked AS (
 SELECT doc_id, source FROM ranked WHERE rn <= 5"""
 
 
+def q_mixture_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-derived domain mixture + realized draw
+    (pipeline/sampling.py: temperature_mixture_plan with tau=0.5 — the
+    mT5/XLM-R upsampling recipe, weights from the corpus's own
+    per-source sizes — then apply_mixture_plan materializes the plan
+    with the salted-md5 Bernoulli draw). Output: the plan relation per
+    source plus the realized kept-document count. expect_units stays out
+    of the driver row (floor of a product of last-ulp-sensitive doubles;
+    unit-tested instead)."""
+    from dataops_testgen_spark.pipeline.sampling import (
+        apply_mixture_plan, temperature_mixture_plan)
+
+    docs = _load(spark, sf_dir, "documents")
+    # the fixture's sources are uniform (temperature math would be
+    # degenerate); fold them into a skewed head/mid/tail shape so the
+    # plan actually subsamples the head and keeps the tail
+    head = [f"src{i}" for i in range(10)]
+    mid = [f"src{i}" for i in range(10, 15)]
+    docs = docs.withColumn(
+        "source",
+        F.when(F.col("source").isin(head), F.lit("head"))
+        .when(F.col("source").isin(mid), F.lit("mid"))
+        .otherwise(F.col("source")))
+    plan = temperature_mixture_plan(docs, tau=0.5)
+    kept = apply_mixture_plan(docs, plan, id_col="doc_id", salt="mix6")
+    realized = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"))
+    return (plan.join(realized, "source", "left")
+            .select("source", "n_units", "weight", "fraction",
+                    F.coalesce("kept_docs", F.lit(0)).cast("long")
+                    .alias("kept_docs")))
+
+
+_SQL_MIXTURE_PLAN = """
+WITH grouped AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4','src5',
+                              'src6','src7','src8','src9') THEN 'head'
+              WHEN source IN ('src10','src11','src12','src13','src14')
+                THEN 'mid'
+              ELSE source END AS source
+    FROM documents),
+sizes AS (
+  SELECT source, COUNT(*)::BIGINT AS n_units
+    FROM grouped WHERE source IS NOT NULL GROUP BY source),
+z AS (SELECT SUM(POW(n_units, 0.5)) AS z FROM sizes),
+w AS (SELECT source, n_units, POW(n_units, 0.5) / z.z AS weight
+        FROM sizes CROSS JOIN z),
+t AS (SELECT MIN(n_units / weight) AS t_budget FROM w),
+plan AS (
+  SELECT source, n_units, ROUND(weight, 9) AS weight,
+         ROUND(weight * t.t_budget / n_units, 9) AS fraction
+    FROM w CROSS JOIN t),
+kept AS (
+  SELECT d.source, COUNT(*)::BIGINT AS kept_docs
+    FROM grouped d JOIN plan p ON d.source = p.source
+   WHERE CAST(concat('0x', substr(md5(concat('mix6', '|',
+              CAST(d.doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+           / 4294967296.0 < p.fraction
+   GROUP BY d.source)
+SELECT p.source, p.n_units, p.weight, p.fraction,
+       COALESCE(k.kept_docs, 0)::BIGINT AS kept_docs
+  FROM plan p LEFT JOIN kept k USING (source)"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 quality-filter flags (pipeline/text.py:
     gopher_quality_flags — published Rae et al. 2021 thresholds) over the
@@ -4003,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "bpe_merges_documents": q_bpe_merges_documents,
         "bigram_lm_documents": q_bigram_lm_documents,
+        "mixture_plan_documents": q_mixture_plan_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -4049,8 +4115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
         "dsir_weights_documents": q_dsir_weights_documents,
-        "minhash_index_probe_documents": q_minhash_index_probe,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -4200,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_documents": _SQL_C4_CLEAN,
         "unigram_logprob_documents": _SQL_UNIGRAM_LOGPROB,
         "bigram_lm_documents": _SQL_BIGRAM_LM,
+        "mixture_plan_documents": _SQL_MIXTURE_PLAN,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),

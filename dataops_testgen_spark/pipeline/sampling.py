@@ -260,6 +260,57 @@ def source_mixture_plan(df: DataFrame, target_weights: dict[str, float],
             .orderBy("source"))
 
 
+def temperature_mixture_plan(df: DataFrame, tau: float = 0.5,
+                             source_col: str = "source",
+                             text_col: str | None = None) -> DataFrame:
+    """Temperature-derived domain mixture (the mT5 / XLM-R recipe,
+    Conneau et al. 2020 §3.1): instead of hand-picked target weights,
+    derive them from the corpus's OWN per-source sizes,
+
+        w_s = n_s^tau / Σ_t n_t^tau,
+
+    so ``tau < 1`` flattens the distribution (upsamples tail domains
+    relative to the head — the whole point of temperature sampling for
+    low-resource languages/domains) and ``tau = 1`` reproduces the
+    natural mix. The realized plan then follows ``source_mixture_plan``
+    exactly: largest total budget T with no source oversampled
+    (T = min_s n_s / w_s; subsample-only, no repeats), per-source
+    Bernoulli keep-fraction = w_s · T / n_s.
+
+    Sizes are document counts, or token counts when ``text_col`` is
+    given. 100 TB shape: identical to ``source_mixture_plan`` — one
+    partial-agg groupBy(source), the plan is |sources| rows, weights
+    derive from a 1-row broadcast of Σ n^tau; feed the result straight
+    to ``apply_mixture_plan``.
+
+    Output: (source, n_units, weight, fraction, expect_units), floats
+    rounded to 9 decimals (engine-exact re-derivation in audit SQL)."""
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    unit = (F.count(F.lit(1)) if text_col is None
+            else F.sum(F.size(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+"))))
+    sizes = (df.filter(F.col(source_col).isNotNull())
+             .groupBy(F.col(source_col).alias("source"))
+             .agg(unit.cast("long").alias("n_units")))
+    z = sizes.agg(F.sum(F.pow(F.col("n_units"), F.lit(float(tau))))
+                  .alias("z"))
+    weighted = (sizes.crossJoin(F.broadcast(z))
+                .withColumn("weight",
+                            F.pow(F.col("n_units"), F.lit(float(tau)))
+                            / F.col("z")))
+    budget = weighted.agg(F.min(F.col("n_units") / F.col("weight"))
+                          .alias("t_budget"))
+    return (weighted.crossJoin(F.broadcast(budget))
+            .select("source", "n_units",
+                    F.round("weight", 9).alias("weight"),
+                    F.round(F.col("weight") * F.col("t_budget")
+                            / F.col("n_units"), 9).alias("fraction"),
+                    (F.col("weight") * F.col("t_budget")).cast("long")
+                    .alias("expect_units"))
+            .orderBy("source"))
+
+
 def apply_mixture_plan(df: DataFrame, plan: DataFrame,
                        source_col: str = "source",
                        id_col: str = "doc_id",

@@ -372,14 +372,16 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     count of w1 in bigram-context (non-final) position.
 
     100 TB shape: bigram pairs come from ``zip_with`` over each doc's own
-    token array (narrow, no posexplode self-join); the model is ONE
-    partial-agg groupBy over the exploded pairs (bigram counts — a
-    vocabulary²-bounded relation, never corpus-sized) and the context
-    counts re-aggregate that model by w1 (vocab-sized work, no extra
-    corpus scan); scoring re-joins pairs to the two count relations on
-    their keys (AQE broadcasts them when small) and folds per-doc means
-    with plain AVG. Three column-pruned corpus scans total — vocab size,
-    bigram counts, scoring — the same shape as ``unigram_logprob_score``.
+    token array (narrow, no posexplode self-join); the model is two
+    partial-agg groupBys over the exploded pairs (bigram + context
+    counts, both vocabulary-bounded relations, never corpus-sized);
+    scoring re-joins pairs to the two count relations on their keys (AQE
+    broadcasts them when small) and folds per-doc means with plain AVG.
+    Four column-pruned text-only corpus scans total (vocab, bigram
+    counts, context counts, scoring) — Catalyst does not share
+    un-persisted subplans, so a caller at corpus scale should
+    ``pairs.persist()`` via their own composition if scans dominate;
+    the shape otherwise matches ``unigram_logprob_score``.
 
     Output: (id, n_bigrams, mean_nll, perplexity)."""
     arr = tokens(F.col(text_col))
@@ -399,8 +401,8 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     # explode_outer keeps 0/1-token docs as a NULL-pair row -> n_bigrams 0
     bg_ct = (pairs.filter(F.col("w1").isNotNull())
              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")))
-    # C(w1 ·) = Σ_w2 C(w1 w2): re-agg the model, don't rescan the corpus
-    ctx_ct = bg_ct.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    ctx_ct = (pairs.filter(F.col("w1").isNotNull())
+              .groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx")))
     vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
              .agg(F.countDistinct("tok").alias("v_size")))
     scored = (pairs.join(bg_ct, ["w1", "w2"], "left")

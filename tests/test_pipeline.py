@@ -559,6 +559,69 @@ def test_stratified_cap(spark):
         r["doc_id"] for r in again)
 
 
+def test_source_mixture_plan(spark):
+    """Hand-computed static-weight mixture: largest no-oversample budget,
+    per-source Bernoulli fractions, realized by apply_mixture_plan."""
+    from dataops_testgen_spark.pipeline.sampling import (apply_mixture_plan,
+                                                         source_mixture_plan)
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    plan = {r["source"]: r for r in
+            source_mixture_plan(df, {"a": 0.5, "b": 0.5}).collect()}
+    # n_a=100 n_b=400, equal weights -> T = min(100/.5, 400/.5) = 200
+    assert plan["a"]["n_units"] == 100 and plan["b"]["n_units"] == 400
+    assert plan["a"]["fraction"] == 1.0
+    assert abs(plan["b"]["fraction"] - 0.25) < 1e-9
+    assert plan["a"]["expect_units"] == 100
+    assert plan["b"]["expect_units"] == 100
+    # realization: fraction-1.0 source keeps every row; the other keeps
+    # a deterministic ~25% subset, identical across invocations
+    kept = apply_mixture_plan(
+        df, source_mixture_plan(df, {"a": 0.5, "b": 0.5}))
+    got = {r["source"]: r["ct"] for r in
+           kept.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+           .collect()}
+    assert got["a"] == 100
+    assert 60 <= got["b"] <= 140
+    again = apply_mixture_plan(
+        df, source_mixture_plan(df, {"a": 0.5, "b": 0.5}))
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect())
+    # unknown sources are excluded from plan and realization
+    with_c = df.union(spark.createDataFrame(
+        [(900, "c")], "doc_id: long, source: string"))
+    assert "c" not in {
+        r["source"]
+        for r in source_mixture_plan(with_c, {"a": 1, "b": 1}).collect()}
+
+
+def test_temperature_mixture_plan(spark):
+    """Temperature weights w_s = n_s^tau / Z: hand-computed tau=0.5 plan;
+    tau=1 reproduces the natural mix (keeps everything); tau<=0 raises."""
+    import pytest as _pytest
+
+    from dataops_testgen_spark.pipeline.sampling import (
+        temperature_mixture_plan)
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    # pow: 10, 20 -> z=30 -> w_a=1/3 w_b=2/3; T=min(300, 600)=300
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, tau=0.5).collect()}
+    assert abs(plan["a"]["weight"] - 1 / 3) < 1e-9
+    assert abs(plan["b"]["weight"] - 2 / 3) < 1e-9
+    assert plan["a"]["fraction"] == 1.0      # tail domain fully kept
+    assert abs(plan["b"]["fraction"] - 0.5) < 1e-9
+    assert plan["a"]["expect_units"] == 100
+    assert plan["b"]["expect_units"] in (199, 200)   # floor of w*T
+    # tau=1: natural mix, the budget admits the whole corpus
+    nat = temperature_mixture_plan(df, tau=1.0).collect()
+    assert all(r["fraction"] == 1.0 for r in nat)
+    with _pytest.raises(ValueError):
+        temperature_mixture_plan(df, tau=0.0)
+
+
 def test_sampling_validation(spark):
     import pytest as _pytest
 
