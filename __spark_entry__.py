@@ -1595,16 +1595,27 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
     min(64, octet_length(text)), height == 1, and the raster's
     mean_luminance equals the byte mean the oracle derives straight from
     the text (each byte appears as three identical channel bytes, so the
-    exact rational quotients agree)."""
+    exact rational quotients agree). The r6 COMPRESSED leg wraps the same
+    bytes as an 8-bit gray PNG (stdlib zlib deflate) and decodes it
+    distributed — inflate + scanline unfilter per doc — with the decoded
+    mean hash-checked against the same text-derived quotient."""
     docs = _load(spark, sf_dir, "documents")
     feats = MM.extract_features(MM.with_binary_payload(docs))
     dec = MM.extract_decoded_features(MM.with_bmp_payload(docs),
                                       binary_col="bmp_payload")
-    return (feats.join(dec, "doc_id")
+    # the COMPRESSED leg: same first-64 bytes as an 8-bit gray PNG —
+    # deflate + scanline unfilter run distributed, stdlib-zlib only; the
+    # decoded mean equals the BMP leg's (same raster bytes)
+    png = (MM.extract_decoded_features(MM.with_png_payload(docs),
+                                       binary_col="png_payload")
+           .select("doc_id", F.col("format").alias("png_format"),
+                   F.round("mean_luminance", 5).alias("png_mean")))
+    return (feats.join(dec, "doc_id").join(png, "doc_id")
             .select("doc_id", "byte_len", "first_byte", "content_md5",
                     F.round("fake_feature", 5).alias("fake_feature"),
                     "format", "width", "height",
-                    F.round("mean_luminance", 5).alias("mean_luminance")))
+                    F.round("mean_luminance", 5).alias("mean_luminance"),
+                    "png_format", "png_mean"))
 
 
 _SQL_MULTIMODAL = """
@@ -1625,7 +1636,14 @@ SELECT doc_id,
                            range(1, LEAST(length(text), 64) + 1),
                            i -> ascii(substr(text, i, 1))))::DOUBLE
                        / LEAST(length(text), 64), 5)
-       END AS mean_luminance
+       END AS mean_luminance,
+       CASE WHEN length(text) > 0 THEN 'png' END AS png_format,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1))))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS png_mean
 FROM documents"""
 
 

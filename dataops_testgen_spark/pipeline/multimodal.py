@@ -184,17 +184,147 @@ def sample_frames(df: DataFrame, frame_bytes: int, every_k: int = 1,
     return df.select(id_col, binary_col).mapInPandas(run, schema)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+
+def encode_png(pixel_bytes: bytes, width: int | None = None,
+               channels: int = 1, filter_cycle: bool = False) -> bytes:
+    """Minimal PNG encoder (stdlib zlib): 8-bit grayscale (``channels=1``)
+    or RGB (``channels=3``), non-interlaced. ``filter_cycle=True`` applies
+    scanline filter ``row % 5`` (None/Sub/Up/Average/Paeth) instead of
+    filter 0 everywhere, so a round-trip through ``decode_image``
+    exercises every PNG filter type. Deterministic fixture builder for
+    the real compressed-decode path — no codec library on either side."""
+    import zlib
+
+    n = len(pixel_bytes)
+    if n == 0 or n % channels:
+        raise ValueError("pixel bytes must be a positive multiple of "
+                         "channels")
+    w = width or (n // channels)
+    if (n // channels) % w:
+        raise ValueError(f"{n // channels} pixels do not fill rows of "
+                         f"width {w}")
+    h = n // channels // w
+    stride, bpp = w * channels, channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = pixel_bytes[r * stride:(r + 1) * stride]
+        ft = (r % 5) if filter_cycle else 0
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            bb = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - a
+            elif ft == 2:
+                v = row[i] - bb
+            elif ft == 3:
+                v = row[i] - (a + bb) // 2
+            else:
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    bb if pb <= pc else c)
+                v = row[i] - pred
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 0 if channels == 1 else 2, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(b: bytes) -> dict:
+    """8-bit grayscale/RGB non-interlaced PNG decode: chunk walk, zlib
+    inflate, per-scanline unfilter (all five filter types), mean over the
+    reconstructed raster. Palette/16-bit/interlaced variants raise."""
+    import zlib
+
+    i, w = 8, None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        tag = b[i + 4:i + 8]
+        body = b[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, interlace = body[8], body[9], body[12]
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} "
+                    f"interlace={interlace}: only 8-bit gray/RGB "
+                    "non-interlaced decodes here")
+            channels = 1 if color == 0 else 3
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * channels, channels
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG raster size mismatch")
+    prev = bytearray(stride)
+    total = 0
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+        for i2 in range(stride):
+            a = line[i2 - bpp] if i2 >= bpp else 0
+            bb = prev[i2]
+            c = prev[i2 - bpp] if i2 >= bpp else 0
+            if ft == 1:
+                line[i2] = (line[i2] + a) & 0xFF
+            elif ft == 2:
+                line[i2] = (line[i2] + bb) & 0xFF
+            elif ft == 3:
+                line[i2] = (line[i2] + (a + bb) // 2) & 0xFF
+            elif ft == 4:
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    bb if pb <= pc else c)
+                line[i2] = (line[i2] + pred) & 0xFF
+            elif ft != 0:
+                raise NotImplementedError(f"PNG filter {ft}")
+        total += sum(line)
+        prev = line
+    n = h * stride
+    return {"format": "png", "width": w, "height": h,
+            "mean_luminance": (total / n) if n else None}
+
+
 def decode_image(payload: bytes) -> dict:
-    """REAL stdlib-only image decode for the uncompressed formats the
-    fixtures embed (r5 VERDICT stretch): 24-bit/8-bit BI_RGB BMP and
-    binary PPM (P6) / PGM (P5). Walks the actual raster — returns
-    format, width, height and mean_luminance = mean over the raster's
-    channel bytes, excluding row padding. Compressed formats (PNG/JPEG/
-    GIF) still raise NotImplementedError: their codecs aren't in this
-    container; use parse_media_header for their dimensions."""
+    """REAL stdlib-only image decode for the formats a codec-less
+    container can handle: 24-bit/8-bit BI_RGB BMP, binary PPM (P6) /
+    PGM (P5), and — via stdlib zlib — 8-bit gray/RGB non-interlaced PNG
+    (full scanline unfilter, all five filter types). Walks the actual
+    raster — returns format, width, height and mean_luminance = mean
+    over the raster's channel bytes, excluding row padding. JPEG/GIF
+    (and exotic PNG variants) still raise NotImplementedError: their
+    codecs aren't in this container; use parse_media_header for their
+    dimensions."""
     if not payload:
         raise ValueError("empty payload")
     b = bytes(payload)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     if b[:2] == b"BM" and len(b) >= 54:
         data_off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -418,6 +548,35 @@ def with_bmp_payload(df: DataFrame, text_col: str = "text",
                 return None
             raw = t.encode("utf-8")[:max_bytes]
             return encode_bmp_gray(raw) if raw else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(enc)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def with_png_payload(df: DataFrame, text_col: str = "text",
+                     out_col: str = "png_payload",
+                     max_bytes: int = 64,
+                     filter_cycle: bool = True) -> DataFrame:
+    """Demo helper for the COMPRESSED decode path: wrap the first
+    ``max_bytes`` UTF-8 bytes of text as gray pixels in a single-row
+    8-bit PNG (``encode_png``; ``filter_cycle`` keeps the scanline
+    filters exercised on multi-row shapes), Arrow-batched. Empty texts
+    get a NULL payload. The gray raster equals the byte values, so
+    decoded width/height/mean stay oracle-checkable from the text."""
+    id_col = "doc_id"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            return encode_png(raw, filter_cycle=filter_cycle) if raw \
+                else None
 
         for pdf in batches:
             yield pd.DataFrame({id_col: pdf[id_col],

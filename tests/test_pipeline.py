@@ -1795,6 +1795,45 @@ def test_bmp_codec_roundtrip_property():
     run()
 
 
+def test_png_codec_roundtrip():
+    """REAL compressed-format decode: the stdlib-zlib PNG path round-trips
+    gray and RGB rasters through every scanline filter type
+    (filter_cycle encodes row r with filter r % 5), and unsupported PNG
+    variants still raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 10), st.integers(1, 12),
+           st.sampled_from([1, 3]), st.booleans(),
+           st.integers(0, 2 ** 32 - 1))
+    def run(w, h, channels, cycle, seed):
+        import hashlib
+        raw = hashlib.md5(str(seed).encode()).digest() * 30
+        px = raw[:w * h * channels]
+        png = multimodal.encode_png(px, width=w, channels=channels,
+                                    filter_cycle=cycle)
+        d = multimodal.decode_image(png)
+        assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+        assert abs(d["mean_luminance"] - sum(px) / len(px)) < 1e-9
+
+    run()
+    # a 6-row image guarantees the cycle visits all five filters; pin
+    # that the cycling and flat encodings decode identically
+    px = bytes(range(240))
+    flat = multimodal.decode_image(
+        multimodal.encode_png(px, width=40))
+    cyc = multimodal.decode_image(
+        multimodal.encode_png(px, width=40, filter_cycle=True))
+    assert flat == cyc
+    # 16-bit depth raises (depth byte patched in IHDR -> CRC ignored by
+    # our chunk walk, which is fine for this guard)
+    png = bytearray(multimodal.encode_png(bytes([1, 2, 3, 4]), width=2))
+    png[24] = 16
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(png))
+
+
 def test_rerank_exact_second_stage(spark, sf_dir):
     """Two-stage retrieval: an IVFADC shortlist (k=20) re-ranked by exact
     cosine equals brute force restricted to that shortlist, and recall@5
