@@ -5,10 +5,13 @@ extraction run as Arrow-batched ``mapInPandas`` stages (the only place Python
 touches the data, and it streams batch-by-batch — bounded memory per task,
 shape-preserving partitioning).
 
-The container has no image/audio codecs, so the actual decode step is STUBBED
-(``decode_stub``) behind a deterministic fake; the Spark-side plumbing —
-schema, batch iteration, UDF signature, partition behavior — is real and
-tested. Swap ``decode_stub`` for a PIL/librosa call in production.
+Decode is REAL wherever a codec-less container allows: uncompressed
+BMP/PPM/PGM rasters, 8-bit gray/RGB non-interlaced PNG (stdlib zlib
+inflate + scanline unfilter), and RIFF/WAVE PCM audio (``decode_audio``).
+JPEG/GIF/MP3-class formats still need external codecs — ``decode_stub``
+stands in for those behind a deterministic fake, with the Spark-side
+plumbing (schema, batch iteration, UDF signature, partition behavior)
+real and tested; swap it for a PIL/librosa call in production.
 """
 
 from __future__ import annotations
@@ -374,6 +377,148 @@ def decode_image(payload: bytes) -> dict:
     raise NotImplementedError("compressed/unknown format: codecs not "
                               "available in this container; use "
                               "parse_media_header / decode_stub instead")
+
+
+def encode_wav_pcm(sample_bytes: bytes, sample_rate: int = 8000,
+                   bits: int = 8, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder (stdlib-only): ``sample_bytes`` is
+    the raw little-endian PCM payload (u8 for ``bits=8``, s16 for
+    ``bits=16``). The deterministic audio-fixture builder for the REAL
+    decode path — no codec library on either side."""
+    if bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM")
+    if not sample_bytes or len(sample_bytes) % (channels * bits // 8):
+        raise ValueError("sample bytes must fill whole frames")
+    block = channels * bits // 8
+    fmt = ((1).to_bytes(2, "little")                      # PCM
+           + channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * block).to_bytes(4, "little")  # byte rate
+           + block.to_bytes(2, "little")
+           + bits.to_bytes(2, "little"))
+    body = (b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(sample_bytes).to_bytes(4, "little")
+            + sample_bytes + (b"\x00" if len(sample_bytes) % 2 else b""))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL stdlib-only audio decode for RIFF/WAVE PCM (8-bit unsigned or
+    16-bit signed LE): walks the chunk list to fmt + data, then the
+    actual samples. Returns format, channels, sample_rate, n_samples
+    (frames), duration_s and mean_amplitude (mean raw sample value —
+    byte mean for u8, signed mean for s16). Compressed audio
+    (MP3/AAC/FLAC/non-PCM WAV) raises NotImplementedError: codecs absent
+    from this container."""
+    if not payload:
+        raise ValueError("empty payload")
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("compressed/unknown audio format: "
+                                  "codecs not available in this container")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        tag = b[i:i + 4]
+        ln = int.from_bytes(b[i + 4:i + 8], "little")
+        if tag == b"fmt ":
+            fmt = b[i + 8:i + 8 + ln]
+        elif tag == b"data":
+            data = b[i + 8:i + 8 + ln]
+        i += 8 + ln + (ln % 2)                  # chunks pad to even
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format={audio_format} bits={bits} "
+                                  "needs a codec (only PCM 8/16 here)")
+    block = channels * bits // 8
+    n_frames = len(data) // block
+    usable = data[:n_frames * block]
+    if bits == 8:
+        total, n = sum(usable), len(usable)
+    else:
+        vals = [int.from_bytes(usable[j:j + 2], "little", signed=True)
+                for j in range(0, len(usable), 2)]
+        total, n = sum(vals), len(vals)
+    return {"format": "wav", "channels": channels,
+            "sample_rate": sample_rate, "n_samples": n_frames,
+            "duration_s": (n_frames / sample_rate) if sample_rate else None,
+            "mean_amplitude": (total / n) if n else None}
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("mean_amplitude", T.DoubleType()),
+])
+
+
+def extract_audio_features(df: DataFrame,
+                           binary_col: str = "payload",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL audio decode stage (``decode_audio`` per row):
+    NULL fields for NULL/undecodable payloads, the same error-isolated
+    mapInPandas shape as ``extract_decoded_features``."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dec(p):
+            if p is None:
+                return {}
+            try:
+                return decode_audio(bytes(p))
+            except (NotImplementedError, ValueError, IndexError):
+                return {}
+
+        for pdf in batches:
+            decoded = pdf[binary_col].map(dec)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "format": decoded.map(lambda d: d.get("format")),
+                "channels": decoded.map(lambda d: d.get("channels")),
+                "sample_rate": decoded.map(lambda d: d.get("sample_rate")),
+                "n_samples": decoded.map(lambda d: d.get("n_samples")),
+                "duration_s": decoded.map(lambda d: d.get("duration_s")),
+                "mean_amplitude": decoded.map(
+                    lambda d: d.get("mean_amplitude")),
+            })
+
+    return (df.select(id_col, binary_col)
+            .mapInPandas(run, AUDIO_SCHEMA))
+
+
+def with_wav_payload(df: DataFrame, text_col: str = "text",
+                     out_col: str = "wav_payload",
+                     max_bytes: int = 64,
+                     sample_rate: int = 8000) -> DataFrame:
+    """Demo helper for the REAL audio path: wrap the first ``max_bytes``
+    UTF-8 bytes of text as unsigned 8-bit PCM samples in a mono WAV
+    (``encode_wav_pcm``), Arrow-batched; empty texts get NULL. The
+    samples equal the byte values, so decoded duration/mean stay
+    oracle-checkable from the text alone."""
+    id_col = "doc_id"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            return encode_wav_pcm(raw, sample_rate=sample_rate) if raw \
+                else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(enc)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def parse_media_header(payload: bytes) -> dict:

@@ -1834,6 +1834,46 @@ def test_png_codec_roundtrip():
         multimodal.decode_image(bytes(png))
 
 
+def test_wav_codec_roundtrip(spark):
+    """REAL audio decode: RIFF/WAVE PCM encode->decode round-trips u8 and
+    s16 samples (chunk walk honors even-padding), non-PCM raises, and the
+    Arrow stage NULLs undecodable payloads."""
+    px = bytes([0, 128, 255, 7])
+    wav = multimodal.encode_wav_pcm(px, sample_rate=8000)
+    d = multimodal.decode_audio(wav)
+    assert (d["format"], d["channels"], d["sample_rate"]) == ("wav", 1, 8000)
+    assert d["n_samples"] == 4
+    assert abs(d["duration_s"] - 4 / 8000) < 1e-15
+    assert abs(d["mean_amplitude"] - sum(px) / 4) < 1e-12
+    # 16-bit signed stereo: 2 frames of (-1000, 1000), (32767, -32768)
+    import struct
+    s16 = struct.pack("<4h", -1000, 1000, 32767, -32768)
+    wav16 = multimodal.encode_wav_pcm(s16, sample_rate=44100,
+                                      bits=16, channels=2)
+    d = multimodal.decode_audio(wav16)
+    assert (d["channels"], d["sample_rate"], d["n_samples"]) == (2, 44100, 2)
+    assert abs(d["mean_amplitude"]
+               - (-1000 + 1000 + 32767 - 32768) / 4) < 1e-12
+    # odd-length data chunk pads to even; header parse agrees
+    odd = multimodal.encode_wav_pcm(bytes([1, 2, 3]))
+    assert multimodal.decode_audio(odd)["n_samples"] == 3
+    h = multimodal.parse_media_header(odd)
+    assert (h["format"], h["channels"], h["sample_rate"]) == ("wav", 1, 8000)
+    # non-PCM audio_format raises
+    bad = bytearray(wav)
+    bad[20] = 85                                 # format tag -> 0x55 (MP3)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(bytes(bad))
+    # Arrow stage: real fields for WAV payloads, NULLs for None/garbage
+    df = spark.createDataFrame(
+        [(1, wav), (2, None), (3, b"\xffgarbage")],
+        "doc_id: long, payload: binary")
+    rows = {r["doc_id"]: r for r in
+            multimodal.extract_audio_features(df).collect()}
+    assert rows[1]["format"] == "wav" and rows[1]["n_samples"] == 4
+    assert rows[2]["format"] is None and rows[3]["format"] is None
+
+
 def test_rerank_exact_second_stage(spark, sf_dir):
     """Two-stage retrieval: an IVFADC shortlist (k=20) re-ranked by exact
     cosine equals brute force restricted to that shortlist, and recall@5
