@@ -1610,12 +1610,22 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                                        binary_col="png_payload")
            .select("doc_id", F.col("format").alias("png_format"),
                    F.round("mean_luminance", 5).alias("png_mean")))
+    # the AUDIO leg: same bytes as u8 PCM samples in a mono 8 kHz WAV —
+    # RIFF chunk walk + sample fold run distributed, stdlib-only
+    wav = (MM.extract_audio_features(MM.with_wav_payload(docs),
+                                     binary_col="wav_payload")
+           .select("doc_id", F.col("sample_rate").alias("wav_rate"),
+                   "n_samples",
+                   F.round("duration_s", 8).alias("wav_duration"),
+                   F.round("mean_amplitude", 5).alias("wav_mean")))
     return (feats.join(dec, "doc_id").join(png, "doc_id")
+            .join(wav, "doc_id")
             .select("doc_id", "byte_len", "first_byte", "content_md5",
                     F.round("fake_feature", 5).alias("fake_feature"),
                     "format", "width", "height",
                     F.round("mean_luminance", 5).alias("mean_luminance"),
-                    "png_format", "png_mean"))
+                    "png_format", "png_mean",
+                    "wav_rate", "n_samples", "wav_duration", "wav_mean"))
 
 
 _SQL_MULTIMODAL = """
@@ -1643,7 +1653,21 @@ SELECT doc_id,
                            range(1, LEAST(length(text), 64) + 1),
                            i -> ascii(substr(text, i, 1))))::DOUBLE
                        / LEAST(length(text), 64), 5)
-       END AS png_mean
+       END AS png_mean,
+       CASE WHEN length(text) > 0 THEN 8000::INT END AS wav_rate,
+       CASE WHEN length(text) > 0
+            THEN LEAST(octet_length(CAST(text AS BLOB)), 64)::BIGINT
+       END AS n_samples,
+       CASE WHEN length(text) > 0
+            THEN ROUND(LEAST(octet_length(CAST(text AS BLOB)), 64)
+                       / 8000.0, 8)
+       END AS wav_duration,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1))))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS wav_mean
 FROM documents"""
 
 
@@ -4011,6 +4035,48 @@ SELECT s1.user_id,
   FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (pipeline/sessions.py asof_join): every
+    purchase event attaches the same user's most recent click
+    at-or-before it (point-in-time attribution; the feature-store join
+    that avoids temporal leakage). Spark side is the union-window form —
+    one shuffle, zero row expansion; the oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN``, an independent implementation of the same
+    semantics. Clicks pre-aggregate to one row per (user, ts) (max
+    value) so ties are deterministic in both engines."""
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    events = _load(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("click_value")))
+    out = asof_join(purchases, clicks, right_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp"))
+        .alias("click_ts_us"),
+        F.round("click_value_right", 5).alias("click_value"),
+        "asof_gap_us")
+
+
+_SQL_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts
+    FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts_us,
+       epoch_us(c.ts) AS click_ts_us,
+       ROUND(c.click_value, 5) AS click_value,
+       (p.ts_us - epoch_us(c.ts))::BIGINT AS asof_gap_us
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
 # --------------------------------------------------------------------------
 # Q: bpe_merges_documents — distributed BPE vocabulary induction
 # (rows-only driver check: iterative argmax -> next-round segmentation is
@@ -4087,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_documents": q_bpe_merges_documents,
         "bigram_lm_documents": q_bigram_lm_documents,
         "mixture_plan_documents": q_mixture_plan_documents,
+        "asof_join_events": q_asof_join_events,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -4132,8 +4199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_threshold_events": q_freshness_threshold_events,
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
-        "dsir_weights_documents": q_dsir_weights_documents,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "dsir_weights_documents": q_dsir_weights_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "minhash_lsh_documents": q_minhash_lsh_documents,
@@ -4285,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_documents": _SQL_UNIGRAM_LOGPROB,
         "bigram_lm_documents": _SQL_BIGRAM_LM,
         "mixture_plan_documents": _SQL_MIXTURE_PLAN,
+        "asof_join_events": _SQL_ASOF_JOIN,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),

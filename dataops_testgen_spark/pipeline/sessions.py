@@ -159,3 +159,79 @@ def funnel(df: DataFrame, steps: list[str],
                for i in range(1, len(steps) + 1)]
     return cur.select("user_id", *ts_cols,
                       done.alias("steps_completed"))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str = "user_id", ts_col: str = "ts",
+              right_cols: list[str] | None = None,
+              tolerance_minutes: float | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """Backward as-of join: attach to every left row the right row with
+    the GREATEST timestamp <= the left row's timestamp for the same key
+    (inclusive match) — the point-in-time join feature stores need to
+    avoid temporal leakage (each training example sees only features
+    computed at-or-before its own time; pandas ``merge_asof`` / DuckDB
+    ``ASOF JOIN`` semantics). ``tolerance_minutes`` nulls matches older
+    than the window (pandas ``tolerance=``). Left rows without a match
+    keep NULL right columns (left-join semantics).
+
+    Spark lacks a native as-of join; a naive theta-join on
+    ``l.key = r.key AND r.ts <= l.ts`` plans a range join that explodes
+    to every (left, earlier-right) pair before picking the max. This is
+    instead the union-window form — ONE shuffle on the key, zero row
+    expansion, the same scale shape as ``sessionize``:
+
+    union(left tagged 1, right tagged 0) → window per key ordered by
+    (ts_us, side) → each right column forward-fills via
+    ``last(..., ignorenulls=True)`` over unbounded-preceding..current →
+    keep the left rows. Right rows sort before left at equal timestamps,
+    which is exactly the inclusive <= match. Timestamps compare as exact
+    microsecond longs. Right rows duplicated on (key, ts) are
+    tie-ambiguous — pre-dedupe for full determinism (the driver query
+    does).
+
+    Output: every LEFT column, then ``<col><suffix>`` for each of
+    ``right_cols`` (default: all non-key, non-ts right columns) plus
+    ``<ts_col><suffix>`` (the matched right timestamp) and
+    ``asof_gap_us`` (left ts − matched ts, microseconds)."""
+    if tolerance_minutes is not None and tolerance_minutes <= 0:
+        raise ValueError("tolerance_minutes must be > 0")
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in (on, ts_col)]
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lhs = (left.withColumn("__side", F.lit(1))
+           .withColumn("__us", us)
+           .withColumn("__rts", F.lit(None).cast("long")))
+    for c in rcols:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(
+            right.schema[c].dataType))
+    rhs = right.select(
+        F.col(on), F.lit(0).alias("__side"), us.alias("__us"),
+        us.alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols])
+    for c in left.columns:
+        if c != on:
+            rhs = rhs.withColumn(c, F.lit(None).cast(
+                left.schema[c].dataType))
+    both = lhs.unionByName(rhs)
+    w = (Window.partitionBy(on).orderBy("__us", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = both.select(
+        *left.columns, "__side", "__us",
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in rcols])
+    out = carried.filter(F.col("__side") == 1)
+    in_window = F.col("__mts").isNotNull()
+    if tolerance_minutes is not None:
+        in_window = in_window & (
+            F.col("__us") - F.col("__mts")
+            <= int(tolerance_minutes * 60_000_000))
+    return out.select(
+        *left.columns,
+        F.when(in_window, F.timestamp_micros(F.col("__mts")))
+        .alias(ts_col + suffix),
+        *[F.when(in_window, F.col(f"__m_{c}")).alias(c + suffix)
+          for c in rcols],
+        F.when(in_window, F.col("__us") - F.col("__mts"))
+        .alias("asof_gap_us"))

@@ -53,6 +53,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "bpe_merges_documents",
     "bigram_lm_documents",
     "mixture_plan_documents",
+    "asof_join_events",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",
@@ -76,7 +77,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "merged_topfreq_orders", "dup_substrings_documents",
     "profile_sampled_lineitem", "freshness_threshold_events",
     "validation_prepass", "incremental_screen_orders",
-    "dsir_weights_documents",
 }
 
 

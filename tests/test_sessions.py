@@ -145,6 +145,48 @@ def test_funnel_hand_check(spark):
         funnel(df, ["view"])
 
 
+def test_asof_join_hand_check(spark):
+    """Backward as-of semantics: inclusive <= match picks the greatest
+    right ts at-or-before each left ts per key; unmatched and
+    out-of-tolerance rows carry NULLs; a pandas merge_asof cross-check
+    agrees on every matched timestamp."""
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(30)), (3, 1, _ts(5)),
+         (4, 2, _ts(7)), (5, 3, _ts(1))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0), (1, _ts(10), 100.0), (1, _ts(20), 200.0),
+         (2, _ts(8), 800.0)],
+        "user_id long, ts timestamp, value double")
+    rows = {r["event_id"]: r
+            for r in asof_join(left, right, right_cols=["value"]).collect()}
+    # inclusive match: left ts==10 takes the right row AT 10, not 5
+    assert rows[1]["value_right"] == 100.0 and rows[1]["asof_gap_us"] == 0
+    assert rows[2]["value_right"] == 200.0
+    assert rows[2]["asof_gap_us"] == 10 * 60_000_000
+    assert rows[3]["value_right"] == 50.0      # ts 5 matches ts 5
+    # user 2's only right row is LATER than the left row; user 3 has none
+    assert rows[4]["value_right"] is None and rows[4]["asof_gap_us"] is None
+    assert rows[5]["value_right"] is None
+    # tolerance: the 10-min-old match survives a 15-min window, not 5
+    tol = {r["event_id"]: r["value_right"] for r in asof_join(
+        left, right, right_cols=["value"],
+        tolerance_minutes=5.0).collect()}
+    assert tol[1] == 100.0 and tol[2] is None
+    # pandas cross-check (merge_asof is the reference semantics)
+    import pandas as pd
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                        direction="backward")
+    want = {int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+            for r in ref.itertuples()}
+    got = {eid: rows[eid]["value_right"] for eid in want}
+    assert got == want
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: feeding the events in two
     time-ordered micro-batches emits exactly the batch sessionizer's
