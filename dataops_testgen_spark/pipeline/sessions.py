@@ -165,15 +165,18 @@ def asof_join(left: DataFrame, right: DataFrame,
               on: str = "user_id", ts_col: str = "ts",
               right_cols: list[str] | None = None,
               tolerance_minutes: float | None = None,
+              direction: str = "backward",
               suffix: str = "_right") -> DataFrame:
-    """Backward as-of join: attach to every left row the right row with
-    the GREATEST timestamp <= the left row's timestamp for the same key
-    (inclusive match) — the point-in-time join feature stores need to
-    avoid temporal leakage (each training example sees only features
-    computed at-or-before its own time; pandas ``merge_asof`` / DuckDB
-    ``ASOF JOIN`` semantics). ``tolerance_minutes`` nulls matches older
-    than the window (pandas ``tolerance=``). Left rows without a match
-    keep NULL right columns (left-join semantics).
+    """As-of join: attach to every left row the right row with the
+    GREATEST timestamp <= the left row's timestamp for the same key
+    (``direction="backward"``, inclusive match) — the point-in-time join
+    feature stores need to avoid temporal leakage (each training example
+    sees only features computed at-or-before its own time; pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics) — or the SMALLEST
+    timestamp >= it (``direction="forward"``: next-outcome joins, e.g.
+    each impression's next conversion). ``tolerance_minutes`` nulls
+    matches farther than the window (pandas ``tolerance=``). Left rows
+    without a match keep NULL right columns (left-join semantics).
 
     Spark lacks a native as-of join; a naive theta-join on
     ``l.key = r.key AND r.ts <= l.ts`` plans a range join that explodes
@@ -185,7 +188,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     (ts_us, side) → each right column forward-fills via
     ``last(..., ignorenulls=True)`` over unbounded-preceding..current →
     keep the left rows. Right rows sort before left at equal timestamps,
-    which is exactly the inclusive <= match. Timestamps compare as exact
+    which is exactly the inclusive <= match (``forward`` mirrors it:
+    left-before-right ordering, ``first(ignorenulls)`` over
+    current..unbounded-following). Timestamps compare as exact
     microsecond longs. Right rows duplicated on (key, ts) are
     tie-ambiguous — pre-dedupe for full determinism (the driver query
     does).
@@ -193,9 +198,12 @@ def asof_join(left: DataFrame, right: DataFrame,
     Output: every LEFT column, then ``<col><suffix>`` for each of
     ``right_cols`` (default: all non-key, non-ts right columns) plus
     ``<ts_col><suffix>`` (the matched right timestamp) and
-    ``asof_gap_us`` (left ts − matched ts, microseconds)."""
+    ``asof_gap_us`` (non-negative microsecond distance between left ts
+    and matched ts)."""
     if tolerance_minutes is not None and tolerance_minutes <= 0:
         raise ValueError("tolerance_minutes must be > 0")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in (on, ts_col)]
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -214,24 +222,33 @@ def asof_join(left: DataFrame, right: DataFrame,
             rhs = rhs.withColumn(c, F.lit(None).cast(
                 left.schema[c].dataType))
     both = lhs.unionByName(rhs)
-    w = (Window.partitionBy(on).orderBy("__us", "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        # right(0) before left(1) at equal ts -> inclusive <= match
+        w = (Window.partitionBy(on).orderBy("__us", "__side")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = F.last
+    else:
+        # left(1) before right(0) at equal ts -> inclusive >= match
+        w = (Window.partitionBy(on)
+             .orderBy("__us", F.col("__side").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.first
     carried = both.select(
         *left.columns, "__side", "__us",
-        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+        pick("__rts", ignorenulls=True).over(w).alias("__mts"),
+        *[pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
           for c in rcols])
     out = carried.filter(F.col("__side") == 1)
+    gap = (F.col("__us") - F.col("__mts") if direction == "backward"
+           else F.col("__mts") - F.col("__us"))
     in_window = F.col("__mts").isNotNull()
     if tolerance_minutes is not None:
         in_window = in_window & (
-            F.col("__us") - F.col("__mts")
-            <= int(tolerance_minutes * 60_000_000))
+            gap <= int(tolerance_minutes * 60_000_000))
     return out.select(
         *left.columns,
         F.when(in_window, F.timestamp_micros(F.col("__mts")))
         .alias(ts_col + suffix),
         *[F.when(in_window, F.col(f"__m_{c}")).alias(c + suffix)
           for c in rcols],
-        F.when(in_window, F.col("__us") - F.col("__mts"))
-        .alias("asof_gap_us"))
+        F.when(in_window, gap).alias("asof_gap_us"))

@@ -187,6 +187,45 @@ def test_asof_join_hand_check(spark):
     assert got == want
 
 
+def test_asof_join_forward(spark):
+    """Forward direction: inclusive >= match picks the SMALLEST right ts
+    at-or-after each left ts (next-outcome join); tolerance bounds the
+    look-ahead; pandas merge_asof(direction='forward') agrees."""
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(21)), (3, 1, _ts(30)), (4, 2, _ts(9))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 200.0), (2, _ts(8), 800.0)],
+        "user_id long, ts timestamp, value double")
+    rows = {r["event_id"]: r for r in asof_join(
+        left, right, right_cols=["value"],
+        direction="forward").collect()}
+    assert rows[1]["value_right"] == 100.0 and rows[1]["asof_gap_us"] == 0
+    assert rows[2]["value_right"] is None      # nothing at-or-after 21
+    assert rows[3]["value_right"] is None
+    assert rows[4]["value_right"] is None      # user 2's row is EARLIER
+    # tolerance bounds the look-ahead window
+    lt = spark.createDataFrame([(9, 1, _ts(5))],
+                               "event_id long, user_id long, ts timestamp")
+    tol = {r["event_id"]: r["value_right"] for r in asof_join(
+        lt, right, right_cols=["value"], direction="forward",
+        tolerance_minutes=4.0).collect()}
+    assert tol[9] is None                      # next match is 5 min away
+    # pandas cross-check
+    import pandas as pd
+    ref = pd.merge_asof(left.toPandas().sort_values("ts"),
+                        right.toPandas().sort_values("ts"),
+                        on="ts", by="user_id", direction="forward")
+    want = {int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+            for r in ref.itertuples()}
+    assert {eid: rows[eid]["value_right"] for eid in want} == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, direction="nearest")
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: feeding the events in two
     time-ordered micro-batches emits exactly the batch sessionizer's
