@@ -174,9 +174,11 @@ def asof_join(left: DataFrame, right: DataFrame,
     sees only features computed at-or-before its own time; pandas
     ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics) — or the SMALLEST
     timestamp >= it (``direction="forward"``: next-outcome joins, e.g.
-    each impression's next conversion). ``tolerance_minutes`` nulls
-    matches farther than the window (pandas ``tolerance=``). Left rows
-    without a match keep NULL right columns (left-join semantics).
+    each impression's next conversion), or whichever of the two is
+    closer (``direction="nearest"``; equal distance prefers backward,
+    pandas tie rule). ``tolerance_minutes`` nulls matches farther than
+    the window (pandas ``tolerance=``). Left rows without a match keep
+    NULL right columns (left-join semantics).
 
     Spark lacks a native as-of join; a naive theta-join on
     ``l.key = r.key AND r.ts <= l.ts`` plans a range join that explodes
@@ -202,8 +204,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     and matched ts)."""
     if tolerance_minutes is not None and tolerance_minutes <= 0:
         raise ValueError("tolerance_minutes must be > 0")
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in (on, ts_col)]
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -222,33 +225,52 @@ def asof_join(left: DataFrame, right: DataFrame,
             rhs = rhs.withColumn(c, F.lit(None).cast(
                 left.schema[c].dataType))
     both = lhs.unionByName(rhs)
-    if direction == "backward":
-        # right(0) before left(1) at equal ts -> inclusive <= match
-        w = (Window.partitionBy(on).orderBy("__us", "__side")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        pick = F.last
-    else:
-        # left(1) before right(0) at equal ts -> inclusive >= match
-        w = (Window.partitionBy(on)
+    # right(0) before left(1) at equal ts -> inclusive <= match
+    w_back = (Window.partitionBy(on).orderBy("__us", "__side")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # left(1) before right(0) at equal ts -> inclusive >= match
+    w_fwd = (Window.partitionBy(on)
              .orderBy("__us", F.col("__side").desc())
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        pick = F.first
-    carried = both.select(
-        *left.columns, "__side", "__us",
-        pick("__rts", ignorenulls=True).over(w).alias("__mts"),
-        *[pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in rcols])
+
+    def _carry(w, pick, tag):
+        return ([pick("__rts", ignorenulls=True).over(w)
+                 .alias(f"__mts{tag}")]
+                + [pick(f"__r_{c}", ignorenulls=True).over(w)
+                   .alias(f"__m{tag}_{c}") for c in rcols])
+
+    cols = []
+    if direction in ("backward", "nearest"):
+        cols += _carry(w_back, F.last, "_b")
+    if direction in ("forward", "nearest"):
+        cols += _carry(w_fwd, F.first, "_f")
+    carried = both.select(*left.columns, "__side", "__us", *cols)
     out = carried.filter(F.col("__side") == 1)
-    gap = (F.col("__us") - F.col("__mts") if direction == "backward"
-           else F.col("__mts") - F.col("__us"))
-    in_window = F.col("__mts").isNotNull()
+    if direction == "backward":
+        mts = F.col("__mts_b")
+        gap = F.col("__us") - mts
+        mval = {c: F.col(f"__m_b_{c}") for c in rcols}
+    elif direction == "forward":
+        mts = F.col("__mts_f")
+        gap = mts - F.col("__us")
+        mval = {c: F.col(f"__m_f_{c}") for c in rcols}
+    else:
+        # nearest: the closer of the two inclusive matches; equal
+        # distance prefers the backward one (pandas merge_asof ties)
+        gb = F.col("__us") - F.col("__mts_b")
+        gf = F.col("__mts_f") - F.col("__us")
+        use_b = F.col("__mts_b").isNotNull() & (
+            F.col("__mts_f").isNull() | (gb <= gf))
+        mts = F.when(use_b, F.col("__mts_b")).otherwise(F.col("__mts_f"))
+        gap = F.when(use_b, gb).otherwise(gf)
+        mval = {c: F.when(use_b, F.col(f"__m_b_{c}"))
+                .otherwise(F.col(f"__m_f_{c}")) for c in rcols}
+    in_window = mts.isNotNull()
     if tolerance_minutes is not None:
         in_window = in_window & (
             gap <= int(tolerance_minutes * 60_000_000))
     return out.select(
         *left.columns,
-        F.when(in_window, F.timestamp_micros(F.col("__mts")))
-        .alias(ts_col + suffix),
-        *[F.when(in_window, F.col(f"__m_{c}")).alias(c + suffix)
-          for c in rcols],
+        F.when(in_window, F.timestamp_micros(mts)).alias(ts_col + suffix),
+        *[F.when(in_window, mval[c]).alias(c + suffix) for c in rcols],
         F.when(in_window, gap).alias("asof_gap_us"))

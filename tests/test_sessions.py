@@ -223,7 +223,50 @@ def test_asof_join_forward(spark):
     assert {eid: rows[eid]["value_right"] for eid in want} == want
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        asof_join(left, right, direction="nearest")
+        asof_join(left, right, direction="sideways")
+
+
+def test_asof_join_nearest_and_plan(spark):
+    """Nearest direction picks the closer inclusive match (backward wins
+    ties, pandas rule) — cross-checked against merge_asof on a random
+    table — and every direction plans exactly ONE Exchange (the key
+    shuffle): no range-join row expansion anywhere."""
+    import random
+
+    import pandas as pd
+
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    rng = random.Random(7)
+    lrows = [(i, rng.randint(1, 5), _ts(rng.randint(0, 59),
+                                        rng.choice([0, 30])))
+             for i in range(60)]
+    rrows = [(k, ts, float(v)) for v, (k, ts) in enumerate(
+        {(rng.randint(1, 5), _ts(rng.randint(0, 59), rng.choice([0, 30])))
+         for _ in range(40)})]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp, value double")
+    near = asof_join(left, right, right_cols=["value"],
+                     direction="nearest")
+    rows = {r["event_id"]: r for r in near.collect()}
+    ref = pd.merge_asof(left.toPandas().sort_values("ts"),
+                        right.toPandas().sort_values("ts"),
+                        on="ts", by="user_id", direction="nearest")
+    for r in ref.itertuples():
+        want = None if pd.isna(r.value) else float(r.value)
+        assert rows[int(r.event_id)]["value_right"] == want, r.event_id
+    # gaps are non-negative distances
+    assert all(r["asof_gap_us"] is None or r["asof_gap_us"] >= 0
+               for r in rows.values())
+    # plan audit: one Exchange per direction, zero Joins
+    for d in ("backward", "forward", "nearest"):
+        plan = asof_join(left, right, right_cols=["value"],
+                         direction=d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, (d, plan)
+        assert "Join" not in plan, d
 
 
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
