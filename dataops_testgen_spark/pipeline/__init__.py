@@ -1,3 +1,7 @@
-from dataops_testgen_spark.pipeline import dedup, multimodal, similarity, text
+from dataops_testgen_spark.pipeline import (bpe, classify, curation, dedup,
+                                            multimodal, retrieval, sampling,
+                                            sessions, similarity, skew, text)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["bpe", "classify", "curation", "dedup", "multimodal",
+           "retrieval", "sampling", "sessions", "similarity", "skew",
+           "text"]
