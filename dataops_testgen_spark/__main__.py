@@ -898,6 +898,33 @@ def cmd_corpus_search(args) -> int:
     return 0
 
 
+def cmd_corpus_mix(args) -> int:
+    """Temperature domain-mixture plan over a corpus
+    (sampling.temperature_mixture_plan: w_s = n_s^tau / Σ n^tau, largest
+    no-oversample budget): prints the per-source plan and, with --out,
+    materializes the subsampled mix via the deterministic salted-md5
+    draw (apply_mixture_plan)."""
+    from dataops_testgen_spark.pipeline.sampling import (
+        apply_mixture_plan, temperature_mixture_plan)
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    plan = temperature_mixture_plan(
+        docs, tau=args.tau, source_col=args.source_col,
+        text_col=(args.text_col if args.token_budget else None))
+    unit = "tokens" if args.token_budget else "docs"
+    for r in plan.collect():
+        print(f"{r['source']:>20}  n_{unit}={r['n_units']:>12}  "
+              f"w={r['weight']:.6f}  keep={r['fraction']:.6f}  "
+              f"expect={r['expect_units']}")
+    if args.out:
+        kept = apply_mixture_plan(docs, plan, source_col=args.source_col,
+                                  id_col=args.id_col, salt=args.salt)
+        kept.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {kept.count()} docs -> {args.out}")
+    return 0
+
+
 def _add_common(p, data=False, store=True, gen=False):
     if data:
         p.add_argument("--data-dir", required=True)
@@ -1111,6 +1138,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.set_defaults(fn=cmd_corpus_index)
+
+    p = sub.add_parser("corpus-mix")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--tau", type=float, default=0.5,
+                   help="temperature: <1 upsamples tail domains, "
+                        "1 = natural mix")
+    p.add_argument("--out", default="",
+                   help="parquet output for the materialized mix")
+    p.add_argument("--token-budget", action="store_true",
+                   help="size sources by token counts instead of docs")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="mix")
+    p.set_defaults(fn=cmd_corpus_mix)
 
     p = sub.add_parser("corpus-search")
     p.add_argument("--index-dir", required=True)

@@ -554,3 +554,19 @@ def test_corpus_cli_roundtrip(spark, tmp_path, capsys):
     assert set(dec.columns) == {"id", "quality_ok", "is_canonical",
                                 "pred_lang", "keep"}
     assert 0 < dec.filter("keep").count() < 500
+
+    # corpus-mix: the plan prints one line per source and the
+    # materialized mix re-derives deterministically
+    mix = str(tmp_path / "mix")
+    assert main(["corpus-mix", "--corpus", corpus, "--tau", "0.5",
+                 "--out", mix]) == 0
+    printed = capsys.readouterr().out
+    n_sources = spark.read.parquet(corpus) \
+        .select("source").distinct().count()
+    assert sum(1 for ln in printed.splitlines() if "keep=" in ln) \
+        == n_sources
+    first = sorted(r["doc_id"] for r in spark.read.parquet(mix).collect())
+    assert main(["corpus-mix", "--corpus", corpus, "--tau", "0.5",
+                 "--out", mix]) == 0
+    assert sorted(r["doc_id"]
+                  for r in spark.read.parquet(mix).collect()) == first
