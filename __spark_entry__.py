@@ -4062,6 +4062,61 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_gap_us")
 
 
+def q_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pipeline/sessions.py asof_join,
+    direction='nearest'): every purchase attaches the same user's click
+    CLOSEST in time, before or after, backward winning ties (pandas
+    merge_asof rule). One key shuffle carries both directional scans.
+    The oracle combines DuckDB's two native ASOF LEFT JOINs (>= and <=)
+    with the identical tie rule — an independent re-derivation of the
+    nearest semantics."""
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    events = _load(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("click_value")))
+    out = asof_join(purchases, clicks, right_cols=["click_value"],
+                    direction="nearest")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp"))
+        .alias("click_ts_us"),
+        F.round("click_value_right", 5).alias("click_value"),
+        "asof_gap_us")
+
+
+_SQL_ASOF_NEAREST = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts
+    FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+b AS (
+  SELECT p.event_id, epoch_us(c.ts) AS bts, c.click_value AS bval
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts),
+f AS (
+  SELECT p.event_id, epoch_us(c.ts) AS fts, c.click_value AS fval
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts),
+joined AS (
+  SELECT p.event_id, p.user_id, p.ts_us, b.bts, b.bval, f.fts, f.fval,
+         (b.bts IS NOT NULL AND (f.fts IS NULL
+              OR (p.ts_us - b.bts) <= (f.fts - p.ts_us))) AS use_b
+    FROM purchases p JOIN b USING (event_id) JOIN f USING (event_id))
+SELECT event_id, user_id, ts_us,
+       CASE WHEN use_b THEN bts ELSE fts END AS click_ts_us,
+       ROUND(CASE WHEN use_b THEN bval ELSE fval END, 5) AS click_value,
+       (CASE WHEN use_b THEN ts_us - bts
+             ELSE fts - ts_us END)::BIGINT AS asof_gap_us
+  FROM joined"""
+
+
 _SQL_ASOF_JOIN = """
 WITH purchases AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts
@@ -4154,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_documents": q_bigram_lm_documents,
         "mixture_plan_documents": q_mixture_plan_documents,
         "asof_join_events": q_asof_join_events,
+        "asof_nearest_events": q_asof_nearest_events,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -4167,7 +4223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the one query never driver-checked through r5 (VERDICT #1) ---
         "dsir_select_documents": q_dsir_select_documents,
         # --- r4/r5 queries kept in-window ---
-        "merge_defs_fixture": q_merge_defs_fixture,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -4200,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "merge_defs_fixture": q_merge_defs_fixture,
         "dsir_weights_documents": q_dsir_weights_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
         "pq_topk_embeddings": q_pq_topk_embeddings,
@@ -4353,6 +4409,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_documents": _SQL_BIGRAM_LM,
         "mixture_plan_documents": _SQL_MIXTURE_PLAN,
         "asof_join_events": _SQL_ASOF_JOIN,
+        "asof_nearest_events": _SQL_ASOF_NEAREST,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),

@@ -54,6 +54,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "bigram_lm_documents",
     "mixture_plan_documents",
     "asof_join_events",
+    "asof_nearest_events",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",
@@ -68,7 +69,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # the one never-driver-checked query
     "dsir_select_documents",
     # r5 window keepers
-    "merge_defs_fixture", "skew_hot_keys_lineitem",
+    "skew_hot_keys_lineitem",
     "semantic_dedup_embeddings",
     "unigram_logprob_documents", "boilerplate_dedup_documents",
     "merged_profile_orders", "pack_spans_documents",
