@@ -1610,6 +1610,12 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                                        binary_col="png_payload")
            .select("doc_id", F.col("format").alias("png_format"),
                    F.round("mean_luminance", 5).alias("png_mean")))
+    # the LZW leg: same bytes as gray-palette GIF pixels — full LZW
+    # decompression runs distributed, in-module codec
+    gif = (MM.extract_decoded_features(MM.with_gif_payload(docs),
+                                       binary_col="gif_payload")
+           .select("doc_id", F.col("format").alias("gif_format"),
+                   F.round("mean_luminance", 5).alias("gif_mean")))
     # the AUDIO leg: same bytes as u8 PCM samples in a mono 8 kHz WAV —
     # RIFF chunk walk + sample fold run distributed, stdlib-only
     wav = (MM.extract_audio_features(MM.with_wav_payload(docs),
@@ -1619,12 +1625,12 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                    F.round("duration_s", 8).alias("wav_duration"),
                    F.round("mean_amplitude", 5).alias("wav_mean")))
     return (feats.join(dec, "doc_id").join(png, "doc_id")
-            .join(wav, "doc_id")
+            .join(gif, "doc_id").join(wav, "doc_id")
             .select("doc_id", "byte_len", "first_byte", "content_md5",
                     F.round("fake_feature", 5).alias("fake_feature"),
                     "format", "width", "height",
                     F.round("mean_luminance", 5).alias("mean_luminance"),
-                    "png_format", "png_mean",
+                    "png_format", "png_mean", "gif_format", "gif_mean",
                     "wav_rate", "n_samples", "wav_duration", "wav_mean"))
 
 
@@ -1654,6 +1660,13 @@ SELECT doc_id,
                            i -> ascii(substr(text, i, 1))))::DOUBLE
                        / LEAST(length(text), 64), 5)
        END AS png_mean,
+       CASE WHEN length(text) > 0 THEN 'gif' END AS gif_format,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1))))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS gif_mean,
        CASE WHEN length(text) > 0 THEN 8000::INT END AS wav_rate,
        CASE WHEN length(text) > 0
             THEN LEAST(octet_length(CAST(text AS BLOB)), 64)::BIGINT

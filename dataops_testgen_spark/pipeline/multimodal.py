@@ -7,11 +7,12 @@ shape-preserving partitioning).
 
 Decode is REAL wherever a codec-less container allows: uncompressed
 BMP/PPM/PGM rasters, 8-bit gray/RGB non-interlaced PNG (stdlib zlib
-inflate + scanline unfilter), and RIFF/WAVE PCM audio (``decode_audio``).
-JPEG/GIF/MP3-class formats still need external codecs — ``decode_stub``
-stands in for those behind a deterministic fake, with the Spark-side
-plumbing (schema, batch iteration, UDF signature, partition behavior)
-real and tested; swap it for a PIL/librosa call in production.
+inflate + scanline unfilter), single-frame GIF (full in-module LZW
+codec), and RIFF/WAVE PCM audio (``decode_audio``). JPEG/MP3-class
+formats still need external codecs — ``decode_stub`` stands in for
+those behind a deterministic fake, with the Spark-side plumbing
+(schema, batch iteration, UDF signature, partition behavior) real and
+tested; swap it for a PIL/librosa call in production.
 """
 
 from __future__ import annotations
@@ -319,15 +320,20 @@ def decode_image(payload: bytes) -> dict:
     PGM (P5), and — via stdlib zlib — 8-bit gray/RGB non-interlaced PNG
     (full scanline unfilter, all five filter types). Walks the actual
     raster — returns format, width, height and mean_luminance = mean
-    over the raster's channel bytes, excluding row padding. JPEG/GIF
-    (and exotic PNG variants) still raise NotImplementedError: their
-    codecs aren't in this container; use parse_media_header for their
+    over the raster's channel bytes, excluding row padding — and
+    single-frame non-interlaced GIF via a full in-module LZW codec
+    (giflib code-width convention; round-trip stress-tested through the
+    dictionary-growth and 12-bit table-reset paths). JPEG (and exotic
+    PNG/GIF variants) still raises NotImplementedError: a DCT/huffman
+    codec isn't in this container; use parse_media_header for
     dimensions."""
     if not payload:
         raise ValueError("empty payload")
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13:
+        return _decode_gif(b)
     if b[:2] == b"BM" and len(b) >= 54:
         data_off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -377,6 +383,182 @@ def decode_image(payload: bytes) -> dict:
     raise NotImplementedError("compressed/unknown format: codecs not "
                               "available in this container; use "
                               "parse_media_header / decode_stub instead")
+
+
+def _lzw_compress(indices: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR, literal/dictionary codes with growing
+    width (max 12 bits, re-CLEAR at dictionary overflow), END; packs
+    codes LSB-first into the returned byte string."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []          # (code, width)
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out_bits.append((clear, width))
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], width))
+        table[cand] = next_code
+        next_code += 1
+        # giflib convention: widen as soon as next_code REACHES 2^width,
+        # so the first code of value 2^width-? ships at the wider size
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            elif next_code >= (1 << 12):           # table full: reset
+                out_bits.append((clear, width))
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                width = min_code + 1
+        run = bytes([byte])
+    if run:
+        out_bits.append((table[run], width))
+    out_bits.append((end, width))
+    acc = n = 0
+    packed = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        packed.append(acc & 0xFF)
+    return bytes(packed)
+
+
+def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """Inverse of ``_lzw_compress`` (handles the KwKwK case and CLEAR
+    resets); stops after ``n_pixels`` outputs or the END code."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    pos = 0                                        # bit cursor
+
+    def read(width: int):
+        nonlocal pos
+        if pos + width > len(data) * 8:
+            return None
+        byte_i, bit_i = divmod(pos, 8)
+        acc = 0
+        for k in range((width + bit_i + 7) // 8):
+            if byte_i + k < len(data):
+                acc |= data[byte_i + k] << (8 * k)
+        pos += width
+        return (acc >> bit_i) & ((1 << width) - 1)
+
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]               # KwKwK
+        else:
+            raise NotImplementedError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # mirror the encoder's giflib widening: the decoder's table lags
+        # the encoder by the one entry it will learn from the NEXT code
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:n_pixels])
+
+
+def encode_gif_gray(pixel_bytes: bytes, width: int | None = None) -> bytes:
+    """Minimal single-frame GIF89a encoder (stdlib-only, REAL LZW): each
+    input byte is one pixel indexing a 256-entry gray palette (i,i,i),
+    non-interlaced. Deterministic fixture builder for the compressed
+    decode path."""
+    n = len(pixel_bytes)
+    if n == 0:
+        raise ValueError("need at least one pixel byte")
+    w = width or n
+    if n % w:
+        raise ValueError(f"{n} pixels do not fill rows of width {w}")
+    h = n // w
+    gct = b"".join(bytes((i, i, i)) for i in range(256))
+    lsd = (w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0xF7, 0, 0]))                 # GCT flag, 256 entries
+    img = (b"\x2C" + bytes(4) + w.to_bytes(2, "little")
+           + h.to_bytes(2, "little") + b"\x00")   # no LCT, no interlace
+    lzw = _lzw_compress(pixel_bytes, 8)
+    subs = bytearray([8])                          # LZW min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        subs += bytes([len(chunk)]) + chunk
+    subs += b"\x00"
+    return b"GIF89a" + lsd + gct + img + bytes(subs) + b"\x3B"
+
+
+def _decode_gif(b: bytes) -> dict:
+    """Single-frame non-interlaced GIF decode: logical screen + color
+    tables, extension skip, REAL LZW decompression, palette mapping;
+    mean_luminance = mean over the mapped RGB channel bytes."""
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 0x07))
+        gct = b[i:i + size]
+        i += size
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:                          # extension: skip
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:
+            iw = int.from_bytes(b[i + 5:i + 7], "little")
+            ih = int.from_bytes(b[i + 7:i + 9], "little")
+            ipacked = b[i + 9]
+            i += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            ct = gct
+            if ipacked & 0x80:
+                size = 3 * (2 << (ipacked & 0x07))
+                ct = b[i:i + size]
+                i += size
+            if ct is None:
+                raise NotImplementedError("GIF without a color table")
+            min_code = b[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(b) and b[i]:
+                ln = b[i]
+                lzw += b[i + 1:i + 1 + ln]
+                i += 1 + ln
+            indices = _lzw_decompress(bytes(lzw), min_code, iw * ih)
+            if len(indices) < iw * ih:
+                raise NotImplementedError("truncated GIF raster")
+            total = sum(ct[3 * px] + ct[3 * px + 1] + ct[3 * px + 2]
+                        for px in indices)
+            return {"format": "gif", "width": iw, "height": ih,
+                    "mean_luminance": total / (3 * iw * ih)}
+        elif block == 0x3B:
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    raise NotImplementedError("GIF missing image descriptor")
 
 
 def encode_wav_pcm(sample_bytes: bytes, sample_rate: int = 8000,
@@ -491,6 +673,32 @@ def extract_audio_features(df: DataFrame,
 
     return (df.select(id_col, binary_col)
             .mapInPandas(run, AUDIO_SCHEMA))
+
+
+def with_gif_payload(df: DataFrame, text_col: str = "text",
+                     out_col: str = "gif_payload",
+                     max_bytes: int = 64) -> DataFrame:
+    """Demo helper for the LZW decode path: wrap the first ``max_bytes``
+    UTF-8 bytes of text as gray-palette pixels in a single-frame GIF
+    (``encode_gif_gray``, real LZW compression), Arrow-batched; empty
+    texts get NULL. The palette maps index i to (i,i,i), so the decoded
+    mean equals the byte mean the oracle derives from the text."""
+    id_col = "doc_id"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            return encode_gif_gray(raw) if raw else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(enc)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def with_wav_payload(df: DataFrame, text_col: str = "text",

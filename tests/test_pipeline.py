@@ -1834,6 +1834,44 @@ def test_png_codec_roundtrip():
         multimodal.decode_image(bytes(png))
 
 
+def test_gif_codec_roundtrip():
+    """REAL LZW decode: the in-module GIF codec round-trips the EXACT
+    pixel sequence through dictionary growth, the KwKwK case, code-width
+    increases and the 12-bit table reset; decode_image maps the gray
+    palette back to the byte mean; interlaced GIFs raise."""
+    import random
+
+    from dataops_testgen_spark.pipeline.multimodal import (_lzw_compress,
+                                                           _lzw_decompress)
+
+    rng = random.Random(13)
+    for n, style in [(1, 0), (4, 0), (600, 1), (2048, 0), (6300, 2),
+                     (20000, 0), (5000, 1)]:
+        if style == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif style == 1:
+            data = bytes([7]) * n                   # KwKwK-heavy
+        else:
+            data = (b"abcabcabd" * (n // 9 + 1))[:n]  # dictionary-heavy
+        assert _lzw_decompress(_lzw_compress(data, 8), 8, n) == data, \
+            (n, style)
+    px = bytes(range(240))
+    gif = multimodal.encode_gif_gray(px, width=40)
+    d = multimodal.decode_image(gif)
+    assert (d["format"], d["width"], d["height"]) == ("gif", 40, 6)
+    assert abs(d["mean_luminance"] - sum(px) / len(px)) < 1e-9
+    # header parse agrees on dimensions without decoding
+    h = multimodal.parse_media_header(gif)
+    assert (h["format"], h["width"], h["height"]) == ("gif", 40, 6)
+    # interlace flag raises rather than mis-decoding
+    bad = bytearray(gif)
+    idx = 13 + 768                 # image descriptor after the 256-entry GCT
+    assert bad[idx] == 0x2C
+    bad[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(bad))
+
+
 def test_wav_codec_roundtrip(spark):
     """REAL audio decode: RIFF/WAVE PCM encode->decode round-trips u8 and
     s16 samples (chunk walk honors even-padding), non-PCM raises, and the
