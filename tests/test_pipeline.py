@@ -620,6 +620,21 @@ def test_temperature_mixture_plan(spark):
     assert all(r["fraction"] == 1.0 for r in nat)
     with _pytest.raises(ValueError):
         temperature_mixture_plan(df, tau=0.0)
+    # token-budgeted sizing: source a has 100 docs x 1 token, source b
+    # 400 docs x 4 tokens -> n_units 100 vs 1600; sqrt: 10/40 -> w=1/5,
+    # 4/5; T=min(100/(1/5), 1600/(4/5))=min(500,2000)=500
+    toks = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b",
+          "t" if i < 100 else "t t t t") for i in range(500)],
+        "doc_id: long, source: string, text: string")
+    tp = {r["source"]: r for r in
+          temperature_mixture_plan(toks, tau=0.5,
+                                   text_col="text").collect()}
+    assert tp["a"]["n_units"] == 100 and tp["b"]["n_units"] == 1600
+    assert tp["a"]["fraction"] == 1.0
+    assert abs(tp["b"]["fraction"] - 0.25) < 1e-9
+    assert tp["a"]["expect_units"] in (99, 100)
+    assert tp["b"]["expect_units"] in (399, 400)
 
 
 def test_sampling_validation(spark):
