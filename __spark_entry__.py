@@ -2778,6 +2778,28 @@ SELECT p.source, p.n_units, p.weight, p.fraction,
   FROM plan p LEFT JOIN kept k USING (source)"""
 
 
+def q_gzip_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingestion (pipeline/multimodal.py
+    with_compressed_payload / decompress_text): every document's text is
+    gzip-compressed into a binary blob (deterministic, mtime pinned) and
+    decompressed back — both Arrow-batched mapInPandas stages running
+    distributed — proving the lossless read path web corpora need
+    (WARC/WET gz, .xz shards). Output hash-matches the identity oracle:
+    the round-tripped md5/length must equal the original text's."""
+    docs = _load(spark, sf_dir, "documents")
+    blobs = MM.with_compressed_payload(docs, codec="gzip")
+    back = MM.decompress_text(blobs, codec="gzip")
+    return back.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+_SQL_GZIP_CORPUS = """
+SELECT doc_id AS id, md5(text) AS text_md5,
+       length(text)::BIGINT AS n_chars
+  FROM documents"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 quality-filter flags (pipeline/text.py:
     gopher_quality_flags — published Rae et al. 2021 thresholds) over the
@@ -4223,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_documents": q_mixture_plan_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
+        "gzip_corpus_documents": q_gzip_corpus_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -4236,7 +4259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the one query never driver-checked through r5 (VERDICT #1) ---
         "dsir_select_documents": q_dsir_select_documents,
         # --- r4/r5 queries kept in-window ---
-        "skew_hot_keys_lineitem": q_skew_hot_keys,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
@@ -4268,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "skew_hot_keys_lineitem": q_skew_hot_keys,
         "merge_defs_fixture": q_merge_defs_fixture,
         "dsir_weights_documents": q_dsir_weights_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
@@ -4423,6 +4446,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan_documents": _SQL_MIXTURE_PLAN,
         "asof_join_events": _SQL_ASOF_JOIN,
         "asof_nearest_events": _SQL_ASOF_NEAREST,
+        "gzip_corpus_documents": _SQL_GZIP_CORPUS,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),

@@ -55,6 +55,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "mixture_plan_documents",
     "asof_join_events",
     "asof_nearest_events",
+    "gzip_corpus_documents",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",
@@ -69,7 +70,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # the one never-driver-checked query
     "dsir_select_documents",
     # r5 window keepers
-    "skew_hot_keys_lineitem",
     "semantic_dedup_embeddings",
     "unigram_logprob_documents", "boilerplate_dedup_documents",
     "merged_profile_orders", "pack_spans_documents",

@@ -1849,6 +1849,30 @@ def test_png_codec_roundtrip():
         multimodal.decode_image(bytes(png))
 
 
+def test_compressed_corpus_roundtrip(spark):
+    """Compressed-corpus ingestion: all four stdlib codecs round-trip
+    text losslessly through the Arrow stages; NULLs and corrupt blobs
+    surface as NULL text; deterministic blobs (gzip mtime pinned)."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "päivää ✓ unicode"), (3, None)],
+        "doc_id: long, text: string")
+    for codec in ("gzip", "zlib", "bz2", "lzma"):
+        blobs = multimodal.with_compressed_payload(docs, codec=codec)
+        back = {r["doc_id"]: r["text"] for r in
+                multimodal.decompress_text(blobs, codec=codec).collect()}
+        assert back == {1: "the quick brown fox", 2: "päivää ✓ unicode",
+                        3: None}, codec
+    # determinism: same text -> same gzip bytes on every call
+    assert multimodal.compress_text("abc") == multimodal.compress_text("abc")
+    # corrupt blob -> NULL, not an exception
+    junk = spark.createDataFrame([(9, b"\x00notgzip")],
+                                 "doc_id: long, payload: binary")
+    assert multimodal.decompress_text(junk).collect()[0]["text"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.with_compressed_payload(docs, codec="zstd")
+
+
 def test_gif_codec_roundtrip():
     """REAL LZW decode: the in-module GIF codec round-trips the EXACT
     pixel sequence through dictionary growth, the KwKwK case, code-width
