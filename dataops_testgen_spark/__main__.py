@@ -925,6 +925,54 @@ def cmd_corpus_mix(args) -> int:
     return 0
 
 
+def cmd_events_sessionize(args) -> int:
+    """Gap-based sessionization over an event parquet
+    (pipeline/sessions.py session_stats): writes per-session stats and
+    prints the session count + median events/session."""
+    from dataops_testgen_spark.pipeline.sessions import session_stats
+
+    spark = _spark()
+    ev = spark.read.parquet(args.events)
+    out = session_stats(ev, user_col=args.user_col, ts_col=args.ts_col,
+                        gap_minutes=args.gap_minutes,
+                        value_col=args.value_col)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    n = out.count()
+    med = out.approxQuantile("n_events", [0.5], 0.001)[0] if n else None
+    print(f"{n} sessions (gap {args.gap_minutes} min), "
+          f"median events/session {med}"
+          + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
+def cmd_events_funnel(args) -> int:
+    """Ordered funnel analysis (pipeline/sessions.py funnel): per-step
+    completion counts for a comma-separated step chain."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.sessions import funnel
+
+    spark = _spark()
+    ev = spark.read.parquet(args.events)
+    steps = [s for s in args.steps.split(",") if s]
+    if len(steps) < 2:
+        print("need at least two comma-separated steps", file=sys.stderr)
+        return 2
+    out = funnel(ev, steps, user_col=args.user_col, ts_col=args.ts_col,
+                 within_minutes=args.within_minutes)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    counts = out.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    by_depth = {r["steps_completed"]: r["n"] for r in counts}
+    reached = 0
+    for depth in range(len(steps), 0, -1):
+        reached += by_depth.get(depth, 0)
+        print(f"step {depth} ({steps[depth - 1]}): {reached} users")
+    return 0
+
+
 def _add_common(p, data=False, store=True, gen=False):
     if data:
         p.add_argument("--data-dir", required=True)
@@ -1153,6 +1201,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--salt", default="mix")
     p.set_defaults(fn=cmd_corpus_mix)
+
+    p = sub.add_parser("events-sessionize")
+    p.add_argument("--events", required=True,
+                   help="parquet dir/file of events")
+    p.add_argument("--gap-minutes", type=float, default=30.0)
+    p.add_argument("--out", default="")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--value-col", default="value")
+    p.set_defaults(fn=cmd_events_sessionize)
+
+    p = sub.add_parser("events-funnel")
+    p.add_argument("--events", required=True)
+    p.add_argument("--steps", required=True,
+                   help="comma-separated ordered event types")
+    p.add_argument("--within-minutes", type=float, default=None)
+    p.add_argument("--out", default="")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.set_defaults(fn=cmd_events_funnel)
 
     p = sub.add_parser("corpus-search")
     p.add_argument("--index-dir", required=True)

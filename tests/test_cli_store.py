@@ -570,3 +570,37 @@ def test_corpus_cli_roundtrip(spark, tmp_path, capsys):
                  "--out", mix]) == 0
     assert sorted(r["doc_id"]
                   for r in spark.read.parquet(mix).collect()) == first
+
+
+def test_events_cli(spark, tmp_path, capsys):
+    """events-sessionize writes session stats matching the library call;
+    events-funnel prints monotone step counts equal to the library's."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.sessions import funnel, session_stats
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    sess_out = str(tmp_path / "sessions")
+    assert main(["events-sessionize", "--events", events,
+                 "--gap-minutes", "30", "--out", sess_out]) == 0
+    got = spark.read.parquet(sess_out)
+    want = session_stats(spark.read.parquet(events), gap_minutes=30.0)
+    assert got.count() == want.count()
+    assert set(got.columns) == set(want.columns)
+    assert "sessions (gap 30.0 min)" in capsys.readouterr().out
+
+    assert main(["events-funnel", "--events", events,
+                 "--steps", "view,click,purchase"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("step ")]
+    assert len(lines) == 3
+    counts = [int(ln.rsplit(":", 1)[1].split()[0]) for ln in lines]
+    assert counts == sorted(counts)          # deeper steps reach fewer
+    ref = funnel(spark.read.parquet(events), ["view", "click", "purchase"])
+    n_step1 = ref.count()
+    n_step3 = ref.filter(F.col("steps_completed") == 3).count()
+    assert counts[-1] == n_step1 and counts[0] == n_step3
+
+    # a one-step chain is rejected
+    assert main(["events-funnel", "--events", events,
+                 "--steps", "view"]) == 2
