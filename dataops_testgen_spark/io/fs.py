@@ -104,7 +104,13 @@ def commit_state_swap(spark: SparkSession, live_path: str) -> None:
     rename staged → live, delete backup. Each rename is atomic on
     HDFS/local, and every crash window is handled by
     ``recover_state_swap``, so state and marker can never tear apart —
-    the exactly-once commit for overwrite-style streaming sink state."""
+    the exactly-once commit for overwrite-style streaming sink state.
+
+    Visibility: a CONCURRENT reader can observe the live path absent for
+    the instant between the two renames (it can never observe a torn
+    state). Readers that must not miss should retry-on-absent or call
+    ``recover_state_swap`` first — single-writer state maintained by one
+    streaming query, occasionally read, is the intended shape."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     live = jvm.org.apache.hadoop.fs.Path(live_path)
