@@ -2746,6 +2746,52 @@ def q_mixture_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("kept_docs")))
 
 
+def q_mixture_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted temperature mixing (temperature_mixture_plan with
+    text_col= — the form training actually uses: budgets are token
+    counts, not document counts). Same skewed head/mid/tail source
+    folding as mixture_plan_documents; whitespace token counts use the
+    shared tokens() semantics so the oracle re-derives them exactly."""
+    from dataops_testgen_spark.pipeline.sampling import (
+        temperature_mixture_plan)
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    head = [f"src{i}" for i in range(10)]
+    mid = [f"src{i}" for i in range(10, 15)]
+    docs = docs.withColumn(
+        "source",
+        F.when(F.col("source").isin(head), F.lit("head"))
+        .when(F.col("source").isin(mid), F.lit("mid"))
+        .otherwise(F.col("source")))
+    # expect_units (floor of a product of last-ulp-sensitive doubles)
+    # stays out of the driver row, same as mixture_plan_documents
+    return temperature_mixture_plan(docs, tau=0.5, text_col="text") \
+        .select("source", "n_units", "weight", "fraction")
+
+
+_SQL_MIXTURE_TOKENS = r"""
+WITH grouped AS (
+  SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4','src5',
+                              'src6','src7','src8','src9') THEN 'head'
+              WHEN source IN ('src10','src11','src12','src13','src14')
+                THEN 'mid'
+              ELSE source END AS source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+           AS n_toks
+    FROM documents WHERE text IS NOT NULL),
+sizes AS (SELECT source, SUM(n_toks)::BIGINT AS n_units
+            FROM grouped GROUP BY source),
+z AS (SELECT SUM(POW(n_units, 0.5)) AS z FROM sizes),
+w AS (SELECT source, n_units, POW(n_units, 0.5) / z.z AS weight
+        FROM sizes CROSS JOIN z),
+t AS (SELECT MIN(n_units / weight) AS t_budget FROM w)
+SELECT source, n_units, ROUND(weight, 9) AS weight,
+       ROUND(weight * t.t_budget / n_units, 9) AS fraction
+  FROM w CROSS JOIN t ORDER BY source"""
+
+
 _SQL_MIXTURE_PLAN = """
 WITH grouped AS (
   SELECT doc_id,
@@ -4246,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
         "gzip_corpus_documents": q_gzip_corpus_documents,
+        "mixture_tokens_documents": q_mixture_tokens_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -4259,7 +4306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the one query never driver-checked through r5 (VERDICT #1) ---
         "dsir_select_documents": q_dsir_select_documents,
         # --- r4/r5 queries kept in-window ---
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
         "merged_profile_orders": q_merged_profile_orders,
@@ -4290,6 +4336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_prepass": q_validation_prepass,
         "incremental_screen_orders": q_incremental_screen_orders,
         # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "merge_defs_fixture": q_merge_defs_fixture,
         "dsir_weights_documents": q_dsir_weights_documents,
@@ -4447,6 +4494,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _SQL_ASOF_JOIN,
         "asof_nearest_events": _SQL_ASOF_NEAREST,
         "gzip_corpus_documents": _SQL_GZIP_CORPUS,
+        "mixture_tokens_documents": _SQL_MIXTURE_TOKENS,
         "boilerplate_dedup_documents": _SQL_BOILERPLATE_DEDUP,
         "merged_profile_orders": _sql_profile_numeric_mergeable(
             "orders", _MERGE_NUM_COLS),

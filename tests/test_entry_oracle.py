@@ -56,6 +56,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "asof_join_events",
     "asof_nearest_events",
     "gzip_corpus_documents",
+    "mixture_tokens_documents",
     "shuffle_shards_documents",
     "multimodal_features_documents",
     "bm25_index_probe_documents",
@@ -70,7 +71,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # the one never-driver-checked query
     "dsir_select_documents",
     # r5 window keepers
-    "semantic_dedup_embeddings",
     "unigram_logprob_documents", "boilerplate_dedup_documents",
     "merged_profile_orders", "pack_spans_documents",
     "centroid_outliers_embeddings", "tfidf_keywords_documents",
