@@ -4215,10 +4215,91 @@ SELECT p.event_id, p.user_id, p.ts_us,
 
 # --------------------------------------------------------------------------
 # Q: bpe_merges_documents — distributed BPE vocabulary induction
-# (rows-only driver check: iterative argmax -> next-round segmentation is
-# not SQL-expressible; correctness is pinned against an independent
-# plain-Python BPE in tests/test_bpe.py, merge-for-merge)
+# (hash-oracled: the merge loop isn't ONE-SHOT SQL, but for the fixed
+# n_merges=10 the oracle UNROLLS it — a chain of MATERIALIZED CTE rounds,
+# each re-deriving that round's pair-count argmax and replaying the greedy
+# left-to-right fold with window functions; also pinned merge-for-merge
+# against an independent plain-Python BPE in tests/test_bpe.py)
 # --------------------------------------------------------------------------
+
+_BPE_N_MERGES = 10
+
+
+def _sql_bpe_merges(n_merges: int = _BPE_N_MERGES) -> str:
+    """DuckDB replay of bpe_train's exact loop, one CTE block per merge
+    round (generated — the loop is data-INdependent control flow, so a
+    fixed n_merges unrolls into plain SQL):
+
+    - ``pc{i}``: adjacent-pair counts over the word-freq relation
+      (UNNEST(range) = the Spark transform/sequence explode).
+    - ``m{i}``: that round's argmax with bpe_train's exact stop (n >= 2)
+      and tiebreak (n DESC, a ASC, b ASC — binary collation both engines).
+    - ``sel{i}``: the greedy LEFT-TO-RIGHT non-overlapping occurrence
+      choice. A chain of overlapping matches (possible only when a == b,
+      e.g. 'aaaa' merging (a,a)) must keep the 1st, 3rd, ... occurrence:
+      group consecutive match positions (j - row_number gap trick) and
+      keep odd ranks — exactly what pipeline/bpe.py's _merge_fold does.
+    - ``words{i}``: rebuild each word's symbol array (merged token at a
+      selected j, drop j+1, keep the rest).
+
+    MATERIALIZED is required: each round references the previous twice,
+    so DuckDB's default CTE inlining would expand the chain 2^n times."""
+    rounds = []
+    for i in range(1, n_merges + 1):
+        prev = f"words{i - 1}"
+        rounds.append(f"""
+pc{i} AS MATERIALIZED (
+  SELECT syms[j] AS a, syms[j+1] AS b, SUM(freq) AS n
+  FROM {prev}, UNNEST(range(1, len(syms))) AS t(j)
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT a, b FROM pc{i} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1
+),
+pos{i} AS MATERIALIZED (
+  SELECT w, freq, j, syms[j] AS s,
+         (j < len(syms)
+          AND syms[j] = (SELECT a FROM m{i})
+          AND syms[j+1] = (SELECT b FROM m{i})) AS mtch
+  FROM {prev}, UNNEST(range(1, len(syms) + 1)) AS t(j)
+),
+sel{i} AS MATERIALIZED (
+  SELECT w, j,
+         (ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY j)) % 2 = 1
+         AS selected
+  FROM (SELECT w, j,
+               j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS grp
+        FROM pos{i} WHERE mtch)
+),
+words{i} AS MATERIALIZED (
+  SELECT w, freq, LIST(tok ORDER BY j) AS syms
+  FROM (
+    SELECT p.w, p.freq, p.j,
+           CASE WHEN COALESCE(sj.selected, FALSE)
+                THEN p.s || (SELECT b FROM m{i}) ELSE p.s END AS tok,
+           COALESCE(sp.selected, FALSE) AS dropped
+    FROM pos{i} p
+    LEFT JOIN sel{i} sj ON sj.w = p.w AND sj.j = p.j
+    LEFT JOIN sel{i} sp ON sp.w = p.w AND sp.j = p.j - 1)
+  WHERE NOT dropped
+  GROUP BY w, freq
+)""")
+    head = r"""WITH words0 AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS freq,
+         list_append(string_split(w, ''), '</w>') AS syms
+  FROM (
+    SELECT UNNEST(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+')
+                  END) AS w
+    FROM documents WHERE text IS NOT NULL)
+  GROUP BY w
+)"""
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS merge_idx, a, b FROM m{i}"
+        for i in range(1, n_merges + 1))
+    return ("SELECT * FROM (" + head + "," + ",".join(rounds) + "\n"
+            + tail + ") ORDER BY merge_idx")
+
 
 def q_bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (pipeline/bpe.py bpe_train, Sennrich et
@@ -4229,7 +4310,7 @@ def q_bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataops_testgen_spark.pipeline.bpe import bpe_train
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    merges = bpe_train(docs, n_merges=10)
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_idx: int, a: string, b: string")
@@ -4280,93 +4361,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- new in r6 (must carry the hard driver signal this round) ---
-        "nb_classify_documents": q_nb_classify_documents,
-        "curation_gate_documents": q_curation_gate_documents,
-        "session_stats_events": q_session_stats_events,
-        "rolling_features_events": q_rolling_features_events,
-        "funnel_events": q_funnel_events,
+        # --- changed/re-oracled in r7 (asof struct-carry, mixture token
+        # unit, stamped-append index layouts, the new BPE hash oracle,
+        # SemDeDup boundary probe) — must re-carry the hard driver signal ---
         "bpe_merges_documents": q_bpe_merges_documents,
-        "bigram_lm_documents": q_bigram_lm_documents,
-        "mixture_plan_documents": q_mixture_plan_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
-        "gzip_corpus_documents": q_gzip_corpus_documents,
+        "mixture_plan_documents": q_mixture_plan_documents,
         "mixture_tokens_documents": q_mixture_tokens_documents,
-        "shuffle_shards_documents": q_shuffle_shards_documents,
-        "bm25_index_probe_documents": q_bm25_index_probe_documents,
-        "hard_negatives_embeddings": q_hard_negatives_embeddings,
-        "embedding_profile_embeddings": q_embedding_profile_embeddings,
-        "bm25_topk_documents": q_bm25_topk_documents,
-        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
         "ann_index_probe_embeddings": q_ann_index_probe,
-        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
-        "resize_documents": q_resize_documents,
-        "frame_sample_documents": q_frame_sample_documents,
-        # --- the one query never driver-checked through r5 (VERDICT #1) ---
-        "dsir_select_documents": q_dsir_select_documents,
-        # --- r4/r5 queries kept in-window ---
-        "unigram_logprob_documents": q_unigram_logprob_documents,
-        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
-        "merged_profile_orders": q_merged_profile_orders,
-        "pack_spans_documents": q_pack_spans_documents,
-        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
-        "tfidf_keywords_documents": q_tfidf_keywords_documents,
-        "corpus_report_documents": q_corpus_report_documents,
-        # --- new in r5 ---
-        "merged_profile_percentiles": q_merged_profile_percentiles,
-        "merged_topfreq_orders": q_merged_topfreq_orders,
-        "dup_substrings_documents": q_dup_substrings_documents,
-        # --- paths touched by r5 scale work / complex operators ---
-        "anomaly_screen_customer_orders": q_anomaly_screen,
-        "anomaly_screen_orders": q_anomaly_screen_orders,
-        "combo_match_customer_orders": q_combo_match_customer_orders,
-        "contingency_rules_lineitem": q_contingency_rules_lineitem,
-        "distribution_shift_events": q_distribution_shift_events,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "dedup_keep_one_documents": q_dedup_keep_one_documents,
-        "simhash_documents": q_simhash_documents,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "multimodal_features_documents": q_multimodal_features_documents,
-        "profile_sampled_lineitem": q_profile_sampled_lineitem,
-        "freshness_threshold_events": q_freshness_threshold_events,
-        "validation_prepass": q_validation_prepass,
-        "incremental_screen_orders": q_incremental_screen_orders,
-        # --- tail: long-stable, driver-green in r1-r5, pytest-oracle-pinned ---
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        "skew_hot_keys_lineitem": q_skew_hot_keys,
-        "merge_defs_fixture": q_merge_defs_fixture,
-        "dsir_weights_documents": q_dsir_weights_documents,
+        "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
-        "pq_topk_embeddings": q_pq_topk_embeddings,
-        "minhash_lsh_documents": q_minhash_lsh_documents,
-        "ngram_jaccard_documents": q_ngram_jaccard_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "text_analysis_documents": q_text_analysis_documents,
-        "drilldown_missing_days_events": q_drilldown_missing_days_events,
-        "score_card_issues_co_li": q_score_card_issues,
-        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
-        "score_breakdown_impact_co_li": q_score_breakdown_impact,
-        "score_breakdown_column_co_li": q_score_breakdown_cols,
-        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
-        "repetition_flags_documents": q_repetition_flags_documents,
-        "decontaminate_documents": q_decontaminate_documents,
-        "c4_clean_documents": q_c4_clean_documents,
-        "chunk_documents": q_chunk_documents,
-        "sample_documents": q_sample_documents,
-        "gopher_quality_documents": q_gopher_quality,
-        "pii_scrub_documents": q_pii_scrub_documents,
-        "drilldown_unique_orders": q_drilldown_unique_orders,
-        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
-        "drilldown_masked_customer": q_drilldown_masked_customer,
-        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
-        "gen_constant_history": q_gen_constant_history,
-        "schema_drift_log": q_schema_drift_log,
-        "score_category_fixture": q_score_category,
-        "score_overall_history_fixture": q_score_overall_history,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        # --- rotated back in: the core profile/CAT/generation/scoring
+        # seats, out of the driver window since r5 (VERDICT r6 #5) ---
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
         "profile_customer_strings": q_profile_customer_strings,
         "profile_orders_dates": q_profile_orders_dates,
@@ -4386,6 +4394,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeframe_gain_events": q_timeframe_combo_gain,
         "timeframe_combo_events": q_timeframe_combo_events,
         "dupe_rows_part": q_dupe_rows_part,
+        "gen_constant_history": q_gen_constant_history,
+        "schema_drift_log": q_schema_drift_log,
+        "score_category_fixture": q_score_category,
+        "score_overall_history_fixture": q_score_overall_history,
+        "score_card_issues_co_li": q_score_card_issues,
+        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
+        "score_breakdown_impact_co_li": q_score_breakdown_impact,
+        "score_breakdown_column_co_li": q_score_breakdown_cols,
+        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
+        "drilldown_missing_days_events": q_drilldown_missing_days_events,
+        "drilldown_unique_orders": q_drilldown_unique_orders,
+        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
+        "drilldown_masked_customer": q_drilldown_masked_customer,
+        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
+        "merge_defs_fixture": q_merge_defs_fixture,
+        "skew_hot_keys_lineitem": q_skew_hot_keys,
+        "dsir_weights_documents": q_dsir_weights_documents,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_analysis_documents": q_text_analysis_documents,
+        "repetition_flags_documents": q_repetition_flags_documents,
+        # --- tail: driver-green in r5/r6, pytest-oracle-pinned every round ---
+        "nb_classify_documents": q_nb_classify_documents,
+        "curation_gate_documents": q_curation_gate_documents,
+        "session_stats_events": q_session_stats_events,
+        "rolling_features_events": q_rolling_features_events,
+        "funnel_events": q_funnel_events,
+        "bigram_lm_documents": q_bigram_lm_documents,
+        "gzip_corpus_documents": q_gzip_corpus_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
+        "hard_negatives_embeddings": q_hard_negatives_embeddings,
+        "embedding_profile_embeddings": q_embedding_profile_embeddings,
+        "bm25_topk_documents": q_bm25_topk_documents,
+        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
+        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
+        "resize_documents": q_resize_documents,
+        "frame_sample_documents": q_frame_sample_documents,
+        "dsir_select_documents": q_dsir_select_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
+        "merged_profile_orders": q_merged_profile_orders,
+        "pack_spans_documents": q_pack_spans_documents,
+        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
+        "tfidf_keywords_documents": q_tfidf_keywords_documents,
+        "corpus_report_documents": q_corpus_report_documents,
+        "merged_profile_percentiles": q_merged_profile_percentiles,
+        "merged_topfreq_orders": q_merged_topfreq_orders,
+        "dup_substrings_documents": q_dup_substrings_documents,
+        "anomaly_screen_customer_orders": q_anomaly_screen,
+        "anomaly_screen_orders": q_anomaly_screen_orders,
+        "combo_match_customer_orders": q_combo_match_customer_orders,
+        "contingency_rules_lineitem": q_contingency_rules_lineitem,
+        "distribution_shift_events": q_distribution_shift_events,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_keep_one_documents": q_dedup_keep_one_documents,
+        "simhash_documents": q_simhash_documents,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "multimodal_features_documents": q_multimodal_features_documents,
+        "profile_sampled_lineitem": q_profile_sampled_lineitem,
+        "freshness_threshold_events": q_freshness_threshold_events,
+        "validation_prepass": q_validation_prepass,
+        "incremental_screen_orders": q_incremental_screen_orders,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "c4_clean_documents": q_c4_clean_documents,
+        "chunk_documents": q_chunk_documents,
+        "sample_documents": q_sample_documents,
+        "gopher_quality_documents": q_gopher_quality,
+        "pii_scrub_documents": q_pii_scrub_documents,
     }
 
 
@@ -4507,4 +4588,5 @@ def oracle_sql() -> dict[str, str]:
         "centroid_outliers_embeddings": _SQL_CENTROID_OUTLIERS,
         "tfidf_keywords_documents": _SQL_TFIDF_KEYWORDS,
         "corpus_report_documents": _sql_corpus_report(),
+        "bpe_merges_documents": _sql_bpe_merges(),
     }

@@ -70,25 +70,56 @@ def aggregate_balance(
     lower_tolerance: float | None = None, upper_tolerance: float | None = None,
     subset_condition: str | None = None, match_subset_condition: str | None = None,
     having_condition: str | None = None, match_having_condition: str | None = None,
+    struct_key_col: str | None = None,
 ) -> DataFrame:
     """Per-group totals compared across two tables
     (test_types_Aggregate_Balance[_Percent/_Range]/Aggregate_Minimum.yaml).
 
     The reference UNION-ALLs both sides then re-groups; grouped-then-full-outer
     join (null-safe keys) produces the same (group, total, match_total) set.
+
+    ``struct_key_col`` is the bucketed-storage fast path: both inputs
+    carry a materialized struct of the group keys (io/bucketing.py
+    ``add_null_safe_key`` — positional fields, so the types match across
+    differently-named key columns) and are bucketed BY that column. The
+    operator then groups and full-outer joins on that ONE attribute with
+    plain ``=`` — struct equality is null-safe per field, so the
+    semantics are identical to the ``eqNullSafe`` path — and because the
+    join key IS the scan's bucket column, the whole plan runs with ZERO
+    shuffle Exchange (the ``<=>`` form can't: Catalyst rewrites its keys
+    to Coalesce/IsNull pairs that never match the scans'
+    HashPartitioning). Pinned by test_bucketed_aggregate_balance.
     """
-    left = _grouped_totals(df, groupby_names, total_expr,
-                           subset_condition, having_condition, "total")
-    right = _grouped_totals(match_df, match_groupby_names, match_total_expr,
-                            match_subset_condition, match_having_condition,
-                            "match_total")
-    right = right.select(*[F.col(mk).alias(k) for k, mk
-                           in zip(groupby_names, match_groupby_names)], "match_total")
-    cond = [left[k].eqNullSafe(right[k]) for k in groupby_names]
-    joined = left.join(right, cond, "full_outer").select(
-        *[F.coalesce(left[k], right[k]).alias(k) for k in groupby_names],
-        "total", "match_total",
-    )
+    if struct_key_col is not None:
+        gk = struct_key_col
+        left = _subset(df, subset_condition).groupBy(gk) \
+            .agg(total_expr.alias("total"))
+        if having_condition:
+            left = left.filter(F.expr(having_condition))
+        right = _subset(match_df, match_subset_condition).groupBy(gk) \
+            .agg(match_total_expr.alias("match_total"))
+        if match_having_condition:
+            right = right.filter(F.expr(match_having_condition))
+        j = left.join(right, left[gk] == right[gk], "full_outer")
+        key = F.coalesce(left[gk], right[gk])
+        joined = j.select(
+            *[key[f"k{i}"].alias(k) for i, k in enumerate(groupby_names)],
+            "total", "match_total")
+    else:
+        left = _grouped_totals(df, groupby_names, total_expr,
+                               subset_condition, having_condition, "total")
+        right = _grouped_totals(match_df, match_groupby_names,
+                                match_total_expr, match_subset_condition,
+                                match_having_condition, "match_total")
+        right = right.select(*[F.col(mk).alias(k) for k, mk
+                               in zip(groupby_names, match_groupby_names)],
+                             "match_total")
+        cond = [left[k].eqNullSafe(right[k]) for k in groupby_names]
+        joined = left.join(right, cond, "full_outer").select(
+            *[F.coalesce(left[k], right[k]).alias(k)
+              for k in groupby_names],
+            "total", "match_total",
+        )
     t, m = F.col("total"), F.col("match_total")
     one_sided = (t.isNotNull() & m.isNull()) | (t.isNull() & m.isNotNull())
     if mode == "exact":

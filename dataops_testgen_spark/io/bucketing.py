@@ -34,18 +34,52 @@ Notes that matter in production:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Materialized null-safe group-key column (see add_null_safe_key): a
+# struct over the bucket keys with POSITIONAL field names, so two tables
+# with differently-NAMED key columns (o_custkey vs c_custkey) still get
+# the identical struct type plain `=` needs.
+NULL_SAFE_KEY_COL = "__tg_gk"
+
+
+def add_null_safe_key(df: DataFrame, key_cols: list[str],
+                      col_name: str = NULL_SAFE_KEY_COL) -> DataFrame:
+    """Materialize the null-safe group key: ``struct(k0, k1, ...)`` with
+    positional field names. Spark struct equality compares fields
+    NULL-SAFELY (``struct(NULL) = struct(NULL)`` is true), so a plain
+    ``=`` join on this ONE column has exactly ``eqNullSafe``-per-key
+    semantics — without the Coalesce/IsNull key rewrite Catalyst applies
+    to ``<=>`` joins, which is what defeats bucketed scans'
+    HashPartitioning and forces the Exchange this column exists to
+    remove (see aggregate_balance's struct_key_col)."""
+    return df.withColumn(col_name, F.struct(
+        *[F.col(c).alias(f"k{i}") for i, c in enumerate(key_cols)]))
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    num_buckets: int = 32, sort: bool = True,
-                   mode: str = "overwrite", path: str | None = None) -> None:
+                   mode: str = "overwrite", path: str | None = None,
+                   null_safe_key: bool = False) -> None:
     """Persist ``df`` as a bucketed catalog table keyed for co-located
     joins/aggs on ``bucket_cols``. With ``path`` the table is EXTERNAL
     (data at ``path``), which lets a later session re-register it from
     the manifest — the in-memory catalog of a non-Hive session dies with
-    the process, the bucketed files don't."""
+    the process, the bucketed files don't.
+
+    ``null_safe_key=True`` materializes ``NULL_SAFE_KEY_COL``
+    (add_null_safe_key) and buckets by THAT single struct column instead
+    of the raw keys: scans then expose ``HashPartitioning(__tg_gk)``,
+    which the null-safe referential operators (aggregate_balance with
+    ``struct_key_col``) group and plain-``=`` join on directly — zero
+    Exchange end-to-end INCLUDING null group keys, which raw-key
+    bucketing cannot give (the ``<=>`` key rewrite never matches the
+    scan partitioning)."""
     if not bucket_cols:
         raise ValueError("bucket_cols must be non-empty")
+    if null_safe_key:
+        df = add_null_safe_key(df, bucket_cols)
+        bucket_cols = [NULL_SAFE_KEY_COL]
     w = (df.write.mode(mode)
          .bucketBy(num_buckets, bucket_cols[0], *bucket_cols[1:]))
     if sort:

@@ -14,7 +14,8 @@ session's Hadoop configuration (which also carries the credentials).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_small_df(spark: SparkSession, rows, schema,
@@ -29,6 +30,43 @@ def write_small_df(spark: SparkSession, rows, schema,
     up front writes the same one file in ~0.4 s."""
     rdd = spark.sparkContext.parallelize(rows, 1)
     spark.createDataFrame(rdd, schema).write.mode("overwrite").parquet(path)
+
+
+COMPACTED_BATCH_ID = -1
+
+
+def stamped_append(df: DataFrame, path: str, partition_cols=(),
+                   batch_id: int | None = None) -> int:
+    """Idempotent batch-stamped append for the persisted indexes: rows
+    land under a ``batch_id=N`` partition (always the LAST level, so the
+    callers' pruning columns — ivf_cell, term_bucket — stay static
+    prefixes) and the write is a DYNAMIC partition overwrite, so
+    re-writing the same batch replaces exactly its own partitions
+    instead of duplicating rows. That closes the streaming sinks'
+    at-least-once crash window: a batch re-delivered after a crash
+    between index append and replay marker (or after a PARTIAL append)
+    overwrites the same ``(prefix..., batch_id=N)`` partitions it wrote
+    the first time — the batch content is deterministic, so the retry
+    covers every partition the torn write touched.
+
+    ``batch_id=None`` (one-shot maintenance appends) takes
+    max(existing)+1 — a partition-column-only aggregate, file listing
+    but no data I/O. Compaction collapses history into the reserved
+    ``COMPACTED_BATCH_ID`` (−1); live batch ids start at 0. Returns the
+    id used."""
+    spark = df.sparkSession
+    if batch_id is None:
+        batch_id = 0
+        if path_exists(spark, path):
+            mx = spark.read.parquet(path).agg(
+                F.max("batch_id").alias("m")).first()["m"]
+            batch_id = (mx if mx is not None else -1) + 1
+    (df.withColumn("batch_id", F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*(list(partition_cols) + ["batch_id"]))
+     .parquet(path))
+    return int(batch_id)
 
 
 def path_exists(spark: SparkSession, path: str) -> bool:

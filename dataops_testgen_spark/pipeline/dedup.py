@@ -120,10 +120,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def minhash_index_append(df: DataFrame, index_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          k: int = 3, num_hashes: int = 16,
-                         bands: int = 4) -> None:
+                         bands: int = 4, batch_id: int | None = None) -> None:
     """Append a batch's MinHash state to a persisted LSH index:
     ``<index_dir>/signatures`` (one row per doc, m0..mN) and
-    ``<index_dir>/bands`` (one row per doc×band with the bucket hash).
+    ``<index_dir>/bands`` (one row per doc×band with the bucket hash),
+    each under a ``batch_id=N`` partition written as a dynamic partition
+    OVERWRITE — re-appending the same batch (streaming re-delivery, a
+    crashed append retried) replaces its own rows instead of duplicating
+    them (io/fs.stamped_append), so the streaming sink is exactly-once.
 
     The index is the cross-RUN twin of ``minhash_lsh_candidates``: once a
     corpus increment is indexed, later increments dedup against ALL
@@ -133,10 +137,15 @@ def minhash_index_append(df: DataFrame, index_dir: str,
     construction (shared ``_banded_signatures``)."""
     import posixpath
 
+    from dataops_testgen_spark.io.fs import stamped_append
+
     sig, banded = _banded_signatures(df, text_col, id_col, k,
                                      num_hashes, bands)
-    sig.write.mode("append").parquet(posixpath.join(index_dir, "signatures"))
-    banded.write.mode("append").parquet(posixpath.join(index_dir, "bands"))
+    # resolve the id once (from signatures) so both relations stamp alike
+    used = stamped_append(sig, posixpath.join(index_dir, "signatures"),
+                          batch_id=batch_id)
+    stamped_append(banded, posixpath.join(index_dir, "bands"),
+                   batch_id=used)
 
 
 def minhash_index_probe(df: DataFrame, index_dir: str,
@@ -165,11 +174,15 @@ def minhash_index_probe(df: DataFrame, index_dir: str,
                                              num_hashes, bands)
     bands_path = posixpath.join(index_dir, "bands")
     sig_path = posixpath.join(index_dir, "signatures")
-    # Hadoop-FS existence (not os.path): the index may live on HDFS/S3
+    # Hadoop-FS existence (not os.path): the index may live on HDFS/S3.
+    # Select the canonical columns: the persisted relations carry a
+    # batch_id partition column the probe math never needs
     have_index = path_exists(spark, bands_path)
-    idx_bands = (spark.read.parquet(bands_path) if have_index
+    idx_bands = (spark.read.parquet(bands_path)
+                 .select(*banded_new.columns) if have_index
                  else banded_new.limit(0))
-    idx_sigs = (spark.read.parquet(sig_path) if have_index
+    idx_sigs = (spark.read.parquet(sig_path)
+                .select(*sig_new.columns) if have_index
                 else sig_new.limit(0))
 
     nb = F.broadcast(banded_new)

@@ -131,7 +131,8 @@ def _term_bucket(term: Column, n_buckets: int) -> Column:
 
 def lexical_index_append(df: DataFrame, index_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
-                         n_buckets: int = 64) -> None:
+                         n_buckets: int = 64,
+                         batch_id: int | None = None) -> None:
     """Append a corpus increment to a persisted lexical (BM25) index:
     ``<index_dir>/postings`` — (id, term, tf) parquet PARTITIONED BY
     ``term_bucket`` (salted md5 of the term mod ``n_buckets``) — and
@@ -146,17 +147,30 @@ def lexical_index_append(df: DataFrame, index_dir: str,
     exactly once (the index is postings, not a log); global stats
     (n_docs, avgdl, df) are NOT frozen at append time — probes recompute
     them exactly from the index, so scores always reflect the full
-    indexed corpus."""
+    indexed corpus.
+
+    Both relations land under a ``batch_id=N`` partition via dynamic
+    partition overwrite (io/fs.stamped_append): re-appending the same
+    batch replaces its own postings instead of duplicating them (which
+    would inflate tf/df/n_docs and corrupt every score), so the
+    streaming sink is exactly-once even across its crash windows. The
+    bucket partitions stay the FIRST level — probe pruning unchanged."""
     import posixpath
+
+    from dataops_testgen_spark.io.fs import stamped_append
 
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    (tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
-     .write.mode("append").partitionBy("term_bucket")
-     .parquet(posixpath.join(index_dir, "postings")))
-    dl.write.mode("append").parquet(posixpath.join(index_dir, "doclen"))
+    # resolve the id once (from doclen, the small relation) so both
+    # relations stamp alike
+    used = stamped_append(dl, posixpath.join(index_dir, "doclen"),
+                          batch_id=batch_id)
+    stamped_append(
+        tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets)),
+        posixpath.join(index_dir, "postings"),
+        partition_cols=["term_bucket"], batch_id=used)
 
 
 def bm25_index_topk(spark, queries: DataFrame, index_dir: str,
@@ -188,7 +202,8 @@ def bm25_index_topk(spark, queries: DataFrame, index_dir: str,
     if buckets:
         postings = postings.filter(F.col("term_bucket").isin(buckets))
     tf = postings.select("id", "term", "tf")
-    dl = spark.read.parquet(posixpath.join(index_dir, "doclen"))
+    dl = spark.read.parquet(posixpath.join(index_dir, "doclen")) \
+        .select("id", "dl")
     return _bm25_rank(tf, dl, qterms, k, k1, b)
 
 
@@ -201,22 +216,29 @@ def lexical_index_compact(spark, index_dir: str,
     of scan cost. Rewrites postings to ~one file per bucket and doclen
     to ~``doclen_rows_per_file`` rows per file, each swapped in via the
     shared staged rename (crash leaves old or new intact, never
-    neither). Returns the postings data-file count after compaction."""
+    neither). History collapses into the reserved ``batch_id=-1``
+    partition so the on-disk layout stays identical for later stamped
+    appends. Returns the postings data-file count after compaction."""
     import posixpath
 
-    from dataops_testgen_spark.io.fs import count_data_files, staged_swap
+    from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,
+                                             count_data_files, staged_swap)
 
     postings_path = posixpath.join(index_dir, "postings")
     tmp = postings_path + "__compacting"
     (spark.read.parquet(postings_path)
+     .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
      .repartition("term_bucket")
-     .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
+     .write.mode("overwrite").partitionBy("term_bucket", "batch_id")
+     .parquet(tmp))
     staged_swap(spark, postings_path, tmp)
 
     doclen_path = posixpath.join(index_dir, "doclen")
-    dl = spark.read.parquet(doclen_path)
+    dl = spark.read.parquet(doclen_path) \
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     parts = max(1, -(-dl.count() // doclen_rows_per_file))
     tmp_dl = doclen_path + "__compacting"
-    dl.repartition(parts).write.mode("overwrite").parquet(tmp_dl)
+    (dl.repartition(parts)
+       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp_dl))
     staged_swap(spark, doclen_path, tmp_dl)
     return count_data_files(spark, postings_path)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataops_testgen_spark.pipeline.text import tokens
+
 # 2^32 buckets from the first 8 hex chars of md5 — available bit-for-bit
 # in every engine (Spark, DuckDB, warehouses), so a sample drawn here can
 # be re-derived exactly in an audit SQL query. The salt isolates
@@ -87,7 +89,6 @@ def _hashed_grams(df: DataFrame, text_col: str, id_col: str,
     md5-prefix trick (pipeline/sampling._unit_hash's portable scheme), not
     an engine-private hash, so the same features land in the same buckets
     in the audit SQL."""
-    from dataops_testgen_spark.pipeline.text import tokens
     from dataops_testgen_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -237,9 +238,10 @@ def source_mixture_plan(df: DataFrame, target_weights: dict[str, float],
     if any(w <= 0 for w in target_weights.values()):
         raise ValueError("target weights must be positive")
     total_w = float(sum(target_weights.values()))
+    # shared tokens() helper: blank/whitespace-only text counts 0 tokens
+    # (split('') -> [''] would count 1), matching the DuckDB oracle CASE
     unit = (F.count(F.lit(1)) if text_col is None
-            else F.sum(F.size(F.split(F.trim(F.lower(F.col(text_col))),
-                                      r"\s+"))))
+            else F.sum(F.size(tokens(F.col(text_col)))))
     weight = F.lit(None).cast("double")
     for k, v in sorted(target_weights.items()):
         weight = F.when(F.col("source") == k,
@@ -287,9 +289,10 @@ def temperature_mixture_plan(df: DataFrame, tau: float = 0.5,
     rounded to 9 decimals (engine-exact re-derivation in audit SQL)."""
     if tau <= 0:
         raise ValueError("tau must be positive")
+    # shared tokens() helper: blank/whitespace-only text counts 0 tokens
+    # (split('') -> [''] would count 1), matching the DuckDB oracle CASE
     unit = (F.count(F.lit(1)) if text_col is None
-            else F.sum(F.size(F.split(F.trim(F.lower(F.col(text_col))),
-                                      r"\s+"))))
+            else F.sum(F.size(tokens(F.col(text_col)))))
     sizes = (df.filter(F.col(source_col).isNotNull())
              .groupBy(F.col(source_col).alias("source"))
              .agg(unit.cast("long").alias("n_units")))

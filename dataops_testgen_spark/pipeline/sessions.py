@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def sessionize(df: DataFrame, user_col: str = "user_id",
@@ -187,15 +188,20 @@ def asof_join(left: DataFrame, right: DataFrame,
     expansion, the same scale shape as ``sessionize``:
 
     union(left tagged 1, right tagged 0) → window per key ordered by
-    (ts_us, side) → each right column forward-fills via
-    ``last(..., ignorenulls=True)`` over unbounded-preceding..current →
-    keep the left rows. Right rows sort before left at equal timestamps,
-    which is exactly the inclusive <= match (``forward`` mirrors it:
-    left-before-right ordering, ``first(ignorenulls)`` over
-    current..unbounded-following). Timestamps compare as exact
-    microsecond longs. Right rows duplicated on (key, ts) are
-    tie-ambiguous — pre-dedupe for full determinism (the driver query
-    does).
+    (ts_us, side) → ONE packed struct of (match ts, all right columns)
+    forward-fills via ``last(struct, ignorenulls=True)`` over
+    unbounded-preceding..current → keep the left rows and project the
+    struct's fields. The struct is non-null for EVERY right row even
+    when its payload fields are NULL, so a genuinely-NULL right value is
+    carried as NULL rather than skipped in favor of an older row's
+    value (per-column ignorenulls carries would silently leak stale
+    values — the pandas/DuckDB reference returns NULL here). Right rows
+    sort before left at equal timestamps, which is exactly the
+    inclusive <= match (``forward`` mirrors it: left-before-right
+    ordering, ``first(ignorenulls)`` over current..unbounded-following).
+    Timestamps compare as exact microsecond longs. Right rows duplicated
+    on (key, ts) are tie-ambiguous — pre-dedupe for full determinism
+    (the driver query does).
 
     Output: every LEFT column, then ``<col><suffix>`` for each of
     ``right_cols`` (default: all non-key, non-ts right columns) plus
@@ -210,16 +216,20 @@ def asof_join(left: DataFrame, right: DataFrame,
     rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in (on, ts_col)]
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # one nullable packet per row: non-null iff the row is a RIGHT row,
+    # regardless of NULLs inside its payload fields
+    pkt_type = StructType(
+        [StructField("__rts", LongType())]
+        + [StructField(f"__r_{c}", right.schema[c].dataType)
+           for c in rcols])
     lhs = (left.withColumn("__side", F.lit(1))
            .withColumn("__us", us)
-           .withColumn("__rts", F.lit(None).cast("long")))
-    for c in rcols:
-        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(
-            right.schema[c].dataType))
+           .withColumn("__pkt", F.lit(None).cast(pkt_type)))
     rhs = right.select(
         F.col(on), F.lit(0).alias("__side"), us.alias("__us"),
-        us.alias("__rts"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols])
+        F.struct(us.alias("__rts"),
+                 *[F.col(c).alias(f"__r_{c}") for c in rcols])
+        .alias("__pkt"))
     for c in left.columns:
         if c != on:
             rhs = rhs.withColumn(c, F.lit(None).cast(
@@ -233,38 +243,35 @@ def asof_join(left: DataFrame, right: DataFrame,
              .orderBy("__us", F.col("__side").desc())
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
-    def _carry(w, pick, tag):
-        return ([pick("__rts", ignorenulls=True).over(w)
-                 .alias(f"__mts{tag}")]
-                + [pick(f"__r_{c}", ignorenulls=True).over(w)
-                   .alias(f"__m{tag}_{c}") for c in rcols])
-
     cols = []
     if direction in ("backward", "nearest"):
-        cols += _carry(w_back, F.last, "_b")
+        cols.append(F.last("__pkt", ignorenulls=True).over(w_back)
+                    .alias("__m_b"))
     if direction in ("forward", "nearest"):
-        cols += _carry(w_fwd, F.first, "_f")
+        cols.append(F.first("__pkt", ignorenulls=True).over(w_fwd)
+                    .alias("__m_f"))
     carried = both.select(*left.columns, "__side", "__us", *cols)
     out = carried.filter(F.col("__side") == 1)
     if direction == "backward":
-        mts = F.col("__mts_b")
+        mts = F.col("__m_b")["__rts"]
         gap = F.col("__us") - mts
-        mval = {c: F.col(f"__m_b_{c}") for c in rcols}
+        mval = {c: F.col("__m_b")[f"__r_{c}"] for c in rcols}
     elif direction == "forward":
-        mts = F.col("__mts_f")
+        mts = F.col("__m_f")["__rts"]
         gap = mts - F.col("__us")
-        mval = {c: F.col(f"__m_f_{c}") for c in rcols}
+        mval = {c: F.col("__m_f")[f"__r_{c}"] for c in rcols}
     else:
         # nearest: the closer of the two inclusive matches; equal
         # distance prefers the backward one (pandas merge_asof ties)
-        gb = F.col("__us") - F.col("__mts_b")
-        gf = F.col("__mts_f") - F.col("__us")
-        use_b = F.col("__mts_b").isNotNull() & (
-            F.col("__mts_f").isNull() | (gb <= gf))
-        mts = F.when(use_b, F.col("__mts_b")).otherwise(F.col("__mts_f"))
+        gb = F.col("__us") - F.col("__m_b")["__rts"]
+        gf = F.col("__m_f")["__rts"] - F.col("__us")
+        use_b = F.col("__m_b").isNotNull() & (
+            F.col("__m_f").isNull() | (gb <= gf))
+        mts = F.when(use_b, F.col("__m_b")["__rts"]) \
+            .otherwise(F.col("__m_f")["__rts"])
         gap = F.when(use_b, gb).otherwise(gf)
-        mval = {c: F.when(use_b, F.col(f"__m_b_{c}"))
-                .otherwise(F.col(f"__m_f_{c}")) for c in rcols}
+        mval = {c: F.when(use_b, F.col("__m_b")[f"__r_{c}"])
+                .otherwise(F.col("__m_f")[f"__r_{c}"]) for c in rcols}
     in_window = mts.isNotNull()
     if tolerance_minutes is not None:
         in_window = in_window & (

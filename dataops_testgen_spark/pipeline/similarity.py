@@ -918,7 +918,8 @@ def ivfadc_topk(df: DataFrame, queries: DataFrame,
 def ann_index_append(df: DataFrame, index_dir: str,
                      centroids: list[list[float]], codebook,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> None:
+                     id_col: str = "vec_id",
+                     batch_id: int | None = None) -> None:
     """Append a batch's IVFADC rows to a PERSISTED vector index — the ANN
     twin of ``dedup.minhash_index_append``: once an embedding increment is
     indexed, later probes search ALL history without rescanning (or even
@@ -927,13 +928,21 @@ def ann_index_append(df: DataFrame, index_dir: str,
     static partition pruning — only the probed cells' files are read) plus
     the quantizers (``centroids``/``codebook``) so the index is
     self-describing. Index size is O(docs × m) code bytes, ~1000× under
-    the vectors at 100 TB."""
+    the vectors at 100 TB.
+
+    Codes land under ``ivf_cell=C/batch_id=N`` via dynamic partition
+    overwrite (io/fs.stamped_append): re-appending the same batch
+    replaces its own code rows instead of duplicating them, so the
+    streaming sink is exactly-once across its crash windows; cell
+    pruning is unaffected (ivf_cell stays the first partition level)."""
     import posixpath
+
+    from dataops_testgen_spark.io.fs import stamped_append
 
     spark = df.sparkSession
     idx = pq_index(df, centroids, codebook, vec_col, id_col)
-    idx.write.mode("append").partitionBy("ivf_cell") \
-       .parquet(posixpath.join(index_dir, "codes"))
+    stamped_append(idx, posixpath.join(index_dir, "codes"),
+                   partition_cols=["ivf_cell"], batch_id=batch_id)
     # quantizers are immutable per index — idempotent overwrite (single-
     # slice writes: see io/fs.py write_small_df for why not coalesce(1))
     from dataops_testgen_spark.io.fs import write_small_df
@@ -988,13 +997,18 @@ def ann_index_compact(spark, index_dir: str) -> int:
     a maintenance window). Returns the data-file count after compaction."""
     import posixpath
 
-    from dataops_testgen_spark.io.fs import count_data_files, staged_swap
+    from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,
+                                             count_data_files, staged_swap)
 
     codes_path = posixpath.join(index_dir, "codes")
     tmp_path = codes_path + "__compacting"
-    df = spark.read.parquet(codes_path)
+    # history collapses into the reserved batch_id=-1 partition so the
+    # layout stays identical for later stamped appends
+    df = spark.read.parquet(codes_path) \
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     (df.repartition("ivf_cell")
-       .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp_path))
+       .write.mode("overwrite").partitionBy("ivf_cell", "batch_id")
+       .parquet(tmp_path))
     staged_swap(spark, codes_path, tmp_path)
     return count_data_files(spark, codes_path)
 

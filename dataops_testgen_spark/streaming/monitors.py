@@ -221,10 +221,12 @@ def ann_index_sink(index_dir: str, centroids: list[list[float]], codebook,
     (similarity.ann_index_append) from a stream — the ANN leg of the
     streaming-incremental story (profiles: ``incremental_profile_sink``;
     the index state is cell-partitioned codes + quantizers, so state size
-    is O(rows × m) code bytes, never vectors). Same monotone-batch-id
-    replay guard as the profile sink: a re-delivered micro-batch must not
-    double-append its codes (duplicate index rows would surface duplicate
-    (query, neighbor) candidates at probe time).
+    is O(rows × m) code bytes, never vectors). Exactly-once: the
+    monotone-batch-id marker skips already-folded replays, and the
+    append itself is a batch-stamped dynamic partition OVERWRITE
+    (ann_index_append batch_id=N), so even a crash BETWEEN append and
+    marker — or mid-append — re-delivers a batch that simply overwrites
+    its own ``batch_id=N`` partitions instead of duplicating codes.
 
     Usage::
 
@@ -243,7 +245,7 @@ def ann_index_sink(index_dir: str, centroids: list[list[float]], codebook,
         if _already_folded(spark, marker_dir, batch_id):
             return
         ann_index_append(batch_df, index_dir, centroids, codebook,
-                         vec_col, id_col)
+                         vec_col, id_col, batch_id=batch_id)
         _mark_folded(spark, marker_dir, batch_id)
 
     return fold
@@ -256,9 +258,11 @@ def minhash_index_sink(index_dir: str, k: int = 3, num_hashes: int = 16,
     (dedup.minhash_index_append) from a document stream — each
     micro-batch's band buckets + signatures append without rescanning
     (or retaining) earlier text. Probe results stay CORRECT under
-    replays (the probe's pair list is DISTINCT), but a re-delivered
-    batch would still bloat the index with duplicate rows, so the shared
-    monotone-batch-id guard skips it."""
+    replays (the probe's pair list is DISTINCT); the shared
+    monotone-batch-id guard skips folded replays, and the append is a
+    batch-stamped dynamic partition overwrite, so a crash between append
+    and marker re-writes the same ``batch_id=N`` partitions
+    idempotently — no duplicate rows in any crash window."""
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         from dataops_testgen_spark.pipeline.dedup import minhash_index_append
 
@@ -270,7 +274,7 @@ def minhash_index_sink(index_dir: str, k: int = 3, num_hashes: int = 16,
             return
         minhash_index_append(batch_df, index_dir, text_col=text_col,
                              id_col=id_col, k=k, num_hashes=num_hashes,
-                             bands=bands)
+                             bands=bands, batch_id=batch_id)
         _mark_folded(spark, marker_dir, batch_id)
 
     return fold
@@ -306,8 +310,11 @@ def lexical_index_sink(index_dir: str, text_col: str = "text",
     micro-batch's postings/doclen append so searches
     (``bm25_index_topk``) always reflect everything streamed so far. A
     re-delivered batch would double postings (inflating tf/df/n_docs and
-    corrupting scores), so the shared monotone-batch-id guard skips it —
-    the same replay discipline as the profile/ANN sinks."""
+    corrupting scores): the shared monotone-batch-id guard skips folded
+    replays, and the append is a batch-stamped dynamic partition
+    overwrite, so even the crash window between append and marker
+    re-writes idempotently — the same exactly-once discipline as the
+    profile/ANN sinks."""
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         from dataops_testgen_spark.pipeline.retrieval import (
             lexical_index_append)
@@ -319,7 +326,8 @@ def lexical_index_sink(index_dir: str, text_col: str = "text",
         if _already_folded(spark, marker_dir, batch_id):
             return
         lexical_index_append(batch_df, index_dir, text_col=text_col,
-                             id_col=id_col, n_buckets=n_buckets)
+                             id_col=id_col, n_buckets=n_buckets,
+                             batch_id=batch_id)
         _mark_folded(spark, marker_dir, batch_id)
 
     return fold
@@ -486,8 +494,13 @@ def streaming_sessionize(stream_df, gap_minutes: float = 30.0,
         if state.exists:
             start, last, n, total = state.get
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # materialize the WHOLE group before folding: one actor's
+        # micro-batch may span multiple Arrow chunks delivered in
+        # arbitrary relative order — sorting each chunk independently
+        # could move `last` backward and split/merge sessions wrongly
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 us = int(pd.Timestamp(ts).value // 1_000)
                 if start is None:

@@ -84,6 +84,46 @@ def test_bpe_segment_roundtrip(spark):
     assert all(seg[d]["n_tokens"] < plain[d] for d, _ in CORPUS)
 
 
+def test_bpe_distributed_equals_driver_finish(spark):
+    """The driver-side finishing pass (collect the vocab-sized word-freq
+    relation once, run the incrementally-maintained-counts algorithm)
+    produces merge-for-merge the SAME list as the all-distributed
+    per-round jobs — on the fixture corpus and on the hand corpus, past
+    any early stop."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = bpe_train(docs, n_merges=25)                      # driver finish
+    slow = bpe_train(docs, n_merges=25, driver_finish_rows=0)  # distributed
+    assert fast == slow and len(fast) == 25
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    # n_merges far past the early stop: both paths stop at the same merge
+    assert (bpe_train(df, n_merges=40)
+            == bpe_train(df, n_merges=40, driver_finish_rows=0,
+                         materialize_every=5))
+
+
+def test_bpe_driver_finish_scales_past_job_storm(spark):
+    """A production-sized merge budget must NOT become one Spark job per
+    merge: with the word-freq relation under the collect threshold the
+    whole training is one scan + one collect, so n_merges=1000 finishes
+    in seconds (the corpus early-stops when no pair repeats, which is
+    itself the correct Sennrich stop)."""
+    import time
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    t0 = time.time()
+    merges = bpe_train(docs, n_merges=1000)
+    took = time.time() - t0
+    assert len(merges) >= 50          # well past the 10-merge smoke scope
+    assert took < 60, took            # no per-merge job storm
+    # the prefix agrees with the plain-Python reference end to end
+    want = _python_bpe(
+        [r["text"] for r in docs.select("text").collect() if r["text"]],
+        len(merges) + 5)
+    assert merges == want             # incl. identical early stop
+
+
 def test_bpe_rejects_bad_params(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     with pytest.raises(ValueError):

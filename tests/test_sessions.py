@@ -187,6 +187,45 @@ def test_asof_join_hand_check(spark):
     assert got == want
 
 
+def test_asof_join_null_right_values(spark):
+    """A matched right row whose payload is genuinely NULL must yield
+    NULL (pandas merge_asof / DuckDB ASOF semantics), NOT an older
+    row's non-null value — the struct-packet carry guarantees it in all
+    three directions (repro from the r6 advice: right (t=5,v=50),
+    (t=20,v=NULL), left t=30 must see NULL, not 50)."""
+    import pandas as pd
+
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(30)), (2, 1, _ts(6)), (3, 1, _ts(12)),
+         (4, 2, _ts(10))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0, "a"), (1, _ts(20), None, None),
+         (1, _ts(35), None, "c"), (2, _ts(1), None, "d")],
+        "user_id long, ts timestamp, value double, tag string")
+    for direction in ("backward", "forward", "nearest"):
+        got = {r["event_id"]: r for r in asof_join(
+            left, right, right_cols=["value", "tag"],
+            direction=direction).collect()}
+        ref = pd.merge_asof(
+            left.toPandas().sort_values("ts"),
+            right.toPandas().sort_values("ts"),
+            on="ts", by="user_id", direction=direction)
+        for r in ref.itertuples():
+            want_v = None if pd.isna(r.value) else float(r.value)
+            want_t = None if (not isinstance(r.tag, str)) else r.tag
+            g = got[int(r.event_id)]
+            assert g["value_right"] == want_v, (direction, r.event_id)
+            assert g["tag_right"] == want_t, (direction, r.event_id)
+    # the literal advice repro: backward at t=30 matches t=20 (NULL v)
+    back = {r["event_id"]: r for r in asof_join(
+        left, right, right_cols=["value"]).collect()}
+    assert back[1]["ts_right"] == _ts(20)
+    assert back[1]["value_right"] is None
+
+
 def test_asof_join_forward(spark):
     """Forward direction: inclusive >= match picks the SMALLEST right ts
     at-or-after each left ts (next-outcome join); tolerance bounds the

@@ -527,3 +527,131 @@ def test_streaming_lexical_index_maintenance(spark, tmp_path):
     n = spark.read.parquet(idx + "/postings").count()
     lexical_index_sink(idx)(hist.limit(10), 0)
     assert spark.read.parquet(idx + "/postings").count() == n
+
+
+def _relation_snapshot(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(
+        tuple(x if not isinstance(x, list) else tuple(x) for x in r)
+        for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_minhash_index_sink_crash_window_idempotent(spark, tmp_path):
+    """The at-least-once crash windows of the minhash index sink: a crash
+    BETWEEN index append and replay-marker write (and even mid-append,
+    leaving a PARTIAL batch) must converge on re-delivery — the stamped
+    dynamic-partition-overwrite append rewrites exactly its own
+    ``batch_id=N`` partitions, so the final index is byte-for-byte the
+    crash-free run's."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.dedup import minhash_index_append
+    from dataops_testgen_spark.streaming.monitors import minhash_index_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    control = str(tmp_path / "control")
+    minhash_index_sink(control)(b0, 0)
+    minhash_index_sink(control)(b1, 1)
+    want = {rel: _relation_snapshot(spark, f"{control}/{rel}")
+            for rel in ("signatures", "bands")}
+
+    # crash after a FULL append of batch 1 but before the marker write;
+    # the batch is re-delivered with the same id
+    crashed = str(tmp_path / "crashed")
+    minhash_index_sink(crashed)(b0, 0)
+    minhash_index_append(b1, crashed, batch_id=1)   # no marker written
+    minhash_index_sink(crashed)(b1, 1)              # re-delivery
+    for rel in ("signatures", "bands"):
+        assert _relation_snapshot(spark, f"{crashed}/{rel}") == want[rel]
+
+    # crash MID-append: only part of batch 1's rows hit the index
+    torn = str(tmp_path / "torn")
+    minhash_index_sink(torn)(b0, 0)
+    minhash_index_append(b1.filter(F.col("doc_id") % 3 == 0), torn,
+                         batch_id=1)
+    minhash_index_sink(torn)(b1, 1)
+    for rel in ("signatures", "bands"):
+        assert _relation_snapshot(spark, f"{torn}/{rel}") == want[rel]
+
+
+def test_ann_index_sink_crash_window_idempotent(spark, tmp_path):
+    """Same crash-window discipline for the ANN (IVFADC) index sink: a
+    re-delivered batch overwrites its own ``ivf_cell=*/batch_id=N``
+    partitions, whether the interrupted append was full or partial."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.similarity import ann_index_append
+    from dataops_testgen_spark.streaming.monitors import ann_index_sink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    codebook = [[list(map(float, r["embedding"]))[s * 16:(s + 1) * 16]
+                 for r in rows] for s in range(4)]
+    cents = [list(map(float, r["embedding"])) for r in rows[:8]]
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    control = str(tmp_path / "control")
+    ann_index_sink(control, cents, codebook)(b0, 0)
+    ann_index_sink(control, cents, codebook)(b1, 1)
+    want = _relation_snapshot(spark, control + "/codes")
+
+    crashed = str(tmp_path / "crashed")
+    ann_index_sink(crashed, cents, codebook)(b0, 0)
+    ann_index_append(b1, crashed, cents, codebook, batch_id=1)
+    ann_index_sink(crashed, cents, codebook)(b1, 1)
+    assert _relation_snapshot(spark, crashed + "/codes") == want
+
+    torn = str(tmp_path / "torn")
+    ann_index_sink(torn, cents, codebook)(b0, 0)
+    ann_index_append(b1.filter(F.col("vec_id") % 3 == 0), torn,
+                     cents, codebook, batch_id=1)
+    ann_index_sink(torn, cents, codebook)(b1, 1)
+    assert _relation_snapshot(spark, torn + "/codes") == want
+
+
+def test_lexical_index_sink_crash_window_idempotent(spark, tmp_path):
+    """Same discipline for the lexical BM25 sink — the one where a
+    double-append is most corrosive (duplicated postings inflate
+    tf/df/n_docs and silently corrupt every score)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.retrieval import (
+        bm25_index_topk, lexical_index_append)
+    from dataops_testgen_spark.streaming.monitors import lexical_index_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    control = str(tmp_path / "control")
+    lexical_index_sink(control)(b0, 0)
+    lexical_index_sink(control)(b1, 1)
+    want = {rel: _relation_snapshot(spark, f"{control}/{rel}")
+            for rel in ("postings", "doclen")}
+
+    crashed = str(tmp_path / "crashed")
+    lexical_index_sink(crashed)(b0, 0)
+    lexical_index_append(b1, crashed, batch_id=1)
+    lexical_index_sink(crashed)(b1, 1)
+    for rel in ("postings", "doclen"):
+        assert _relation_snapshot(spark, f"{crashed}/{rel}") == want[rel]
+
+    torn = str(tmp_path / "torn")
+    lexical_index_sink(torn)(b0, 0)
+    lexical_index_append(b1.filter(F.col("doc_id") % 3 == 0), torn,
+                         batch_id=1)
+    lexical_index_sink(torn)(b1, 1)
+    for rel in ("postings", "doclen"):
+        assert _relation_snapshot(spark, f"{torn}/{rel}") == want[rel]
+    # and the scores over the recovered index match the crash-free run
+    qs = spark.createDataFrame([(1, "spark shuffle window")],
+                               "query_id long, query_text string")
+    got = sorted(map(tuple,
+                     bm25_index_topk(spark, qs, torn, k=10).collect()))
+    ctl = sorted(map(tuple,
+                     bm25_index_topk(spark, qs, control, k=10).collect()))
+    assert got == ctl and got
