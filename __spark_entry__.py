@@ -3183,6 +3183,70 @@ def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "n_tokens", F.round("mean_nll", 5).alias("mean_nll"))
 
 
+def q_trigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (pipeline/text.py trigram_lm_score,
+    Brants et al. 2007): model trained on the EVEN-doc_id half, scoring
+    every doc — the split makes all three backoff legs fire (seen
+    trigram ratio, alpha-scaled bigram ratio, alpha^2 add-one unigram
+    floor), unlike self-scoring where every trigram is seen."""
+    from dataops_testgen_spark.pipeline.text import trigram_lm_score
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = trigram_lm_score(docs, train_df=docs.filter("doc_id % 2 = 0"))
+    return out.select("id", "n_trigrams",
+                      F.round("mean_nll", 5).alias("mean_nll"),
+                      F.round("score", 5).alias("score"))
+
+
+_SQL_TRIGRAM_LM = r"""
+WITH d AS (SELECT doc_id AS id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+             FROM documents WHERE text IS NOT NULL),
+tr AS (SELECT * FROM d WHERE id % 2 = 0),
+tri_tr AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+             FROM tr, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+            WHERE len(toks) >= 3),
+tri_ct AS (SELECT w1, w2, w3, COUNT(*)::BIGINT AS c_tri
+             FROM tri_tr GROUP BY 1, 2, 3),
+ctx2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c_ctx2 FROM tri_tr GROUP BY 1, 2),
+bg_tr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM tr, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+           WHERE len(toks) >= 2),
+bg_ct AS (SELECT w1, w2, COUNT(*)::BIGINT AS c_bg FROM bg_tr GROUP BY 1, 2),
+ctx1 AS (SELECT w1, COUNT(*)::BIGINT AS c_ctx1 FROM bg_tr GROUP BY 1),
+uni AS (SELECT tok, COUNT(*)::BIGINT AS c_uni
+          FROM (SELECT UNNEST(toks) AS tok FROM tr) GROUP BY 1),
+tot AS (SELECT SUM(c_uni) AS n_total, COUNT(*) AS v_size FROM uni),
+tris AS (SELECT id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+           FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+          WHERE len(toks) >= 3),
+nll AS (SELECT t.id,
+               -LN(CASE
+                   WHEN tc.c_tri IS NOT NULL
+                     THEN tc.c_tri / c2.c_ctx2::DOUBLE
+                   WHEN b.c_bg IS NOT NULL
+                     THEN 0.4 * b.c_bg / c1.c_ctx1::DOUBLE
+                   ELSE 0.4 * 0.4 * (COALESCE(u.c_uni, 0) + 1)
+                        / (tot.n_total + tot.v_size)::DOUBLE
+                   END) AS nll
+          FROM tris t
+          LEFT JOIN tri_ct tc USING (w1, w2, w3)
+          LEFT JOIN ctx2 c2 USING (w1, w2)
+          LEFT JOIN bg_ct b ON b.w1 = t.w2 AND b.w2 = t.w3
+          LEFT JOIN ctx1 c1 ON c1.w1 = t.w2
+          LEFT JOIN uni u ON u.tok = t.w3
+         CROSS JOIN tot),
+agg AS (SELECT id, COUNT(*)::BIGINT AS n_trigrams,
+               ROUND(AVG(nll), 5) AS mean_nll,
+               ROUND(EXP(AVG(nll)), 5) AS score
+          FROM nll GROUP BY id)
+SELECT d.id, COALESCE(a.n_trigrams, 0)::BIGINT AS n_trigrams,
+       a.mean_nll, a.score
+  FROM d LEFT JOIN agg a USING (id)"""
+
+
 def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter (pipeline/text.py: bigram_lm_score —
     one Markov order closer to CCNet's KenLM gate: add-one-smoothed
@@ -4363,7 +4427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed/re-oracled in r7 (asof struct-carry, mixture token
         # unit, stamped-append index layouts, the new BPE hash oracle,
-        # SemDeDup boundary probe) — must re-carry the hard driver signal ---
+        # SemDeDup boundary probe) plus the NEW r7 trigram gate ---
+        "trigram_lm_documents": q_trigram_lm_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4589,4 +4654,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_documents": _SQL_TFIDF_KEYWORDS,
         "corpus_report_documents": _sql_corpus_report(),
         "bpe_merges_documents": _sql_bpe_merges(),
+        "trigram_lm_documents": _SQL_TRIGRAM_LM,
     }

@@ -883,11 +883,95 @@ def cmd_corpus_index(args) -> int:
     return 0
 
 
-def cmd_corpus_search(args) -> int:
-    """BM25 top-k search over everything indexed by corpus-index."""
-    from dataops_testgen_spark.pipeline.retrieval import bm25_index_topk
+def cmd_vector_index(args) -> int:
+    """Append an embedding increment to the persisted ANN (IVFADC) index
+    (similarity.ann_index_append) — the vector twin of corpus-index. On
+    first use the quantizers are trained from the increment
+    (train_ivf_centroids + train_pq_codebook) and stored with the index;
+    later appends reuse the stored quantizers (immutable per index, the
+    invariant increment==one-shot probing depends on)."""
+    import posixpath
+
+    import numpy as np
+
+    from dataops_testgen_spark.io.fs import path_exists
+    from dataops_testgen_spark.pipeline.similarity import (
+        ann_index_append, ann_index_compact, train_ivf_centroids,
+        train_pq_codebook)
 
     spark = _spark()
+    vecs = spark.read.parquet(args.vectors)
+    if args.condition:
+        vecs = vecs.filter(args.condition)
+    cent_path = posixpath.join(args.index_dir, "centroids")
+    if path_exists(spark, cent_path):
+        cents = [list(r["centroid"]) for r in
+                 spark.read.parquet(cent_path).orderBy("cell").collect()]
+        cb_rows = (spark.read.parquet(
+            posixpath.join(args.index_dir, "codebook"))
+            .orderBy("s", "c").collect())
+        m = cb_rows[-1]["s"] + 1
+        kk = cb_rows[-1]["c"] + 1
+        codebook = np.array([r["codeword"]
+                             for r in cb_rows]).reshape(m, kk, -1)
+        trained = ""
+    else:
+        cents = train_ivf_centroids(vecs, num_centroids=args.cells,
+                                    vec_col=args.vec_col,
+                                    id_col=args.id_col)
+        codebook = train_pq_codebook(vecs, m=args.m, k=args.codewords,
+                                     vec_col=args.vec_col,
+                                     id_col=args.id_col)
+        trained = (f" (trained {len(cents)} centroids + "
+                   f"{args.m}x{args.codewords} codebook)")
+    ann_index_append(vecs, args.index_dir, cents, codebook,
+                     vec_col=args.vec_col, id_col=args.id_col)
+    msg = f"indexed {vecs.count()} vectors -> {args.index_dir}{trained}"
+    if args.compact:
+        n = ann_index_compact(spark, args.index_dir)
+        msg += f" (compacted to {n} code files)"
+    print(msg)
+    return 0
+
+
+def cmd_corpus_search(args) -> int:
+    """Top-k search over a persisted index: BM25 over the lexical index
+    by default; with --ann, two-stage vector retrieval (ann_index_probe
+    shortlist from the IVFADC index, then rerank_exact over the true
+    vectors) — the production ANN shape as a user surface."""
+    spark = _spark()
+    if args.ann:
+        from pyspark.sql import functions as F
+
+        from dataops_testgen_spark.pipeline.similarity import (
+            ann_index_probe, rerank_exact)
+
+        if not args.vectors or args.query_id is None:
+            print("corpus-search --ann needs --vectors and --query-id")
+            return 2
+        vecs = spark.read.parquet(args.vectors)
+        queries = vecs.filter(F.col(args.id_col) == args.query_id)
+        if queries.isEmpty():
+            print(f"query id {args.query_id} not found in {args.vectors}")
+            return 2
+        shortlist = ann_index_probe(queries, args.index_dir,
+                                    k=args.shortlist, nprobe=args.nprobe,
+                                    vec_col=args.vec_col,
+                                    id_col=args.id_col)
+        out = rerank_exact(vecs, shortlist.select("query_id",
+                                                  "neighbor_id"),
+                           queries=queries, k=args.k,
+                           vec_col=args.vec_col, id_col=args.id_col)
+        for r in out.orderBy("rank").collect():
+            print(f"{r['rank']:>3}  {r['cosine']:>10.6f}  "
+                  f"{r['neighbor_id']}")
+        return 0
+    from dataops_testgen_spark.pipeline.retrieval import bm25_index_topk
+
+    if not args.query:
+        print("corpus-search needs --query (or --ann with --vectors "
+              "and --query-id)")
+        return 2
     qs = spark.createDataFrame([(1, args.query)],
                                "query_id long, query_text string")
     out = bm25_index_topk(spark, qs, args.index_dir, k=args.k,
@@ -1222,11 +1306,43 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ts-col", default="ts")
     p.set_defaults(fn=cmd_events_funnel)
 
+    p = sub.add_parser("vector-index")
+    p.add_argument("--vectors", required=True,
+                   help="parquet with (id, embedding) rows to append")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--condition", default="",
+                   help="SQL predicate selecting the increment to append")
+    p.add_argument("--cells", type=int, default=16,
+                   help="IVF coarse cells (first append trains them)")
+    p.add_argument("-m", type=int, default=4, dest="m",
+                   help="PQ subspaces")
+    p.add_argument("--codewords", type=int, default=16,
+                   help="PQ codewords per subspace")
+    p.add_argument("--compact", action="store_true",
+                   help="compact the code files after the append")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.set_defaults(fn=cmd_vector_index)
+
     p = sub.add_parser("corpus-search")
     p.add_argument("--index-dir", required=True)
-    p.add_argument("--query", required=True)
+    p.add_argument("--query", default="",
+                   help="BM25 query text (lexical mode)")
     p.add_argument("-k", type=int, default=10, dest="k")
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--ann", action="store_true",
+                   help="two-stage vector search (IVFADC shortlist + "
+                        "exact re-rank) instead of BM25")
+    p.add_argument("--vectors", default="",
+                   help="[--ann] parquet holding the true vectors")
+    p.add_argument("--query-id", type=int, default=None,
+                   help="[--ann] id of the query vector in --vectors")
+    p.add_argument("--nprobe", type=int, default=2,
+                   help="[--ann] probed IVF cells per query")
+    p.add_argument("--shortlist", type=int, default=50,
+                   help="[--ann] ANN candidates before exact re-rank")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
     p.set_defaults(fn=cmd_corpus_search)
 
     args = parser.parse_args(argv)

@@ -378,7 +378,8 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   max_block_rows: int = 4096) -> DataFrame:
+                   max_block_rows: int = 4096,
+                   boundary_probe: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
     WITHIN each cluster drop every item whose cosine similarity to a
@@ -412,6 +413,22 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     cosine) with keeper = the highest-priority member that evicted it
     (ties in centroid-similarity break by id ASC; argmax/first-match
     semantics match the lowest-index rule of ``ivf_assign``).
+
+    ``boundary_probe=True`` addresses the method's inherent blind spot
+    (within-cluster dedup cannot see a near-duplicate pair that
+    STRADDLES a cluster boundary — Abbas et al. §3 accept this; the
+    recall loss is real and measured in
+    ``test_semantic_dedup_boundary_probe_recall``): every vector is
+    probed into its TOP-2 cells, each cell dedups over primary +
+    secondary members, and the per-cell evictions union (one row per
+    dropped id — the highest-cosine eviction wins, ties to the lowest
+    keeper). A straddling pair now meets in whichever cell holds one
+    member as primary and the other as secondary. Cost: pair work per
+    cell roughly quadruples (2× members each side); assignment stays
+    one Arrow pass. Priority stays the PRIMARY-cell centroid similarity
+    for both probe rows of a vector — per-cell priorities would let the
+    two cells of a straddling pair elect different keepers and evict
+    BOTH members.
     """
     import numpy as np
 
@@ -429,6 +446,7 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         import pandas as pd
 
         cn = bc.value
+        nprobe = min(2, len(cn)) if boundary_probe else 1
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -439,10 +457,19 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
             # NaN rows (zero vectors) would poison argmax -> park in cell 0
             # with cent_sim NaN; they can never exceed the threshold below
             safe = np.nan_to_num(sims, nan=-np.inf)
-            cell = np.argmax(safe, axis=1)          # ties -> lowest index
-            cent_sim = sims[np.arange(len(m)), cell]
+            # stable argsort: ties -> lowest index, matching argmax
+            top = np.argsort(-safe, kind="stable", axis=1)[:, :nprobe]
+            rows = np.repeat(np.arange(len(m)), nprobe)
+            cell = top.ravel()
+            # the priority is the PRIMARY-cell centroid similarity even
+            # for the secondary probe row: per-cell priorities would let
+            # the two cells of a straddling pair pick DIFFERENT keepers
+            # and the union would evict both members, losing the pair
+            cent_sim = np.repeat(sims[np.arange(len(m)), top[:, 0]],
+                                 nprobe)
             yield pd.DataFrame({
-                "id": pdf[id_col], "vec": pdf[vec_col],
+                "id": pdf[id_col].to_numpy()[rows],
+                "vec": pdf[vec_col].to_numpy()[rows],
                 "ivf_cell": cell.astype("int32"), "cent_sim": cent_sim})
 
     idt = _id_type(df, id_col)
@@ -507,9 +534,18 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         out["cosine"] = [float(c) for c in keeper_cos[dropped]]
         return pd.DataFrame(out)
 
-    return assigned.groupBy("ivf_cell").applyInPandas(
+    evictions = assigned.groupBy("ivf_cell").applyInPandas(
         evict,
         schema=f"vec_id {idt}, ivf_cell int, keeper_id {idt}, cosine double")
+    if not boundary_probe:
+        return evictions
+    # union the per-cell evictions: one row per dropped id (a straddler
+    # can be evicted in both probed cells) — highest cosine wins, ties
+    # to lowest keeper/cell for determinism
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), "keeper_id", "ivf_cell")
+    return (evictions.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 def centroid_outlier_scores(df: DataFrame, vec_col: str = "embedding",

@@ -418,6 +418,127 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
         F.exp(F.avg("nll")).alias("perplexity"))
 
 
+def trigram_lm_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     train_df: DataFrame | None = None,
+                     alpha: float = 0.4) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF (Brants et al. 2007 §3) — the next
+    Markov order toward CCNet's 5-gram KenLM gate after
+    ``bigram_lm_score``, and the first one where backoff matters: score
+    corpus docs against a model trained on ``train_df`` (default: the
+    corpus itself), falling back order by order when a higher-order
+    n-gram was never seen in training:
+
+        S(w3 | w1 w2) = C(w1w2w3) / C(w1w2·)            if seen
+                      = α · C(w2w3) / C(w2·)             else if seen
+                      = α² · (C(w3) + 1) / (N + V)       else (add-one
+                                                         unigram floor,
+                                                         so OOV scores
+                                                         stay finite)
+
+    with · denoting context position counts, N = total train tokens,
+    V = train vocabulary. Stupid backoff uses raw relative frequencies
+    and a fixed α (0.4 in the paper) instead of normalized discounting —
+    the form that scales to web corpora because every quantity is a
+    partial-agg count.
+
+    Per doc: mean trigram NLL (−ln S) and its exp (perplexity-like
+    score); docs with <3 tokens carry n_trigrams=0 and NULL scores so
+    callers route them separately (same contract as bigram_lm_score).
+
+    100 TB shape: trigram/bigram structs come from ``zip_with`` over
+    each doc's own token array (narrow, no posexplode self-join); the
+    MODEL is four vocabulary-bounded partial-agg groupBys over the TRAIN
+    relation (trigram, trigram-context, bigram, bigram-context) plus a
+    one-row (N, V) aggregate; scoring left-joins the corpus's trigrams
+    to those counts on their keys (AQE broadcasts the model relations
+    when small) and folds per-doc means with plain AVG.
+
+    Output: (id, n_trigrams, mean_nll, score)."""
+    train = train_df if train_df is not None else df
+
+    def _tri_structs(col):
+        arr = tokens(col)
+        n = F.size(arr)
+        pair12 = F.zip_with(
+            F.slice(arr, 1, n - 2), F.slice(arr, 2, n - 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        tri = F.zip_with(
+            pair12, F.slice(arr, 3, n - 2),
+            lambda p, c: F.struct(p["w1"].alias("w1"),
+                                  p["w2"].alias("w2"), c.alias("w3")))
+        return F.when(n >= 3, tri).otherwise(F.array().cast(
+            "array<struct<w1: string, w2: string, w3: string>>"))
+
+    def _bg_structs(col):
+        arr = tokens(col)
+        n = F.size(arr)
+        bg = F.zip_with(
+            F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        return F.when(n >= 2, bg).otherwise(F.array().cast(
+            "array<struct<w1: string, w2: string>>"))
+
+    # the model: four count relations + one-row totals, all train-side
+    tr_tri = (train.select(F.explode(_tri_structs(F.col(text_col)))
+                           .alias("t"))
+              .select("t.w1", "t.w2", "t.w3"))
+    tri_ct = tr_tri.groupBy("w1", "w2", "w3") \
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    ctx2_ct = tr_tri.groupBy("w1", "w2") \
+        .agg(F.count(F.lit(1)).alias("c_ctx2"))
+    tr_bg = (train.select(F.explode(_bg_structs(F.col(text_col)))
+                          .alias("b"))
+             .select(F.col("b.w1").alias("bw1"),
+                     F.col("b.w2").alias("bw2")))
+    bg_ct = tr_bg.groupBy("bw1", "bw2") \
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx1_ct = tr_bg.groupBy("bw1").agg(F.count(F.lit(1)).alias("c_ctx1"))
+    totals = (train.select(F.explode(tokens(F.col(text_col)))
+                           .alias("tok"))
+              .agg(F.count(F.lit(1)).alias("n_total"),
+                   F.countDistinct("tok").alias("v_size")))
+    uni_ct = (train.select(F.explode(tokens(F.col(text_col)))
+                           .alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")))
+
+    # score: the corpus's own trigrams against the model
+    tris = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_tri_structs(F.col(text_col))).alias("t"))
+    tris = tris.select("id", F.col("t.w1").alias("w1"),
+                       F.col("t.w2").alias("w2"),
+                       F.col("t.w3").alias("w3"))
+    a1 = F.lit(float(alpha))
+    s = (tris.filter(F.col("w1").isNotNull())
+         .join(tri_ct, ["w1", "w2", "w3"], "left")
+         .join(ctx2_ct, ["w1", "w2"], "left")
+         .join(bg_ct, (F.col("w2") == F.col("bw1"))
+               & (F.col("w3") == F.col("bw2")), "left")
+         .join(ctx1_ct.withColumnRenamed("bw1", "cw1"),
+               F.col("w2") == F.col("cw1"), "left")
+         .join(uni_ct, F.col("w3") == F.col("tok"), "left")
+         .crossJoin(F.broadcast(totals))
+         .select("id", (-F.log(
+             F.when(F.col("c_tri").isNotNull(),
+                    F.col("c_tri") / F.col("c_ctx2"))
+             .when(F.col("c_bg").isNotNull(),
+                   a1 * F.col("c_bg") / F.col("c_ctx1"))
+             .otherwise(a1 * a1
+                        * (F.coalesce(F.col("c_uni"), F.lit(0)) + 1)
+                        / (F.col("n_total") + F.col("v_size")))))
+             .alias("nll")))
+    agg = s.groupBy("id").agg(
+        F.count("nll").alias("n_trigrams"),
+        F.avg("nll").alias("mean_nll"),
+        F.exp(F.avg("nll")).alias("score"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+                    "mean_nll", "score"))
+
+
 def c4_clean(text: Column) -> dict[str, Column]:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) as pure per-row
     expressions — one narrow pass, no explode/shuffle:

@@ -604,3 +604,46 @@ def test_events_cli(spark, tmp_path, capsys):
     # a one-step chain is rejected
     assert main(["events-funnel", "--events", events,
                  "--steps", "view"]) == 2
+
+
+def test_vector_cli_roundtrip(spark, tmp_path, capsys):
+    """vector-index (train-on-first-append, second increment reuses the
+    stored quantizers, compaction) -> corpus-search --ann runs the
+    two-stage retrieval (IVFADC shortlist + exact re-rank) and its top-k
+    equals brute-force exact cosine over the indexed corpus restricted
+    to the shortlist's recall set."""
+    vectors = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "cli_ann")
+    assert main(["vector-index", "--vectors", vectors, "--index-dir", idx,
+                 "--condition", "vec_id % 2 = 0", "--cells", "8"]) == 0
+    assert "trained" in capsys.readouterr().out
+    assert main(["vector-index", "--vectors", vectors, "--index-dir", idx,
+                 "--condition", "vec_id % 2 = 1", "--compact"]) == 0
+    out = capsys.readouterr().out
+    assert "trained" not in out and "compacted" in out
+
+    assert main(["corpus-search", "--ann", "--index-dir", idx,
+                 "--vectors", vectors, "--query-id", "7", "-k", "5"]) == 0
+    lines = [ln.split() for ln in capsys.readouterr().out.splitlines()
+             if ln.strip() and ln.split()[0].isdigit()]
+    assert len(lines) == 5
+    ranks = [int(l[0]) for l in lines]
+    cosines = [float(l[1]) for l in lines]
+    neighbors = [int(l[2]) for l in lines]
+    assert ranks == [1, 2, 3, 4, 5]
+    assert cosines == sorted(cosines, reverse=True)
+    assert 7 not in neighbors          # self is excluded
+    # exact re-rank really ran: every printed cosine matches the true
+    # cosine of that (query, neighbor) pair
+    import numpy as np
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+           for r in spark.read.parquet(vectors).collect()}
+    q = emb[7] / np.linalg.norm(emb[7])
+    for nb, c in zip(neighbors, cosines):
+        v = emb[nb] / np.linalg.norm(emb[nb])
+        assert abs(float(q @ v) - c) < 1e-5, nb
+
+    # guardrails: missing params exit 2, not a stack trace
+    assert main(["corpus-search", "--ann", "--index-dir", idx]) == 2
+    assert main(["corpus-search", "--index-dir", idx]) == 2
+    capsys.readouterr()

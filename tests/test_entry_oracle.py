@@ -44,6 +44,8 @@ def test_entry_smoke(spark):
 # query of r5's 78 that never carried a driver row (VERDICT r5 'do this'
 # #1) — plus the r5 head that stays seated.
 _MUST_BE_IN_DRIVER_WINDOW = {
+    # new in r7
+    "trigram_lm_documents",
     # changed or newly hash-oracled in r7
     "bpe_merges_documents",        # gained the unrolled-CTE DuckDB oracle
     "asof_join_events",            # struct-packet carry (NULL right values)

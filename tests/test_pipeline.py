@@ -880,6 +880,93 @@ def test_semantic_dedup_matches_brute_force(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_semantic_dedup_boundary_probe_recall(spark, sf_dir):
+    """SemDeDup's inherent blind spot, measured: near-duplicate pairs
+    straddling an IVF cell boundary are invisible to within-cell
+    eviction; the top-2 ``boundary_probe`` recovers them. The crafted
+    corpus has 6 near-dup pairs placed ON the bisector of two centroids
+    (one member assigned to each cell) plus 4 pairs safely inside one
+    cell and 4 singletons. Recall is measured against the brute-force
+    ground truth (single-cell eviction = the full-matrix policy)."""
+    import math
+
+    from dataops_testgen_spark.pipeline.similarity import semantic_dedup
+
+    rows = []
+    vid = 0
+    d = 0.02     # pair cosine ~0.9998, above the 0.999 threshold
+    # straddling pairs: near the (1,1)/sqrt(2) bisector of the two
+    # centroids, one member nudged toward each axis
+    for p in range(6):
+        base = [1.0, 1.0, 0.1 * p, 0.0]
+        va = [base[0] + d, base[1], base[2], base[3]]
+        vb = [base[0], base[1] + d, base[2], base[3]]
+        rows += [(vid, va), (vid + 1, vb)]
+        vid += 2
+    # pairs safely inside cell 0 (x-axis dominant)
+    for p in range(4):
+        base = [1.0, 0.05, 0.07 * p, 0.0]
+        rows += [(vid, base), (vid + 1, [base[0], base[1] + d] + base[2:])]
+        vid += 2
+    # singletons far from everything
+    for p in range(4):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[p % 2] = -1.0
+        v[2] = 2.0 + p
+        rows.append((vid, v))
+        vid += 1
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    thr = 0.999
+    # the 10 constructed near-dup pairs (ids (2p, 2p+1)); dedup is
+    # correct on a pair when it evicts EXACTLY one member (which member
+    # is policy detail — the priority centroid differs per clustering)
+    pairs = [(2 * p, 2 * p + 1) for p in range(10)]
+    singles = set(range(20, 24))
+
+    def evicted(df):
+        return {r["vec_id"] for r in df.collect()}
+
+    truth = evicted(semantic_dedup(emb, [[1.0, 1.0, 1.0, 1.0]],
+                                   threshold=thr))
+
+    def pair_recall(ev):
+        assert not (ev & singles), ev      # no false evictions
+        assert all(not (a in ev and b in ev) for a, b in pairs), ev
+        return sum(1 for a, b in pairs if a in ev or b in ev) / len(pairs)
+
+    assert pair_recall(truth) == 1.0       # ground truth sees all pairs
+    base = evicted(semantic_dedup(emb, cents, threshold=thr))
+    probed = evicted(semantic_dedup(emb, cents, threshold=thr,
+                                    boundary_probe=True))
+    # the blind spot is real: the 6 straddling pairs are invisible to
+    # plain within-cell eviction...
+    assert pair_recall(base) == 0.4, sorted(base)
+    # ...and the boundary probe recovers ALL of them on this fixture,
+    # still evicting exactly one member per pair
+    assert pair_recall(probed) == 1.0, sorted(probed)
+    # one eviction row per dropped id even when both probed cells drop it
+    probe_rows = semantic_dedup(emb, cents, threshold=thr,
+                                boundary_probe=True).collect()
+    assert len(probe_rows) == len({r["vec_id"] for r in probe_rows})
+    # flag off stays exactly the old behavior on the real fixture
+    real = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rc = [list(map(float, r["embedding"]))
+          for r in real.filter("vec_id < 6").orderBy("vec_id").collect()]
+    a = {r["vec_id"]
+         for r in semantic_dedup(real, rc, threshold=0.35).collect()}
+    b = {r["vec_id"]
+         for r in semantic_dedup(real, rc, threshold=0.35,
+                                 boundary_probe=True).collect()}
+    # probing only ADDS evicted ids, never loses any (a keeper present
+    # in the plain run is still present, with the same priority, in the
+    # probed run — only extra secondary members join each cell); WHICH
+    # keeper claims an eviction may legitimately change
+    assert a <= b
+
+
 def test_unigram_logprob_score(spark):
     """Hand-computed add-one unigram NLLs on a 2-doc corpus."""
     import math
@@ -925,6 +1012,100 @@ def test_bigram_lm_score(spark):
         assert rows[short_id]["n_bigrams"] == 0
         assert rows[short_id]["mean_nll"] is None
         assert rows[short_id]["perplexity"] is None
+
+
+def test_trigram_lm_stupid_backoff_hand_check(spark):
+    """All three backoff legs hand-computed on a train/score split: seen
+    trigram uses the raw trigram ratio; unseen trigram with a seen
+    bigram falls back to alpha * bigram ratio; fully unseen tails hit
+    the alpha^2 add-one unigram floor. Short docs carry NULL scores."""
+    import math
+
+    from dataops_testgen_spark.pipeline.text import trigram_lm_score
+
+    train = spark.createDataFrame(
+        [(100, "a b c d"), (101, "b c e")],
+        "doc_id: long, text: string")
+    score = spark.createDataFrame(
+        [(1, "a b c"),     # seen trigram: C(abc)/C(ab.) = 1/1
+         (2, "d b c"),     # unseen tri, seen bigram (b,c): a*C(bc)/C(b.)
+         (3, "q q a"),     # unseen tri+bigram: a^2*(C(a)+1)/(N+V)
+         (4, "a b")],      # <3 tokens -> NULL
+        "doc_id: long, text: string")
+    rows = {r["id"]: r for r in
+            trigram_lm_score(score, train_df=train).collect()}
+    # train tokens: a b c d b c e -> N=7, V={a,b,c,d,e}=5
+    # bigrams: (a,b)(b,c)(c,d)(b,c)(c,e); C(bc)=2, C(b.)=2; C(db) unseen
+    want1 = -math.log(1 / 1)
+    want2 = -math.log(0.4 * 2 / 2)
+    # doc3 trigram (q,q,a): bigram (q,a) unseen -> unigram leg; C(a)=1
+    want3 = -math.log(0.4 * 0.4 * (1 + 1) / (7 + 5))
+    assert rows[1]["n_trigrams"] == 1
+    assert abs(rows[1]["mean_nll"] - want1) < 1e-12
+    assert abs(rows[2]["mean_nll"] - want2) < 1e-12
+    assert abs(rows[3]["mean_nll"] - want3) < 1e-12
+    assert rows[4]["n_trigrams"] == 0 and rows[4]["mean_nll"] is None
+
+
+def test_trigram_lm_python_parity(spark, sf_dir):
+    """Independent plain-Python stupid-backoff trigram LM on the real
+    fixture slice, trained on the even-doc_id half and scoring all docs
+    (so the backoff legs actually fire)."""
+    import math
+    import re
+    from collections import Counter
+
+    from dataops_testgen_spark.pipeline.text import trigram_lm_score
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL").limit(80).cache())
+    train = docs.filter("doc_id % 2 = 0")
+    got = {r["id"]: r for r in
+           trigram_lm_score(docs, train_df=train).collect()}
+
+    def toks(text):
+        t = text.lower().strip(" ")
+        return [] if t.strip(" ") == "" else re.split(r"\s+", t)
+
+    corpus = {r["doc_id"]: toks(r["text"]) for r in docs.collect()}
+    tri, ctx2, bg, ctx1, uni = (Counter(), Counter(), Counter(),
+                                Counter(), Counter())
+    n_total = 0
+    for did, ts in corpus.items():
+        if did % 2 != 0:
+            continue
+        uni.update(ts)
+        n_total += len(ts)
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] += 1
+            ctx1[a] += 1
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] += 1
+            ctx2[(a, b)] += 1
+    v = len(uni)
+
+    def s(a, b, c):
+        if tri[(a, b, c)]:
+            return tri[(a, b, c)] / ctx2[(a, b)]
+        if bg[(b, c)]:
+            return 0.4 * bg[(b, c)] / ctx1[b]
+        return 0.16 * (uni[c] + 1) / (n_total + v)
+
+    fired = set()
+    for did, ts in corpus.items():
+        triples = list(zip(ts, ts[1:], ts[2:]))
+        row = got[did]
+        assert row["n_trigrams"] == len(triples)
+        if not triples:
+            assert row["mean_nll"] is None
+            continue
+        for t in triples:
+            fired.add("tri" if tri[t] else
+                      ("bg" if bg[t[1:]] else "uni"))
+        want = sum(-math.log(s(*t)) for t in triples) / len(triples)
+        assert abs(row["mean_nll"] - want) < 1e-9, did
+        assert abs(row["score"] - math.exp(want)) < 1e-9, did
+    assert fired == {"tri", "bg", "uni"}   # all three legs exercised
 
 
 def test_bigram_lm_score_python_parity(spark, sf_dir):
