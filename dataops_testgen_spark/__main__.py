@@ -320,7 +320,12 @@ def cmd_run_tests(args) -> int:
     cat_defs = [t for t in outcome.valid if t.test_type not in QUERY_TYPES]
     query_defs = [t for t in outcome.valid if t.test_type in QUERY_TYPES]
     results = run_cat_tests(tables, cat_defs, run_date=args.run_date)
-    qres = run_query_tests(tables, query_defs, run_date=args.run_date)
+    struct_keys = None
+    if getattr(args, "bucketed", ""):
+        from dataops_testgen_spark.io.bucketing import struct_key_map
+        struct_keys = struct_key_map(args.bucketed) or None
+    qres = run_query_tests(tables, query_defs, run_date=args.run_date,
+                           struct_keys=struct_keys)
     if qres is not None:
         results = results.unionByName(qres)
     if outcome.errors:
@@ -389,7 +394,8 @@ def cmd_prepare_bucketed(args) -> int:
 
     spark = _spark()
     out = bucketize_data_dir(spark, args.data_dir, args.bucket_dir,
-                             num_buckets=args.buckets)
+                             num_buckets=args.buckets,
+                             null_safe_keys=args.null_safe_keys)
     for t, name in out.items():
         print(f"{t} -> {name}")
     print(f"{len(out)} table(s) bucketed -> {args.bucket_dir}")
@@ -1167,6 +1173,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="output dir for the bucketed external tables + "
                         "manifest.json (pass to run-tests --bucketed)")
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--null-safe-keys", action="store_true",
+                   help="bucket by a materialized struct of the keys so "
+                        "referential joins plan Exchange-free even with "
+                        "NULL group keys (Combo_Match/Aggregate_Balance)")
     p.set_defaults(fn=cmd_prepare_bucketed)
 
     p = cmd("run-rollup-scores", cmd_run_rollup_scores)

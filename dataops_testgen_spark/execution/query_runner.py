@@ -64,9 +64,31 @@ def _num(value) -> float | None:
     return None if value is None else float(value)
 
 
-def query_test_detail(tables: dict[str, DataFrame], td: TestDef) -> DataFrame:
+def _struct_key(struct_keys, table: str, keys: list[str],
+                df: DataFrame) -> str | None:
+    """The materialized null-safe struct key column to dispatch on, when
+    the bucket layout's source keys line up EXACTLY with this test's
+    keys (order matters — the struct fields are positional) and the
+    column is really present; else None (raw-key path)."""
+    from dataops_testgen_spark.io.bucketing import NULL_SAFE_KEY_COL
+
+    if (struct_keys and struct_keys.get(table) == list(keys)
+            and NULL_SAFE_KEY_COL in df.columns):
+        return NULL_SAFE_KEY_COL
+    return None
+
+
+def query_test_detail(tables: dict[str, DataFrame], td: TestDef,
+                      struct_keys: dict[str, list[str]] | None = None,
+                      ) -> DataFrame:
     """The offending-rows detail relation for one QUERY-type TestDef —
-    the drill-down surface; the measure is derived from it."""
+    the drill-down surface; the measure is derived from it.
+
+    ``struct_keys`` ({table: source key cols}, from
+    io/bucketing.struct_key_map) switches Combo_Match /
+    Aggregate_Balance* to the materialized-struct-key plans — zero
+    shuffle Exchange over null-safe-bucketed tables — whenever a test's
+    group keys equal the table's bucket keys."""
     t = td.test_type
     df = tables[td.table_name]
     subset = td.p("subset_condition")
@@ -76,21 +98,30 @@ def query_test_detail(tables: dict[str, DataFrame], td: TestDef) -> DataFrame:
     if t == "Combo_Match":
         match_df = tables[td.p("match_table_name")]
         keys = _names(td.p("groupby_names"), _names(td.column_name))
+        mkeys = _names(td.p("match_groupby_names"), keys)
+        gk = _struct_key(struct_keys, td.table_name, keys, df)
+        mgk = _struct_key(struct_keys, td.p("match_table_name"), mkeys,
+                          match_df)
         return QT.combo_match(
-            df, keys, match_df,
-            _names(td.p("match_groupby_names"), keys),
+            df, keys, match_df, mkeys,
             subset_condition=subset,
-            match_subset_condition=td.p("match_subset_condition"))
+            match_subset_condition=td.p("match_subset_condition"),
+            struct_key_col=gk if (gk and mgk) else None)
     if t in _BALANCE_MODES:
         match_df = tables[td.p("match_table_name")]
         groupby = _names(td.p("groupby_names"))
+        mgroupby = _names(td.p("match_groupby_names"), groupby)
         total = F.expr(td.p("agg_expression",
                             f"SUM({td.column_name})"))
         match_total = F.expr(td.p("match_agg_expression",
                                   f"SUM({td.p('match_column_names')})"))
+        gk = _struct_key(struct_keys, td.table_name, groupby, df)
+        mgk = _struct_key(struct_keys, td.p("match_table_name"),
+                          mgroupby, match_df)
         return QT.aggregate_balance(
             df, groupby, total, match_df,
-            _names(td.p("match_groupby_names"), groupby), match_total,
+            mgroupby, match_total,
+            struct_key_col=gk if (gk and mgk) else None,
             mode=_BALANCE_MODES[t],
             lower_tolerance=_num(td.p("lower_tolerance")),
             upper_tolerance=_num(td.p("upper_tolerance")),
@@ -121,8 +152,9 @@ def query_test_detail(tables: dict[str, DataFrame], td: TestDef) -> DataFrame:
     raise ValueError(f"not a QUERY test type: {t!r}")
 
 
-def _measure(tables: dict[str, DataFrame], td: TestDef) -> float:
-    detail = query_test_detail(tables, td)
+def _measure(tables: dict[str, DataFrame], td: TestDef,
+             struct_keys: dict[str, list[str]] | None = None) -> float:
+    detail = query_test_detail(tables, td, struct_keys)
     if td.test_type == "Dupe_Rows":
         return float(QT.dupe_rows_measure(detail))
     return float(detail.count())
@@ -132,6 +164,7 @@ def run_query_tests(
     tables: dict[str, DataFrame],
     defs: list[TestDef],
     run_date: _dt.date | str | None = None,
+    struct_keys: dict[str, list[str]] | None = None,
 ) -> DataFrame | None:
     """Execute QUERY-type tests; returns a RESULT_SCHEMA DataFrame (None
     when ``defs`` is empty). Per-test error isolation mirrors the CAT
@@ -145,7 +178,7 @@ def run_query_tests(
         if td.table_name in tables:
             spark = tables[td.table_name].sparkSession
         try:
-            rows.append(_evaluate(td, _measure(tables, td)))
+            rows.append(_evaluate(td, _measure(tables, td, struct_keys)))
         except Exception as exc:  # noqa: BLE001 — per-test isolation
             rec = _evaluate(td, None)
             rec["result_code"] = None

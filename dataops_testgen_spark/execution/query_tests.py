@@ -43,10 +43,27 @@ def dupe_rows_measure(detail: DataFrame) -> int:
 def combo_match(df: DataFrame, keys: list[str],
                 match_df: DataFrame, match_keys: list[str] | None = None,
                 subset_condition: str | None = None,
-                match_subset_condition: str | None = None) -> DataFrame:
+                match_subset_condition: str | None = None,
+                struct_key_col: str | None = None) -> DataFrame:
     """Key combinations present in ``df`` but absent from ``match_df``
     (test_types_Combo_Match.yaml: GROUP BY ... EXCEPT GROUP BY ...).
-    Implemented as distinct + left_anti join (null-safe on each key)."""
+    Implemented as distinct + left_anti join (null-safe on each key).
+
+    ``struct_key_col``: same bucketed fast path as
+    ``aggregate_balance`` — both inputs carry the materialized
+    positional-field struct of their keys (io/bucketing.py
+    ``add_null_safe_key``) and are bucketed by it, so the distinct AND
+    the anti join run on that one scan-partitioning attribute with
+    plain ``=`` (struct equality is null-safe per field): zero shuffle
+    Exchange end-to-end, identical results including NULL keys."""
+    if struct_key_col is not None:
+        gk = struct_key_col
+        left = _subset(df, subset_condition).select(gk).distinct()
+        right = _subset(match_df, match_subset_condition) \
+            .select(gk).distinct()
+        anti = left.join(right, left[gk] == right[gk], "left_anti")
+        return anti.select(*[F.col(gk)[f"k{i}"].alias(k)
+                             for i, k in enumerate(keys)])
     match_keys = match_keys or keys
     left = _subset(df, subset_condition).select(*keys).distinct()
     right = _subset(match_df, match_subset_condition).select(

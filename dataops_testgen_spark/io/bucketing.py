@@ -122,7 +122,8 @@ def bucket_table_name(table: str, bucket_dir: str) -> str:
 def bucketize_data_dir(spark: SparkSession, data_dir: str, bucket_dir: str,
                        num_buckets: int = 32,
                        keys: dict[str, list[str]] | None = None,
-                       tables: list[str] | None = None) -> dict[str, str]:
+                       tables: list[str] | None = None,
+                       null_safe_keys: bool = False) -> dict[str, str]:
     """Write every parquet table in ``data_dir`` as an EXTERNAL bucketed
     catalog table under ``bucket_dir`` keyed for its referential joins
     (DEFAULT_BUCKET_KEYS unless overridden) — the one-time
@@ -132,7 +133,13 @@ def bucketize_data_dir(spark: SparkSession, data_dir: str, bucket_dir: str,
     and schema DDL so a LATER session (non-Hive catalogs are
     process-scoped) re-registers the same tables with
     ``register_bucketed``. Returns {table: catalog_name}; tables with no
-    key mapping are skipped (they read from parquet as before)."""
+    key mapping are skipped (they read from parquet as before).
+
+    ``null_safe_keys=True`` materializes the null-safe struct key
+    (``add_null_safe_key``) in every table and buckets by IT — the
+    layout the referential QUERY engine's Exchange-free-with-NULL-keys
+    plans need (query_tests ``struct_key_col``); the manifest records
+    the source key columns so run-tests can match tests to the struct."""
     import glob
     import json
     import os
@@ -154,10 +161,16 @@ def bucketize_data_dir(spark: SparkSession, data_dir: str, bucket_dir: str,
         tbl = bucket_table_name(name, bucket_dir)
         loc = os.path.join(bucket_dir, name)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        write_bucketed(df, tbl, bucket_cols, num_buckets=num_buckets,
-                       path=loc)
+        if null_safe_keys:
+            df = add_null_safe_key(df, bucket_cols)
+            write_bucketed(df, tbl, [NULL_SAFE_KEY_COL],
+                           num_buckets=num_buckets, path=loc)
+        else:
+            write_bucketed(df, tbl, bucket_cols, num_buckets=num_buckets,
+                           path=loc)
         manifest[name] = {"catalog_name": tbl, "location": loc,
                           "bucket_cols": bucket_cols,
+                          "null_safe_key": bool(null_safe_keys),
                           "num_buckets": num_buckets,
                           "schema_ddl": df._jdf.schema().toDDL()}
         out[name] = tbl
@@ -180,7 +193,8 @@ def register_bucketed(spark: SparkSession, bucket_dir: str) -> dict[str, str]:
     for name, m in manifest.items():
         tbl = m["catalog_name"]
         if not spark.catalog.tableExists(tbl):
-            cols = ", ".join(m["bucket_cols"])
+            cols = (NULL_SAFE_KEY_COL if m.get("null_safe_key")
+                    else ", ".join(m["bucket_cols"]))
             spark.sql(
                 f"CREATE TABLE {tbl} ({m['schema_ddl']}) USING parquet "
                 f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
@@ -188,6 +202,23 @@ def register_bucketed(spark: SparkSession, bucket_dir: str) -> dict[str, str]:
                 f"LOCATION '{m['location']}'")
         out[name] = tbl
     return out
+
+
+def struct_key_map(bucket_dir: str) -> dict[str, list[str]]:
+    """{table: source key columns} for the tables a bucket dir stores
+    with the null-safe struct-key layout — the map run-tests uses to
+    decide when a referential test's keys line up with a table's
+    materialized ``__tg_gk`` (empty for raw-key layouts)."""
+    import json
+    import os
+
+    path = os.path.join(bucket_dir, "manifest.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        manifest = json.load(fh)
+    return {name: m["bucket_cols"] for name, m in manifest.items()
+            if m.get("null_safe_key")}
 
 
 def load_bucketed(spark: SparkSession, table: str,

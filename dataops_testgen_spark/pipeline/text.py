@@ -448,11 +448,17 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
 
     100 TB shape: trigram/bigram structs come from ``zip_with`` over
     each doc's own token array (narrow, no posexplode self-join); the
-    MODEL is four vocabulary-bounded partial-agg groupBys over the TRAIN
-    relation (trigram, trigram-context, bigram, bigram-context) plus a
-    one-row (N, V) aggregate; scoring left-joins the corpus's trigrams
-    to those counts on their keys (AQE broadcasts the model relations
-    when small) and folds per-doc means with plain AVG.
+    MODEL is three count relations (trigram, bigram, unigram — each a
+    vocabulary-bounded partial-agg groupBy over one column-pruned train
+    scan); context counts (C(w1w2·), C(w2·)) and the one-row (N, V)
+    totals re-aggregate the count relations themselves, never the
+    corpus. Scoring left-joins the corpus's trigrams to those counts on
+    their keys (AQE broadcasts the model relations when small) and
+    folds per-doc means with plain AVG. As with ``bigram_lm_score``,
+    Catalyst does not share un-persisted subplans, so each count
+    consumer replays its (text-only) train scan — a caller at corpus
+    scale should persist the three count relations (vocab-sized) via
+    their own composition if scans dominate.
 
     Output: (id, n_trigrams, mean_nll, score)."""
     train = train_df if train_df is not None else df
@@ -479,28 +485,28 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
         return F.when(n >= 2, bg).otherwise(F.array().cast(
             "array<struct<w1: string, w2: string>>"))
 
-    # the model: four count relations + one-row totals, all train-side
+    # the model: three corpus scans (trigrams, bigrams, unigrams); the
+    # CONTEXT counts and the (N, V) totals derive from the count
+    # relations themselves (vocabulary-sized re-aggregations, integer
+    # exact) instead of re-scanning the corpus
     tr_tri = (train.select(F.explode(_tri_structs(F.col(text_col)))
                            .alias("t"))
               .select("t.w1", "t.w2", "t.w3"))
     tri_ct = tr_tri.groupBy("w1", "w2", "w3") \
         .agg(F.count(F.lit(1)).alias("c_tri"))
-    ctx2_ct = tr_tri.groupBy("w1", "w2") \
-        .agg(F.count(F.lit(1)).alias("c_ctx2"))
-    tr_bg = (train.select(F.explode(_bg_structs(F.col(text_col)))
+    ctx2_ct = tri_ct.groupBy("w1", "w2") \
+        .agg(F.sum("c_tri").alias("c_ctx2"))
+    bg_ct = (train.select(F.explode(_bg_structs(F.col(text_col)))
                           .alias("b"))
-             .select(F.col("b.w1").alias("bw1"),
-                     F.col("b.w2").alias("bw2")))
-    bg_ct = tr_bg.groupBy("bw1", "bw2") \
-        .agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx1_ct = tr_bg.groupBy("bw1").agg(F.count(F.lit(1)).alias("c_ctx1"))
-    totals = (train.select(F.explode(tokens(F.col(text_col)))
-                           .alias("tok"))
-              .agg(F.count(F.lit(1)).alias("n_total"),
-                   F.countDistinct("tok").alias("v_size")))
+             .groupBy(F.col("b.w1").alias("bw1"),
+                      F.col("b.w2").alias("bw2"))
+             .agg(F.count(F.lit(1)).alias("c_bg")))
+    ctx1_ct = bg_ct.groupBy("bw1").agg(F.sum("c_bg").alias("c_ctx1"))
     uni_ct = (train.select(F.explode(tokens(F.col(text_col)))
                            .alias("tok"))
               .groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")))
+    totals = uni_ct.agg(F.sum("c_uni").alias("n_total"),
+                        F.count(F.lit(1)).alias("v_size"))
 
     # score: the corpus's own trigrams against the model
     tris = df.select(

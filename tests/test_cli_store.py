@@ -647,3 +647,90 @@ def test_vector_cli_roundtrip(spark, tmp_path, capsys):
     assert main(["corpus-search", "--ann", "--index-dir", idx]) == 2
     assert main(["corpus-search", "--index-dir", idx]) == 2
     capsys.readouterr()
+
+
+def test_null_safe_bucketed_referential_run(spark, tmp_path):
+    """prepare-bucketed --null-safe-keys writes tables bucketed by the
+    materialized struct group key; a stored suite holding BOTH
+    referential shapes (Combo_Match + Aggregate_Balance) executes
+    through run-tests --bucketed, the runner auto-dispatches to the
+    struct-key plans via the manifest, and BOTH detail plans contain
+    ZERO shuffle Exchange — the r7 close of the last bucketed-join gap
+    (the eqNullSafe Aggregate_Balance join used to shuffle)."""
+    store_dir = str(tmp_path / "appdb")
+    bucket_dir = str(tmp_path / "bkt_ns")
+    csv_dir = str(tmp_path / "csv")
+    os.makedirs(csv_dir)
+    rc = main(["prepare-bucketed", "--data-dir", SF_DIR,
+               "--bucket-dir", bucket_dir, "--buckets", "8",
+               "--null-safe-keys"])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(bucket_dir, "manifest.json")))
+    assert manifest["orders"]["null_safe_key"] is True
+
+    store = RunStore(spark, store_dir)
+    defs_df = spark.createDataFrame(
+        [("Combo_Match", "orders", None,
+          {"groupby_names": "o_custkey", "match_table_name": "customer",
+           "match_groupby_names": "c_custkey", "threshold_value": "0"}),
+         ("Aggregate_Minimum", "orders", "o_totalprice",
+          {"groupby_names": "o_custkey", "match_table_name": "customer",
+           "match_groupby_names": "c_custkey",
+           "agg_expression": "SUM(o_totalprice)",
+           "match_agg_expression": "SUM(c_acctbal) * 0",
+           "threshold_value": "100000"})],
+        "test_type string, table_name string, column_name string, "
+        "params map<string,string>")
+    store.record_test_generation(defs_df, test_suite_key="ns_suite",
+                                 run_date="2026-01-01")
+    rc = main(["run-tests", "--data-dir", SF_DIR, "--store", store_dir,
+               "--test-suite", "ns_suite", "--bucketed", bucket_dir,
+               "--csv-dir", csv_dir])
+    assert rc == 0
+    res = RunStore(spark, store_dir).read("test_results")
+    by_type = {r["test_type"]: r for r in res.collect()}
+    assert by_type["Combo_Match"]["result_status"] == "Passed"
+    assert by_type["Aggregate_Minimum"]["result_status"] is not None
+
+    # both detail plans over the null-safe layout: zero shuffle Exchange
+    from dataops_testgen_spark.__main__ import _load_tables
+    from dataops_testgen_spark.execution.defs import TestDef
+    from dataops_testgen_spark.execution.query_runner import (
+        query_test_detail)
+    from dataops_testgen_spark.io.bucketing import struct_key_map
+
+    tables = _load_tables(spark, SF_DIR, bucket_dir=bucket_dir)
+    skeys = struct_key_map(bucket_dir)
+    assert skeys["orders"] == ["o_custkey"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for td in (
+            TestDef(test_id="cm", test_type="Combo_Match",
+                    table_name="orders",
+                    params={"groupby_names": "o_custkey",
+                            "match_table_name": "customer",
+                            "match_groupby_names": "c_custkey",
+                            "threshold_value": 0}),
+            TestDef(test_id="ab", test_type="Aggregate_Balance",
+                    table_name="orders", column_name="o_totalprice",
+                    params={"groupby_names": "o_custkey",
+                            "match_table_name": "customer",
+                            "match_groupby_names": "c_custkey",
+                            "agg_expression": "SUM(o_totalprice)",
+                            "match_agg_expression": "SUM(c_acctbal)",
+                            "threshold_value": 0}),
+        ):
+            plan = (query_test_detail(tables, td, struct_keys=skeys)
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "Exchange" not in plan, (td.test_type, plan)
+            # keys that DON'T match the bucket layout fall back cleanly
+            td2 = TestDef(test_id="x", test_type=td.test_type,
+                          table_name="orders",
+                          column_name=td.column_name,
+                          params={**td.params,
+                                  "groupby_names": "o_orderstatus",
+                                  "match_groupby_names": "c_mktsegment"})
+            query_test_detail(tables, td2, struct_keys=skeys).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
