@@ -1598,7 +1598,12 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
     exact rational quotients agree). The r6 COMPRESSED leg wraps the same
     bytes as an 8-bit gray PNG (stdlib zlib deflate) and decodes it
     distributed — inflate + scanline unfilter per doc — with the decoded
-    mean hash-checked against the same text-derived quotient."""
+    mean hash-checked against the same text-derived quotient. The r7
+    DCT leg wraps each byte as a CONSTANT 8x8 tile in a baseline JPEG
+    (quant=1: integer DC, zero AC — exact round trip through a real
+    entropy-coded format) and runs the full marker-walk + Huffman +
+    dequant + numpy-IDCT decoder distributed; decoded height == 8*bytes
+    and the mean equals the same text-derived quotient."""
     docs = _load(spark, sf_dir, "documents")
     feats = MM.extract_features(MM.with_binary_payload(docs))
     dec = MM.extract_decoded_features(MM.with_bmp_payload(docs),
@@ -1616,6 +1621,13 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                                        binary_col="gif_payload")
            .select("doc_id", F.col("format").alias("gif_format"),
                    F.round("mean_luminance", 5).alias("gif_mean")))
+    # the DCT leg: each byte a constant 8x8 JPEG tile — real baseline
+    # Huffman decode + dequant + IDCT run distributed, stdlib+numpy only
+    jpg = (MM.extract_decoded_features(MM.with_jpeg_payload(docs),
+                                       binary_col="jpeg_payload")
+           .select("doc_id", F.col("format").alias("jpeg_format"),
+                   F.col("height").alias("jpeg_h"),
+                   F.round("mean_luminance", 5).alias("jpeg_mean")))
     # the AUDIO leg: same bytes as u8 PCM samples in a mono 8 kHz WAV —
     # RIFF chunk walk + sample fold run distributed, stdlib-only
     wav = (MM.extract_audio_features(MM.with_wav_payload(docs),
@@ -1625,12 +1637,13 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                    F.round("duration_s", 8).alias("wav_duration"),
                    F.round("mean_amplitude", 5).alias("wav_mean")))
     return (feats.join(dec, "doc_id").join(png, "doc_id")
-            .join(gif, "doc_id").join(wav, "doc_id")
+            .join(gif, "doc_id").join(jpg, "doc_id").join(wav, "doc_id")
             .select("doc_id", "byte_len", "first_byte", "content_md5",
                     F.round("fake_feature", 5).alias("fake_feature"),
                     "format", "width", "height",
                     F.round("mean_luminance", 5).alias("mean_luminance"),
                     "png_format", "png_mean", "gif_format", "gif_mean",
+                    "jpeg_format", "jpeg_h", "jpeg_mean",
                     "wav_rate", "n_samples", "wav_duration", "wav_mean"))
 
 
@@ -1667,6 +1680,16 @@ SELECT doc_id,
                            i -> ascii(substr(text, i, 1))))::DOUBLE
                        / LEAST(length(text), 64), 5)
        END AS gif_mean,
+       CASE WHEN length(text) > 0 THEN 'jpeg' END AS jpeg_format,
+       CASE WHEN length(text) > 0
+            THEN (8 * LEAST(octet_length(CAST(text AS BLOB)), 64))::INT
+       END AS jpeg_h,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1))))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS jpeg_mean,
        CASE WHEN length(text) > 0 THEN 8000::INT END AS wav_rate,
        CASE WHEN length(text) > 0
             THEN LEAST(octet_length(CAST(text AS BLOB)), 64)::BIGINT

@@ -323,13 +323,17 @@ def decode_image(payload: bytes) -> dict:
     over the raster's channel bytes, excluding row padding — and
     single-frame non-interlaced GIF via a full in-module LZW codec
     (giflib code-width convention; round-trip stress-tested through the
-    dictionary-growth and 12-bit table-reset paths). JPEG (and exotic
-    PNG/GIF variants) still raises NotImplementedError: a DCT/huffman
-    codec isn't in this container; use parse_media_header for
+    dictionary-growth and 12-bit table-reset paths), and — r7 — REAL
+    baseline JPEG (SOF0, 8-bit gray / 4:4:4: marker walk, stream-driven
+    Huffman decode, dequantize, numpy IDCT; see ``_decode_jpeg``).
+    Progressive/arithmetic/subsampled JPEG and exotic PNG/GIF variants
+    still raise NotImplementedError; use parse_media_header for
     dimensions."""
     if not payload:
         raise ValueError("empty payload")
     b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13:
@@ -719,6 +723,417 @@ def with_wav_payload(df: DataFrame, text_col: str = "text",
             raw = t.encode("utf-8")[:max_bytes]
             return encode_wav_pcm(raw, sample_rate=sample_rate) if raw \
                 else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(enc)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+
+# --- JPEG baseline (SOF0) codec -------------------------------------------
+# A REAL DCT/Huffman codec in stdlib+numpy: baseline sequential JPEG,
+# 8-bit, grayscale or 4:4:4 YCbCr, table-driven (DQT/DHT come from the
+# stream, so foreign baseline files decode too). Progressive/arithmetic/
+# subsampled/12-bit variants raise NotImplementedError.
+
+# zigzag scan order -> natural block index (ISO/IEC 10918-1 Figure 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+# Annex K luminance Huffman specs (BITS per code length 1..16, HUFFVAL);
+# the decoder never assumes these — it builds tables from the stream's
+# own DHT segments — the encoder just has to write SOME valid pair.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(symbol -> (code, length)) canonical Huffman assignment per the
+    JPEG spec's Generate_size_table/Generate_code_table procedure."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_tree(bits, vals):
+    """((length, code) -> symbol) lookup for bit-serial decoding."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _dct_basis():
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2
+    c[0] /= np.sqrt(2.0)
+    return c            # F = C @ b @ C.T ; b = C.T @ F @ C
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:            # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def finish(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_gray(pixel_bytes: bytes, width: int | None = None,
+                     quant: int = 1) -> bytes:
+    """Minimal baseline JPEG encoder (grayscale, SOF0, Annex-K Huffman
+    tables, uniform quantization table of ``quant``): per 8×8 block —
+    level shift, float 2D DCT, quantize/round, zigzag, DC-difference +
+    AC run-length Huffman coding with byte stuffing. Deterministic
+    fixture builder for the real DCT/Huffman decode path. With
+    ``quant=1`` an image of CONSTANT 8×8 tiles round-trips exactly (a
+    constant block's DC is the integer 8·(v−128), every AC is 0), which
+    is what keeps the driver query's decoded means oracle-derivable."""
+    import numpy as np
+
+    n = len(pixel_bytes)
+    if n == 0:
+        raise ValueError("empty pixel bytes")
+    w = width or n
+    if n % w:
+        raise ValueError(f"{n} pixels do not fill rows of width {w}")
+    h = n // w
+    if quant < 1 or quant > 255:
+        raise ValueError("quant must be in 1..255")
+    img = np.frombuffer(bytes(pixel_bytes), dtype=np.uint8)         .reshape(h, w).astype(np.float64)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    cmat = _dct_basis()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coef = cmat @ blk @ cmat.T
+            q = np.rint(coef / float(quant)).astype(np.int64)
+            zz = [int(q.flat[k]) for k in _JPEG_ZIGZAG]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            bw.put(code, length)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]     # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                s = _jpeg_category(zz[i])
+                code, length = ac_codes[(run << 4) | s]
+                bw.put(code, length)
+                v = zz[i]
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]         # EOB
+                bw.put(code, length)
+    body = bw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big")             + payload
+
+    qz = bytes([quant] * 64)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + qz)
+            + seg(0xC0, sof)
+            + seg(0xC4, dht)
+            + seg(0xDA, sos)
+            + body + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(br: _BitReader, tree: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _decode_jpeg(b: bytes) -> dict:
+    """Baseline sequential JPEG decode (SOF0, 8-bit, grayscale or
+    4:4:4): marker walk (DQT/DHT/DRI/SOF0/SOS), per-MCU Huffman decode
+    with restart-marker handling, dequantize, inverse zigzag, numpy
+    IDCT, level shift. mean_luminance is the mean of the LUMINANCE
+    plane (component 1 — Y IS luminance in JPEG's YCbCr), so gray and
+    4:4:4 color files both report the photometric mean. Progressive
+    (SOF2), arithmetic, subsampled and 12-bit variants raise."""
+    import numpy as np
+
+    qtabs: dict[int, list] = {}
+    htabs: dict[tuple, dict] = {}
+    w = h = None
+    comps: list[tuple] = []          # (comp_id, h_samp, v_samp, tq)
+    restart = 0
+    i = 2                            # past SOI
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream")
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise NotImplementedError("bad JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[i + 2:i + 4], "big")
+        payload = b[i + 4:i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                qtabs[tq] = list(payload[j + 1:j + 65])
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 0x0F
+                bits = list(payload[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(payload[j + 17:j + 17 + nv])
+                htabs[(tc, th)] = _jpeg_decode_tree(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0:
+            if payload[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            comps = [(payload[6 + 3 * k], payload[7 + 3 * k] >> 4,
+                      payload[7 + 3 * k] & 0x0F, payload[8 + 3 * k])
+                     for k in range(nc)]
+            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+                raise NotImplementedError("subsampled JPEG needs MCU "
+                                          "interleave handling")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF 0x{marker:02x} (progressive/extended/"
+                "arithmetic) not supported")
+        elif marker == 0xDD:
+            restart = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:
+            if w is None or not qtabs or not htabs:
+                raise NotImplementedError("JPEG SOS before SOF/DQT/DHT")
+            ns = payload[0]
+            sel = [(payload[1 + 2 * k], payload[2 + 2 * k] >> 4,
+                    payload[2 + 2 * k] & 0x0F) for k in range(ns)]
+            data_start = i + 2 + ln
+            return _jpeg_scan(b, data_start, w, h, comps, sel, qtabs,
+                              htabs, restart)
+        i += 2 + ln
+    raise NotImplementedError("JPEG missing SOS scan")
+
+
+def _jpeg_scan(b, start, w, h, comps, sel, qtabs, htabs, restart):
+    import numpy as np
+
+    # split the entropy stream at restart markers, unstuff 0xFF00
+    segments, cur = [], bytearray()
+    i = start
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                        # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+
+    cmat = _dct_basis()
+    bw_ct, bh_ct = -(-w // 8), -(-h // 8)
+    n_mcu = bw_ct * bh_ct
+    planes = {cid: np.zeros((bh_ct * 8, bw_ct * 8))
+              for cid, _, _, _ in comps}
+    by_id = {cid: tq for cid, _, _, tq in comps}
+    preds = {cid: 0 for cid, _, _ in [(c, 0, 0) for c, _, _, _ in comps]}
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise NotImplementedError("missing JPEG restart segment")
+            br = _BitReader(segments[seg_idx])
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(m, bw_ct)
+        for cid, td, ta in sel:
+            qt = qtabs.get(by_id.get(cid))
+            dc_tree = htabs.get((0, td))
+            ac_tree = htabs.get((1, ta))
+            if qt is None or dc_tree is None or ac_tree is None:
+                raise NotImplementedError("JPEG scan references missing "
+                                          "tables")
+            s = _huff_decode(br, dc_tree)
+            diff = _jpeg_extend(br.bits(s), s) if s else 0
+            preds[cid] += diff
+            zz = [0] * 64
+            zz[0] = preds[cid] * qt[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tree)
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise NotImplementedError("bad JPEG AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise NotImplementedError("JPEG AC index overflow")
+                zz[k] = _jpeg_extend(br.bits(size), size) * qt[k]
+                k += 1
+            coef = np.zeros(64)
+            for pos, nat in enumerate(_JPEG_ZIGZAG):
+                coef[nat] = zz[pos]
+            blk = cmat.T @ coef.reshape(8, 8) @ cmat + 128.0
+            planes[cid][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+    lum_id = sel[0][0]
+    y = np.clip(np.rint(planes[lum_id][:h, :w]), 0, 255)
+    return {"format": "jpeg", "width": w, "height": h,
+            "mean_luminance": float(y.mean())}
+
+
+def with_jpeg_payload(df: DataFrame, text_col: str = "text",
+                      out_col: str = "jpeg_payload",
+                      max_bytes: int = 64) -> DataFrame:
+    """Demo helper for the REAL DCT/Huffman decode path: wrap the first
+    ``max_bytes`` UTF-8 bytes of text as CONSTANT 8×8 tiles (one tile
+    per byte, width 8, quant=1) in a baseline JPEG, Arrow-batched;
+    empty texts get NULL. A constant tile's DCT is an integer DC with
+    zero AC, so quant=1 round-trips exactly and the decoded mean equals
+    the byte mean the oracle derives from the text — the same
+    hash-matching trick as the BMP/PNG/GIF legs, but through a real
+    entropy-coded lossy-format pipeline."""
+    id_col = "doc_id"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            if not raw:
+                return None
+            tiles = bytearray()
+            for v in raw:
+                tiles.extend(bytes([v]) * 64)
+            return encode_jpeg_gray(bytes(tiles), width=8)
 
         for pdf in batches:
             yield pd.DataFrame({id_col: pdf[id_col],

@@ -2216,3 +2216,199 @@ def test_lexical_index_compact_preserves_search(spark, tmp_path):
     assert after == before and after
     # doclen compacted to one file at this size
     assert count_data_files(spark, idx + "/doclen") == 1
+
+
+def _independent_jpeg_gray(px: bytes, w: int) -> bytes:
+    """Reference baseline-JPEG encoder written independently of
+    multimodal.py: own zigzag (programmatic diagonal walk), own DCT
+    (explicit cosine double sum), own bit packer, own canonical Huffman
+    assignment. Decoding ITS stream catches transcription slips
+    (zigzag order, extend/category rules, stuffing) that an
+    encode-with-the-same-constants round trip would cancel out."""
+    import math
+
+    h = len(px) // w
+    # zigzag: diagonals s=r+c; even s walks bottom-up, odd s top-down
+    zig = []
+    for s in range(15):
+        rng = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for r in rng:
+            c = s - r
+            if r < 8 and c < 8:
+                zig.append(r * 8 + c)
+
+    def dct(block):
+        out = [[0.0] * 8 for _ in range(8)]
+        for u in range(8):
+            for v in range(8):
+                acc = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        acc += (block[x][y]
+                                * math.cos((2 * x + 1) * u * math.pi / 16)
+                                * math.cos((2 * y + 1) * v * math.pi / 16))
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                out[u][v] = acc * cu * cv / 4
+        return out
+
+    from dataops_testgen_spark.pipeline import multimodal as MM
+    dc = MM._jpeg_canonical_codes(MM._JPEG_DC_BITS, MM._JPEG_DC_VALS)
+    ac = MM._jpeg_canonical_codes(MM._JPEG_AC_BITS, MM._JPEG_AC_VALS)
+    bits = []
+
+    def put(v, n):
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = [[px[(by * 8 + r) * w + bx * 8 + c] - 128
+                    for c in range(8)] for r in range(8)]
+            coef = dct(blk)
+            zz = [round(coef[k // 8][k % 8]) for k in zig]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = abs(diff).bit_length() if diff else 0
+            put(*dc[s])
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = [i for i in range(1, 64) if zz[i]]
+            last = nz[-1] if nz else 0
+            for i in range(1, last + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    put(*ac[0xF0])
+                    run -= 16
+                s = abs(zz[i]).bit_length()
+                put(*ac[(run << 4) | s])
+                put(zz[i] if zz[i] > 0 else zz[i] + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                put(*ac[0x00])
+    while len(bits) % 8:
+        bits.append(1)
+    body = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i:i + 8])), 2)
+        body.append(byte)
+        if byte == 0xFF:
+            body.append(0x00)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([1] * 64))
+            + seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(MM._JPEG_DC_BITS)
+                  + bytes(MM._JPEG_DC_VALS) + bytes([0x10])
+                  + bytes(MM._JPEG_AC_BITS) + bytes(MM._JPEG_AC_VALS))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes(body) + b"\xff\xd9")
+
+
+def test_jpeg_codec_roundtrip():
+    """REAL DCT/Huffman decode: baseline JPEG round-trips — constant
+    8x8 tiles EXACTLY (integer DC, zero AC at quant=1), arbitrary gray
+    rasters within rounding at quant=1, odd dimensions cropped right —
+    and the decoder reproduces a stream built by an INDEPENDENT
+    encoder (own zigzag/DCT/bit packer). Progressive and truncated
+    streams raise."""
+    import random
+
+    # constant tiles: exact (the property the driver oracle relies on)
+    raw = bytes(range(0, 256, 3))
+    tiles = b"".join(bytes([v]) * 64 for v in raw)
+    d = multimodal.decode_image(multimodal.encode_jpeg_gray(tiles, width=8))
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 8, 8 * len(raw))
+    assert d["mean_luminance"] == sum(raw) / len(raw)
+
+    # arbitrary rasters at quant=1: mean within coefficient rounding
+    rng = random.Random(5)
+    for w, h in [(8, 8), (24, 16), (13, 9), (40, 6)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        d = multimodal.decode_image(
+            multimodal.encode_jpeg_gray(px, width=w))
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_luminance"] - sum(px) / len(px)) < 1.5, (w, h)
+
+    # independent-encoder cross-check: 16x16 random image
+    px = bytes(rng.randrange(256) for _ in range(16 * 16))
+    d = multimodal.decode_image(_independent_jpeg_gray(px, 16))
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 16, 16)
+    assert abs(d["mean_luminance"] - sum(px) / len(px)) < 1.5
+
+    # header parse agrees on dimensions without decoding
+    jp = multimodal.encode_jpeg_gray(px, width=16)
+    hd = multimodal.parse_media_header(jp)
+    assert (hd["width"], hd["height"]) == (16, 16)
+
+    # higher quant stays lossy-but-sane on the mean
+    dq = multimodal.decode_image(
+        multimodal.encode_jpeg_gray(px, width=16, quant=16))
+    assert abs(dq["mean_luminance"] - sum(px) / len(px)) < 4.0
+
+    # progressive (SOF2) raises, truncated entropy stream raises
+    prog = bytearray(jp)
+    prog[prog.index(b"\xff\xc0", 2) + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(prog))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(jp[:len(jp) // 2])
+
+
+def test_jpeg_color_444_luminance():
+    """A hand-built 3-component 4:4:4 baseline JPEG (one MCU, constant
+    Y/Cb/Cr blocks sharing the luminance tables) decodes to
+    mean_luminance == the Y value — the decoder reports the PHOTOMETRIC
+    mean for color files, and subsampled streams raise."""
+    from dataops_testgen_spark.pipeline import multimodal as MM
+
+    dc = MM._jpeg_canonical_codes(MM._JPEG_DC_BITS, MM._JPEG_DC_VALS)
+    ac = MM._jpeg_canonical_codes(MM._JPEG_AC_BITS, MM._JPEG_AC_VALS)
+    bw = MM._BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for cid, v in ((1, 100), (2, 128), (3, 128)):
+        dcv = 8 * (v - 128)
+        diff = dcv - pred[cid]
+        pred[cid] = dcv
+        s = abs(diff).bit_length() if diff else 0
+        code, length = dc[s]
+        bw.put(code, length)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        code, length = ac[0x00]
+        bw.put(code, length)
+    body = bw.finish()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    sof = (bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+           + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    jp = (b"\xff\xd8"
+          + seg(0xDB, bytes([0]) + bytes([1] * 64))
+          + seg(0xC0, sof)
+          + seg(0xC4, bytes([0x00]) + bytes(MM._JPEG_DC_BITS)
+                + bytes(MM._JPEG_DC_VALS) + bytes([0x10])
+                + bytes(MM._JPEG_AC_BITS) + bytes(MM._JPEG_AC_VALS))
+          + seg(0xDA, sos)
+          + body + b"\xff\xd9")
+    d = multimodal.decode_image(jp)
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 8, 8)
+    assert d["mean_luminance"] == 100.0
+    # 4:2:0 subsampling raises rather than mis-decoding
+    sub = bytearray(jp)
+    i = sub.index(b"\xff\xc0", 2)
+    sub[i + 11] = 0x22          # Y sampling 2x2
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(sub))
