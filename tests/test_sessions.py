@@ -358,3 +358,61 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert set(got) == set(want) and got
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_asof_join_fuzz_vs_merge_asof(spark):
+    """Property fuzz of all three directions against pandas merge_asof:
+    random keys/timestamps, NULL right payloads, duplicate left
+    timestamps, and tolerance windows — one deterministic seed sweep
+    (hypothesis-style without per-example Spark jobs: 6 seeded corpora,
+    3 directions, 2 tolerance settings = 36 cross-checks)."""
+    import random
+
+    import pandas as pd
+
+    from dataops_testgen_spark.pipeline.sessions import asof_join
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        lrows = [(i, rng.randint(1, 4),
+                  _ts(rng.randint(0, 59), rng.choice([0, 15, 30, 45])))
+                 for i in range(40)]
+        # unique (key, ts) right rows; ~1/3 NULL payloads
+        rkeys = {(rng.randint(1, 4),
+                  _ts(rng.randint(0, 59), rng.choice([0, 30])))
+                 for _ in range(25)}
+        rrows = [(k, ts,
+                  None if rng.random() < 0.34 else float(rng.randint(0, 99)))
+                 for k, ts in rkeys]
+        left = spark.createDataFrame(
+            lrows, "event_id long, user_id long, ts timestamp")
+        right = spark.createDataFrame(
+            rrows, "user_id long, ts timestamp, value double")
+        lp = left.toPandas().sort_values("ts")
+        rp = right.toPandas().sort_values("ts")
+        rp["rts"] = rp["ts"]          # carry the matched right timestamp
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 10.0):
+                got = {r["event_id"]: r for r in asof_join(
+                    left, right, right_cols=["value"],
+                    direction=direction,
+                    tolerance_minutes=tol).collect()}
+                ref = pd.merge_asof(
+                    lp, rp, on="ts", by="user_id", direction=direction,
+                    tolerance=None if tol is None
+                    else pd.Timedelta(minutes=tol))
+                for r in ref.itertuples():
+                    want = None if pd.isna(r.value) else float(r.value)
+                    g = got[int(r.event_id)]
+                    assert g["value_right"] == want, (
+                        seed, direction, tol, r.event_id)
+                    # matched timestamp agrees too (NULL-payload rows
+                    # must match on ts even when value is NULL)
+                    want_ts = None if pd.isna(r.rts) else r.rts
+                    got_ts = g["ts_right"]
+                    if want_ts is None:
+                        assert got_ts is None, (seed, direction, tol,
+                                                r.event_id)
+                    else:
+                        assert got_ts == want_ts.to_pydatetime(), (
+                            seed, direction, tol, r.event_id)

@@ -655,3 +655,62 @@ def test_lexical_index_sink_crash_window_idempotent(spark, tmp_path):
     ctl = sorted(map(tuple,
                      bm25_index_topk(spark, qs, control, k=10).collect()))
     assert got == ctl and got
+
+
+def test_streaming_sessionize_multichunk_group(spark, tmp_path):
+    """One actor's micro-batch spanning MULTIPLE Arrow chunks delivered
+    in arbitrary (here: reverse-time) order must still fold sessions
+    correctly: the fold materializes and sorts the WHOLE group before
+    folding (r6 ADVICE — per-chunk sorts let state move backward in
+    time and split/merge sessions wrongly). Forced by writing the
+    events newest-first and shrinking arrow.maxRecordsPerBatch to 2."""
+    import datetime as dt
+
+    from dataops_testgen_spark.pipeline.sessions import session_stats
+    from dataops_testgen_spark.streaming.monitors import (
+        streaming_sessionize)
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: three sessions (gaps at >=30 min), 12 events total
+    rows = []
+    minute = 0
+    for burst, n in enumerate((5, 4, 3)):
+        for k in range(n):
+            rows.append((len(rows), 1, base + dt.timedelta(
+                minutes=minute), float(burst * 10 + k)))
+            minute += 5
+        minute += 40                       # close the session
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    src = str(tmp_path / "rev_src")
+    # newest-first file order -> reverse-time Arrow chunks
+    events.orderBy(F.col("ts").desc()).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = streaming_sessionize(
+            spark.readStream.schema(events.schema).parquet(src))
+        q = (out.writeStream.format("memory").queryName("sess_chunks")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       prev)
+    got = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"]):
+           r["total_value"]
+           for r in spark.sql("select * from sess_chunks").collect()}
+    # expected: the batch sessionizer's CLOSED sessions (all but the last)
+    full = sorted(session_stats(events).collect(),
+                  key=lambda r: r["session_idx"])
+    want = {}
+    for r in full[:-1]:
+        key = (r["user_id"],
+               int(r["start_ts"].timestamp() * 1_000_000),
+               int(r["end_ts"].timestamp() * 1_000_000),
+               r["n_events"])
+        want[key] = r["total_value"]
+    assert got == want and len(got) == 2
