@@ -1105,6 +1105,41 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_join})"""
 
 
+def q_verified_near_dups_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection (pipeline/dedup.py
+    verified_near_dups): MinHash-LSH candidates verified by EXACT
+    k-shingle Jaccard computed only on the candidate pairs — the
+    production composition that replaces the all-pairs co-shingle
+    expansion. Threshold 0.1 keeps enough verified pairs at every SF."""
+    docs = _load(spark, sf_dir, "documents")
+    out = DD.verified_near_dups(docs, num_hashes=_MINHASH_K,
+                                bands=_MINHASH_BANDS, threshold=0.1)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 5).alias("jaccard"))
+
+
+def _sql_verified_near_dups() -> str:
+    # candidates = the EXISTING minhash oracle as a CTE; verification =
+    # exact jaccard of the two docs' distinct shingle sets
+    return rf"""
+WITH cand AS MATERIALIZED ({_sql_minhash()}),
+vt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM documents WHERE trim(text) <> ''),
+shd AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM vt WHERE len(toks) >= 3)
+SELECT id_a, id_b, ROUND(j, 5) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s))::DOUBLE
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+  FROM cand c
+  JOIN shd sa ON c.id_a = sa.doc_id
+  JOIN shd sb ON c.id_b = sb.doc_id)
+WHERE j >= 0.1"""
+
+
 def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-LSH-index cross-run dedup (pipeline/dedup.py
     minhash_index_append/probe): the even-doc_id half of the corpus is
@@ -4473,6 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unit, stamped-append index layouts, the new BPE hash oracle,
         # SemDeDup boundary probe) plus the NEW r7 trigram gate ---
         "trigram_lm_documents": q_trigram_lm_documents,
+        "verified_near_dups_documents": q_verified_near_dups_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4699,4 +4735,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report_documents": _sql_corpus_report(),
         "bpe_merges_documents": _sql_bpe_merges(),
         "trigram_lm_documents": _SQL_TRIGRAM_LM,
+        "verified_near_dups_documents": _sql_verified_near_dups(),
     }

@@ -117,6 +117,43 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     )
 
 
+def verified_near_dups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 16, bands: int = 4,
+                       threshold: float = 0.5,
+                       candidates: DataFrame | None = None) -> DataFrame:
+    """PRODUCTION two-stage near-duplicate detection: LSH candidate
+    generation (``minhash_lsh_candidates``, or any caller-provided
+    (id_a, id_b) shortlist — e.g. ``minhash_index_probe`` pairs) followed
+    by EXACT k-shingle Jaccard verification computed ONLY on the
+    candidate pairs. Returns (id_a, id_b, jaccard) with jaccard >=
+    ``threshold``.
+
+    This is the composition that retires ``ngram_jaccard_pairs``'s
+    superlinear co-shingle pair expansion at scale: the exact math runs
+    per CANDIDATE (two id-equi-joins against the per-doc distinct-shingle
+    relation, then one JVM-side ``array_intersect`` per pair — O(|A|+|B|)
+    per candidate), so total work is O(candidates · shingles-per-doc)
+    instead of O(hottest-shingle²). Recall equals the LSH stage's (a
+    pair no band catches is never verified — raise num_hashes/bands for
+    recall); precision is EXACT (every emitted jaccard is the true
+    set Jaccard, not the minhash estimate)."""
+    cand = (candidates.select("id_a", "id_b") if candidates is not None
+            else minhash_lsh_candidates(df, text_col, id_col, k,
+                                        num_hashes, bands))
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.array_distinct(shingles(F.col(text_col), k))
+                   .alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    (inter.cast("double") / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= F.lit(float(threshold))))
+
+
 def minhash_index_append(df: DataFrame, index_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          k: int = 3, num_hashes: int = 16,

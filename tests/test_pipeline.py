@@ -2488,3 +2488,28 @@ def test_flac_codec_roundtrip():
         _decode_flac_samples(bytes(st))
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"\xffnotflac")
+
+
+def test_verified_near_dups_composition(spark, sf_dir):
+    """verified_near_dups == the exact ngram-Jaccard pairs RESTRICTED to
+    the LSH candidate set (two-stage = candidate generation x exact
+    verification, nothing more, nothing less), and a caller-provided
+    shortlist is honored verbatim."""
+    from dataops_testgen_spark.pipeline import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in DD.verified_near_dups(docs, threshold=0.1).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_candidates(docs).collect()}
+    exact = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    want = {t for t in exact if (t[0], t[1]) in cand}
+    assert got == want and got
+    # exact verification can only DROP candidates, never add pairs
+    assert {(a, b) for a, b, _ in got} <= cand
+    # caller-provided shortlist is used verbatim (no LSH re-run)
+    two = spark.createDataFrame(sorted(cand)[:2], "id_a long, id_b long")
+    sub = DD.verified_near_dups(docs, threshold=0.0, candidates=two)
+    assert {(r["id_a"], r["id_b"]) for r in sub.collect()} \
+        == set(map(tuple, two.collect()))
