@@ -1622,6 +1622,63 @@ SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rank::INT AS rank
 FROM r WHERE rank <= 5"""
 
 
+def q_hybrid_search_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (retrieval.rrf_fuse,
+    Cormack et al. 2009): fuse the BM25 lexical top-10 (the 3 probe
+    queries) with the exact-cosine vector top-10 (each query's vector =
+    the embedding of the same id) — rank-based fusion, no score
+    calibration, the standard production hybrid-search recipe. Output:
+    (query_id, doc_id, rrf_score, rank)."""
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id: int, query_text: string")
+    lex = RET.bm25_topk(docs, qs, k=10).select("query_id", "id", "rnk") \
+        .withColumnRenamed("rnk", "rank")
+    qids = [q[0] for q in _BM25_QUERIES]
+    qv = emb.filter(F.col("vec_id").isin(qids)) \
+        .withColumn("vec_id", F.col("vec_id").cast("int"))
+    vec = SIM.brute_force_topk(emb, qv, k=10).select(
+        "query_id", F.col("neighbor_id").alias("id"), "rank")
+    out = RET.rrf_fuse([lex, vec], k=10)
+    return out.select("query_id", F.col("id").alias("doc_id"),
+                      F.round("rrf_score", 9).alias("rrf_score"), "rank")
+
+
+def _sql_hybrid_search() -> str:
+    qids = ", ".join(str(q[0]) for q in _BM25_QUERIES)
+    return rf"""
+WITH lexr AS MATERIALIZED ({_sql_bm25_topk()}),
+vq AS (SELECT vec_id::INT AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN ({qids})),
+vp AS (SELECT vq.query_id, e.vec_id AS neighbor_id,
+              UNNEST(vq.qe)::DOUBLE AS xa, UNNEST(e.embedding)::DOUBLE AS xb
+       FROM vq, embeddings e WHERE e.vec_id <> vq.query_id),
+vs AS (SELECT query_id, neighbor_id,
+              SUM(xa*xb)/NULLIF(SQRT(SUM(xa*xa))*SQRT(SUM(xb*xb)), 0) AS cos
+       FROM vp GROUP BY query_id, neighbor_id),
+vr AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM vs QUALIFY rank <= 10),
+u AS (SELECT query_id, doc_id AS id, 0 AS src, 1.0/(60 + rnk) AS c
+        FROM lexr
+      UNION ALL
+      SELECT query_id, neighbor_id AS id, 1 AS src, 1.0/(60 + rank) AS c
+        FROM vr),
+f AS (SELECT query_id, id,
+             list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS rrf
+        FROM u GROUP BY query_id, id)
+SELECT query_id, id AS doc_id, ROUND(rrf, 9) AS rrf_score, rank::INT AS rank
+FROM (SELECT query_id, id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, id) AS rank
+      FROM f)
+WHERE rank <= 10"""
+
+
 def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing + (r6) a REAL decode leg: the first 64 text
     bytes are wrapped as gray pixels in an uncompressed 24-bit BMP
@@ -4509,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup boundary probe) plus the NEW r7 trigram gate ---
         "trigram_lm_documents": q_trigram_lm_documents,
         "verified_near_dups_documents": q_verified_near_dups_documents,
+        "hybrid_search_documents": q_hybrid_search_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4736,4 +4794,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_documents": _sql_bpe_merges(),
         "trigram_lm_documents": _SQL_TRIGRAM_LM,
         "verified_near_dups_documents": _sql_verified_near_dups(),
+        "hybrid_search_documents": _sql_hybrid_search(),
     }

@@ -248,6 +248,36 @@ def minhash_index_probe(df: DataFrame, index_dir: str,
             .select("id_a", "id_b", est.alias("est_jaccard")))
 
 
+def minhash_index_compact(spark, index_dir: str,
+                          rows_per_file: int = 2_000_000) -> int:
+    """Compact the MinHash index after many appends — the dedup twin of
+    ``ann_index_compact``/``lexical_index_compact``: every append (or
+    streaming micro-batch) adds a file set, so thousands of increments
+    make probes pay the small-files tax. Rewrites signatures and bands
+    to ~``rows_per_file`` rows per file, history collapsed into the
+    reserved ``batch_id=-1`` partition (the stamped-append layout stays
+    intact for later appends), each swapped in via the shared staged
+    rename (crash leaves old or new intact, never neither). Returns the
+    total data-file count after compaction."""
+    import posixpath
+
+    from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,
+                                             count_data_files, staged_swap)
+
+    total = 0
+    for rel in ("signatures", "bands"):
+        path = posixpath.join(index_dir, rel)
+        df = spark.read.parquet(path) \
+            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        parts = max(1, -(-df.count() // rows_per_file))
+        tmp = path + "__compacting"
+        (df.repartition(parts)
+           .write.mode("overwrite").partitionBy("batch_id").parquet(tmp))
+        staged_swap(spark, path, tmp)
+        total += count_data_files(spark, path)
+    return total
+
+
 def exact_index_append(df: DataFrame, index_dir: str,
                        text_col: str = "text", id_col: str = "doc_id") -> None:
     """Append a batch's content hashes to a persisted EXACT-dedup index —

@@ -242,3 +242,47 @@ def lexical_index_compact(spark, index_dir: str,
        .write.mode("overwrite").partitionBy("batch_id").parquet(tmp_dl))
     staged_swap(spark, doclen_path, tmp_dl)
     return count_data_files(spark, postings_path)
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    standard production recipe for HYBRID retrieval (fuse a lexical
+    BM25 ranking with a vector ANN ranking without score calibration):
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_d)
+
+    Each input carries (query_id, id, rank); a document absent from a
+    list simply contributes nothing (the rank-based form needs no score
+    normalization across heterogeneous retrievers — BM25 scores and
+    cosines never mix). Returns the top ``k`` per query as
+    (query_id, id, rrf_score, rank), ties broken by id ASC.
+
+    Engine-exact determinism: per-(query, doc) contributions fold in
+    LIST-INDEX order (array_sort over (src, c) structs + F.aggregate),
+    the same canonical-fold trick as BM25's term-sorted sum, so the
+    double additions happen in one fixed order in any engine.
+
+    100 TB shape: inputs are already top-k-per-query (candidate
+    cardinality); the fuse is one groupBy on (query, doc) plus one
+    per-query window — never touches corpus relations."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [r.select("query_id", "id", F.lit(i).alias("src"),
+                      (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank")))
+                      .alias("c"))
+             for i, r in enumerate(rankings)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = (u.groupBy("query_id", "id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct(F.col("src"), F.col("c")))).alias("parts"))
+              .select("query_id", "id",
+                      F.aggregate("parts", F.lit(0.0),
+                                  lambda acc, p: acc + p["c"])
+                      .alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("id").asc())
+    return (scored.select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k))

@@ -47,6 +47,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # new in r7
     "trigram_lm_documents",
     "verified_near_dups_documents",
+    "hybrid_search_documents",
     # changed or newly hash-oracled in r7
     "bpe_merges_documents",        # gained the unrolled-CTE DuckDB oracle
     "asof_join_events",            # struct-packet carry (NULL right values)

@@ -1758,6 +1758,13 @@ def test_minhash_index_incremental_equals_oneshot(spark, tmp_path):
     again = {(r["id_a"], r["id_b"]) for r in
              dedup.minhash_index_probe(b, idx).collect()}
     assert again == {(r["id_a"], r["id_b"]) for r in probed}
+    # compaction collapses the per-append file sets; probes unchanged
+    import glob
+    before = len(glob.glob(idx + "/*/**/*.parquet", recursive=True))
+    after = dedup.minhash_index_compact(spark, idx)
+    assert after < before
+    assert {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_index_probe(b, idx).collect()} == again
 
 
 def test_pq_encode_and_topk_semantics(spark):
@@ -2513,3 +2520,39 @@ def test_verified_near_dups_composition(spark, sf_dir):
     sub = DD.verified_near_dups(docs, threshold=0.0, candidates=two)
     assert {(r["id_a"], r["id_b"]) for r in sub.collect()} \
         == set(map(tuple, two.collect()))
+
+
+def test_rrf_fuse_hand_check(spark):
+    """Reciprocal-rank fusion semantics: a doc in both lists sums both
+    reciprocal ranks, single-list docs contribute one term, ties break
+    by id, k cuts per query, empty input raises."""
+    from dataops_testgen_spark.pipeline.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id int, id long, rank int")
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1)],
+        "query_id int, id long, rank int")
+    out = {(r["query_id"], r["id"]): r
+           for r in rrf_fuse([lex, vec], k=3).collect()}
+    # doc 11: 1/62 + 1/61 beats doc 10's 1/61 alone
+    assert out[(1, 11)]["rank"] == 1
+    assert out[(1, 11)]["rrf_score"] == 1 / 62 + 1 / 61
+    assert out[(1, 10)]["rank"] == 2
+    assert out[(1, 10)]["rrf_score"] == 1 / 61
+    # doc 12 (1/63) vs doc 13 (1/62): 13 wins
+    assert out[(1, 13)]["rank"] == 3
+    assert (1, 12) not in out                  # k=3 cut
+    assert out[(2, 20)]["rrf_score"] == 2 / 61 and out[(2, 20)]["rank"] == 1
+    # equal scores tie-break by id ASC
+    tie = spark.createDataFrame([(1, 5, 1), (1, 3, 1)],
+                                "query_id int, id long, rank int")
+    pair = spark.createDataFrame([(1, 5, 1)],
+                                 "query_id int, id long, rank int")
+    ranks = {r["id"]: r["rank"]
+             for r in rrf_fuse([tie.filter("id=3"), pair], k=5).collect()}
+    assert ranks == {3: 1, 5: 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rrf_fuse([])
