@@ -944,8 +944,47 @@ def cmd_corpus_search(args) -> int:
     """Top-k search over a persisted index: BM25 over the lexical index
     by default; with --ann, two-stage vector retrieval (ann_index_probe
     shortlist from the IVFADC index, then rerank_exact over the true
-    vectors) — the production ANN shape as a user surface."""
+    vectors); with --hybrid, BOTH retrievers fused by reciprocal rank
+    (retrieval.rrf_fuse — needs --query for the lexical leg plus
+    --ann-index/--vectors/--query-id for the vector leg)."""
     spark = _spark()
+    if args.hybrid:
+        from pyspark.sql import functions as F
+
+        from dataops_testgen_spark.pipeline.retrieval import (
+            bm25_index_topk, rrf_fuse)
+        from dataops_testgen_spark.pipeline.similarity import (
+            ann_index_probe, rerank_exact)
+
+        if (not args.query or not args.ann_index or not args.vectors
+                or args.query_id is None):
+            print("corpus-search --hybrid needs --query, --ann-index, "
+                  "--vectors and --query-id")
+            return 2
+        qs = spark.createDataFrame([(1, args.query)],
+                                   "query_id long, query_text string")
+        lex = (bm25_index_topk(spark, qs, args.index_dir, k=args.k,
+                               n_buckets=args.buckets)
+               .select("query_id", "id", F.col("rnk").alias("rank")))
+        vecs = spark.read.parquet(args.vectors)
+        queries = vecs.filter(F.col(args.id_col) == args.query_id)
+        if queries.isEmpty():
+            print(f"query id {args.query_id} not found in {args.vectors}")
+            return 2
+        shortlist = ann_index_probe(queries, args.ann_index,
+                                    k=args.shortlist, nprobe=args.nprobe,
+                                    vec_col=args.vec_col,
+                                    id_col=args.id_col)
+        vec = (rerank_exact(vecs, shortlist.select("query_id",
+                                                   "neighbor_id"),
+                            queries=queries, k=args.k,
+                            vec_col=args.vec_col, id_col=args.id_col)
+               .select(F.lit(1).cast("long").alias("query_id"),
+                       F.col("neighbor_id").alias("id"), "rank"))
+        out = rrf_fuse([lex, vec], k=args.k)
+        for r in out.orderBy("rank").collect():
+            print(f"{r['rank']:>3}  {r['rrf_score']:>10.6f}  {r['id']}")
+        return 0
     if args.ann:
         from pyspark.sql import functions as F
 
@@ -1343,6 +1382,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ann", action="store_true",
                    help="two-stage vector search (IVFADC shortlist + "
                         "exact re-rank) instead of BM25")
+    p.add_argument("--hybrid", action="store_true",
+                   help="fuse BM25 (--index-dir) and vector "
+                        "(--ann-index) rankings by reciprocal rank")
+    p.add_argument("--ann-index", default="",
+                   help="[--hybrid] IVFADC index dir for the vector leg")
     p.add_argument("--vectors", default="",
                    help="[--ann] parquet holding the true vectors")
     p.add_argument("--query-id", type=int, default=None,

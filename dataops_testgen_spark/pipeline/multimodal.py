@@ -690,6 +690,11 @@ def with_gif_payload(df: DataFrame, text_col: str = "text",
     (``encode_gif_gray``, real LZW compression), Arrow-batched; empty
     texts get NULL. The palette maps index i to (i,i,i), so the decoded
     mean equals the byte mean the oracle derives from the text."""
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # codec work is compute-bound: a small-file scan would pin
+    # every encode+decode to one task while the cluster idles
+    df = ensure_parallelism(df)
     id_col = "doc_id"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1124,6 +1129,11 @@ def with_jpeg_payload(df: DataFrame, text_col: str = "text",
     the byte mean the oracle derives from the text — the same
     hash-matching trick as the BMP/PNG/GIF legs, but through a real
     entropy-coded lossy-format pipeline."""
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # codec work is compute-bound: a small-file scan would pin
+    # every encode+decode to one task while the cluster idles
+    df = ensure_parallelism(df)
     id_col = "doc_id"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1495,6 +1505,11 @@ def with_flac_payload(df: DataFrame, text_col: str = "text",
     so the decoded mean_amplitude equals the text's byte mean − 128 —
     oracle-derivable like every other leg, but through an
     entropy-coded audio format."""
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # codec work is compute-bound: a small-file scan would pin
+    # every encode+decode to one task while the cluster idles
+    df = ensure_parallelism(df)
     id_col = "doc_id"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -734,3 +734,34 @@ def test_null_safe_bucketed_referential_run(spark, tmp_path):
             query_test_detail(tables, td2, struct_keys=skeys).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_hybrid_search_cli(spark, tmp_path, capsys):
+    """corpus-search --hybrid fuses the lexical-index BM25 ranking with
+    the ANN-index two-stage vector ranking by reciprocal rank: top-k
+    printed with fused scores; a doc ranked by BOTH legs outranks a doc
+    of either single leg with the same best rank."""
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    vectors = "/root/testdata/sf0.001/embeddings.parquet"
+    lex_idx = str(tmp_path / "hy_lex")
+    ann_idx = str(tmp_path / "hy_ann")
+    assert main(["corpus-index", "--corpus", corpus,
+                 "--index-dir", lex_idx]) == 0
+    assert main(["vector-index", "--vectors", vectors,
+                 "--index-dir", ann_idx, "--cells", "8"]) == 0
+    capsys.readouterr()
+    assert main(["corpus-search", "--hybrid", "--index-dir", lex_idx,
+                 "--ann-index", ann_idx, "--vectors", vectors,
+                 "--query", "spark shuffle window", "--query-id", "7",
+                 "-k", "5"]) == 0
+    lines = [ln.split() for ln in capsys.readouterr().out.splitlines()
+             if ln.strip() and ln.split()[0].isdigit()]
+    assert len(lines) == 5
+    scores = [float(l[1]) for l in lines]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    # fused scores are sums of reciprocal ranks: bounded by 2/(60+1)
+    assert all(sc <= 2 / 61 + 1e-12 for sc in scores)
+    # missing legs exit 2
+    assert main(["corpus-search", "--hybrid",
+                 "--index-dir", lex_idx]) == 2
+    capsys.readouterr()
