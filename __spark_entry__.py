@@ -4567,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_lm_documents": q_trigram_lm_documents,
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
+        "multimodal_features_documents": q_multimodal_features_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4658,7 +4659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "multimodal_features_documents": q_multimodal_features_documents,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "freshness_threshold_events": q_freshness_threshold_events,
         "validation_prepass": q_validation_prepass,

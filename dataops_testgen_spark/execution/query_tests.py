@@ -109,14 +109,25 @@ def aggregate_balance(
     """
     if struct_key_col is not None:
         gk = struct_key_col
-        left = _subset(df, subset_condition).groupBy(gk) \
-            .agg(total_expr.alias("total"))
-        if having_condition:
-            left = left.filter(F.expr(having_condition))
-        right = _subset(match_df, match_subset_condition).groupBy(gk) \
-            .agg(match_total_expr.alias("match_total"))
-        if match_having_condition:
-            right = right.filter(F.expr(match_having_condition))
+
+        def _grouped(src, sub, total, alias, keys, having):
+            g = _subset(src, sub).groupBy(gk).agg(total.alias(alias))
+            if having:
+                # having may reference the group-key COLUMNS (the raw
+                # path exposes them): project them out of the struct for
+                # the filter, then drop them so the join output carries
+                # each side's columns unambiguously
+                g = (g.select(gk, alias,
+                              *[F.col(gk)[f"k{i}"].alias(k)
+                                for i, k in enumerate(keys)])
+                     .filter(F.expr(having)).select(gk, alias))
+            return g
+
+        left = _grouped(df, subset_condition, total_expr, "total",
+                        groupby_names, having_condition)
+        right = _grouped(match_df, match_subset_condition,
+                         match_total_expr, "match_total",
+                         match_groupby_names, match_having_condition)
         j = left.join(right, left[gk] == right[gk], "full_outer")
         key = F.coalesce(left[gk], right[gk])
         joined = j.select(

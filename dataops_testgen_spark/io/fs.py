@@ -53,14 +53,27 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     max(existing)+1 — a partition-column-only aggregate, file listing
     but no data I/O. Compaction collapses history into the reserved
     ``COMPACTED_BATCH_ID`` (−1); live batch ids start at 0. Returns the
-    id used."""
+    id used.
+
+    A relation written by the pre-stamped layout (plain appends, no
+    ``batch_id`` partition) is rejected with a migration hint — writing
+    stamped partitions next to root-level files would leave a mixed
+    layout parquet partition discovery cannot read. The family's
+    ``*_index_compact`` IS the migration: it reads either layout and
+    rewrites everything under ``batch_id=-1``."""
     spark = df.sparkSession
-    if batch_id is None:
-        batch_id = 0
-        if path_exists(spark, path):
+    if path_exists(spark, path):
+        if "batch_id" not in spark.read.parquet(path).columns:
+            raise ValueError(
+                f"{path} uses the legacy un-stamped index layout; run the "
+                "index family's *_index_compact once to migrate it to the "
+                "batch-stamped layout before appending")
+        if batch_id is None:
             mx = spark.read.parquet(path).agg(
                 F.max("batch_id").alias("m")).first()["m"]
             batch_id = (mx if mx is not None else -1) + 1
+    if batch_id is None:
+        batch_id = 0
     (df.withColumn("batch_id", F.lit(int(batch_id)))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

@@ -257,8 +257,8 @@ def minhash_index_compact(spark, index_dir: str,
     to ~``rows_per_file`` rows per file, history collapsed into the
     reserved ``batch_id=-1`` partition (the stamped-append layout stays
     intact for later appends), each swapped in via the shared staged
-    rename (crash leaves old or new intact, never neither). Returns the
-    total data-file count after compaction."""
+    rename (crash leaves old or new intact, never neither). Run compaction in a maintenance window with the index's streaming sink STOPPED AND RECOVERED: if a sink crashed between its last append and marker write, compacting before the re-delivered batch replays would fold the unmarked rows into batch_id=-1 and the replay would then re-add them (the one sequence that can still duplicate).
+    Returns the total data-file count after compaction."""
     import posixpath
 
     from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,

@@ -682,35 +682,49 @@ def extract_audio_features(df: DataFrame,
             .mapInPandas(run, AUDIO_SCHEMA))
 
 
+def _encoded_payload(df: DataFrame, enc, out_col: str,
+                     text_col: str = "text",
+                     max_bytes: int = 64,
+                     parallelize: bool = False) -> DataFrame:
+    """Shared shape of every ``with_*_payload`` demo builder: take the
+    first ``max_bytes`` UTF-8 bytes of text, run ``enc(raw_bytes)``
+    through an Arrow-batched ``mapInPandas`` (NULL text / empty bytes →
+    NULL payload). ``parallelize=True`` spreads a small-file scan first —
+    for the compute-bound codec encoders, a one-file corpus would
+    otherwise pin every encode+decode to one task."""
+    id_col = "doc_id"
+    if parallelize:
+        from dataops_testgen_spark.session import ensure_parallelism
+
+        df = ensure_parallelism(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")[:max_bytes]
+            return enc(raw) if raw else None
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                out_col: pdf[text_col].map(one)})
+
+    schema = T.StructType([T.StructField(id_col, T.LongType()),
+                           T.StructField(out_col, T.BinaryType())])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def with_gif_payload(df: DataFrame, text_col: str = "text",
                      out_col: str = "gif_payload",
                      max_bytes: int = 64) -> DataFrame:
     """Demo helper for the LZW decode path: wrap the first ``max_bytes``
     UTF-8 bytes of text as gray-palette pixels in a single-frame GIF
-    (``encode_gif_gray``, real LZW compression), Arrow-batched; empty
-    texts get NULL. The palette maps index i to (i,i,i), so the decoded
-    mean equals the byte mean the oracle derives from the text."""
-    from dataops_testgen_spark.session import ensure_parallelism
+    (``encode_gif_gray``, real LZW compression). The palette maps index
+    i to (i,i,i), so the decoded mean equals the byte mean the oracle
+    derives from the text."""
+    return _encoded_payload(df, encode_gif_gray, out_col, text_col,
+                            max_bytes, parallelize=True)
 
-    # codec work is compute-bound: a small-file scan would pin
-    # every encode+decode to one task while the cluster idles
-    df = ensure_parallelism(df)
-    id_col = "doc_id"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(t):
-            if t is None:
-                return None
-            raw = t.encode("utf-8")[:max_bytes]
-            return encode_gif_gray(raw) if raw else None
-
-        for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                out_col: pdf[text_col].map(enc)})
-
-    schema = T.StructType([T.StructField(id_col, T.LongType()),
-                           T.StructField(out_col, T.BinaryType())])
-    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def with_wav_payload(df: DataFrame, text_col: str = "text",
@@ -719,26 +733,11 @@ def with_wav_payload(df: DataFrame, text_col: str = "text",
                      sample_rate: int = 8000) -> DataFrame:
     """Demo helper for the REAL audio path: wrap the first ``max_bytes``
     UTF-8 bytes of text as unsigned 8-bit PCM samples in a mono WAV
-    (``encode_wav_pcm``), Arrow-batched; empty texts get NULL. The
-    samples equal the byte values, so decoded duration/mean stay
-    oracle-checkable from the text alone."""
-    id_col = "doc_id"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(t):
-            if t is None:
-                return None
-            raw = t.encode("utf-8")[:max_bytes]
-            return encode_wav_pcm(raw, sample_rate=sample_rate) if raw \
-                else None
-
-        for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                out_col: pdf[text_col].map(enc)})
-
-    schema = T.StructType([T.StructField(id_col, T.LongType()),
-                           T.StructField(out_col, T.BinaryType())])
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    (``encode_wav_pcm``). The samples equal the byte values, so decoded
+    duration/mean stay oracle-checkable from the text alone."""
+    return _encoded_payload(
+        df, lambda raw: encode_wav_pcm(raw, sample_rate=sample_rate),
+        out_col, text_col, max_bytes)
 
 
 
@@ -794,16 +793,12 @@ def _jpeg_canonical_codes(bits, vals):
 
 
 def _jpeg_decode_tree(bits, vals):
-    """((length, code) -> symbol) lookup for bit-serial decoding."""
-    out, code = {}, 0
-    i = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[i]
-            code += 1
-            i += 1
-        code <<= 1
-    return out
+    """((length, code) -> symbol) lookup for bit-serial decoding — the
+    inverse of the ONE canonical-code assignment (no second hand copy of
+    the Generate_code_table procedure to keep in lockstep)."""
+    return {(length, code): sym
+            for sym, (code, length) in
+            _jpeg_canonical_codes(bits, vals).items()}
 
 
 def _dct_basis():
@@ -984,6 +979,8 @@ def _decode_jpeg(b: bytes) -> dict:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise NotImplementedError("bad JPEG marker stream")
+        while b[i + 1] == 0xFF:          # fill bytes before a marker
+            i += 1
         marker = b[i + 1]
         if marker == 0xD9:
             break
@@ -1123,38 +1120,19 @@ def with_jpeg_payload(df: DataFrame, text_col: str = "text",
                       max_bytes: int = 64) -> DataFrame:
     """Demo helper for the REAL DCT/Huffman decode path: wrap the first
     ``max_bytes`` UTF-8 bytes of text as CONSTANT 8×8 tiles (one tile
-    per byte, width 8, quant=1) in a baseline JPEG, Arrow-batched;
-    empty texts get NULL. A constant tile's DCT is an integer DC with
-    zero AC, so quant=1 round-trips exactly and the decoded mean equals
-    the byte mean the oracle derives from the text — the same
-    hash-matching trick as the BMP/PNG/GIF legs, but through a real
-    entropy-coded lossy-format pipeline."""
-    from dataops_testgen_spark.session import ensure_parallelism
+    per byte, width 8, quant=1) in a baseline JPEG. A constant tile's
+    DCT is an integer DC with zero AC, so quant=1 round-trips exactly
+    and the decoded mean equals the byte mean the oracle derives from
+    the text — the same hash-matching trick as the BMP/PNG/GIF legs,
+    but through a real entropy-coded lossy-format pipeline."""
+    def enc(raw):
+        tiles = bytearray()
+        for v in raw:
+            tiles.extend(bytes([v]) * 64)
+        return encode_jpeg_gray(bytes(tiles), width=8)
 
-    # codec work is compute-bound: a small-file scan would pin
-    # every encode+decode to one task while the cluster idles
-    df = ensure_parallelism(df)
-    id_col = "doc_id"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(t):
-            if t is None:
-                return None
-            raw = t.encode("utf-8")[:max_bytes]
-            if not raw:
-                return None
-            tiles = bytearray()
-            for v in raw:
-                tiles.extend(bytes([v]) * 64)
-            return encode_jpeg_gray(bytes(tiles), width=8)
-
-        for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                out_col: pdf[text_col].map(enc)})
-
-    schema = T.StructType([T.StructField(id_col, T.LongType()),
-                           T.StructField(out_col, T.BinaryType())])
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    return _encoded_payload(df, enc, out_col, text_col, max_bytes,
+                            parallelize=True)
 
 
 
@@ -1501,32 +1479,13 @@ def with_flac_payload(df: DataFrame, text_col: str = "text",
     """Demo helper for the REAL compressed-audio path: the first
     ``max_bytes`` UTF-8 bytes of text become signed samples
     (byte − 128) rice-compressed into a FLAC (fixed-order-2
-    predictor), Arrow-batched; empty texts get NULL. FLAC is lossless,
-    so the decoded mean_amplitude equals the text's byte mean − 128 —
-    oracle-derivable like every other leg, but through an
-    entropy-coded audio format."""
-    from dataops_testgen_spark.session import ensure_parallelism
+    predictor). FLAC is lossless, so the decoded mean_amplitude equals
+    the text's byte mean − 128 — oracle-derivable like every other leg,
+    but through an entropy-coded audio format."""
+    return _encoded_payload(
+        df, lambda raw: encode_flac_pcm(raw, sample_rate=sample_rate),
+        out_col, text_col, max_bytes, parallelize=True)
 
-    # codec work is compute-bound: a small-file scan would pin
-    # every encode+decode to one task while the cluster idles
-    df = ensure_parallelism(df)
-    id_col = "doc_id"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(t):
-            if t is None:
-                return None
-            raw = t.encode("utf-8")[:max_bytes]
-            return encode_flac_pcm(raw, sample_rate=sample_rate) if raw \
-                else None
-
-        for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                out_col: pdf[text_col].map(enc)})
-
-    schema = T.StructType([T.StructField(id_col, T.LongType()),
-                           T.StructField(out_col, T.BinaryType())])
-    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 _TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma")
@@ -1779,22 +1738,9 @@ def with_bmp_payload(df: DataFrame, text_col: str = "text",
     (``encode_bmp_gray``), Arrow-batched. Empty texts get a NULL payload.
     Deterministic by construction, so decoded width/height/mean stay
     oracle-checkable from the text alone."""
-    id_col = "doc_id"
+    return _encoded_payload(df, encode_bmp_gray, out_col, text_col,
+                            max_bytes)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(t):
-            if t is None:
-                return None
-            raw = t.encode("utf-8")[:max_bytes]
-            return encode_bmp_gray(raw) if raw else None
-
-        for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                out_col: pdf[text_col].map(enc)})
-
-    schema = T.StructType([T.StructField(id_col, T.LongType()),
-                           T.StructField(out_col, T.BinaryType())])
-    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def with_png_payload(df: DataFrame, text_col: str = "text",
@@ -1807,20 +1753,6 @@ def with_png_payload(df: DataFrame, text_col: str = "text",
     filters exercised on multi-row shapes), Arrow-batched. Empty texts
     get a NULL payload. The gray raster equals the byte values, so
     decoded width/height/mean stay oracle-checkable from the text."""
-    id_col = "doc_id"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(t):
-            if t is None:
-                return None
-            raw = t.encode("utf-8")[:max_bytes]
-            return encode_png(raw, filter_cycle=filter_cycle) if raw \
-                else None
-
-        for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                out_col: pdf[text_col].map(enc)})
-
-    schema = T.StructType([T.StructField(id_col, T.LongType()),
-                           T.StructField(out_col, T.BinaryType())])
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    return _encoded_payload(
+        df, lambda raw: encode_png(raw, filter_cycle=filter_cycle),
+        out_col, text_col, max_bytes)

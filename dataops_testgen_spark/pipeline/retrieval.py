@@ -218,7 +218,8 @@ def lexical_index_compact(spark, index_dir: str,
     shared staged rename (crash leaves old or new intact, never
     neither). History collapses into the reserved ``batch_id=-1``
     partition so the on-disk layout stays identical for later stamped
-    appends. Returns the postings data-file count after compaction."""
+    appends. Run compaction in a maintenance window with the index's streaming sink STOPPED AND RECOVERED: if a sink crashed between its last append and marker write, compacting before the re-delivered batch replays would fold the unmarked rows into batch_id=-1 and the replay would then re-add them (the one sequence that can still duplicate). Returns the postings data-file count after
+    compaction."""
     import posixpath
 
     from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,

@@ -535,7 +535,9 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
                         / (F.col("n_total") + F.col("v_size")))))
              .alias("nll")))
     agg = s.groupBy("id").agg(
-        F.count("nll").alias("n_trigrams"),
+        # count ROWS (oracle COUNT(*)): with an empty train relation the
+        # floor NLL is NULL but the doc still HAS its trigrams
+        F.count(F.lit(1)).alias("n_trigrams"),
         F.avg("nll").alias("mean_nll"),
         F.exp(F.avg("nll")).alias("score"))
     ids = df.select(F.col(id_col).alias("id"))

@@ -48,6 +48,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "trigram_lm_documents",
     "verified_near_dups_documents",
     "hybrid_search_documents",
+    "multimodal_features_documents",   # gained jpeg/flac legs in r7
     # changed or newly hash-oracled in r7
     "bpe_merges_documents",        # gained the unrolled-CTE DuckDB oracle
     "asof_join_events",            # struct-packet carry (NULL right values)

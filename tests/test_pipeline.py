@@ -2556,3 +2556,100 @@ def test_rrf_fuse_hand_check(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rrf_fuse([])
+
+
+def test_jpeg_fill_bytes_and_legacy_index_guard(spark, tmp_path):
+    """Two review fixes pinned: (a) 0xFF fill bytes before JPEG markers
+    (ISO 10918-1 B.1.1.2 — common encoders emit them) parse cleanly;
+    (b) a pre-stamped-layout index directory is rejected with a
+    migration hint instead of silently producing a mixed layout, and
+    compaction IS the migration."""
+    import pytest as _pt
+
+    # (a) insert fill bytes before the DQT and SOS markers
+    raw = bytes(range(0, 128, 2))
+    tiles = b"".join(bytes([v]) * 64 for v in raw)
+    jp = multimodal.encode_jpeg_gray(tiles, width=8)
+    filled = jp.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1) \
+               .replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    d = multimodal.decode_image(filled)
+    assert d["mean_luminance"] == sum(raw) / len(raw)
+
+    # (b) legacy layout: plain append without batch stamping
+    from dataops_testgen_spark.io.fs import stamped_append
+    from dataops_testgen_spark.pipeline.dedup import (
+        minhash_index_compact, minhash_index_probe)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    legacy = str(tmp_path / "legacy_idx")
+    sig, banded = dedup._banded_signatures(docs, "text", "doc_id", 3,
+                                           16, 4)
+    sig.write.mode("append").parquet(legacy + "/signatures")
+    banded.write.mode("append").parquet(legacy + "/bands")
+    with _pt.raises(ValueError, match="legacy"):
+        stamped_append(sig, legacy + "/signatures")
+    # migration: compact rewrites either layout into batch_id=-1 ...
+    minhash_index_compact(spark, legacy)
+    # ... after which stamped appends AND probes work
+    extra = docs.limit(5)
+    dedup.minhash_index_append(extra, legacy)
+    minhash_index_probe(docs.limit(3), legacy).collect()
+
+
+def test_trigram_lm_empty_train(spark):
+    """An empty training relation yields NULL scores but the TRUE
+    per-doc trigram counts (oracle COUNT(*) semantics) — n_trigrams
+    must not silently read 0 because the NLL column is NULL."""
+    from dataops_testgen_spark.pipeline.text import trigram_lm_score
+
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "x")],
+                                 "doc_id: long, text: string")
+    empty = docs.filter("doc_id < 0")
+    rows = {r["id"]: r for r in
+            trigram_lm_score(docs, train_df=empty).collect()}
+    assert rows[1]["n_trigrams"] == 2 and rows[1]["mean_nll"] is None
+    assert rows[2]["n_trigrams"] == 0
+
+
+def test_bucketed_aggregate_balance_struct_path_having(spark, sf_dir):
+    """The struct-key fast path honors having conditions that reference
+    the GROUP-KEY columns (the raw path exposes them; the struct path
+    must project them for the filter) — review finding."""
+    from dataops_testgen_spark.execution.query_tests import (
+        aggregate_balance)
+    from dataops_testgen_spark.io.bucketing import (NULL_SAFE_KEY_COL,
+                                                    read_bucketed,
+                                                    write_bucketed)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "hv_orders", ["o_custkey"], num_buckets=4,
+                   null_safe_key=True)
+    write_bucketed(customer, "hv_customer", ["c_custkey"], num_buckets=4,
+                   null_safe_key=True)
+    try:
+        fast = aggregate_balance(
+            read_bucketed(spark, "hv_orders"), ["o_custkey"],
+            F.sum("o_totalprice"),
+            read_bucketed(spark, "hv_customer"), ["c_custkey"],
+            F.sum("c_acctbal"),
+            mode="exact", struct_key_col=NULL_SAFE_KEY_COL,
+            having_condition="o_custkey % 2 = 0 AND total > 0",
+            match_having_condition="c_custkey % 2 = 0")
+        want = aggregate_balance(
+            orders, ["o_custkey"], F.sum("o_totalprice"),
+            customer, ["c_custkey"], F.sum("c_acctbal"),
+            mode="exact",
+            having_condition="o_custkey % 2 = 0 AND total > 0",
+            match_having_condition="c_custkey % 2 = 0")
+        canon = lambda df: {(r["o_custkey"], round(r["total"] or 0, 5),
+                             round(r["match_total"] or 0, 5))
+                            for r in df.collect()}
+        got, ref = canon(fast), canon(want)
+        assert got == ref and got
+        # the fast path is still Exchange-free with having applied
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hv_orders")
+        spark.sql("DROP TABLE IF EXISTS hv_customer")
