@@ -82,6 +82,35 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     return int(batch_id)
 
 
+def guard_unresolved_sink_batches(spark: SparkSession, index_dir: str,
+                                  data_path: str) -> None:
+    """Refuse to compact an index that a streaming sink left in the
+    append-before-marker crash window: if the sink's replay marker
+    (``<index_dir>__last_batch``) exists and the data holds stamped
+    batch ids NEWER than it, the crashed batch has not been replayed
+    yet — compacting now would fold its rows into ``batch_id=-1`` and
+    the replay would then duplicate them. Recover the stream (one
+    availableNow trigger) and re-run compaction. One-shot maintenance
+    indexes (no marker dir) pass through."""
+    marker_dir = index_dir.rstrip("/") + "__last_batch"
+    if not path_exists(spark, marker_dir):
+        return
+    last = spark.read.parquet(marker_dir).first()
+    if last is None:
+        return
+    df = spark.read.parquet(data_path)
+    if "batch_id" not in df.columns:
+        return                              # legacy layout: no stamps
+    mx = df.filter(F.col("batch_id") >= 0) \
+        .agg(F.max("batch_id").alias("m")).first()["m"]
+    if mx is not None and mx > last["batch_id"]:
+        raise RuntimeError(
+            f"{data_path} holds batch ids up to {mx} but the sink marker "
+            f"says {last['batch_id']} — a crashed micro-batch has not "
+            "been replayed; run the stream to recovery before compacting "
+            "(compacting now would duplicate the batch on replay)")
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """True when ``path`` exists on whatever filesystem its scheme names
     (local, HDFS, S3A, ABFS, ...), using the same Hadoop configuration

@@ -262,8 +262,12 @@ def minhash_index_compact(spark, index_dir: str,
     import posixpath
 
     from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,
-                                             count_data_files, staged_swap)
+                                             count_data_files,
+                                             guard_unresolved_sink_batches,
+                                             staged_swap)
 
+    guard_unresolved_sink_batches(
+        spark, index_dir, posixpath.join(index_dir, "signatures"))
     total = 0
     for rel in ("signatures", "bands"):
         path = posixpath.join(index_dir, rel)

@@ -223,9 +223,12 @@ def lexical_index_compact(spark, index_dir: str,
     import posixpath
 
     from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,
-                                             count_data_files, staged_swap)
+                                             count_data_files,
+                                             guard_unresolved_sink_batches,
+                                             staged_swap)
 
     postings_path = posixpath.join(index_dir, "postings")
+    guard_unresolved_sink_batches(spark, index_dir, postings_path)
     tmp = postings_path + "__compacting"
     (spark.read.parquet(postings_path)
      .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))

@@ -1034,9 +1034,12 @@ def ann_index_compact(spark, index_dir: str) -> int:
     import posixpath
 
     from dataops_testgen_spark.io.fs import (COMPACTED_BATCH_ID,
-                                             count_data_files, staged_swap)
+                                             count_data_files,
+                                             guard_unresolved_sink_batches,
+                                             staged_swap)
 
     codes_path = posixpath.join(index_dir, "codes")
+    guard_unresolved_sink_batches(spark, index_dir, codes_path)
     tmp_path = codes_path + "__compacting"
     # history collapses into the reserved batch_id=-1 partition so the
     # layout stays identical for later stamped appends

@@ -714,3 +714,38 @@ def test_streaming_sessionize_multichunk_group(spark, tmp_path):
                r["n_events"])
         want[key] = r["total_value"]
     assert got == want and len(got) == 2
+
+
+def test_compaction_refuses_unresolved_crash_window(spark, tmp_path):
+    """Compacting an index whose sink crashed between append and marker
+    would fold the unmarked batch into batch_id=-1 and the replay would
+    re-add it — the guard refuses until the stream recovers, then
+    compaction proceeds and the index equals the crash-free state."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.dedup import (
+        minhash_index_append, minhash_index_compact)
+    from dataops_testgen_spark.streaming.monitors import minhash_index_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "guard_idx")
+    minhash_index_sink(idx)(b0, 0)
+    minhash_index_append(b1, idx, batch_id=1)      # crash before marker
+    with _pt.raises(RuntimeError, match="not.*been replayed|replay"):
+        minhash_index_compact(spark, idx)
+    minhash_index_sink(idx)(b1, 1)                 # recovery replay
+    minhash_index_compact(spark, idx)              # now fine
+    control = str(tmp_path / "ctl_idx")
+    minhash_index_sink(control)(b0, 0)
+    minhash_index_sink(control)(b1, 1)
+    got = _relation_snapshot(spark, idx + "/signatures")
+    want = {tuple(x for x in r) for r in
+            spark.read.parquet(control + "/signatures")
+            .drop("batch_id").collect()}
+    got_nb = {tuple(r) for r in
+              spark.read.parquet(idx + "/signatures")
+              .drop("batch_id").collect()}
+    assert got_nb == want and got
