@@ -4199,6 +4199,39 @@ SELECT g.id AS doc_id,
 # Q: session_stats_events — gap-based event sessionization
 # --------------------------------------------------------------------------
 
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the events' semi-structured JSON props column
+    (pipeline/sessions.py parse_event_props — codegen'd from_json, no
+    UDF), aggregated per event type: event count, non-null parse count,
+    sum/min/max/distinct of the extracted k. The one fixture column no
+    other query touched — the standard events-lake parse step."""
+    from dataops_testgen_spark.pipeline.sessions import parse_event_props
+
+    ev = _load(spark, sf_dir, "events")
+    parsed = parse_event_props(ev, schema="k INT")
+    return (parsed.groupBy(F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("k").alias("n_parsed"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.countDistinct("k").alias("distinct_k")))
+
+
+_SQL_JSON_PROPS = r"""
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(k)::BIGINT AS n_parsed,
+       SUM(k)::BIGINT AS sum_k,
+       MIN(k)::INT AS min_k,
+       MAX(k)::INT AS max_k,
+       COUNT(DISTINCT k)::BIGINT AS distinct_k
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type"""
+
+
 def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (pipeline/sessions.py): per-user sessions
     split by >= 30 min of silence (half-open session_window semantics —
@@ -4568,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "multimodal_features_documents": q_multimodal_features_documents,
+        "json_props_events": q_json_props_events,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4795,4 +4829,5 @@ def oracle_sql() -> dict[str, str]:
         "trigram_lm_documents": _SQL_TRIGRAM_LM,
         "verified_near_dups_documents": _sql_verified_near_dups(),
         "hybrid_search_documents": _sql_hybrid_search(),
+        "json_props_events": _SQL_JSON_PROPS,
     }

@@ -281,3 +281,36 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.when(in_window, F.timestamp_micros(mts)).alias(ts_col + suffix),
         *[F.when(in_window, mval[c]).alias(c + suffix) for c in rcols],
         F.when(in_window, gap).alias("asof_gap_us"))
+
+
+def parse_event_props(df: DataFrame, props_col: str = "props",
+                      schema: str = "k INT",
+                      drop_corrupt: bool = False) -> DataFrame:
+    """Schema-on-read for semi-structured event properties — the step
+    every events lake runs before analytics: parse the JSON ``props``
+    column with ``from_json`` (codegen'd Jackson parse at scan speed —
+    no UDF, no shuffle) and lift the declared fields to top-level
+    columns. Malformed JSON yields NULL fields (Spark's PERMISSIVE
+    read) instead of failing the job; ``drop_corrupt=True`` filters
+    those rows (a row is corrupt when the parse result is NULL but the
+    raw string isn't).
+
+    ``schema`` is a DDL string (``"k INT, tag STRING"``); only declared
+    fields materialize — schema-on-read keeps 100 TB of ragged
+    properties scannable without a migration every time producers add
+    a key.
+
+    Corrupt detection uses the parser's own corrupt-record channel
+    (PERMISSIVE mode fills declared fields with NULL for malformed
+    input WITHOUT nulling the struct, so a bare NULL check cannot tell
+    "malformed" from "valid JSON missing the key")."""
+    parsed = F.from_json(
+        F.col(props_col), schema + ", __corrupt STRING",
+        {"columnNameOfCorruptRecord": "__corrupt"})
+    out = df.withColumn("__p", parsed)
+    if drop_corrupt:
+        out = out.filter(F.col("__p.__corrupt").isNull())
+    field_names = [f.strip().split()[0]
+                   for f in schema.split(",") if f.strip()]
+    return out.select("*", *[F.col(f"__p.{n}") for n in field_names]) \
+        .drop("__p")

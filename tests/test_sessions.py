@@ -416,3 +416,37 @@ def test_asof_join_fuzz_vs_merge_asof(spark):
                     else:
                         assert got_ts == want_ts.to_pydatetime(), (
                             seed, direction, tol, r.event_id)
+
+
+def test_parse_event_props(spark):
+    """Schema-on-read over semi-structured props: declared fields lift
+    to columns, undeclared keys are ignored, malformed JSON yields NULL
+    fields (never a job failure), drop_corrupt filters exactly the
+    rows whose non-NULL raw string failed to parse, and the plan stays
+    UDF-free (a codegen'd from_json projection)."""
+    from dataops_testgen_spark.pipeline.sessions import parse_event_props
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": 7, "extra": "x"}'),
+         (3, 'not json {{{'), (4, None), (5, '{"other": 1}')],
+        "event_id long, props string")
+    got = {r["event_id"]: r["k"]
+           for r in parse_event_props(df, schema="k INT").collect()}
+    assert got == {1: 5, 2: 7, 3: None, 4: None, 5: None}
+    kept = {r["event_id"] for r in
+            parse_event_props(df, schema="k INT",
+                              drop_corrupt=True).collect()}
+    # row 3 is corrupt (raw non-null, parse null); row 4's NULL raw and
+    # row 5's missing-key row both survive ({"other":1} parses fine)
+    assert kept == {1, 2, 4, 5}
+    # multi-field schema: both fields lift, missing ones are NULL
+    multi = {r["event_id"]: (r["k"], r["tag"]) for r in parse_event_props(
+        spark.createDataFrame([(1, '{"k": 2, "tag": "a"}'),
+                               (2, '{"tag": "b"}')],
+                              "event_id long, props string"),
+        schema="k INT, tag STRING").collect()}
+    assert multi == {1: (2, "a"), 2: (None, "b")}
+    plan = parse_event_props(df, schema="k INT") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
