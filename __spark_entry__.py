@@ -4199,6 +4199,39 @@ SELECT g.id AS doc_id,
 # Q: session_stats_events — gap-based event sessionization
 # --------------------------------------------------------------------------
 
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event log (pipeline/sessions.py
+    retention_cohorts): cohort = each actor's first-event date; day-1
+    and day-7 retained counts and rates per cohort — the standard
+    product-analytics rollup, one actor shuffle + one date-cardinality
+    groupBy."""
+    from dataops_testgen_spark.pipeline.sessions import retention_cohorts
+
+    ev = _load(spark, sf_dir, "events")
+    return retention_cohorts(ev, horizons=(1, 7))
+
+
+_SQL_RETENTION = r"""
+WITH f AS (SELECT user_id AS uid, MIN(CAST(ts AS DATE)) AS cohort_day
+             FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS active_day
+        FROM events),
+j AS (SELECT a.uid, f.cohort_day,
+             date_diff('day', f.cohort_day, a.active_day) AS off
+        FROM a JOIN f USING (uid))
+SELECT cohort_day,
+       COUNT(DISTINCT uid)::BIGINT AS n_users,
+       COUNT(DISTINCT CASE WHEN off = 1 THEN uid END)::BIGINT
+         AS retained_d1,
+       ROUND(COUNT(DISTINCT CASE WHEN off = 1 THEN uid END)
+             / COUNT(DISTINCT uid)::DOUBLE, 9) AS rate_d1,
+       COUNT(DISTINCT CASE WHEN off = 7 THEN uid END)::BIGINT
+         AS retained_d7,
+       ROUND(COUNT(DISTINCT CASE WHEN off = 7 THEN uid END)
+             / COUNT(DISTINCT uid)::DOUBLE, 9) AS rate_d7
+FROM j GROUP BY cohort_day"""
+
+
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over the events' semi-structured JSON props column
     (pipeline/sessions.py parse_event_props — codegen'd from_json, no
@@ -4602,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_documents": q_hybrid_search_documents,
         "multimodal_features_documents": q_multimodal_features_documents,
         "json_props_events": q_json_props_events,
+        "retention_events": q_retention_events,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4830,4 +4864,5 @@ def oracle_sql() -> dict[str, str]:
         "verified_near_dups_documents": _sql_verified_near_dups(),
         "hybrid_search_documents": _sql_hybrid_search(),
         "json_props_events": _SQL_JSON_PROPS,
+        "retention_events": _SQL_RETENTION,
     }

@@ -314,3 +314,45 @@ def parse_event_props(df: DataFrame, props_col: str = "props",
                    for f in schema.split(",") if f.strip()]
     return out.select("*", *[F.col(f"__p.{n}") for n in field_names]) \
         .drop("__p")
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      horizons: tuple = (1, 7)) -> DataFrame:
+    """Cohort retention — the standard product-analytics rollup over an
+    event log: each actor's cohort is the DATE of their first event;
+    for every horizon ``k``, ``retained_d{k}`` counts cohort members
+    active exactly ``k`` days after their cohort day and ``rate_d{k}``
+    is that share of the cohort.
+
+    Spark shape: ONE shuffle on the actor key (first-event groupBy; the
+    distinct active-day relation reuses the same hash partitioning),
+    one broadcast-able join of per-day activity back to cohorts, one
+    final groupBy on cohort day (date-cardinality rows). Conditional
+    horizon aggregates — no per-horizon scans, no self-join of the
+    full log.
+
+    Output: (cohort_day, n_users, retained_d{k}, rate_d{k} per k),
+    rates rounded to 9 decimals (exact int/int quotients either way)."""
+    if not horizons or any(h < 1 for h in horizons):
+        raise ValueError("horizons must be positive day offsets")
+    day = F.to_date(F.col(ts_col))
+    first = df.groupBy(F.col(user_col).alias("uid")) \
+        .agg(F.min(day).alias("cohort_day"))
+    active = df.select(F.col(user_col).alias("uid"),
+                       day.alias("active_day")).distinct()
+    joined = (active.join(first, "uid")
+              .withColumn("offset",
+                          F.datediff("active_day", F.col("cohort_day"))))
+    aggs = [F.countDistinct("uid").alias("n_users")]
+    for h in horizons:
+        aggs.append(F.countDistinct(
+            F.when(F.col("offset") == h, F.col("uid")))
+            .alias(f"retained_d{h}"))
+    out = joined.groupBy("cohort_day").agg(*aggs)
+    for h in horizons:
+        out = out.withColumn(
+            f"rate_d{h}",
+            F.round(F.col(f"retained_d{h}")
+                    / F.col("n_users").cast("double"), 9))
+    return out

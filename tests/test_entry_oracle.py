@@ -50,6 +50,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "hybrid_search_documents",
     "multimodal_features_documents",   # gained jpeg/flac legs in r7
     "json_props_events",
+    "retention_events",
     # changed or newly hash-oracled in r7
     "bpe_merges_documents",        # gained the unrolled-CTE DuckDB oracle
     "asof_join_events",            # struct-packet carry (NULL right values)

@@ -450,3 +450,41 @@ def test_parse_event_props(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "from_json" in plan and "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_retention_cohorts_hand_check(spark):
+    """Hand-built cohorts: day-0 users returning on day 1/7 count toward
+    their cohort's retained_d1/d7; a user active twice on one day counts
+    once; later-cohort users never leak into earlier cohorts."""
+    import datetime as dtm
+
+    from dataops_testgen_spark.pipeline.sessions import retention_cohorts
+
+    d0 = dtm.datetime(2024, 3, 1, 10, 0)
+
+    def at(days, hour=10):
+        return d0 + dtm.timedelta(days=days, hours=hour - 10)
+
+    rows = [
+        # cohort 3/1: users 1,2,3. u1 returns d1 and d7; u2 returns d1
+        # twice (counts once); u3 never returns
+        (1, 1, at(0)), (2, 1, at(1)), (3, 1, at(7)),
+        (4, 2, at(0)), (5, 2, at(1, 9)), (6, 2, at(1, 11)),
+        (7, 3, at(0)),
+        # cohort 3/2: user 4 returns d7 only
+        (8, 4, at(1)), (9, 4, at(8)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    got = {str(r["cohort_day"]): r
+           for r in retention_cohorts(df, horizons=(1, 7)).collect()}
+    c1 = got["2024-03-01"]
+    assert c1["n_users"] == 3
+    assert c1["retained_d1"] == 2 and c1["rate_d1"] == round(2 / 3, 9)
+    assert c1["retained_d7"] == 1 and c1["rate_d7"] == round(1 / 3, 9)
+    c2 = got["2024-03-02"]
+    assert c2["n_users"] == 1
+    assert c2["retained_d1"] == 0 and c2["retained_d7"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        retention_cohorts(df, horizons=())
