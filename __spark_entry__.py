@@ -1038,7 +1038,13 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"""
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard over non-ubiquitous shingles: max_df = max(16, 2% of corpus)
     bounds the hot-shingle pair fan-out (the r1 bench paid 20.7s on
-    boilerplate shingles shared by hundreds of docs)."""
+    boilerplate shingles shared by hundreds of docs).
+
+    RETIRED from the timed registry in r9 (verdict r8 #7): it is the
+    deliberately superlinear brute-force baseline that
+    ``verified_near_dups_documents`` supersedes. Kept here (with
+    ``_SQL_NGRAM_JACCARD``) as the oracle pair for
+    tests/test_pipeline.py::test_ngram_jaccard_retired_oracle."""
     docs = _load(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=0.02)
     return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
@@ -4627,15 +4633,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- changed/re-oracled in r7 (asof struct-carry, mixture token
-        # unit, stamped-append index layouts, the new BPE hash oracle,
-        # SemDeDup boundary probe) plus the NEW r7 trigram gate ---
+        # --- r9 window, group 1: queries whose code r9 touches
+        # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
+        # 4:2:0, cache_model on the LM scorers, streaming retention) ---
+        "json_props_events": q_json_props_events,
+        "multimodal_features_documents": q_multimodal_features_documents,
         "trigram_lm_documents": q_trigram_lm_documents,
+        "bigram_lm_documents": q_bigram_lm_documents,
+        "retention_events": q_retention_events,
+        # --- group 2: the r6 block — longest without a driver hash row
+        # (r7 verdict #8 / r8 verdict "do this" #2) ---
+        "nb_classify_documents": q_nb_classify_documents,
+        "curation_gate_documents": q_curation_gate_documents,
+        "session_stats_events": q_session_stats_events,
+        "rolling_features_events": q_rolling_features_events,
+        "funnel_events": q_funnel_events,
+        "gzip_corpus_documents": q_gzip_corpus_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
+        "hard_negatives_embeddings": q_hard_negatives_embeddings,
+        "embedding_profile_embeddings": q_embedding_profile_embeddings,
+        "bm25_topk_documents": q_bm25_topk_documents,
+        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
+        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
+        "resize_documents": q_resize_documents,
+        "frame_sample_documents": q_frame_sample_documents,
+        "dsir_select_documents": q_dsir_select_documents,
+        # --- group 3: longest-unchecked pre-r5 seats (driver-green in
+        # r1-r4 windows, pytest-oracle-pinned every round since) ---
+        "pq_topk_embeddings": q_pq_topk_embeddings,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
+        "merged_profile_orders": q_merged_profile_orders,
+        "pack_spans_documents": q_pack_spans_documents,
+        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
+        "tfidf_keywords_documents": q_tfidf_keywords_documents,
+        "corpus_report_documents": q_corpus_report_documents,
+        "merged_profile_percentiles": q_merged_profile_percentiles,
+        "merged_topfreq_orders": q_merged_topfreq_orders,
+        "dup_substrings_documents": q_dup_substrings_documents,
+        "anomaly_screen_customer_orders": q_anomaly_screen,
+        "anomaly_screen_orders": q_anomaly_screen_orders,
+        "combo_match_customer_orders": q_combo_match_customer_orders,
+        "contingency_rules_lineitem": q_contingency_rules_lineitem,
+        "distribution_shift_events": q_distribution_shift_events,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_keep_one_documents": q_dedup_keep_one_documents,
+        "simhash_documents": q_simhash_documents,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "profile_sampled_lineitem": q_profile_sampled_lineitem,
+        "freshness_threshold_events": q_freshness_threshold_events,
+        "validation_prepass": q_validation_prepass,
+        "incremental_screen_orders": q_incremental_screen_orders,
+        "decontaminate_documents": q_decontaminate_documents,
+        "repetition_flags_documents": q_repetition_flags_documents,
+        # ---- tail (seat 51+): r7/r8 driver-green, pytest-oracle-pinned ----
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
-        "multimodal_features_documents": q_multimodal_features_documents,
-        "json_props_events": q_json_props_events,
-        "retention_events": q_retention_events,
         "bpe_merges_documents": q_bpe_merges_documents,
         "asof_join_events": q_asof_join_events,
         "asof_nearest_events": q_asof_nearest_events,
@@ -4645,8 +4702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        # --- rotated back in: the core profile/CAT/generation/scoring
-        # seats, out of the driver window since r5 (VERDICT r6 #5) ---
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
         "profile_customer_strings": q_profile_customer_strings,
         "profile_orders_dates": q_profile_orders_dates,
@@ -4683,56 +4738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_defs_fixture": q_merge_defs_fixture,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "dsir_weights_documents": q_dsir_weights_documents,
-        "pq_topk_embeddings": q_pq_topk_embeddings,
-        "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_analysis_documents": q_text_analysis_documents,
-        "repetition_flags_documents": q_repetition_flags_documents,
-        # --- tail: driver-green in r5/r6, pytest-oracle-pinned every round ---
-        "nb_classify_documents": q_nb_classify_documents,
-        "curation_gate_documents": q_curation_gate_documents,
-        "session_stats_events": q_session_stats_events,
-        "rolling_features_events": q_rolling_features_events,
-        "funnel_events": q_funnel_events,
-        "bigram_lm_documents": q_bigram_lm_documents,
-        "gzip_corpus_documents": q_gzip_corpus_documents,
-        "shuffle_shards_documents": q_shuffle_shards_documents,
-        "hard_negatives_embeddings": q_hard_negatives_embeddings,
-        "embedding_profile_embeddings": q_embedding_profile_embeddings,
-        "bm25_topk_documents": q_bm25_topk_documents,
-        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
-        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
-        "resize_documents": q_resize_documents,
-        "frame_sample_documents": q_frame_sample_documents,
-        "dsir_select_documents": q_dsir_select_documents,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
-        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
-        "merged_profile_orders": q_merged_profile_orders,
-        "pack_spans_documents": q_pack_spans_documents,
-        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
-        "tfidf_keywords_documents": q_tfidf_keywords_documents,
-        "corpus_report_documents": q_corpus_report_documents,
-        "merged_profile_percentiles": q_merged_profile_percentiles,
-        "merged_topfreq_orders": q_merged_topfreq_orders,
-        "dup_substrings_documents": q_dup_substrings_documents,
-        "anomaly_screen_customer_orders": q_anomaly_screen,
-        "anomaly_screen_orders": q_anomaly_screen_orders,
-        "combo_match_customer_orders": q_combo_match_customer_orders,
-        "contingency_rules_lineitem": q_contingency_rules_lineitem,
-        "distribution_shift_events": q_distribution_shift_events,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "dedup_keep_one_documents": q_dedup_keep_one_documents,
-        "simhash_documents": q_simhash_documents,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "profile_sampled_lineitem": q_profile_sampled_lineitem,
-        "freshness_threshold_events": q_freshness_threshold_events,
-        "validation_prepass": q_validation_prepass,
-        "incremental_screen_orders": q_incremental_screen_orders,
-        "ngram_jaccard_documents": q_ngram_jaccard_documents,
-        "decontaminate_documents": q_decontaminate_documents,
         "c4_clean_documents": q_c4_clean_documents,
         "chunk_documents": q_chunk_documents,
         "sample_documents": q_sample_documents,
@@ -4800,7 +4807,6 @@ def oracle_sql() -> dict[str, str]:
         "distribution_shift_events": _SQL_DIST_SHIFT,
         "text_analysis_documents": _SQL_TEXT_ANALYSIS,
         "dedup_exact_documents": _SQL_DEDUP_EXACT,
-        "ngram_jaccard_documents": _SQL_NGRAM_JACCARD,
         "minhash_lsh_documents": _sql_minhash(),
         "dedup_clusters_documents": _sql_dedup_clusters(),
         "dedup_keep_one_documents": _sql_dedup_keep_one(),

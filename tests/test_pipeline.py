@@ -2522,6 +2522,22 @@ def test_verified_near_dups_composition(spark, sf_dir):
         == set(map(tuple, two.collect()))
 
 
+def test_ngram_jaccard_retired_oracle(spark, duck, sf_dir):
+    """ngram_jaccard_pairs left the timed registry in r9 (deliberately
+    superlinear brute-force baseline; verified_near_dups is the
+    production path) — this test keeps its DuckDB hash oracle alive at
+    unit level with the exact parameters the retired registry entry ran."""
+    import __spark_entry__ as entry_mod
+    from conftest import assert_matches_oracle
+
+    from dataops_testgen_spark.pipeline import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=0.02)
+    sdf = pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+    assert_matches_oracle(sdf, duck, entry_mod._SQL_NGRAM_JACCARD)
+
+
 def test_rrf_fuse_hand_check(spark):
     """Reciprocal-rank fusion semantics: a doc in both lists sums both
     reciprocal ranks, single-list docs contribute one term, ties break
