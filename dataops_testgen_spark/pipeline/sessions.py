@@ -304,14 +304,16 @@ def parse_event_props(df: DataFrame, props_col: str = "props",
     (PERMISSIVE mode fills declared fields with NULL for malformed
     input WITHOUT nulling the struct, so a bare NULL check cannot tell
     "malformed" from "valid JSON missing the key")."""
+    # Field names come from Spark's own DDL parser, not a naive comma
+    # split — ``STRUCT<a: INT, b: INT>`` and ``DECIMAL(10,2)`` fields
+    # carry commas inside one declaration.
+    field_names = StructType.fromDDL(schema).fieldNames()
     parsed = F.from_json(
         F.col(props_col), schema + ", __corrupt STRING",
         {"columnNameOfCorruptRecord": "__corrupt"})
     out = df.withColumn("__p", parsed)
     if drop_corrupt:
         out = out.filter(F.col("__p.__corrupt").isNull())
-    field_names = [f.strip().split()[0]
-                   for f in schema.split(",") if f.strip()]
     return out.select("*", *[F.col(f"__p.{n}") for n in field_names]) \
         .drop("__p")
 

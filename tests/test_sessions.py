@@ -452,6 +452,33 @@ def test_parse_event_props(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_parse_event_props_nested_ddl(spark):
+    """Arbitrary DDL schemas with commas INSIDE one field declaration
+    (STRUCT<...>, DECIMAL(p,s), ARRAY<...>) lift correctly — the field
+    list comes from Spark's DDL parser, not a naive comma split (driver
+    ADVICE r7: the split broke every declaration after the first comma
+    of a STRUCT)."""
+    from decimal import Decimal
+
+    from dataops_testgen_spark.pipeline.sessions import parse_event_props
+
+    df = spark.createDataFrame(
+        [(1, '{"s": {"a": 1, "b": 2}, "price": 12.34, "tags": ["x","y"], "k": 7}'),
+         (2, '{"k": 9}')],
+        "event_id long, props string")
+    out = parse_event_props(
+        df,
+        schema="s STRUCT<a: INT, b: INT>, price DECIMAL(10,2), "
+               "tags ARRAY<STRING>, k INT")
+    assert [f.name for f in out.schema.fields] \
+        == ["event_id", "props", "s", "price", "tags", "k"]
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["s"]["a"] == 1 and rows[1]["s"]["b"] == 2
+    assert rows[1]["price"] == Decimal("12.34")
+    assert rows[1]["tags"] == ["x", "y"] and rows[1]["k"] == 7
+    assert rows[2]["s"] is None and rows[2]["k"] == 9
+
+
 def test_retention_cohorts_hand_check(spark):
     """Hand-built cohorts: day-0 users returning on day 1/7 count toward
     their cohort's retained_d1/d7; a user active twice on one day counts
