@@ -215,6 +215,23 @@ def _mark_folded(spark, marker_dir: str, batch_id: int) -> None:
     write_small_df(spark, [(int(batch_id),)], "batch_id long", marker_dir)
 
 
+def _register_sink(spark, marker_dir: str) -> None:
+    """Write a sentinel marker (batch_id=-1, 'stream attached, nothing
+    folded yet') BEFORE a sink's first data append. Without it, a crash
+    between the FIRST append and its marker write leaves stamped
+    ``batch_id>=0`` rows with NO marker dir at all — exactly the state
+    ``guard_unresolved_sink_batches`` reads as 'one-shot maintenance
+    index, safe to compact', so compaction would fold the unreplayed
+    batch into ``batch_id=-1`` and the replay would duplicate it (driver
+    ADVICE r7, io/fs.py:96). With the sentinel in place the guard sees
+    marker −1 < data max 0 and refuses until the stream recovers. A
+    no-op when the marker already exists (any later batch)."""
+    from dataops_testgen_spark.io.fs import path_exists
+
+    if not path_exists(spark, marker_dir):
+        _mark_folded(spark, marker_dir, -1)
+
+
 def ann_index_sink(index_dir: str, centroids: list[list[float]], codebook,
                    vec_col: str = "embedding", id_col: str = "vec_id"):
     """foreachBatch sink that maintains the PERSISTED IVFADC vector index
@@ -244,6 +261,7 @@ def ann_index_sink(index_dir: str, centroids: list[list[float]], codebook,
         marker_dir = index_dir.rstrip("/") + "__last_batch"
         if _already_folded(spark, marker_dir, batch_id):
             return
+        _register_sink(spark, marker_dir)
         ann_index_append(batch_df, index_dir, centroids, codebook,
                          vec_col, id_col, batch_id=batch_id)
         _mark_folded(spark, marker_dir, batch_id)
@@ -272,6 +290,7 @@ def minhash_index_sink(index_dir: str, k: int = 3, num_hashes: int = 16,
         marker_dir = index_dir.rstrip("/") + "__last_batch"
         if _already_folded(spark, marker_dir, batch_id):
             return
+        _register_sink(spark, marker_dir)
         minhash_index_append(batch_df, index_dir, text_col=text_col,
                              id_col=id_col, k=k, num_hashes=num_hashes,
                              bands=bands, batch_id=batch_id)
@@ -296,6 +315,7 @@ def exact_index_sink(index_dir: str, text_col: str = "text",
         marker_dir = index_dir.rstrip("/") + "__last_batch"
         if _already_folded(spark, marker_dir, batch_id):
             return
+        _register_sink(spark, marker_dir)
         exact_index_append(batch_df, index_dir, text_col=text_col,
                            id_col=id_col)
         _mark_folded(spark, marker_dir, batch_id)
@@ -325,6 +345,7 @@ def lexical_index_sink(index_dir: str, text_col: str = "text",
         marker_dir = index_dir.rstrip("/") + "__last_batch"
         if _already_folded(spark, marker_dir, batch_id):
             return
+        _register_sink(spark, marker_dir)
         lexical_index_append(batch_df, index_dir, text_col=text_col,
                              id_col=id_col, n_buckets=n_buckets,
                              batch_id=batch_id)

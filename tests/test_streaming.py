@@ -749,3 +749,47 @@ def test_compaction_refuses_unresolved_crash_window(spark, tmp_path):
               spark.read.parquet(idx + "/signatures")
               .drop("batch_id").collect()}
     assert got_nb == want and got
+
+
+def test_compaction_refuses_first_batch_crash_window(spark, tmp_path):
+    """A sink that crashes during its FIRST micro-batch (after the data
+    append, before the marker write) used to leave stamped batch_id=0
+    rows with NO marker dir — the exact state the guard read as 'one-shot
+    index, safe to compact' (driver ADVICE r7, io/fs.py:96). The sinks now
+    register a sentinel marker (batch_id=-1) before their first append,
+    so the guard refuses; after the replay recovers the batch, compaction
+    proceeds and the index equals the crash-free state. One-shot
+    maintenance indexes (direct appends, no sink ever attached) still
+    compact freely."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.dedup import (
+        minhash_index_append, minhash_index_compact)
+    from dataops_testgen_spark.streaming.monitors import (_register_sink,
+                                                          minhash_index_sink)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "first_crash_idx")
+    # simulate the sink's first fold crashing between append and marker:
+    # the sentinel registration and the data append ran, _mark_folded not
+    _register_sink(spark, idx + "__last_batch")
+    minhash_index_append(b0, idx, batch_id=0)
+    with _pt.raises(RuntimeError, match="not.*been replayed|replay"):
+        minhash_index_compact(spark, idx)
+    minhash_index_sink(idx)(b0, 0)                 # recovery replay
+    minhash_index_compact(spark, idx)              # now fine
+    control = str(tmp_path / "first_ctl_idx")
+    minhash_index_sink(control)(b0, 0)
+    want = {tuple(r) for r in
+            spark.read.parquet(control + "/signatures")
+            .drop("batch_id").collect()}
+    got = {tuple(r) for r in
+           spark.read.parquet(idx + "/signatures")
+           .drop("batch_id").collect()}
+    assert got == want and got
+    # one-shot maintenance index: no sink, no marker -> compacts freely
+    oneshot = str(tmp_path / "oneshot_idx")
+    minhash_index_append(b0, oneshot)
+    minhash_index_compact(spark, oneshot)
