@@ -49,11 +49,20 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     the first time — the batch content is deterministic, so the retry
     covers every partition the torn write touched.
 
-    ``batch_id=None`` (one-shot maintenance appends) takes
-    max(existing)+1 — a partition-column-only aggregate, file listing
-    but no data I/O. Compaction collapses history into the reserved
-    ``COMPACTED_BATCH_ID`` (−1); live batch ids start at 0. Returns the
-    id used.
+    ``batch_id=None`` (one-shot maintenance appends) is auto-assigned:
+    the next id past max(stamped ids, claimed ids), then CAS-claimed via
+    an atomic ``createNewFile`` under the sibling ``<path>__ids`` dir —
+    a bare max+1 read-then-write would let two CONCURRENT maintenance
+    appends pick the same id, and the dynamic overwrite would then
+    silently replace the earlier writer's partitions (driver ADVICE r7).
+    Explicit ids (streaming sinks) record a best-effort claim too, so an
+    in-flight stream batch whose data hasn't landed yet can't be
+    double-assigned by a concurrent auto append; re-claiming the same
+    explicit id is fine (replays overwrite idempotently BY DESIGN).
+    Claims are empty marker files (metadata ops only) and survive
+    compaction, so retired ids are never reused. Compaction collapses
+    history into the reserved ``COMPACTED_BATCH_ID`` (−1); live batch
+    ids start at 0. Returns the id used.
 
     A relation written by the pre-stamped layout (plain appends, no
     ``batch_id`` partition) is rejected with a migration hint — writing
@@ -71,15 +80,66 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
         if batch_id is None:
             mx = spark.read.parquet(path).agg(
                 F.max("batch_id").alias("m")).first()["m"]
-            batch_id = (mx if mx is not None else -1) + 1
+            batch_id = _claim_batch_id(
+                spark, path,
+                max(mx if mx is not None else -1,
+                    _max_claimed_id(spark, path)) + 1)
     if batch_id is None:
-        batch_id = 0
+        batch_id = _claim_batch_id(
+            spark, path, max(0, _max_claimed_id(spark, path) + 1))
+    else:
+        _record_claim(spark, path, int(batch_id))
     (df.withColumn("batch_id", F.lit(int(batch_id)))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*(list(partition_cols) + ["batch_id"]))
      .parquet(path))
     return int(batch_id)
+
+
+def _claims_dir(spark, path: str):
+    jvm = spark._jvm
+    claims = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__ids")
+    return claims.getFileSystem(spark._jsc.hadoopConfiguration()), claims, jvm
+
+
+def _max_claimed_id(spark, path: str) -> int:
+    """Highest batch id ever claimed for ``path`` (−1 when none): one
+    listStatus of the sibling claim dir, no data I/O."""
+    fs, claims, _ = _claims_dir(spark, path)
+    if not fs.exists(claims):
+        return -1
+    mx = -1
+    for st in fs.listStatus(claims):
+        name = st.getPath().getName()
+        if name.lstrip("-").isdigit():
+            mx = max(mx, int(name))
+    return mx
+
+
+def _claim_batch_id(spark, path: str, candidate: int) -> int:
+    """CAS-claim the first free auto batch id at or above ``candidate``:
+    ``FileSystem.createNewFile`` is atomic (exclusive create on
+    HDFS/local; conditional put on object stores), so of two concurrent
+    claimants exactly one wins each id and the loser moves to the next —
+    the auto-assignment can never hand two writers the same id."""
+    fs, claims, jvm = _claims_dir(spark, path)
+    fs.mkdirs(claims)
+    bid = candidate
+    while not fs.createNewFile(
+            jvm.org.apache.hadoop.fs.Path(claims, str(bid))):
+        bid += 1
+    return bid
+
+
+def _record_claim(spark, path: str, batch_id: int) -> None:
+    """Best-effort claim record for an EXPLICIT batch id (streaming
+    sinks): keeps concurrent auto appends from being assigned an id
+    whose stream batch is still in flight. Already-claimed is fine —
+    replays re-write the same id idempotently by design."""
+    fs, claims, jvm = _claims_dir(spark, path)
+    fs.mkdirs(claims)
+    fs.createNewFile(jvm.org.apache.hadoop.fs.Path(claims, str(batch_id)))
 
 
 def guard_unresolved_sink_batches(spark: SparkSession, index_dir: str,

@@ -2497,6 +2497,51 @@ def test_flac_codec_roundtrip():
         multimodal.decode_audio(b"\xffnotflac")
 
 
+def test_flac_utf8_frame_numbers():
+    """FLAC's UTF-8-style coded frame numbers, full range: the encoder
+    previously masked frame numbers >= 2048 to 5 bits (spec-invalid
+    streams; driver ADVICE r7). Parity oracle: below 0x110000 the coding
+    IS Unicode UTF-8, so Python's own chr().encode() pins the bytes;
+    beyond that, shape checks + a decode round-trip crossing the 3-byte
+    boundary."""
+    import pytest as _pt
+
+    from dataops_testgen_spark.pipeline.multimodal import (
+        _decode_flac_samples, _MsbWriter, _put_flac_utf8, encode_flac_pcm)
+
+    def coded(v):
+        w = _MsbWriter()
+        _put_flac_utf8(w, v)
+        assert w.n == 0                      # always byte-aligned
+        return bytes(w.out)
+
+    # bit-identical to real UTF-8 over Unicode's range (surrogates are
+    # not encodable by chr().encode(), skip them — FLAC has no such gap)
+    for v in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0x2047, 0xD7FF, 0xE000,
+              0xFFFF, 0x10000, 0x10FFFF):
+        assert coded(v) == chr(v).encode("utf-8"), hex(v)
+    # extended shapes past Unicode: correct length, lead byte, payload
+    for v, ln, lead_hi in ((0x200000, 5, 0xF8), (0x3FFFFFF, 5, 0xF8),
+                           (0x4000000, 6, 0xFC), (0x7FFFFFFF, 6, 0xFC),
+                           (0x80000000, 7, 0xFE), ((1 << 36) - 1, 7, 0xFE)):
+        b = coded(v)
+        assert len(b) == ln and (b[0] & lead_hi) == lead_hi, hex(v)
+        # independent re-read: strip the lead/continuation tags
+        got = b[0] & (0xFF >> (ln + 1))
+        for cb in b[1:]:
+            assert cb & 0xC0 == 0x80, hex(v)
+            got = (got << 6) | (cb & 0x3F)
+        assert got == v, hex(v)
+    with _pt.raises(ValueError, match="36 bits"):
+        coded(1 << 36)
+    # a real stream whose frame numbers cross the 2-byte/3-byte boundary
+    # (2051 frames): every header must parse and samples round-trip
+    raw = bytes([77]) * (16 * 2051)
+    samples, rate, ch, bps = _decode_flac_samples(
+        encode_flac_pcm(raw, block_size=16))
+    assert samples == [77 - 128] * len(raw)
+
+
 def test_verified_near_dups_composition(spark, sf_dir):
     """verified_near_dups == the exact ngram-Jaccard pairs RESTRICTED to
     the LSH candidate set (two-stage = candidate generation x exact
@@ -2610,6 +2655,39 @@ def test_jpeg_fill_bytes_and_legacy_index_guard(spark, tmp_path):
     extra = docs.limit(5)
     dedup.minhash_index_append(extra, legacy)
     minhash_index_probe(docs.limit(3), legacy).collect()
+
+
+def test_stamped_append_concurrent_auto_id_no_collision(spark, tmp_path):
+    """Auto-assigned batch ids are CAS-claimed (atomic createNewFile), so
+    a concurrent maintenance append whose data hasn't landed yet can
+    never be double-assigned — previously max(data)+1 read-then-write
+    let two writers pick the same id and the dynamic overwrite silently
+    replaced the earlier one's partitions (driver ADVICE r7,
+    io/fs.py:74)."""
+    from dataops_testgen_spark.io.fs import _claim_batch_id, stamped_append
+
+    path = str(tmp_path / "claims_idx")
+    a = spark.range(3).withColumn("src", F.lit("a"))
+    b = spark.range(3, 6).withColumn("src", F.lit("b"))
+    c = spark.range(6, 9).withColumn("src", F.lit("c"))
+    assert stamped_append(a, path) == 0          # first auto append
+    # writer X claims its id (as stamped_append would) but its data is
+    # still in flight; a concurrent auto append must skip past it
+    claimed = _claim_batch_id(spark, path, 1)
+    assert claimed == 1
+    got = stamped_append(b, path)                # concurrent auto writer
+    assert got == 2
+    # writer X completes with its claimed id explicitly: nothing clobbered
+    stamped_append(c, path, batch_id=claimed)
+    rows = {(r["id"], r["src"], r["batch_id"])
+            for r in spark.read.parquet(path).collect()}
+    assert rows == ({(i, "a", 0) for i in range(3)}
+                    | {(i, "b", 2) for i in range(3, 6)}
+                    | {(i, "c", 1) for i in range(6, 9)})
+    # explicit stream ids record claims too: the next auto append never
+    # lands on an id a stream has used or is using
+    stamped_append(a, path, batch_id=7)
+    assert stamped_append(b, path) == 8
 
 
 def test_trigram_lm_empty_train(spark):
