@@ -1200,6 +1200,30 @@ class _MsbWriter:
         return bytes(self.out)
 
 
+def _put_flac_utf8(fw: "_MsbWriter", val: int) -> None:
+    """FLAC's UTF-8-style coded number (frame/sample number in the frame
+    header): standard UTF-8 byte shapes extended past Unicode's range to
+    7 bytes / 36 bits of payload. The previous encoder handled only the
+    1- and 2-byte shapes and silently MASKED frame numbers ≥ 2048 to 5
+    bits, emitting spec-invalid streams (driver ADVICE r7,
+    multimodal.py:1295). For values below 0x110000 the byte sequence is
+    bit-identical to Python's own ``chr(val).encode('utf-8')`` —
+    test_flac_utf8_frame_numbers pins that parity."""
+    if val < 0x80:
+        fw.put(val, 8)
+        return
+    nbytes = 2
+    while nbytes < 7 and val >= (1 << (7 - nbytes + 6 * (nbytes - 1))):
+        nbytes += 1
+    if val >= (1 << 36):
+        raise ValueError(f"FLAC coded number {val} exceeds 36 bits")
+    fw.put(((1 << nbytes) - 1) << 1, nbytes + 1)   # nbytes ones, then a zero
+    fw.put(val >> (6 * (nbytes - 1)), 7 - nbytes)
+    for k in range(nbytes - 2, -1, -1):
+        fw.put(0b10, 2)
+        fw.put((val >> (6 * k)) & 0x3F, 6)
+
+
 class _MsbReader:
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
@@ -1288,13 +1312,7 @@ def encode_flac_pcm(sample_bytes: bytes, sample_rate: int = 8000,
         fw.put(0, 4)                         # mono
         fw.put(0b001, 3)                     # 8 bits/sample
         fw.put(0, 1)                         # reserved
-        if frame_no < 0x80:                  # UTF-8-coded frame number
-            fw.put(frame_no, 8)
-        else:
-            fw.put(0b110, 3)
-            fw.put(frame_no >> 6, 5)
-            fw.put(0b10, 2)
-            fw.put(frame_no & 0x3F, 6)
+        _put_flac_utf8(fw, frame_no)         # UTF-8-coded frame number
         fw.put(bs - 1, 16)
         hdr = fw.out[:]                      # complete so far, byte-aligned
         fw.put(_crc8(bytes(hdr)), 8)
