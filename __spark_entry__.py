@@ -3389,6 +3389,97 @@ SELECT d.id, COALESCE(a.n_trigrams, 0)::BIGINT AS n_trigrams,
   FROM d LEFT JOIN agg a USING (id)"""
 
 
+def q_ngram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 LM gate with stupid backoff (pipeline/text.py
+    ngram_lm_score — CCNet parity: Wenzek et al. 2020 deploy a 5-gram
+    KenLM-style gate; Brants et al. 2007 backoff): model trained on the
+    EVEN-doc_id half scoring every doc, so all five legs fire (seen
+    5/4/3/2-gram ratios with alpha^0..3, alpha^4 add-one unigram floor).
+    cache_model=True: the whole model derives from ONE train scan via
+    the persisted padded-gram count relation."""
+    from dataops_testgen_spark.pipeline.text import ngram_lm_score
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = ngram_lm_score(docs, n=5, train_df=docs.filter("doc_id % 2 = 0"),
+                         cache_model=True)
+    return out.select("id", "n_ngrams",
+                      F.round("mean_nll", 5).alias("mean_nll"),
+                      F.round("score", 5).alias("score"))
+
+
+_SQL_NGRAM_LM = r"""
+WITH d AS (SELECT doc_id AS id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+             FROM documents WHERE text IS NOT NULL),
+tr AS (SELECT * FROM d WHERE id % 2 = 0),
+g5 AS (SELECT toks[i] AS a1, toks[i+1] AS a2, toks[i+2] AS a3,
+              toks[i+3] AS a4, toks[i+4] AS a5
+         FROM tr, UNNEST(generate_series(1, len(toks) - 4)) AS t(i)
+        WHERE len(toks) >= 5),
+c5 AS (SELECT a1, a2, a3, a4, a5, COUNT(*)::BIGINT AS c5
+         FROM g5 GROUP BY ALL),
+x5 AS (SELECT a1, a2, a3, a4, COUNT(*)::BIGINT AS cx5 FROM g5 GROUP BY ALL),
+g4 AS (SELECT toks[i] AS a1, toks[i+1] AS a2, toks[i+2] AS a3,
+              toks[i+3] AS a4
+         FROM tr, UNNEST(generate_series(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 4),
+c4 AS (SELECT a1, a2, a3, a4, COUNT(*)::BIGINT AS c4 FROM g4 GROUP BY ALL),
+x4 AS (SELECT a1, a2, a3, COUNT(*)::BIGINT AS cx4 FROM g4 GROUP BY ALL),
+g3 AS (SELECT toks[i] AS a1, toks[i+1] AS a2, toks[i+2] AS a3
+         FROM tr, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE len(toks) >= 3),
+c3 AS (SELECT a1, a2, a3, COUNT(*)::BIGINT AS c3 FROM g3 GROUP BY ALL),
+x3 AS (SELECT a1, a2, COUNT(*)::BIGINT AS cx3 FROM g3 GROUP BY ALL),
+g2 AS (SELECT toks[i] AS a1, toks[i+1] AS a2
+         FROM tr, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 2),
+c2 AS (SELECT a1, a2, COUNT(*)::BIGINT AS c2 FROM g2 GROUP BY ALL),
+x2 AS (SELECT a1, COUNT(*)::BIGINT AS cx2 FROM g2 GROUP BY ALL),
+uni AS (SELECT tok, COUNT(*)::BIGINT AS c1
+          FROM (SELECT UNNEST(toks) AS tok FROM tr) GROUP BY 1),
+tot AS (SELECT SUM(c1) AS n_total, COUNT(*) AS v_size FROM uni),
+q AS (SELECT id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+             toks[i+3] AS w4, toks[i+4] AS w5
+        FROM d, UNNEST(generate_series(1, len(toks) - 4)) AS t(i)
+       WHERE len(toks) >= 5),
+nll AS (SELECT q.id,
+               -LN(CASE
+                   WHEN c5.c5 IS NOT NULL
+                     THEN c5.c5 / x5.cx5::DOUBLE
+                   WHEN c4.c4 IS NOT NULL
+                     THEN 0.4 * c4.c4 / x4.cx4::DOUBLE
+                   WHEN c3.c3 IS NOT NULL
+                     THEN 0.4 * 0.4 * c3.c3 / x3.cx3::DOUBLE
+                   WHEN c2.c2 IS NOT NULL
+                     THEN 0.4 * 0.4 * 0.4 * c2.c2 / x2.cx2::DOUBLE
+                   ELSE 0.4 * 0.4 * 0.4 * 0.4 * (COALESCE(u.c1, 0) + 1)
+                        / (tot.n_total + tot.v_size)::DOUBLE
+                   END) AS nll
+          FROM q
+          LEFT JOIN c5 ON c5.a1 = q.w1 AND c5.a2 = q.w2 AND c5.a3 = q.w3
+                      AND c5.a4 = q.w4 AND c5.a5 = q.w5
+          LEFT JOIN x5 ON x5.a1 = q.w1 AND x5.a2 = q.w2 AND x5.a3 = q.w3
+                      AND x5.a4 = q.w4
+          LEFT JOIN c4 ON c4.a1 = q.w2 AND c4.a2 = q.w3 AND c4.a3 = q.w4
+                      AND c4.a4 = q.w5
+          LEFT JOIN x4 ON x4.a1 = q.w2 AND x4.a2 = q.w3 AND x4.a3 = q.w4
+          LEFT JOIN c3 ON c3.a1 = q.w3 AND c3.a2 = q.w4 AND c3.a3 = q.w5
+          LEFT JOIN x3 ON x3.a1 = q.w3 AND x3.a2 = q.w4
+          LEFT JOIN c2 ON c2.a1 = q.w4 AND c2.a2 = q.w5
+          LEFT JOIN x2 ON x2.a1 = q.w4
+          LEFT JOIN uni u ON u.tok = q.w5
+         CROSS JOIN tot),
+agg AS (SELECT id, COUNT(*)::BIGINT AS n_ngrams,
+               ROUND(AVG(nll), 5) AS mean_nll,
+               ROUND(EXP(AVG(nll)), 5) AS score
+          FROM nll GROUP BY id)
+SELECT d.id, COALESCE(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+       a.mean_nll, a.score
+  FROM d LEFT JOIN agg a USING (id)"""
+
+
 def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter (pipeline/text.py: bigram_lm_score —
     one Markov order closer to CCNet's KenLM gate: add-one-smoothed
@@ -4633,6 +4724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
+        # --- r9 window, group 0: NEW this round ---
+        "ngram_lm_documents": q_ngram_lm_documents,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---
@@ -4750,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_lm_documents": _SQL_NGRAM_LM,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

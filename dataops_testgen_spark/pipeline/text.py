@@ -354,7 +354,8 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
 
 
 def bigram_lm_score(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    cache_model: bool = False) -> DataFrame:
     """Bigram-LM perplexity filter — one Markov order closer to CCNet's
     actual KenLM gate (Wenzek et al. 2020 filter on 5-gram perplexity;
     ``unigram_logprob_score`` is the order-0 reduction, this is order-1):
@@ -377,11 +378,12 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     counts, both vocabulary-bounded relations, never corpus-sized);
     scoring re-joins pairs to the two count relations on their keys (AQE
     broadcasts them when small) and folds per-doc means with plain AVG.
-    Four column-pruned text-only corpus scans total (vocab, bigram
-    counts, context counts, scoring) — Catalyst does not share
-    un-persisted subplans, so a caller at corpus scale should
-    ``pairs.persist()`` via their own composition if scans dominate;
-    the shape otherwise matches ``unigram_logprob_score``.
+    Catalyst does not share un-persisted subplans, so by default each
+    count consumer replays its column-pruned corpus scan (four total:
+    vocab, bigram counts, context counts, scoring) —
+    ``cache_model=True`` persists the three vocabulary-bounded model
+    relations so each trains off one scan and is reused from memory
+    (caller owns the lifetime: ``spark.catalog.clearCache()``).
 
     Output: (id, n_bigrams, mean_nll, perplexity)."""
     arr = tokens(F.col(text_col))
@@ -401,10 +403,12 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     # explode_outer keeps 0/1-token docs as a NULL-pair row -> n_bigrams 0
     bg_ct = (pairs.filter(F.col("w1").isNotNull())
              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")))
-    ctx_ct = (pairs.filter(F.col("w1").isNotNull())
-              .groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx")))
+    ctx_ct = bg_ct.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
              .agg(F.countDistinct("tok").alias("v_size")))
+    if cache_model:
+        bg_ct = bg_ct.persist()
+        vocab = vocab.persist()
     scored = (pairs.join(bg_ct, ["w1", "w2"], "left")
               .join(ctx_ct, "w1", "left")
               .crossJoin(F.broadcast(vocab))      # one-row vocab size
@@ -421,7 +425,8 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
 def trigram_lm_score(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      train_df: DataFrame | None = None,
-                     alpha: float = 0.4) -> DataFrame:
+                     alpha: float = 0.4,
+                     cache_model: bool = False) -> DataFrame:
     """Trigram LM with STUPID BACKOFF (Brants et al. 2007 §3) — the next
     Markov order toward CCNet's 5-gram KenLM gate after
     ``bigram_lm_score``, and the first one where backoff matters: score
@@ -455,10 +460,15 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
     corpus. Scoring left-joins the corpus's trigrams to those counts on
     their keys (AQE broadcasts the model relations when small) and
     folds per-doc means with plain AVG. As with ``bigram_lm_score``,
-    Catalyst does not share un-persisted subplans, so each count
-    consumer replays its (text-only) train scan — a caller at corpus
-    scale should persist the three count relations (vocab-sized) via
-    their own composition if scans dominate.
+    Catalyst does not share un-persisted subplans, so by default each
+    count consumer replays its (text-only) train scan —
+    ``cache_model=True`` persists the three vocabulary-bounded count
+    relations (trigram/bigram/unigram; the context and totals relations
+    derive from them), so the train corpus is scanned once per order
+    and every scoring join reads from memory. For a SINGLE-scan model
+    build use ``ngram_lm_score`` (its padded-gram relation derives all
+    orders from one pass); this function keeps the three-scan shape for
+    hash-stability. Caller owns the persist lifetime.
 
     Output: (id, n_trigrams, mean_nll, score)."""
     train = train_df if train_df is not None else df
@@ -544,6 +554,143 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
     return (ids.join(agg, "id", "left")
             .select("id",
                     F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+                    "mean_nll", "score"))
+
+
+def ngram_lm_score(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 5,
+                   train_df: DataFrame | None = None,
+                   alpha: float = 0.4,
+                   cache_model: bool = False) -> DataFrame:
+    """Order-``n`` LM gate with STUPID BACKOFF (Brants et al. 2007 §3) —
+    at ``n=5`` this is CCNet parity: the gate Wenzek et al. 2020 actually
+    deploy is a 5-gram KenLM-style model, of which
+    ``trigram_lm_score``/``bigram_lm_score`` are the lower-order
+    reductions. Score corpus docs against a model trained on ``train_df``
+    (default: the corpus itself), falling back order by order when a
+    higher-order n-gram was never seen in training:
+
+        S(w_n | w_1..w_{n-1}) = C(w_1..w_n) / C(w_1..w_{n-1} ·)
+                              = α   · S(w_n | w_2..w_{n-1})   if unseen
+        ...
+        floor: α^{n-1} · (C(w_n) + 1) / (N + V)   (add-one unigram, so
+                                                   OOV stays finite)
+
+    with · = context-position counts, N = total train tokens, V = train
+    vocabulary. Raw relative frequencies and a fixed α (0.4 in the
+    paper), never normalized discounting — the form that scales to web
+    corpora because every quantity is a partial-agg count.
+
+    100 TB shape — ONE train scan for the whole model: each token
+    position becomes one NULL-padded n-gram struct (g1 = the token,
+    g2..gn = the following tokens or NULL past the doc end), built by a
+    ``transform`` over a position sequence against a MATERIALIZED token
+    array (the lambda indexes a bound attribute, never re-evaluates a
+    derived array). One groupBy of that single exploded relation yields
+    ``c_full``, from which every order's count and context relation is
+    an exact re-aggregation: C_j = Σ c_full over (g1..gj) where gj is
+    non-NULL (the padding makes tail positions first-class, so low-order
+    counts match direct per-order scans bit-for-bit — pinned against
+    trigram_lm_score at n=3). ``cache_model=True`` persists ``c_full``
+    (the one relation everything derives from), so the train corpus is
+    scanned EXACTLY ONCE no matter how many backoff legs consume counts
+    — without it Catalyst replays the (column-pruned) scan per derived
+    relation, the cost trigram_lm_score's docstring concedes. The
+    caller owns the persist lifetime (``spark.catalog.clearCache()``).
+
+    Scoring left-joins the corpus's full n-grams to the 2(n-1)+1 derived
+    relations on their suffix keys (all vocabulary-bounded; AQE
+    broadcasts them when small) and folds per-doc means with plain AVG.
+    Docs with < n tokens carry n_ngrams=0 and NULL scores (same routing
+    contract as the lower-order scorers).
+
+    Output: (id, n_ngrams, mean_nll, score)."""
+    if n < 2:
+        raise ValueError("ngram_lm_score needs n >= 2; use "
+                         "unigram_logprob_score for order 0/1 semantics")
+    train = train_df if train_df is not None else df
+
+    toks_of = lambda col: F.coalesce(  # noqa: E731
+        tokens(col), F.array().cast("array<string>"))
+
+    # --- the model: one scan, one exploded padded-gram relation ---
+    tr = train.select(toks_of(F.col(text_col)).alias("toks"))
+    pos = F.sequence(F.lit(1), F.size("toks"))
+    padded = F.transform(pos, lambda i: F.struct(
+        *[F.get(F.col("toks"), i + F.lit(k) - 1).alias(f"g{k + 1}")
+          for k in range(n)]))
+    grams = (tr.filter(F.size("toks") > 0)   # sequence(1,0) would descend
+             .select(F.explode(padded).alias("g"))
+             .select(*[F.col(f"g.g{j}").alias(f"g{j}")
+                       for j in range(1, n + 1)]))
+    c_full = grams.groupBy(*[f"g{j}" for j in range(1, n + 1)]) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    if cache_model:
+        c_full = c_full.persist()
+
+    def cnt_rel(j: int) -> DataFrame:
+        """C of j-grams, keys renamed k{j}_1..k{j}_j, value c{j}."""
+        return (c_full.filter(F.col(f"g{j}").isNotNull())
+                .groupBy(*[F.col(f"g{i}").alias(f"k{j}_{i}")
+                           for i in range(1, j + 1)])
+                .agg(F.sum("c").alias(f"c{j}")))
+
+    def ctx_rel(j: int) -> DataFrame:
+        """C(prefix ·): j-gram positions re-grouped on the first j-1."""
+        return (c_full.filter(F.col(f"g{j}").isNotNull())
+                .groupBy(*[F.col(f"g{i}").alias(f"x{j}_{i}")
+                           for i in range(1, j)])
+                .agg(F.sum("c").alias(f"cx{j}")))
+
+    uni = c_full.groupBy(F.col("g1").alias("k1_1")) \
+        .agg(F.sum("c").alias("c1"))
+    totals = uni.agg(F.sum("c1").alias("n_total"),
+                     F.count(F.lit(1)).alias("v_size"))
+
+    # --- scoring: the corpus's own full n-grams ---
+    dtoks = df.select(F.col(id_col).alias("id"),
+                      toks_of(F.col(text_col)).alias("toks"))
+    m = F.size("toks")
+    full_pos = F.sequence(F.lit(1), m - n + 1)
+    doc_grams = F.when(m >= n, F.transform(full_pos, lambda i: F.struct(
+        *[F.get(F.col("toks"), i + F.lit(k) - 1).alias(f"w{k + 1}")
+          for k in range(n)]))).otherwise(F.array().cast(
+              "array<struct<" + ", ".join(f"w{j}: string"
+                                          for j in range(1, n + 1)) + ">>"))
+    ngrams = (dtoks.select("id", F.explode_outer(doc_grams).alias("t"))
+              .select("id", *[F.col(f"t.w{j}").alias(f"w{j}")
+                              for j in range(1, n + 1)]))
+
+    s = ngrams.filter(F.col("w1").isNotNull())
+    for j in range(n, 1, -1):
+        # leg j scores the LAST j tokens of the n-gram
+        off = n - j
+        s = s.join(cnt_rel(j),
+                   [F.col(f"w{off + i}") == F.col(f"k{j}_{i}")
+                    for i in range(1, j + 1)], "left")
+        s = s.join(ctx_rel(j),
+                   [F.col(f"w{off + i}") == F.col(f"x{j}_{i}")
+                    for i in range(1, j)], "left")
+    s = s.join(uni, F.col(f"w{n}") == F.col("k1_1"), "left")
+    s = s.crossJoin(F.broadcast(totals))      # one-row (N, V)
+
+    a = float(alpha)
+    expr = (F.lit(a ** (n - 1))
+            * (F.coalesce(F.col("c1"), F.lit(0)) + 1)
+            / (F.col("n_total") + F.col("v_size")))
+    for j in range(2, n + 1):                  # wrap floor outward
+        expr = F.when(F.col(f"c{j}").isNotNull(),
+                      F.lit(a ** (n - j))
+                      * F.col(f"c{j}") / F.col(f"cx{j}")).otherwise(expr)
+    scored = s.select("id", (-F.log(expr)).alias("nll"))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.avg("nll").alias("mean_nll"),
+        F.exp(F.avg("nll")).alias("score"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
                     "mean_nll", "score"))
 
 

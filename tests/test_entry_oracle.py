@@ -44,6 +44,8 @@ def test_entry_smoke(spark):
 # rounds without a driver re-check (r8 verdict "do this" #2), and the
 # longest-unchecked pre-r5 seats that fill the rest of the window.
 _MUST_BE_IN_DRIVER_WINDOW = {
+    # NEW in r9
+    "ngram_lm_documents",
     # r9 touched these code paths (parse_event_props DDL fix, FLAC utf8
     # frame numbers + JPEG 4:2:0, cache_model on the LM scorers,
     # streaming retention)

@@ -1108,6 +1108,127 @@ def test_trigram_lm_python_parity(spark, sf_dir):
     assert fired == {"tri", "bg", "uni"}   # all three legs exercised
 
 
+def test_ngram_lm_matches_trigram_at_n3(spark, sf_dir):
+    """ngram_lm_score derives every order's counts from ONE padded-gram
+    relation; at n=3 that derivation must be bit-identical to
+    trigram_lm_score's three direct per-order scans (same backoff, same
+    floor, same NULL routing) — the proof the NULL-padded tail positions
+    make re-aggregated low-order counts exact."""
+    from dataops_testgen_spark.pipeline.text import (ngram_lm_score,
+                                                     trigram_lm_score)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL"))
+    train = docs.filter("doc_id % 2 = 0")
+    tri = {r["id"]: (r["n_trigrams"], r["mean_nll"], r["score"])
+           for r in trigram_lm_score(docs, train_df=train).collect()}
+    got = {r["id"]: (r["n_ngrams"], r["mean_nll"], r["score"])
+           for r in ngram_lm_score(docs, n=3, train_df=train).collect()}
+    assert got == tri and len(got) == 500
+
+
+def test_ngram_lm_5gram_python_parity(spark, sf_dir):
+    """Independent plain-Python order-5 stupid backoff (CCNet-parity
+    order) on the real fixture slice, trained on the even-doc_id half —
+    asserts every one of the five legs (seen 5/4/3/2-gram, add-one
+    unigram floor) actually fires and every doc's mean NLL matches."""
+    import math
+    import re
+    from collections import Counter
+
+    from dataops_testgen_spark.pipeline.text import ngram_lm_score
+
+    N = 5
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL").limit(80).cache())
+    train = docs.filter("doc_id % 2 = 0")
+    got = {r["id"]: r for r in
+           ngram_lm_score(docs, n=N, train_df=train).collect()}
+
+    def toks(text):
+        t = text.lower().strip(" ")
+        return [] if t.strip(" ") == "" else re.split(r"\s+", t)
+
+    corpus = {r["doc_id"]: toks(r["text"]) for r in docs.collect()}
+    cnt = {j: Counter() for j in range(1, N + 1)}   # j-gram counts
+    ctx = {j: Counter() for j in range(2, N + 1)}   # C(prefix ·)
+    n_total = 0
+    for did, ts in corpus.items():
+        if did % 2 != 0:
+            continue
+        n_total += len(ts)
+        cnt[1].update(ts)
+        for j in range(2, N + 1):
+            for i in range(len(ts) - j + 1):
+                g = tuple(ts[i:i + j])
+                cnt[j][g] += 1
+                ctx[j][g[:-1]] += 1
+    v = len(cnt[1])
+
+    def s(g):                                       # g is an N-tuple
+        for j in range(N, 1, -1):
+            suf = g[N - j:]
+            if cnt[j][suf]:
+                return 0.4 ** (N - j) * cnt[j][suf] / ctx[j][suf[:-1]]
+        return 0.4 ** (N - 1) * (cnt[1][g[-1]] + 1) / (n_total + v)
+
+    fired = set()
+    for did, ts in corpus.items():
+        grams = [tuple(ts[i:i + N]) for i in range(len(ts) - N + 1)]
+        row = got[did]
+        assert row["n_ngrams"] == len(grams), did
+        if not grams:
+            assert row["mean_nll"] is None
+            continue
+        for g in grams:
+            leg = next((j for j in range(N, 1, -1) if cnt[j][g[N - j:]]),
+                       1)
+            fired.add(leg)
+        want = sum(-math.log(s(g)) for g in grams) / len(grams)
+        assert abs(row["mean_nll"] - want) < 1e-9, did
+        assert abs(row["score"] - math.exp(want)) < 1e-9, did
+    assert fired == {1, 2, 3, 4, 5}   # every backoff leg exercised
+
+
+def test_ngram_lm_cache_model_single_train_scan(spark, sf_dir):
+    """cache_model=True persists the one padded-gram count relation, so
+    the model side reads parquet exactly once (the persist's own build)
+    and every derived count relation consumes the cache — measured at
+    the filesystem, not the plan string (InMemoryRelation prints its
+    build plan inline per consumer, so 'Scan parquet' occurrences can't
+    tell cached from uncached). Hashes are unchanged either way."""
+    from dataops_testgen_spark.pipeline.text import ngram_lm_score
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL"))
+    train = docs.filter("doc_id % 2 = 0")
+
+    def bytes_read():
+        stats = (spark._jvm.org.apache.hadoop.fs.FileSystem
+                 .getGlobalStorageStatistics().get("file"))
+        return stats.getLong("bytesRead")
+
+    try:
+        cached = ngram_lm_score(docs, n=5, train_df=train,
+                                cache_model=True)
+        b0 = bytes_read()
+        cached_rows = {tuple(r) for r in cached.collect()}
+        b1 = bytes_read()
+        spark.catalog.clearCache()
+        plain = ngram_lm_score(docs, n=5, train_df=train)
+        plain_rows = {tuple(r) for r in plain.collect()}
+        b2 = bytes_read()
+        assert cached_rows == plain_rows
+        # the cached run pays 1 train scan + 2 doc-side scans; the plain
+        # run replays the train scan per derived count relation (~8
+        # scans measured) — require a decisive margin, not an exact count
+        assert (b1 - b0) < 0.6 * (b2 - b1), (b1 - b0, b2 - b1)
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_bigram_lm_score_python_parity(spark, sf_dir):
     """Independent plain-Python bigram LM on the real fixture slice."""
     import math
@@ -2495,6 +2616,47 @@ def test_flac_codec_roundtrip():
         _decode_flac_samples(bytes(st))
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"\xffnotflac")
+
+
+def test_jpeg_420_chroma_subsampling():
+    """4:2:0 decode (the layout real-world web JPEGs overwhelmingly
+    use): the decoder previously raised on any subsampled SOF (driver
+    ADVICE backlog / r8 verdict missing #3). Constant 16x16 Y tiles at
+    quant=1 round-trip exactly through the 4-Y+Cb+Cr MCU interleave, so
+    the decoded luminance mean equals the byte mean; varying chroma
+    must not perturb the luminance plane; multi-MCU-row images exercise
+    DC prediction across MCUs per component."""
+    import random
+
+    from dataops_testgen_spark.pipeline.multimodal import (decode_image,
+                                                           encode_jpeg_420)
+
+    # 2 MCU columns x 3 MCU rows of constant 16x16 luminance tiles
+    vals = [10, 250, 128, 7, 99, 201]
+    w, h = 32, 48
+    y = bytearray()
+    for row in range(h):
+        for col in range(w):
+            y.append(vals[(row // 16) * 2 + (col // 16)])
+    d = decode_image(encode_jpeg_420(bytes(y), width=w))
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", w, h)
+    assert d["mean_luminance"] == sum(vals) / len(vals)
+
+    # non-neutral, VARYING chroma: luminance mean must be unchanged
+    rng = random.Random(3)
+    cb = bytes(rng.randrange(256) for _ in range(16 * 24))
+    cr = bytes(rng.randrange(256) for _ in range(16 * 24))
+    d2 = decode_image(encode_jpeg_420(bytes(y), width=w,
+                                      cb_bytes=cb, cr_bytes=cr))
+    assert d2["mean_luminance"] == d["mean_luminance"]
+
+    # dimensions not multiples of 16: encoder pads edges, decoder crops —
+    # constant 8x8 tiles keep the mean exact over the cropped area
+    w2, h2 = 24, 8
+    y2 = bytes([50] * (w2 * h2))
+    d3 = decode_image(encode_jpeg_420(y2, width=w2))
+    assert (d3["width"], d3["height"], d3["mean_luminance"]) \
+        == (w2, h2, 50.0)
 
 
 def test_flac_utf8_frame_numbers():
