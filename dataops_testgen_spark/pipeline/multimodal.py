@@ -840,6 +840,44 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _jpeg_encode_block(bw, blk, pred: int, quant: int,
+                       dc_codes, ac_codes, cmat) -> int:
+    """Encode one 8×8 sample block (level shift, DCT, quantize, zigzag,
+    DC-diff + AC run-length Huffman) against ``pred``; returns the new
+    DC predictor. Shared by the gray and 4:2:0 fixture encoders."""
+    import numpy as np
+
+    coef = cmat @ (blk - 128.0) @ cmat.T
+    q = np.rint(coef / float(quant)).astype(np.int64)
+    zz = [int(q.flat[k]) for k in _JPEG_ZIGZAG]
+    diff = zz[0] - pred
+    s = _jpeg_category(diff)
+    code, length = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]     # ZRL
+            bw.put(code, length)
+            run -= 16
+        s = _jpeg_category(zz[i])
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        v = zz[i]
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]         # EOB
+        bw.put(code, length)
+    return zz[0]
+
+
 def encode_jpeg_gray(pixel_bytes: bytes, width: int | None = None,
                      quant: int = 1) -> bytes:
     """Minimal baseline JPEG encoder (grayscale, SOF0, Annex-K Huffman
@@ -871,36 +909,9 @@ def encode_jpeg_gray(pixel_bytes: bytes, width: int | None = None,
     pred = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-            coef = cmat @ blk @ cmat.T
-            q = np.rint(coef / float(quant)).astype(np.int64)
-            zz = [int(q.flat[k]) for k in _JPEG_ZIGZAG]
-            diff = zz[0] - pred
-            pred = zz[0]
-            s = _jpeg_category(diff)
-            code, length = dc_codes[s]
-            bw.put(code, length)
-            if s:
-                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]     # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                s = _jpeg_category(zz[i])
-                code, length = ac_codes[(run << 4) | s]
-                bw.put(code, length)
-                v = zz[i]
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]         # EOB
-                bw.put(code, length)
+            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            pred = _jpeg_encode_block(bw, blk, pred, quant,
+                                      dc_codes, ac_codes, cmat)
     body = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -912,6 +923,93 @@ def encode_jpeg_gray(pixel_bytes: bytes, width: int | None = None,
     sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
            + bytes([1, 1, 0x11, 0]))
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + qz)
+            + seg(0xC0, sof)
+            + seg(0xC4, dht)
+            + seg(0xDA, sos)
+            + body + b"\xff\xd9")
+
+
+def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
+                    cb_bytes: bytes | None = None,
+                    cr_bytes: bytes | None = None) -> bytes:
+    """Baseline color JPEG with 4:2:0 chroma subsampling (Y 2×2, Cb/Cr
+    1×1, interleaved single scan) — the independent fixture encoder for
+    the decoder's subsampled-MCU walk, the layout real-world web JPEGs
+    overwhelmingly use. ``y_bytes`` is the full-resolution luminance
+    plane (row-major, ``width`` columns); ``cb_bytes``/``cr_bytes`` are
+    the ALREADY-SUBSAMPLED chroma planes at ceil(w/2)×ceil(h/2) (default
+    neutral 128 everywhere), so constant-tile fixtures round-trip
+    exactly at ``quant=1`` and the decoded luminance mean stays
+    oracle-derivable from the bytes. All three components share the
+    Annex-K luma Huffman tables and one quant table — legal, simple, and
+    decoded from the file's own tables anyway."""
+    import numpy as np
+
+    n = len(y_bytes)
+    if n == 0:
+        raise ValueError("empty pixel bytes")
+    if n % width:
+        raise ValueError(f"{n} pixels do not fill rows of width {width}")
+    w, h = width, n // width
+    cw, ch = -(-w // 2), -(-h // 2)
+    if cb_bytes is None:
+        cb_bytes = bytes([128]) * (cw * ch)
+    if cr_bytes is None:
+        cr_bytes = bytes([128]) * (cw * ch)
+    if len(cb_bytes) != cw * ch or len(cr_bytes) != cw * ch:
+        raise ValueError(f"chroma planes must be {cw}x{ch} (subsampled)")
+    if quant < 1 or quant > 255:
+        raise ValueError("quant must be in 1..255")
+
+    def plane(raw, pw, phh, bw_mult, bh_mult):
+        img = np.frombuffer(bytes(raw), dtype=np.uint8) \
+            .reshape(phh, pw).astype(np.float64)
+        tw = -(-pw // (8 * bw_mult)) * 8 * bw_mult
+        th = -(-phh // (8 * bh_mult)) * 8 * bh_mult
+        return np.pad(img, ((0, th - phh), (0, tw - pw)), mode="edge")
+
+    ypl = plane(y_bytes, w, h, 2, 2)        # pad Y to 16×16 MCUs
+    cbp = plane(cb_bytes, cw, ch, 1, 1)
+    crp = plane(cr_bytes, cw, ch, 1, 1)
+    # chroma planes must tile the same MCU grid as Y/2
+    mcux, mcuy = ypl.shape[1] // 16, ypl.shape[0] // 16
+    for p in (cbp, crp):
+        assert p.shape[0] >= mcuy * 8 and p.shape[1] >= mcux * 8
+
+    cmat = _dct_basis()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byy in range(2):            # 4 Y blocks, raster order
+                for bxx in range(2):
+                    py, px = (my * 2 + byy) * 8, (mx * 2 + bxx) * 8
+                    preds[1] = _jpeg_encode_block(
+                        bw, ypl[py:py + 8, px:px + 8], preds[1],
+                        quant, dc_codes, ac_codes, cmat)
+            for cid, p in ((2, cbp), (3, crp)):
+                preds[cid] = _jpeg_encode_block(
+                    bw, p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                    preds[cid], quant, dc_codes, ac_codes, cmat)
+    body = bw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    qz = bytes([quant] * 64)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([3,
+                    1, 0x22, 0,             # Y: 2×2 sampling
+                    2, 0x11, 0,             # Cb: 1×1
+                    3, 0x11, 0]))           # Cr: 1×1
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     return (b"\xff\xd8"
             + seg(0xDB, bytes([0x00]) + qz)
             + seg(0xC0, sof)
@@ -959,13 +1057,15 @@ def _huff_decode(br: _BitReader, tree: dict) -> int:
 
 
 def _decode_jpeg(b: bytes) -> dict:
-    """Baseline sequential JPEG decode (SOF0, 8-bit, grayscale or
-    4:4:4): marker walk (DQT/DHT/DRI/SOF0/SOS), per-MCU Huffman decode
-    with restart-marker handling, dequantize, inverse zigzag, numpy
-    IDCT, level shift. mean_luminance is the mean of the LUMINANCE
-    plane (component 1 — Y IS luminance in JPEG's YCbCr), so gray and
-    4:4:4 color files both report the photometric mean. Progressive
-    (SOF2), arithmetic, subsampled and 12-bit variants raise."""
+    """Baseline sequential JPEG decode (SOF0, 8-bit; grayscale, 4:4:4
+    and subsampled layouts incl. the web-dominant 4:2:0): marker walk
+    (DQT/DHT/DRI/SOF0/SOS), per-MCU Huffman decode over the hs×vs block
+    interleave with restart-marker handling, dequantize, inverse
+    zigzag, numpy IDCT, level shift. mean_luminance is the mean of the
+    LUMINANCE plane (component 1 — Y IS luminance in JPEG's YCbCr), so
+    gray and color files report the photometric mean regardless of how
+    the chroma is subsampled. Progressive (SOF2), arithmetic, 12-bit
+    and non-interleaved subsampled variants raise."""
     import numpy as np
 
     qtabs: dict[int, list] = {}
@@ -1012,9 +1112,6 @@ def _decode_jpeg(b: bytes) -> dict:
             comps = [(payload[6 + 3 * k], payload[7 + 3 * k] >> 4,
                       payload[7 + 3 * k] & 0x0F, payload[8 + 3 * k])
                      for k in range(nc)]
-            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
-                raise NotImplementedError("subsampled JPEG needs MCU "
-                                          "interleave handling")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1060,12 +1157,22 @@ def _jpeg_scan(b, start, w, h, comps, sel, qtabs, htabs, restart):
     segments.append(bytes(cur))
 
     cmat = _dct_basis()
-    bw_ct, bh_ct = -(-w // 8), -(-h // 8)
-    n_mcu = bw_ct * bh_ct
-    planes = {cid: np.zeros((bh_ct * 8, bw_ct * 8))
-              for cid, _, _, _ in comps}
     by_id = {cid: tq for cid, _, _, tq in comps}
-    preds = {cid: 0 for cid, _, _ in [(c, 0, 0) for c, _, _, _ in comps]}
+    samp = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    if any(hmax % hs or vmax % vs for _, hs, vs, _ in comps):
+        raise NotImplementedError("non-integer JPEG sampling ratio")
+    if len(sel) == 1 and len(comps) > 1 and (hmax, vmax) != (1, 1):
+        raise NotImplementedError("non-interleaved subsampled JPEG scan")
+    # MCU covers (8·hmax)×(8·vmax) image pixels; each component
+    # contributes an hs×vs raster of 8×8 blocks per MCU (ISO 10918-1
+    # A.2.3 interleave order)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    planes = {cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+              for cid, hs, vs, _ in comps}
+    preds = {cid: 0 for cid, _, _, _ in comps}
     seg_idx = 0
     br = _BitReader(segments[0])
     for m in range(n_mcu):
@@ -1075,7 +1182,7 @@ def _jpeg_scan(b, start, w, h, comps, sel, qtabs, htabs, restart):
                 raise NotImplementedError("missing JPEG restart segment")
             br = _BitReader(segments[seg_idx])
             preds = {cid: 0 for cid in preds}
-        my, mx = divmod(m, bw_ct)
+        my, mx = divmod(m, mcux)
         for cid, td, ta in sel:
             qt = qtabs.get(by_id.get(cid))
             dc_tree = htabs.get((0, td))
@@ -1083,34 +1190,47 @@ def _jpeg_scan(b, start, w, h, comps, sel, qtabs, htabs, restart):
             if qt is None or dc_tree is None or ac_tree is None:
                 raise NotImplementedError("JPEG scan references missing "
                                           "tables")
-            s = _huff_decode(br, dc_tree)
-            diff = _jpeg_extend(br.bits(s), s) if s else 0
-            preds[cid] += diff
-            zz = [0] * 64
-            zz[0] = preds[cid] * qt[0]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_tree)
-                if sym == 0x00:
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise NotImplementedError("bad JPEG AC symbol")
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise NotImplementedError("JPEG AC index overflow")
-                zz[k] = _jpeg_extend(br.bits(size), size) * qt[k]
-                k += 1
-            coef = np.zeros(64)
-            for pos, nat in enumerate(_JPEG_ZIGZAG):
-                coef[nat] = zz[pos]
-            blk = cmat.T @ coef.reshape(8, 8) @ cmat + 128.0
-            planes[cid][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+            hs, vs = samp[cid]
+            for byy in range(vs):
+                for bxx in range(hs):
+                    s = _huff_decode(br, dc_tree)
+                    diff = _jpeg_extend(br.bits(s), s) if s else 0
+                    preds[cid] += diff
+                    zz = [0] * 64
+                    zz[0] = preds[cid] * qt[0]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(br, ac_tree)
+                        if sym == 0x00:
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise NotImplementedError(
+                                    "bad JPEG AC symbol")
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise NotImplementedError(
+                                "JPEG AC index overflow")
+                        zz[k] = _jpeg_extend(br.bits(size), size) * qt[k]
+                        k += 1
+                    coef = np.zeros(64)
+                    for pos, nat in enumerate(_JPEG_ZIGZAG):
+                        coef[nat] = zz[pos]
+                    blk = cmat.T @ coef.reshape(8, 8) @ cmat + 128.0
+                    py, px = (my * vs + byy) * 8, (mx * hs + bxx) * 8
+                    planes[cid][py:py + 8, px:px + 8] = blk
     lum_id = sel[0][0]
-    y = np.clip(np.rint(planes[lum_id][:h, :w]), 0, 255)
+    plane = planes[lum_id]
+    hs, vs = samp[lum_id]
+    if (hs, vs) != (hmax, vmax):
+        # a subsampled luminance plane (rare, but legal) upsamples by
+        # pixel replication before the crop — chroma planes never need
+        # it because only the luminance mean is reported
+        plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+    y = np.clip(np.rint(plane[:h, :w]), 0, 255)
     return {"format": "jpeg", "width": w, "height": h,
             "mean_luminance": float(y.mean())}
 
