@@ -463,6 +463,125 @@ def incremental_profile_sink(table_name: str, state_dir: str,
     return fold
 
 
+def retention_sink(state_dir: str, user_col: str = "user_id",
+                   ts_col: str = "ts", max_horizon: int = 7):
+    """foreachBatch sink: the streaming twin of
+    ``pipeline/sessions.py retention_cohorts`` (r8 verdict missing #5).
+    State is ONE row per user — (uid, cohort_day, mask) where bit k of
+    ``mask`` records activity exactly k days after the user's cohort
+    day, k <= ``max_horizon`` — so state size is O(users × 1), never
+    events, and any horizon <= max_horizon can be rolled up from it at
+    read time (``retention_state_result``).
+
+    Late data is handled EXACTLY, including events that predate the
+    recorded cohort: a pre-cohort event re-bases the user's cohort day
+    and the old mask shifts left by the day difference (offsets are
+    relative to the cohort), bits past ``max_horizon`` dropping off —
+    so the folded state always equals what the batch rollup would
+    compute over all events seen so far
+    (test_retention_sink_matches_batch pins stream == batch across
+    micro-batches with late and cohort-shifting users).
+
+    Spark shape per fold: one distinct + one uid groupBy over the
+    micro-batch (batch-sized), one full-outer join against the persisted
+    state on uid (both sides hash-partition on uid), bitmask merges as
+    codegen'd integer expressions — no UDFs, no driver materialization
+    (state streams straight to the staged dir). Exactly-once: same
+    staged-swap discipline as ``incremental_profile_sink`` — the next
+    state plus its ``_last_batch`` replay marker are staged completely,
+    then published by one atomic rename (``commit_state_swap``), and
+    ``recover_state_swap`` rolls any crash window back to a complete
+    previous state.
+
+    Usage::
+
+        q = (events.writeStream
+             .foreachBatch(retention_sink(state_dir))
+             .trigger(availableNow=True).start())
+    """
+    if max_horizon < 1 or max_horizon > 62:
+        raise ValueError("max_horizon must be in 1..62 (bitmask in a long)")
+    lim = (1 << (max_horizon + 1)) - 1
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from dataops_testgen_spark.io.fs import (commit_state_swap,
+                                                 path_exists,
+                                                 recover_state_swap)
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = state_dir.rstrip("/")
+        recover_state_swap(spark, base)
+        have_state = path_exists(spark, base)
+        if have_state and _already_folded(spark, base + "/_last_batch",
+                                          batch_id):
+            return
+        day = F.to_date(F.col(ts_col))
+        dd = batch_df.select(F.col(user_col).alias("uid"),
+                             day.alias("d")).distinct()
+        mins = dd.groupBy("uid").agg(F.min("d").alias("bc"))
+        per = (dd.join(mins, "uid")
+               .withColumn("off", F.datediff("d", "bc"))
+               .groupBy("uid", "bc")
+               .agg(F.sum(F.when(F.col("off") <= max_horizon,
+                                 F.expr("shiftleft(1L, off)"))
+                          .otherwise(F.lit(0)))
+                    .cast("long").alias("bm")))
+        if have_state:
+            st = spark.read.parquet(base).select("uid", "cohort_day",
+                                                 "mask")
+        else:
+            st = spark.createDataFrame(
+                [], "uid long, cohort_day date, mask long")
+        merged = (st.join(per, "uid", "full")
+                  .withColumn("nc", F.least("cohort_day", "bc"))
+                  .withColumn("sm", F.when(F.col("mask").isNull(),
+                                           F.lit(0))
+                              .when(F.datediff("cohort_day", "nc")
+                                    > max_horizon, F.lit(0))
+                              .otherwise(F.expr(
+                                  "shiftleft(mask,"
+                                  " datediff(cohort_day, nc))")))
+                  .withColumn("b2", F.when(F.col("bm").isNull(), F.lit(0))
+                              .when(F.datediff("bc", "nc") > max_horizon,
+                                    F.lit(0))
+                              .otherwise(F.expr(
+                                  "shiftleft(bm, datediff(bc, nc))")))
+                  .select("uid", F.col("nc").alias("cohort_day"),
+                          F.col("sm").bitwiseOR(F.col("b2"))
+                          .bitwiseAND(F.lit(lim)).cast("long")
+                          .alias("mask")))
+        staged = base + "__staged"
+        merged.write.mode("overwrite").parquet(staged)
+        _mark_folded(spark, staged + "/_last_batch", batch_id)
+        commit_state_swap(spark, base)
+
+    return fold
+
+
+def retention_state_result(spark, state_dir: str,
+                           horizons: tuple = (1, 7)) -> DataFrame:
+    """Roll the retention sink's per-user state up to the exact schema
+    ``retention_cohorts`` returns — (cohort_day, n_users, retained_d{k},
+    rate_d{k} per k): one date-cardinality groupBy; bit k of the mask IS
+    'active exactly k days after cohort'."""
+    if not horizons or any(h < 1 for h in horizons):
+        raise ValueError("horizons must be positive day offsets")
+    st = spark.read.parquet(state_dir.rstrip("/"))
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for h in horizons:
+        aggs.append(F.sum(F.expr(f"shiftright(mask, {h}) & 1"))
+                    .cast("long").alias(f"retained_d{h}"))
+    out = st.groupBy("cohort_day").agg(*aggs)
+    for h in horizons:
+        out = out.withColumn(
+            f"rate_d{h}",
+            F.round(F.col(f"retained_d{h}")
+                    / F.col("n_users").cast("double"), 9))
+    return out
+
+
 def streaming_sessionize(stream_df, gap_minutes: float = 30.0,
                          user_col: str = "user_id", ts_col: str = "ts",
                          value_col: str = "value"):

@@ -751,6 +751,61 @@ def test_compaction_refuses_unresolved_crash_window(spark, tmp_path):
     assert got_nb == want and got
 
 
+def test_retention_sink_matches_batch(spark, tmp_path):
+    """Streaming retention (r8 verdict missing #5): folding micro-batches
+    through retention_sink yields exactly retention_cohorts over the
+    union — including a LATE user event that predates the recorded
+    cohort (the state re-bases the cohort day and shifts the activity
+    mask), re-activity duplicates, and a replayed micro-batch (skipped
+    by the marker, state unchanged)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.sessions import retention_cohorts
+    from dataops_testgen_spark.streaming.monitors import (
+        retention_sink, retention_state_result)
+
+    d0 = dtm.datetime(2024, 3, 1, 10, 0)
+
+    def ev(uid, days):
+        return (uid, d0 + dtm.timedelta(days=days))
+
+    b0_rows = [ev(1, 0), ev(1, 1), ev(2, 3), ev(4, 0), ev(4, 7)]
+    # u2's batch-1 event on day 2 PREDATES its recorded day-3 cohort:
+    # cohort re-bases to day 2 and the old day-3 bit shifts to offset 1
+    b1_rows = [ev(2, 2), ev(2, 4), ev(3, 5), ev(3, 6), ev(3, 12),
+               ev(1, 7), ev(4, 0)]
+    schema = "user_id long, ts timestamp"
+    b0 = spark.createDataFrame(b0_rows, schema)
+    b1 = spark.createDataFrame(b1_rows, schema)
+    state = str(tmp_path / "retention_state")
+
+    sink = retention_sink(state, max_horizon=7)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def canon(df):
+        return {tuple(r) for r in df.collect()}
+
+    want = canon(retention_cohorts(b0.unionByName(b1), horizons=(1, 7)))
+    got = canon(retention_state_result(spark, state, horizons=(1, 7)))
+    assert got == want and got
+    # sanity on the late-user semantics: u2's cohort re-based to day 2
+    # (2024-03-03) and its old day-3 activity became d1 retention
+    by_day = {r["cohort_day"].isoformat(): r
+              for r in retention_state_result(spark, state).collect()}
+    assert by_day["2024-03-03"]["retained_d1"] == 1
+    # replay of batch 1: marker skips it, state unchanged
+    sink(b1, 1)
+    assert canon(retention_state_result(spark, state, horizons=(1, 7))) \
+        == want
+    # state is one row per user with a horizon-bounded mask
+    st = spark.read.parquet(state)
+    assert st.count() == 4
+    assert st.filter(F.col("mask") >= (1 << 8)).count() == 0
+
+
 def test_compaction_refuses_first_batch_crash_window(spark, tmp_path):
     """A sink that crashes during its FIRST micro-batch (after the data
     append, before the marker write) used to leave stamped batch_id=0
