@@ -660,3 +660,77 @@ def streaming_sessionize(stream_df, gap_minutes: float = 30.0,
     return (stream_df.groupBy(user_col)
             .applyInPandasWithState(fold, out_type, state_type, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_funnel(stream_df, steps: list[str],
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     within_minutes: float | None = None):
+    """Streaming twin of ``pipeline/sessions.py funnel`` as a custom
+    stateful operator (``applyInPandasWithState``): per-actor state is
+    the k first-completion times so far (one long per step — bounded,
+    never the event log), and each micro-batch extends the chain with
+    the same strictly-after / within-window semantics as the batch
+    funnel. Because a funnel chain only ever EXTENDS (the first step-i
+    completion after us_{i-1} can never move once set), the fold is
+    exact under the same contract ``streaming_sessionize`` documents:
+    micro-batches arrive in per-actor event-time order (true for
+    time-split file feeds and watermarked sources); within a batch,
+    arbitrary Arrow-chunk order is fine (the whole group materializes
+    and sorts before folding).
+
+    Emits, per micro-batch, one row for each actor whose chain ADVANCED
+    this batch — (user_id, ts_step_1..k, steps_completed) — so the
+    latest row per actor always equals the batch funnel over all events
+    so far (test_streaming_funnel_matches_batch). Actors that never
+    complete step 1 emit nothing, matching the batch output's row set.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    k = len(steps)
+    limit_us = (int(within_minutes * 60_000_000)
+                if within_minutes is not None else None)
+
+    out_type = StructType(
+        [StructField("user_id", LongType())]
+        + [StructField(f"us_step_{i}", LongType()) for i in range(1, k + 1)]
+        + [StructField("steps_completed", IntegerType())])
+    state_type = StructType(
+        [StructField(f"us_{i}", LongType()) for i in range(1, k + 1)])
+
+    def fold(key, pdf_iter, state):
+        firsts = list(state.get) if state.exists else [None] * k
+        before = list(firsts)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                i = next((j for j in range(k) if firsts[j] is None), None)
+                if i is None:
+                    break                      # chain already complete
+                if et != steps[i]:
+                    continue
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if i > 0 and us <= firsts[i - 1]:
+                    continue                   # strictly-after, tie-safe
+                if (limit_us is not None and i > 0
+                        and us > firsts[0] + limit_us):
+                    continue
+                firsts[i] = us
+        if firsts != before and firsts[0] is not None:
+            state.update(tuple(firsts))
+            done = sum(1 for v in firsts if v is not None)
+            yield pd.DataFrame(
+                [(key[0], *firsts, done)],
+                columns=(["user_id"]
+                         + [f"us_step_{i}" for i in range(1, k + 1)]
+                         + ["steps_completed"]))
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(fold, out_type, state_type, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -751,6 +751,75 @@ def test_compaction_refuses_unresolved_crash_window(spark, tmp_path):
     assert got_nb == want and got
 
 
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel == batch funnel over the union of time-split
+    micro-batches: chains that advance across batches, a step-2 event
+    before any step-1 (ignored), same-timestamp ties (strictly-after),
+    a never-converting user (no rows), and the within-window variant.
+    The latest emitted row per user is the batch row."""
+    import datetime as dt
+
+    from dataops_testgen_spark.pipeline.sessions import funnel
+    from dataops_testgen_spark.streaming.monitors import streaming_funnel
+
+    base = dt.datetime(2024, 5, 1)
+
+    def ev(uid, minutes, etype):
+        return (uid, base + dt.timedelta(minutes=minutes), etype)
+
+    rows = [
+        # u1 completes across the batch split (view+click early, buy late)
+        ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 95, "buy"),
+        # u2: click BEFORE any view is ignored; then view->click; the
+        # tied-timestamp buy (== click time) must NOT count (strictly >)
+        ev(2, 1, "click"), ev(2, 10, "view"), ev(2, 20, "click"),
+        ev(2, 20, "buy"), ev(2, 99, "buy"),
+        # u3 never views -> absent from both outputs
+        ev(3, 2, "click"), ev(3, 96, "buy"),
+        # u4 views only
+        ev(4, 3, "view"),
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    events = spark.createDataFrame(rows, schema)
+    steps = ["view", "click", "buy"]
+
+    src = str(tmp_path / "funnel_src")
+    # two time-split files -> availableNow folds them as ordered batches
+    events.filter("ts < '2024-05-01 01:30:00'").coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b=0")
+    events.filter("ts >= '2024-05-01 01:30:00'").coalesce(1) \
+        .write.mode("append").parquet(src + "/b=1")
+
+    for within in (None, 60.0):
+        out = streaming_funnel(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src + "/b=*"),
+            steps, within_minutes=within)
+        name = f"funnel_{int(within or 0)}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     str(tmp_path / f"ckpt_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got_rows = spark.table(name).collect()
+        latest = {}
+        for r in got_rows:                 # chains only extend
+            cur = latest.get(r["user_id"])
+            if cur is None or r["steps_completed"] > cur["steps_completed"]:
+                latest[r["user_id"]] = r
+        got = {u: tuple(r[f"us_step_{i}"] for i in (1, 2, 3))
+               + (r["steps_completed"],) for u, r in latest.items()}
+        want = {}
+        for r in funnel(events, steps, within_minutes=within).collect():
+            to_us = [(int(r[f"ts_step_{i}"].timestamp() * 1_000_000)
+                      if r[f"ts_step_{i}"] is not None else None)
+                     for i in (1, 2, 3)]
+            want[r["user_id"]] = tuple(to_us) + (r["steps_completed"],)
+        assert got == want, within
+        assert 3 not in got and 1 in got
+
+
 def test_retention_sink_matches_batch(spark, tmp_path):
     """Streaming retention (r8 verdict missing #5): folding micro-batches
     through retention_sink yields exactly retention_cohorts over the
