@@ -1102,6 +1102,53 @@ def cmd_events_funnel(args) -> int:
     return 0
 
 
+def cmd_events_retention(args) -> int:
+    """Cohort retention rollup (pipeline/sessions.py retention_cohorts).
+    With ``--state DIR`` the events fold into the persisted per-user
+    streaming state instead (streaming/monitors.py retention_sink —
+    (uid, cohort_day, activity mask) rows, exactly-once staged swap), so
+    repeated invocations stay incremental and the rollup always reflects
+    every event ever folded; ``--max-horizon`` fixes the mask bound and
+    must not shrink between invocations of the same state dir."""
+    from dataops_testgen_spark.pipeline.sessions import retention_cohorts
+
+    spark = _spark()
+    ev = spark.read.parquet(args.events)
+    horizons = tuple(int(h) for h in args.horizons.split(",") if h)
+    if not horizons:
+        print("need at least one horizon", file=sys.stderr)
+        return 2
+    if args.state:
+        from dataops_testgen_spark.io.fs import path_exists
+        from dataops_testgen_spark.streaming.monitors import (
+            retention_sink, retention_state_result)
+
+        if max(horizons) > args.max_horizon:
+            print(f"horizons beyond --max-horizon {args.max_horizon} "
+                  "are not recorded in the state mask", file=sys.stderr)
+            return 2
+        base = args.state.rstrip("/")
+        nxt = 0
+        if path_exists(spark, base + "/_last_batch"):
+            last = spark.read.parquet(base + "/_last_batch").first()
+            nxt = int(last["batch_id"]) + 1
+        retention_sink(base, user_col=args.user_col, ts_col=args.ts_col,
+                       max_horizon=args.max_horizon)(ev, nxt)
+        out = retention_state_result(spark, base, horizons=horizons)
+    else:
+        out = retention_cohorts(ev, user_col=args.user_col,
+                                ts_col=args.ts_col, horizons=horizons)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    rows = sorted(out.collect(), key=lambda r: r["cohort_day"])
+    for r in rows:
+        rates = "  ".join(f"d{h}={r[f'rate_d{h}']}" for h in horizons)
+        print(f"{r['cohort_day']}  n={r['n_users']}  {rates}")
+    print(f"{len(rows)} cohorts"
+          + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
 def _add_common(p, data=False, store=True, gen=False):
     if data:
         p.add_argument("--data-dir", required=True)
@@ -1354,6 +1401,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--user-col", default="user_id")
     p.add_argument("--ts-col", default="ts")
     p.set_defaults(fn=cmd_events_funnel)
+
+    p = sub.add_parser("events-retention")
+    p.add_argument("--events", required=True)
+    p.add_argument("--horizons", default="1,7",
+                   help="comma-separated day offsets, e.g. 1,7,30")
+    p.add_argument("--state", default="",
+                   help="persisted per-user state dir: fold incrementally "
+                        "instead of a one-shot rollup")
+    p.add_argument("--max-horizon", type=int, default=30,
+                   help="state-mask bound (state mode only; keep constant "
+                        "per state dir)")
+    p.add_argument("--out", default="")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.set_defaults(fn=cmd_events_retention)
 
     p = sub.add_parser("vector-index")
     p.add_argument("--vectors", required=True,

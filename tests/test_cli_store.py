@@ -606,6 +606,43 @@ def test_events_cli(spark, tmp_path, capsys):
                  "--steps", "view"]) == 2
 
 
+def test_events_retention_cli(spark, tmp_path, capsys):
+    """events-retention one-shot rollup equals the library call; with
+    --state the same events split over two invocations fold into the
+    persisted per-user state and the rollup equals the one-shot over the
+    union; a replayed invocation... uses a new batch id by design, but
+    re-folding identical events is a no-op on the state (masks OR
+    idempotently)."""
+    from dataops_testgen_spark.pipeline.sessions import retention_cohorts
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "retention")
+    assert main(["events-retention", "--events", events,
+                 "--horizons", "1,7", "--out", out]) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            retention_cohorts(spark.read.parquet(events),
+                              horizons=(1, 7)).collect()}
+    assert got == want and got
+    assert "cohorts" in capsys.readouterr().out
+
+    # incremental state mode over a two-way split
+    ev = spark.read.parquet(events)
+    a, b = str(tmp_path / "ev_a"), str(tmp_path / "ev_b")
+    ev.filter("user_id % 2 = 0").write.parquet(a)
+    ev.filter("user_id % 2 = 1").write.parquet(b)
+    state = str(tmp_path / "ret_state")
+    assert main(["events-retention", "--events", a,
+                 "--state", state]) == 0
+    assert main(["events-retention", "--events", b,
+                 "--state", state, "--out", out]) == 0
+    got2 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got2 == want
+    # horizons past the mask bound are refused, not silently wrong
+    assert main(["events-retention", "--events", b, "--state", state,
+                 "--horizons", "45", "--max-horizon", "30"]) == 2
+
+
 def test_vector_cli_roundtrip(spark, tmp_path, capsys):
     """vector-index (train-on-first-append, second increment reuses the
     stored quantizers, compaction) -> corpus-search --ann runs the
