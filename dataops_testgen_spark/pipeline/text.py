@@ -557,11 +557,46 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
                     "mean_nll", "score"))
 
 
+def _padded_gram_counts(train: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The one-relation n-gram model: each token position becomes one
+    NULL-padded n-gram struct (g1 = the token, g2..gn = the following
+    tokens or NULL past the doc end) over a MATERIALIZED token array, so
+    every order's n-gram and context counts re-aggregate exactly from
+    this single groupBy of a single train scan."""
+    toks = F.coalesce(tokens(F.col(text_col)),
+                      F.array().cast("array<string>"))
+    tr = train.select(toks.alias("toks"))
+    pos = F.sequence(F.lit(1), F.size("toks"))
+    padded = F.transform(pos, lambda i: F.struct(
+        *[F.get(F.col("toks"), i + F.lit(k) - 1).alias(f"g{k + 1}")
+          for k in range(n)]))
+    grams = (tr.filter(F.size("toks") > 0)   # sequence(1,0) would descend
+             .select(F.explode(padded).alias("g"))
+             .select(*[F.col(f"g.g{j}").alias(f"g{j}")
+                       for j in range(1, n + 1)]))
+    return grams.groupBy(*[f"g{j}" for j in range(1, n + 1)]) \
+        .agg(F.count(F.lit(1)).alias("c"))
+
+
+def ngram_model_train(train_df: DataFrame, model_path: str,
+                      text_col: str = "text", n: int = 5) -> None:
+    """Train-once/score-many for ``ngram_lm_score`` (the fitted-model
+    handle ``nb_train`` already gives the NB classifier): persist the
+    single padded-gram count relation the whole backoff model derives
+    from. Scoring any number of corpora later via
+    ``ngram_lm_score(df, model_path=...)`` never rescans the train
+    corpus — the 100 TB shape where the reference gate (CCNet) trains
+    its KenLM once on curated text and scores every crawl snapshot."""
+    _padded_gram_counts(train_df, text_col, n) \
+        .write.mode("overwrite").parquet(model_path)
+
+
 def ngram_lm_score(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 5,
                    train_df: DataFrame | None = None,
                    alpha: float = 0.4,
-                   cache_model: bool = False) -> DataFrame:
+                   cache_model: bool = False,
+                   model_path: str | None = None) -> DataFrame:
     """Order-``n`` LM gate with STUPID BACKOFF (Brants et al. 2007 §3) —
     at ``n=5`` this is CCNet parity: the gate Wenzek et al. 2020 actually
     deploy is a 5-gram KenLM-style model, of which
@@ -597,6 +632,9 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
     — without it Catalyst replays the (column-pruned) scan per derived
     relation, the cost trigram_lm_score's docstring concedes. The
     caller owns the persist lifetime (``spark.catalog.clearCache()``).
+    ``model_path`` loads a model persisted by ``ngram_model_train``
+    instead of training at all (train once, score every snapshot);
+    mutually exclusive with ``train_df``, order-checked on load.
 
     Scoring left-joins the corpus's full n-grams to the 2(n-1)+1 derived
     relations on their suffix keys (all vocabulary-bounded; AQE
@@ -608,23 +646,19 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
     if n < 2:
         raise ValueError("ngram_lm_score needs n >= 2; use "
                          "unigram_logprob_score for order 0/1 semantics")
-    train = train_df if train_df is not None else df
-
-    toks_of = lambda col: F.coalesce(  # noqa: E731
-        tokens(col), F.array().cast("array<string>"))
-
-    # --- the model: one scan, one exploded padded-gram relation ---
-    tr = train.select(toks_of(F.col(text_col)).alias("toks"))
-    pos = F.sequence(F.lit(1), F.size("toks"))
-    padded = F.transform(pos, lambda i: F.struct(
-        *[F.get(F.col("toks"), i + F.lit(k) - 1).alias(f"g{k + 1}")
-          for k in range(n)]))
-    grams = (tr.filter(F.size("toks") > 0)   # sequence(1,0) would descend
-             .select(F.explode(padded).alias("g"))
-             .select(*[F.col(f"g.g{j}").alias(f"g{j}")
-                       for j in range(1, n + 1)]))
-    c_full = grams.groupBy(*[f"g{j}" for j in range(1, n + 1)]) \
-        .agg(F.count(F.lit(1)).alias("c"))
+    if model_path is not None:
+        if train_df is not None:
+            raise ValueError("pass train_df OR model_path, not both")
+        c_full = df.sparkSession.read.parquet(model_path)
+        want = [f"g{j}" for j in range(1, n + 1)] + ["c"]
+        if sorted(c_full.columns) != sorted(want):
+            raise ValueError(
+                f"model at {model_path} has columns {c_full.columns}; "
+                f"an order-{n} score needs {want} — train with "
+                f"ngram_model_train(..., n={n})")
+    else:
+        c_full = _padded_gram_counts(
+            train_df if train_df is not None else df, text_col, n)
     if cache_model:
         c_full = c_full.persist()
 
@@ -649,7 +683,9 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
 
     # --- scoring: the corpus's own full n-grams ---
     dtoks = df.select(F.col(id_col).alias("id"),
-                      toks_of(F.col(text_col)).alias("toks"))
+                      F.coalesce(tokens(F.col(text_col)),
+                                 F.array().cast("array<string>"))
+                      .alias("toks"))
     m = F.size("toks")
     full_pos = F.sequence(F.lit(1), m - n + 1)
     doc_grams = F.when(m >= n, F.transform(full_pos, lambda i: F.struct(

@@ -1229,6 +1229,32 @@ def test_ngram_lm_cache_model_single_train_scan(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_ngram_lm_persisted_model(spark, sf_dir, tmp_path):
+    """ngram_model_train persists the one-relation model; scoring with
+    model_path is bit-identical to scoring with train_df (train once,
+    score many — the nb_train pattern); order mismatches and ambiguous
+    train sources raise instead of silently mis-scoring."""
+    import pytest as _pt
+
+    from dataops_testgen_spark.pipeline.text import (ngram_lm_score,
+                                                     ngram_model_train)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL").limit(120))
+    train = docs.filter("doc_id % 2 = 0")
+    mp = str(tmp_path / "lm5")
+    ngram_model_train(train, mp, n=5)
+    want = {tuple(r) for r in
+            ngram_lm_score(docs, n=5, train_df=train).collect()}
+    got = {tuple(r) for r in
+           ngram_lm_score(docs, n=5, model_path=mp).collect()}
+    assert got == want and got
+    with _pt.raises(ValueError, match="order-3"):
+        ngram_lm_score(docs, n=3, model_path=mp).collect()
+    with _pt.raises(ValueError, match="not both"):
+        ngram_lm_score(docs, n=5, train_df=train, model_path=mp)
+
+
 def test_bigram_lm_score_python_parity(spark, sf_dir):
     """Independent plain-Python bigram LM on the real fixture slice."""
     import math
