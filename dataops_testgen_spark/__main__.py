@@ -1102,6 +1102,57 @@ def cmd_events_funnel(args) -> int:
     return 0
 
 
+def cmd_corpus_lm_train(args) -> int:
+    """Train the order-n stupid-backoff LM once (pipeline/text.py
+    ngram_model_train) — the CCNet-style fluency gate's model: one
+    corpus scan persists the single padded-gram count relation every
+    backoff order derives from."""
+    from dataops_testgen_spark.pipeline.text import ngram_model_train
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    ngram_model_train(docs, args.model, text_col=args.text_col,
+                      n=args.order)
+    n_rows = spark.read.parquet(args.model).count()
+    print(f"order-{args.order} LM model: {n_rows} padded-gram rows "
+          f"-> {args.model}")
+    return 0
+
+
+def cmd_corpus_lm_score(args) -> int:
+    """Score a corpus against a persisted LM model (pipeline/text.py
+    ngram_lm_score(model_path=...)): per-doc mean n-gram NLL +
+    perplexity-like score; --max-score keeps only docs at or below the
+    threshold (the fluency gate — low score = corpus-like prose)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.text import ngram_lm_score
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    model_cols = spark.read.parquet(args.model).columns
+    order = len([c for c in model_cols if c.startswith("g")])
+    out = ngram_lm_score(docs, text_col=args.text_col,
+                         id_col=args.id_col, n=order,
+                         model_path=args.model)
+    total = out.count()
+    scored = out.filter(F.col("score").isNotNull())
+    if args.max_score is not None:
+        kept = scored.filter(F.col("score") <= args.max_score)
+    else:
+        kept = scored
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+    n_kept = kept.count()
+    mean = kept.agg(F.avg("score")).first()[0]
+    print(f"order-{order} LM scored {total} docs; kept {n_kept}"
+          + (f" at score <= {args.max_score}" if args.max_score
+             is not None else "")
+          + (f", mean score {mean:.4f}" if mean is not None else "")
+          + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
 def cmd_events_retention(args) -> int:
     """Cohort retention rollup (pipeline/sessions.py retention_cohorts).
     With ``--state DIR`` the events fold into the persisted per-user
@@ -1401,6 +1452,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--user-col", default="user_id")
     p.add_argument("--ts-col", default="ts")
     p.set_defaults(fn=cmd_events_funnel)
+
+    p = sub.add_parser("corpus-lm-train")
+    p.add_argument("--corpus", required=True,
+                   help="parquet of training documents")
+    p.add_argument("--model", required=True,
+                   help="output dir for the persisted LM model")
+    p.add_argument("--order", type=int, default=5)
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=cmd_corpus_lm_train)
+
+    p = sub.add_parser("corpus-lm-score")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True,
+                   help="model dir from corpus-lm-train (order inferred)")
+    p.add_argument("--max-score", type=float, default=None,
+                   help="keep only docs with score <= threshold")
+    p.add_argument("--out", default="")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_corpus_lm_score)
 
     p = sub.add_parser("events-retention")
     p.add_argument("--events", required=True)

@@ -606,6 +606,36 @@ def test_events_cli(spark, tmp_path, capsys):
                  "--steps", "view"]) == 2
 
 
+def test_corpus_lm_cli(spark, tmp_path, capsys):
+    """corpus-lm-train persists the model once; corpus-lm-score infers
+    the order from the model, matches the library scores, and the
+    --max-score gate keeps exactly the docs at or below the threshold."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.text import ngram_lm_score
+
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "lm_model")
+    out = str(tmp_path / "lm_kept")
+    assert main(["corpus-lm-train", "--corpus", corpus,
+                 "--model", model, "--order", "4"]) == 0
+    assert "order-4 LM model" in capsys.readouterr().out
+
+    assert main(["corpus-lm-score", "--corpus", corpus,
+                 "--model", model, "--max-score", "50",
+                 "--out", out]) == 0
+    msg = capsys.readouterr().out
+    assert "order-4 LM scored 500 docs" in msg
+    got = {r["id"]: r["score"] for r in spark.read.parquet(out).collect()}
+    docs = spark.read.parquet(corpus)
+    ref = ngram_lm_score(docs, n=4, train_df=docs)
+    want = {r["id"]: r["score"]
+            for r in ref.filter(F.col("score") <= 50).collect()}
+    assert set(got) == set(want) and got
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
 def test_events_retention_cli(spark, tmp_path, capsys):
     """events-retention one-shot rollup equals the library call; with
     --state the same events split over two invocations fold into the
