@@ -518,8 +518,11 @@ def retention_sink(state_dir: str, user_col: str = "user_id",
                                           batch_id):
             return
         day = F.to_date(F.col(ts_col))
-        dd = batch_df.select(F.col(user_col).alias("uid"),
-                             day.alias("d")).distinct()
+        # NULL actors drop out of the batch rollup through its equi-join
+        # (null keys never match); drop them here too so stream == batch
+        dd = (batch_df.filter(F.col(user_col).isNotNull())
+              .select(F.col(user_col).alias("uid"),
+                      day.alias("d")).distinct())
         mins = dd.groupBy("uid").agg(F.min("d").alias("bc"))
         per = (dd.join(mins, "uid")
                .withColumn("off", F.datediff("d", "bc"))

@@ -840,11 +840,12 @@ def test_retention_sink_matches_batch(spark, tmp_path):
     def ev(uid, days):
         return (uid, d0 + dtm.timedelta(days=days))
 
-    b0_rows = [ev(1, 0), ev(1, 1), ev(2, 3), ev(4, 0), ev(4, 7)]
+    b0_rows = [ev(1, 0), ev(1, 1), ev(2, 3), ev(4, 0), ev(4, 7),
+               ev(None, 0)]           # NULL actor: dropped by both paths
     # u2's batch-1 event on day 2 PREDATES its recorded day-3 cohort:
     # cohort re-bases to day 2 and the old day-3 bit shifts to offset 1
     b1_rows = [ev(2, 2), ev(2, 4), ev(3, 5), ev(3, 6), ev(3, 12),
-               ev(1, 7), ev(4, 0)]
+               ev(1, 7), ev(4, 0), ev(None, 1)]
     schema = "user_id long, ts timestamp"
     b0 = spark.createDataFrame(b0_rows, schema)
     b1 = spark.createDataFrame(b1_rows, schema)
