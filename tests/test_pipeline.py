@@ -1190,6 +1190,68 @@ def test_ngram_lm_5gram_python_parity(spark, sf_dir):
     assert fired == {1, 2, 3, 4, 5}   # every backoff leg exercised
 
 
+def test_ngram_lm_property_vs_python(spark):
+    """Property: for random tiny corpora over a 5-symbol alphabet (dense
+    n-gram collisions, so every backoff leg fires across examples),
+    random train splits and orders 2..4, ngram_lm_score's per-doc NLL
+    equals an independent plain-Python stupid-backoff reference."""
+    import math
+    from collections import Counter
+
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from dataops_testgen_spark.pipeline.text import ngram_lm_score
+
+    tok = st.sampled_from(list("abcde"))
+    doc = st.lists(tok, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=st.lists(doc, min_size=2, max_size=8),
+           n=st.integers(2, 4), mod=st.integers(2, 3))
+    def run(docs, n, mod):
+        toks = {i: (t.split(" ") if t else []) for i, t in enumerate(docs)}
+        train_ids = [i for i in toks if i % mod == 0]
+        assume(any(toks[i] for i in train_ids))   # empty-train has its
+        # own dedicated test (NULL contract); the property targets math
+        df = spark.createDataFrame(list(enumerate(docs)),
+                                   "doc_id long, text string")
+        got = {r["id"]: r for r in ngram_lm_score(
+            df, n=n, train_df=df.filter(f"doc_id % {mod} = 0")).collect()}
+
+        cnt = {j: Counter() for j in range(1, n + 1)}
+        ctx = {j: Counter() for j in range(2, n + 1)}
+        n_total = 0
+        for i in train_ids:
+            ts = toks[i]
+            n_total += len(ts)
+            cnt[1].update(ts)
+            for j in range(2, n + 1):
+                for k in range(len(ts) - j + 1):
+                    g = tuple(ts[k:k + j])
+                    cnt[j][g] += 1
+                    ctx[j][g[:-1]] += 1
+        v = len(cnt[1])
+
+        def s(g):
+            for j in range(n, 1, -1):
+                suf = g[n - j:]
+                if cnt[j][suf]:
+                    return 0.4 ** (n - j) * cnt[j][suf] / ctx[j][suf[:-1]]
+            return 0.4 ** (n - 1) * (cnt[1][g[-1]] + 1) / (n_total + v)
+
+        for i, ts in toks.items():
+            grams = [tuple(ts[k:k + n]) for k in range(len(ts) - n + 1)]
+            assert got[i]["n_ngrams"] == len(grams), (i, n, mod)
+            if not grams:
+                assert got[i]["mean_nll"] is None
+                continue
+            want = sum(-math.log(s(g)) for g in grams) / len(grams)
+            assert abs(got[i]["mean_nll"] - want) < 1e-9, (i, n, mod)
+
+    run()
+
+
 def test_ngram_lm_cache_model_single_train_scan(spark, sf_dir):
     """cache_model=True persists the one padded-gram count relation, so
     the model side reads parquet exactly once (the persist's own build)
