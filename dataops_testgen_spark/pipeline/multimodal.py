@@ -931,29 +931,34 @@ def encode_jpeg_gray(pixel_bytes: bytes, width: int | None = None,
             + body + b"\xff\xd9")
 
 
-def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
-                    cb_bytes: bytes | None = None,
-                    cr_bytes: bytes | None = None) -> bytes:
-    """Baseline color JPEG with 4:2:0 chroma subsampling (Y 2×2, Cb/Cr
-    1×1, interleaved single scan) — the independent fixture encoder for
-    the decoder's subsampled-MCU walk, the layout real-world web JPEGs
-    overwhelmingly use. ``y_bytes`` is the full-resolution luminance
+def encode_jpeg_subsampled(y_bytes: bytes, width: int,
+                           sampling: tuple = (2, 2), quant: int = 1,
+                           cb_bytes: bytes | None = None,
+                           cr_bytes: bytes | None = None) -> bytes:
+    """Baseline color JPEG with arbitrary chroma subsampling — Y sampled
+    ``sampling=(hs, vs)``, Cb/Cr 1×1, interleaved single scan: (2,2) is
+    4:2:0 (the web-dominant layout), (2,1) 4:2:2, (4,1) 4:1:1, (1,1)
+    plain 4:4:4 color. The independent fixture encoder for the decoder's
+    general hs×vs MCU walk. ``y_bytes`` is the full-resolution luminance
     plane (row-major, ``width`` columns); ``cb_bytes``/``cr_bytes`` are
-    the ALREADY-SUBSAMPLED chroma planes at ceil(w/2)×ceil(h/2) (default
-    neutral 128 everywhere), so constant-tile fixtures round-trip
-    exactly at ``quant=1`` and the decoded luminance mean stays
-    oracle-derivable from the bytes. All three components share the
-    Annex-K luma Huffman tables and one quant table — legal, simple, and
-    decoded from the file's own tables anyway."""
+    the ALREADY-SUBSAMPLED chroma planes at ceil(w/hs)×ceil(h/vs)
+    (default neutral 128 everywhere), so constant-tile fixtures
+    round-trip exactly at ``quant=1`` and the decoded luminance mean
+    stays oracle-derivable from the bytes. All three components share
+    the Annex-K luma Huffman tables and one quant table — legal, simple,
+    and decoded from the file's own tables anyway."""
     import numpy as np
 
+    hs, vs = sampling
+    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+        raise ValueError("sampling factors must be in 1..4")
     n = len(y_bytes)
     if n == 0:
         raise ValueError("empty pixel bytes")
     if n % width:
         raise ValueError(f"{n} pixels do not fill rows of width {width}")
     w, h = width, n // width
-    cw, ch = -(-w // 2), -(-h // 2)
+    cw, ch = -(-w // hs), -(-h // vs)
     if cb_bytes is None:
         cb_bytes = bytes([128]) * (cw * ch)
     if cr_bytes is None:
@@ -970,11 +975,11 @@ def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
         th = -(-phh // (8 * bh_mult)) * 8 * bh_mult
         return np.pad(img, ((0, th - phh), (0, tw - pw)), mode="edge")
 
-    ypl = plane(y_bytes, w, h, 2, 2)        # pad Y to 16×16 MCUs
+    ypl = plane(y_bytes, w, h, hs, vs)      # pad Y to full MCUs
     cbp = plane(cb_bytes, cw, ch, 1, 1)
     crp = plane(cr_bytes, cw, ch, 1, 1)
-    # chroma planes must tile the same MCU grid as Y/2
-    mcux, mcuy = ypl.shape[1] // 16, ypl.shape[0] // 16
+    # chroma planes must tile the same MCU grid as Y/(hs,vs)
+    mcux, mcuy = ypl.shape[1] // (8 * hs), ypl.shape[0] // (8 * vs)
     for p in (cbp, crp):
         assert p.shape[0] >= mcuy * 8 and p.shape[1] >= mcux * 8
 
@@ -985,9 +990,9 @@ def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
     preds = {1: 0, 2: 0, 3: 0}
     for my in range(mcuy):
         for mx in range(mcux):
-            for byy in range(2):            # 4 Y blocks, raster order
-                for bxx in range(2):
-                    py, px = (my * 2 + byy) * 8, (mx * 2 + bxx) * 8
+            for byy in range(vs):           # hs·vs Y blocks, raster order
+                for bxx in range(hs):
+                    py, px = (my * vs + byy) * 8, (mx * hs + bxx) * 8
                     preds[1] = _jpeg_encode_block(
                         bw, ypl[py:py + 8, px:px + 8], preds[1],
                         quant, dc_codes, ac_codes, cmat)
@@ -1006,7 +1011,7 @@ def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
            + bytes([3,
-                    1, 0x22, 0,             # Y: 2×2 sampling
+                    1, (hs << 4) | vs, 0,   # Y: hs×vs sampling
                     2, 0x11, 0,             # Cb: 1×1
                     3, 0x11, 0]))           # Cr: 1×1
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
@@ -1016,6 +1021,16 @@ def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
             + seg(0xC4, dht)
             + seg(0xDA, sos)
             + body + b"\xff\xd9")
+
+
+def encode_jpeg_420(y_bytes: bytes, width: int, quant: int = 1,
+                    cb_bytes: bytes | None = None,
+                    cr_bytes: bytes | None = None) -> bytes:
+    """4:2:0 color JPEG (Y 2×2, Cb/Cr 1×1) — the layout real-world web
+    JPEGs overwhelmingly use; see ``encode_jpeg_subsampled``."""
+    return encode_jpeg_subsampled(y_bytes, width, sampling=(2, 2),
+                                  quant=quant, cb_bytes=cb_bytes,
+                                  cr_bytes=cr_bytes)
 
 
 class _BitReader:

@@ -2747,6 +2747,28 @@ def test_jpeg_420_chroma_subsampling():
         == (w2, h2, 50.0)
 
 
+def test_jpeg_general_sampling_layouts():
+    """The decoder's MCU walk is general hs×vs, not 4:2:0-specific:
+    4:2:2 (2×1), 4:1:1 (4×1), vertical-only 1×2 and plain 4:4:4 color
+    (1×1) all decode with exact constant-tile luminance means through
+    the same fixture encoder parameterized by sampling factors."""
+    from dataops_testgen_spark.pipeline.multimodal import (
+        decode_image, encode_jpeg_subsampled)
+
+    for hs, vs in ((2, 1), (4, 1), (1, 2), (1, 1), (2, 2)):
+        tw, th = 8 * hs, 8 * vs             # one MCU per tile
+        vals = [10, 250, 99, 201]
+        w, h = tw * 2, th * 2               # 2×2 MCUs
+        y = bytearray()
+        for row in range(h):
+            for col in range(w):
+                y.append(vals[(row // th) * 2 + (col // tw)])
+        d = decode_image(encode_jpeg_subsampled(bytes(y), width=w,
+                                                sampling=(hs, vs)))
+        assert (d["width"], d["height"]) == (w, h), (hs, vs)
+        assert d["mean_luminance"] == sum(vals) / len(vals), (hs, vs)
+
+
 def test_flac_utf8_frame_numbers():
     """FLAC's UTF-8-style coded frame numbers, full range: the encoder
     previously masked frame numbers >= 2048 to 5 bits (spec-invalid
