@@ -1726,6 +1726,14 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
            .select("doc_id", F.col("format").alias("jpeg_format"),
                    F.col("height").alias("jpeg_h"),
                    F.round("mean_luminance", 5).alias("jpeg_mean")))
+    # the SUBSAMPLED leg (r9): the same tiles in a 4:2:0 COLOR JPEG —
+    # the interleaved 4-Y+Cb+Cr MCU walk runs distributed; constant
+    # blocks keep the luminance mean text-derivable
+    j420 = (MM.extract_decoded_features(MM.with_jpeg420_payload(docs),
+                                        binary_col="jpeg420_payload")
+            .select("doc_id", F.col("format").alias("jpeg420_format"),
+                    F.col("width").alias("jpeg420_w"),
+                    F.round("mean_luminance", 5).alias("jpeg420_mean")))
     # the AUDIO leg: same bytes as u8 PCM samples in a mono 8 kHz WAV —
     # RIFF chunk walk + sample fold run distributed, stdlib-only
     wav = (MM.extract_audio_features(MM.with_wav_payload(docs),
@@ -1744,14 +1752,15 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
                     F.col("n_samples").alias("flac_n"),
                     F.round("mean_amplitude", 5).alias("flac_mean")))
     return (feats.join(dec, "doc_id").join(png, "doc_id")
-            .join(gif, "doc_id").join(jpg, "doc_id").join(wav, "doc_id")
-            .join(flac, "doc_id")
+            .join(gif, "doc_id").join(jpg, "doc_id").join(j420, "doc_id")
+            .join(wav, "doc_id").join(flac, "doc_id")
             .select("doc_id", "byte_len", "first_byte", "content_md5",
                     F.round("fake_feature", 5).alias("fake_feature"),
                     "format", "width", "height",
                     F.round("mean_luminance", 5).alias("mean_luminance"),
                     "png_format", "png_mean", "gif_format", "gif_mean",
                     "jpeg_format", "jpeg_h", "jpeg_mean",
+                    "jpeg420_format", "jpeg420_w", "jpeg420_mean",
                     "wav_rate", "n_samples", "wav_duration", "wav_mean",
                     "flac_format", "flac_n", "flac_mean"))
 
@@ -1799,6 +1808,14 @@ SELECT doc_id,
                            i -> ascii(substr(text, i, 1))))::DOUBLE
                        / LEAST(length(text), 64), 5)
        END AS jpeg_mean,
+       CASE WHEN length(text) > 0 THEN 'jpeg' END AS jpeg420_format,
+       CASE WHEN length(text) > 0 THEN 8::INT END AS jpeg420_w,
+       CASE WHEN length(text) > 0
+            THEN ROUND(list_sum(list_transform(
+                           range(1, LEAST(length(text), 64) + 1),
+                           i -> ascii(substr(text, i, 1))))::DOUBLE
+                       / LEAST(length(text), 64), 5)
+       END AS jpeg420_mean,
        CASE WHEN length(text) > 0 THEN 8000::INT END AS wav_rate,
        CASE WHEN length(text) > 0
             THEN LEAST(octet_length(CAST(text AS BLOB)), 64)::BIGINT

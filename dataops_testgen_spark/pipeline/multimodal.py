@@ -1270,6 +1270,26 @@ def with_jpeg_payload(df: DataFrame, text_col: str = "text",
                             parallelize=True)
 
 
+def with_jpeg420_payload(df: DataFrame, text_col: str = "text",
+                         out_col: str = "jpeg420_payload",
+                         max_bytes: int = 64) -> DataFrame:
+    """Demo helper for the SUBSAMPLED decode path (r9): the same
+    constant 8×8 tiles as ``with_jpeg_payload``, but wrapped in a 4:2:0
+    COLOR JPEG (Y 2×2, neutral chroma) — each 16×16 MCU covers two
+    stacked tiles plus the edge-replicated right half, all constant
+    blocks, so quant=1 round-trips exactly through the interleaved
+    4-Y+Cb+Cr MCU walk and the decoded luminance mean stays equal to
+    the byte mean the oracle derives from the text."""
+    def enc(raw):
+        tiles = bytearray()
+        for v in raw:
+            tiles.extend(bytes([v]) * 64)
+        return encode_jpeg_420(bytes(tiles), width=8)
+
+    return _encoded_payload(df, enc, out_col, text_col, max_bytes,
+                            parallelize=True)
+
+
 
 # --- FLAC codec (rice + fixed predictors) ----------------------------------
 # A REAL compressed-audio codec in pure Python: FLAC mono 8/16-bit with

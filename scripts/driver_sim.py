@@ -37,13 +37,23 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
-    df = entry_mod.entry(spark)
-    n = df.count()
-    print(f"entry(): {n} rows, {len(df.columns)} cols")
-
+    only = set(sys.argv[1:])        # optional query-name filter: a scoped
+    # re-verify after touching one query, instead of the full 105
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 1
+
+    if not only:
+        df = entry_mod.entry(spark)
+        n = df.count()
+        print(f"entry(): {n} rows, {len(df.columns)} cols")
+
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf)
             cols = sorted(sdf.columns)
