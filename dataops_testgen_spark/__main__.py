@@ -1102,6 +1102,45 @@ def cmd_events_funnel(args) -> int:
     return 0
 
 
+def cmd_corpus_dedup(args) -> int:
+    """End-to-end corpus deduplication (pipeline/dedup.py): exact mode
+    drops byte-identical texts (md5 groupBy, keep min doc id); near mode
+    runs the two-stage production path — MinHash-LSH candidates verified
+    by exact shingle Jaccard at --threshold — then keeps one
+    representative per duplicate cluster. Writes the deduped corpus and
+    prints the keep rate."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.dedup import (dedup_keep_one,
+                                                      exact_duplicates,
+                                                      verified_near_dups)
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    total = docs.count()
+    if args.mode == "exact":
+        groups = exact_duplicates(docs, text_col=args.text_col,
+                                  id_col=args.id_col)
+        # each group's doc_ids are sorted; drop everything after the head
+        drop = (groups.select(F.explode(F.expr(
+            "slice(doc_ids, 2, size(doc_ids) - 1)")).alias("__drop_id__"))
+            .localCheckpoint())
+        kept = docs.join(F.broadcast(drop) if drop.count() * 32
+                         <= 256 * 1024 * 1024 else drop,
+                         docs[args.id_col] == F.col("__drop_id__"),
+                         "left_anti")
+    else:
+        pairs = verified_near_dups(docs, text_col=args.text_col,
+                                   id_col=args.id_col,
+                                   threshold=args.threshold)
+        kept = dedup_keep_one(docs, pairs, id_col=args.id_col)
+    kept.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{args.mode} dedup: kept {n}/{total} docs "
+          f"({n / total:.4f}) -> {args.out}")
+    return 0
+
+
 def cmd_corpus_lm_train(args) -> int:
     """Train the order-n stupid-backoff LM once (pipeline/text.py
     ngram_model_train) — the CCNet-style fluency gate's model: one
@@ -1452,6 +1491,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--user-col", default="user_id")
     p.add_argument("--ts-col", default="ts")
     p.set_defaults(fn=cmd_events_funnel)
+
+    p = sub.add_parser("corpus-dedup")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True,
+                   help="output parquet dir for the deduped corpus")
+    p.add_argument("--mode", choices=["exact", "near"], default="near")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="near mode: exact-Jaccard verification threshold")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_corpus_dedup)
 
     p = sub.add_parser("corpus-lm-train")
     p.add_argument("--corpus", required=True,

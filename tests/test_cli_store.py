@@ -606,6 +606,38 @@ def test_events_cli(spark, tmp_path, capsys):
                  "--steps", "view"]) == 2
 
 
+def test_corpus_dedup_cli(spark, tmp_path, capsys):
+    """corpus-dedup exact mode keeps exactly one doc per identical text
+    (min id) plus all unique docs; near mode equals the library two-stage
+    keep-one composition at the same threshold."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.dedup import (dedup_keep_one,
+                                                      verified_near_dups)
+
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(corpus)
+
+    out = str(tmp_path / "exact_dedup")
+    assert main(["corpus-dedup", "--corpus", corpus, "--out", out,
+                 "--mode", "exact"]) == 0
+    kept = spark.read.parquet(out)
+    # one representative (the min id) per distinct text
+    want_ids = {r["keep"] for r in
+                docs.groupBy(F.md5("text").alias("h"))
+                .agg(F.min("doc_id").alias("keep")).collect()}
+    assert {r["doc_id"] for r in kept.collect()} == want_ids
+    assert "exact dedup: kept" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "near_dedup")
+    assert main(["corpus-dedup", "--corpus", corpus, "--out", out2,
+                 "--mode", "near", "--threshold", "0.5"]) == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    ref = dedup_keep_one(docs, verified_near_dups(docs, threshold=0.5))
+    assert got == {r["doc_id"] for r in ref.collect()}
+    assert len(got) < docs.count()          # the fixture has near-dups
+
+
 def test_corpus_lm_cli(spark, tmp_path, capsys):
     """corpus-lm-train persists the model once; corpus-lm-score infers
     the order from the model, matches the library scores, and the
