@@ -1141,6 +1141,36 @@ def cmd_corpus_dedup(args) -> int:
     return 0
 
 
+def cmd_corpus_decontaminate(args) -> int:
+    """Benchmark decontamination (pipeline/dedup.py ngram_contamination):
+    flag corpus docs sharing any word k-gram with an evaluation set (the
+    GPT-3/PaLM train-test-overlap screen), then write the CLEAN corpus
+    (and optionally the contamination report)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.dedup import ngram_contamination
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus)
+    bench = spark.read.parquet(args.benchmark)
+    total = docs.count()
+    hits = ngram_contamination(docs, bench, text_col=args.text_col,
+                               id_col=args.id_col, k=args.k)
+    if args.report:
+        hits.write.mode("overwrite").parquet(args.report)
+    drop = hits.select(F.col("id").alias("__drop_id__"))
+    clean = docs.join(F.broadcast(drop) if hits.count() * 32
+                      <= 256 * 1024 * 1024 else drop,
+                      docs[args.id_col] == F.col("__drop_id__"),
+                      "left_anti")
+    clean.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"decontaminated at {args.k}-grams: kept {n}/{total} docs "
+          f"({n / total:.4f}) -> {args.out}"
+          + (f", report -> {args.report}" if args.report else ""))
+    return 0
+
+
 def cmd_corpus_lm_train(args) -> int:
     """Train the order-n stupid-backoff LM once (pipeline/text.py
     ngram_model_train) — the CCNet-style fluency gate's model: one
@@ -1502,6 +1532,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.set_defaults(fn=cmd_corpus_dedup)
+
+    p = sub.add_parser("corpus-decontaminate")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--benchmark", required=True,
+                   help="parquet of the evaluation/benchmark documents")
+    p.add_argument("--out", required=True,
+                   help="output parquet dir for the clean corpus")
+    p.add_argument("--report", default="",
+                   help="optional parquet dir for the contamination report")
+    p.add_argument("--k", type=int, default=8,
+                   help="word k-gram overlap size (GPT-3 used 13)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_corpus_decontaminate)
 
     p = sub.add_parser("corpus-lm-train")
     p.add_argument("--corpus", required=True,

@@ -638,6 +638,34 @@ def test_corpus_dedup_cli(spark, tmp_path, capsys):
     assert len(got) < docs.count()          # the fixture has near-dups
 
 
+def test_corpus_decontaminate_cli(spark, tmp_path, capsys):
+    """corpus-decontaminate drops exactly the docs sharing a k-gram with
+    the benchmark set (here: a slice of the corpus itself, so overlap is
+    guaranteed) and the report parquet matches the library op."""
+    from dataops_testgen_spark.pipeline.dedup import ngram_contamination
+
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(corpus)
+    bench_dir = str(tmp_path / "benchmark")
+    docs.filter("doc_id % 25 = 0").write.parquet(bench_dir)
+
+    out = str(tmp_path / "clean")
+    report = str(tmp_path / "contam_report")
+    assert main(["corpus-decontaminate", "--corpus", corpus,
+                 "--benchmark", bench_dir, "--out", out,
+                 "--report", report, "--k", "8"]) == 0
+    hits = ngram_contamination(docs, spark.read.parquet(bench_dir), k=8)
+    contaminated = {r["id"] for r in hits.collect()}
+    assert contaminated                      # self-slice guarantees hits
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {r["doc_id"] for r in docs.collect()} - contaminated
+    got_report = {(r["id"], r["n_contaminated_ngrams"])
+                  for r in spark.read.parquet(report).collect()}
+    assert got_report == {(r["id"], r["n_contaminated_ngrams"])
+                          for r in hits.collect()}
+    assert "decontaminated at 8-grams" in capsys.readouterr().out
+
+
 def test_corpus_lm_cli(spark, tmp_path, capsys):
     """corpus-lm-train persists the model once; corpus-lm-score infers
     the order from the model, matches the library scores, and the
