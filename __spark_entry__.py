@@ -1604,6 +1604,65 @@ SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rk::INT AS rank
 FROM r WHERE rk <= 5"""
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (similarity.kmeans_train, k=8, 3 Lloyd
+    iterations, first-8-by-id init) trained on the full embeddings table,
+    then every vector assigned to its trained centroid (kmeans_assign).
+    The oracle re-derives all three iterations in SQL: long-format
+    (vec_id, pos, val) vectors, per-iteration argmax-cosine assignment
+    (ties to the lowest centroid id), per-cell per-dimension SUM update
+    renormalized and ROUNDed to 9 decimals exactly as the trainer does —
+    the rounding firewall is what makes float summation order (Spark
+    partitioning vs DuckDB) invisible to the next iteration."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_train(emb, k=8, n_iters=3)
+    out = SIM.kmeans_assign(emb, cents)
+    return out.select("id", "cell", F.round("cosine", 5).alias("cosine"))
+
+
+def _sql_kmeans(k: int = 8, n_iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB mirror of kmeans_train + kmeans_assign (same
+    pattern as _sql_bpe_merges: data-independent loop => unrollable)."""
+    parts = [f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         UNNEST(embedding)::DOUBLE AS val
+  FROM embeddings),
+vn AS MATERIALIZED (
+  SELECT vec_id, SQRT(SUM(val*val)) AS n FROM v GROUP BY 1),
+c1 AS (SELECT vec_id AS cid, pos, ROUND(val / n, 9) AS val
+       FROM v JOIN vn USING (vec_id) WHERE vec_id < {k} AND n > 0)"""]
+    for t in range(1, n_iters + 2):
+        parts.append(f""",
+s{t} AS (SELECT v.vec_id, c.cid, SUM(v.val * c.val) AS dp
+         FROM v JOIN c{t} c USING (pos) GROUP BY 1, 2),
+cn{t} AS (SELECT cid, SQRT(SUM(val*val)) AS n FROM c{t} GROUP BY 1),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cid AS cell, sim FROM (
+    SELECT s.vec_id, s.cid, s.dp / (vn.n * cn.n) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.dp / (vn.n * cn.n) DESC, s.cid) AS rk
+    FROM s{t} s JOIN vn ON vn.vec_id = s.vec_id
+    JOIN cn{t} cn ON cn.cid = s.cid
+    WHERE vn.n > 0) WHERE rk = 1)""")
+        if t <= n_iters:
+            parts.append(f""",
+u{t} AS (SELECT a.cell AS cid, v.pos, SUM(v.val) AS sm
+         FROM a{t} a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+un{t} AS (SELECT cid, SQRT(SUM(sm*sm)) AS n FROM u{t} GROUP BY 1),
+c{t + 1} AS (SELECT cp.cid, cp.pos,
+                  COALESCE(ROUND(u.sm / NULLIF(un.n, 0), 9), cp.val) AS val
+           FROM c{t} cp
+           LEFT JOIN u{t} u ON u.cid = cp.cid AND u.pos = cp.pos
+           LEFT JOIN un{t} un ON un.cid = cp.cid)""")
+    parts.append(f"""
+SELECT vec_id AS id, cell, ROUND(sim, 5) AS cosine FROM a{n_iters + 1}""")
+    return "".join(parts)
+
+
+_SQL_KMEANS = _sql_kmeans()
+
+
 def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -4743,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r9 window, group 0: NEW this round ---
         "ngram_lm_documents": q_ngram_lm_documents,
+        "kmeans_embeddings": q_kmeans_embeddings,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---
@@ -4790,7 +4850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_keep_one_documents": q_dedup_keep_one_documents,
         "simhash_documents": q_simhash_documents,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -4801,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
         # ---- tail (seat 51+): r7/r8 driver-green, pytest-oracle-pinned ----
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
@@ -4861,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ngram_lm_documents": _SQL_NGRAM_LM,
+        "kmeans_embeddings": _SQL_KMEANS,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

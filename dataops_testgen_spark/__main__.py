@@ -940,6 +940,48 @@ def cmd_vector_index(args) -> int:
     return 0
 
 
+def cmd_vector_kmeans(args) -> int:
+    """Train a k-means coarse quantizer over an embedding parquet and
+    persist it as a (cell, centroid) parquet — feedable to vector-index /
+    ivf probes, or inspectable on its own. --metric cosine (default)
+    trains the deterministic spherical variant (similarity.kmeans_train,
+    fixed --iters Lloyd rounds, oracle-able); --metric l2 trains the
+    Euclidean tol-early-stop variant (train_ivf_centroids). With
+    --assign-out, every vector's (id, cell, cosine) assignment is also
+    written (spherical metric only)."""
+    from dataops_testgen_spark.io.fs import write_small_df
+    from dataops_testgen_spark.pipeline.similarity import (
+        kmeans_assign, kmeans_train, train_ivf_centroids)
+
+    spark = _spark()
+    vecs = spark.read.parquet(args.vectors)
+    if args.condition:
+        vecs = vecs.filter(args.condition)
+    if args.metric == "cosine":
+        cents = kmeans_train(vecs, k=args.k, n_iters=args.iters,
+                             vec_col=args.vec_col, id_col=args.id_col)
+    else:
+        cents = train_ivf_centroids(vecs, num_centroids=args.k,
+                                    max_iterations=args.iters,
+                                    vec_col=args.vec_col,
+                                    id_col=args.id_col)
+    write_small_df(spark,
+                   [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                   "cell int, centroid array<double>", args.out)
+    msg = (f"trained {len(cents)} {args.metric} centroids "
+           f"(dim {len(cents[0])}) -> {args.out}")
+    if args.assign_out:
+        if args.metric != "cosine":
+            print("--assign-out requires --metric cosine", file=sys.stderr)
+            return 2
+        a = kmeans_assign(vecs, cents, vec_col=args.vec_col,
+                          id_col=args.id_col)
+        a.write.mode("overwrite").parquet(args.assign_out)
+        msg += f"; assignments -> {args.assign_out}"
+    print(msg)
+    return 0
+
+
 def cmd_corpus_search(args) -> int:
     """Top-k search over a persisted index: BM25 over the lexical index
     by default; with --ann, two-stage vector retrieval (ann_index_probe
@@ -1599,6 +1641,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
     p.set_defaults(fn=cmd_vector_index)
+
+    p = sub.add_parser("vector-kmeans")
+    p.add_argument("--vectors", required=True,
+                   help="parquet with (id, embedding) rows")
+    p.add_argument("--out", required=True,
+                   help="output parquet for the (cell, centroid) model")
+    p.add_argument("-k", type=int, default=8, dest="k")
+    p.add_argument("--iters", type=int, default=3,
+                   help="Lloyd iterations (max iterations for --metric l2)")
+    p.add_argument("--metric", choices=["cosine", "l2"], default="cosine")
+    p.add_argument("--assign-out", default="",
+                   help="also write (id, cell, cosine) assignments here")
+    p.add_argument("--condition", default="",
+                   help="SQL predicate selecting the training rows")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.set_defaults(fn=cmd_vector_kmeans)
 
     p = sub.add_parser("corpus-search")
     p.add_argument("--index-dir", required=True)

@@ -586,7 +586,9 @@ def train_ivf_centroids(df: DataFrame, num_centroids: int = 8,
     the reference pattern (sampled centroids supplied externally) would
     leave cell populations unbalanced.  Empty cells keep their previous
     centroid.  Stops early when the max centroid movement drops below
-    ``tol`` (squared-distance on raw coordinates).
+    ``tol`` (squared-distance on raw coordinates).  See ``kmeans_train``
+    for the spherical (cosine-metric), fixed-iteration, DuckDB-oracle-
+    able sibling.
     """
     # seed from clean vectors only: a NULL element or NULL array would
     # poison the seed centroid (float(None)) before training even starts
@@ -1244,3 +1246,153 @@ def embedding_dim_profile(df: DataFrame,
                  F.stddev_samp("x").alias("std"),
                  F.min("x").alias("vmin"),
                  F.max("x").alias("vmax")))
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, cell, cosine): each vector's nearest centroid by cosine, ties
+    to the lowest centroid index (the shared stable-argsort rule), plus
+    the winning cosine. The scoring twin of ``_assign_cells_pandas`` —
+    one broadcast centroid matmul per Arrow batch, no shuffle; zero-norm
+    vectors are dropped (their cosine is undefined)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cmat = np.array(centroids, dtype=float)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = np.nan
+    bc = spark.sparkContext.broadcast(cmat / cn[:, None])
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents_n = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            keep = norms > 0
+            if not keep.any():
+                continue
+            m, norms = m[keep], norms[keep]
+            sims = (m / norms[:, None]) @ cents_n.T
+            safe = np.nan_to_num(sims, nan=-np.inf)
+            best = np.argsort(-safe, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame({
+                "id": pdf[id_col][keep],
+                "cell": best.astype("int32"),
+                "cosine": sims[np.arange(len(best)), best]})
+
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+    idt = _id_type(df, id_col)
+    return clean.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id {idt}, cell int, cosine double")
+
+
+def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_decimals: int = 9,
+                 persist: bool = True) -> list[list[float]]:
+    """Distributed SPHERICAL k-means (Lloyd's on the unit sphere) — the
+    cosine-metric sibling of ``train_ivf_centroids`` (Euclidean, md5-
+    sampled init, tol early-stop: the production IVF default). This
+    variant exists for two reasons: (1) cosine is the metric every
+    similarity path here actually ranks by, so spherical centroids match
+    the geometry ANN probes search in; (2) it is DETERMINISTIC by
+    construction — fixed iteration count, first-k-by-id init, per-
+    iteration rounding — so, uniquely among the trainers, its output is
+    DuckDB-oracle-able end-to-end (driver query ``kmeans_embeddings``
+    re-derives all iterations in unrolled SQL, the ``bpe_merges``
+    pattern). Its update pass is also leaner: per-cell vector sums
+    aggregate straight off the assignment kernel's (cell, vec) output —
+    rows never posexplode ×D and nothing joins back on id.
+
+    Deterministic contract:
+
+    - init: the ``k`` lowest-``id`` valid vectors, L2-normalized;
+    - assign: argmax cosine against the broadcast centroid matrix (one
+      numpy matmul per Arrow batch — no shuffle, no interpreted HOFs),
+      ties to the lowest centroid index;
+    - update: new centroid = L2-normalized per-dimension SUM of member
+      vectors (spherical update — mean and sum renormalize identically);
+      an empty cell (or an exactly-cancelling one, norm 0) keeps its
+      previous centroid;
+    - every updated centroid rounds to ``round_decimals`` decimals, so
+      float summation order (partitioning, engine) cannot leak into the
+      next iteration's assignments.
+
+    100 TB shape: per iteration, ONE pass over the vectors (assignment
+    kernel fused with a partial-agg groupBy(cell) of D per-dimension
+    sums — only k rows per task reach the exchange) and ONE model-sized
+    driver collect (k x D doubles — parameters, not data, same contract
+    as ``bpe_train``'s vocab finish / ``nb_train``'s model). The
+    projected (id, vec) relation persists across iterations
+    (``persist=True``) so the source scans once, not ``n_iters`` times.
+    """
+    import numpy as np
+
+    base = (df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("vec")))
+    if persist:
+        base = base.persist()
+    try:
+        seed_rows = (base.orderBy("id").limit(k).collect())
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} exceeds the {len(seed_rows)} valid vectors")
+        seeds = np.array([r["vec"] for r in seed_rows], dtype=float)
+        norms = np.linalg.norm(seeds, axis=1)
+        if (norms == 0).any():
+            raise ValueError("zero-norm vector among the k seed rows")
+        dim = seeds.shape[1]
+        cents = np.round(seeds / norms[:, None], round_decimals)
+
+        spark = df.sparkSession
+        sum_exprs = [F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)]
+        for _ in range(n_iters):
+            # assignment kernel carries the vector through, so the
+            # per-cell sums aggregate straight off the kernel's output —
+            # no join back to the base relation, nothing id-shuffled
+            bc = spark.sparkContext.broadcast(
+                cents / np.linalg.norm(cents, axis=1)[:, None])
+
+            def run(batches, _bc=bc):
+                import numpy as np
+                import pandas as pd
+
+                cents_n = _bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.array([np.asarray(v, dtype=float)
+                                  for v in pdf["vec"]])
+                    norms = np.linalg.norm(m, axis=1)
+                    keep = norms > 0
+                    if not keep.any():
+                        continue
+                    m, norms = m[keep], norms[keep]
+                    sims = (m / norms[:, None]) @ cents_n.T
+                    best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+                    yield pd.DataFrame({
+                        "cell": best.astype("int32"),
+                        "vec": list(pdf["vec"][keep])})
+
+            assigned = base.select("vec").mapInPandas(
+                run, schema="cell int, vec array<double>")
+            sums = assigned.groupBy("cell").agg(*sum_exprs).collect()
+            nxt = cents.copy()
+            for row in sums:
+                s = np.array([row[f"s{i}"] for i in range(dim)], dtype=float)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    nxt[row["cell"]] = np.round(s / n, round_decimals)
+            cents = nxt
+        return [list(map(float, c)) for c in cents]
+    finally:
+        if persist:
+            base.unpersist()

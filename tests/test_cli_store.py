@@ -776,6 +776,43 @@ def test_vector_cli_roundtrip(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_vector_kmeans_cli(spark, tmp_path, capsys):
+    """vector-kmeans trains the deterministic spherical quantizer, writes
+    the (cell, centroid) model parquet, and the optional assignment
+    parquet covers every valid vector with cells in [0, k)."""
+    vectors = "/root/testdata/sf0.001/embeddings.parquet"
+    cents = str(tmp_path / "cents")
+    assign = str(tmp_path / "assign")
+    assert main(["vector-kmeans", "--vectors", vectors, "--out", cents,
+                 "-k", "4", "--iters", "2", "--assign-out", assign]) == 0
+    assert "trained 4 cosine centroids" in capsys.readouterr().out
+    model = spark.read.parquet(cents).orderBy("cell").collect()
+    assert [r["cell"] for r in model] == [0, 1, 2, 3]
+    assert all(len(r["centroid"]) == 64 for r in model)
+    a = spark.read.parquet(assign)
+    n_vec = spark.read.parquet(vectors).count()
+    assert a.count() == n_vec
+    cells = {r["cell"] for r in a.select("cell").distinct().collect()}
+    assert cells <= {0, 1, 2, 3}
+    # the model is reproducible: retraining writes identical centroids
+    cents2 = str(tmp_path / "cents2")
+    assert main(["vector-kmeans", "--vectors", vectors, "--out", cents2,
+                 "-k", "4", "--iters", "2"]) == 0
+    capsys.readouterr()
+    model2 = spark.read.parquet(cents2).orderBy("cell").collect()
+    assert [list(r["centroid"]) for r in model2] == \
+        [list(r["centroid"]) for r in model]
+    # l2 metric path trains via train_ivf_centroids
+    cents3 = str(tmp_path / "cents3")
+    assert main(["vector-kmeans", "--vectors", vectors, "--out", cents3,
+                 "-k", "4", "--iters", "2", "--metric", "l2"]) == 0
+    assert "l2 centroids" in capsys.readouterr().out
+    # --assign-out with l2 is refused (exit 2), not a stack trace
+    assert main(["vector-kmeans", "--vectors", vectors,
+                 "--out", str(tmp_path / "c4"), "--metric", "l2",
+                 "--assign-out", str(tmp_path / "a4")]) == 2
+
+
 def test_null_safe_bucketed_referential_run(spark, tmp_path):
     """prepare-bucketed --null-safe-keys writes tables bucketed by the
     materialized struct group key; a stored suite holding BOTH
