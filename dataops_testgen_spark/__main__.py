@@ -953,6 +953,10 @@ def cmd_vector_kmeans(args) -> int:
     from dataops_testgen_spark.pipeline.similarity import (
         kmeans_assign, kmeans_train, train_ivf_centroids)
 
+    # argument errors exit 2 BEFORE any Spark job runs or output lands
+    if args.assign_out and args.metric != "cosine":
+        print("--assign-out requires --metric cosine", file=sys.stderr)
+        return 2
     spark = _spark()
     vecs = spark.read.parquet(args.vectors)
     if args.condition:
@@ -965,15 +969,18 @@ def cmd_vector_kmeans(args) -> int:
                                     max_iterations=args.iters,
                                     vec_col=args.vec_col,
                                     id_col=args.id_col)
+    if len(cents) < args.k:
+        # train_ivf_centroids returns a SHORT list (possibly empty) when
+        # fewer than k clean vectors exist; don't write a broken model
+        print(f"only {len(cents)} clean vectors for k={args.k}",
+              file=sys.stderr)
+        return 2
     write_small_df(spark,
                    [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                    "cell int, centroid array<double>", args.out)
     msg = (f"trained {len(cents)} {args.metric} centroids "
            f"(dim {len(cents[0])}) -> {args.out}")
     if args.assign_out:
-        if args.metric != "cosine":
-            print("--assign-out requires --metric cosine", file=sys.stderr)
-            return 2
         a = kmeans_assign(vecs, cents, vec_col=args.vec_col,
                           id_col=args.id_col)
         a.write.mode("overwrite").parquet(args.assign_out)

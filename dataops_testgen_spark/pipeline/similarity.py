@@ -1248,14 +1248,15 @@ def embedding_dim_profile(df: DataFrame,
                  F.max("x").alias("vmax")))
 
 
-def kmeans_assign(df: DataFrame, centroids: list[list[float]],
-                  vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
-    """(id, cell, cosine): each vector's nearest centroid by cosine, ties
-    to the lowest centroid index (the shared stable-argsort rule), plus
-    the winning cosine. The scoring twin of ``_assign_cells_pandas`` —
-    one broadcast centroid matmul per Arrow batch, no shuffle; zero-norm
-    vectors are dropped (their cosine is undefined)."""
+def _kmeans_kernel(df: DataFrame, centroids: list[list[float]],
+                   vec_col: str, id_col: str | None,
+                   return_bc: bool = False):
+    """The ONE normalize → broadcast-matmul → stable-argmax kernel behind
+    both spherical k-means entry points. With ``id_col`` it yields the
+    scoring shape (id, cell, cosine); with ``id_col=None`` it yields the
+    training shape (cell, vec) so per-cell sums aggregate straight off
+    it — no join back on id. Zero-norm vectors are dropped (their cosine
+    is undefined); a zero-norm centroid scores -inf via the NaN guard."""
     import numpy as np
 
     spark = df.sparkSession
@@ -1263,6 +1264,7 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     cn = np.linalg.norm(cmat, axis=1)
     cn[cn == 0] = np.nan
     bc = spark.sparkContext.broadcast(cmat / cn[:, None])
+    with_id = id_col is not None
 
     def run(batches):
         import numpy as np
@@ -1281,16 +1283,39 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
             sims = (m / norms[:, None]) @ cents_n.T
             safe = np.nan_to_num(sims, nan=-np.inf)
             best = np.argsort(-safe, axis=1, kind="stable")[:, 0]
-            yield pd.DataFrame({
-                "id": pdf[id_col][keep],
-                "cell": best.astype("int32"),
-                "cosine": sims[np.arange(len(best)), best]})
+            if with_id:
+                yield pd.DataFrame({
+                    "id": pdf[id_col][keep],
+                    "cell": best.astype("int32"),
+                    "cosine": sims[np.arange(len(best)), best]})
+            else:
+                yield pd.DataFrame({
+                    "cell": best.astype("int32"),
+                    "vec": list(pdf[vec_col][keep])})
 
     clean = df.filter(F.col(vec_col).isNotNull()
                       & ~F.exists(vec_col, lambda x: x.isNull()))
-    idt = _id_type(df, id_col)
-    return clean.select(id_col, vec_col).mapInPandas(
-        run, schema=f"id {idt}, cell int, cosine double")
+    if with_id:
+        idt = _id_type(df, id_col)
+        out = clean.select(id_col, vec_col).mapInPandas(
+            run, schema=f"id {idt}, cell int, cosine double")
+    else:
+        out = clean.select(vec_col).mapInPandas(
+            run, schema="cell int, vec array<double>")
+    # return_bc lets an eager caller (kmeans_train collects each
+    # iteration) unpersist the centroid broadcast once consumed instead
+    # of accumulating one per iteration on the executors
+    return (out, bc) if return_bc else out
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, cell, cosine): each vector's nearest centroid by cosine, ties
+    to the lowest centroid index (the shared stable-argsort rule), plus
+    the winning cosine. One broadcast centroid matmul per Arrow batch,
+    no shuffle; zero-norm vectors are dropped (cosine undefined)."""
+    return _kmeans_kernel(df, centroids, vec_col, id_col)
 
 
 def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
@@ -1313,7 +1338,9 @@ def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
 
     Deterministic contract:
 
-    - init: the ``k`` lowest-``id`` valid vectors, L2-normalized;
+    - init: the ``k`` lowest-``id`` valid vectors (non-NULL, no NULL
+      elements, norm > 0 — a zero vector can't seed a spherical
+      centroid, so the next id takes its place), L2-normalized;
     - assign: argmax cosine against the broadcast centroid matrix (one
       numpy matmul per Arrow batch — no shuffle, no interpreted HOFs),
       ties to the lowest centroid index;
@@ -1342,49 +1369,25 @@ def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
     if persist:
         base = base.persist()
     try:
-        seed_rows = (base.orderBy("id").limit(k).collect())
+        nonzero = F.aggregate("vec", F.lit(0.0),
+                              lambda acc, x: acc + x * x) > 0
+        seed_rows = base.filter(nonzero).orderBy("id").limit(k).collect()
         if len(seed_rows) < k:
             raise ValueError(f"k={k} exceeds the {len(seed_rows)} valid vectors")
         seeds = np.array([r["vec"] for r in seed_rows], dtype=float)
-        norms = np.linalg.norm(seeds, axis=1)
-        if (norms == 0).any():
-            raise ValueError("zero-norm vector among the k seed rows")
         dim = seeds.shape[1]
-        cents = np.round(seeds / norms[:, None], round_decimals)
+        cents = np.round(seeds / np.linalg.norm(seeds, axis=1)[:, None],
+                         round_decimals)
 
-        spark = df.sparkSession
         sum_exprs = [F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)]
         for _ in range(n_iters):
-            # assignment kernel carries the vector through, so the
-            # per-cell sums aggregate straight off the kernel's output —
-            # no join back to the base relation, nothing id-shuffled
-            bc = spark.sparkContext.broadcast(
-                cents / np.linalg.norm(cents, axis=1)[:, None])
-
-            def run(batches, _bc=bc):
-                import numpy as np
-                import pandas as pd
-
-                cents_n = _bc.value
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    m = np.array([np.asarray(v, dtype=float)
-                                  for v in pdf["vec"]])
-                    norms = np.linalg.norm(m, axis=1)
-                    keep = norms > 0
-                    if not keep.any():
-                        continue
-                    m, norms = m[keep], norms[keep]
-                    sims = (m / norms[:, None]) @ cents_n.T
-                    best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
-                    yield pd.DataFrame({
-                        "cell": best.astype("int32"),
-                        "vec": list(pdf["vec"][keep])})
-
-            assigned = base.select("vec").mapInPandas(
-                run, schema="cell int, vec array<double>")
+            # the shared kernel's (cell, vec) shape: per-cell sums
+            # aggregate straight off it — no join back to base, nothing
+            # id-shuffled, only k rows per task reach the exchange
+            assigned, bc = _kmeans_kernel(base, [list(c) for c in cents],
+                                          "vec", None, return_bc=True)
             sums = assigned.groupBy("cell").agg(*sum_exprs).collect()
+            bc.unpersist()
             nxt = cents.copy()
             for row in sums:
                 s = np.array([row[f"s{i}"] for i in range(dim)], dtype=float)
