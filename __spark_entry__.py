@@ -4151,6 +4151,110 @@ SELECT doc_id, i::INT AS frame_idx,
 
 
 # --------------------------------------------------------------------------
+# Q: lr_quality_documents — distributed logistic-regression quality
+# classifier (pipeline/classify.py lr_train — damped diagonal-Newton)
+# --------------------------------------------------------------------------
+
+def q_lr_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier distillation, end-to-end and hash-oracled: a logistic
+    regression over hashed unigram+bigram features (lr_hash_features,
+    512 salted-md5 buckets + bias) trains by 8 damped diagonal-Newton
+    iterations (lr_train) on the even-doc_id half to imitate a quality
+    gate (label: stopword share of 'the'/'a' >= 0.06), then scores the
+    WHOLE corpus (lr_score). Heldout accuracy ~0.79 vs 0.56 majority at
+    sf0.001 — the model genuinely learns the gate. The oracle re-derives
+    ALL 8 training iterations in unrolled SQL (the bpe_merges / kmeans
+    pattern): per iteration one margin aggregation, one (gradient,
+    diagonal-Hessian) aggregation, one ROUND(w, 9) update — the rounding
+    firewall keeps float sum order and libm exp last-ulp drift out of
+    the next iteration."""
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_score, lr_train)
+    from dataops_testgen_spark.pipeline.text import tokens as _toks
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != ""))
+    t = _toks(F.col("text"))
+    sw = (F.size(F.filter(t, lambda x: x.isin("the", "a"))) / F.size(t))
+    labels = (docs.filter(F.col("doc_id") % 2 == 0)
+              .select(F.col("doc_id").alias("id"),
+                      (sw >= 0.06).cast("double").alias("y")))
+    feats = lr_hash_features(docs, n_buckets=512, salt="lrq")
+    w = lr_train(feats, labels, n_iters=8, damping=0.003)
+    s = lr_score(feats, w)
+    return s.select("id", F.round("margin", 5).alias("margin"),
+                    F.round("p", 5).alias("p"),
+                    (F.col("p") >= 0.5).cast("int").alias("pred"))
+
+
+def _sql_lr_quality(k: int = 512, n_iters: int = 8, lam: float = 0.003,
+                    salt: str = "lrq") -> str:
+    """Unrolled-CTE DuckDB mirror of lr_hash_features + lr_train +
+    lr_score (data-independent loop => unrollable, as bpe/kmeans)."""
+    parts = [f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+cb AS (
+  SELECT doc_id, unnest(toks) AS gram FROM corpus
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM corpus, UNNEST(range(1, len(toks))) AS r(i)),
+fc AS (SELECT doc_id AS id,
+              CAST(concat('0x', substr(md5('{salt}' || '|' || gram), 1, 8))
+                   AS UBIGINT) % {k} AS f,
+              COUNT(*)::DOUBLE AS ct
+         FROM cb GROUP BY 1, 2),
+tot AS (SELECT id, SUM(ct) AS t FROM fc GROUP BY 1),
+fx AS MATERIALIZED (
+  SELECT id, CAST(f AS BIGINT) AS f, ct / t AS v
+    FROM fc JOIN tot USING (id)
+  UNION ALL
+  SELECT id, -1 AS f, 1.0 AS v FROM tot),
+lab AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a')))
+                   * 1.0 / len(toks) >= 0.06
+              THEN 1.0 ELSE 0.0 END AS y
+    FROM corpus WHERE doc_id % 2 = 0),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM lab),
+r1 AS (SELECT id, 0.5 - y AS r, 0.25 AS pq FROM lab),
+s1 AS (SELECT fx.f, SUM(fx.v * r.r) / ANY_VALUE(n.n) AS g,
+              SUM(fx.v * fx.v * r.pq) / ANY_VALUE(n.n) AS h
+         FROM fx JOIN r1 r USING (id), n GROUP BY fx.f),
+w1 AS (SELECT f, ROUND(-g / (h + {lam}), 9) AS w FROM s1)"""]
+    for t_ in range(2, n_iters + 1):
+        parts.append(f""",
+m{t_} AS (SELECT l.id, l.y,
+               SUM(fx.v * COALESCE(w.w, 0.0)) AS m
+          FROM lab l JOIN fx ON fx.id = l.id
+          LEFT JOIN w{t_ - 1} w ON w.f = fx.f
+          GROUP BY 1, 2),
+r{t_} AS (SELECT id, 1.0 / (1.0 + EXP(-m)) - y AS r,
+               (1.0 / (1.0 + EXP(-m)))
+                 * (1.0 - 1.0 / (1.0 + EXP(-m))) AS pq
+          FROM m{t_}),
+s{t_} AS (SELECT fx.f, SUM(fx.v * r.r) / ANY_VALUE(n.n) AS g,
+               SUM(fx.v * fx.v * r.pq) / ANY_VALUE(n.n) AS h
+          FROM fx JOIN r{t_} r USING (id), n GROUP BY fx.f),
+w{t_} AS (SELECT s.f,
+               ROUND(COALESCE(w.w, 0.0) - s.g / (s.h + {lam}), 9) AS w
+          FROM s{t_} s LEFT JOIN w{t_ - 1} w USING (f))""")
+    parts.append(f"""
+SELECT id, ROUND(m, 5) AS margin,
+       ROUND(1.0 / (1.0 + EXP(-m)), 5) AS p,
+       CAST(1.0 / (1.0 + EXP(-m)) >= 0.5 AS INT) AS pred
+  FROM (SELECT fx.id, SUM(fx.v * COALESCE(w.w, 0.0)) AS m
+          FROM fx LEFT JOIN w{n_iters} w ON w.f = fx.f
+          GROUP BY 1)""")
+    return "".join(parts)
+
+
+_SQL_LR_QUALITY = _sql_lr_quality()
+
+
+# --------------------------------------------------------------------------
 # Q: nb_classify_documents — trained NB quality/language classifier
 # (pipeline/classify.py — the fastText-style model-based corpus gate)
 # --------------------------------------------------------------------------
@@ -4807,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9 window, group 0: NEW this round ---
         "ngram_lm_documents": q_ngram_lm_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "lr_quality_documents": q_lr_quality_documents,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---
@@ -4854,7 +4959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_keep_one_documents": q_dedup_keep_one_documents,
         "simhash_documents": q_simhash_documents,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
@@ -4864,10 +4968,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
         # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # embedding_cosine_pairs (driver-green r1-r4) yielded its window
-        # seat to kmeans_embeddings this round — unchanged code, timing
-        # visible in every BENCH tail; earmark it for the r10 window
+        # embedding_cosine_pairs and ann_topk_embeddings (driver-green
+        # r1-r4) yielded their window seats to kmeans_embeddings and
+        # lr_quality_documents this round — both are unchanged brute-
+        # force baselines, pytest-oracle-pinned at HEAD every round and
+        # timing-visible in every BENCH tail; earmark for the r10 window
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
         # r7/r8 driver-green block:
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
@@ -4930,6 +5037,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ngram_lm_documents": _SQL_NGRAM_LM,
         "kmeans_embeddings": _SQL_KMEANS,
+        "lr_quality_documents": _SQL_LR_QUALITY,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

@@ -940,6 +940,72 @@ def cmd_vector_index(args) -> int:
     return 0
 
 
+def cmd_corpus_quality_train(args) -> int:
+    """Train the logistic-regression quality classifier (classify.
+    lr_train, damped diagonal-Newton over hashed n-gram features) from a
+    labeled parquet and persist the (f, w) weight relation — classifier
+    distillation as a CLI surface: imitate any boolean label column
+    (an expensive gate's decisions, human labels, lang == 'en', ...)
+    with a model cheap enough to score 100 TB."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.io.fs import write_small_df
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_train)
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus).filter(
+        F.col(args.text_col).isNotNull()
+        & (F.trim(args.text_col) != ""))
+    labels = docs.select(
+        F.col(args.id_col).alias("id"),
+        F.col(args.label_col).cast("double").alias("y"))
+    if args.condition:
+        labels = labels.join(
+            docs.filter(args.condition)
+            .select(F.col(args.id_col).alias("id")), "id")
+    feats = lr_hash_features(docs, text_col=args.text_col,
+                             id_col=args.id_col,
+                             n_buckets=args.buckets, salt=args.salt)
+    w = lr_train(feats, labels, n_iters=args.iters, damping=args.damping)
+    write_small_df(spark, sorted((int(f), float(x)) for f, x in w.items()),
+                   "f long, w double", args.model)
+    print(f"LR quality model: {len(w)} weights ({args.buckets} buckets, "
+          f"{args.iters} Newton steps) -> {args.model}")
+    return 0
+
+
+def cmd_corpus_quality_score(args) -> int:
+    """Score a corpus against a persisted LR quality model
+    (classify.lr_score): per-doc margin + sigmoid p; --min-p keeps only
+    docs at or above the threshold (the distilled gate)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_score)
+
+    spark = _spark()
+    docs = spark.read.parquet(args.corpus).filter(
+        F.col(args.text_col).isNotNull()
+        & (F.trim(args.text_col) != ""))
+    w = {int(r["f"]): float(r["w"])
+         for r in spark.read.parquet(args.model).collect()}
+    feats = lr_hash_features(docs, text_col=args.text_col,
+                             id_col=args.id_col,
+                             n_buckets=args.buckets, salt=args.salt)
+    out = lr_score(feats, w)
+    total = out.count()
+    kept = (out.filter(F.col("p") >= args.min_p)
+            if args.min_p is not None else out)
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+    n_kept = kept.count()
+    print(f"scored {total} docs; kept {n_kept}"
+          + (f" at p >= {args.min_p}" if args.min_p is not None else "")
+          + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
 def cmd_vector_kmeans(args) -> int:
     """Train a k-means coarse quantizer over an embedding parquet and
     persist it as a (cell, centroid) parquet — feedable to vector-index /
@@ -1648,6 +1714,39 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
     p.set_defaults(fn=cmd_vector_index)
+
+    p = sub.add_parser("corpus-quality-train")
+    p.add_argument("--corpus", required=True,
+                   help="labeled parquet with text + boolean label column")
+    p.add_argument("--label-col", required=True,
+                   help="boolean/0-1 column to imitate")
+    p.add_argument("--model", required=True,
+                   help="output parquet for the (f, w) weight relation")
+    p.add_argument("--buckets", type=int, default=512)
+    p.add_argument("--iters", type=int, default=8,
+                   help="diagonal-Newton steps")
+    p.add_argument("--damping", type=float, default=0.003)
+    p.add_argument("--condition", default="",
+                   help="SQL predicate selecting the training rows")
+    p.add_argument("--salt", default="lr")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_corpus_quality_train)
+
+    p = sub.add_parser("corpus-quality-score")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True,
+                   help="weight parquet from corpus-quality-train")
+    p.add_argument("--out", default="")
+    p.add_argument("--min-p", type=float, default=None,
+                   help="keep only docs with sigmoid score >= this")
+    p.add_argument("--buckets", type=int, default=512,
+                   help="must match the training run")
+    p.add_argument("--salt", default="lr",
+                   help="must match the training run")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_corpus_quality_score)
 
     p = sub.add_parser("vector-kmeans")
     p.add_argument("--vectors", required=True,

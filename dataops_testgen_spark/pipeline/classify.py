@@ -139,3 +139,120 @@ def nb_predict(df: DataFrame, cond: DataFrame, priors: DataFrame,
                                          F.col("label").asc())
     return (scored.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression over hashed n-gram features — the trained-classifier
+# half of the quality-gate family (NB above is the closed-form half).
+# ---------------------------------------------------------------------------
+
+def lr_hash_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 512,
+                     salt: str = "lr") -> DataFrame:
+    """(id, f, v): L1-normalized hashed unigram+bigram counts plus a bias
+    feature (f = -1, v = 1) per document — the fastText-style feature map
+    (Joulin et al. 2017) on the engine-portable salted-md5 buckets DSIR
+    already uses (``sampling._hashed_grams``), so the same grams land in
+    the same buckets in the audit SQL. Documents with no tokens produce
+    no rows (nothing to featurize)."""
+    from dataops_testgen_spark.pipeline.sampling import _hashed_grams
+
+    occ = _hashed_grams(df, text_col, id_col, n_buckets, salt)
+    counts = (occ.groupBy("id", F.col("bucket").alias("f"))
+              .agg(F.count(F.lit(1)).cast("double").alias("ct")))
+    totals = counts.groupBy("id").agg(F.sum("ct").alias("t"))
+    feats = (counts.join(totals, "id")
+             .select("id", "f", (F.col("ct") / F.col("t")).alias("v")))
+    bias = totals.select("id", F.lit(-1).cast("long").alias("f"),
+                         F.lit(1.0).alias("v"))
+    return feats.unionByName(bias)
+
+
+def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
+             damping: float = 0.003, learning_rate: float = 1.0,
+             round_decimals: int = 9) -> dict[int, float]:
+    """Distributed logistic regression by damped DIAGONAL-Newton descent
+    (Jacobi-preconditioned full-batch steps), DETERMINISTIC — the
+    trainable sibling of ``nb_train`` and the third member of the
+    oracle-able-trainer family (``bpe_train``, ``similarity.
+    kmeans_train``): fixed iteration count, zero-init weights, and a
+    ROUND(w, ``round_decimals``) firewall after every update so float
+    summation order (Spark partitioning vs audit SQL, libm exp last-ulp
+    drift) cannot leak into the next iteration.
+
+    This is the classifier-distillation shape LLM data pipelines deploy
+    (CCNet / GPT-3 / LLaMA quality+language gates): a cheap linear model
+    trained to imitate a label, then run over the whole corpus.
+
+    Why not plain GD: the bias column (v=1) and the L1-normalized text
+    features (v ~ 1/grams) differ by ~2 orders of magnitude in scale, so
+    any single learning rate either oscillates on the bias or crawls on
+    the text features (measured: 500+ GD steps to fit what 10 Newton
+    steps fit). The diagonal Hessian h_f = sum(v^2 p(1-p))/N fixes the
+    scale per feature; ``damping`` is the ridge on that diagonal keeping
+    rare-feature steps bounded (too small and separable rare features
+    blow up — 0.003 is stable on L1-normalized gram features).
+
+    ``feats``: (id, f, v) from ``lr_hash_features``; ``labels``: (id, y)
+    with y in {0.0, 1.0}. Only labeled docs WITH features train. Per
+    iteration: margins = one partial-agg groupBy(id) over the feature
+    rows; gradient AND diagonal Hessian = one partial-agg groupBy(f) —
+    two model-bounded shuffles — and ONE collect of at most n_buckets+1
+    (f, g, h) rows: parameters, not data, the same contract as
+    kmeans_train's centroid collect. The joined (feats x labels)
+    relation persists across iterations so the source scans once."""
+    spark = feats.sparkSession
+    # hash-partition the persisted train relation by id ONCE: every
+    # iteration's margin agg (groupBy id) and resid join (on id) then
+    # reuse that partitioning with no further data exchange — the only
+    # per-iteration shuffle carries the model-bounded (f, g, h) partials
+    base = (feats.join(labels.select("id", F.col("y").cast("double")
+                                     .alias("y")), "id")
+            .repartition("id")).persist()
+    try:
+        n_train = base.select("id").distinct().count()
+        if n_train == 0:
+            raise ValueError("no labeled documents with features")
+        w: dict[int, float] = {}
+        for _ in range(n_iters):
+            wdf = spark.createDataFrame(
+                [(int(f), float(x)) for f, x in w.items()] or [],
+                "f long, w double")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+            resid = (base.join(F.broadcast(wdf), "f", "left")
+                     .groupBy("id", "y")
+                     .agg(F.sum(F.col("v")
+                                * F.coalesce("w", F.lit(0.0))).alias("m"))
+                     .select("id", (p - F.col("y")).alias("r"),
+                             (p * (F.lit(1.0) - p)).alias("pq")))
+            n = F.lit(float(n_train))
+            step = (base.join(resid, "id")
+                    .groupBy("f")
+                    .agg((F.sum(F.col("v") * F.col("r")) / n).alias("g"),
+                         (F.sum(F.col("v") * F.col("v") * F.col("pq"))
+                          / n).alias("h"))
+                    .collect())
+            for row in step:
+                f = int(row["f"])
+                w[f] = round(w.get(f, 0.0) - learning_rate * row["g"]
+                             / (row["h"] + damping), round_decimals)
+        return w
+    finally:
+        base.unpersist()
+
+
+def lr_score(feats: DataFrame, weights: dict[int, float]) -> DataFrame:
+    """(id, margin, p): sigmoid scores for every document with features,
+    against a trained weight dict (broadcast join — the model is bucket-
+    bounded by construction). Unweighted features contribute 0."""
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(f), float(x)) for f, x in weights.items()] or [],
+        "f long, w double")
+    return (feats.join(F.broadcast(wdf), "f", "left")
+            .groupBy("id")
+            .agg(F.sum(F.col("v") * F.coalesce("w", F.lit(0.0)))
+                 .alias("margin"))
+            .select("id", "margin",
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+                    .alias("p")))

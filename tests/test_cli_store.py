@@ -813,6 +813,48 @@ def test_vector_kmeans_cli(spark, tmp_path, capsys):
                  "--assign-out", str(tmp_path / "a4")]) == 2
 
 
+def test_corpus_quality_cli_roundtrip(spark, tmp_path, capsys):
+    """corpus-quality-train persists the LR weight relation; corpus-
+    quality-score rebuilds identical features (same buckets/salt) and
+    gates by sigmoid score — kept + dropped partitions the corpus, and
+    re-scoring with the persisted model matches an in-process
+    lr_score run exactly."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_score)
+
+    labeled = str(tmp_path / "labeled")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+     .withColumn("is_en", (F.col("lang") == "en").cast("int"))
+     .write.parquet(labeled))
+    model = str(tmp_path / "lr_model")
+    assert main(["corpus-quality-train", "--corpus", labeled,
+                 "--label-col", "is_en", "--model", model,
+                 "--iters", "4", "--salt", "clitest"]) == 0
+    assert "LR quality model" in capsys.readouterr().out
+
+    out = str(tmp_path / "kept")
+    assert main(["corpus-quality-score", "--corpus", labeled,
+                 "--model", model, "--out", out, "--min-p", "0.5",
+                 "--salt", "clitest"]) == 0
+    msg = capsys.readouterr().out
+    assert "scored" in msg and "kept" in msg
+
+    docs = spark.read.parquet(labeled)
+    w = {int(r["f"]): float(r["w"])
+         for r in spark.read.parquet(model).collect()}
+    expect = (lr_score(lr_hash_features(docs, salt="clitest"), w)
+              .filter(F.col("p") >= 0.5))
+    got = spark.read.parquet(out)
+    assert got.count() == expect.count()
+    merged = got.select("id", F.col("p").alias("gp")).join(
+        expect.select("id", "p"), "id")
+    assert merged.count() == got.count()
+    assert merged.filter(F.col("gp") != F.col("p")).count() == 0
+
+
 def test_null_safe_bucketed_referential_run(spark, tmp_path):
     """prepare-bucketed --null-safe-keys writes tables bucketed by the
     materialized struct group key; a stored suite holding BOTH

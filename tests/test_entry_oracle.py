@@ -47,6 +47,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     # NEW in r9
     "ngram_lm_documents",
     "kmeans_embeddings",
+    "lr_quality_documents",
     # r9 touched these code paths (parse_event_props DDL fix, FLAC utf8
     # frame numbers + JPEG 4:2:0, cache_model on the LM scorers,
     # streaming retention)
@@ -74,7 +75,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "combo_match_customer_orders", "contingency_rules_lineitem",
     "distribution_shift_events", "dedup_clusters_documents",
     "dedup_keep_one_documents", "simhash_documents",
-    "ann_topk_embeddings", "ann_lsh_topk",
+    "ann_lsh_topk",
     "ivf_topk_embeddings", "profile_sampled_lineitem",
     "freshness_threshold_events", "validation_prepass",
     "incremental_screen_orders", "decontaminate_documents",
