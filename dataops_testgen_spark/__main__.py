@@ -968,8 +968,16 @@ def cmd_corpus_quality_train(args) -> int:
                              id_col=args.id_col,
                              n_buckets=args.buckets, salt=args.salt)
     w = lr_train(feats, labels, n_iters=args.iters, damping=args.damping)
+    # the model is self-describing: weights plus the featurization params
+    # (buckets/salt) scoring MUST reuse — a mismatch would silently hash
+    # every gram to the wrong feature
+    import posixpath
+
     write_small_df(spark, sorted((int(f), float(x)) for f, x in w.items()),
-                   "f long, w double", args.model)
+                   "f long, w double", posixpath.join(args.model, "weights"))
+    write_small_df(spark, [(int(args.buckets), args.salt)],
+                   "buckets int, salt string",
+                   posixpath.join(args.model, "meta"))
     print(f"LR quality model: {len(w)} weights ({args.buckets} buckets, "
           f"{args.iters} Newton steps) -> {args.model}")
     return 0
@@ -984,22 +992,32 @@ def cmd_corpus_quality_score(args) -> int:
     from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
                                                          lr_score)
 
+    import posixpath
+
     spark = _spark()
     docs = spark.read.parquet(args.corpus).filter(
         F.col(args.text_col).isNotNull()
         & (F.trim(args.text_col) != ""))
     w = {int(r["f"]): float(r["w"])
-         for r in spark.read.parquet(args.model).collect()}
+         for r in spark.read.parquet(
+             posixpath.join(args.model, "weights")).collect()}
+    # featurization params come from the model itself, never from flags —
+    # a buckets/salt mismatch would silently score garbage
+    meta = spark.read.parquet(posixpath.join(args.model, "meta")).first()
     feats = lr_hash_features(docs, text_col=args.text_col,
                              id_col=args.id_col,
-                             n_buckets=args.buckets, salt=args.salt)
-    out = lr_score(feats, w)
-    total = out.count()
-    kept = (out.filter(F.col("p") >= args.min_p)
-            if args.min_p is not None else out)
-    if args.out:
-        kept.write.mode("overwrite").parquet(args.out)
-    n_kept = kept.count()
+                             n_buckets=int(meta["buckets"]),
+                             salt=meta["salt"])
+    out = lr_score(feats, w).persist()
+    try:
+        total = out.count()
+        kept = (out.filter(F.col("p") >= args.min_p)
+                if args.min_p is not None else out)
+        if args.out:
+            kept.write.mode("overwrite").parquet(args.out)
+        n_kept = kept.count()
+    finally:
+        out.unpersist()
     print(f"scored {total} docs; kept {n_kept}"
           + (f" at p >= {args.min_p}" if args.min_p is not None else "")
           + (f" -> {args.out}" if args.out else ""))
@@ -1736,14 +1754,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("corpus-quality-score")
     p.add_argument("--corpus", required=True)
     p.add_argument("--model", required=True,
-                   help="weight parquet from corpus-quality-train")
+                   help="model dir from corpus-quality-train "
+                        "(weights + featurization meta)")
     p.add_argument("--out", default="")
     p.add_argument("--min-p", type=float, default=None,
                    help="keep only docs with sigmoid score >= this")
-    p.add_argument("--buckets", type=int, default=512,
-                   help="must match the training run")
-    p.add_argument("--salt", default="lr",
-                   help="must match the training run")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.set_defaults(fn=cmd_corpus_quality_score)

@@ -168,6 +168,12 @@ def lr_hash_features(df: DataFrame, text_col: str = "text",
     return feats.unionByName(bias)
 
 
+def _weights_df(spark, weights: dict[int, float]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(f), float(x)) for f, x in weights.items()],
+        "f long, w double")
+
+
 def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
              damping: float = 0.003, learning_rate: float = 1.0,
              round_decimals: int = 9) -> dict[int, float]:
@@ -206,8 +212,12 @@ def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
     # iteration's margin agg (groupBy id) and resid join (on id) then
     # reuse that partitioning with no further data exchange — the only
     # per-iteration shuffle carries the model-bounded (f, g, h) partials
+    # NULL labels are dropped, not trained on: a NULL y would silently
+    # skew every step (its residual falls out of the gradient sum while
+    # its pq still inflates the Hessian and n_train)
     base = (feats.join(labels.select("id", F.col("y").cast("double")
-                                     .alias("y")), "id")
+                                     .alias("y"))
+                  .filter(F.col("y").isNotNull()), "id")
             .repartition("id")).persist()
     try:
         n_train = base.select("id").distinct().count()
@@ -215,9 +225,7 @@ def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
             raise ValueError("no labeled documents with features")
         w: dict[int, float] = {}
         for _ in range(n_iters):
-            wdf = spark.createDataFrame(
-                [(int(f), float(x)) for f, x in w.items()] or [],
-                "f long, w double")
+            wdf = _weights_df(spark, w)
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
             resid = (base.join(F.broadcast(wdf), "f", "left")
                      .groupBy("id", "y")
@@ -246,9 +254,7 @@ def lr_score(feats: DataFrame, weights: dict[int, float]) -> DataFrame:
     against a trained weight dict (broadcast join — the model is bucket-
     bounded by construction). Unweighted features contribute 0."""
     spark = feats.sparkSession
-    wdf = spark.createDataFrame(
-        [(int(f), float(x)) for f, x in weights.items()] or [],
-        "f long, w double")
+    wdf = _weights_df(spark, weights)
     return (feats.join(F.broadcast(wdf), "f", "left")
             .groupBy("id")
             .agg(F.sum(F.col("v") * F.coalesce("w", F.lit(0.0)))

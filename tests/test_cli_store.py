@@ -836,15 +836,18 @@ def test_corpus_quality_cli_roundtrip(spark, tmp_path, capsys):
     assert "LR quality model" in capsys.readouterr().out
 
     out = str(tmp_path / "kept")
+    # scoring takes buckets/salt from the model's OWN meta (a mismatch
+    # would silently hash grams to the wrong features) — no flags needed
     assert main(["corpus-quality-score", "--corpus", labeled,
-                 "--model", model, "--out", out, "--min-p", "0.5",
-                 "--salt", "clitest"]) == 0
+                 "--model", model, "--out", out, "--min-p", "0.5"]) == 0
     msg = capsys.readouterr().out
     assert "scored" in msg and "kept" in msg
+    meta = spark.read.parquet(model + "/meta").first()
+    assert (meta["buckets"], meta["salt"]) == (512, "clitest")
 
     docs = spark.read.parquet(labeled)
     w = {int(r["f"]): float(r["w"])
-         for r in spark.read.parquet(model).collect()}
+         for r in spark.read.parquet(model + "/weights").collect()}
     expect = (lr_score(lr_hash_features(docs, salt="clitest"), w)
               .filter(F.col("p") >= 0.5))
     got = spark.read.parquet(out)
