@@ -1667,6 +1667,39 @@ SELECT vec_id AS id, cell, ROUND(sim, 5) AS cosine FROM a{n_iters + 1}""")
 _SQL_KMEANS = _sql_kmeans()
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact D x D embedding covariance in ONE distributed pass
+    (similarity.embedding_covariance): an Arrow kernel emits per-batch
+    Gram partials (D(D+1)/2 + D + 1 rows per batch, never a per-row D^2
+    expansion), a partial-agg groupBy folds them, and the covariance
+    finalizes from model-sized sums — the fit step whitening/PCA/OPQ
+    start from (fit_whitening consumes it). The oracle re-derives it
+    long-format: per-(i<=j) sums of val products minus the mean outer
+    product."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = SIM.embedding_covariance(emb)
+    # + 0.0 folds ROUND's -0.0 into +0.0 (repr-level hash would differ)
+    return out.select("i", "j",
+                      (F.round("cov", 5) + F.lit(0.0)).alias("cov"))
+
+
+_SQL_EMB_COVARIANCE = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         UNNEST(embedding)::DOUBLE AS val
+  FROM embeddings),
+n AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM v),
+s1 AS (SELECT pos, SUM(val) AS s FROM v GROUP BY 1),
+s2 AS (SELECT a.pos AS i, b.pos AS j, SUM(a.val * b.val) AS s
+         FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2)
+SELECT s2.i, s2.j,
+       ROUND((s2.s - sa.s * sb.s / n.n) / n.n, 5) + 0.0 AS cov
+  FROM s2, n
+  JOIN s1 sa ON sa.pos = s2.i
+  JOIN s1 sb ON sb.pos = s2.j"""
+
+
 def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -4912,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_documents": q_ngram_lm_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "lr_quality_documents": q_lr_quality_documents,
+        "embedding_covariance_embeddings": q_embedding_covariance,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---
@@ -4960,7 +4994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one_documents": q_dedup_keep_one_documents,
         "simhash_documents": q_simhash_documents,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "freshness_threshold_events": q_freshness_threshold_events,
         "validation_prepass": q_validation_prepass,
@@ -4968,13 +5001,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
         # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # embedding_cosine_pairs and ann_topk_embeddings (driver-green
-        # r1-r4) yielded their window seats to kmeans_embeddings and
-        # lr_quality_documents this round — both are unchanged brute-
-        # force baselines, pytest-oracle-pinned at HEAD every round and
-        # timing-visible in every BENCH tail; earmark for the r10 window
+        # embedding_cosine_pairs, ann_topk_embeddings and
+        # ivf_topk_embeddings (driver-green r1-r4) yielded their window
+        # seats to kmeans_embeddings, lr_quality_documents and
+        # embedding_covariance_embeddings this round — all three are
+        # unchanged baselines, pytest-oracle-pinned at HEAD every round
+        # and timing-visible in every BENCH tail; earmark for r10
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # r7/r8 driver-green block:
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
@@ -5038,6 +5073,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm_documents": _SQL_NGRAM_LM,
         "kmeans_embeddings": _SQL_KMEANS,
         "lr_quality_documents": _SQL_LR_QUALITY,
+        "embedding_covariance_embeddings": _SQL_EMB_COVARIANCE,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

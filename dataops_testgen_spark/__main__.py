@@ -1073,6 +1073,36 @@ def cmd_vector_kmeans(args) -> int:
     return 0
 
 
+def cmd_vector_whiten(args) -> int:
+    """Fit PCA whitening on an embedding parquet (one distributed
+    covariance pass + driver-side eigh over the model-sized D x D
+    matrix) and write the whitened vectors — the standard pre-PQ /
+    pre-cosine conditioning step. The (mu, W) model persists alongside
+    as a self-describing parquet (row i: mu_i + W[i, :])."""
+    from dataops_testgen_spark.io.fs import write_small_df
+    from dataops_testgen_spark.pipeline.similarity import (fit_whitening,
+                                                           whiten)
+
+    spark = _spark()
+    vecs = spark.read.parquet(args.vectors)
+    if args.condition:
+        vecs = vecs.filter(args.condition)
+    mu, w = fit_whitening(vecs, vec_col=args.vec_col,
+                          n_components=args.components)
+    if args.model:
+        write_small_df(
+            spark,
+            [(i, float(mu[i]), [float(x) for x in w[i]])
+             for i in range(len(mu))],
+            "row int, mu double, w array<double>", args.model)
+    out = whiten(vecs, mu, w, vec_col=args.vec_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"whitened {out.count()} vectors (dim {w.shape[0]} -> "
+          f"{w.shape[1]}) -> {args.out}"
+          + (f"; model -> {args.model}" if args.model else ""))
+    return 0
+
+
 def cmd_corpus_search(args) -> int:
     """Top-k search over a persisted index: BM25 over the lexical index
     by default; with --ann, two-stage vector retrieval (ann_index_probe
@@ -1779,6 +1809,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
     p.set_defaults(fn=cmd_vector_kmeans)
+
+    p = sub.add_parser("vector-whiten")
+    p.add_argument("--vectors", required=True,
+                   help="parquet with (id, embedding) rows")
+    p.add_argument("--out", required=True,
+                   help="output parquet for (id, whitened) rows")
+    p.add_argument("--model", default="",
+                   help="also persist the (mu, W) model parquet here")
+    p.add_argument("--components", type=int, default=None,
+                   help="keep only the top-k principal directions")
+    p.add_argument("--condition", default="")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.set_defaults(fn=cmd_vector_whiten)
 
     p = sub.add_parser("corpus-search")
     p.add_argument("--index-dir", required=True)

@@ -1399,3 +1399,126 @@ def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
     finally:
         if persist:
             base.unpersist()
+
+
+def embedding_covariance(df: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """(i, j, cov) for i <= j: the exact D x D covariance of an embedding
+    column in ONE distributed pass — the fit step PCA / whitening / OPQ
+    rotation all start from.
+
+    100 TB shape: an Arrow kernel accumulates the batch-local Gram matrix
+    (one numpy syrk per batch) and emits only the D(D+1)/2 + D + 1
+    partial sums per batch — never a per-row D^2 expansion (a posexplode
+    self-join would blow each row up 2080x at D=64); a partial-agg
+    groupBy folds the per-batch rows and the covariance finalizes from
+    model-sized sums. NULL-element and NULL vectors are dropped."""
+    import numpy as np
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            g = m.T @ m
+            s1 = m.sum(axis=0)
+            d = m.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "s": np.concatenate([g[iu, ju], s1, [float(len(m))]])})
+
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+    parts = (clean.select(vec_col)
+             .mapInPandas(gram, schema="i int, j int, s double")
+             .groupBy("i", "j").agg(F.sum("s").alias("s"))
+             .collect())
+    s2, s1 = {}, {}
+    n = 0.0
+    for r in parts:
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            s1[r["i"]] = r["s"]
+        else:
+            s2[(r["i"], r["j"])] = r["s"]
+    if n == 0:
+        raise ValueError("no valid vectors")
+    rows = [(i, j, (s2[(i, j)] - s1[i] * s1[j] / n) / n)
+            for (i, j) in sorted(s2)]
+    return df.sparkSession.createDataFrame(rows, "i int, j int, cov double")
+
+
+def fit_whitening(df: DataFrame, vec_col: str = "embedding",
+                  eps: float = 1e-6,
+                  n_components: int | None = None):
+    """PCA whitening model from one covariance pass: returns (mu, W)
+    numpy arrays with W = V diag(1/sqrt(lam + eps)) over the top
+    ``n_components`` eigenpairs (all D when None) — whitened = (x-mu) @ W.
+    The eigendecomposition runs on the DRIVER over the model-sized D x D
+    covariance (the same parameters-not-data contract as kmeans_train's
+    centroid collect); the distributed work is the single Gram pass.
+    Whitening is the standard pre-PQ / pre-cosine conditioning step
+    (Jégou & Chum 2012) — dominant directions stop swamping the metric."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    # mean from one tiny agg (the covariance pass consumed its sums)
+    mu_row = (df.filter(F.col(vec_col).isNotNull()
+                        & ~F.exists(vec_col, lambda x: x.isNull()))
+              .select(*[F.avg(F.col(vec_col)[i].cast("double"))
+                        .alias(f"m{i}") for i in range(d)])
+              .first())
+    mu = np.array([mu_row[f"m{i}"] for i in range(d)])
+    lam, vecs = np.linalg.eigh(C)
+    order = np.argsort(lam)[::-1]
+    lam, vecs = lam[order], vecs[:, order]
+    if n_components is not None:
+        lam, vecs = lam[:n_components], vecs[:, :n_components]
+    # deterministic sign: make each eigenvector's largest-|.| entry positive
+    for c in range(vecs.shape[1]):
+        k = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[k, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    W = vecs / np.sqrt(np.maximum(lam, 0.0) + eps)
+    return mu, W
+
+
+def whiten(df: DataFrame, mu, W, vec_col: str = "embedding",
+           id_col: str = "vec_id",
+           out_col: str = "whitened") -> DataFrame:
+    """Apply a fitted whitening model: (id, whitened) with whitened =
+    (x - mu) @ W — one broadcast matmul per Arrow batch, no shuffle."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(mu, dtype=float), np.asarray(W, dtype=float)))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        mu_, w_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            out = (m - mu_) @ w_
+            yield pd.DataFrame({"id": pdf[id_col],
+                                out_col: list(out)})
+
+    clean = df.filter(F.col(vec_col).isNotNull()
+                      & ~F.exists(vec_col, lambda x: x.isNull()))
+    idt = _id_type(df, id_col)
+    return clean.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id {idt}, {out_col} array<double>")

@@ -48,6 +48,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "ngram_lm_documents",
     "kmeans_embeddings",
     "lr_quality_documents",
+    "embedding_covariance_embeddings",
     # r9 touched these code paths (parse_event_props DDL fix, FLAC utf8
     # frame numbers + JPEG 4:2:0, cache_model on the LM scorers,
     # streaming retention)
@@ -75,8 +76,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "combo_match_customer_orders", "contingency_rules_lineitem",
     "distribution_shift_events", "dedup_clusters_documents",
     "dedup_keep_one_documents", "simhash_documents",
-    "ann_lsh_topk",
-    "ivf_topk_embeddings", "profile_sampled_lineitem",
+    "ann_lsh_topk", "profile_sampled_lineitem",
     "freshness_threshold_events", "validation_prepass",
     "incremental_screen_orders", "decontaminate_documents",
 }

@@ -1,0 +1,100 @@
+"""Distributed covariance + PCA whitening (similarity.embedding_covariance
+/ fit_whitening / whiten) vs plain numpy."""
+
+import numpy as np
+
+from dataops_testgen_spark.pipeline import similarity as SIM
+
+
+def _df_from(spark, V):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(V)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_covariance_matches_numpy(spark):
+    rng = np.random.default_rng(13)
+    V = rng.normal(size=(200, 12)) @ rng.normal(size=(12, 12))
+    df = _df_from(spark, V)
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in SIM.embedding_covariance(df).collect()}
+    C = ((V - V.mean(0)).T @ (V - V.mean(0))) / len(V)
+    assert len(got) == 12 * 13 // 2
+    assert max(abs(got[(i, j)] - C[i, j]) for (i, j) in got) < 1e-12
+
+
+def test_covariance_invariant_to_partitioning(spark):
+    rng = np.random.default_rng(17)
+    V = rng.normal(size=(150, 8))
+    a = sorted(map(tuple, SIM.embedding_covariance(
+        _df_from(spark, V).coalesce(1)).collect()))
+    b = sorted(map(tuple, SIM.embedding_covariance(
+        _df_from(spark, V).repartition(7)).collect()))
+    for ra, rb in zip(a, b):
+        assert ra[:2] == rb[:2]
+        assert abs(ra[2] - rb[2]) < 1e-13  # float sum order only
+
+
+def test_covariance_drops_invalid_vectors(spark):
+    rng = np.random.default_rng(19)
+    V = rng.normal(size=(50, 4))
+    rows = ([(i, [float(x) for x in v]) for i, v in enumerate(V)]
+            + [(100, None), (101, [1.0, None, 0.0, 0.0])])
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in SIM.embedding_covariance(df).collect()}
+    C = ((V - V.mean(0)).T @ (V - V.mean(0))) / len(V)
+    assert max(abs(got[(i, j)] - C[i, j]) for (i, j) in got) < 1e-12
+
+
+def test_whitening_identity_covariance(spark):
+    """Whitened data must have (near-)identity covariance, and the
+    transform must match the numpy reference path exactly."""
+    rng = np.random.default_rng(23)
+    A = rng.normal(size=(8, 8))
+    V = rng.normal(size=(300, 8)) @ A + rng.normal(size=8) * 3
+    df = _df_from(spark, V)
+    mu, W = SIM.fit_whitening(df)
+    Y = np.array([np.asarray(r["whitened"]) for r in
+                  SIM.whiten(df, mu, W).orderBy("id").collect()])
+    ref = (V - mu) @ W
+    assert np.abs(Y - ref).max() < 1e-12
+    Cw = ((Y - Y.mean(0)).T @ (Y - Y.mean(0))) / len(Y)
+    assert np.abs(Cw - np.eye(8)).max() < 1e-3  # eps-regularized identity
+
+
+def test_vector_whiten_cli(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+
+    out = str(tmp_path / "wh")
+    model = str(tmp_path / "wh_model")
+    assert main(["vector-whiten", "--vectors",
+                 "/root/testdata/sf0.001/embeddings.parquet",
+                 "--out", out, "--model", model,
+                 "--components", "8"]) == 0
+    assert "dim 64 -> 8" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 500
+    assert len(got.first()["whitened"]) == 8
+    m = spark.read.parquet(model)
+    assert m.count() == 64  # row i: mu_i + W[i, :]
+    assert len(m.first()["w"]) == 8
+    # applying the persisted model reproduces the written output
+    import numpy as np
+    rows = m.orderBy("row").collect()
+    mu = np.array([r["mu"] for r in rows])
+    W = np.array([list(r["w"]) for r in rows])
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    again = {r["id"]: list(r["whitened"])
+             for r in SIM.whiten(emb, mu, W).collect()}
+    first = {r["id"]: list(r["whitened"]) for r in got.collect()}
+    assert again == first
+
+
+def test_whitening_truncated_components(spark):
+    rng = np.random.default_rng(29)
+    V = rng.normal(size=(120, 10))
+    df = _df_from(spark, V)
+    mu, W = SIM.fit_whitening(df, n_components=3)
+    assert W.shape == (10, 3)
+    out = SIM.whiten(df, mu, W).first()
+    assert len(out["whitened"]) == 3
