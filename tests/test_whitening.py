@@ -90,6 +90,32 @@ def test_vector_whiten_cli(spark, tmp_path, capsys):
     assert again == first
 
 
+def test_whiten_then_index_composition(spark, tmp_path, capsys):
+    """The README's composition claim, pinned: vector-whiten output feeds
+    vector-index + corpus-search --ann directly (whitened vectors are a
+    plain (id, embedding-shaped) parquet), and the searched top-k is a
+    valid ranking over the whitened space."""
+    from dataops_testgen_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    assert main(["vector-whiten", "--vectors",
+                 "/root/testdata/sf0.001/embeddings.parquet",
+                 "--out", wh, "--components", "16"]) == 0
+    capsys.readouterr()
+    idx = str(tmp_path / "wh_ann")
+    assert main(["vector-index", "--vectors", wh, "--index-dir", idx,
+                 "--vec-col", "whitened", "--id-col", "id",
+                 "--cells", "4", "-m", "4", "--codewords", "8"]) == 0
+    capsys.readouterr()
+    assert main(["corpus-search", "--ann", "--index-dir", idx,
+                 "--vectors", wh, "--vec-col", "whitened",
+                 "--id-col", "id", "--query-id", "7", "-k", "5"]) == 0
+    lines = [ln.split() for ln in capsys.readouterr().out.splitlines()
+             if ln.strip() and ln.split()[0].isdigit()]
+    assert [int(l[0]) for l in lines] == [1, 2, 3, 4, 5]
+    assert 7 not in [int(l[2]) for l in lines]  # self excluded
+
+
 def test_whitening_truncated_components(spark):
     rng = np.random.default_rng(29)
     V = rng.normal(size=(120, 10))
