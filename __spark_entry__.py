@@ -1684,20 +1684,28 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EMB_COVARIANCE = """
-WITH v AS MATERIALIZED (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+WITH src AS MATERIALIZED (
+  -- mirror the Spark clean filter (NULL vector / NULL element dropped)
+  -- and key rows by a synthetic rid so duplicate vec_ids can't
+  -- cross-multiply in the self-join (the Spark kernel is row-based)
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rid, embedding
+    FROM embeddings
+   WHERE embedding IS NOT NULL
+     AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT rid, generate_subscripts(embedding, 1) - 1 AS pos,
          UNNEST(embedding)::DOUBLE AS val
-  FROM embeddings),
-n AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM v),
-s1 AS (SELECT pos, SUM(val) AS s FROM v GROUP BY 1),
-s2 AS (SELECT a.pos AS i, b.pos AS j, SUM(a.val * b.val) AS s
-         FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  FROM src),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM src),
+mu AS (SELECT pos, SUM(val) / (SELECT n FROM n) AS m FROM v GROUP BY 1),
+s2 AS (SELECT a.pos AS i, b.pos AS j,
+              SUM((a.val - ma.m) * (b.val - mb.m)) AS s
+         FROM v a JOIN v b ON a.rid = b.rid AND a.pos <= b.pos
+         JOIN mu ma ON ma.pos = a.pos
+         JOIN mu mb ON mb.pos = b.pos
         GROUP BY 1, 2)
-SELECT s2.i, s2.j,
-       ROUND((s2.s - sa.s * sb.s / n.n) / n.n, 5) + 0.0 AS cov
-  FROM s2, n
-  JOIN s1 sa ON sa.pos = s2.i
-  JOIN s1 sb ON sb.pos = s2.j"""
+SELECT s2.i, s2.j, ROUND(s2.s / n.n, 5) + 0.0 AS cov
+  FROM s2, n"""
 
 
 def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

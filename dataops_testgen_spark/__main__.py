@@ -1083,6 +1083,11 @@ def cmd_vector_whiten(args) -> int:
     from dataops_testgen_spark.pipeline.similarity import (fit_whitening,
                                                            whiten)
 
+    # argument errors exit 2 BEFORE any Spark job runs (the <= D bound
+    # is checked by fit_whitening once the dimension is known)
+    if args.components is not None and args.components <= 0:
+        print("--components must be a positive integer", file=sys.stderr)
+        return 2
     spark = _spark()
     vecs = spark.read.parquet(args.vectors)
     if args.condition:
@@ -1097,7 +1102,9 @@ def cmd_vector_whiten(args) -> int:
             "row int, mu double, w array<double>", args.model)
     out = whiten(vecs, mu, w, vec_col=args.vec_col, id_col=args.id_col)
     out.write.mode("overwrite").parquet(args.out)
-    print(f"whitened {out.count()} vectors (dim {w.shape[0]} -> "
+    # count from the written footers — don't re-run the whitening job
+    n_out = spark.read.parquet(args.out).count()
+    print(f"whitened {n_out} vectors (dim {w.shape[0]} -> "
           f"{w.shape[1]}) -> {args.out}"
           + (f"; model -> {args.model}" if args.model else ""))
     return 0

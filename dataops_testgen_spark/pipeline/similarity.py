@@ -1401,21 +1401,13 @@ def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
             base.unpersist()
 
 
-def embedding_covariance(df: DataFrame,
-                         vec_col: str = "embedding") -> DataFrame:
-    """(i, j, cov) for i <= j: the exact D x D covariance of an embedding
-    column in ONE distributed pass — the fit step PCA / whitening / OPQ
-    rotation all start from.
-
-    100 TB shape: an Arrow kernel accumulates the batch-local Gram matrix
-    (one numpy syrk per batch) and emits only the D(D+1)/2 + D + 1
-    partial sums per batch — never a per-row D^2 expansion (a posexplode
-    self-join would blow each row up 2080x at D=64); a partial-agg
-    groupBy folds the per-batch rows and the covariance finalizes from
-    model-sized sums. NULL-element and NULL vectors are dropped."""
+def _embedding_mean(clean: DataFrame, vec_col: str):
+    """(mu, n) from one kernel pass over the cleaned vectors: per-batch
+    (pos, partial-sum) rows plus a count row, folded by a partial-agg
+    groupBy. Returns (numpy mean vector, row count)."""
     import numpy as np
 
-    def gram(batches):
+    def sums(batches):
         import numpy as np
         import pandas as pd
 
@@ -1423,62 +1415,97 @@ def embedding_covariance(df: DataFrame,
             if not len(pdf):
                 continue
             m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            g = m.T @ m
-            s1 = m.sum(axis=0)
             d = m.shape[1]
-            iu, ju = np.triu_indices(d)
             yield pd.DataFrame({
-                "i": np.concatenate([iu, np.arange(d), [-1]]),
-                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
-                "s": np.concatenate([g[iu, ju], s1, [float(len(m))]])})
+                "pos": np.concatenate([np.arange(d), [-1]]),
+                "s": np.concatenate([m.sum(axis=0), [float(len(m))]])})
 
-    clean = df.filter(F.col(vec_col).isNotNull()
-                      & ~F.exists(vec_col, lambda x: x.isNull()))
     parts = (clean.select(vec_col)
-             .mapInPandas(gram, schema="i int, j int, s double")
-             .groupBy("i", "j").agg(F.sum("s").alias("s"))
-             .collect())
-    s2, s1 = {}, {}
-    n = 0.0
-    for r in parts:
-        if r["i"] == -1:
-            n = r["s"]
-        elif r["j"] == -1:
-            s1[r["i"]] = r["s"]
-        else:
-            s2[(r["i"], r["j"])] = r["s"]
+             .mapInPandas(sums, schema="pos int, s double")
+             .groupBy("pos").agg(F.sum("s").alias("s")).collect())
+    n = sum(r["s"] for r in parts if r["pos"] == -1)
     if n == 0:
         raise ValueError("no valid vectors")
-    rows = [(i, j, (s2[(i, j)] - s1[i] * s1[j] / n) / n)
-            for (i, j) in sorted(s2)]
-    return df.sparkSession.createDataFrame(rows, "i int, j int, cov double")
+    d = max(r["pos"] for r in parts) + 1
+    mu = np.zeros(d)
+    for r in parts:
+        if r["pos"] >= 0:
+            mu[r["pos"]] = r["s"] / n
+    return mu, n
+
+
+def _clean_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.filter(F.col(vec_col).isNotNull()
+                     & ~F.exists(vec_col, lambda x: x.isNull()))
+
+
+def _covariance_parts(df: DataFrame, vec_col: str = "embedding"):
+    """Shared two-pass covariance: returns (mu, n, cov DataFrame of
+    (i, j, cov) for i <= j). Pass 1 folds the mean; pass 2 accumulates
+    the batch-local CENTERED Gram (numerically stable — the one-pass
+    E[xy]-E[x]E[y] spelling cancels catastrophically when |mean| >>
+    std) against the broadcast mean and emits only D(D+1)/2 partial
+    sums per batch — never a per-row D^2 expansion. The covariance
+    relation stays distributed (groupBy + one literal division)."""
+    import numpy as np
+
+    clean = _clean_vectors(df, vec_col)
+    mu, n = _embedding_mean(clean, vec_col)
+    bc = df.sparkSession.sparkContext.broadcast(mu)
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        mu_ = bc.value
+        iu, ju = np.triu_indices(len(mu_))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float)
+                          for v in pdf[vec_col]]) - mu_
+            g = m.T @ m
+            yield pd.DataFrame({"i": iu, "j": ju, "s": g[iu, ju]})
+
+    cov = (clean.select(vec_col)
+           .mapInPandas(gram, schema="i int, j int, s double")
+           .groupBy("i", "j").agg(F.sum("s").alias("s"))
+           .select("i", "j", (F.col("s") / F.lit(float(n))).alias("cov")))
+    return mu, n, cov
+
+
+def embedding_covariance(df: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """(i, j, cov) for i <= j: the exact D x D covariance of an embedding
+    column — the fit step PCA / whitening / OPQ rotation all start from.
+    Two kernel passes (mean, then centered Gram — see _covariance_parts
+    for why centered), model-sized shuffle, result stays distributed.
+    NULL-element and NULL vectors are dropped."""
+    return _covariance_parts(df, vec_col)[2]
 
 
 def fit_whitening(df: DataFrame, vec_col: str = "embedding",
                   eps: float = 1e-6,
                   n_components: int | None = None):
-    """PCA whitening model from one covariance pass: returns (mu, W)
-    numpy arrays with W = V diag(1/sqrt(lam + eps)) over the top
-    ``n_components`` eigenpairs (all D when None) — whitened = (x-mu) @ W.
+    """PCA whitening model: returns (mu, W) numpy arrays with
+    W = V diag(1/sqrt(lam + eps)) over the top ``n_components``
+    eigenpairs (all D when None) — whitened = (x-mu) @ W.
     The eigendecomposition runs on the DRIVER over the model-sized D x D
     covariance (the same parameters-not-data contract as kmeans_train's
-    centroid collect); the distributed work is the single Gram pass.
-    Whitening is the standard pre-PQ / pre-cosine conditioning step
-    (Jégou & Chum 2012) — dominant directions stop swamping the metric."""
+    centroid collect); the distributed work is the shared two-pass
+    mean+Gram (the mean is reused, not re-scanned). Whitening is the
+    standard pre-PQ / pre-cosine conditioning step (Jégou & Chum 2012)
+    — dominant directions stop swamping the metric."""
     import numpy as np
 
-    cov_rows = embedding_covariance(df, vec_col).collect()
-    d = max(r["i"] for r in cov_rows) + 1
+    mu, _, cov_df = _covariance_parts(df, vec_col)
+    cov_rows = cov_df.collect()
+    d = len(mu)
+    if n_components is not None and not 0 < n_components <= d:
+        raise ValueError(f"n_components must be in [1, {d}]")
     C = np.zeros((d, d))
     for r in cov_rows:
         C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
-    # mean from one tiny agg (the covariance pass consumed its sums)
-    mu_row = (df.filter(F.col(vec_col).isNotNull()
-                        & ~F.exists(vec_col, lambda x: x.isNull()))
-              .select(*[F.avg(F.col(vec_col)[i].cast("double"))
-                        .alias(f"m{i}") for i in range(d)])
-              .first())
-    mu = np.array([mu_row[f"m{i}"] for i in range(d)])
     lam, vecs = np.linalg.eigh(C)
     order = np.argsort(lam)[::-1]
     lam, vecs = lam[order], vecs[:, order]

@@ -22,6 +22,7 @@ spec.loader.exec_module(entry)
 from dataops_testgen_spark.session import get_spark  # noqa: E402
 
 QUERIES = ["ngram_lm_documents", "kmeans_embeddings",
+           "lr_quality_documents", "embedding_covariance_embeddings",
            "retention_events", "json_props_events",
            "multimodal_features_documents", "trigram_lm_documents"]
 

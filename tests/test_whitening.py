@@ -46,6 +46,48 @@ def test_covariance_drops_invalid_vectors(spark):
     assert max(abs(got[(i, j)] - C[i, j]) for (i, j) in got) < 1e-12
 
 
+def test_covariance_stable_under_large_mean(spark):
+    """The centered two-pass formula must survive |mean| >> std — the
+    one-pass E[xy]-E[x]E[y] spelling cancels catastrophically here."""
+    rng = np.random.default_rng(31)
+    V = rng.normal(size=(300, 6)) + 1e6
+    df = _df_from(spark, V)
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in SIM.embedding_covariance(df).collect()}
+    C = ((V - V.mean(0)).T @ (V - V.mean(0))) / len(V)
+    assert max(abs(got[(i, j)] - C[i, j]) for (i, j) in got) < 1e-9
+
+
+def test_covariance_oracle_parity_with_nulls_and_dup_ids(spark, tmp_path):
+    """The DuckDB oracle must mirror the Spark clean filter (NULL vector
+    / NULL element dropped) and be row-keyed (duplicate vec_ids must not
+    cross-multiply in its self-join)."""
+    import importlib
+    import sys as _sys
+
+    import duckdb
+
+    _sys.path.insert(0, "/root/repo")
+    em = importlib.import_module("__spark_entry__")
+    rng = np.random.default_rng(37)
+    V = rng.normal(size=(40, 4))
+    rows = ([(i % 20, [float(x) for x in v]) for i, v in enumerate(V)]
+            + [(100, None), (101, [1.0, None, 0.0, 0.0])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = str(tmp_path / "emb_dirty")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * "
+                f"FROM read_parquet('{pq}/*.parquet')")
+    d_rows = {(r[0], r[1]): r[2]
+              for r in con.execute(em._SQL_EMB_COVARIANCE).fetchall()}
+    s_rows = {(r["i"], r["j"]): round(r["cov"], 5) + 0.0
+              for r in SIM.embedding_covariance(
+                  spark.read.parquet(pq)).collect()}
+    assert s_rows.keys() == d_rows.keys()
+    assert all(s_rows[k] == d_rows[k] for k in s_rows)
+
+
 def test_whitening_identity_covariance(spark):
     """Whitened data must have (near-)identity covariance, and the
     transform must match the numpy reference path exactly."""
