@@ -72,18 +72,27 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     rewrites everything under ``batch_id=-1``."""
     spark = df.sparkSession
     if path_exists(spark, path):
-        if "batch_id" not in spark.read.parquet(path).columns:
-            raise ValueError(
-                f"{path} uses the legacy un-stamped index layout; run the "
-                "index family's *_index_compact once to migrate it to the "
-                "batch-stamped layout before appending")
-        if batch_id is None:
-            mx = spark.read.parquet(path).agg(
-                F.max("batch_id").alias("m")).first()["m"]
-            batch_id = _claim_batch_id(
-                spark, path,
-                max(mx if mx is not None else -1,
-                    _max_claimed_id(spark, path)) + 1)
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            # a previous EMPTY stamped write leaves a directory with no
+            # readable parquet footers (just _SUCCESS) — schema-less, so
+            # treat it as fresh rather than crashing the next append
+            # (id claims still guard auto-assignment below)
+            existing = None
+        if existing is not None:
+            if "batch_id" not in existing.columns:
+                raise ValueError(
+                    f"{path} uses the legacy un-stamped index layout; run "
+                    "the index family's *_index_compact once to migrate it "
+                    "to the batch-stamped layout before appending")
+            if batch_id is None:
+                mx = existing.agg(
+                    F.max("batch_id").alias("m")).first()["m"]
+                batch_id = _claim_batch_id(
+                    spark, path,
+                    max(mx if mx is not None else -1,
+                        _max_claimed_id(spark, path)) + 1)
     if batch_id is None:
         batch_id = _claim_batch_id(
             spark, path, max(0, _max_claimed_id(spark, path) + 1))

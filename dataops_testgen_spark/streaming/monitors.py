@@ -737,3 +737,56 @@ def streaming_funnel(stream_df, steps: list[str],
     return (stream_df.groupBy(user_col)
             .applyInPandasWithState(fold, out_type, state_type, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def quality_gate_sink(out_dir: str, model_dir: str, min_p: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """foreachBatch sink applying a PERSISTED LR quality model
+    (``corpus-quality-train``'s layout: ``weights`` + featurization
+    ``meta``) to a document stream — the distilled gate run online: each
+    micro-batch featurizes with the model's OWN buckets/salt (a
+    mismatch would silently hash grams to the wrong features, which is
+    why the sink refuses flags and reads meta), scores through the
+    broadcast weight relation, and stamped-appends the keepers
+    (id, margin, p) under ``batch_id=N``. The dynamic partition
+    overwrite makes crash-window re-deliveries rewrite the SAME
+    partition instead of duplicating keepers — the exactly-once
+    discipline every sink in this family shares. Model weights load
+    once per sink (driver-side dict, bucket-bounded) and broadcast per
+    batch via lr_score's weight join."""
+    import posixpath
+
+    state: dict = {}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from dataops_testgen_spark.io.fs import stamped_append
+        from dataops_testgen_spark.pipeline.classify import (
+            lr_hash_features, lr_score)
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker_dir = out_dir.rstrip("/") + "__last_batch"
+        if _already_folded(spark, marker_dir, batch_id):
+            return
+        _register_sink(spark, marker_dir)
+        if "w" not in state:
+            state["w"] = {
+                int(r["f"]): float(r["w"])
+                for r in spark.read.parquet(
+                    posixpath.join(model_dir, "weights")).collect()}
+            meta = spark.read.parquet(
+                posixpath.join(model_dir, "meta")).first()
+            state["buckets"] = int(meta["buckets"])
+            state["salt"] = meta["salt"]
+        docs = batch_df.filter(F.col(text_col).isNotNull()
+                               & (F.trim(text_col) != ""))
+        feats = lr_hash_features(docs, text_col=text_col, id_col=id_col,
+                                 n_buckets=state["buckets"],
+                                 salt=state["salt"])
+        kept = lr_score(feats, state["w"]).filter(F.col("p") >= min_p)
+        stamped_append(kept, posixpath.join(out_dir, "kept"),
+                       batch_id=batch_id)
+        _mark_folded(spark, marker_dir, batch_id)
+
+    return fold

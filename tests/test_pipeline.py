@@ -3019,3 +3019,23 @@ def test_bucketed_aggregate_balance_struct_path_having(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS hv_orders")
         spark.sql("DROP TABLE IF EXISTS hv_customer")
+
+
+def test_stamped_append_survives_empty_batch_write(spark, tmp_path):
+    """An EMPTY stamped write leaves a schema-less directory (only
+    _SUCCESS, no parquet footers); the next append must treat it as
+    fresh instead of crashing on schema inference — the quality-gate
+    sink hits this whenever a micro-batch keeps zero documents."""
+    from dataops_testgen_spark.io.fs import stamped_append
+
+    path = str(tmp_path / "sink")
+    empty = spark.createDataFrame([], "id long, p double")
+    assert stamped_append(empty, path, batch_id=0) == 0
+    rows = spark.createDataFrame([(1, 0.9), (2, 0.7)], "id long, p double")
+    assert stamped_append(rows, path, batch_id=1) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    assert {r["batch_id"] for r in got.select("batch_id").collect()} == {1}
+    # auto-assigned ids keep working too (claims survive the empty write)
+    nxt = stamped_append(rows, path)
+    assert nxt >= 2

@@ -918,3 +918,64 @@ def test_compaction_refuses_first_batch_crash_window(spark, tmp_path):
     oneshot = str(tmp_path / "oneshot_idx")
     minhash_index_append(b0, oneshot)
     minhash_index_compact(spark, oneshot)
+
+
+def test_quality_gate_sink_stream_equals_batch(spark, tmp_path):
+    """The distilled LR gate run ONLINE: drain a two-micro-batch document
+    stream through quality_gate_sink and the kept (id, margin, p) rows
+    equal the one-shot batch lr_score filter bit-for-bit; a replayed
+    batch id appends nothing (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_score)
+    from dataops_testgen_spark.streaming.monitors import quality_gate_sink
+
+    from dataops_testgen_spark.pipeline.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    # train once via the CLI surface (persists weights + meta) on the
+    # stopword-share gate the driver query distills — a label the model
+    # actually separates (8 Newton steps reach ~0.85 train accuracy)
+    t = tokens(F.col("text"))
+    sw = (F.size(F.filter(t, lambda x: x.isin("the", "a"))) / F.size(t))
+    labeled = str(tmp_path / "labeled")
+    docs.withColumn("y", (sw >= 0.06).cast("int")).write.parquet(labeled)
+    model = str(tmp_path / "model")
+    assert main(["corpus-quality-train", "--corpus", labeled,
+                 "--label-col", "y", "--model", model,
+                 "--iters", "8", "--salt", "qsink"]) == 0
+
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    src = str(tmp_path / "docs_src")
+    hist.filter(F.col("doc_id") % 4 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    hist.filter(F.col("doc_id") % 4 == 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = str(tmp_path / "gated")
+    q = (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(
+             quality_gate_sink(out, model, min_p=0.5))
+         .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = sorted((r["id"], r["margin"], r["p"]) for r in
+                 spark.read.parquet(out + "/kept").collect())
+    w = {int(r["f"]): float(r["w"])
+         for r in spark.read.parquet(model + "/weights").collect()}
+    want = sorted(
+        (r["id"], r["margin"], r["p"]) for r in
+        lr_score(lr_hash_features(hist, salt="qsink"), w)
+        .filter(F.col("p") >= 0.5).collect())
+    assert got == want and got
+    assert len(got) < hist.count()  # the gate actually drops documents
+
+    # replayed batch id: keepers unchanged
+    n = spark.read.parquet(out + "/kept").count()
+    quality_gate_sink(out, model, min_p=0.5)(hist.limit(10), 0)
+    assert spark.read.parquet(out + "/kept").count() == n
