@@ -1604,6 +1604,69 @@ SELECT query_id, neighbor_id, ROUND(cos, 5) AS cosine, rk::INT AS rank
 FROM r WHERE rk <= 5"""
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity screen (anomalies/benford.py) over
+    o_totalprice: per-digit observed vs log10(1+1/d) expected shares and
+    chi-square terms — ONE 9-group partial-agg groupBy. The digit is
+    extracted arithmetically (floor(|x|/10^floor(log10|x|))) in BOTH
+    engines — string formatting of doubles differs between them and is
+    deliberately avoided."""
+    from dataops_testgen_spark.anomalies.benford import benford_screen
+
+    orders = _load(spark, sf_dir, "orders")
+    out = benford_screen(orders, "o_totalprice")
+    return out.select("digit", "n",
+                      F.round("obs_share", 5).alias("obs_share"),
+                      F.round("exp_share", 5).alias("exp_share"),
+                      F.round("chi2_term", 5).alias("chi2_term"))
+
+
+_SQL_BENFORD_ORDERS = """
+WITH vals AS (
+  SELECT ABS(o_totalprice::DOUBLE) AS x FROM orders
+   WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice::DOUBLE) > 0),
+d AS (SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS INT)
+             AS digit FROM vals),
+counts AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),
+total AS (SELECT SUM(n)::DOUBLE AS t FROM counts),
+expected AS (
+  SELECT dd.digit, LOG10(1.0 + 1.0 / dd.digit) AS exp_share
+    FROM (SELECT UNNEST(range(1, 10))::INT AS digit) dd)
+SELECT e.digit, COALESCE(c.n, 0) AS n,
+       ROUND(COALESCE(c.n, 0) / total.t, 5) AS obs_share,
+       ROUND(e.exp_share, 5) AS exp_share,
+       ROUND(POWER(COALESCE(c.n, 0) - total.t * e.exp_share, 2)
+             / (total.t * e.exp_share), 5) AS chi2_term
+  FROM expected e LEFT JOIN counts c ON c.digit = e.digit, total"""
+
+
+def q_fuzzy_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (pipeline/linkage.py): the 20
+    lowest-key part names probe the whole part relation — candidates
+    from ONE equi-join on the last-token blocking key (never a cross
+    join), verification by JVM-side levenshtein <= 2. All-integer
+    output, so the hash has no float surface at all."""
+    from dataops_testgen_spark.pipeline.linkage import fuzzy_match_pairs
+
+    part = _load(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") < 20)
+    return fuzzy_match_pairs(part, probes, col="p_name",
+                             id_col="p_partkey", max_dist=2,
+                             block="last_token")
+
+
+_SQL_FUZZY_PAIRS_PART = """
+WITH b AS (
+  SELECT p_partkey, lower(trim(p_name)) AS nm,
+         regexp_extract(lower(trim(p_name)), '(\\S+)$', 1) AS blk
+    FROM part WHERE p_name IS NOT NULL),
+pr AS (SELECT * FROM b WHERE p_partkey < 20)
+SELECT pr.p_partkey AS query_id, b.p_partkey AS match_id,
+       levenshtein(pr.nm, b.nm)::INT AS dist
+  FROM pr JOIN b ON pr.blk = b.blk AND pr.p_partkey <> b.p_partkey
+ WHERE levenshtein(pr.nm, b.nm) <= 2"""
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (similarity.kmeans_train, k=8, 3 Lloyd
     iterations, first-8-by-id init) trained on the full embeddings table,
@@ -4954,6 +5017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "lr_quality_documents": q_lr_quality_documents,
         "embedding_covariance_embeddings": q_embedding_covariance,
+        "benford_orders": q_benford_orders,
+        "fuzzy_pairs_part": q_fuzzy_pairs_part,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---
@@ -4981,9 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_documents": q_dsir_select_documents,
         # --- group 3: longest-unchecked pre-r5 seats (driver-green in
         # r1-r4 windows, pytest-oracle-pinned every round since) ---
-        "pq_topk_embeddings": q_pq_topk_embeddings,
         "minhash_lsh_documents": q_minhash_lsh_documents,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
         "merged_profile_orders": q_merged_profile_orders,
         "pack_spans_documents": q_pack_spans_documents,
@@ -5009,15 +5072,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
         # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # embedding_cosine_pairs, ann_topk_embeddings and
-        # ivf_topk_embeddings (driver-green r1-r4) yielded their window
-        # seats to kmeans_embeddings, lr_quality_documents and
-        # embedding_covariance_embeddings this round — all three are
-        # unchanged baselines, pytest-oracle-pinned at HEAD every round
-        # and timing-visible in every BENCH tail; earmark for r10
+        # these five r1-r4-green seats yielded to the five NEW r9
+        # queries (kmeans, lr_quality, embedding_covariance, benford,
+        # fuzzy_pairs) — all five evictees are unchanged baselines,
+        # pytest-oracle-pinned at HEAD every round, timing-visible in
+        # every BENCH tail, AND re-hash-matched at sf0.01 this round by
+        # a full local driver_sim sweep (ALL MATCH); earmark for r10
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         # r7/r8 driver-green block:
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
@@ -5082,6 +5147,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _SQL_KMEANS,
         "lr_quality_documents": _SQL_LR_QUALITY,
         "embedding_covariance_embeddings": _SQL_EMB_COVARIANCE,
+        "benford_orders": _SQL_BENFORD_ORDERS,
+        "fuzzy_pairs_part": _SQL_FUZZY_PAIRS_PART,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

@@ -49,6 +49,8 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "kmeans_embeddings",
     "lr_quality_documents",
     "embedding_covariance_embeddings",
+    "benford_orders",
+    "fuzzy_pairs_part",
     # r9 touched these code paths (parse_event_props DDL fix, FLAC utf8
     # frame numbers + JPEG 4:2:0, cache_model on the LM scorers,
     # streaming retention)
@@ -66,8 +68,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "rerank_ivfadc_embeddings", "resize_documents",
     "frame_sample_documents", "dsir_select_documents",
     # longest-unchecked pre-r5 seats (driver-green r1-r4 only)
-    "pq_topk_embeddings", "minhash_lsh_documents",
-    "unigram_logprob_documents", "boilerplate_dedup_documents",
+    "minhash_lsh_documents", "boilerplate_dedup_documents",
     "merged_profile_orders", "pack_spans_documents",
     "centroid_outliers_embeddings", "tfidf_keywords_documents",
     "corpus_report_documents", "merged_profile_percentiles",

@@ -1,0 +1,93 @@
+"""Fuzzy record linkage (pipeline/linkage.py) and the Benford
+first-digit screen (anomalies/benford.py) vs plain-Python references."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataops_testgen_spark.anomalies.benford import benford_screen
+from dataops_testgen_spark.pipeline.linkage import fuzzy_match_pairs
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+NAMES = [(0, "Cold Widget"), (1, "cold widget "), (2, "bold widget"),
+         (3, "gold gadget"), (4, "old widget"), (5, "large bolt"),
+         (6, "lage bolt"), (7, None), (8, "cold-widget widget")]
+
+
+def test_fuzzy_self_pairs_match_reference(spark):
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in fuzzy_match_pairs(df, max_dist=2).collect()}
+    # reference: same last-token block, id_a < id_b, lev <= 2 on
+    # normalized names
+    norm = {i: n.lower().strip() for i, n in NAMES if n is not None}
+    blk = {i: n.split()[-1] for i, n in norm.items()}
+    want = {(a, b, _lev(norm[a], norm[b]))
+            for a in norm for b in norm
+            if a < b and blk[a] == blk[b]
+            and _lev(norm[a], norm[b]) <= 2}
+    assert got == want
+    assert (0, 1, 0) in got          # normalization: case + trim
+    assert (5, 6, 1) in got          # different block, own match
+    assert not any({a, b} == {0, 3} for a, b, _ in got)  # blocked apart
+
+
+def test_fuzzy_probe_mode_excludes_self(spark):
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    probes = df.filter(F.col("id") < 2)
+    got = {(r["query_id"], r["match_id"], r["dist"])
+           for r in fuzzy_match_pairs(df, probes, max_dist=2).collect()}
+    assert all(q != m for q, m, _ in got)
+    assert (0, 1, 0) in got and (1, 0, 0) in got  # both directions
+    assert (0, 2, 1) in got
+
+
+def test_fuzzy_exact_only_and_bad_block(spark):
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           fuzzy_match_pairs(df, max_dist=0).collect()}
+    assert got == {(0, 1)}  # only the normalized-equal pair
+    with pytest.raises(ValueError, match="block"):
+        fuzzy_match_pairs(df, block="nope").collect()
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_match_pairs(df, max_dist=-1)
+
+
+def test_benford_conforming_vs_flat(spark):
+    """10^U(0,3) follows Benford closely (low chi2 total); constant-
+    leading-digit data blows the digit-1 term up; absent digits appear
+    with n = 0; zeros and NULLs are excluded."""
+    rng = np.random.default_rng(41)
+    good = [(float(10 ** u),) for u in rng.uniform(0, 3, 4000)]
+    gdf = spark.createDataFrame(good, "x double")
+    rows = {r["digit"]: r for r in benford_screen(gdf, "x").collect()}
+    assert set(rows) == set(range(1, 10))
+    chi2 = sum(r["chi2_term"] for r in rows.values())
+    assert chi2 < 30  # chi2(8) 99.9th pct ~ 26; conforming data is low
+    assert abs(rows[1]["exp_share"] - math.log10(2)) < 1e-12
+    assert sum(r["obs_share"] for r in rows.values()) == pytest.approx(1.0)
+
+    bad = [(700.0 + i,) for i in range(100)] + [(0.0,), (None,)]
+    bdf = spark.createDataFrame(bad, "x double")
+    brows = {r["digit"]: r for r in benford_screen(bdf, "x").collect()}
+    assert brows[7]["n"] == 100 and brows[1]["n"] == 0
+    assert sum(r["n"] for r in brows.values()) == 100  # 0/NULL excluded
+    assert brows[7]["chi2_term"] > 900  # (100 - 100*.058)^2/(100*.058)
+
+
+def test_benford_negative_values_use_abs(spark):
+    df = spark.createDataFrame([(-123.0,), (-19.5,), (250.0,)], "x double")
+    rows = {r["digit"]: r["n"] for r in benford_screen(df, "x").collect()}
+    assert rows[1] == 2 and rows[2] == 1
