@@ -940,6 +940,54 @@ def cmd_vector_index(args) -> int:
     return 0
 
 
+def cmd_table_benford(args) -> int:
+    """Benford first-digit conformity screen over a numeric column
+    (anomalies/benford.py): prints the per-digit table and the chi-square
+    total; exit 1 when the total exceeds --chi2-max (a gate usable in
+    data-quality pipelines), 0 otherwise."""
+    from dataops_testgen_spark.anomalies.benford import benford_screen
+
+    spark = _spark()
+    df = spark.read.parquet(args.data)
+    if args.condition:
+        df = df.filter(args.condition)
+    rows = sorted(benford_screen(df, args.column).collect(),
+                  key=lambda r: r["digit"])
+    chi2 = sum(r["chi2_term"] for r in rows)
+    print("digit      n  observed  expected")
+    for r in rows:
+        print(f"{r['digit']:5d} {r['n']:6d}  {r['obs_share']:.5f}"
+              f"   {r['exp_share']:.5f}")
+    verdict = ""
+    if args.chi2_max is not None:
+        verdict = ("  (PASS <= " if chi2 <= args.chi2_max
+                   else "  (FAIL > ") + f"{args.chi2_max})"
+    print(f"chi2 = {chi2:.3f}{verdict}")
+    return 0 if args.chi2_max is None or chi2 <= args.chi2_max else 1
+
+
+def cmd_fuzzy_match(args) -> int:
+    """Blocked fuzzy record linkage (pipeline/linkage.py): near-duplicate
+    name pairs within --max-dist Levenshtein edits, candidates restricted
+    to one blocking-key equi-join. Writes (id_a, id_b, dist) pairs (self
+    mode) or (query_id, match_id, dist) with --queries."""
+    from dataops_testgen_spark.pipeline.linkage import fuzzy_match_pairs
+
+    spark = _spark()
+    df = spark.read.parquet(args.data)
+    if args.condition:
+        df = df.filter(args.condition)
+    queries = spark.read.parquet(args.queries) if args.queries else None
+    out = fuzzy_match_pairs(df, queries, col=args.column,
+                            id_col=args.id_col, max_dist=args.max_dist,
+                            block=args.block, prefix_len=args.prefix_len)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} fuzzy pairs (block={args.block}, "
+          f"max_dist={args.max_dist}) -> {args.out}")
+    return 0
+
+
 def cmd_corpus_quality_train(args) -> int:
     """Train the logistic-regression quality classifier (classify.
     lr_train, damped diagonal-Newton over hashed n-gram features) from a
@@ -1769,6 +1817,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
     p.set_defaults(fn=cmd_vector_index)
+
+    p = sub.add_parser("table-benford")
+    p.add_argument("--data", required=True, help="parquet dir/file")
+    p.add_argument("--column", required=True, help="numeric column")
+    p.add_argument("--chi2-max", type=float, default=None,
+                   help="exit 1 when the chi-square total exceeds this")
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_table_benford)
+
+    p = sub.add_parser("fuzzy-match")
+    p.add_argument("--data", required=True, help="parquet with id + name")
+    p.add_argument("--column", required=True, help="name column to match")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--max-dist", type=int, default=2)
+    p.add_argument("--block", choices=["last_token", "first_token",
+                                       "prefix"], default="last_token")
+    p.add_argument("--prefix-len", type=int, default=3)
+    p.add_argument("--queries", default="",
+                   help="probe parquet (same schema); omit for self mode")
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_fuzzy_match)
 
     p = sub.add_parser("corpus-quality-train")
     p.add_argument("--corpus", required=True,

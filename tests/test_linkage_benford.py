@@ -87,6 +87,32 @@ def test_benford_conforming_vs_flat(spark):
     assert brows[7]["chi2_term"] > 900  # (100 - 100*.058)^2/(100*.058)
 
 
+def test_benford_and_fuzzy_cli(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+
+    # o_totalprice is a bounded uniform-ish synthetic — it should FAIL a
+    # strict Benford gate (exit 1), and pass with no gate (exit 0)
+    data = "/root/testdata/sf0.001/orders.parquet"
+    assert main(["table-benford", "--data", data,
+                 "--column", "o_totalprice"]) == 0
+    out1 = capsys.readouterr().out
+    assert "chi2 =" in out1 and out1.count("\n") >= 10
+    assert main(["table-benford", "--data", data, "--column",
+                 "o_totalprice", "--chi2-max", "26.1"]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+    pairs = str(tmp_path / "pairs")
+    assert main(["fuzzy-match", "--data",
+                 "/root/testdata/sf0.001/part.parquet",
+                 "--column", "p_name", "--id-col", "p_partkey",
+                 "--out", pairs, "--max-dist", "1"]) == 0
+    assert "fuzzy pairs" in capsys.readouterr().out
+    got = spark.read.parquet(pairs)
+    assert got.count() > 0
+    assert got.filter(F.col("dist") > 1).count() == 0
+    assert got.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
 def test_benford_negative_values_use_abs(spark):
     df = spark.createDataFrame([(-123.0,), (-19.5,), (250.0,)], "x double")
     rows = {r["digit"]: r["n"] for r in benford_screen(df, "x").collect()}
