@@ -1833,7 +1833,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", required=True)
     p.add_argument("--max-dist", type=int, default=2)
     p.add_argument("--block", choices=["last_token", "first_token",
-                                       "prefix"], default="last_token")
+                                       "prefix", "soundex"],
+                   default="last_token")
     p.add_argument("--prefix-len", type=int, default=3)
     p.add_argument("--queries", default="",
                    help="probe parquet (same schema); omit for self mode")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BLOCKERS = ("last_token", "first_token", "prefix")
+BLOCKERS = ("last_token", "first_token", "prefix", "soundex")
 
 
 def _norm(col: Column) -> Column:
@@ -35,6 +35,11 @@ def _block_key(col: Column, block: str, prefix_len: int) -> Column:
         return F.regexp_extract(n, r"^(\S+)", 1)
     if block == "prefix":
         return F.substring(n, 1, prefix_len)
+    if block == "soundex":
+        # phonetic blocking (JVM soundex): "Robert"/"Rupert" share R163 —
+        # catches misspellings a prefix block separates; person-name
+        # shaped data only (the code degenerates on long multi-word text)
+        return F.soundex(n)
     raise ValueError(f"block must be one of {BLOCKERS}")
 
 

@@ -23,8 +23,9 @@ from dataops_testgen_spark.session import get_spark  # noqa: E402
 
 QUERIES = ["ngram_lm_documents", "kmeans_embeddings",
            "lr_quality_documents", "embedding_covariance_embeddings",
-           "retention_events", "json_props_events",
+           "benford_orders", "retention_events", "json_props_events",
            "multimodal_features_documents", "trigram_lm_documents"]
+# fuzzy_pairs_part is omitted: gen_sf1 ships no part table
 
 
 def main(sf1_dir: str = "/tmp/sf1") -> None:

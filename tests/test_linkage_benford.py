@@ -87,6 +87,25 @@ def test_benford_conforming_vs_flat(spark):
     assert brows[7]["chi2_term"] > 900  # (100 - 100*.058)^2/(100*.058)
 
 
+def test_fuzzy_soundex_blocking(spark):
+    """Phonetic blocking: Robert/Rupert share soundex R163, so they meet
+    as candidates (a prefix-3 block would separate them); Roberts joins
+    the same block; an unrelated name never gets compared."""
+    df = spark.createDataFrame(
+        [(0, "Robert"), (1, "Rupert"), (2, "Roberts"), (3, "Susan")],
+        "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in fuzzy_match_pairs(df, max_dist=3,
+                                      block="soundex").collect()}
+    assert (0, 1, 2) in got      # robert ~ rupert, lev 2
+    assert (0, 2, 1) in got      # robert ~ roberts
+    assert not any(3 in (a, b) for a, b, _ in got)
+    prefix_got = {(r["id_a"], r["id_b"]) for r in
+                  fuzzy_match_pairs(df, max_dist=3, block="prefix",
+                                    prefix_len=3).collect()}
+    assert (0, 1) not in prefix_got  # the pair prefix blocking misses
+
+
 def test_benford_and_fuzzy_cli(spark, tmp_path, capsys):
     from dataops_testgen_spark.__main__ import main
 

@@ -979,3 +979,59 @@ def test_quality_gate_sink_stream_equals_batch(spark, tmp_path):
     n = spark.read.parquet(out + "/kept").count()
     quality_gate_sink(out, model, min_p=0.5)(hist.limit(10), 0)
     assert spark.read.parquet(out + "/kept").count() == n
+
+
+def test_quality_gate_sink_crash_window_idempotent(spark, tmp_path):
+    """Quality-gate sink crash windows: a crash between the keeper append
+    and the replay marker (full OR torn append) converges on re-delivery
+    — the stamped dynamic-partition overwrite rewrites exactly the
+    batch's own partition, so kept rows equal the crash-free run's."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.io.fs import stamped_append
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_score)
+    from dataops_testgen_spark.pipeline.text import tokens
+    from dataops_testgen_spark.streaming.monitors import quality_gate_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    t = tokens(F.col("text"))
+    sw = (F.size(F.filter(t, lambda x: x.isin("the", "a"))) / F.size(t))
+    labeled = str(tmp_path / "labeled")
+    docs.withColumn("y", (sw >= 0.06).cast("int")).write.parquet(labeled)
+    model = str(tmp_path / "model")
+    assert main(["corpus-quality-train", "--corpus", labeled,
+                 "--label-col", "y", "--model", model,
+                 "--iters", "6", "--salt", "qcrash"]) == 0
+
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    control = str(tmp_path / "control")
+    quality_gate_sink(control, model)(b0, 0)
+    quality_gate_sink(control, model)(b1, 1)
+    want = _relation_snapshot(spark, control + "/kept")
+
+    w = {int(r["f"]): float(r["w"])
+         for r in spark.read.parquet(model + "/weights").collect()}
+
+    def scored(batch):
+        return (lr_score(lr_hash_features(batch, salt="qcrash"), w)
+                .filter(F.col("p") >= 0.5))
+
+    # crash after a FULL keeper append of batch 1 but before the marker
+    crashed = str(tmp_path / "crashed")
+    quality_gate_sink(crashed, model)(b0, 0)
+    stamped_append(scored(b1), crashed + "/kept", batch_id=1)
+    quality_gate_sink(crashed, model)(b1, 1)        # re-delivery
+    assert _relation_snapshot(spark, crashed + "/kept") == want
+
+    # crash MID-append: only part of batch 1's keepers landed
+    torn = str(tmp_path / "torn")
+    quality_gate_sink(torn, model)(b0, 0)
+    stamped_append(scored(b1.filter(F.col("doc_id") % 3 == 0)),
+                   torn + "/kept", batch_id=1)
+    quality_gate_sink(torn, model)(b1, 1)
+    assert _relation_snapshot(spark, torn + "/kept") == want
