@@ -1624,7 +1624,9 @@ def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BENFORD_ORDERS = """
 WITH vals AS (
   SELECT ABS(o_totalprice::DOUBLE) AS x FROM orders
-   WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice::DOUBLE) > 0),
+   WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice::DOUBLE) > 0
+     AND NOT isnan(o_totalprice::DOUBLE)
+     AND ABS(o_totalprice::DOUBLE) <> 'infinity'::DOUBLE),
 d AS (SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS INT)
              AS digit FROM vals),
 counts AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),

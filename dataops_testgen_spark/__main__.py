@@ -953,6 +953,12 @@ def cmd_table_benford(args) -> int:
         df = df.filter(args.condition)
     rows = sorted(benford_screen(df, args.column).collect(),
                   key=lambda r: r["digit"])
+    if sum(r["n"] for r in rows) == 0:
+        # no positive finite values: shares/chi2 are all NULL — report
+        # cleanly instead of crashing the gate
+        print(f"no positive finite values in {args.column}",
+              file=sys.stderr)
+        return 2
     chi2 = sum(r["chi2_term"] for r in rows)
     print("digit      n  observed  expected")
     for r in rows:

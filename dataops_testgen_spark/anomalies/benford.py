@@ -29,7 +29,11 @@ def benford_screen(df: DataFrame, col: str) -> DataFrame:
     Digits with zero observations still appear (their term is N*p_d)."""
     x = F.abs(F.col(col).cast("double"))
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
-    counts = (df.filter(F.col(col).isNotNull() & (x > 0))
+    # NaN sorts above every number in Spark, so `x > 0` alone would let
+    # NaN/Inf rows into the total while their digit lands NULL — the
+    # shares and chi2 would be silently wrong
+    counts = (df.filter(F.col(col).isNotNull() & (x > 0)
+                        & ~F.isnan(x) & (x != float("inf")))
               .select(digit.cast("int").alias("digit"))
               .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
     spark = df.sparkSession

@@ -136,3 +136,23 @@ def test_benford_negative_values_use_abs(spark):
     df = spark.createDataFrame([(-123.0,), (-19.5,), (250.0,)], "x double")
     rows = {r["digit"]: r["n"] for r in benford_screen(df, "x").collect()}
     assert rows[1] == 2 and rows[2] == 1
+
+
+def test_benford_excludes_nan_and_inf(spark):
+    """NaN sorts above every number in Spark, so a bare x > 0 filter
+    would count NaN/Inf in the total while their digit lands NULL —
+    shares and chi2 must come from finite values only."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (float("-inf"),)],
+        "x double")
+    rows = {r["digit"]: r for r in benford_screen(df, "x").collect()}
+    assert rows[1]["n"] == 1 and rows[1]["obs_share"] == 1.0
+    assert sum(r["n"] for r in rows.values()) == 1
+
+
+def test_benford_cli_empty_column_exits_cleanly(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+
+    p = str(tmp_path / "zeros")
+    spark.createDataFrame([(0.0,), (None,)], "c double").write.parquet(p)
+    assert main(["table-benford", "--data", p, "--column", "c"]) == 2
