@@ -3516,11 +3516,14 @@ def q_trigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brants et al. 2007): model trained on the EVEN-doc_id half, scoring
     every doc — the split makes all three backoff legs fire (seen
     trigram ratio, alpha-scaled bigram ratio, alpha^2 add-one unigram
-    floor), unlike self-scoring where every trigram is seen."""
+    floor), unlike self-scoring where every trigram is seen.
+    cache_model=True: the vocabulary-bounded count relations persist so
+    the column-pruned train scan runs once, not once per consumer."""
     from dataops_testgen_spark.pipeline.text import trigram_lm_score
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    out = trigram_lm_score(docs, train_df=docs.filter("doc_id % 2 = 0"))
+    out = trigram_lm_score(docs, train_df=docs.filter("doc_id % 2 = 0"),
+                           cache_model=True)
     return out.select("id", "n_trigrams",
                       F.round("mean_nll", 5).alias("mean_nll"),
                       F.round("score", 5).alias("score"))
@@ -3670,11 +3673,13 @@ def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter (pipeline/text.py: bigram_lm_score —
     one Markov order closer to CCNet's KenLM gate: add-one-smoothed
     p(w2|w1) trained on the corpus's own adjacent pairs, scored as mean
-    bigram NLL + perplexity per doc; <2-token docs carry NULL scores)."""
+    bigram NLL + perplexity per doc; <2-token docs carry NULL scores).
+    cache_model=True: the vocabulary-bounded count relations persist so
+    the column-pruned train scan runs once, not once per consumer."""
     from dataops_testgen_spark.pipeline.text import bigram_lm_score
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    out = bigram_lm_score(docs)
+    out = bigram_lm_score(docs, cache_model=True)
     return out.select("id", "n_bigrams",
                       F.round("mean_nll", 5).alias("mean_nll"),
                       F.round("perplexity", 5).alias("perplexity"))

@@ -517,6 +517,18 @@ def trigram_lm_score(df: DataFrame, text_col: str = "text",
               .groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")))
     totals = uni_ct.agg(F.sum("c_uni").alias("n_total"),
                         F.count(F.lit(1)).alias("v_size"))
+    if cache_model:
+        # the three vocabulary-bounded count relations; ctx2/ctx1/totals
+        # derive from them, so every downstream consumer (including the
+        # derived re-aggregations) reads from memory after one build
+        tri_ct = tri_ct.persist()
+        bg_ct = bg_ct.persist()
+        uni_ct = uni_ct.persist()
+        ctx2_ct = tri_ct.groupBy("w1", "w2") \
+            .agg(F.sum("c_tri").alias("c_ctx2"))
+        ctx1_ct = bg_ct.groupBy("bw1").agg(F.sum("c_bg").alias("c_ctx1"))
+        totals = uni_ct.agg(F.sum("c_uni").alias("n_total"),
+                            F.count(F.lit(1)).alias("v_size"))
 
     # score: the corpus's own trigrams against the model
     tris = df.select(
