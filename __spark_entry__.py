@@ -1689,35 +1689,45 @@ def _sql_kmeans(k: int = 8, n_iters: int = 3) -> str:
     """Unrolled-CTE DuckDB mirror of kmeans_train + kmeans_assign (same
     pattern as _sql_bpe_merges: data-independent loop => unrollable)."""
     parts = [f"""
-WITH v AS MATERIALIZED (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+WITH src AS MATERIALIZED (
+  -- mirror the Spark clean filter (NULL vector / NULL element dropped)
+  -- and key rows by a synthetic rid so duplicate vec_ids can't
+  -- cross-multiply in the long-format joins (same guard as the
+  -- covariance oracle); rid order == vec_id order, so first-k-by-rid
+  -- init matches the trainer's first-k-by-id init
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rid, vec_id, embedding
+    FROM embeddings
+   WHERE embedding IS NOT NULL
+     AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT rid, generate_subscripts(embedding, 1) AS pos,
          UNNEST(embedding)::DOUBLE AS val
-  FROM embeddings),
+  FROM src),
 vn AS MATERIALIZED (
-  SELECT vec_id, SQRT(SUM(val*val)) AS n FROM v GROUP BY 1),
-seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  SELECT rid, SQRT(SUM(val*val)) AS n FROM v GROUP BY 1),
+seed AS (SELECT rid, ROW_NUMBER() OVER (ORDER BY rid) - 1 AS cid
          FROM vn WHERE n > 0
-         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}),
+         QUALIFY ROW_NUMBER() OVER (ORDER BY rid) <= {k}),
 c1 AS (SELECT s.cid, v.pos, ROUND(v.val / n.n, 9) AS val
-       FROM seed s JOIN v ON v.vec_id = s.vec_id
-       JOIN vn n ON n.vec_id = s.vec_id)"""]
+       FROM seed s JOIN v ON v.rid = s.rid
+       JOIN vn n ON n.rid = s.rid)"""]
     for t in range(1, n_iters + 2):
         parts.append(f""",
-s{t} AS (SELECT v.vec_id, c.cid, SUM(v.val * c.val) AS dp
+s{t} AS (SELECT v.rid, c.cid, SUM(v.val * c.val) AS dp
          FROM v JOIN c{t} c USING (pos) GROUP BY 1, 2),
 cn{t} AS (SELECT cid, SQRT(SUM(val*val)) AS n FROM c{t} GROUP BY 1),
 a{t} AS MATERIALIZED (
-  SELECT vec_id, cid AS cell, sim FROM (
-    SELECT s.vec_id, s.cid, s.dp / (vn.n * cn.n) AS sim,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+  SELECT rid, cid AS cell, sim FROM (
+    SELECT s.rid, s.cid, s.dp / (vn.n * cn.n) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY s.rid
                               ORDER BY s.dp / (vn.n * cn.n) DESC, s.cid) AS rk
-    FROM s{t} s JOIN vn ON vn.vec_id = s.vec_id
+    FROM s{t} s JOIN vn ON vn.rid = s.rid
     JOIN cn{t} cn ON cn.cid = s.cid
     WHERE vn.n > 0) WHERE rk = 1)""")
         if t <= n_iters:
             parts.append(f""",
 u{t} AS (SELECT a.cell AS cid, v.pos, SUM(v.val) AS sm
-         FROM a{t} a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+         FROM a{t} a JOIN v ON v.rid = a.rid GROUP BY 1, 2),
 un{t} AS (SELECT cid, SQRT(SUM(sm*sm)) AS n FROM u{t} GROUP BY 1),
 c{t + 1} AS (SELECT cp.cid, cp.pos,
                   COALESCE(ROUND(u.sm / NULLIF(un.n, 0), 9), cp.val) AS val
@@ -1725,7 +1735,8 @@ c{t + 1} AS (SELECT cp.cid, cp.pos,
            LEFT JOIN u{t} u ON u.cid = cp.cid AND u.pos = cp.pos
            LEFT JOIN un{t} un ON un.cid = cp.cid)""")
     parts.append(f"""
-SELECT vec_id AS id, cell, ROUND(sim, 5) AS cosine FROM a{n_iters + 1}""")
+SELECT src.vec_id AS id, a.cell, ROUND(a.sim, 5) AS cosine
+  FROM a{n_iters + 1} a JOIN src ON src.rid = a.rid""")
     return "".join(parts)
 
 

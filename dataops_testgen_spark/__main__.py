@@ -1100,8 +1100,14 @@ def cmd_vector_kmeans(args) -> int:
     if args.condition:
         vecs = vecs.filter(args.condition)
     if args.metric == "cosine":
-        cents = kmeans_train(vecs, k=args.k, n_iters=args.iters,
-                             vec_col=args.vec_col, id_col=args.id_col)
+        try:
+            cents = kmeans_train(vecs, k=args.k, n_iters=args.iters,
+                                 vec_col=args.vec_col, id_col=args.id_col)
+        except ValueError as e:
+            # kmeans_train raises when fewer than k valid vectors exist;
+            # same documented clean exit as the l2 short-centroid path
+            print(str(e), file=sys.stderr)
+            return 2
     else:
         cents = train_ivf_centroids(vecs, num_centroids=args.k,
                                     max_iterations=args.iters,

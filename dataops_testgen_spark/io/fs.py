@@ -14,6 +14,7 @@ session's Hadoop configuration (which also carries the credentials).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,11 +75,18 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     if path_exists(spark, path):
         try:
             existing = spark.read.parquet(path)
-        except Exception:
+        except AnalysisException as e:
             # a previous EMPTY stamped write leaves a directory with no
             # readable parquet footers (just _SUCCESS) — schema-less, so
             # treat it as fresh rather than crashing the next append
-            # (id claims still guard auto-assignment below)
+            # (id claims still guard auto-assignment below). ONLY that
+            # case: transient store errors, permission failures, or
+            # corrupt footers on a populated index must surface, not be
+            # masked as "fresh" (which would also skip the legacy-layout
+            # guard)
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e) \
+                    and "Unable to infer schema" not in str(e):
+                raise
             existing = None
         if existing is not None:
             if "batch_id" not in existing.columns:

@@ -242,6 +242,16 @@ def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
                     .collect())
             for row in step:
                 f = int(row["f"])
+                # rounding firewall: absorbs sum-order / libm last-ulp
+                # drift so the oracle's replayed iterations stay in
+                # lockstep. Known, accepted tie-break difference: Python
+                # round() (and the kmeans trainers' np.round) are
+                # half-to-even while DuckDB ROUND is half-away-from-zero
+                # — an EXACT .5 tie at the 9th decimal of a computed
+                # double would diverge. Probability is negligible on
+                # doubles produced by sums/exp (a tie requires the
+                # trailing mantissa bits to encode exactly ...5e-9);
+                # one convention stated here for all trainers.
                 w[f] = round(w.get(f, 0.0) - learning_rate * row["g"]
                              / (row["h"] + damping), round_decimals)
         return w

@@ -114,3 +114,37 @@ def test_kmeans_zero_norm_seed_skipped(spark):
     seeds = SIM.kmeans_train(df, k=3, n_iters=0)
     want0 = np.round(V[1] / np.linalg.norm(V[1]), 9)
     assert (np.array(seeds[0]) == want0).all()
+
+
+def test_kmeans_oracle_parity_on_dirty_data(spark, tmp_path):
+    """The DuckDB kmeans oracle (_sql_kmeans) must mirror the trainer on
+    DIRTY data too (driver ADVICE r9): NULL vectors, NULL-element
+    vectors, and DUPLICATE vec_ids — the oracle's clean-filter + rid
+    keying has to keep long-format joins from cross-multiplying the
+    duplicates."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from conftest import assert_matches_oracle
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(60, 8))
+    rows = ([(i, [float(x) for x in v]) for i, v in enumerate(V)]
+            # duplicate ids (two DIFFERENT vectors under vec_id 7)
+            + [(7, [float(x) for x in rng.normal(size=8)])]
+            # NULL vector + NULL-element vector: dropped on both sides
+            + [(200, None), (201, [1.0, None] + [0.0] * 6)])
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    path = str(tmp_path / "dirty_emb")
+    df.coalesce(1).write.parquet(path)
+
+    emb = spark.read.parquet(path)
+    cents = SIM.kmeans_train(emb, k=4, n_iters=2)
+    from pyspark.sql import functions as F
+    out = (SIM.kmeans_assign(emb, cents)
+           .select("id", "cell", F.round("cosine", 5).alias("cosine")))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')")
+    assert_matches_oracle(out, con, entry._sql_kmeans(k=4, n_iters=2))
