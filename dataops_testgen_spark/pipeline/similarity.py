@@ -1318,10 +1318,35 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     return _kmeans_kernel(df, centroids, vec_col, id_col)
 
 
+def _cell_pos_sums(vec_col: str):
+    """Arrow kernel for the WIDE-D k-means update: per-batch per-cell
+    per-dimension partial sums in long format (cell, pos, s) — at most
+    k*D rows per batch regardless of member count, and no D-wide
+    expression reaches Catalyst (codegen-safe at any embedding width)."""
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            d = m.shape[1]
+            cells = pdf["cell"].to_numpy()
+            uniq = np.unique(cells)
+            sums = np.vstack([m[cells == c].sum(axis=0) for c in uniq])
+            yield pd.DataFrame({
+                "cell": np.repeat(uniq, d).astype("int32"),
+                "pos": np.tile(np.arange(d), len(uniq)).astype("int32"),
+                "s": sums.ravel()})
+    return run
+
+
 def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  round_decimals: int = 9,
-                 persist: bool = True) -> list[list[float]]:
+                 persist: bool = True,
+                 wide_dim_threshold: int | None = None) -> list[list[float]]:
     """Distributed SPHERICAL k-means (Lloyd's on the unit sphere) — the
     cosine-metric sibling of ``train_ivf_centroids`` (Euclidean, md5-
     sampled init, tol early-stop: the production IVF default). This
@@ -1359,6 +1384,11 @@ def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
     as ``bpe_train``'s vocab finish / ``nb_train``'s model). The
     projected (id, vec) relation persists across iterations
     (``persist=True``) so the source scans once, not ``n_iters`` times.
+    Above ``wide_dim_threshold`` dimensions (default 256) the update
+    switches from D per-dimension agg expressions (codegen-bounded) to
+    the long-format pos-sum Arrow kernel — same model-sized exchange,
+    no D-wide expression in the plan, safe at production widths
+    (768-4096).
     """
     import numpy as np
 
@@ -1379,21 +1409,49 @@ def kmeans_train(df: DataFrame, k: int = 8, n_iters: int = 3,
         cents = np.round(seeds / np.linalg.norm(seeds, axis=1)[:, None],
                          round_decimals)
 
-        sum_exprs = [F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)]
+        # update-agg dispatch: D separate F.sum(vec[i]) expressions keep
+        # the whole update inside whole-stage codegen at fixture sizes,
+        # but production embedding widths (768-4096) blow past the
+        # codegen method-size limit and fall back to interpreted mode —
+        # above the threshold the per-cell sums come from the pos-sum
+        # Arrow kernel instead (the _embedding_mean shape: per-batch
+        # (cell, pos, partial) rows, <= k*D rows per task reach the
+        # exchange, no D-wide expression anywhere in the plan)
+        use_wide = dim > (wide_dim_threshold
+                          if wide_dim_threshold is not None else 256)
+        sum_exprs = None if use_wide else [
+            F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)]
         for _ in range(n_iters):
             # the shared kernel's (cell, vec) shape: per-cell sums
             # aggregate straight off it — no join back to base, nothing
-            # id-shuffled, only k rows per task reach the exchange
+            # id-shuffled, only model-sized rows per task reach the
+            # exchange
             assigned, bc = _kmeans_kernel(base, [list(c) for c in cents],
                                           "vec", None, return_bc=True)
-            sums = assigned.groupBy("cell").agg(*sum_exprs).collect()
-            bc.unpersist()
             nxt = cents.copy()
-            for row in sums:
-                s = np.array([row[f"s{i}"] for i in range(dim)], dtype=float)
-                n = np.linalg.norm(s)
-                if n > 0:
-                    nxt[row["cell"]] = np.round(s / n, round_decimals)
+            if use_wide:
+                parts = (assigned.mapInPandas(
+                            _cell_pos_sums("vec"),
+                            schema="cell int, pos int, s double")
+                         .groupBy("cell", "pos")
+                         .agg(F.sum("s").alias("s")).collect())
+                acc = {}
+                for row in parts:
+                    acc.setdefault(row["cell"],
+                                   np.zeros(dim))[row["pos"]] = row["s"]
+                for cell, s in acc.items():
+                    n = np.linalg.norm(s)
+                    if n > 0:
+                        nxt[cell] = np.round(s / n, round_decimals)
+            else:
+                sums = assigned.groupBy("cell").agg(*sum_exprs).collect()
+                for row in sums:
+                    s = np.array([row[f"s{i}"] for i in range(dim)],
+                                 dtype=float)
+                    n = np.linalg.norm(s)
+                    if n > 0:
+                        nxt[row["cell"]] = np.round(s / n, round_decimals)
+            bc.unpersist()
             cents = nxt
         return [list(map(float, c)) for c in cents]
     finally:

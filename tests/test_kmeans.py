@@ -148,3 +148,33 @@ def test_kmeans_oracle_parity_on_dirty_data(spark, tmp_path):
     con.execute(f"CREATE VIEW embeddings AS "
                 f"SELECT * FROM read_parquet('{path}/*.parquet')")
     assert_matches_oracle(out, con, entry._sql_kmeans(k=4, n_iters=2))
+
+
+def test_kmeans_wide_path_matches_narrow_path(spark):
+    """The wide-D update (long-format pos-sum kernel) and the narrow
+    update (D agg expressions) are the same function of the data up to
+    the rounding firewall: forcing the wide path at a D where the
+    narrow path is the default must reproduce the narrow centroids
+    bit-for-bit."""
+    rng = np.random.default_rng(13)
+    V = rng.normal(size=(200, 24))
+    df = _df_from(spark, V)
+    narrow = SIM.kmeans_train(df, k=5, n_iters=3)
+    wide = SIM.kmeans_train(df, k=5, n_iters=3, wide_dim_threshold=1)
+    assert np.abs(np.array(narrow) - np.array(wide)).max() == 0.0
+
+
+def test_kmeans_wide_dim_1024(spark):
+    """Production-width embeddings (D=1024 > the 256 default threshold)
+    dispatch to the pos-sum kernel — no D-wide expression reaches
+    Catalyst, so there is nothing for whole-stage codegen to fall back
+    on — and still match the numpy reference exactly."""
+    rng = np.random.default_rng(17)
+    V = rng.normal(size=(80, 1024))
+    df = _df_from(spark, V)
+    cents = SIM.kmeans_train(df, k=3, n_iters=2)
+    rc, rbest = ref_kmeans(V, 3, 2)
+    assert np.abs(np.array(cents) - rc).max() == 0.0
+    a = (SIM.kmeans_assign(df, cents).orderBy("id")
+         .select("cell").toPandas()["cell"].to_numpy())
+    assert (a == rbest).all()
