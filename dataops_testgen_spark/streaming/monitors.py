@@ -751,12 +751,30 @@ def quality_gate_sink(out_dir: str, model_dir: str, min_p: float = 0.5,
     (id, margin, p) under ``batch_id=N``. The dynamic partition
     overwrite makes crash-window re-deliveries rewrite the SAME
     partition instead of duplicating keepers — the exactly-once
-    discipline every sink in this family shares. Model weights load
-    once per sink (driver-side dict, bucket-bounded) and broadcast per
-    batch via lr_score's weight join."""
+    discipline every sink in this family shares. Model weights live in
+    a driver-side dict (bucket-bounded) broadcast per batch via
+    lr_score's weight join, and RELOAD when the model commit marker
+    changes: each batch stats ``weights/_SUCCESS`` (one metadata op, no
+    data I/O) and re-reads weights+meta when its (mtime, len) moves —
+    so ``corpus-quality-train`` re-run against the same ``model_dir``
+    retargets a LONG-RUNNING stream on its next micro-batch, no
+    restart. A retrain caught mid-overwrite (no ``_SUCCESS`` yet)
+    keeps the current model — the marker is written last, so the sink
+    only ever loads a fully-committed model."""
     import posixpath
 
     state: dict = {}
+
+    def _model_marker(spark):
+        """(mtime, len) of weights/_SUCCESS, or None mid-overwrite."""
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(model_dir, "weights", "_SUCCESS"))
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        st = fs.getFileStatus(p)
+        return (st.getModificationTime(), st.getLen())
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         from dataops_testgen_spark.io.fs import stamped_append
@@ -770,7 +788,9 @@ def quality_gate_sink(out_dir: str, model_dir: str, min_p: float = 0.5,
         if _already_folded(spark, marker_dir, batch_id):
             return
         _register_sink(spark, marker_dir)
-        if "w" not in state:
+        marker = _model_marker(spark)
+        if "w" not in state or (marker is not None
+                                and marker != state.get("marker")):
             state["w"] = {
                 int(r["f"]): float(r["w"])
                 for r in spark.read.parquet(
@@ -779,6 +799,7 @@ def quality_gate_sink(out_dir: str, model_dir: str, min_p: float = 0.5,
                 posixpath.join(model_dir, "meta")).first()
             state["buckets"] = int(meta["buckets"])
             state["salt"] = meta["salt"]
+            state["marker"] = marker
         docs = batch_df.filter(F.col(text_col).isNotNull()
                                & (F.trim(text_col) != ""))
         feats = lr_hash_features(docs, text_col=text_col, id_col=id_col,

@@ -1035,3 +1035,72 @@ def test_quality_gate_sink_crash_window_idempotent(spark, tmp_path):
                    torn + "/kept", batch_id=1)
     quality_gate_sink(torn, model)(b1, 1)
     assert _relation_snapshot(spark, torn + "/kept") == want
+
+
+def test_quality_gate_sink_reloads_retrained_model(spark, tmp_path):
+    """A long-running gate stream picks up a retrained model WITHOUT a
+    restart: the sink stats weights/_SUCCESS each batch and reloads when
+    the commit marker moves. Batch 0 scores under model v1; after
+    corpus-quality-train overwrites the same model dir (inverted
+    labels), batch 1 scores under v2 through the SAME sink closure; a
+    deleted _SUCCESS (mid-overwrite window) keeps the loaded model
+    instead of reading a half-committed one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.pipeline.classify import (lr_hash_features,
+                                                         lr_score)
+    from dataops_testgen_spark.pipeline.text import tokens
+    from dataops_testgen_spark.streaming.monitors import quality_gate_sink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    t = tokens(F.col("text"))
+    sw = (F.size(F.filter(t, lambda x: x.isin("the", "a"))) / F.size(t))
+    labeled = str(tmp_path / "labeled")
+    model = str(tmp_path / "model")
+
+    def train(invert: bool) -> dict[int, float]:
+        y = (sw < 0.06) if invert else (sw >= 0.06)
+        docs.withColumn("y", y.cast("int")) \
+            .write.mode("overwrite").parquet(labeled)
+        assert main(["corpus-quality-train", "--corpus", labeled,
+                     "--label-col", "y", "--model", model,
+                     "--iters", "6", "--salt", "qreload"]) == 0
+        return {int(r["f"]): float(r["w"])
+                for r in spark.read.parquet(model + "/weights").collect()}
+
+    def scored(batch, w):
+        return sorted(
+            (r["id"], r["margin"], r["p"]) for r in
+            lr_score(lr_hash_features(batch, salt="qreload"), w)
+            .filter(F.col("p") >= 0.5).collect())
+
+    def kept(out, bid):
+        return sorted(
+            (r["id"], r["margin"], r["p"]) for r in
+            spark.read.parquet(out + "/kept")
+            .filter(F.col("batch_id") == bid).collect())
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    w1 = train(invert=False)
+    out = str(tmp_path / "gated")
+    sink = quality_gate_sink(out, model, min_p=0.5)
+    sink(b0, 0)
+    assert kept(out, 0) == scored(b0, w1)
+
+    w2 = train(invert=True)            # retrain MID-STREAM, same dir
+    assert w1 != w2
+    sink(b1, 1)                        # same closure, no restart
+    assert kept(out, 1) == scored(b1, w2)
+    assert kept(out, 1) != scored(b1, w1)
+
+    # mid-overwrite window: marker gone -> keep the loaded v2 model
+    os.remove(os.path.join(model, "weights", "_SUCCESS"))
+    sink(b2, 2)
+    assert kept(out, 2) == scored(b2, w2)
