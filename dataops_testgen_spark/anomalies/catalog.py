@@ -90,6 +90,53 @@ def _small_missing_effective() -> Column:
 UNIT_RE = r"(?i)^[0-9]+(\.[0-9]+)? ?(%|lb|oz|kg|g|mg|km|m|cm|mm|mi|ft|in)$"
 ZIP_PATTERNS = ("NNNNN", "NNNNN-NNNN", "NNNNNNNNN")
 
+# Benford expected first-digit shares P(d) = log10(1 + 1/d), d = 1..9
+import math as _math
+
+BENFORD_SHARES = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+BENFORD_CHI2_CRIT = 20.09     # chi-square df=8 critical value, p = 0.01
+BENFORD_MIN_N = 500
+
+
+def _benford_n() -> Column:
+    n = F.lit(0).cast("long")
+    for i in range(9):
+        n = n + _c("benford_counts")[i]
+    return n
+
+
+def _benford_chi2() -> Column:
+    n = _benford_n().cast("double")
+    chi2 = F.lit(0.0)
+    for i, p in enumerate(BENFORD_SHARES):
+        exp = n * F.lit(p)
+        chi2 = chi2 + (_c("benford_counts")[i] - exp) ** 2 / exp
+    return chi2
+
+
+def _benford_tvd() -> Column:
+    n = _benford_n().cast("double")
+    tvd = F.lit(0.0)
+    for i, p in enumerate(BENFORD_SHARES):
+        tvd = tvd + F.abs(_c("benford_counts")[i] / n - F.lit(p))
+    return tvd * 0.5
+
+
+def _benford_fires() -> Column:
+    return (
+        (_c("general_type") == "N")
+        & ~H.ilike(_c("functional_data_type"), "id%")
+        & ~H.ilike(_c("functional_data_type"), "period%")
+        & ~_c("functional_data_type").isin("Sequence", "Category", "Code")
+        & _c("benford_counts").isNotNull()
+        & (_benford_n() >= BENFORD_MIN_N)
+        # multi-magnitude precondition: Benford only binds quantities
+        # spanning several orders of magnitude
+        & (_c("max_value") / F.nullif(_c("min_value_over_0"), F.lit(0.0))
+           >= 100.0)
+        & (_benford_chi2() > BENFORD_CHI2_CRIT)
+    )
+
 
 COLUMN_RULES: list[ColumnRule] = [
     ColumnRule(
@@ -298,6 +345,21 @@ COLUMN_RULES: list[ColumnRule] = [
             F.coalesce(_c("before_100yr_date_ct"), F.lit(0))
             + F.coalesce(_c("distant_future_date_ct"), F.lit(0)),
             _c("record_ct")), 0.66,
+    ),
+    ColumnRule(
+        # 33rd rule, beyond the reference's 32: Benford first-digit
+        # nonconformity (Nigrini 2012) from the profiler's fused digit
+        # census (benford_counts). Eligibility mirrors the law's actual
+        # preconditions: naturally-ranging numerics (multi-magnitude:
+        # max/min_over_0 >= 100), not identifiers/periods, and a sample
+        # big enough for the chi-square (N >= 500). Fires when chi2
+        # exceeds the df=8 critical value at p=0.01 (20.09).
+        "Benford_Nonconformity", "First-Digit Distribution Violates Benford's Law",
+        "Possible", _benford_fires,
+        # prevalence = total-variation distance between observed and
+        # expected digit shares: the fraction of rows whose first digit
+        # would have to change for exact conformity
+        _benford_tvd, 0.33,
     ),
 ]
 

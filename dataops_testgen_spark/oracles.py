@@ -144,6 +144,19 @@ def _alpha_metrics_sql(t: str, c: str) -> dict[str, str]:
     return m
 
 
+def _benford_counts_sql(c: str) -> str:
+    """First-significant-digit census, digits 1-9, as a BIGINT list —
+    mirror of profiling/expressions.py's fused benford_counts metric
+    (digit via arithmetic, zero/NULL/NaN/Inf rows carry no digit)."""
+    x = f"ABS({c}::DOUBLE)"
+    valid = (f"({c} IS NOT NULL AND {x} > 0 AND isfinite({c}::DOUBLE))")
+    digit = f"FLOOR({x} / POWER(10, FLOOR(LOG10({x}))))"
+    elems = ", ".join(
+        f"SUM(CASE WHEN {valid} AND {digit} = {d} THEN 1 ELSE 0 END)::BIGINT"
+        for d in range(1, 10))
+    return f"[{elems}]"
+
+
 def _numeric_metrics_sql(t: str, c: str, is_decimal: bool) -> dict[str, str]:
     return {
         "value_ct": f"COUNT({c})::BIGINT",
@@ -162,6 +175,8 @@ def _numeric_metrics_sql(t: str, c: str, is_decimal: bool) -> dict[str, str]:
         "fractional_sum": (
             f"SUM(ROUND(ABS(fmod({c}::DOUBLE, 1)), 5))" if is_decimal else "NULL::DOUBLE"
         ),
+        "min_value_over_0": f"MIN(CASE WHEN {c}::DOUBLE > 0 THEN {c}::DOUBLE END)",
+        "benford_counts": _benford_counts_sql(c),
     }
 
 
@@ -202,7 +217,7 @@ _ALL_METRICS = [
     "future_date_ct", "date_days_present", "date_weeks_present",
     "date_months_present", "distinct_pattern_ct", "p1", "p2", "p3", "p4", "p5",
     "pc1", "pc2", "pc3", "pc4", "pc5",
-    "top_freq_values",
+    "top_freq_values", "min_value_over_0", "benford_counts",
 ] + [f"stdpat_{label}" for label, _re, _thr in RX.STD_PATTERNS]
 
 _NULL_TYPES = {
@@ -229,6 +244,8 @@ _NULL_TYPES = {
     "pc1": "BIGINT", "pc2": "BIGINT", "pc3": "BIGINT", "pc4": "BIGINT",
     "pc5": "BIGINT",
     "top_freq_values": "VARCHAR",
+    "min_value_over_0": "DOUBLE",
+    "benford_counts": "BIGINT[]",
 }
 for _label, _re_, _thr_ in RX.STD_PATTERNS:
     _NULL_TYPES[f"stdpat_{_label}"] = "BIGINT"
@@ -903,6 +920,7 @@ _FREQ_VALS = ("list_transform(str_split(top_freq_values, ' | '),"
 
 # anomaly_type -> likelihood (dbsetup_anomaly_types/*.yaml issue_likelihood)
 _ANOMALY_LIKELIHOOD = {
+    "Benford_Nonconformity": "Possible",
     "Boolean_Value_Mismatch": "Likely",
     "Char_Column_Date_Values": "Likely",
     "Char_Column_Number_Units": "Possible",
@@ -932,6 +950,24 @@ _ANOMALY_LIKELIHOOD = {
 }
 
 
+def _benford_exprs() -> tuple[str, str, str]:
+    """(n, chi2, tvd) SQL over the pii CTE's benford_counts list —
+    term-by-term mirror of catalog.py's _benford_chi2/_benford_tvd
+    (same literals via repr, same left-assoc addition order, so the
+    float paths agree to the last ulp)."""
+    from dataops_testgen_spark.anomalies.catalog import BENFORD_SHARES
+
+    n = "(" + " + ".join(f"benford_counts[{d}]" for d in range(1, 10)) + ")"
+    nd = f"{n}::DOUBLE"
+    chi2 = "0.0"
+    tvd = "0.0"
+    for d, p in enumerate(BENFORD_SHARES, start=1):
+        exp = f"({nd} * {p!r})"
+        chi2 += (f" + POWER(benford_counts[{d}] - {exp}, 2) / {exp}")
+        tvd += f" + ABS(benford_counts[{d}] / {nd} - {p!r})"
+    return n, f"({chi2})", f"(({tvd}) * 0.5)"
+
+
 def _anomaly_prevalence() -> dict[str, str]:
     """dq_prevalence SQL per Column-class rule (prevalence formula × risk,
     mirroring anomalies/catalog.py); rules absent here score NULL."""
@@ -939,7 +975,9 @@ def _anomaly_prevalence() -> dict[str, str]:
     fc1 = ("TRY_CAST(regexp_extract(str_split(top_freq_values, ' | ')[1],"
            " ':([0-9]+)$', 1) AS BIGINT)")
     mixed_case = "(value_ct - upper_case_ct - lower_case_ct - non_alpha_ct)"
+    _bn, _bchi2, _btvd = _benford_exprs()
     return {
+        "Benford_Nonconformity": f"{_btvd} * 0.33",
         "Char_Column_Date_Values": f"date_ct / {rc} * 0.66",
         "Char_Column_Number_Values": f"numeric_ct / {rc} * 0.66",
         "Column_Pattern_Mismatch": f"(record_ct - pc1) / {rc} * 0.66",
@@ -991,7 +1029,16 @@ def _anomaly_criteria(run_date: str) -> dict[str, str]:
     eff_value = (f"(value_ct - COALESCE(zero_length_ct, 0) - CASE WHEN {dummy_blanks}"
                  " THEN COALESCE(filled_value_ct, 0) ELSE 0 END)")
 
+    _bn, _bchi2, _btvd = _benford_exprs()
     criteria: dict[str, str] = {
+        "Benford_Nonconformity": (
+            "general_type = 'N' AND NOT lower(fdt) LIKE 'id%'"
+            " AND NOT lower(fdt) LIKE 'period%'"
+            " AND fdt NOT IN ('Sequence','Category','Code')"
+            " AND benford_counts IS NOT NULL"
+            f" AND {_bn} >= 500"
+            " AND max_value / NULLIF(min_value_over_0, 0.0) >= 100.0"
+            f" AND {_bchi2} > 20.09"),
         "Boolean_Value_Mismatch": (
             "distinct_value_ct > 1 AND ("
             f"(lower({fv1}) IN ('true','false')"

@@ -121,6 +121,18 @@ def numeric_metrics(c: Column, is_decimal: bool, exact_percentiles: bool) -> dic
         "max_length": F.max(F.length(c.cast("string"))).cast("int"),
         "avg_length": F.avg(F.length(c.cast("string"))),
     }
+    # Benford first-significant-digit census (anomalies/benford.py is the
+    # standalone screen; this fuses the same 9 counts into the single
+    # profile pass so the hygiene-screen catalog can fire a Benford rule
+    # off profile metrics alone, reference cascade style). Digit via
+    # arithmetic, not string formatting (engine-portable); zero/NULL and
+    # NaN/Inf rows carry no first digit.
+    x = F.abs(d)
+    bf_valid = d.isNotNull() & (x > 0) & ~F.isnan(d) & (x != float("inf"))
+    bf_digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    out["benford_counts"] = F.array(
+        *[_cnt(bf_valid & (bf_digit == i)).cast("long")
+          for i in range(1, 10)])
     if exact_percentiles:
         # percentile() = exact PERCENTILE_CONT interpolation (:150-152)
         pct = F.percentile(d, F.lit([0.25, 0.5, 0.75]))

@@ -244,6 +244,12 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
                 .alias("__n_num__"))
     for f in META_FIRST:
         aggs.append(F.first(f, ignorenulls=True).alias(f))
+    # benford digit counts are plain additive censuses: element-wise sum
+    # over the slices that carry one (N columns), NULL otherwise
+    aggs.append(F.count("benford_counts").alias("__bf_ct__"))
+    aggs.append(F.array(
+        *[F.sum(F.col("benford_counts")[i]).cast("long")
+          for i in range(9)]).alias("__bf__"))
     aggs.append(F.max("run_date").alias("run_date"))
     has_sketches = "distinct_hll" in profiles.columns
     if has_sketches:
@@ -417,6 +423,9 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
                 (F.when(F.col("__stdpat_map__").isNotNull(),
                         F.to_json("__stdpat_map__")) if has_stdpat
                  else F.lit(None).cast("string")).alias(name))
+        elif name == "benford_counts":
+            out_cols.append(
+                F.when(F.col("__bf_ct__") > 0, F.col("__bf__")).alias(name))
         elif name in NON_MERGEABLE_FIELDS:
             out_cols.append(F.lit(None).cast(field.dataType).alias(name))
         elif name == "sample_ratio":

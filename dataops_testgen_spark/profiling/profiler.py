@@ -117,6 +117,13 @@ PROFILE_SCHEMA = T.StructType([
     T.StructField("distinct_pattern_ct", T.LongType()),
     T.StructField("top_freq_values", T.StringType()),
     T.StructField("distinct_value_hash", T.StringType()),
+    # first-significant-digit census for N columns (digits 1-9, in the
+    # fused single-pass agg) — the Benford screening rule and prevalence
+    # derive from it at screen time; additive, so partition-incremental
+    # profiles merge it exactly. NOT scale-estimated under sampling:
+    # digit SHARES are scale-free and the screen's chi-square uses the
+    # raw sample size (understating significance, never inflating it)
+    T.StructField("benford_counts", T.ArrayType(T.LongType())),
 ])
 
 _METRIC_FIELDS = [f.name for f in PROFILE_SCHEMA.fields[9:]]  # after record_ct

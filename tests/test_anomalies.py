@@ -122,3 +122,62 @@ def test_no_false_fires_on_clean_numeric(spark):
     types = {r["anomaly_type"] for r in out.collect()}
     assert "Leading_Spaces" not in types
     assert "No_Values" not in types
+
+
+def test_benford_nonconformity_rule(spark):
+    """33rd catalog rule (beyond the reference's 32): a uniform
+    multi-magnitude numeric violates Benford's first-digit law and
+    fires with prevalence = TVD x 0.33; a genuinely Benford-distributed
+    column does not fire; id-typed and single-magnitude columns are
+    ineligible regardless of distribution."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    n = 2000
+    rows = []
+    for i in range(n):
+        # uniform over [100, 1e6): first digits near-uniform, wildly
+        # non-Benford at n=2000
+        uniform = rng.uniform(100.0, 1_000_000.0)
+        # exact Benford: log-uniform mantissa over 3 decades
+        benford = 10.0 ** rng.uniform(2.0, 5.0)
+        # single magnitude: uniform [100, 999] — excluded by the
+        # multi-magnitude precondition even though it's non-Benford
+        narrow = rng.uniform(100.0, 999.0)
+        rows.append((i + 1, uniform, benford, narrow))
+    out = _screen(spark, rows,
+                  "acct_id long, amount_uniform double, "
+                  "amount_benford double, amount_narrow double")
+    fired = {r["column_name"]: r for r in
+             out.filter("anomaly_type = 'Benford_Nonconformity'").collect()}
+    assert set(fired) == {"amount_uniform"}
+    row = fired["amount_uniform"]
+    assert row["likelihood"] == "Possible"
+    # TVD between uniform-ish and Benford shares is large; x0.33 risk
+    assert 0.03 < row["dq_prevalence"] < 0.33
+
+
+def test_benford_counts_merge_exactly(spark):
+    """The fused benford_counts census is additive: merging disjoint
+    slice profiles reproduces the whole-table digit counts exactly, so
+    the incremental screen fires the Benford rule identically."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .select("o_orderkey", "o_totalprice"))
+    full = profile_table(df, "orders", run_date=RUN_DATE)
+    s1 = profile_table(df.filter("o_orderkey % 2 = 0"), "orders",
+                       run_date=RUN_DATE, keep_sketches=True)
+    s2 = profile_table(df.filter("o_orderkey % 2 = 1"), "orders",
+                       run_date=RUN_DATE, keep_sketches=True)
+    merged = merge_profiles(s1.unionByName(s2))
+    want = {r["column_name"]: r["benford_counts"] for r in
+            full.select("column_name", "benford_counts").collect()}
+    got = {r["column_name"]: r["benford_counts"] for r in
+           merged.select("column_name", "benford_counts").collect()}
+    assert got == want
+    assert sum(want["o_totalprice"]) > 0
