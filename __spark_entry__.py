@@ -1669,6 +1669,78 @@ SELECT pr.p_partkey AS query_id, b.p_partkey AS match_id,
  WHERE levenshtein(pr.nm, b.nm) <= 2"""
 
 
+_LINK_FIELDS_PART = [
+    ("p_name", "levenshtein", 3, 0.95, 0.05),
+    ("p_brand", "exact", 0, 0.9, 0.2),
+    ("p_type", "exact", 0, 0.9, 0.25),
+]
+
+
+def q_record_linkage_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field Fellegi-Sunter linkage (pipeline/linkage.py
+    record_linkage): the 20 lowest-key parts probe the part relation on
+    last-token-of-name blocked candidates, scored across THREE fields
+    (name within 3 edits, brand exact, type exact) with
+    deterministic log2(m/u) agreement weights — one noisy field can't
+    sink a match three clean fields support. Candidates from ONE
+    equi-join, all comparators JVM expressions."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        record_linkage)
+
+    part = _load(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") < 20)
+    out = record_linkage(
+        part, probes,
+        fields=[LinkField(c, method, max_dist=d, m=m, u=u)
+                for c, method, d, m, u in _LINK_FIELDS_PART],
+        id_col="p_partkey", block="last_token")
+    return out.select("query_id", "match_id", "n_agree",
+                      (F.round("score", 5) + F.lit(0.0)).alias("score"))
+
+
+def _sql_record_linkage_part() -> str:
+    """DuckDB mirror of q_record_linkage_part: identical weight literals
+    (repr of the same Python log2 computations), identical left-assoc
+    addition order, ROUND(,5)+0.0 on both sides."""
+    import math as _m
+
+    norm = {c: f"lower(trim({c}))" for c, *_ in _LINK_FIELDS_PART}
+    score = "0.0"
+    agree_terms = []
+    for c, method, d, m, u in _LINK_FIELDS_PART:
+        a, b = f"pr.{c}_n", f"bb.{c}_n"
+        if method == "levenshtein":
+            ag = f"levenshtein({a}, {b}) <= {d}"
+        else:
+            ag = f"{a} = {b}"
+        w_a = _m.log2(m / u)
+        w_d = _m.log2((1.0 - m) / (1.0 - u))
+        # ::DOUBLE on every literal: DuckDB types long decimal literals
+        # as DECIMAL and the whole sum would go decimal-arithmetic
+        score += (f" + CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0.0::DOUBLE"
+                  f" WHEN {ag} THEN {w_a!r}::DOUBLE"
+                  f" ELSE {w_d!r}::DOUBLE END")
+        agree_terms.append(
+            f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL"
+            f" AND {ag} THEN 1 ELSE 0 END")
+    n_agree = " + ".join(agree_terms)
+    proj = ", ".join(f"{norm[c]} AS {c}_n" for c, *_ in _LINK_FIELDS_PART)
+    return f"""
+WITH b AS (
+  SELECT p_partkey AS id, {proj},
+         regexp_extract(lower(trim(p_name)), '(\\S+)$', 1) AS blk
+    FROM part),
+bb AS (SELECT * FROM b WHERE blk IS NOT NULL AND blk <> ''),
+pr AS (SELECT * FROM bb WHERE id < 20)
+SELECT pr.id AS query_id, bb.id AS match_id,
+       ({n_agree})::INT AS n_agree,
+       ROUND(({score})::DOUBLE, 5) + 0.0::DOUBLE AS score
+  FROM pr JOIN bb ON pr.blk = bb.blk AND pr.id <> bb.id"""
+
+
+_SQL_RECORD_LINKAGE_PART = _sql_record_linkage_part()
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (similarity.kmeans_train, k=8, 3 Lloyd
     iterations, first-8-by-id init) trained on the full embeddings table,
@@ -5037,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance_embeddings": q_embedding_covariance,
         "benford_orders": q_benford_orders,
         "fuzzy_pairs_part": q_fuzzy_pairs_part,
+        "record_linkage_part": q_record_linkage_part,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---
@@ -5167,6 +5240,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance_embeddings": _SQL_EMB_COVARIANCE,
         "benford_orders": _SQL_BENFORD_ORDERS,
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS_PART,
+        "record_linkage_part": _SQL_RECORD_LINKAGE_PART,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

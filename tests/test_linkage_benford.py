@@ -156,3 +156,92 @@ def test_benford_cli_empty_column_exits_cleanly(spark, tmp_path, capsys):
     p = str(tmp_path / "zeros")
     spark.createDataFrame([(0.0,), (None,)], "c double").write.parquet(p)
     assert main(["table-benford", "--data", p, "--column", "c"]) == 2
+
+
+def _fs_score(fields, agree_bits):
+    """Reference Fellegi-Sunter score: None bit = missing field."""
+    s = 0.0
+    for f, bit in zip(fields, agree_bits):
+        if bit is None:
+            continue
+        w_a = math.log2(f.m / f.u)
+        w_d = math.log2((1 - f.m) / (1 - f.u))
+        s += w_a if bit else w_d
+    return s
+
+
+def test_record_linkage_multi_field_scores(spark):
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        record_linkage)
+
+    rows = [
+        (1, "john smith", "12 oak st", "boston"),
+        (2, "jon smith", "12 oak st", "boston"),      # name 1 edit off
+        (3, "john smith", "99 elm ave", "chicago"),   # only name agrees
+        (4, "jane smith", "12 oak st", None),         # city missing
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, addr string, city string")
+    fields = [LinkField("name", "levenshtein", max_dist=1, m=0.95, u=0.05),
+              LinkField("addr", "exact", m=0.9, u=0.1),
+              LinkField("city", "exact", m=0.85, u=0.2)]
+    got = {(r["id_a"], r["id_b"]): (r["n_agree"], r["score"]) for r in
+           record_linkage(df, fields=fields, block="last_token").collect()}
+    # block = last token of name: {smith: 1,2,3,4}
+    want = {
+        (1, 2): (3, _fs_score(fields, [True, True, True])),
+        (1, 3): (1, _fs_score(fields, [True, False, False])),
+        (1, 4): (1, _fs_score(fields, [False, True, None])),
+        (2, 3): (1, _fs_score(fields, [True, False, False])),  # 1 edit
+        (2, 4): (1, _fs_score(fields, [False, True, None])),
+        (3, 4): (0, _fs_score(fields, [False, False, None])),
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-12, k
+    # threshold keeps only the strong match
+    thr = record_linkage(df, fields=fields, block="last_token",
+                         threshold=5.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in thr} == {(1, 2)}
+
+
+def test_record_linkage_soundex_field_and_probe_mode(spark):
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        record_linkage)
+
+    rows = [(1, "robert", "acme"), (2, "rupert", "acme"),
+            (3, "robert", "zenith")]
+    df = spark.createDataFrame(rows, "id int, first string, co string")
+    fields = [LinkField("first", "soundex", m=0.9, u=0.1),
+              LinkField("co", "exact", m=0.9, u=0.1)]
+    probes = df.filter("id = 1")
+    got = {(r["query_id"], r["match_id"]): r["n_agree"] for r in
+           record_linkage(df, probes, fields=fields, block_col="co",
+                          block="first_token").collect()}
+    # robert/rupert share soundex R163 and the company block
+    assert got == {(1, 2): 2}
+
+
+def test_record_linkage_validation_and_guard(spark):
+    import warnings as w
+
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        record_linkage)
+
+    df = spark.createDataFrame(
+        [(1, "a long multi word text value here ok", "x")],
+        "id int, txt string, k string")
+    fields = [LinkField("txt", "exact")]
+    with pytest.raises(ValueError, match="non-empty"):
+        record_linkage(df, fields=[])
+    with pytest.raises(ValueError, match="unknown method"):
+        record_linkage(df, fields=[LinkField("txt", "jaro")])
+    with pytest.raises(ValueError, match="duplicate field"):
+        record_linkage(df, fields=fields + [LinkField("txt")])
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        record_linkage(df, fields=[LinkField("txt", m=0.2, u=0.8)])
+    # soundex blocking on long text trips the shape guard
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        record_linkage(df, fields=fields, block="soundex")
+        assert any("degenerate" in str(c.message) for c in caught)
