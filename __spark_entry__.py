@@ -1443,6 +1443,24 @@ SELECT query_id, neighbor_id, ROUND(est_cos, 5) AS est_cosine,
   FROM rk WHERE rnk <= 5"""
 
 
+def q_opq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ ANN (similarity.fit_opq/opq_topk — Ge et al. 2013):
+    learn the orthogonal rotation by alternating per-subspace k-means
+    with the Procrustes SVD update, then run the standard ADC top-k on
+    the rotated pair at the SAME (m=4, k=16) code budget as the
+    pq_topk_embeddings seat. No oracle_sql: the driver-side SVD is not
+    SQL-expressible, so the driver records the rows-only check — the
+    recall>=PQ, distortion, orthogonality and determinism contracts are
+    pinned by tests/test_opq.py instead."""
+    emb = _load(spark, sf_dir, "embeddings")
+    R, cb = SIM.fit_opq(emb, m=4, k=16, n_iters=2, pq_iters=3,
+                        final_pq_iters=6)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.opq_topk(emb, q, R, cb, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("est_cosine", 5).alias("est_cosine"), "rank")
+
+
 def _pq_driver_fixture(spark: SparkSession, sf_dir: str):
     """Deterministic quantizers shared by the IVFADC queries: coarse
     centroids = the first 8 embeddings, PQ codebook = the 16-dim
@@ -5110,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         "fuzzy_pairs_part": q_fuzzy_pairs_part,
         "record_linkage_part": q_record_linkage_part,
+        "opq_topk_embeddings": q_opq_topk_embeddings,
         # --- r9 window, group 1: queries whose code r9 touches
         # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
         # 4:2:0, cache_model on the LM scorers, streaming retention) ---

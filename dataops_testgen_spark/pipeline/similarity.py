@@ -1181,6 +1181,142 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebook, k: int = 10,
                       "est_cosine double, rank int")
 
 
+def rotate(df: DataFrame, R, vec_col: str = "embedding",
+           id_col: str = "vec_id",
+           out_col: str = "rotated") -> DataFrame:
+    """Apply an orthogonal rotation: (id, out_col) with out = x @ R —
+    one broadcast matmul per Arrow batch, no shuffle (the un-centered
+    sibling of ``whiten``; OPQ's application step)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(R, dtype=float))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        r_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            yield pd.DataFrame({"id": pdf[id_col],
+                                out_col: list(m @ r_)})
+
+    clean = _clean_vectors(df, vec_col)
+    idt = _id_type(df, id_col)
+    return clean.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id {idt}, {out_col} array<double>")
+
+
+def fit_opq(df: DataFrame, m: int = 4, k: int = 16, n_iters: int = 3,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            pq_iters: int = 4, final_pq_iters: int = 8,
+            round_decimals: int = 9):
+    """Optimized Product Quantization, non-parametric variant (Ge,
+    He, Ke & Sun, CVPR 2013 §4): learn an ORTHOGONAL rotation R so the
+    PQ codebook quantizes x@R with lower distortion than x — at the same
+    code budget (same m, k) the rotation redistributes variance and
+    decorrelates the subspaces, which is where PQ loses most of its
+    recall. The alternating scheme:
+
+      repeat n_iters:
+        1. codebook  <- per-subspace k-means on the rotated vectors
+                        (``train_pq_codebook``, deterministic init)
+        2. R         <- argmin_{R orthogonal} ||X R - Y||_F
+                        = U V^T from SVD(X^T Y) (orthogonal Procrustes),
+                        Y = the PQ reconstruction of X R
+      finally retrain the codebook against the final R.
+
+    100 TB shape: per iteration the distributed work is the PQ trainer
+    (model-sized exchanges) plus ONE Arrow pass accumulating the D x D
+    cross-Gram X^T Y (D^2 partials per batch — parameters, not data,
+    the ``_covariance_parts`` contract); the SVD runs on the driver over
+    the D x D model. R starts at identity; the cross-Gram is rounded to
+    6 decimals before the SVD and R to ``round_decimals`` after, the
+    same float firewall the other trainers use.
+
+    Returns (R, codebook): R as a D x D nested list, codebook
+    [m, k, sub_dim] — feed both to ``opq_topk``."""
+    import numpy as np
+
+    clean = _clean_vectors(df, vec_col)
+    first = clean.select(vec_col).first()
+    if first is None:
+        raise ValueError("no valid vectors")
+    d = len(first[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    spark = df.sparkSession
+    R = np.eye(d)
+    cb = None
+    for _ in range(n_iters):
+        rotated = rotate(df, R, vec_col, id_col)
+        cb = np.asarray(train_pq_codebook(
+            rotated, m=m, k=k, vec_col="rotated", id_col="id",
+            max_iterations=pq_iters), dtype=float)
+        bc = spark.sparkContext.broadcast((R, cb))
+
+        def gram(batches):
+            import numpy as np
+            import pandas as pd
+
+            r_, cbv = bc.value
+            dd = r_.shape[0]
+            mm, _kk, ss = cbv.shape
+            g = np.zeros((dd, dd))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=float)
+                              for v in pdf[vec_col]])
+                y = x @ r_
+                ys = y.reshape(len(y), mm, ss)
+                recon = np.empty_like(y)
+                for s in range(mm):
+                    d2 = ((ys[:, s, None, :] - cbv[s][None, :, :]) ** 2) \
+                        .sum(-1)
+                    recon[:, s * ss:(s + 1) * ss] = cbv[s][
+                        np.argmin(d2, axis=1)]
+                g += x.T @ recon
+            ii, jj = np.meshgrid(np.arange(dd), np.arange(dd),
+                                 indexing="ij")
+            yield pd.DataFrame({"i": ii.ravel().astype("int32"),
+                                "j": jj.ravel().astype("int32"),
+                                "v": g.ravel()})
+
+        rows = (clean.select(vec_col)
+                .mapInPandas(gram, schema="i int, j int, v double")
+                .groupBy("i", "j").agg(F.sum("v").alias("v")).collect())
+        G = np.zeros((d, d))
+        for r in rows:
+            G[r["i"], r["j"]] = r["v"]
+        u, _s, vt = np.linalg.svd(np.round(G, 6))
+        R = np.round(u @ vt, round_decimals)
+        bc.unpersist()
+    cb = np.asarray(train_pq_codebook(
+        rotate(df, R, vec_col, id_col), m=m, k=k, vec_col="rotated",
+        id_col="id", max_iterations=final_pq_iters), dtype=float)
+    return ([list(map(float, row)) for row in R],
+            [[list(map(float, w)) for w in cb[s]] for s in range(m)])
+
+
+def opq_topk(df: DataFrame, queries: DataFrame, R, codebook, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             max_broadcast_bytes: int = MAX_BROADCAST_MATRIX_BYTES
+             ) -> DataFrame:
+    """PQ asymmetric-distance top-k under a fitted OPQ rotation: both
+    sides rotate (cosine is rotation-invariant, so est_cosine estimates
+    the ORIGINAL-space cosine — just through a codebook that fits the
+    rotated data better), then the standard ``pq_topk`` path runs
+    unchanged, size-dispatch included."""
+    rdf = rotate(df, R, vec_col, id_col)
+    rq = rotate(queries, R, vec_col, id_col)
+    return pq_topk(rdf, rq, codebook, k=k, vec_col="rotated", id_col="id",
+                   max_broadcast_bytes=max_broadcast_bytes)
+
+
 def hard_negatives(df: DataFrame, queries: DataFrame | None = None,
                    k: int = 10, label_col: str = "label",
                    vec_col: str = "embedding", id_col: str = "vec_id",
