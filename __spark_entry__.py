@@ -5120,25 +5120,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- r9 window, group 0: NEW this round ---
-        "ngram_lm_documents": q_ngram_lm_documents,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "lr_quality_documents": q_lr_quality_documents,
-        "embedding_covariance_embeddings": q_embedding_covariance,
-        "benford_orders": q_benford_orders,
-        "fuzzy_pairs_part": q_fuzzy_pairs_part,
+        # --- r10 window, group A: NEW this round ---
         "record_linkage_part": q_record_linkage_part,
         "opq_topk_embeddings": q_opq_topk_embeddings,
-        # --- r9 window, group 1: queries whose code r9 touches
-        # (parse_event_props DDL fix, FLAC utf8 frame numbers + JPEG
-        # 4:2:0, cache_model on the LM scorers, streaming retention) ---
+        # --- group B: queries whose code or oracle r10 touches
+        # (cache_model on the bigram/trigram seats, kmeans oracle
+        # rid-keying + wide-D dispatch, linkage module, and the Benford
+        # 33rd screening rule: profiler benford_counts metric ->
+        # screen/prevalence -> scorecards, merge element-wise counts,
+        # inference-oracle metric list) ---
+        "bigram_lm_documents": q_bigram_lm_documents,
+        "trigram_lm_documents": q_trigram_lm_documents,
+        "ngram_lm_documents": q_ngram_lm_documents,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "fuzzy_pairs_part": q_fuzzy_pairs_part,
+        "benford_orders": q_benford_orders,
+        "anomaly_screen_orders": q_anomaly_screen_orders,
+        "anomaly_screen_customer_orders": q_anomaly_screen,
+        "incremental_screen_orders": q_incremental_screen_orders,
+        "score_card_issues_co_li": q_score_card_issues,
+        "score_breakdown_impact_co_li": q_score_breakdown_impact,
+        "score_breakdown_column_co_li": q_score_breakdown_cols,
+        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
+        "merged_profile_orders": q_merged_profile_orders,
+        "merged_profile_percentiles": q_merged_profile_percentiles,
+        "merged_topfreq_orders": q_merged_topfreq_orders,
+        "profile_lineitem_numeric": q_profile_lineitem_numeric,
+        "profile_customer_strings": q_profile_customer_strings,
+        "profile_orders_dates": q_profile_orders_dates,
+        "profile_sampled_lineitem": q_profile_sampled_lineitem,
+        # inference-chain consumers (oracle profile CTEs gained the
+        # benford_counts + min_value_over_0 metrics)
+        "functional_types_customer": q_functional_types_customer,
+        "functional_types_orders": q_functional_types_orders,
+        "generated_tests_lineitem": q_generated_tests,
+        "generated_test_keys_lineitem": q_generated_test_keys,
+        "validation_prepass": q_validation_prepass,
+        "score_category_fixture": q_score_category,
+        "score_overall_history_fixture": q_score_overall_history,
+        # --- group C: the five r9 evictees, earmarked last round for
+        # this rotation (last driver row r5/r6) ---
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        # --- group D: longest-unchecked seats (last driver hash row
+        # r5; pytest-oracle-pinned at HEAD every round since) ---
+        "c4_clean_documents": q_c4_clean_documents,
+        "sample_documents": q_sample_documents,
+        "dsir_weights_documents": q_dsir_weights_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "chunk_documents": q_chunk_documents,
+        "gopher_quality_documents": q_gopher_quality,
+        "text_analysis_documents": q_text_analysis_documents,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "repetition_flags_documents": q_repetition_flags_documents,
+        # --- group E: oldest r8 seats that fit the remaining seats ---
+        "skew_hot_keys_lineitem": q_skew_hot_keys,
+        "merge_defs_fixture": q_merge_defs_fixture,
+        "schema_drift_log": q_schema_drift_log,
+        "gen_constant_history": q_gen_constant_history,
+        "dupe_rows_part": q_dupe_rows_part,
+        "drilldown_masked_customer": q_drilldown_masked_customer,
+        "cat_tests_lineitem": q_cat_tests_lineitem,
+        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
+        # every tail seat below carried a green driver hash row in r8 or
+        # r9 (see CORRECTNESS_r0{8,9}.json); the r9-heavy head rotated
+        # out in favor of r10-touched code paths and the oldest seats.
+        # The r8-green block (verified_near_dups .. drilldowns, cat/
+        # aggregate/timeframe families) is next in line for r11.
+        "lr_quality_documents": q_lr_quality_documents,
+        "embedding_covariance_embeddings": q_embedding_covariance,
         "json_props_events": q_json_props_events,
         "multimodal_features_documents": q_multimodal_features_documents,
-        "trigram_lm_documents": q_trigram_lm_documents,
-        "bigram_lm_documents": q_bigram_lm_documents,
         "retention_events": q_retention_events,
-        # --- group 2: the r6 block — longest without a driver hash row
-        # (r7 verdict #8 / r8 verdict "do this" #2) ---
         "nb_classify_documents": q_nb_classify_documents,
         "curation_gate_documents": q_curation_gate_documents,
         "session_stats_events": q_session_stats_events,
@@ -5154,20 +5210,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_documents": q_resize_documents,
         "frame_sample_documents": q_frame_sample_documents,
         "dsir_select_documents": q_dsir_select_documents,
-        # --- group 3: longest-unchecked pre-r5 seats (driver-green in
-        # r1-r4 windows, pytest-oracle-pinned every round since) ---
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
-        "merged_profile_orders": q_merged_profile_orders,
         "pack_spans_documents": q_pack_spans_documents,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "corpus_report_documents": q_corpus_report_documents,
-        "merged_profile_percentiles": q_merged_profile_percentiles,
-        "merged_topfreq_orders": q_merged_topfreq_orders,
         "dup_substrings_documents": q_dup_substrings_documents,
-        "anomaly_screen_customer_orders": q_anomaly_screen,
-        "anomaly_screen_orders": q_anomaly_screen_orders,
         "combo_match_customer_orders": q_combo_match_customer_orders,
         "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "distribution_shift_events": q_distribution_shift_events,
@@ -5175,25 +5224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one_documents": q_dedup_keep_one_documents,
         "simhash_documents": q_simhash_documents,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "freshness_threshold_events": q_freshness_threshold_events,
-        "validation_prepass": q_validation_prepass,
-        "incremental_screen_orders": q_incremental_screen_orders,
         "decontaminate_documents": q_decontaminate_documents,
-        "repetition_flags_documents": q_repetition_flags_documents,
-        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # these five r1-r4-green seats yielded to the five NEW r9
-        # queries (kmeans, lr_quality, embedding_covariance, benford,
-        # fuzzy_pairs) — all five evictees are unchanged baselines,
-        # pytest-oracle-pinned at HEAD every round, timing-visible in
-        # every BENCH tail, AND re-hash-matched at sf0.01 this round by
-        # a full local driver_sim sweep (ALL MATCH); earmark for r10
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "pq_topk_embeddings": q_pq_topk_embeddings,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
-        # r7/r8 driver-green block:
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
@@ -5205,16 +5237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_probe_documents": q_bm25_index_probe_documents,
         "minhash_index_probe_documents": q_minhash_index_probe,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        "profile_lineitem_numeric": q_profile_lineitem_numeric,
-        "profile_customer_strings": q_profile_customer_strings,
-        "profile_orders_dates": q_profile_orders_dates,
         "top_freq_orders": q_top_freq_orders,
         "top_patterns_part": q_top_patterns_part,
-        "functional_types_customer": q_functional_types_customer,
-        "functional_types_orders": q_functional_types_orders,
-        "generated_tests_lineitem": q_generated_tests,
-        "generated_test_keys_lineitem": q_generated_test_keys,
-        "cat_tests_lineitem": q_cat_tests_lineitem,
         "cat_tests_extended": q_cat_tests_extended,
         "cat_tests_remaining": q_cat_tests_remaining,
         "aggregate_balance_range_orders": q_aggregate_balance_range,
@@ -5223,31 +5247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_balance_pct_orders": q_aggregate_balance_pct,
         "timeframe_gain_events": q_timeframe_combo_gain,
         "timeframe_combo_events": q_timeframe_combo_events,
-        "dupe_rows_part": q_dupe_rows_part,
-        "gen_constant_history": q_gen_constant_history,
-        "schema_drift_log": q_schema_drift_log,
-        "score_category_fixture": q_score_category,
-        "score_overall_history_fixture": q_score_overall_history,
-        "score_card_issues_co_li": q_score_card_issues,
         "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
-        "score_breakdown_impact_co_li": q_score_breakdown_impact,
-        "score_breakdown_column_co_li": q_score_breakdown_cols,
-        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
         "drilldown_missing_days_events": q_drilldown_missing_days_events,
         "drilldown_unique_orders": q_drilldown_unique_orders,
         "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
-        "drilldown_masked_customer": q_drilldown_masked_customer,
         "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
-        "merge_defs_fixture": q_merge_defs_fixture,
-        "skew_hot_keys_lineitem": q_skew_hot_keys,
-        "dsir_weights_documents": q_dsir_weights_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "text_analysis_documents": q_text_analysis_documents,
-        "c4_clean_documents": q_c4_clean_documents,
-        "chunk_documents": q_chunk_documents,
-        "sample_documents": q_sample_documents,
-        "gopher_quality_documents": q_gopher_quality,
-        "pii_scrub_documents": q_pii_scrub_documents,
     }
 
 

@@ -994,6 +994,50 @@ def cmd_fuzzy_match(args) -> int:
     return 0
 
 
+def cmd_record_link(args) -> int:
+    """Multi-field Fellegi-Sunter linkage (pipeline/linkage.py
+    record_linkage): --field col:method[:max_dist[:m:u]] repeats per
+    comparison field; candidates from one blocked equi-join, scores =
+    sum of log2(m/u) agreement weights, NULL fields contribute 0.
+    Writes (id_a, id_b | query_id, match_id), n_agree, score."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        record_linkage)
+
+    fields = []
+    for spec in args.field:
+        parts = spec.split(":")
+        if len(parts) not in (2, 3, 5):
+            print(f"bad --field {spec!r}: want col:method[:max_dist[:m:u]]",
+                  file=sys.stderr)
+            return 2
+        kw = {"col": parts[0], "method": parts[1]}
+        if len(parts) >= 3:
+            kw["max_dist"] = int(parts[2])
+        if len(parts) == 5:
+            kw["m"], kw["u"] = float(parts[3]), float(parts[4])
+        fields.append(LinkField(**kw))
+    spark = _spark()
+    df = spark.read.parquet(args.data)
+    if args.condition:
+        df = df.filter(args.condition)
+    queries = spark.read.parquet(args.queries) if args.queries else None
+    try:
+        out = record_linkage(
+            df, queries, fields=fields, id_col=args.id_col,
+            block_col=args.block_col or None, block=args.block,
+            prefix_len=args.prefix_len,
+            threshold=args.threshold)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} scored pairs ({len(fields)} fields, block={args.block}"
+          + (f", threshold={args.threshold}" if args.threshold is not None
+             else "") + f") -> {args.out}")
+    return 0
+
+
 def cmd_corpus_quality_train(args) -> int:
     """Train the logistic-regression quality classifier (classify.
     lr_train, damped diagonal-Newton over hashed n-gram features) from a
@@ -1130,6 +1174,39 @@ def cmd_vector_kmeans(args) -> int:
         a.write.mode("overwrite").parquet(args.assign_out)
         msg += f"; assignments -> {args.assign_out}"
     print(msg)
+    return 0
+
+
+def cmd_vector_opq(args) -> int:
+    """Fit an OPQ rotation + codebook (similarity.fit_opq, Ge et al.
+    2013) over an embedding parquet and persist both as self-describing
+    parquet (rotation: row i = R[i, :]; codebook: (s, c, centroid)) —
+    the pre-rotation pq_topk/ivfadc consume via opq_topk."""
+    import posixpath
+
+    from dataops_testgen_spark.io.fs import write_small_df
+    from dataops_testgen_spark.pipeline.similarity import fit_opq
+
+    spark = _spark()
+    vecs = spark.read.parquet(args.vectors)
+    if args.condition:
+        vecs = vecs.filter(args.condition)
+    try:
+        R, cb = fit_opq(vecs, m=args.m, k=args.k, n_iters=args.iters,
+                        vec_col=args.vec_col, id_col=args.id_col)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    write_small_df(spark, [(i, row) for i, row in enumerate(R)],
+                   "i int, r array<double>",
+                   posixpath.join(args.out, "rotation"))
+    write_small_df(spark,
+                   [(s, c, cb[s][c]) for s in range(len(cb))
+                    for c in range(len(cb[s]))],
+                   "s int, c int, centroid array<double>",
+                   posixpath.join(args.out, "codebook"))
+    print(f"OPQ model: {len(R)}x{len(R)} rotation, "
+          f"[{args.m}, {args.k}] codebook -> {args.out}")
     return 0
 
 
@@ -1852,6 +1929,38 @@ def main(argv: list[str] | None = None) -> int:
                    help="probe parquet (same schema); omit for self mode")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_fuzzy_match)
+
+    p = sub.add_parser("record-link")
+    p.add_argument("--data", required=True, help="parquet with id + fields")
+    p.add_argument("--field", required=True, action="append",
+                   help="col:method[:max_dist[:m:u]], repeatable; method "
+                        "in exact|levenshtein|soundex")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--block-col", default="",
+                   help="blocking column (default: first field)")
+    p.add_argument("--block", choices=["last_token", "first_token",
+                                       "prefix", "soundex"],
+                   default="last_token")
+    p.add_argument("--prefix-len", type=int, default=3)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="keep pairs with score >= threshold")
+    p.add_argument("--queries", default="",
+                   help="probe parquet (same schema); omit for self mode")
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_record_link)
+
+    p = sub.add_parser("vector-opq")
+    p.add_argument("--vectors", required=True)
+    p.add_argument("--out", required=True,
+                   help="model dir: rotation + codebook parquet")
+    p.add_argument("--m", type=int, default=4)
+    p.add_argument("--k", type=int, default=16)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_vector_opq)
 
     p = sub.add_parser("corpus-quality-train")
     p.add_argument("--corpus", required=True,

@@ -974,3 +974,47 @@ def test_hybrid_search_cli(spark, tmp_path, capsys):
     assert main(["corpus-search", "--hybrid",
                  "--index-dir", lex_idx]) == 2
     capsys.readouterr()
+
+
+def test_record_link_cli(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+
+    rows = [(1, "john smith", "12 oak st"), (2, "jon smith", "12 oak st"),
+            (3, "john smith", "99 elm ave")]
+    data = str(tmp_path / "people")
+    spark.createDataFrame(rows, "pid int, name string, addr string") \
+        .write.parquet(data)
+    out = str(tmp_path / "pairs")
+    rc = main(["record-link", "--data", data, "--id-col", "pid",
+               "--field", "name:levenshtein:1:0.95:0.05",
+               "--field", "addr:exact",
+               "--out", out, "--threshold", "3.0"])
+    assert rc == 0
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 2)}
+    assert "scored pairs" in capsys.readouterr().out
+    # malformed field spec and bad (m, u) both exit 2 cleanly
+    assert main(["record-link", "--data", data, "--id-col", "pid",
+                 "--field", "name", "--out", out]) == 2
+    assert main(["record-link", "--data", data, "--id-col", "pid",
+                 "--field", "name:exact:0:0.2:0.9", "--out", out]) == 2
+
+
+def test_vector_opq_cli(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+
+    out = str(tmp_path / "opq")
+    rc = main(["vector-opq",
+               "--vectors", "/root/testdata/sf0.001/embeddings.parquet",
+               "--out", out, "--m", "4", "--k", "8", "--iters", "1",
+               "--condition", "vec_id < 200"])
+    assert rc == 0
+    rot = spark.read.parquet(out + "/rotation")
+    cbk = spark.read.parquet(out + "/codebook")
+    assert rot.count() == 64 and cbk.count() == 4 * 8
+    assert "OPQ model" in capsys.readouterr().out
+    # fewer than k vectors -> clean exit 2
+    assert main(["vector-opq",
+                 "--vectors", "/root/testdata/sf0.001/embeddings.parquet",
+                 "--out", out, "--m", "4", "--k", "8", "--iters", "1",
+                 "--condition", "vec_id < 3"]) == 2

@@ -40,46 +40,63 @@ def test_entry_smoke(spark):
 
 
 # Queries whose hard driver-correctness signal is the priority this round
-# (r9): everything r9's code touches, the 16-query r6 block that went two
-# rounds without a driver re-check (r8 verdict "do this" #2), and the
-# longest-unchecked pre-r5 seats that fill the rest of the window.
+# (r10): the two new seats, everything the r10 code/oracle changes touch
+# (LM cache_model, kmeans oracle + wide-D, linkage, the Benford 33rd
+# screening rule through profiler -> screen -> scorecards -> merge ->
+# inference oracles), the five r9 evictees earmarked for re-seating
+# (last driver row r5/r6), the r5 block longest without a driver hash
+# row, and the oldest r8 seats that fit.
 _MUST_BE_IN_DRIVER_WINDOW = {
-    # NEW in r9
+    "record_linkage_part",
+    "opq_topk_embeddings",
+    "bigram_lm_documents",
+    "trigram_lm_documents",
     "ngram_lm_documents",
     "kmeans_embeddings",
-    "lr_quality_documents",
-    "embedding_covariance_embeddings",
-    "benford_orders",
     "fuzzy_pairs_part",
-    # r9 touched these code paths (parse_event_props DDL fix, FLAC utf8
-    # frame numbers + JPEG 4:2:0, cache_model on the LM scorers,
-    # streaming retention)
-    "json_props_events",
-    "multimodal_features_documents",
-    "trigram_lm_documents",
-    "bigram_lm_documents",
-    "retention_events",
-    # the r6 block — longest without a driver hash row
-    "nb_classify_documents", "curation_gate_documents",
-    "session_stats_events", "rolling_features_events", "funnel_events",
-    "gzip_corpus_documents", "shuffle_shards_documents",
-    "hard_negatives_embeddings", "embedding_profile_embeddings",
-    "bm25_topk_documents", "ivfadc_topk_embeddings",
-    "rerank_ivfadc_embeddings", "resize_documents",
-    "frame_sample_documents", "dsir_select_documents",
-    # longest-unchecked pre-r5 seats (driver-green r1-r4 only)
-    "minhash_lsh_documents", "boilerplate_dedup_documents",
-    "merged_profile_orders", "pack_spans_documents",
-    "centroid_outliers_embeddings", "tfidf_keywords_documents",
-    "corpus_report_documents", "merged_profile_percentiles",
-    "merged_topfreq_orders", "dup_substrings_documents",
-    "anomaly_screen_customer_orders", "anomaly_screen_orders",
-    "combo_match_customer_orders", "contingency_rules_lineitem",
-    "distribution_shift_events", "dedup_clusters_documents",
-    "dedup_keep_one_documents", "simhash_documents",
-    "ann_lsh_topk", "profile_sampled_lineitem",
-    "freshness_threshold_events", "validation_prepass",
-    "incremental_screen_orders", "decontaminate_documents",
+    "benford_orders",
+    "anomaly_screen_orders",
+    "anomaly_screen_customer_orders",
+    "incremental_screen_orders",
+    "score_card_issues_co_li",
+    "score_breakdown_impact_co_li",
+    "score_breakdown_column_co_li",
+    "score_breakdown_dimension_co_li",
+    "merged_profile_orders",
+    "merged_profile_percentiles",
+    "merged_topfreq_orders",
+    "profile_lineitem_numeric",
+    "profile_customer_strings",
+    "profile_orders_dates",
+    "profile_sampled_lineitem",
+    "functional_types_customer",
+    "functional_types_orders",
+    "generated_tests_lineitem",
+    "generated_test_keys_lineitem",
+    "validation_prepass",
+    "score_category_fixture",
+    "score_overall_history_fixture",
+    "embedding_cosine_pairs",
+    "ann_topk_embeddings",
+    "ivf_topk_embeddings",
+    "pq_topk_embeddings",
+    "unigram_logprob_documents",
+    "c4_clean_documents",
+    "sample_documents",
+    "dsir_weights_documents",
+    "dedup_exact_documents",
+    "chunk_documents",
+    "gopher_quality_documents",
+    "text_analysis_documents",
+    "pii_scrub_documents",
+    "repetition_flags_documents",
+    "skew_hot_keys_lineitem",
+    "merge_defs_fixture",
+    "schema_drift_log",
+    "gen_constant_history",
+    "dupe_rows_part",
+    "drilldown_masked_customer",
+    "cat_tests_lineitem",
 }
 
 

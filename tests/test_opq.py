@@ -75,3 +75,29 @@ def test_opq_validation(spark):
         SIM.fit_opq(emb, m=7)
     with pytest.raises(ValueError, match="no valid vectors"):
         SIM.fit_opq(emb.filter("vec_id < 0"), m=4)
+
+
+def test_opq_composes_with_ivfadc(spark):
+    """The OPQ rotation threads through IVFADC as a pre-rotation: train
+    coarse centroids + codebook on the ROTATED vectors, probe with
+    rotated queries via vec_col='rotated'. With nprobe = n_centroids the
+    cell restriction vanishes, so results must equal opq_topk (the
+    pq_topk path) exactly - the same invariance pq/ivfadc already pin,
+    now under the rotation."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    R, cb = SIM.fit_opq(emb, m=4, k=8, n_iters=1, pq_iters=3,
+                        final_pq_iters=3)
+    rot = SIM.rotate(emb, R)
+    rows = rot.filter("id < 8").orderBy("id").collect()
+    cents = [list(map(float, r["rotated"])) for r in rows]
+    got = SIM.ivfadc_topk(rot, SIM.rotate(q, R), cents, cb, k=5,
+                          nprobe=len(cents), vec_col="rotated",
+                          id_col="id")
+    want = SIM.opq_topk(emb, q, R, cb, k=5)
+    # the two ADC spellings (per-query einsum LUT vs the shuffled pair
+    # scorer) differ in float summation order by a last ulp: compare
+    # through the 9-decimal firewall the trainers use
+    g = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in got.collect())
+    w = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in want.collect())
+    assert g == w and g
