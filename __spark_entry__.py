@@ -1759,6 +1759,117 @@ SELECT pr.id AS query_id, bb.id AS match_id,
 _SQL_RECORD_LINKAGE_PART = _sql_record_linkage_part()
 
 
+_FS_EM_ITERS = 4
+_FS_EM_INIT = (0.1, 0.9, 0.1)          # (p, m, u)
+
+
+def q_fs_em_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-estimated Fellegi-Sunter weights (pipeline/linkage.py
+    fs_em_train — Winkler 1988's EM formulation): learn per-field
+    (m, u) and the match prior p from part's OWN blocked candidate
+    pairs, unsupervised. ONE distributed pass (blocked equi-join +
+    agreement-bit groupBy, <=2^3 pattern rows reach the driver); the 4
+    fixed EM iterations run driver-side on the pattern counts with the
+    9-decimal rounding firewall, so the DuckDB oracle re-derives every
+    iteration from the same pattern relation in unrolled CTEs (the
+    bpe/kmeans/LR trainer pattern)."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    part = _load(spark, sf_dir, "part")
+    init_p, init_m, init_u = _FS_EM_INIT
+    model = fs_em_train(
+        part,
+        fields=[LinkField(c, method, max_dist=d, m=m, u=u)
+                for c, method, d, m, u in _LINK_FIELDS_PART],
+        id_col="p_partkey", block="last_token", n_iters=_FS_EM_ITERS,
+        init_p=init_p, init_m=init_m, init_u=init_u)
+    rows = [(c, round(m, 5) + 0.0, round(u, 5) + 0.0,
+             round(model["p"], 5) + 0.0, model["n_pairs"])
+            for c, m, u in model["fields"]]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, p double, n_pairs long")
+
+
+def _sql_fs_em_part() -> str:
+    """Unrolled-CTE DuckDB mirror of q_fs_em_part: same pattern-count
+    relation, same init literals, same left-assoc product order inside
+    the E-step, ROUND(, 9) after every update."""
+    nf = len(_LINK_FIELDS_PART)
+    init_p, init_m, init_u = _FS_EM_INIT
+    bits = []
+    for i, (c, method, d, _m, _u) in enumerate(_LINK_FIELDS_PART):
+        a, b = f"a.{c}_n", f"b.{c}_n"
+        ag = (f"levenshtein({a}, {b}) <= {d}" if method == "levenshtein"
+              else f"{a} = {b}")
+        bits.append(f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL"
+                    f" AND {ag} THEN 1 ELSE 0 END AS g{i}")
+    proj = ", ".join(f"lower(trim({c})) AS {c}_n"
+                     for c, *_ in _LINK_FIELDS_PART)
+    gcols = ", ".join(f"g{i}" for i in range(nf))
+
+    def scalars(t):
+        """p/m_i/u_i references for iteration t (0 = init literals)."""
+        if t == 0:
+            return (f"{init_p!r}::DOUBLE",
+                    [f"{init_m!r}::DOUBLE"] * nf,
+                    [f"{init_u!r}::DOUBLE"] * nf)
+        return (f"c{t}.p", [f"c{t}.m{i}" for i in range(nf)],
+                [f"c{t}.u{i}" for i in range(nf)])
+
+    parts = [f"""
+WITH b0 AS (
+  SELECT p_partkey AS id, {proj},
+         regexp_extract(lower(trim(p_name)), '(\\S+)$', 1) AS blk
+    FROM part),
+bb AS (SELECT * FROM b0 WHERE blk IS NOT NULL AND blk <> ''),
+pat AS MATERIALIZED (
+  SELECT {gcols}, COUNT(*)::BIGINT AS n FROM (
+    SELECT {", ".join(bits)}
+      FROM bb a JOIN bb b ON a.blk = b.blk AND a.id < b.id)
+  GROUP BY ALL),
+tot AS (SELECT SUM(n) AS nt FROM pat)"""]
+    for t in range(_FS_EM_ITERS):
+        p, ms, us = scalars(t)
+        lm = p
+        lu = f"(1.0::DOUBLE - {p})"
+        for i in range(nf):
+            lm += (f" * CASE WHEN g{i} = 1 THEN {ms[i]}"
+                   f" ELSE 1.0::DOUBLE - {ms[i]} END")
+            lu += (f" * CASE WHEN g{i} = 1 THEN {us[i]}"
+                   f" ELSE 1.0::DOUBLE - {us[i]} END")
+        src = f"pat{', c' + str(t) if t else ''}"
+        sums = ["SUM(n * w) AS sw", "SUM(n * (1.0::DOUBLE - w)) AS swn"]
+        for i in range(nf):
+            sums.append(f"SUM(CASE WHEN g{i} = 1 THEN n * w"
+                        f" ELSE 0.0::DOUBLE END) AS sm{i}")
+            sums.append(f"SUM(CASE WHEN g{i} = 1 THEN n * (1.0::DOUBLE - w)"
+                        f" ELSE 0.0::DOUBLE END) AS su{i}")
+        upd = [f"ROUND(sw / tot.nt, 9) AS p"]
+        for i in range(nf):
+            upd.append(f"ROUND(sm{i} / sw, 9) AS m{i}")
+            upd.append(f"ROUND(su{i} / swn, 9) AS u{i}")
+        parts.append(f""",
+e{t + 1} AS (
+  SELECT {", ".join(sums)} FROM (
+    SELECT n, {gcols}, lm / (lm + lu) AS w FROM (
+      SELECT n, {gcols}, {lm} AS lm, {lu} AS lu FROM {src}))),
+c{t + 1} AS (SELECT {", ".join(upd)} FROM e{t + 1}, tot)""")
+    finals = []
+    for i, (c, *_rest) in enumerate(_LINK_FIELDS_PART):
+        finals.append(
+            f"SELECT '{c}' AS field,"
+            f" ROUND(m{i}, 5) + 0.0::DOUBLE AS m,"
+            f" ROUND(u{i}, 5) + 0.0::DOUBLE AS u,"
+            f" ROUND(p, 5) + 0.0::DOUBLE AS p, tot.nt::BIGINT AS n_pairs"
+            f" FROM c{_FS_EM_ITERS}, tot")
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)
+
+
+_SQL_FS_EM_PART = _sql_fs_em_part()
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (similarity.kmeans_train, k=8, 3 Lloyd
     iterations, first-8-by-id init) trained on the full embeddings table,
@@ -5122,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r10 window, group A: NEW this round ---
         "record_linkage_part": q_record_linkage_part,
+        "fs_em_part": q_fs_em_part,
         "opq_topk_embeddings": q_opq_topk_embeddings,
         # --- group B: queries whose code or oracle r10 touches
         # (cache_model on the bigram/trigram seats, kmeans oracle
@@ -5183,13 +5295,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_constant_history": q_gen_constant_history,
         "dupe_rows_part": q_dupe_rows_part,
         "drilldown_masked_customer": q_drilldown_masked_customer,
-        "cat_tests_lineitem": q_cat_tests_lineitem,
         # ---- tail (seat 51+): pytest-oracle-pinned every round ----
         # every tail seat below carried a green driver hash row in r8 or
         # r9 (see CORRECTNESS_r0{8,9}.json); the r9-heavy head rotated
         # out in favor of r10-touched code paths and the oldest seats.
         # The r8-green block (verified_near_dups .. drilldowns, cat/
-        # aggregate/timeframe families) is next in line for r11.
+        # aggregate/timeframe families) is next in line for r11;
+        # cat_tests_lineitem (r8-green) yielded its seat to fs_em_part.
+        "cat_tests_lineitem": q_cat_tests_lineitem,
         "lr_quality_documents": q_lr_quality_documents,
         "embedding_covariance_embeddings": q_embedding_covariance,
         "json_props_events": q_json_props_events,
@@ -5264,6 +5377,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_orders": _SQL_BENFORD_ORDERS,
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS_PART,
         "record_linkage_part": _SQL_RECORD_LINKAGE_PART,
+        "fs_em_part": _SQL_FS_EM_PART,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

@@ -83,6 +83,111 @@ def fuzzy_match_pairs(df: DataFrame, queries: DataFrame | None = None,
                       F.col("id_b").alias("match_id"), "dist")
 
 
+def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
+                fields: list["LinkField"] | None = None,
+                id_col: str = "id", block_col: str | None = None,
+                block: str = "last_token", prefix_len: int = 3,
+                n_iters: int = 5, init_p: float = 0.1,
+                init_m: float = 0.9, init_u: float = 0.1,
+                round_decimals: int = 9):
+    """EM estimation of the Fellegi-Sunter (m, u) weights (Fellegi &
+    Sunter 1969 §3; Winkler 1988's EM formulation) — ``record_linkage``
+    takes user-supplied probabilities; this LEARNS them from the blocked
+    candidate pairs themselves, unsupervised:
+
+      E-step: per agreement pattern gamma in {0,1}^F,
+              w(gamma) = p prod_f m_f^g (1-m_f)^(1-g)
+                       / (that + (1-p) prod_f u_f^g (1-u_f)^(1-g))
+      M-step: p = sum n w / N;  m_f = sum n w g_f / sum n w;
+              u_f = sum n (1-w) g_f / sum n (1-w)
+
+    The distributed work is ONE pass: candidates from the same blocked
+    equi-join as record_linkage, agreement bits as JVM expressions, and
+    a groupBy over the bit columns — at most 2^F pattern rows reach the
+    driver (parameters, not data), where the fixed ``n_iters`` EM
+    iterations run in plain Python. Deterministic end to end: fixed
+    iteration count, fixed init, every updated probability ROUNDed to
+    ``round_decimals`` (the kmeans/LR float firewall — summation order
+    over the <=2^F pattern rows cannot leak into the next iteration), so
+    the whole trainer is DuckDB-oracle-able by unrolling the iterations
+    over the same pattern-count relation. A field missing on either side
+    scores agreement 0 for its bit (documented conservative treatment —
+    the 3-state missing extension doubles the pattern space).
+
+    Returns {"p": float, "n_pairs": int, "fields": [(col, m, u), ...]}
+    — feed the learned (m, u) back into LinkField/record_linkage."""
+    if not fields:
+        raise ValueError("fields must be a non-empty list of LinkField")
+    if not (0.0 < init_u < init_m < 1.0) or not 0.0 < init_p < 1.0:
+        raise ValueError("need 0 < init_u < init_m < 1 and 0 < init_p < 1")
+    block_col = block_col or fields[0].col
+    if block == "soundex":
+        _soundex_shape_guard(df, block_col)
+
+    def side(rel: DataFrame, tag: str):
+        cols = [F.col(id_col).alias(f"id_{tag}"),
+                _block_key(F.col(block_col), block, prefix_len)
+                .alias("blk")]
+        cols += [_norm(F.col(f.col)).alias(f"{f.col}_{tag}")
+                 for f in fields]
+        return rel.select(*cols).filter(F.col("blk").isNotNull()
+                                        & (F.col("blk") != ""))
+
+    base = side(df, "b")
+    probes = side(df if queries is None else queries, "a")
+    cond = (F.col("id_a") < F.col("id_b") if queries is None
+            else F.col("id_a") != F.col("id_b"))
+    cand = probes.join(base, "blk").filter(cond)
+    bits = []
+    for i, f in enumerate(fields):
+        a, b = F.col(f"{f.col}_a"), F.col(f"{f.col}_b")
+        if f.method == "exact":
+            agree = a == b
+        elif f.method == "levenshtein":
+            agree = F.levenshtein(a, b) <= f.max_dist
+        elif f.method == "soundex":
+            agree = F.soundex(a) == F.soundex(b)
+        else:
+            raise ValueError(f"{f.col}: unknown method {f.method!r}")
+        bits.append((F.when(a.isNotNull() & b.isNotNull() & agree, 1)
+                     .otherwise(0)).alias(f"g{i}"))
+    patterns = (cand.select(*bits)
+                .groupBy(*[f"g{i}" for i in range(len(fields))])
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+    if not patterns:
+        raise ValueError("no candidate pairs — check the blocking choice")
+    pats = [([int(r[f"g{i}"]) for i in range(len(fields))], int(r["n"]))
+            for r in patterns]
+    pats.sort()                          # engine-independent fold order
+    n_total = sum(n for _g, n in pats)
+    p = init_p
+    m = [init_m] * len(fields)
+    u = [init_u] * len(fields)
+    for _ in range(n_iters):
+        sw = swn = 0.0
+        sm = [0.0] * len(fields)
+        su = [0.0] * len(fields)
+        for g, n in pats:
+            lm = p
+            lu = 1.0 - p
+            for i, gi in enumerate(g):
+                lm *= m[i] if gi else (1.0 - m[i])
+                lu *= u[i] if gi else (1.0 - u[i])
+            w = lm / (lm + lu)
+            sw += n * w
+            swn += n * (1.0 - w)
+            for i, gi in enumerate(g):
+                if gi:
+                    sm[i] += n * w
+                    su[i] += n * (1.0 - w)
+        p = round(sw / n_total, round_decimals)
+        m = [round(x / sw, round_decimals) for x in sm]
+        u = [round(x / swn, round_decimals) for x in su]
+    return {"p": p, "n_pairs": n_total,
+            "fields": [(f.col, m[i], u[i]) for i, f in enumerate(fields)]}
+
+
 @dataclass(frozen=True)
 class LinkField:
     """One comparison field in a Fellegi-Sunter linkage: compare

