@@ -1038,6 +1038,50 @@ def cmd_record_link(args) -> int:
     return 0
 
 
+def cmd_record_link_train(args) -> int:
+    """EM-estimate Fellegi-Sunter (m, u) weights + match prior from the
+    data's own blocked candidate pairs (linkage.fs_em_train) and persist
+    them as a (field, m, u, p, n_pairs) parquet — feed back into
+    record-link via --field col:method:max_dist:m:u."""
+    from dataops_testgen_spark.io.fs import write_small_df
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    fields = []
+    for spec in args.field:
+        parts = spec.split(":")
+        if len(parts) not in (2, 3):
+            print(f"bad --field {spec!r}: want col:method[:max_dist]",
+                  file=sys.stderr)
+            return 2
+        kw = {"col": parts[0], "method": parts[1]}
+        if len(parts) == 3:
+            kw["max_dist"] = int(parts[2])
+        fields.append(LinkField(**kw))
+    spark = _spark()
+    df = spark.read.parquet(args.data)
+    if args.condition:
+        df = df.filter(args.condition)
+    try:
+        model = fs_em_train(df, fields=fields, id_col=args.id_col,
+                            block_col=args.block_col or None,
+                            block=args.block, prefix_len=args.prefix_len,
+                            n_iters=args.iters)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    write_small_df(spark,
+                   [(c, m, u, model["p"], model["n_pairs"])
+                    for c, m, u in model["fields"]],
+                   "field string, m double, u double, p double, n_pairs long",
+                   args.out)
+    pairs = ", ".join(f"{c}: m={m:.4f} u={u:.4f}"
+                      for c, m, u in model["fields"])
+    print(f"EM over {model['n_pairs']} candidate pairs "
+          f"(p={model['p']:.4f}): {pairs} -> {args.out}")
+    return 0
+
+
 def cmd_corpus_quality_train(args) -> int:
     """Train the logistic-regression quality classifier (classify.
     lr_train, damped diagonal-Newton over hashed n-gram features) from a
@@ -1949,6 +1993,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="probe parquet (same schema); omit for self mode")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_record_link)
+
+    p = sub.add_parser("record-link-train")
+    p.add_argument("--data", required=True)
+    p.add_argument("--field", required=True, action="append",
+                   help="col:method[:max_dist], repeatable")
+    p.add_argument("--out", required=True,
+                   help="learned (field, m, u, p, n_pairs) parquet")
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--block-col", default="")
+    p.add_argument("--block", choices=["last_token", "first_token",
+                                       "prefix", "soundex"],
+                   default="last_token")
+    p.add_argument("--prefix-len", type=int, default=3)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_record_link_train)
 
     p = sub.add_parser("vector-opq")
     p.add_argument("--vectors", required=True)

@@ -1018,3 +1018,26 @@ def test_vector_opq_cli(spark, tmp_path, capsys):
                  "--vectors", "/root/testdata/sf0.001/embeddings.parquet",
                  "--out", out, "--m", "4", "--k", "8", "--iters", "1",
                  "--condition", "vec_id < 3"]) == 2
+
+
+def test_record_link_train_cli(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+
+    out = str(tmp_path / "fsmodel")
+    rc = main(["record-link-train",
+               "--data", "/root/testdata/sf0.001/part.parquet",
+               "--id-col", "p_partkey",
+               "--field", "p_name:levenshtein:3",
+               "--field", "p_brand:exact",
+               "--out", out, "--iters", "3"])
+    assert rc == 0
+    got = {r["field"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"p_name", "p_brand"}
+    for r in got.values():
+        assert 0.0 <= r["u"] <= 1.0 and 0.0 <= r["m"] <= 1.0
+        assert r["n_pairs"] > 0
+    assert "EM over" in capsys.readouterr().out
+    assert main(["record-link-train", "--data",
+                 "/root/testdata/sf0.001/part.parquet",
+                 "--id-col", "p_partkey", "--field", "p_name",
+                 "--out", out]) == 2
