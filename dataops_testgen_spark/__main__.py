@@ -1003,6 +1003,12 @@ def cmd_record_link(args) -> int:
     from dataops_testgen_spark.pipeline.linkage import (LinkField,
                                                         record_linkage)
 
+    spark = _spark()
+    learned = {}
+    if args.model:
+        # record-link-train output: per-field learned (m, u)
+        learned = {r["field"]: (float(r["m"]), float(r["u"]))
+                   for r in spark.read.parquet(args.model).collect()}
     fields = []
     for spec in args.field:
         parts = spec.split(":")
@@ -1015,8 +1021,9 @@ def cmd_record_link(args) -> int:
             kw["max_dist"] = int(parts[2])
         if len(parts) == 5:
             kw["m"], kw["u"] = float(parts[3]), float(parts[4])
+        elif parts[0] in learned:
+            kw["m"], kw["u"] = learned[parts[0]]
         fields.append(LinkField(**kw))
-    spark = _spark()
     df = spark.read.parquet(args.data)
     if args.condition:
         df = df.filter(args.condition)
@@ -1979,6 +1986,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--field", required=True, action="append",
                    help="col:method[:max_dist[:m:u]], repeatable; method "
                         "in exact|levenshtein|soundex")
+    p.add_argument("--model", default="",
+                   help="record-link-train output: fields named there "
+                        "take their learned (m, u) unless given inline")
     p.add_argument("--out", required=True)
     p.add_argument("--id-col", required=True)
     p.add_argument("--block-col", default="",

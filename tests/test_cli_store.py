@@ -1041,3 +1041,37 @@ def test_record_link_train_cli(spark, tmp_path, capsys):
                  "/root/testdata/sf0.001/part.parquet",
                  "--id-col", "p_partkey", "--field", "p_name",
                  "--out", out]) == 2
+
+
+def test_record_link_model_roundtrip_cli(spark, tmp_path):
+    """record-link --model consumes record-link-train's learned weights:
+    scoring with the model equals scoring with the same (m, u) passed
+    inline."""
+    from dataops_testgen_spark.__main__ import main
+
+    data = "/root/testdata/sf0.001/part.parquet"
+    model = str(tmp_path / "fsmodel")
+    assert main(["record-link-train", "--data", data,
+                 "--id-col", "p_partkey",
+                 "--field", "p_name:levenshtein:3",
+                 "--field", "p_brand:exact",
+                 "--out", model, "--iters", "3"]) == 0
+    w = {r["field"]: (r["m"], r["u"])
+         for r in spark.read.parquet(model).collect()}
+
+    out_m = str(tmp_path / "via_model")
+    assert main(["record-link", "--data", data, "--id-col", "p_partkey",
+                 "--field", "p_name:levenshtein:3",
+                 "--field", "p_brand:exact",
+                 "--model", model, "--out", out_m,
+                 "--condition", "p_partkey < 200"]) == 0
+    out_i = str(tmp_path / "inline")
+    assert main(["record-link", "--data", data, "--id-col", "p_partkey",
+                 "--field",
+                 f"p_name:levenshtein:3:{w['p_name'][0]!r}:{w['p_name'][1]!r}",
+                 "--field",
+                 f"p_brand:exact:0:{w['p_brand'][0]!r}:{w['p_brand'][1]!r}",
+                 "--out", out_i, "--condition", "p_partkey < 200"]) == 0
+    a = sorted(tuple(r) for r in spark.read.parquet(out_m).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out_i).collect())
+    assert a == b and a
