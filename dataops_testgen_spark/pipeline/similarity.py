@@ -957,7 +957,8 @@ def ann_index_append(df: DataFrame, index_dir: str,
                      centroids: list[list[float]], codebook,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     batch_id: int | None = None) -> None:
+                     batch_id: int | None = None,
+                     rotation=None) -> None:
     """Append a batch's IVFADC rows to a PERSISTED vector index — the ANN
     twin of ``dedup.minhash_index_append``: once an embedding increment is
     indexed, later probes search ALL history without rescanning (or even
@@ -972,12 +973,22 @@ def ann_index_append(df: DataFrame, index_dir: str,
     overwrite (io/fs.stamped_append): re-appending the same batch
     replaces its own code rows instead of duplicating them, so the
     streaming sink is exactly-once across its crash windows; cell
-    pruning is unaffected (ivf_cell stays the first partition level)."""
+    pruning is unaffected (ivf_cell stays the first partition level).
+
+    ``rotation``: an OPQ rotation (``fit_opq``). Vectors rotate before
+    coarse-assign + encode, and R persists under ``<dir>/rotation`` so
+    ``ann_index_probe`` rotates queries the same way with no caller
+    coordination — centroids/codebook must then be TRAINED in the
+    rotated space (fit_opq's codebook; kmeans/ivf centroids on
+    ``rotate(df, R)``)."""
     import posixpath
 
     from dataops_testgen_spark.io.fs import stamped_append
 
     spark = df.sparkSession
+    if rotation is not None:
+        df = rotate(df, rotation, vec_col, id_col)
+        vec_col, id_col = "rotated", "id"
     idx = pq_index(df, centroids, codebook, vec_col, id_col)
     stamped_append(idx, posixpath.join(index_dir, "codes"),
                    partition_cols=["ivf_cell"], batch_id=batch_id)
@@ -995,6 +1006,11 @@ def ann_index_append(df: DataFrame, index_dir: str,
                for c, codeword in enumerate(sub)]
     write_small_df(spark, cb_rows, "s int, c int, codeword array<double>",
                    posixpath.join(index_dir, "codebook"))
+    if rotation is not None:
+        write_small_df(
+            spark,
+            [(i, [float(x) for x in row]) for i, row in enumerate(rotation)],
+            "i int, r array<double>", posixpath.join(index_dir, "rotation"))
 
 
 def rerank_exact(df: DataFrame, candidates: DataFrame,
@@ -1064,12 +1080,22 @@ def ann_index_probe(queries: DataFrame, index_dir: str, k: int = 10,
     JUST those cells' files — probe I/O is nprobe/C of the index
     regardless of history size. Probing then appending each increment
     yields exactly the results of one-shot indexing the union (pinned by
-    test_ann_index_incremental_equals_oneshot)."""
+    test_ann_index_incremental_equals_oneshot). An index written with an
+    OPQ rotation is self-describing: ``<dir>/rotation`` (when present)
+    rotates the queries here automatically — callers never track R."""
     import posixpath
 
     import numpy as np
 
+    from dataops_testgen_spark.io.fs import path_exists
+
     spark = queries.sparkSession
+    rot_dir = posixpath.join(index_dir, "rotation")
+    if path_exists(spark, rot_dir):
+        rot_rows = spark.read.parquet(rot_dir).orderBy("i").collect()
+        queries = rotate(queries, [list(r["r"]) for r in rot_rows],
+                         vec_col, id_col)
+        vec_col, id_col = "rotated", "id"
     cent_rows = (spark.read.parquet(posixpath.join(index_dir, "centroids"))
                  .orderBy("cell").collect())
     centroids = [list(r["centroid"]) for r in cent_rows]

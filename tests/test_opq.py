@@ -101,3 +101,27 @@ def test_opq_composes_with_ivfadc(spark):
     g = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in got.collect())
     w = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in want.collect())
     assert g == w and g
+
+
+def test_opq_persisted_index_self_describing(spark, tmp_path):
+    """ann_index_append(rotation=R) persists the rotation alongside the
+    quantizers; ann_index_probe finds it and rotates queries with no
+    caller coordination — probing the rotated index equals the one-shot
+    opq/ivfadc path exactly (nprobe = all cells)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    R, cb = SIM.fit_opq(emb, m=4, k=8, n_iters=1, pq_iters=3,
+                        final_pq_iters=3)
+    rot = SIM.rotate(emb, R)
+    cents = [list(map(float, r["rotated"])) for r in
+             rot.filter("id < 6").orderBy("id").collect()]
+
+    idx_dir = str(tmp_path / "opq_index")
+    SIM.ann_index_append(emb, idx_dir, cents, cb, rotation=R)
+    got = SIM.ann_index_probe(q, idx_dir, k=5, nprobe=len(cents))
+    want = SIM.ivfadc_topk(rot, SIM.rotate(q, R), cents, cb, k=5,
+                           nprobe=len(cents), vec_col="rotated",
+                           id_col="id")
+    g = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in got.collect())
+    w = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in want.collect())
+    assert g == w and g
