@@ -625,6 +625,15 @@ def _lk_custom(df, column, params, limit, run_date):
     return df.filter(F.expr(sql)).limit(limit)
 
 
+def _lk_benford(df, column, params, limit, run_date):
+    # drill-down for the Benford_Nonconformity screening rule: the
+    # per-digit observed vs expected census behind the chi-square (the
+    # standalone anomalies/benford.py screen on the flagged column)
+    from dataops_testgen_spark.anomalies.benford import benford_screen
+
+    return benford_screen(df, column).orderBy("digit").limit(limit)
+
+
 TEST_LOOKUPS = {
     "Unique": _lk_unique,
     "Dupe_Rows": _lk_dupe_rows,
@@ -684,6 +693,7 @@ TEST_LOOKUPS = {
     # profile-anomaly lookups share the registry (error_type Profile Anomaly)
     "Leading_Spaces": _lk_leading_spaces,
     "Quoted_Values": _lk_quoted_values,
+    "Benford_Nonconformity": _lk_benford,
 }
 
 

@@ -274,3 +274,16 @@ def test_custom_lookup(spark):
         df, "CUSTOM", None,
         {"custom_query": "SELECT s FROM target WHERE id = 1"})
     assert [r["s"] for r in res2.df.collect()] == ["a"]
+
+
+def test_benford_lookup(spark):
+    """Drill-down for the Benford_Nonconformity screening rule: the
+    per-digit observed/expected census, one row per digit 1-9."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    res = DR.source_data_lookup(orders, "Benford_Nonconformity",
+                                "o_totalprice")
+    assert res.status == "OK"
+    rows = res.df.collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["n"] for r in rows) == orders.count()
+    assert sum(r["chi2_term"] for r in rows) > 20.09  # why it fired
