@@ -1772,11 +1772,14 @@ def q_fs_em_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed EM iterations run driver-side on the pattern counts with the
     9-decimal rounding firewall, so the DuckDB oracle re-derives every
     iteration from the same pattern relation in unrolled CTEs (the
-    bpe/kmeans/LR trainer pattern)."""
+    bpe/kmeans/LR trainer pattern). EM estimates PROBABILITIES, so it
+    trains on a deterministic quarter of the rows (p_partkey % 4 = 0):
+    pattern shares are what matter, and the candidate-pair count —
+    where the levenshtein verify cost lives — drops ~16x."""
     from dataops_testgen_spark.pipeline.linkage import (LinkField,
                                                         fs_em_train)
 
-    part = _load(spark, sf_dir, "part")
+    part = _load(spark, sf_dir, "part").filter("p_partkey % 4 = 0")
     init_p, init_m, init_u = _FS_EM_INIT
     model = fs_em_train(
         part,
@@ -1822,7 +1825,8 @@ WITH b0 AS (
   SELECT p_partkey AS id, {proj},
          regexp_extract(lower(trim(p_name)), '(\\S+)$', 1) AS blk
     FROM part),
-bb AS (SELECT * FROM b0 WHERE blk IS NOT NULL AND blk <> ''),
+bb AS (SELECT * FROM b0
+         WHERE blk IS NOT NULL AND blk <> '' AND id % 4 = 0),
 pat AS MATERIALIZED (
   SELECT {gcols}, COUNT(*)::BIGINT AS n FROM (
     SELECT {", ".join(bits)}
