@@ -1018,7 +1018,12 @@ def cmd_record_link(args) -> int:
             return 2
         kw = {"col": parts[0], "method": parts[1]}
         if len(parts) >= 3:
-            kw["max_dist"] = int(parts[2])
+            # the third slot is the method's own threshold: edit budget
+            # for levenshtein, minimum similarity for jaccard
+            if parts[1] == "jaccard":
+                kw["min_jaccard"] = float(parts[2])
+            else:
+                kw["max_dist"] = int(parts[2])
         if len(parts) == 5:
             kw["m"], kw["u"] = float(parts[3]), float(parts[4])
         elif parts[0] in learned:
@@ -1063,7 +1068,10 @@ def cmd_record_link_train(args) -> int:
             return 2
         kw = {"col": parts[0], "method": parts[1]}
         if len(parts) == 3:
-            kw["max_dist"] = int(parts[2])
+            if parts[1] == "jaccard":
+                kw["min_jaccard"] = float(parts[2])
+            else:
+                kw["max_dist"] = int(parts[2])
         fields.append(LinkField(**kw))
     spark = _spark()
     df = spark.read.parquet(args.data)
@@ -1984,8 +1992,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("record-link")
     p.add_argument("--data", required=True, help="parquet with id + fields")
     p.add_argument("--field", required=True, action="append",
-                   help="col:method[:max_dist[:m:u]], repeatable; method "
-                        "in exact|levenshtein|soundex")
+                   help="col:method[:threshold[:m:u]], repeatable; method in "
+                        "exact|levenshtein|soundex|jaccard (threshold = "
+                        "edit budget / min similarity)")
     p.add_argument("--model", default="",
                    help="record-link-train output: fields named there "
                         "take their learned (m, u) unless given inline")

@@ -141,14 +141,7 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
     bits = []
     for i, f in enumerate(fields):
         a, b = F.col(f"{f.col}_a"), F.col(f"{f.col}_b")
-        if f.method == "exact":
-            agree = a == b
-        elif f.method == "levenshtein":
-            agree = F.levenshtein(a, b) <= f.max_dist
-        elif f.method == "soundex":
-            agree = F.soundex(a) == F.soundex(b)
-        else:
-            raise ValueError(f"{f.col}: unknown method {f.method!r}")
+        agree = _field_agree(f, a, b)
         bits.append((F.when(a.isNotNull() & b.isNotNull() & agree, 1)
                      .otherwise(0)).alias(f"g{i}"))
     patterns = (cand.select(*bits)
@@ -191,7 +184,8 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
 @dataclass(frozen=True)
 class LinkField:
     """One comparison field in a Fellegi-Sunter linkage: compare
-    ``col`` by ``method`` ('exact' | 'levenshtein' | 'soundex'), with
+    ``col`` by ``method`` ('exact' | 'levenshtein' | 'soundex' |
+    'jaccard'), with
     (m, u) = P(agree | same entity) / P(agree | different entities).
     The field contributes log2(m/u) on agreement, log2((1-m)/(1-u)) on
     disagreement, and 0 when either side is NULL (the standard FS
@@ -202,6 +196,7 @@ class LinkField:
     max_dist: int = 2
     m: float = 0.9
     u: float = 0.1
+    min_jaccard: float = 0.5      # 'jaccard' method's agree threshold
 
     def weights(self) -> tuple[float, float]:
         if not (0.0 < self.u < self.m < 1.0):
@@ -209,6 +204,26 @@ class LinkField:
                 f"{self.col}: need 0 < u < m < 1, got m={self.m} u={self.u}")
         return (math.log2(self.m / self.u),
                 math.log2((1.0 - self.m) / (1.0 - self.u)))
+
+
+def _field_agree(f: "LinkField", a: Column, b: Column) -> Column:
+    """JVM agreement predicate for one LinkField (no UDFs): exact
+    normalized equality; levenshtein <= max_dist; soundex equality; or
+    token-set Jaccard >= min_jaccard (array_intersect/union sizes — the
+    multi-word comparator levenshtein is too O(len^2)-costly for)."""
+    if f.method == "exact":
+        return a == b
+    if f.method == "levenshtein":
+        return F.levenshtein(a, b) <= f.max_dist
+    if f.method == "soundex":
+        return F.soundex(a) == F.soundex(b)
+    if f.method == "jaccard":
+        ta, tb = F.split(a, r"\s+"), F.split(b, r"\s+")
+        inter = F.size(F.array_intersect(ta, tb)).cast("double")
+        union = F.size(F.array_union(ta, tb))
+        return inter / F.nullif(union.cast("double"), F.lit(0.0)) \
+            >= f.min_jaccard
+    raise ValueError(f"{f.col}: unknown method {f.method!r}")
 
 
 def _soundex_shape_guard(df: DataFrame, col: str) -> None:
@@ -263,7 +278,7 @@ def record_linkage(df: DataFrame, queries: DataFrame | None = None,
         raise ValueError("fields must be a non-empty list of LinkField")
     seen: set[str] = set()
     for f in fields:
-        if f.method not in ("exact", "levenshtein", "soundex"):
+        if f.method not in ("exact", "levenshtein", "soundex", "jaccard"):
             raise ValueError(f"{f.col}: unknown method {f.method!r}")
         if f.col in seen:
             raise ValueError(f"duplicate field {f.col!r}")
@@ -292,12 +307,7 @@ def record_linkage(df: DataFrame, queries: DataFrame | None = None,
     n_agree = F.lit(0)
     for f in fields:
         a, b = F.col(f"{f.col}_a"), F.col(f"{f.col}_b")
-        if f.method == "exact":
-            agree = a == b
-        elif f.method == "levenshtein":
-            agree = F.levenshtein(a, b) <= f.max_dist
-        else:
-            agree = F.soundex(a) == F.soundex(b)
+        agree = _field_agree(f, a, b)
         w_a, w_d = f.weights()
         missing = a.isNull() | b.isNull()
         score = score + (F.when(missing, F.lit(0.0))

@@ -310,3 +310,30 @@ def test_fs_em_validation(spark):
                     init_m=0.1, init_u=0.9)
     with _pt.raises(ValueError, match="no candidate pairs"):
         fs_em_train(df, fields=[LinkField("name")], id_col="id")
+
+
+def test_record_linkage_jaccard_comparator(spark):
+    """Token-set Jaccard agreement — the multi-word comparator (word
+    order and duplicates ignored; levenshtein would be O(len^2) and
+    order-sensitive here)."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        record_linkage)
+
+    rows = [(1, "big data quality engine"),
+            (2, "quality big data engine"),      # same tokens, reordered
+            (3, "big data swamp thing engine"),  # jaccard 3/6 = 0.5
+            (4, "completely different engine")]  # jaccard 1/6
+    df = spark.createDataFrame(rows, "id int, title string")
+    fields = [LinkField("title", "jaccard", min_jaccard=0.5)]
+    got = {(r["id_a"], r["id_b"]): r["n_agree"] for r in
+           record_linkage(df, fields=fields, block_col="title",
+                          block="last_token").collect()}
+    # every row ends with 'engine' - all four share the block
+    assert got[(1, 2)] == 1          # reorder-invariant
+    assert got[(1, 3)] == 1          # exactly at the 0.5 threshold
+    assert got[(1, 4)] == 0
+    # fs_em accepts the comparator too
+    from dataops_testgen_spark.pipeline.linkage import fs_em_train
+    model = fs_em_train(df, fields=fields, id_col="id",
+                        block_col="title", block="last_token", n_iters=2)
+    assert model["n_pairs"] == 6
