@@ -1278,10 +1278,16 @@ def fit_opq(df: DataFrame, m: int = 4, k: int = 16, n_iters: int = 3,
     R = np.eye(d)
     cb = None
     for _ in range(n_iters):
-        rotated = rotate(df, R, vec_col, id_col)
-        cb = np.asarray(train_pq_codebook(
-            rotated, m=m, k=k, vec_col="rotated", id_col="id",
-            max_iterations=pq_iters), dtype=float)
+        # persist the rotated relation: the PQ trainer runs pq_iters
+        # passes over it, and without the persist every pass would
+        # replay the rotation kernel against the source scan
+        rotated = rotate(df, R, vec_col, id_col).persist()
+        try:
+            cb = np.asarray(train_pq_codebook(
+                rotated, m=m, k=k, vec_col="rotated", id_col="id",
+                max_iterations=pq_iters), dtype=float)
+        finally:
+            rotated.unpersist()
         bc = spark.sparkContext.broadcast((R, cb))
 
         def gram(batches):
@@ -1321,9 +1327,13 @@ def fit_opq(df: DataFrame, m: int = 4, k: int = 16, n_iters: int = 3,
         u, _s, vt = np.linalg.svd(np.round(G, 6))
         R = np.round(u @ vt, round_decimals)
         bc.unpersist()
-    cb = np.asarray(train_pq_codebook(
-        rotate(df, R, vec_col, id_col), m=m, k=k, vec_col="rotated",
-        id_col="id", max_iterations=final_pq_iters), dtype=float)
+    final_rot = rotate(df, R, vec_col, id_col).persist()
+    try:
+        cb = np.asarray(train_pq_codebook(
+            final_rot, m=m, k=k, vec_col="rotated",
+            id_col="id", max_iterations=final_pq_iters), dtype=float)
+    finally:
+        final_rot.unpersist()
     return ([list(map(float, row)) for row in R],
             [[list(map(float, w)) for w in cb[s]] for s in range(m)])
 
