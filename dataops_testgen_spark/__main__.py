@@ -895,14 +895,18 @@ def cmd_vector_index(args) -> int:
     first use the quantizers are trained from the increment
     (train_ivf_centroids + train_pq_codebook) and stored with the index;
     later appends reuse the stored quantizers (immutable per index, the
-    invariant increment==one-shot probing depends on)."""
+    invariant increment==one-shot probing depends on). --opq-model
+    (vector-opq output) applies on FIRST build only: quantizers train in
+    the rotated space and the rotation persists with the index, so
+    probes rotate queries automatically; later appends load R from the
+    index itself."""
     import posixpath
 
     import numpy as np
 
     from dataops_testgen_spark.io.fs import path_exists
     from dataops_testgen_spark.pipeline.similarity import (
-        ann_index_append, ann_index_compact, train_ivf_centroids,
+        ann_index_append, ann_index_compact, rotate, train_ivf_centroids,
         train_pq_codebook)
 
     spark = _spark()
@@ -910,7 +914,16 @@ def cmd_vector_index(args) -> int:
     if args.condition:
         vecs = vecs.filter(args.condition)
     cent_path = posixpath.join(args.index_dir, "centroids")
+    rotation = None
     if path_exists(spark, cent_path):
+        rot_path = posixpath.join(args.index_dir, "rotation")
+        if path_exists(spark, rot_path):
+            rotation = [list(r["r"]) for r in
+                        spark.read.parquet(rot_path).orderBy("i").collect()]
+        elif args.opq_model:
+            print("--opq-model only applies on first index build; this "
+                  "index was built without a rotation", file=sys.stderr)
+            return 2
         cents = [list(r["centroid"]) for r in
                  spark.read.parquet(cent_path).orderBy("cell").collect()]
         cb_rows = (spark.read.parquet(
@@ -922,16 +935,26 @@ def cmd_vector_index(args) -> int:
                              for r in cb_rows]).reshape(m, kk, -1)
         trained = ""
     else:
-        cents = train_ivf_centroids(vecs, num_centroids=args.cells,
-                                    vec_col=args.vec_col,
-                                    id_col=args.id_col)
-        codebook = train_pq_codebook(vecs, m=args.m, k=args.codewords,
-                                     vec_col=args.vec_col,
-                                     id_col=args.id_col)
+        train = vecs
+        tv, ti = args.vec_col, args.id_col
+        if args.opq_model:
+            rotation = [list(r["r"]) for r in
+                        spark.read.parquet(
+                            posixpath.join(args.opq_model, "rotation"))
+                        .orderBy("i").collect()]
+            train = rotate(vecs, rotation, args.vec_col, args.id_col)
+            tv, ti = "rotated", "id"
+        cents = train_ivf_centroids(train, num_centroids=args.cells,
+                                    vec_col=tv, id_col=ti)
+        codebook = train_pq_codebook(train, m=args.m, k=args.codewords,
+                                     vec_col=tv, id_col=ti)
         trained = (f" (trained {len(cents)} centroids + "
-                   f"{args.m}x{args.codewords} codebook)")
+                   f"{args.m}x{args.codewords} codebook"
+                   + (", OPQ-rotated" if rotation is not None else "")
+                   + ")")
     ann_index_append(vecs, args.index_dir, cents, codebook,
-                     vec_col=args.vec_col, id_col=args.id_col)
+                     vec_col=args.vec_col, id_col=args.id_col,
+                     rotation=rotation)
     msg = f"indexed {vecs.count()} vectors -> {args.index_dir}{trained}"
     if args.compact:
         n = ann_index_compact(spark, args.index_dir)
@@ -1962,6 +1985,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="PQ codewords per subspace")
     p.add_argument("--compact", action="store_true",
                    help="compact the code files after the append")
+    p.add_argument("--opq-model", default="",
+                   help="vector-opq output dir; first build trains the "
+                        "quantizers in the rotated space and persists "
+                        "the rotation with the index")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
     p.set_defaults(fn=cmd_vector_index)

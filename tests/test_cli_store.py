@@ -1075,3 +1075,40 @@ def test_record_link_model_roundtrip_cli(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(out_m).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out_i).collect())
     assert a == b and a
+
+
+def test_vector_index_opq_model_cli(spark, tmp_path, capsys):
+    """vector-index --opq-model: first build trains quantizers in the
+    rotated space and persists the rotation; a later append reuses it
+    from the index itself; probing returns neighbors; using --opq-model
+    against an unrotated existing index exits 2."""
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.pipeline.similarity import ann_index_probe
+
+    vecs = "/root/testdata/sf0.001/embeddings.parquet"
+    opq = str(tmp_path / "opq")
+    assert main(["vector-opq", "--vectors", vecs, "--out", opq,
+                 "--m", "4", "--k", "8", "--iters", "1",
+                 "--condition", "vec_id < 300"]) == 0
+    idx = str(tmp_path / "idx")
+    assert main(["vector-index", "--vectors", vecs, "--index-dir", idx,
+                 "--cells", "4", "--codewords", "8",
+                 "--opq-model", opq,
+                 "--condition", "vec_id < 200"]) == 0
+    assert "OPQ-rotated" in capsys.readouterr().out
+    # later append: rotation comes from the index, not the flag
+    assert main(["vector-index", "--vectors", vecs, "--index-dir", idx,
+                 "--condition", "vec_id >= 200 AND vec_id < 300"]) == 0
+    emb = spark.read.parquet(vecs)
+    q = emb.filter("vec_id < 3")
+    out = ann_index_probe(q, idx, k=5, nprobe=4)
+    assert out.count() == 15
+    # flag against an unrotated index -> clean exit 2
+    plain = str(tmp_path / "plain_idx")
+    assert main(["vector-index", "--vectors", vecs, "--index-dir", plain,
+                 "--cells", "4", "--codewords", "8",
+                 "--condition", "vec_id < 100"]) == 0
+    capsys.readouterr()
+    assert main(["vector-index", "--vectors", vecs, "--index-dir", plain,
+                 "--opq-model", opq,
+                 "--condition", "vec_id >= 100 AND vec_id < 150"]) == 2
