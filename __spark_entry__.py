@@ -1759,6 +1759,48 @@ SELECT pr.id AS query_id, bb.id AS match_id,
 _SQL_RECORD_LINKAGE_PART = _sql_record_linkage_part()
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-correlation screen (anomalies/correlation.py): every
+    unordered pair of lineitem's measure columns in ONE fused agg
+    (F.corr is an algebraic aggregate — partial-aggregated map-side),
+    unpivoted lazily. The numeric analogue of the contingency rules'
+    functional-dependence screen: |r| near 1 flags a derived or
+    duplicated column."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = correlation_screen(li, cols=_CORR_COLS)
+    return out.select("col_a", "col_b", "n",
+                      (F.round("corr", 5) + F.lit(0.0)).alias("corr"),
+                      "flagged")
+
+
+def _sql_correlation_lineitem() -> str:
+    cols = _CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(f"CORR({a}::DOUBLE, {b}::DOUBLE) AS c{i}")
+        aggs.append(f"COUNT(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL"
+                    f" THEN 1 END)::BIGINT AS n{i}")
+    finals = []
+    for i, (a, b) in enumerate(pairs):
+        finals.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n{i} AS n,"
+            f" ROUND(c{i}, 5) + 0.0::DOUBLE AS corr,"
+            f" COALESCE(ABS(c{i}) >= 0.95 AND n{i} >= 500, FALSE)"
+            f" AS flagged FROM agg")
+    return ("WITH agg AS (SELECT " + ", ".join(aggs)
+            + " FROM lineitem)\n" + "\nUNION ALL\n".join(finals))
+
+
+_SQL_CORRELATION_LINEITEM = _sql_correlation_lineitem()
+
+
 _FS_EM_ITERS = 4
 _FS_EM_INIT = (0.1, 0.9, 0.1)          # (p, m, u)
 
@@ -5238,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 window, group A: NEW this round ---
         "record_linkage_part": q_record_linkage_part,
         "fs_em_part": q_fs_em_part,
+        "correlation_lineitem": q_correlation_lineitem,
         "opq_topk_embeddings": q_opq_topk_embeddings,
         # --- group B: queries whose code or oracle r10 touches
         # (cache_model on the bigram/trigram seats, kmeans oracle
@@ -5296,7 +5339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "merge_defs_fixture": q_merge_defs_fixture,
         "schema_drift_log": q_schema_drift_log,
-        "gen_constant_history": q_gen_constant_history,
         "dupe_rows_part": q_dupe_rows_part,
         "drilldown_masked_customer": q_drilldown_masked_customer,
         # ---- tail (seat 51+): pytest-oracle-pinned every round ----
@@ -5305,8 +5347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in favor of r10-touched code paths and the oldest seats.
         # The r8-green block (verified_near_dups .. drilldowns, cat/
         # aggregate/timeframe families) is next in line for r11;
-        # cat_tests_lineitem (r8-green) yielded its seat to fs_em_part.
+        # cat_tests_lineitem (r8-green) yielded its seat to fs_em_part;
+        # gen_constant_history (r8-green) to correlation_lineitem.
         "cat_tests_lineitem": q_cat_tests_lineitem,
+        "gen_constant_history": q_gen_constant_history,
         "lr_quality_documents": q_lr_quality_documents,
         "embedding_covariance_embeddings": q_embedding_covariance,
         "json_props_events": q_json_props_events,
@@ -5382,6 +5426,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS_PART,
         "record_linkage_part": _SQL_RECORD_LINKAGE_PART,
         "fs_em_part": _SQL_FS_EM_PART,
+        "correlation_lineitem": _SQL_CORRELATION_LINEITEM,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

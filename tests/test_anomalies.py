@@ -181,3 +181,48 @@ def test_benford_counts_merge_exactly(spark):
            merged.select("column_name", "benford_counts").collect()}
     assert got == want
     assert sum(want["o_totalprice"]) > 0
+
+
+def test_correlation_screen(spark):
+    """Derived/duplicate numeric columns flag at |r| >= threshold; a
+    noisy independent column doesn't; a constant column has undefined
+    (NULL) correlation and never flags; pandas corr agrees."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    rng = np.random.default_rng(23)
+    n = 1000
+    base = rng.normal(100, 20, n)
+    pdf = pd.DataFrame({
+        "amount": base,
+        "amount_cents": base * 100.0,          # exact derived copy
+        "noise": rng.normal(0, 1, n),          # independent
+        "constant": np.full(n, 7.0),
+    })
+    df = spark.createDataFrame(pdf)
+    out = {(r["col_a"], r["col_b"]): r for r in
+           correlation_screen(df, min_n=500).collect()}
+    assert len(out) == 6                        # C(4,2) pairs
+    assert out[("amount", "amount_cents")]["flagged"]
+    assert abs(out[("amount", "amount_cents")]["corr"] - 1.0) < 1e-12
+    assert not out[("amount", "noise")]["flagged"]
+    got = out[("amount", "noise")]["corr"]
+    want = float(pdf["amount"].corr(pdf["noise"]))
+    assert abs(got - want) < 1e-9
+    const = out[("amount", "constant")]
+    assert const["corr"] is None and not const["flagged"]
+    assert all(r["n"] == n for r in out.values())
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least two"):
+        correlation_screen(df, cols=["amount"])
+    with _pt.raises(ValueError, match="duplicate column"):
+        correlation_screen(df, cols=["amount", "amount"])
+    # below min_n: the derived pair must NOT flag
+    small = spark.createDataFrame(pdf.head(100))
+    tiny = {(r["col_a"], r["col_b"]): r for r in
+            correlation_screen(small, min_n=500).collect()}
+    assert not tiny[("amount", "amount_cents")]["flagged"]

@@ -49,6 +49,7 @@ def test_entry_smoke(spark):
 _MUST_BE_IN_DRIVER_WINDOW = {
     "record_linkage_part",
     "fs_em_part",
+    "correlation_lineitem",
     "opq_topk_embeddings",
     "bigram_lm_documents",
     "trigram_lm_documents",
@@ -94,7 +95,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "skew_hot_keys_lineitem",
     "merge_defs_fixture",
     "schema_drift_log",
-    "gen_constant_history",
     "dupe_rows_part",
     "drilldown_masked_customer",
 }
