@@ -167,7 +167,11 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
             for i, gi in enumerate(g):
                 lm *= m[i] if gi else (1.0 - m[i])
                 lu *= u[i] if gi else (1.0 - u[i])
-            w = lm / (lm + lu)
+            # 0/0 guard: after rounding, a probability can pin to
+            # exactly 0/1 while an opposite pattern still carries rows
+            # (tiny-n corpora); both likelihoods then vanish and the
+            # pattern is uninformative — weight 0, don't crash
+            w = lm / (lm + lu) if (lm + lu) > 0.0 else 0.0
             sw += n * w
             swn += n * (1.0 - w)
             for i, gi in enumerate(g):

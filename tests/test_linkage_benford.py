@@ -337,3 +337,24 @@ def test_record_linkage_jaccard_comparator(spark):
     model = fs_em_train(df, fields=fields, id_col="id",
                         block_col="title", block="last_token", n_iters=2)
     assert model["n_pairs"] == 6
+
+
+def test_fs_em_degenerate_probabilities_no_crash(spark):
+    """After rounding, a field probability can pin to exactly 0/1 while
+    an opposite pattern still exists (tiny corpora): both class
+    likelihoods vanish for that pattern and the E-step must weight it 0
+    instead of dividing by zero."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    # one block; 'flag' agrees on every pair except one — with extreme
+    # inits the m/u estimates pin to 0/1 within a round or two
+    rows = [(i, "same token", "x" if i < 6 else "y") for i in range(7)]
+    df = spark.createDataFrame(rows, "id int, name string, flag string")
+    model = fs_em_train(
+        df, fields=[LinkField("name", "exact"), LinkField("flag", "exact")],
+        id_col="id", block="last_token", n_iters=10,
+        init_p=0.9, init_m=0.99, init_u=0.01)
+    assert model["n_pairs"] == 21
+    for _c, m, u in model["fields"]:
+        assert 0.0 <= m <= 1.0 and 0.0 <= u <= 1.0
