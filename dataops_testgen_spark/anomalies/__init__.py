@@ -6,8 +6,16 @@ data-object class via the screening queries
 `template/profiling/profile_anomalies_screen_{column,multi_column,
 table_dates,variants}.sql`, with prevalence scoring from
 `profile_anomaly_scoring.sql`.
+
+Extensions beyond the reference's 32 types: the Benford first-digit
+rule (33rd catalog entry, fed by the profiler's fused digit census —
+`benford.py` is the standalone screen / drill-down) and the
+numeric-correlation screen (`correlation.py`, derived/duplicate-column
+detection — the numeric analogue of the contingency rules).
 """
 
+from dataops_testgen_spark.anomalies.benford import benford_screen
+from dataops_testgen_spark.anomalies.correlation import correlation_screen
 from dataops_testgen_spark.anomalies.screen import screen_anomalies
 
-__all__ = ["screen_anomalies"]
+__all__ = ["benford_screen", "correlation_screen", "screen_anomalies"]
