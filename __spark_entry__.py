@@ -1898,7 +1898,8 @@ tot AS (SELECT SUM(n) AS nt FROM pat)"""]
         parts.append(f""",
 e{t + 1} AS (
   SELECT {", ".join(sums)} FROM (
-    SELECT n, {gcols}, lm / (lm + lu) AS w FROM (
+    SELECT n, {gcols}, CASE WHEN lm + lu > 0.0::DOUBLE
+                            THEN lm / (lm + lu) ELSE 0.0::DOUBLE END AS w FROM (
       SELECT n, {gcols}, {lm} AS lm, {lu} AS lu FROM {src}))),
 c{t + 1} AS (SELECT {", ".join(upd)} FROM e{t + 1}, tot)""")
     finals = []

@@ -120,6 +120,13 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
         raise ValueError("fields must be a non-empty list of LinkField")
     if not (0.0 < init_u < init_m < 1.0) or not 0.0 < init_p < 1.0:
         raise ValueError("need 0 < init_u < init_m < 1 and 0 < init_p < 1")
+    seen: set[str] = set()
+    for f in fields:
+        if f.method not in ("exact", "levenshtein", "soundex", "jaccard"):
+            raise ValueError(f"{f.col}: unknown method {f.method!r}")
+        if f.col in seen:
+            raise ValueError(f"duplicate field {f.col!r}")
+        seen.add(f.col)
     block_col = block_col or fields[0].col
     if block == "soundex":
         _soundex_shape_guard(df, block_col)
@@ -178,6 +185,14 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
                 if gi:
                     sm[i] += n * w
                     su[i] += n * (1.0 - w)
+        if sw <= 0.0 or swn <= 0.0:
+            # every pattern's weight pinned to the same class — there is
+            # no mixture left to estimate; fail loudly rather than
+            # ZeroDivisionError (degenerate corpora only: one pattern, or
+            # rounding drove every w to exactly 0/1)
+            raise ValueError(
+                "EM degenerated: all pattern weights pinned to "
+                f"{'1 (match)' if swn <= 0.0 else '0 (non-match)'}")
         p = round(sw / n_total, round_decimals)
         m = [round(x / sw, round_decimals) for x in sm]
         u = [round(x / swn, round_decimals) for x in su]

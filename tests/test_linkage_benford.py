@@ -310,6 +310,33 @@ def test_fs_em_validation(spark):
                     init_m=0.1, init_u=0.9)
     with _pt.raises(ValueError, match="no candidate pairs"):
         fs_em_train(df, fields=[LinkField("name")], id_col="id")
+    # duplicate / unknown fields rejected eagerly (same check as
+    # record_linkage) instead of an opaque ambiguous-column error
+    with _pt.raises(ValueError, match="duplicate field"):
+        fs_em_train(df, fields=[LinkField("name"), LinkField("name")],
+                    id_col="id")
+    with _pt.raises(ValueError, match="unknown method"):
+        fs_em_train(df, fields=[LinkField("name", "cosine")], id_col="id")
+
+
+def test_fs_em_fully_degenerate_raises_clean(spark):
+    """A corpus whose patterns all weight to the same class leaves no
+    mixture to estimate — the M-step must raise the documented ValueError
+    rather than ZeroDivisionError."""
+    import pytest as _pt
+
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    # single pattern (every pair agrees on every field): w is the same
+    # for all rows and EM collapses — swn -> 0 once w rounds to 1
+    rows = [(i, "same token", "x") for i in range(5)]
+    df = spark.createDataFrame(rows, "id int, name string, flag string")
+    with _pt.raises((ValueError,), match="EM degenerated|no candidate"):
+        fs_em_train(
+            df, fields=[LinkField("name"), LinkField("flag")],
+            id_col="id", block="last_token", n_iters=30,
+            init_p=0.999999999, init_m=0.999999999, init_u=0.000000001)
 
 
 def test_record_linkage_jaccard_comparator(spark):
