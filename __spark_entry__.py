@@ -462,11 +462,14 @@ def q_generated_test_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hygiene screening (SURVEY §2.3) over customer+orders in one inference
-    chain — Column + Multi-Col + Dates + Variant classes with prevalence,
-    oracle-checked against anomaly_screen_multi_sql."""
+    chain — Column + Multi-Col + Dates + Variant + Correlation classes with
+    prevalence, oracle-checked against anomaly_screen_multi_sql."""
     from dataops_testgen_spark.anomalies import screen_anomalies
 
-    out = screen_anomalies(_inferred(spark, sf_dir, "customer", "orders"))
+    out = screen_anomalies(
+        _inferred(spark, sf_dir, "customer", "orders"),
+        tables={"customer": _load(spark, sf_dir, "customer"),
+                "orders": _load(spark, sf_dir, "orders")})
     return out.select("table_name", "column_name", "anomaly_type", "data_object",
                       "likelihood", F.round("dq_prevalence", 5).alias("dq_prevalence"))
 
@@ -1801,6 +1804,52 @@ def _sql_correlation_lineitem() -> str:
 _SQL_CORRELATION_LINEITEM = _sql_correlation_lineitem()
 
 
+# --------------------------------------------------------------------------
+# Q: correlation_screen_lineitem — the Correlated_Columns rule (34th catalog
+# entry) wired through the full hygiene cascade, on a table that actually
+# CONTAINS a derived column: lineitem's measures plus
+# l_gross = l_extendedprice * (1 + l_tax) (the tax-multiplier derivation the
+# screen exists to catch). Profile -> inference -> screen_anomalies(tables=)
+# end to end, so the seat proves eligibility (from the inferred profile),
+# the pair screen, likelihood, and the r^2 x risk prevalence all at once.
+# --------------------------------------------------------------------------
+
+_LINEITEM_M_COLS = [
+    ("l_quantity", "N", "double", True),
+    ("l_extendedprice", "N", "double", True),
+    ("l_discount", "N", "double", True),
+    ("l_tax", "N", "double", True),
+    ("l_gross", "N", "double", True),
+]
+_LINEITEM_M_SQL = (
+    "SELECT l_quantity, l_extendedprice, l_discount, l_tax,"
+    " l_extendedprice * (1.0::DOUBLE + l_tax) AS l_gross FROM lineitem")
+
+
+def _lineitem_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        (F.col("l_extendedprice")
+         * (F.lit(1.0) + F.col("l_tax"))).alias("l_gross"))
+
+
+def q_correlation_screen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full hygiene screen over the derived-measure lineitem view —
+    Correlated_Columns fires on (l_extendedprice, l_gross) and flows
+    through the same prevalence path as every other anomaly type."""
+    from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
+
+    lim = _lineitem_m(spark, sf_dir)
+    inf = apply_inference(profile_table(lim, "lineitem_m", run_date=RUN_DATE))
+    out = screen_anomalies(inf, tables={"lineitem_m": lim})
+    return out.select(
+        "table_name", "column_name", "anomaly_type", "data_object",
+        "likelihood",
+        (F.round("dq_prevalence", 5) + F.lit(0.0)).alias("dq_prevalence"))
+
+
 _FS_EM_ITERS = 4
 _FS_EM_INIT = (0.1, 0.9, 0.1)          # (p, m, u)
 
@@ -2616,7 +2665,10 @@ def _screened(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SCORE_CACHE:
         from dataops_testgen_spark.anomalies import screen_anomalies
 
-        out = screen_anomalies(_inferred(spark, sf_dir, "customer", "orders"))
+        out = screen_anomalies(
+            _inferred(spark, sf_dir, "customer", "orders"),
+            tables={"customer": _load(spark, sf_dir, "customer"),
+                    "orders": _load(spark, sf_dir, "orders")})
         _SCORE_CACHE[key] = out.withColumn(
             "dq_prevalence", F.round("dq_prevalence", 5)
         ).localCheckpoint(eager=False)
@@ -5282,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage_part": q_record_linkage_part,
         "fs_em_part": q_fs_em_part,
         "correlation_lineitem": q_correlation_lineitem,
+        "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "opq_topk_embeddings": q_opq_topk_embeddings,
         # --- group B: queries whose code or oracle r10 touches
         # (cache_model on the bigram/trigram seats, kmeans oracle
@@ -5428,6 +5481,10 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage_part": _SQL_RECORD_LINKAGE_PART,
         "fs_em_part": _SQL_FS_EM_PART,
         "correlation_lineitem": _SQL_CORRELATION_LINEITEM,
+        "correlation_screen_lineitem": ORC.anomaly_screen_multi_sql(
+            [("lineitem_m", _LINEITEM_M_COLS)], RUN_DATE,
+            corr_tables=[("lineitem_m", _LINEITEM_M_COLS)],
+            pre_ctes=[("lineitem_m", _LINEITEM_M_SQL)]),
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,
@@ -5469,7 +5526,8 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_screen_orders": ORC.anomaly_screen_sql(
             "orders", _ORDERS_COLS, RUN_DATE),
         "anomaly_screen_customer_orders": ORC.anomaly_screen_multi_sql(
-            [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS)], RUN_DATE),
+            [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS)], RUN_DATE,
+            corr_tables=_SCORE_TABLES()),
         "cat_tests_lineitem": _sql_cat_tests(),
         "cat_tests_extended": _sql_cat_tests_extended(),
         "cat_tests_remaining": _sql_cat_tests_remaining(),
@@ -5495,15 +5553,17 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _SQL_IVF_TOPK,
         "multimodal_features_documents": _SQL_MULTIMODAL,
         "score_breakdown_column_co_li": ORC.score_card_breakdown_cols_sql(
-            _SCORE_TABLES(), RUN_DATE, _score_test_selects()),
+            _SCORE_TABLES(), RUN_DATE, _score_test_selects(),
+            corr_tables=_SCORE_TABLES()),
         "score_breakdown_dimension_co_li": ORC.score_card_breakdown_dim_sql(
             _SCORE_TABLES(), RUN_DATE, _score_test_selects(),
-            which="dq_dimension"),
+            which="dq_dimension", corr_tables=_SCORE_TABLES()),
         "score_breakdown_impact_co_li": ORC.score_card_breakdown_dim_sql(
             _SCORE_TABLES(), RUN_DATE, _score_test_selects(),
-            which="impact_dimension"),
+            which="impact_dimension", corr_tables=_SCORE_TABLES()),
         "score_card_issues_co_li": ORC.score_card_issues_sql(
-            _SCORE_TABLES(), RUN_DATE, _score_test_selects()),
+            _SCORE_TABLES(), RUN_DATE, _score_test_selects(),
+            corr_tables=_SCORE_TABLES()),
         "drilldown_unique_orders": _SQL_DRILLDOWN_UNIQUE,
         "drilldown_min_val_lineitem": _SQL_DRILLDOWN_MIN_VAL,
         "drilldown_masked_customer": _SQL_DRILLDOWN_MASKED,

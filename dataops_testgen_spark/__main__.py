@@ -995,6 +995,36 @@ def cmd_table_benford(args) -> int:
     return 0 if args.chi2_max is None or chi2 <= args.chi2_max else 1
 
 
+def cmd_table_correlation(args) -> int:
+    """Numeric-correlation screen over a parquet table
+    (anomalies/correlation.py): prints every pair's Pearson r and the
+    derived/duplicate-column flag; exit 1 when any pair flags (a
+    pipeline gate, like table-benford's chi2 gate), 0 otherwise."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    spark = _spark()
+    df = spark.read.parquet(args.data)
+    if args.condition:
+        df = df.filter(args.condition)
+    cols = args.columns.split(",") if args.columns else None
+    try:
+        scr = correlation_screen(df, cols=cols,
+                                 min_abs_corr=args.min_abs_corr,
+                                 min_n=args.min_n)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    rows = sorted(scr.collect(), key=lambda r: (r["col_a"], r["col_b"]))
+    print("col_a col_b n corr flagged")
+    for r in rows:
+        c = "NULL" if r["corr"] is None else f"{r['corr']:.5f}"
+        print(f"{r['col_a']} {r['col_b']} {r['n']} {c} {r['flagged']}")
+    n_flagged = sum(1 for r in rows if r["flagged"])
+    print(f"flagged pairs: {n_flagged}")
+    return 1 if n_flagged else 0
+
+
 def cmd_fuzzy_match(args) -> int:
     """Blocked fuzzy record linkage (pipeline/linkage.py): near-duplicate
     name pairs within --max-dist Levenshtein edits, candidates restricted
@@ -2000,6 +2030,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="exit 1 when the chi-square total exceeds this")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_table_benford)
+
+    p = sub.add_parser("table-correlation")
+    p.add_argument("--data", required=True, help="parquet dir/file")
+    p.add_argument("--columns", default="",
+                   help="comma list (default: all numeric columns)")
+    p.add_argument("--min-abs-corr", type=float, default=0.95)
+    p.add_argument("--min-n", type=int, default=500)
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_table_correlation)
 
     p = sub.add_parser("fuzzy-match")
     p.add_argument("--data", required=True, help="parquet with id + name")

@@ -10,12 +10,16 @@ table_dates,variants}.sql`, with prevalence scoring from
 Extensions beyond the reference's 32 types: the Benford first-digit
 rule (33rd catalog entry, fed by the profiler's fused digit census —
 `benford.py` is the standalone screen / drill-down) and the
-numeric-correlation screen (`correlation.py`, derived/duplicate-column
-detection — the numeric analogue of the contingency rules).
+Correlated_Columns rule (34th — `correlation.py`, derived/duplicate-
+column detection, the numeric analogue of the contingency rules; wired
+as the screen's Correlation class via
+``screen_anomalies(..., tables=...)``).
 """
 
 from dataops_testgen_spark.anomalies.benford import benford_screen
-from dataops_testgen_spark.anomalies.correlation import correlation_screen
+from dataops_testgen_spark.anomalies.correlation import (
+    correlation_anomalies, correlation_screen)
 from dataops_testgen_spark.anomalies.screen import screen_anomalies
 
-__all__ = ["benford_screen", "correlation_screen", "screen_anomalies"]
+__all__ = ["benford_screen", "correlation_anomalies",
+           "correlation_screen", "screen_anomalies"]

@@ -8,17 +8,49 @@ analogue — a near-1 |Pearson r| between two numeric columns flags a
 derived column (unit conversion, tax = rate x price, a copy-paste
 duplicate) that wastes storage and double-counts signals downstream.
 
-Spark shape: ONE fused agg over the table — per pair a ``F.corr``
-(algebraic CentralMomentAgg: partial-aggregated map-side, exact) plus a
-both-non-null pair count; the pair list is K(K-1)/2 expressions over the
-column COUNT, never a self-join over rows, and the output unpivots
-lazily (explode over literal structs), so the whole screen is one
-scan + one single-row exchange regardless of table size."""
+Wired into the hygiene cascade (the Benford r10 playbook, reference
+cascade `profile_anomaly_scoring.sql:1-9` →
+`rollup_scores_profile_run.sql:20-38`): ``correlation_anomalies`` turns
+the flagged pairs into ``Correlated_Columns`` anomaly rows — eligibility
+from the inferred profile (naturally-varying numerics, same family of
+preconditions as the Benford rule), likelihood Possible, prevalence =
+r² (the shared-variance fraction) × 0.33 risk — and
+``screen_anomalies(..., tables=...)`` unions them into the issue
+relation, so they flow through prevalence scoring, scorecards and
+notifications like every other anomaly type.
+
+Spark shape, narrow tables (the common case): ONE fused agg over the
+table — per pair a covar/stddev Pearson (algebraic CentralMomentAgg:
+partial-aggregated map-side, exact) plus a both-non-null pair count; the
+pair list is K(K-1)/2 expressions over the column COUNT, never a
+self-join over rows, and the output unpivots lazily (explode over
+literal structs), so the whole screen is one scan + one single-row
+exchange regardless of table size.
+
+Wide tables: K(K-1)/2 × 2 fused expressions blow past whole-stage-codegen
+limits around a few hundred columns (the same expression-width hazard
+kmeans_train's wide-D update had) — above ``max_fused_pairs`` the screen
+dispatches to an Arrow matmul kernel (``_correlation_screen_wide``):
+one scan, per-batch K×K co-moment partials from four matrix products,
+one model-sized (K² rows) exchange, pairwise-deletion semantics
+identical to the fused path.
+"""
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+CORRELATED_COLUMNS_TYPE = "Correlated_Columns"
+CORRELATION_LIKELIHOOD = "Possible"
+CORRELATION_RISK = 0.33
+CORRELATION_MIN_ABS = 0.95
+CORRELATION_MIN_N = 500
+# K(K-1)/2 above which the fused-agg path would push 2x this many
+# aggregate expressions into one codegen unit — dispatch to the Arrow
+# kernel instead (512 pairs ~ 33 columns ~ 1k expressions, comfortably
+# inside codegen; a 300-column table would be ~90k and is not)
+MAX_FUSED_PAIRS = 512
 
 
 def _numeric_cols(df: DataFrame) -> list[str]:
@@ -26,14 +58,35 @@ def _numeric_cols(df: DataFrame) -> list[str]:
             if isinstance(f.dataType, T.NumericType)]
 
 
+def correlation_eligible() -> Column:
+    """Profile-row predicate selecting the columns the cascade screens
+    for correlations: naturally-varying numerics — not identifiers,
+    periods, or coded categories (the Benford rule's eligibility family,
+    anomalies/catalog.py:_benford_fires, minus the digit-census
+    preconditions). Mirrored in SQL by oracles._CORR_ELIGIBLE_SQL."""
+    from dataops_testgen_spark.inference import helpers as H
+
+    fdt = F.col("functional_data_type")
+    return ((F.col("general_type") == "N")
+            & ~H.ilike(fdt, "id%")
+            & ~H.ilike(fdt, "period%")
+            & ~fdt.isin("Sequence", "Category", "Code"))
+
+
 def correlation_screen(df: DataFrame, cols: list[str] | None = None,
-                       min_abs_corr: float = 0.95,
-                       min_n: int = 500) -> DataFrame:
+                       min_abs_corr: float = CORRELATION_MIN_ABS,
+                       min_n: int = CORRELATION_MIN_N,
+                       max_fused_pairs: int = MAX_FUSED_PAIRS) -> DataFrame:
     """(col_a, col_b, n, corr, flagged) for every unordered pair of
     ``cols`` (default: all numeric columns, schema order): sample
     Pearson correlation over both-non-null rows, with ``flagged`` =
     |corr| >= min_abs_corr and n >= min_n — the derived/duplicate-column
     signal. Constant columns yield NULL corr (undefined), never a flag.
+
+    Pair lists larger than ``max_fused_pairs`` route to the Arrow
+    matmul kernel (one scan, K² model-sized partials) instead of the
+    fused agg, so a 100+-numeric-column warehouse table cannot blow
+    whole-stage codegen.
     """
     cols = cols if cols is not None else _numeric_cols(df)
     if len(cols) < 2:
@@ -44,6 +97,8 @@ def correlation_screen(df: DataFrame, cols: list[str] | None = None,
             raise ValueError(f"duplicate column {c!r}")
         seen.add(c)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if len(pairs) > max_fused_pairs:
+        return _correlation_screen_wide(df, cols, min_abs_corr, min_n)
     aggs = []
     for i, (a, b) in enumerate(pairs):
         ad, bd = F.col(a).cast("double"), F.col(b).cast("double")
@@ -70,3 +125,122 @@ def correlation_screen(df: DataFrame, cols: list[str] | None = None,
         "flagged",
         F.coalesce((F.abs("corr") >= float(min_abs_corr))
                    & (F.col("n") >= int(min_n)), F.lit(False)))
+
+
+def _correlation_screen_wide(df: DataFrame, cols: list[str],
+                             min_abs_corr: float, min_n: int) -> DataFrame:
+    """Wide-K path: pairwise-deletion Pearson for ALL pairs from four
+    matrix products per Arrow batch.
+
+    Two passes, mirroring the covariance kernel's discipline
+    (pipeline/similarity.py:_covariance_parts): pass 1 folds per-column
+    global means (one agg, 2K expressions — linear in K); pass 2 centers
+    each batch by the broadcast means (correlation is shift-invariant,
+    and centered co-moments dodge the catastrophic E[xy]-E[x]E[y]
+    cancellation when |mean| >> std) and emits K(K-1)/2 partial rows per
+    batch — with M the not-null mask and Y the centered null-zeroed
+    matrix: n = MᵀM, sxy = YᵀY, sx = YᵀM, sxx = (Y²)ᵀM. One model-sized
+    groupBy (K² rows regardless of table size) finishes the job; no
+    K-wide expression ever reaches Catalyst."""
+    import numpy as np
+
+    spark = df.sparkSession
+    src = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    means_row = src.agg(*[F.avg(c).alias(c) for c in cols]).first()
+    mu = np.array([means_row[i] if means_row[i] is not None else 0.0
+                   for i in range(len(cols))], dtype=float)
+    bc = spark.sparkContext.broadcast(mu)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        mu_ = bc.value
+        k = len(mu_)
+        iu, ju = np.triu_indices(k, k=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf.to_numpy(dtype=float)
+            mask = (~np.isnan(x)).astype(float)
+            y = np.nan_to_num(x - mu_, nan=0.0)
+            y2 = y * y
+            n = mask.T @ mask
+            sxy = y.T @ y
+            sx = y.T @ mask       # sx[a,b] = sum of centered a where both present
+            sxx = y2.T @ mask
+            yield pd.DataFrame({
+                "i": iu, "j": ju,
+                "n": n[iu, ju], "sxy": sxy[iu, ju],
+                "sx": sx[iu, ju], "sy": sx[ju, iu],
+                "sxx": sxx[iu, ju], "syy": sxx[ju, iu]})
+
+    moments = ["n", "sxy", "sx", "sy", "sxx", "syy"]
+    agg = (src.mapInPandas(
+        partials,
+        schema="i int, j int, " + ", ".join(f"{m} double" for m in moments))
+        .groupBy("i", "j")
+        .agg(*[F.sum(m).alias(m) for m in moments]))
+    nn = F.col("n")
+    # sample corr with the (n-1) factors cancelled:
+    # (sxy - sx*sy/n) / sqrt((sxx - sx²/n)(syy - sy²/n)); try_divide on
+    # n=0 and greatest(,0) on float-noise-negative variances both land on
+    # the same NULL the fused path's try_divide produces
+    num = F.col("sxy") - F.try_divide(F.col("sx") * F.col("sy"), nn)
+    da = F.greatest(F.col("sxx") - F.try_divide(F.col("sx") ** 2, nn),
+                    F.lit(0.0))
+    db = F.greatest(F.col("syy") - F.try_divide(F.col("sy") ** 2, nn),
+                    F.lit(0.0))
+    corr = F.try_divide(num, F.sqrt(da * db))
+    names = F.array(*[F.lit(c) for c in cols])
+    out = agg.select(
+        F.element_at(names, F.col("i") + 1).alias("col_a"),
+        F.element_at(names, F.col("j") + 1).alias("col_b"),
+        F.col("n").cast("long").alias("n"),
+        corr.alias("corr"))
+    return out.withColumn(
+        "flagged",
+        F.coalesce((F.abs("corr") >= float(min_abs_corr))
+                   & (F.col("n") >= int(min_n)), F.lit(False)))
+
+
+def correlation_anomalies(tables: dict[str, DataFrame],
+                          inferred_profile: DataFrame,
+                          min_abs_corr: float = CORRELATION_MIN_ABS,
+                          min_n: int = CORRELATION_MIN_N) -> DataFrame | None:
+    """The cascade hook: flagged correlation pairs as hygiene-anomaly
+    rows (the anomalies/screen.py output schema), one row per flagged
+    pair anchored on the LATER column in schema order (the "derived"
+    side), detail naming its partner.
+
+    Column qualification comes from the inferred profile
+    (``correlation_eligible`` — metadata-sized collect, the same shape
+    contingency_columns uses); tables with fewer than two qualifying
+    columns are skipped. Returns None when nothing qualifies."""
+    elig = (inferred_profile.filter(correlation_eligible())
+            .select("table_name", "column_name").collect())
+    by_table: dict[str, set[str]] = {}
+    for r in elig:
+        by_table.setdefault(r["table_name"], set()).add(r["column_name"])
+    out = None
+    for t in sorted(tables):
+        df = tables[t]
+        cols = [f.name for f in df.schema.fields
+                if f.name in by_table.get(t, set())]    # schema order
+        if len(cols) < 2:
+            continue
+        scr = correlation_screen(df, cols=cols, min_abs_corr=min_abs_corr,
+                                 min_n=min_n)
+        rows = scr.filter("flagged").select(
+            F.lit(t).alias("table_name"),
+            F.col("col_b").alias("column_name"),
+            F.lit(CORRELATED_COLUMNS_TYPE).alias("anomaly_type"),
+            F.lit("Correlation").alias("data_object"),
+            F.lit(CORRELATION_LIKELIHOOD).alias("likelihood"),
+            F.concat(F.lit("Correlated with "), F.col("col_a"),
+                     F.lit(": r="),
+                     F.round("corr", 5).cast("string")).alias("detail"),
+            (F.col("corr") * F.col("corr")
+             * F.lit(CORRELATION_RISK)).alias("dq_prevalence"))
+        out = rows if out is None else out.unionByName(rows)
+    return out

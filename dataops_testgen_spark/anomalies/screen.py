@@ -192,10 +192,24 @@ def _variant_screen(profile: DataFrame) -> DataFrame:
     )
 
 
-def screen_anomalies(inferred_profile: DataFrame) -> DataFrame:
-    """Inferred profile DF (apply_inference output) → anomaly results DF."""
+def screen_anomalies(inferred_profile: DataFrame,
+                     tables: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Inferred profile DF (apply_inference output) → anomaly results DF.
+
+    Pass ``tables`` ({table_name: raw DataFrame}) to also run the
+    Correlation class (anomalies/correlation.py): the Column/Multi-Col/
+    Dates/Variant classes read only the profile, but pairwise correlation
+    needs one fused-agg pass over each table's raw rows — the same
+    profile-qualified raw-data shape as the contingency rules."""
     out = _column_screen(inferred_profile)
     out = out.unionByName(_multi_column_screen(inferred_profile))
     out = out.unionByName(_dates_screen(inferred_profile))
     out = out.unionByName(_variant_screen(inferred_profile))
+    if tables:
+        from dataops_testgen_spark.anomalies.correlation import (
+            correlation_anomalies)
+
+        corr = correlation_anomalies(tables, inferred_profile)
+        if corr is not None:
+            out = out.unionByName(corr)
     return out.select(*_OUT_COLS)

@@ -634,6 +634,31 @@ def _lk_benford(df, column, params, limit, run_date):
     return benford_screen(df, column).orderBy("digit").limit(limit)
 
 
+def _lk_correlated(df, column, params, limit, run_date):
+    """Correlated_Columns drill-down (41st lookup type): the flagged
+    column's rows that DEVIATE most from the fitted linear relation with
+    its partner (params["col_a"]) — for a truly derived column those are
+    the exceptions worth eyeballing (manual overrides, unit mix-ups).
+    Two passes: one fused agg for the OLS moments (covar/var/avg —
+    algebraic, map-side combined), then a residual ranking bounded by
+    ``limit`` with a deterministic tie-break."""
+    a = params["col_a"]
+    ad, bd = F.col(a).cast("double"), F.col(column).cast("double")
+    both = df.filter(F.col(a).isNotNull() & F.col(column).isNotNull())
+    mom = both.agg(F.covar_samp(ad, bd).alias("cov"),
+                   F.var_samp(ad).alias("var"),
+                   F.avg(ad).alias("ma"), F.avg(bd).alias("mb")).first()
+    if mom is None or mom["mb"] is None:
+        return both.select(F.col(a), F.col(column),
+                           F.lit(None).cast("double").alias("residual"))
+    slope = (mom["cov"] / mom["var"]) if mom["var"] else 0.0
+    intercept = mom["mb"] - slope * mom["ma"]
+    resid = bd - (F.lit(float(slope)) * ad + F.lit(float(intercept)))
+    return (both.select(F.col(a), F.col(column), resid.alias("residual"))
+            .orderBy(F.abs("residual").desc(), F.col(a), F.col(column))
+            .limit(limit))
+
+
 TEST_LOOKUPS = {
     "Unique": _lk_unique,
     "Dupe_Rows": _lk_dupe_rows,
@@ -694,6 +719,7 @@ TEST_LOOKUPS = {
     "Leading_Spaces": _lk_leading_spaces,
     "Quoted_Values": _lk_quoted_values,
     "Benford_Nonconformity": _lk_benford,
+    "Correlated_Columns": _lk_correlated,
 }
 
 

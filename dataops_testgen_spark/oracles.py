@@ -365,6 +365,7 @@ def _inference_ctes(
     run_date: str,
     id_mask: str = "%id",
     sk_mask: str = "%_sk",
+    pre_ctes: list[tuple[str, str]] | None = None,
 ) -> str:
     """The full profile→inference CTE chain (ending at CTE ``pii``) —
     shared by the functional-types, test-generation, and anomaly oracles.
@@ -375,6 +376,10 @@ def _inference_ctes(
     (functional-table-type census, PII second pass) partition by table_name,
     and the ID-FK layer looks across tables, so several tables can share one
     chain (mirrors multi-table profiling runs in the reference).
+
+    ``pre_ctes``: [(name, sql)] CTEs spliced in BEFORE ``prof`` — lets a
+    caller profile a derived relation (e.g. a table with a computed
+    column) that the profile selects then read by name.
     """
     selects = "\nUNION ALL\n".join(
         _profile_select(table, name, i + 1, gt, ct, dec, run_date)
@@ -389,8 +394,10 @@ def _inference_ctes(
     max_text_spaces = "(LENGTH(max_text) - LENGTH(REPLACE(max_text, ' ', '')))"
     pct_pat = r"^N{1,3}(\.N+)?%$"
 
+    pre = "".join(f"{name} AS MATERIALIZED ({sql}),\n"
+                  for name, sql in (pre_ctes or []))
     return f"""
-WITH prof AS ({selects}),
+WITH {pre}prof AS ({selects}),
 s AS (
   SELECT *,
          {_std_pattern_case()} AS std_pattern_match,
@@ -1181,10 +1188,59 @@ GROUP BY 1, 2"""
     return f"{ctes}\n{col_selects}\nUNION ALL{dates_recency}\nUNION ALL{variants}"
 
 
-def _screen_union_sql(run_date: str) -> str:
+# SQL mirror of anomalies/correlation.py:correlation_eligible over the
+# ``pii`` CTE (the Benford rule's eligibility family)
+_CORR_ELIGIBLE_SQL = (
+    "general_type = 'N' AND NOT lower(fdt) LIKE 'id%'"
+    " AND NOT lower(fdt) LIKE 'period%'"
+    " AND fdt NOT IN ('Sequence','Category','Code')")
+
+
+def _correlation_union_sql(
+    corr_tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
+) -> list[str]:
+    """Correlation-class union selects (one per numeric pair per table) —
+    the SQL mirror of anomalies/correlation.py:correlation_anomalies.
+    Pairs are generated statically over each table's numeric columns in
+    ordinal order; runtime eligibility (which the Spark side reads from
+    the inferred profile) is the EXISTS probes into the ``pii`` CTE, so
+    both engines qualify exactly the same pairs."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        CORRELATED_COLUMNS_TYPE, CORRELATION_LIKELIHOOD, CORRELATION_MIN_ABS,
+        CORRELATION_MIN_N, CORRELATION_RISK)
+
+    selects = []
+    for table, columns in corr_tables:
+        ncols = [name for name, gt, _ct, _d in columns if gt == "N"]
+        for i, a in enumerate(ncols):
+            for b in ncols[i + 1:]:
+                elig_a = (f"EXISTS (SELECT 1 FROM pii WHERE table_name ="
+                          f" '{table}' AND column_name = '{a}'"
+                          f" AND {_CORR_ELIGIBLE_SQL})")
+                elig_b = elig_a.replace(f"column_name = '{a}'",
+                                        f"column_name = '{b}'")
+                selects.append(f"""
+SELECT '{table}' AS table_name, '{b}' AS column_name,
+       '{CORRELATED_COLUMNS_TYPE}' AS anomaly_type,
+       'Correlation' AS data_object,
+       '{CORRELATION_LIKELIHOOD}' AS likelihood,
+       ROUND(c*c*{CORRELATION_RISK!r}::DOUBLE, 5) AS dq_prevalence
+FROM (SELECT CORR({a}::DOUBLE, {b}::DOUBLE) AS c,
+             COUNT(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL
+                        THEN 1 END) AS n
+      FROM {table})
+WHERE COALESCE(ABS(c) >= {CORRELATION_MIN_ABS!r}::DOUBLE
+               AND n >= {CORRELATION_MIN_N}, FALSE)
+  AND {elig_a}
+  AND {elig_b}""")
+    return selects
+
+
+def _screen_union_sql(run_date: str, corr_tables=None) -> str:
     """The multi-table screen body (Column + Multi-Col + Dates + Variant
-    unions) over the ``pii`` + ``mults`` CTEs — shared by the anomaly-screen
-    and score-card oracles."""
+    unions, plus the Correlation class when ``corr_tables`` carries the
+    [(table, columns)] metadata) over the ``pii`` + ``mults`` CTEs —
+    shared by the anomaly-screen and score-card oracles."""
     prevalence = _anomaly_prevalence()
     col_selects = "\nUNION ALL\n".join(
         "SELECT table_name, column_name,"
@@ -1241,8 +1297,11 @@ FROM pii, (VALUES
 WHERE distinct_value_ct <= 20 AND top_freq_values > ''
   AND len(list_intersect({_FREQ_VALS}, str_split(v.check_values, '|'))) > 1
 GROUP BY 1, 2"""
+    corr = ("".join("\nUNION ALL" + s
+                    for s in _correlation_union_sql(corr_tables))
+            if corr_tables else "")
     return (f"{col_selects}\nUNION ALL{multi_col}"
-            f"\nUNION ALL{dates_recency}\nUNION ALL{variants}")
+            f"\nUNION ALL{dates_recency}\nUNION ALL{variants}{corr}")
 
 
 _MULTS_CTE = """,
@@ -1261,16 +1320,21 @@ mults AS MATERIALIZED (
 def anomaly_screen_multi_sql(
     tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
     run_date: str,
+    corr_tables: list | None = None,
+    pre_ctes: list[tuple[str, str]] | None = None,
 ) -> str:
     """Multi-table anomaly-screening oracle over one shared inference chain:
     Column rules per table + Multi-Col (Multiple_Types_Major/Minor,
     Table_Pattern_Mismatch over same-named columns across tables,
-    `profile_anomalies_screen_multi_column.sql:1-59`) + Dates + Variant.
+    `profile_anomalies_screen_multi_column.sql:1-59`) + Dates + Variant,
+    plus the Correlation class over ``corr_tables`` (pass the same
+    [(table, columns)] metadata to mirror ``screen_anomalies(...,
+    tables=...)``; ``pre_ctes`` lets a derived relation be defined first).
     Output includes data_object / likelihood / dq_prevalence (rounded 5dp,
     prevalence formula × risk; NULL where the type defines no formula).
     """
-    ctes = _inference_ctes(tables, run_date)
-    return f"{ctes}{_MULTS_CTE}\n{_screen_union_sql(run_date)}"
+    ctes = _inference_ctes(tables, run_date, pre_ctes=pre_ctes)
+    return f"{ctes}{_MULTS_CTE}\n{_screen_union_sql(run_date, corr_tables)}"
 
 
 # ---------------------------------------------------------------------------
@@ -1318,7 +1382,8 @@ FROM {t["table"]}""")
     return "\nUNION ALL\n".join(parts)
 
 
-def _score_card_base(tables, run_date: str, test_selects: list[dict]) -> str:
+def _score_card_base(tables, run_date: str, test_selects: list[dict],
+                     corr_tables=None) -> str:
     """Shared CTE prefix: inference chain + screen (scr) + per-column
     profile scoring (pcol) + test results (tres) + per-column test scoring
     (tcol) + parent totals — mirrors v_dq_profile_scoring_latest_by_column /
@@ -1328,7 +1393,7 @@ def _score_card_base(tables, run_date: str, test_selects: list[dict]) -> str:
     good_p = _SUM_LN.format(p="s.dq_prevalence")
     good_t = _SUM_LN.format(p="dq_prevalence")
     return f"""{ctes}{_MULTS_CTE},
-scr AS MATERIALIZED ({_screen_union_sql(run_date)}),
+scr AS MATERIALIZED ({_screen_union_sql(run_date, corr_tables)}),
 cols AS MATERIALIZED (
   SELECT table_name, column_name, MAX(record_ct)::DOUBLE AS wrc
   FROM pii GROUP BY 1, 2),
@@ -1359,10 +1424,11 @@ FROM b, ptot, ttot"""
 
 
 def score_card_breakdown_cols_sql(tables, run_date: str,
-                                  test_selects: list[dict]) -> str:
+                                  test_selects: list[dict],
+                                  corr_tables=None) -> str:
     """get_score_card_breakdown_by_column.sql:1-58, profiling side from the
     anomaly screen over ``tables``, testing side from ``test_selects``."""
-    base = _score_card_base(tables, run_date, test_selects)
+    base = _score_card_base(tables, run_date, test_selects, corr_tables)
     return f"""{base},
 b AS (
   SELECT COALESCE(p.table_name, t.table_name) AS table_name,
@@ -1376,7 +1442,8 @@ b AS (
 
 def score_card_breakdown_dim_sql(tables, run_date: str,
                                  test_selects: list[dict],
-                                 which: str = "dq_dimension") -> str:
+                                 which: str = "dq_dimension",
+                                 corr_tables=None) -> str:
     """get_score_card_breakdown_by_dimension.sql:1-58 (or the
     `_by_impact_dimension` twin): per-(column, dimension) scoring rows are
     grouped by dimension; the parent normalizer stays the BY-COLUMN totals
@@ -1387,7 +1454,7 @@ def score_card_breakdown_dim_sql(tables, run_date: str,
     idx = 0 if which == "dq_dimension" else 1
     adim = _dim_values(ANOMALY_DIMENSIONS, "anomaly_type", idx)
     tdim = _dim_values(TEST_DIMENSIONS, "test_type", idx)
-    base = _score_card_base(tables, run_date, test_selects)
+    base = _score_card_base(tables, run_date, test_selects, corr_tables)
     good_p = _SUM_LN.format(p="s.dq_prevalence")
     good_t = _SUM_LN.format(p="dq_prevalence")
     return f"""{base},
@@ -1422,14 +1489,15 @@ b AS (
 
 
 def score_card_issues_sql(tables, run_date: str,
-                          test_selects: list[dict]) -> str:
+                          test_selects: list[dict],
+                          corr_tables=None) -> str:
     """get_score_card_issues_by_column.sql:1-100: hygiene anomalies UNION
     Failed/Warning test results with the severity ordering class."""
     ctes = _inference_ctes(tables, run_date)
     sev_a = _SEVERITY_CASE.format(s="likelihood")
     sev_t = _SEVERITY_CASE.format(s="fail_status")
     return f"""{ctes}{_MULTS_CTE},
-scr AS MATERIALIZED ({_screen_union_sql(run_date)}),
+scr AS MATERIALIZED ({_screen_union_sql(run_date, corr_tables)}),
 tres AS MATERIALIZED ({_test_results_sql(test_selects)})
 SELECT table_name, column_name, anomaly_type AS type,
        likelihood AS status, 'hygiene' AS issue_type,

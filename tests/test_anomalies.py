@@ -226,3 +226,141 @@ def test_correlation_screen(spark):
     tiny = {(r["col_a"], r["col_b"]): r for r in
             correlation_screen(small, min_n=500).collect()}
     assert not tiny[("amount", "amount_cents")]["flagged"]
+
+
+def test_correlation_wide_dispatch_matches_fused(spark):
+    """Forcing the Arrow matmul path (max_fused_pairs below the pair
+    count) reproduces the fused-agg results pair by pair — including
+    pairwise-deletion n under NULLs and the NULL corr of a constant
+    column."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    rows = []
+    for i in range(700):
+        amount = 100.0 + (i % 83) * 1.7
+        rows.append((
+            amount if i % 7 else None,            # nulls in col a
+            amount * 100.0,
+            float((i * 2654435761) % 997) if i % 5 else None,
+            7.0))
+    df = spark.createDataFrame(
+        rows, "amount double, cents double, noise double, konst double")
+    fused = {(r["col_a"], r["col_b"]): r
+             for r in correlation_screen(df, min_n=500).collect()}
+    wide = {(r["col_a"], r["col_b"]): r
+            for r in correlation_screen(df, min_n=500,
+                                        max_fused_pairs=1).collect()}
+    assert set(fused) == set(wide) and len(fused) == 6
+    for k, f in fused.items():
+        w = wide[k]
+        assert w["n"] == f["n"], k
+        assert w["flagged"] == f["flagged"], k
+        if f["corr"] is None:
+            assert w["corr"] is None, k
+        else:
+            assert abs(w["corr"] - f["corr"]) < 1e-9, k
+    assert fused[("amount", "cents")]["flagged"]
+    assert fused[("amount", "cents")]["n"] == 600      # nulls excluded
+    assert fused[("amount", "konst")]["corr"] is None
+
+
+def test_correlation_wide_table_completes(spark):
+    """A 100-numeric-column table (4950 pairs) routes to the Arrow
+    kernel by default — no K²-wide expression reaches Catalyst, the
+    screen completes, and the seeded derived pair still flags."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        MAX_FUSED_PAIRS, correlation_screen)
+
+    k, n = 100, 600
+    assert k * (k - 1) // 2 > MAX_FUSED_PAIRS
+    rng = np.random.default_rng(7)
+    data = {f"c{i:03d}": rng.normal(0, 1, n) for i in range(k - 1)}
+    data["d000"] = data["c000"] * 3.0 + 1.0          # derived from c000
+    df = spark.createDataFrame(pd.DataFrame(data))
+    out = correlation_screen(df, min_n=500)
+    rows = out.collect()
+    assert len(rows) == k * (k - 1) // 2
+    flagged = {(r["col_a"], r["col_b"]) for r in rows if r["flagged"]}
+    assert flagged == {("c000", "d000")}
+
+
+def test_correlation_anomalies_cascade(spark):
+    """correlation_anomalies qualifies columns from the inferred profile
+    (IDs / periods / coded categories excluded even when perfectly
+    correlated), anchors the anomaly on the later column, and scores
+    prevalence r² x 0.33."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_anomalies)
+
+    rng = np.random.default_rng(11)
+    n = 800
+    base = rng.normal(100, 20, n)
+    df = spark.createDataFrame(pd.DataFrame({
+        "amount": base,
+        "amount_cents": base * 100.0,
+        "noise": rng.normal(0, 1, n),
+        "row_id": np.arange(n, dtype=float) * 2.0,   # correlated w/ itself
+        "row_id_copy": np.arange(n, dtype=float),    # ...but fdt=ID: skip
+    }))
+    prof = spark.createDataFrame(
+        [("t", "amount", "N", "Measurement"),
+         ("t", "amount_cents", "N", "Measurement"),
+         ("t", "noise", "N", "Measurement"),
+         ("t", "row_id", "N", "ID"),
+         ("t", "row_id_copy", "N", "ID")],
+        "table_name string, column_name string, general_type string,"
+        " functional_data_type string")
+    out = correlation_anomalies({"t": df}, prof).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["table_name"], r["column_name"]) == ("t", "amount_cents")
+    assert r["anomaly_type"] == "Correlated_Columns"
+    assert r["data_object"] == "Correlation"
+    assert r["likelihood"] == "Possible"
+    assert "amount" in r["detail"]
+    assert abs(r["dq_prevalence"] - 0.33) < 1e-3     # r ~ 1
+    # fewer than two eligible columns -> table skipped -> None
+    prof2 = prof.filter("column_name = 'amount'")
+    assert correlation_anomalies({"t": df}, prof2) is None
+
+
+def test_correlation_cli_and_drilldown(spark, tmp_path, capsys):
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.execution.drilldown import source_data_lookup
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 600
+    base = rng.normal(50, 9, n)
+    gross = base * 1.04
+    gross[17] += 50.0                                # one manual override
+    pdf = pd.DataFrame({"price": base, "gross": gross,
+                        "noise": rng.normal(0, 1, n)})
+    p = str(tmp_path / "t")
+    spark.createDataFrame(pdf).write.parquet(p)
+    # gate trips on the derived pair -> exit 1; restricted to the
+    # independent pair -> exit 0; single column -> clean exit 2
+    assert main(["table-correlation", "--data", p]) == 1
+    out = capsys.readouterr().out
+    assert "price gross" in out and "flagged pairs: 1" in out
+    assert main(["table-correlation", "--data", p,
+                 "--columns", "price,noise"]) == 0
+    capsys.readouterr()
+    assert main(["table-correlation", "--data", p,
+                 "--columns", "price"]) == 2
+    # drill-down: the override row is the top residual
+    res = source_data_lookup(spark.createDataFrame(pdf),
+                             "Correlated_Columns", "gross",
+                             {"col_a": "price"}, limit=5)
+    top = res.df.collect()[0]
+    assert abs(top["gross"] - gross[17]) < 1e-9
+    assert abs(top["residual"]) > 10
