@@ -1464,6 +1464,101 @@ def q_opq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("est_cosine", 5).alias("est_cosine"), "rank")
 
 
+def q_opq_query_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ QUERY path (similarity.rotate -> pq_topk, i.e. opq_topk's
+    internals) under a FIXED orthogonal rotation, with a full DuckDB hash
+    oracle — the companion seat to opq_topk_embeddings, whose trainer SVD
+    is legitimately rows-only. What users run per query is exactly this:
+    rotate both sides by a pinned R, encode against a rotated-space
+    codebook, ADC-score, rank.
+
+    The pinned R is the Householder reflection I - 2vv^T/(v.v) with
+    v = (1..64): a genuine dense orthogonal matrix (so ``rotate``'s
+    broadcast matmul does real work on every entry), yet derivable in
+    O(D) arithmetic from integers on BOTH engines — no 4096-double
+    literal matrix in the SQL, and no coupling of the oracle to trainer
+    drift. Rotated coordinates pass through the ROUND(,9) firewall before
+    encoding (the kmeans/LR pattern), so the deterministic codebook (the
+    rotated sub-vectors of the first 16 rows, the same trick every PQ
+    seat uses), the encodings, and the LUTs are bit-identical across
+    engines. Ranking ALSO passes through the 5dp firewall: the ADC sum
+    folds 4 subspace dots in engine-specific order, so raw near-ties
+    (distinct codes, est_cosine equal to 5dp) can order differently —
+    ranking on (rounded est, neighbor_id) over a k=10 raw shortlist is
+    deterministic on both engines."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = _load(spark, sf_dir, "embeddings")
+    d = 64
+    v = np.arange(1, d + 1, dtype=float)
+    s_vv = float(v @ v)                        # 89440, exact in binary
+    rot_m = np.eye(d) - 2.0 * np.outer(v, v) / s_vv
+    rdf = SIM.rotate(emb, rot_m).withColumn(
+        "rotated", F.transform("rotated", lambda x: F.round(x, 9)))
+    rdf = rdf.localCheckpoint(eager=False)     # rotate once, reuse 3x
+    rows = rdf.filter(F.col("id") < 16).orderBy("id").collect()
+    cb = [[list(map(float, r["rotated"]))[s * 16:(s + 1) * 16]
+           for r in rows] for s in range(4)]
+    rq = rdf.filter(F.col("id") < 10)
+    out = SIM.pq_topk(rdf, rq, cb, k=10, vec_col="rotated", id_col="id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("est_cosine", 5).desc(), "neighbor_id")
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.round("est_cosine", 5).alias("est_cosine"), "rank"))
+
+
+# the Householder identity (x@R)_i = x_i - 2*v_i*(x.v)/S keeps the oracle
+# O(D) per vector; everything below `rot` is the _SQL_PQ_TOPK machinery
+# over the rounded rotated coordinates
+_SQL_OPQ_QUERY = """
+WITH dims AS (
+  SELECT vec_id, embedding[i]::DOUBLE AS x, (i - 1) AS p
+    FROM embeddings, UNNEST(range(1, 65)) AS r(i)),
+hdot AS (SELECT vec_id, SUM((p + 1) * x) AS dv FROM dims GROUP BY 1),
+rot AS (SELECT d.vec_id,
+               ROUND(d.x - 2.0::DOUBLE * (d.p + 1) * h.dv
+                     / 89440.0::DOUBLE, 9) AS x,
+               CAST(d.p // 16 AS INT) AS s, d.p % 16 AS j
+          FROM dims d JOIN hdot h USING (vec_id)),
+cw AS (SELECT vec_id AS c, s, j, x AS w FROM rot WHERE vec_id < 16),
+d2 AS (SELECT b.vec_id, b.s, cw.c,
+              SUM((b.x - cw.w) * (b.x - cw.w)) AS dist
+         FROM rot b JOIN cw ON b.s = cw.s AND b.j = cw.j
+        GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, c) AS rn
+              FROM d2) WHERE rn = 1),
+recon AS (SELECT codes.vec_id, SQRT(SUM(cw.w * cw.w)) AS est_norm
+            FROM codes JOIN cw ON codes.s = cw.s AND codes.c = cw.c
+           GROUP BY 1),
+qnorm AS (SELECT vec_id, SQRT(SUM(x * x)) AS qn
+            FROM rot WHERE vec_id < 10 GROUP BY 1),
+lut AS (SELECT q.vec_id AS query_id, cw.s, cw.c, SUM(q.x * cw.w) AS dp
+          FROM rot q JOIN cw ON q.s = cw.s AND q.j = cw.j
+         WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+score AS (SELECT lut.query_id, codes.vec_id AS neighbor_id,
+                 SUM(lut.dp) AS dot
+            FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+           WHERE codes.vec_id != lut.query_id GROUP BY 1, 2),
+est AS (SELECT s.query_id, s.neighbor_id,
+               s.dot / NULLIF(q.qn * r.est_norm, 0) AS est_cos
+          FROM score s JOIN qnorm q ON s.query_id = q.vec_id
+          JOIN recon r ON s.neighbor_id = r.vec_id),
+rk AS (SELECT query_id, neighbor_id, est_cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ROUND(est_cos, 5) DESC,
+                                          neighbor_id) AS rnk
+         FROM est)
+SELECT query_id, neighbor_id, ROUND(est_cos, 5) AS est_cosine,
+       rnk::INT AS rank
+  FROM rk WHERE rnk <= 5"""
+
+
 def _pq_driver_fixture(spark: SparkSession, sf_dir: str):
     """Deterministic quantizers shared by the IVFADC queries: coarse
     centroids = the first 8 embeddings, PQ codebook = the 16-dim
@@ -5335,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_part": q_fs_em_part,
         "correlation_lineitem": q_correlation_lineitem,
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
+        "opq_query_embeddings": q_opq_query_embeddings,
         "opq_topk_embeddings": q_opq_topk_embeddings,
         # --- group B: queries whose code or oracle r10 touches
         # (cache_model on the bigram/trigram seats, kmeans oracle
@@ -5510,6 +5606,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_documents": _SQL_DSIR_SELECT,
         "minhash_index_probe_documents": _sql_minhash_index_probe(),
         "pq_topk_embeddings": _SQL_PQ_TOPK,
+        "opq_query_embeddings": _SQL_OPQ_QUERY,
         "profile_lineitem_numeric": _sql_profile_numeric("lineitem", _LINEITEM_NUM_COLS),
         "profile_customer_strings": _sql_profile_strings("customer", _CUSTOMER_STR_COLS),
         "profile_orders_dates": _sql_profile_dates("orders", "o_orderdate", RUN_DATE),
