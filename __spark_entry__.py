@@ -1790,6 +1790,7 @@ _LINK_FIELDS_PART = [
     ("p_brand", "exact", 0, 0.9, 0.2),
     ("p_type", "exact", 0, 0.9, 0.25),
 ]
+_FS_EM3_NULL_MOD = 5   # q_fs_em3_part: p_type NULL where p_partkey % 5 = 0
 
 
 def q_record_linkage_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1980,10 +1981,13 @@ def q_fs_em_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "field string, m double, u double, p double, n_pairs long")
 
 
-def _sql_fs_em_part() -> str:
-    """Unrolled-CTE DuckDB mirror of q_fs_em_part: same pattern-count
-    relation, same init literals, same left-assoc product order inside
-    the E-step, ROUND(, 9) after every update."""
+def _sql_fs_em_part(ternary: bool = False) -> str:
+    """Unrolled-CTE DuckDB mirror of q_fs_em_part (ternary=False) and
+    q_fs_em3_part (ternary=True — Winkler 3-state patterns over the
+    deterministically-nulled p_type, per-field observed-mass M-step):
+    same pattern-count relation, same init literals, same left-assoc
+    product order inside the E-step (a missing bit multiplies by 1.0 —
+    a bit-exact identity), ROUND(, 9) after every update."""
     nf = len(_LINK_FIELDS_PART)
     init_p, init_m, init_u = _FS_EM_INIT
     bits = []
@@ -1991,10 +1995,20 @@ def _sql_fs_em_part() -> str:
         a, b = f"a.{c}_n", f"b.{c}_n"
         ag = (f"levenshtein({a}, {b}) <= {d}" if method == "levenshtein"
               else f"{a} = {b}")
-        bits.append(f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL"
-                    f" AND {ag} THEN 1 ELSE 0 END AS g{i}")
-    proj = ", ".join(f"lower(trim({c})) AS {c}_n"
-                     for c, *_ in _LINK_FIELDS_PART)
+        if ternary:
+            bits.append(f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN 2"
+                        f" WHEN {ag} THEN 1 ELSE 0 END AS g{i}")
+        else:
+            bits.append(f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL"
+                        f" AND {ag} THEN 1 ELSE 0 END AS g{i}")
+
+    def _proj_col(c: str) -> str:
+        if ternary and c == "p_type":
+            return (f"CASE WHEN p_partkey % {_FS_EM3_NULL_MOD} = 0"
+                    f" THEN NULL ELSE lower(trim({c})) END AS {c}_n")
+        return f"lower(trim({c})) AS {c}_n"
+
+    proj = ", ".join(_proj_col(c) for c, *_ in _LINK_FIELDS_PART)
     gcols = ", ".join(f"g{i}" for i in range(nf))
 
     def scalars(t):
@@ -2024,10 +2038,18 @@ tot AS (SELECT SUM(n) AS nt FROM pat)"""]
         lm = p
         lu = f"(1.0::DOUBLE - {p})"
         for i in range(nf):
-            lm += (f" * CASE WHEN g{i} = 1 THEN {ms[i]}"
-                   f" ELSE 1.0::DOUBLE - {ms[i]} END")
-            lu += (f" * CASE WHEN g{i} = 1 THEN {us[i]}"
-                   f" ELSE 1.0::DOUBLE - {us[i]} END")
+            if ternary:
+                lm += (f" * CASE WHEN g{i} = 1 THEN {ms[i]}"
+                       f" WHEN g{i} = 0 THEN 1.0::DOUBLE - {ms[i]}"
+                       f" ELSE 1.0::DOUBLE END")
+                lu += (f" * CASE WHEN g{i} = 1 THEN {us[i]}"
+                       f" WHEN g{i} = 0 THEN 1.0::DOUBLE - {us[i]}"
+                       f" ELSE 1.0::DOUBLE END")
+            else:
+                lm += (f" * CASE WHEN g{i} = 1 THEN {ms[i]}"
+                       f" ELSE 1.0::DOUBLE - {ms[i]} END")
+                lu += (f" * CASE WHEN g{i} = 1 THEN {us[i]}"
+                       f" ELSE 1.0::DOUBLE - {us[i]} END")
         src = f"pat{', c' + str(t) if t else ''}"
         sums = ["SUM(n * w) AS sw", "SUM(n * (1.0::DOUBLE - w)) AS swn"]
         for i in range(nf):
@@ -2035,10 +2057,18 @@ tot AS (SELECT SUM(n) AS nt FROM pat)"""]
                         f" ELSE 0.0::DOUBLE END) AS sm{i}")
             sums.append(f"SUM(CASE WHEN g{i} = 1 THEN n * (1.0::DOUBLE - w)"
                         f" ELSE 0.0::DOUBLE END) AS su{i}")
+            if ternary:
+                sums.append(f"SUM(CASE WHEN g{i} <> 2 THEN n * w"
+                            f" ELSE 0.0::DOUBLE END) AS smo{i}")
+                sums.append(f"SUM(CASE WHEN g{i} <> 2"
+                            f" THEN n * (1.0::DOUBLE - w)"
+                            f" ELSE 0.0::DOUBLE END) AS suo{i}")
         upd = [f"ROUND(sw / tot.nt, 9) AS p"]
         for i in range(nf):
-            upd.append(f"ROUND(sm{i} / sw, 9) AS m{i}")
-            upd.append(f"ROUND(su{i} / swn, 9) AS u{i}")
+            den_m = f"smo{i}" if ternary else "sw"
+            den_u = f"suo{i}" if ternary else "swn"
+            upd.append(f"ROUND(sm{i} / {den_m}, 9) AS m{i}")
+            upd.append(f"ROUND(su{i} / {den_u}, 9) AS u{i}")
         parts.append(f""",
 e{t + 1} AS (
   SELECT {", ".join(sums)} FROM (
@@ -2059,6 +2089,39 @@ c{t + 1} AS (SELECT {", ".join(upd)} FROM e{t + 1}, tot)""")
 
 
 _SQL_FS_EM_PART = _sql_fs_em_part()
+_SQL_FS_EM3_PART = _sql_fs_em_part(ternary=True)
+
+
+def q_fs_em3_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-state (Winkler) FS-EM — fs_em_train(missing_state=True): the
+    agree/disagree/MISSING ternary pattern space (3^F rows, still
+    driver-sized), where a missing field is uninformative under MAR and
+    each field's M-step normalizes over its OBSERVED pattern mass, so
+    sparse fields stop deflating m. TPC-H part has no NULLs, so the seat
+    injects deterministic missingness — p_type NULL where
+    p_partkey % 5 = 0, mirrored in the oracle's projection — and the
+    same quartered train relation / blocked equi-join / unrolled-CTE
+    oracle shape as fs_em_part."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    part = _load(spark, sf_dir, "part").filter("p_partkey % 4 = 0")
+    part = part.withColumn(
+        "p_type",
+        F.when(F.col("p_partkey") % _FS_EM3_NULL_MOD == 0,
+               F.lit(None).cast("string")).otherwise(F.col("p_type")))
+    init_p, init_m, init_u = _FS_EM_INIT
+    model = fs_em_train(
+        part,
+        fields=[LinkField(c, method, max_dist=d, m=m, u=u)
+                for c, method, d, m, u in _LINK_FIELDS_PART],
+        id_col="p_partkey", block="last_token", n_iters=_FS_EM_ITERS,
+        init_p=init_p, init_m=init_m, init_u=init_u, missing_state=True)
+    rows = [(c, round(m, 5) + 0.0, round(u, 5) + 0.0,
+             round(model["p"], 5) + 0.0, model["n_pairs"])
+            for c, m, u in model["fields"]]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, p double, n_pairs long")
 
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5428,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 window, group A: NEW this round ---
         "record_linkage_part": q_record_linkage_part,
         "fs_em_part": q_fs_em_part,
+        "fs_em3_part": q_fs_em3_part,
         "correlation_lineitem": q_correlation_lineitem,
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "opq_query_embeddings": q_opq_query_embeddings,
@@ -5576,6 +5640,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS_PART,
         "record_linkage_part": _SQL_RECORD_LINKAGE_PART,
         "fs_em_part": _SQL_FS_EM_PART,
+        "fs_em3_part": _SQL_FS_EM3_PART,
         "correlation_lineitem": _SQL_CORRELATION_LINEITEM,
         "correlation_screen_lineitem": ORC.anomaly_screen_multi_sql(
             [("lineitem_m", _LINEITEM_M_COLS)], RUN_DATE,

@@ -89,7 +89,7 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
                 block: str = "last_token", prefix_len: int = 3,
                 n_iters: int = 5, init_p: float = 0.1,
                 init_m: float = 0.9, init_u: float = 0.1,
-                round_decimals: int = 9):
+                round_decimals: int = 9, missing_state: bool = False):
     """EM estimation of the Fellegi-Sunter (m, u) weights (Fellegi &
     Sunter 1969 §3; Winkler 1988's EM formulation) — ``record_linkage``
     takes user-supplied probabilities; this LEARNS them from the blocked
@@ -110,9 +110,18 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
     ``round_decimals`` (the kmeans/LR float firewall — summation order
     over the <=2^F pattern rows cannot leak into the next iteration), so
     the whole trainer is DuckDB-oracle-able by unrolling the iterations
-    over the same pattern-count relation. A field missing on either side
-    scores agreement 0 for its bit (documented conservative treatment —
-    the 3-state missing extension doubles the pattern space).
+    over the same pattern-count relation.
+
+    Missing data: by default a field missing on either side scores
+    agreement 0 for its bit (the conservative 2-state treatment — it
+    deflates m on sparse fields). ``missing_state=True`` switches to
+    Winkler's 3-state pattern space (agree=1 / disagree=0 / missing=2,
+    3^F patterns — still driver-sized at F<=8): a missing field is
+    UNINFORMATIVE under MAR (contributes factor 1 to both class
+    likelihoods, the P(missing) terms cancel in w), and the M-step
+    normalizes each field's m/u over its OBSERVED pattern mass only, so
+    missingness stops biasing the estimates. With no missing values the
+    two modes are bit-identical (the observed mass equals the total).
 
     Returns {"p": float, "n_pairs": int, "fields": [(col, m, u), ...]}
     — feed the learned (m, u) back into LinkField/record_linkage."""
@@ -149,8 +158,12 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
     for i, f in enumerate(fields):
         a, b = F.col(f"{f.col}_a"), F.col(f"{f.col}_b")
         agree = _field_agree(f, a, b)
-        bits.append((F.when(a.isNotNull() & b.isNotNull() & agree, 1)
-                     .otherwise(0)).alias(f"g{i}"))
+        if missing_state:
+            bits.append(F.when(a.isNull() | b.isNull(), 2)
+                        .when(agree, 1).otherwise(0).alias(f"g{i}"))
+        else:
+            bits.append((F.when(a.isNotNull() & b.isNotNull() & agree, 1)
+                         .otherwise(0)).alias(f"g{i}"))
     patterns = (cand.select(*bits)
                 .groupBy(*[f"g{i}" for i in range(len(fields))])
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -164,14 +177,19 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
     p = init_p
     m = [init_m] * len(fields)
     u = [init_u] * len(fields)
+    nf = len(fields)
     for _ in range(n_iters):
         sw = swn = 0.0
-        sm = [0.0] * len(fields)
-        su = [0.0] * len(fields)
+        sm = [0.0] * nf
+        su = [0.0] * nf
+        smo = [0.0] * nf        # per-field OBSERVED pattern mass (match)
+        suo = [0.0] * nf        # per-field observed mass (non-match)
         for g, n in pats:
             lm = p
             lu = 1.0 - p
             for i, gi in enumerate(g):
+                if gi == 2:     # missing: uninformative under MAR — the
+                    continue    # P(missing) factors cancel inside w
                 lm *= m[i] if gi else (1.0 - m[i])
                 lu *= u[i] if gi else (1.0 - u[i])
             # 0/0 guard: after rounding, a probability can pin to
@@ -182,20 +200,27 @@ def fs_em_train(df: DataFrame, queries: DataFrame | None = None,
             sw += n * w
             swn += n * (1.0 - w)
             for i, gi in enumerate(g):
+                if gi == 2:
+                    continue
+                smo[i] += n * w
+                suo[i] += n * (1.0 - w)
                 if gi:
                     sm[i] += n * w
                     su[i] += n * (1.0 - w)
-        if sw <= 0.0 or swn <= 0.0:
-            # every pattern's weight pinned to the same class — there is
-            # no mixture left to estimate; fail loudly rather than
-            # ZeroDivisionError (degenerate corpora only: one pattern, or
-            # rounding drove every w to exactly 0/1)
+        if sw <= 0.0 or swn <= 0.0 or min(smo) <= 0.0 or min(suo) <= 0.0:
+            # every pattern's weight pinned to one class (no mixture
+            # left), or a field has no observed pattern mass in a class
+            # (all-missing field) — fail loudly rather than
+            # ZeroDivisionError; degenerate corpora only
             raise ValueError(
-                "EM degenerated: all pattern weights pinned to "
-                f"{'1 (match)' if swn <= 0.0 else '0 (non-match)'}")
+                "EM degenerated: no estimable mixture mass "
+                f"(sw={sw!r}, swn={swn!r})")
         p = round(sw / n_total, round_decimals)
-        m = [round(x / sw, round_decimals) for x in sm]
-        u = [round(x / swn, round_decimals) for x in su]
+        # 2-state mode: smo[i]/suo[i] fold exactly the sw/swn addend
+        # sequences (no pattern skips), so these divisions are
+        # bit-identical to the historical m=sm/sw, u=su/swn
+        m = [round(sm[i] / smo[i], round_decimals) for i in range(nf)]
+        u = [round(su[i] / suo[i], round_decimals) for i in range(nf)]
     return {"p": p, "n_pairs": n_total,
             "fields": [(f.col, m[i], u[i]) for i, f in enumerate(fields)]}
 

@@ -319,6 +319,48 @@ def test_fs_em_validation(spark):
         fs_em_train(df, fields=[LinkField("name", "cosine")], id_col="id")
 
 
+def test_fs_em_three_state_missing(spark):
+    """Winkler's 3-state extension: missing fields are uninformative
+    (pattern bit 2), and the per-field observed-mass M-step stops
+    missingness deflating m. On NULL-free data the two modes must be
+    BIT-identical; with a half-missing field the 3-state m estimate for
+    that field strictly exceeds the 2-state one (which scores every
+    missing comparison as a disagreement)."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    # two clusters of near-duplicate names sharing one block each; flag
+    # agrees within clusters; 'sparse' duplicates flag but is NULL on
+    # half the rows
+    rows = []
+    for i in range(40):
+        grp = i % 2
+        name = f"{'acme' if grp == 0 else 'zorg'} widget"
+        flag = "x" if grp == 0 else "y"
+        sparse = flag if i % 2 == 0 else None
+        rows.append((i, name + (" co" if i % 8 == 0 else ""), flag, sparse))
+    df = spark.createDataFrame(
+        rows, "id int, name string, flag string, sparse string")
+    fields = [LinkField("name", "levenshtein", max_dist=3),
+              LinkField("flag", "exact"), LinkField("sparse", "exact")]
+    kw = dict(id_col="id", block="last_token", n_iters=4)
+    two = fs_em_train(df, fields=fields, **kw)
+    three = fs_em_train(df, fields=fields, missing_state=True, **kw)
+    assert two["n_pairs"] == three["n_pairs"] > 0
+    m2 = dict((c, m) for c, m, _u in two["fields"])
+    m3 = dict((c, m) for c, m, _u in three["fields"])
+    # sparse agrees whenever both observed -> 3-state m ~ flag's m;
+    # 2-state scores the ~75% missing comparisons as disagreements
+    assert m3["sparse"] > m2["sparse"]
+    assert m3["sparse"] > 0.9
+    # NULL-free data: modes bit-identical
+    dense = df.select("id", "name", "flag")
+    f2 = fields[:2]
+    a = fs_em_train(dense, fields=f2, **kw)
+    b = fs_em_train(dense, fields=f2, missing_state=True, **kw)
+    assert a == b
+
+
 def test_fs_em_fully_degenerate_raises_clean(spark):
     """A corpus whose patterns all weight to the same class leaves no
     mixture to estimate — the M-step must raise the documented ValueError
