@@ -810,29 +810,22 @@ def q_incremental_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataops_testgen_spark.profiling.merge import merge_profiles
     from dataops_testgen_spark.profiling.profiler import profile_table
 
-    df = _load(spark, sf_dir, "orders")
+    df = _load(spark, sf_dir, "orders").withColumn(
+        "slice_id", F.col("o_orderkey") % 3)
 
     # approx=True: every merged field the screen consumes is either a
     # plain additive count or derived from the mergeable sketches, so
-    # the slices' exact-distinct / exact-percentile side jobs are pure
-    # waste — approx fuses each slice into one agg pass with an
-    # A/B-verified identical merged profile (2x wall-clock at sf0.1).
-    # The three slice profiles are independent eager jobs: a thread pool
-    # overlaps their compiles/stages (in production each arriving
-    # partition profiles on its own schedule anyway).
-    def _slice_profile(i: int) -> DataFrame:
-        return profile_table(
-            df.filter(F.col("o_orderkey") % 3 == i), "orders",
-            run_date=RUN_DATE, keep_sketches=True, approx=True,
-            secondary=False, sketch_capacity=200_000)
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(3) as pool:
-        slices = list(pool.map(_slice_profile, range(3)))
-    parts = None
-    for p in slices:
-        parts = p if parts is None else parts.unionByName(p)
+    # exact-distinct / exact-percentile side jobs are pure waste.
+    # slice_col: the three slices come out of ONE scan per job (the
+    # profiler groups every aggregate by slice_id) instead of three
+    # thread-pooled rescans of the same parquet — A/B-verified identical
+    # merged profile and screen vs the per-slice-filter path. (When
+    # partitions genuinely arrive at different times, per-partition
+    # profile_table calls + merge_profiles remain the shape — see the
+    # merged_profile_* seats; slice mode is the retro-profiling path.)
+    parts = profile_table(
+        df, "orders", run_date=RUN_DATE, keep_sketches=True, approx=True,
+        secondary=False, sketch_capacity=200_000, slice_col="slice_id")
     out = screen_anomalies(apply_inference(merge_profiles(parts)))
     return out.select("table_name", "column_name", "anomaly_type")
 

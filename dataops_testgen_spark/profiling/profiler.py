@@ -202,6 +202,71 @@ def _classify_std_pattern(vals: dict, value_ct: int) -> str | None:
     return None
 
 
+def _build_column_rows(cols, row, skey, record_ct, table_name, run_date,
+                       sample_ratio, keep_sketches, qsketch_holder,
+                       fsketch_holder, dayset_holder):
+    """One profile record per column from one collected aggregate row —
+    the whole-table fold, or one slice of it (``skey`` keys the sketch
+    holders; ``record_ct`` is that slice's own count)."""
+    out_rows = []
+    for i, col in enumerate(cols):
+        prefix = f"c{i}__"
+        vals = {k[len(prefix):]: v for k, v in row.items()
+                if k.startswith(prefix)}
+        # std_pattern_match is a ratio of same-sample counts (stdpat_* over
+        # value_ct), so it must be classified on the RAW counts: the stdpat_*
+        # matches are never scale-estimated, and dividing them by a scaled-up
+        # value_ct would deflate every ratio by the sample fraction.
+        raw_std_pattern = (
+            _classify_std_pattern(vals, vals.get("value_ct") or 0)
+            if col.general_type == "A" else None
+        )
+        if sample_ratio < 1.0:
+            for m in list(vals):
+                if m in _SCALED_METRICS and vals[m] is not None:
+                    vals[m] = int(round(vals[m] / sample_ratio))
+        rec = {
+            "table_name": table_name,
+            "column_name": col.column_name,
+            "ordinal_position": col.ordinal_position,
+            "column_type": col.column_type,
+            "general_type": col.general_type,
+            "is_decimal": col.is_decimal,
+            "run_date": run_date.isoformat(),
+            "sample_ratio": sample_ratio,
+            "record_ct": record_ct,
+        }
+        for m in _METRIC_FIELDS:
+            rec[m] = vals.get(m)
+        rec["quantile_sketch"] = qsketch_holder.get((skey, col.column_name))
+        fs = fsketch_holder.get((skey, col.column_name))
+        rec["freq_sketch"] = fs[0] if fs else None
+        rec["pattern_sketch"] = fs[1] if fs else None
+        rec["std_value_sketch"] = fs[2] if fs else None
+        rec["day_set_json"] = dayset_holder.get((skey, col.column_name))
+        if keep_sketches and col.general_type == "A":
+            # raw (never scale-estimated) pattern-match counts: summed at
+            # merge time and re-classified against the merged value_ct
+            import json as _json
+
+            rec["stdpat_json"] = _json.dumps(
+                {label: int(vals.get(f"stdpat_{label}") or 0)
+                 for label, _rx, _thr in RX.STD_PATTERNS},
+                sort_keys=True)
+        if col.general_type == "A":
+            value_ct = vals.get("value_ct") or 0
+            rec["std_pattern_match"] = raw_std_pattern
+            rec["mixed_case_ct"] = (
+                None if value_ct == 0 else
+                (vals.get("value_ct") or 0)
+                - (vals.get("upper_case_ct") or 0)
+                - (vals.get("lower_case_ct") or 0)
+                - (vals.get("non_alpha_ct") or 0)
+            )
+        out_rows.append(rec)
+    return out_rows
+
+
 def profile_table(
     df: DataFrame,
     table_name: str,
@@ -216,6 +281,7 @@ def profile_table(
     columns: list[str] | None = None,
     keep_sketches: bool = False,
     sketch_capacity: int = 4096,
+    slice_col: str | None = None,
 ) -> DataFrame:
     """Profile every column of ``df`` → one row per column (profile_results).
 
@@ -232,15 +298,42 @@ def profile_table(
     and ``freq_sketch``/``pattern_sketch`` (bounded exact counters) for
     the string top-k metrics, which are exact-or-NULL by the reference's
     own 70-distinct qualification rule.
+
+    ``slice_col``: single-pass SLICED profiling — every aggregate job
+    groups by this column instead of folding the whole table, so N
+    incremental slices of one relation profile in ONE scan per job
+    (groupBy map-side partials; N-row exchanges) rather than N scans.
+    The output holds one profile row per (slice, column) with the
+    slice's own record_ct, ready to feed ``merge_profiles`` — slice
+    identities are deliberately not emitted (the profile schema is
+    fixed; the mode exists for the never-rescan merge path, where only
+    per-column fold order matters). The slice column itself is not
+    profiled. Slice cardinality should be partition-like (bounded), not
+    data-like: sketch memory is slices x columns x capacity. Does not
+    compose with ``sample`` (a slice IS the sampling unit) or
+    ``secondary`` (use keep_sketches' freq/pattern sketches, which are
+    slice-aware).
     """
     spark = df.sparkSession
     if isinstance(run_date, str):
         run_date = _dt.date.fromisoformat(run_date)
     run_date = run_date or _dt.date.today()
 
-    chars = schema_scan.scan_table(df, table_name, with_count=True)
+    if slice_col is not None:
+        if sample:
+            raise ValueError("slice_col does not compose with sample")
+        if secondary:
+            raise ValueError("slice_col does not compose with secondary "
+                             "top-k; use keep_sketches=True instead")
+        if slice_col not in df.columns:
+            raise ValueError(f"slice_col {slice_col!r} not in DataFrame")
+
+    chars = schema_scan.scan_table(df, table_name,
+                                   with_count=slice_col is None)
     record_ct = chars.record_ct or 0
-    cols = [c for c in chars.columns if columns is None or c.column_name in columns]
+    cols = [c for c in chars.columns
+            if (columns is None or c.column_name in columns)
+            and c.column_name != slice_col]
 
     sample_ratio = 1.0
     target = df
@@ -268,9 +361,10 @@ def profile_table(
         frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
         target = df.sample(fraction=frac, seed=SAMPLE_SEED)
         sample_ratio = frac
-    if record_ct > _REPARTITION_MIN_ROWS:
+    if record_ct > _REPARTITION_MIN_ROWS or slice_col is not None:
         # regex-heavy metrics must not run on the 1-3 tasks a small-file
-        # scan yields (the repartition is a no-op on well-partitioned input)
+        # scan yields (the repartition is a no-op on well-partitioned
+        # input); slice mode skips the count job, so it opts in directly
         from dataops_testgen_spark.session import ensure_parallelism
 
         target = ensure_parallelism(target)
@@ -332,26 +426,36 @@ def profile_table(
             target, [c for c in cols if c.general_type == "A"], table_name)
         sec_holder["df"] = None if s is None else s.localCheckpoint()
 
-    qsketch_holder: dict[str, bytes] = {}
+    # all holders key on (slice_key, column); slice_key is None outside
+    # slice mode (and for the whole-table fold inside it there are no
+    # None keys — every row belongs to some slice group, NULL included
+    # as its own group)
+    qsketch_holder: dict[tuple, bytes] = {}
 
     def _run_quantile_sketches():
         from dataops_testgen_spark.profiling.sketches import (
             column_quantile_sketches)
 
         num_cols = [c.column_name for c in cols if c.general_type == "N"]
-        qsketch_holder.update(
-            column_quantile_sketches(target, num_cols, sketch_capacity))
+        got = column_quantile_sketches(target, num_cols, sketch_capacity,
+                                       slice_col=slice_col)
+        if slice_col is None:
+            got = {(None, c): v for c, v in got.items()}
+        qsketch_holder.update(got)
 
-    fsketch_holder: dict[str, tuple[bytes, bytes, bytes]] = {}
+    fsketch_holder: dict[tuple, tuple[bytes, bytes, bytes]] = {}
 
     def _run_freq_sketches():
         from dataops_testgen_spark.profiling.sketches import (
             column_freq_sketches)
 
         alpha_cols = [c.column_name for c in cols if c.general_type == "A"]
-        fsketch_holder.update(column_freq_sketches(target, alpha_cols))
+        got = column_freq_sketches(target, alpha_cols, slice_col=slice_col)
+        if slice_col is None:
+            got = {(None, c): v for c, v in got.items()}
+        fsketch_holder.update(got)
 
-    dayset_holder: dict[str, str] = {}
+    dayset_holder: dict[tuple, str] = {}
 
     def _run_day_sets():
         # Exact distinct-day sets for the D columns: distinct DAYS are
@@ -371,17 +475,33 @@ def profile_table(
             exprs.append(F.coalesce(
                 F.min((F.col(c) == F.date_trunc("day", F.col(c)))
                       .cast("int")), F.lit(1)).alias(f"{c}__gran"))
-        got = target.agg(*exprs).collect()[0].asDict()
-        for c in date_cols:
-            dayset_holder[c] = _json.dumps(
-                {"granular": bool(got[f"{c}__gran"]),
-                 "days": [d.isoformat() for d in got[f"{c}__days"]]})
+        if slice_col is None:
+            rows_ = [target.agg(*exprs).collect()[0].asDict()]
+        else:
+            rows_ = [r.asDict() for r in
+                     target.groupBy(F.col(slice_col).cast("string")
+                                    .alias("__slice"))
+                     .agg(*exprs).collect()]
+        for got in rows_:
+            skey = got.pop("__slice", None)
+            for c in date_cols:
+                dayset_holder[(skey, c)] = _json.dumps(
+                    {"granular": bool(got[f"{c}__gran"]),
+                     "days": [d.isoformat() for d in got[f"{c}__days"]]})
 
-    row = {}
+    slice_rows: dict[str | None, dict] = {}
+
+    def _agg_task(es):
+        if slice_col is None:
+            return [target.agg(*es).collect()[0].asDict()]
+        grouped = (target.groupBy(F.col(slice_col).cast("string")
+                                  .alias("__slice"))
+                   .agg(F.count(F.lit(1)).alias("__record_ct"), *es))
+        return [r.asDict() for r in grouped.collect()]
+
     jobs = [es for es in (main_exprs, dist_exprs, pct_exprs, sketch_exprs)
             if es]
-    tasks = [(lambda es=es: target.agg(*es).collect()[0].asDict())
-             for es in jobs]
+    tasks = [(lambda es=es: _agg_task(es)) for es in jobs]
     if secondary:
         tasks.append(lambda: _run_secondary())
     if keep_sketches and any(c.general_type == "N" for c in cols):
@@ -390,6 +510,11 @@ def profile_table(
         tasks.append(lambda: _run_freq_sketches())
     if keep_sketches and any(c.general_type == "D" for c in cols):
         tasks.append(lambda: _run_day_sets())
+    def _fold_parts(parts):
+        for part in parts:
+            key = part.pop("__slice", None)
+            slice_rows.setdefault(key, {}).update(part)
+
     if len(tasks) > 1:
         # All jobs are independent; submitting them from separate threads
         # lets Spark's scheduler overlap their Catalyst compiles and stage
@@ -400,67 +525,25 @@ def profile_table(
         with ThreadPoolExecutor(len(tasks)) as pool:
             for part in pool.map(lambda t: t(), tasks):
                 if part:
-                    row.update(part)
+                    _fold_parts(part)
     elif tasks:
         part = tasks[0]()
         if part:
-            row.update(part)
+            _fold_parts(part)
+    if not slice_rows:
+        slice_rows[None] = {}            # zero tasks / empty sliced input
 
     out_rows = []
-    for i, col in enumerate(cols):
-        prefix = f"c{i}__"
-        vals = {k[len(prefix):]: v for k, v in row.items() if k.startswith(prefix)}
-        # std_pattern_match is a ratio of same-sample counts (stdpat_* over
-        # value_ct), so it must be classified on the RAW counts: the stdpat_*
-        # matches are never scale-estimated, and dividing them by a scaled-up
-        # value_ct would deflate every ratio by the sample fraction.
-        raw_std_pattern = (
-            _classify_std_pattern(vals, vals.get("value_ct") or 0)
-            if col.general_type == "A" else None
-        )
-        if sample_ratio < 1.0:
-            for m in list(vals):
-                if m in _SCALED_METRICS and vals[m] is not None:
-                    vals[m] = int(round(vals[m] / sample_ratio))
-        rec = {
-            "table_name": table_name,
-            "column_name": col.column_name,
-            "ordinal_position": col.ordinal_position,
-            "column_type": col.column_type,
-            "general_type": col.general_type,
-            "is_decimal": col.is_decimal,
-            "run_date": run_date.isoformat(),
-            "sample_ratio": sample_ratio,
-            "record_ct": record_ct,
-        }
-        for m in _METRIC_FIELDS:
-            rec[m] = vals.get(m)
-        rec["quantile_sketch"] = qsketch_holder.get(col.column_name)
-        fs = fsketch_holder.get(col.column_name)
-        rec["freq_sketch"] = fs[0] if fs else None
-        rec["pattern_sketch"] = fs[1] if fs else None
-        rec["std_value_sketch"] = fs[2] if fs else None
-        rec["day_set_json"] = dayset_holder.get(col.column_name)
-        if keep_sketches and col.general_type == "A":
-            # raw (never scale-estimated) pattern-match counts: summed at
-            # merge time and re-classified against the merged value_ct
-            import json as _json
-
-            rec["stdpat_json"] = _json.dumps(
-                {label: int(vals.get(f"stdpat_{label}") or 0)
-                 for label, _rx, _thr in RX.STD_PATTERNS},
-                sort_keys=True)
-        if col.general_type == "A":
-            value_ct = vals.get("value_ct") or 0
-            rec["std_pattern_match"] = raw_std_pattern
-            rec["mixed_case_ct"] = (
-                None if value_ct == 0 else
-                (vals.get("value_ct") or 0)
-                - (vals.get("upper_case_ct") or 0)
-                - (vals.get("lower_case_ct") or 0)
-                - (vals.get("non_alpha_ct") or 0)
-            )
-        out_rows.append(rec)
+    # deterministic row order across slices (createDataFrame preserves it)
+    for skey in sorted(slice_rows, key=lambda k: (k is None, k or "")):
+        row = slice_rows[skey]
+        slice_record_ct = (int(row.get("__record_ct") or 0)
+                           if slice_col is not None else record_ct)
+        out_rows.extend(
+            _build_column_rows(cols, row, skey, slice_record_ct, table_name,
+                               run_date, sample_ratio, keep_sketches,
+                               qsketch_holder, fsketch_holder,
+                               dayset_holder))
 
     profile = spark.createDataFrame(
         [tuple(r[f.name] for f in PROFILE_SCHEMA.fields) for r in out_rows],

@@ -314,17 +314,34 @@ def _standardize(value: str) -> str:
     return value.translate(_STD_DELETE).upper()
 
 
+def _slice_groups(pdf, slice_col):
+    """[(slice_key, frame)] for one Arrow batch: the whole frame under
+    key None without ``slice_col``, else one pandas group per slice value
+    (NULL slice keeps its own group, key None)."""
+    import pandas as pd
+
+    if slice_col is None:
+        return [(None, pdf)]
+    return [(None if pd.isna(k) else str(k), g)
+            for k, g in pdf.groupby("__slice", dropna=False)]
+
+
 def column_freq_sketches(
         df, columns: list[str], capacity: int = 256,
-        std_capacity: int = _STD_CAPACITY,
-) -> dict[str, tuple[bytes, bytes, bytes]]:
+        std_capacity: int = _STD_CAPACITY, slice_col: str | None = None,
+) -> dict:
     """One distributed pass → {column: (value_sketch, pattern_sketch,
     std_value_sketch)} for the string ``columns``. Same shape as
     column_quantile_sketches: per-partition bounded fold in mapInPandas,
     partitions × columns blobs to the driver, order-insensitive merge.
     The std sketch counts standardized values (upper + strip " ',.-")
     with a larger capacity — it only feeds a distinct COUNT
-    (distinct_std_value_ct), not reference-exact strings."""
+    (distinct_std_value_ct), not reference-exact strings.
+
+    ``slice_col`` (the profiler's single-pass sliced mode): fold per
+    (slice, column) inside the same ONE pass — keys become
+    (slice_key_str, column); memory is slices × columns × capacity, so
+    slice cardinality must stay partition-like."""
     from pyspark.sql import functions as F
 
     if not columns:
@@ -333,50 +350,79 @@ def column_freq_sketches(
     def per_partition(batches):
         import pandas as pd
 
-        vals = {c: FreqSketch(capacity) for c in columns}
-        pats = {c: FreqSketch(capacity) for c in columns}
-        stds = {c: FreqSketch(std_capacity) for c in columns}
+        vals: dict = {}
+        pats: dict = {}
+        stds: dict = {}
         for pdf in batches:
-            for c in columns:
-                counted = pdf[c].dropna().value_counts()
-                vals[c].add_counts(
-                    (str(v), int(n)) for v, n in counted.items())
-                pats[c].add_counts(
-                    (_pattern_of(str(v)), int(n))
-                    for v, n in counted.items())
-                stds[c].add_counts(
-                    (_standardize(str(v)), int(n))
-                    for v, n in counted.items())
+            for skey, sub in _slice_groups(pdf, slice_col):
+                for c in columns:
+                    k = (skey, c)
+                    if k not in vals:
+                        vals[k] = FreqSketch(capacity)
+                        pats[k] = FreqSketch(capacity)
+                        stds[k] = FreqSketch(std_capacity)
+                    counted = sub[c].dropna().value_counts()
+                    vals[k].add_counts(
+                        (str(v), int(n)) for v, n in counted.items())
+                    pats[k].add_counts(
+                        (_pattern_of(str(v)), int(n))
+                        for v, n in counted.items())
+                    stds[k].add_counts(
+                        (_standardize(str(v)), int(n))
+                        for v, n in counted.items())
+        keys = sorted(vals, key=lambda k: (k[0] or "", k[1]))
         yield pd.DataFrame({
-            "column": list(columns),
-            "value_sketch": [vals[c].to_bytes() for c in columns],
-            "pattern_sketch": [pats[c].to_bytes() for c in columns],
-            "std_value_sketch": [stds[c].to_bytes() for c in columns]})
+            "slice": [k[0] for k in keys],
+            "column": [k[1] for k in keys],
+            "value_sketch": [vals[k].to_bytes() for k in keys],
+            "pattern_sketch": [pats[k].to_bytes() for k in keys],
+            "std_value_sketch": [stds[k].to_bytes() for k in keys]})
 
-    rows = (df.select(*[F.col(c).cast("string").alias(c) for c in columns])
+    sel = [F.col(c).cast("string").alias(c) for c in columns]
+    if slice_col is not None:
+        sel = [F.col(slice_col).cast("string").alias("__slice")] + sel
+    rows = (df.select(*sel)
             .mapInPandas(per_partition,
-                         schema="column string, value_sketch binary, "
+                         schema="slice string, column string, "
+                                "value_sketch binary, "
                                 "pattern_sketch binary, "
                                 "std_value_sketch binary")
             .collect())
+    keys = sorted({(r["slice"], r["column"]) for r in rows},
+                  key=lambda k: (k[0] or "", k[1]))
     out = {}
-    for c in columns:
-        out[c] = (
-            merge_freq_blobs([r["value_sketch"] for r in rows
-                              if r["column"] == c], capacity).to_bytes(),
-            merge_freq_blobs([r["pattern_sketch"] for r in rows
-                              if r["column"] == c], capacity).to_bytes(),
-            merge_freq_blobs([r["std_value_sketch"] for r in rows
-                              if r["column"] == c], std_capacity).to_bytes())
+    for k in keys:
+        blobs = [r for r in rows
+                 if (r["slice"], r["column"]) == k]
+        merged = (
+            merge_freq_blobs([r["value_sketch"] for r in blobs],
+                             capacity).to_bytes(),
+            merge_freq_blobs([r["pattern_sketch"] for r in blobs],
+                             capacity).to_bytes(),
+            merge_freq_blobs([r["std_value_sketch"] for r in blobs],
+                             std_capacity).to_bytes())
+        out[k if slice_col is not None else k[1]] = merged
+    if slice_col is None:
+        # empty input yields no partition rows — keep the historical
+        # contract of an (empty) sketch triple per requested column
+        for c in columns:
+            out.setdefault(c, (FreqSketch(capacity).to_bytes(),
+                               FreqSketch(capacity).to_bytes(),
+                               FreqSketch(std_capacity).to_bytes()))
     return out
 
 
 def column_quantile_sketches(df, columns: list[str],
-                             capacity: int = 4096) -> dict[str, bytes]:
+                             capacity: int = 4096,
+                             slice_col: str | None = None) -> dict:
     """One distributed pass → {column: serialized sketch} for the numeric
     ``columns`` of ``df``. Per-partition fold via ``mapInPandas`` (bounded
     memory: recompress at 4× capacity), then an order-insensitive driver
-    merge of partitions × columns blobs (metadata-plane)."""
+    merge of partitions × columns blobs (metadata-plane).
+
+    ``slice_col`` (the profiler's single-pass sliced mode): fold per
+    (slice, column) in the same ONE pass — keys become
+    (slice_key_str, column)."""
     from pyspark.sql import functions as F
 
     if not columns:
@@ -385,29 +431,46 @@ def column_quantile_sketches(df, columns: list[str],
     def per_partition(batches):
         import pandas as pd
 
-        accs = {c: QuantileSketch.empty(capacity * 4) for c in columns}
+        accs: dict = {}
         for pdf in batches:
-            for c in columns:
-                vals = pd.to_numeric(pdf[c], errors="coerce").to_numpy(
-                    dtype=float, na_value=np.nan)
-                if len(vals):
-                    accs[c] = accs[c].merge(
-                        QuantileSketch.from_values(vals, capacity * 4))
-        rows = {"column": [], "sketch": []}
-        for c in columns:
-            s = accs[c]
+            for skey, sub in _slice_groups(pdf, slice_col):
+                for c in columns:
+                    vals = pd.to_numeric(sub[c], errors="coerce").to_numpy(
+                        dtype=float, na_value=np.nan)
+                    if len(vals):
+                        acc = accs.get((skey, c))
+                        if acc is None:
+                            acc = QuantileSketch.empty(capacity * 4)
+                        accs[(skey, c)] = acc.merge(
+                            QuantileSketch.from_values(vals, capacity * 4))
+        keys = sorted(accs, key=lambda k: (k[0] or "", k[1]))
+        rows = {"slice": [], "column": [], "sketch": []}
+        for k in keys:
+            s = accs[k]
             s.capacity = capacity * 4  # final per-partition blob stays wide
-            rows["column"].append(c)
+            rows["slice"].append(k[0])
+            rows["column"].append(k[1])
             rows["sketch"].append(s.to_bytes())
         yield pd.DataFrame(rows)
 
-    part_rows = (df.select(*[F.col(c).cast("double").alias(c)
-                             for c in columns])
+    sel = [F.col(c).cast("double").alias(c) for c in columns]
+    if slice_col is not None:
+        sel = [F.col(slice_col).cast("string").alias("__slice")] + sel
+    part_rows = (df.select(*sel)
                  .mapInPandas(per_partition,
-                              schema="column string, sketch binary")
+                              schema="slice string, column string, "
+                                     "sketch binary")
                  .collect())
     out = {}
-    for c in columns:
-        blobs = [r["sketch"] for r in part_rows if r["column"] == c]
-        out[c] = merge_sketch_blobs(blobs, capacity).to_bytes()
+    keys = sorted({(r["slice"], r["column"]) for r in part_rows},
+                  key=lambda k: (k[0] or "", k[1]))
+    for k in keys:
+        blobs = [r["sketch"] for r in part_rows
+                 if (r["slice"], r["column"]) == k]
+        merged = merge_sketch_blobs(blobs, capacity).to_bytes()
+        out[k if slice_col is not None else k[1]] = merged
+    if slice_col is None:
+        for c in columns:
+            out.setdefault(
+                c, merge_sketch_blobs([], capacity).to_bytes())
     return out

@@ -419,3 +419,62 @@ def test_expr_cache_reuse_same_shape(spark, sf_dir):
     P.profile_table(df, "orders", run_date=datetime.date(2026, 2, 2)) \
         .collect()
     assert len(P._EXPR_CACHE) == 2 * n_entries
+
+
+def test_slice_col_single_pass_matches_filtered_slices(spark, sf_dir):
+    """slice_col grouping mode: ONE scan per aggregate job produces the
+    same per-slice profiles as N filter-rescans — the merged profile (the
+    never-rescan consumer) agrees field by field, including record_ct,
+    sketch-backed percentiles/top-k and the day sets."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.merge import merge_profiles
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rd = datetime.date(2026, 1, 1)
+    kw = dict(run_date=rd, keep_sketches=True, approx=True,
+              secondary=False, sketch_capacity=100_000)
+    sliced = profile_table(df.withColumn("sl", F.col("o_orderkey") % 3),
+                           "orders", slice_col="sl", **kw)
+    assert "sl" not in {r["column_name"] for r in sliced.collect()}
+    parts = None
+    for i in range(3):
+        p = profile_table(df.filter(F.col("o_orderkey") % 3 == i),
+                          "orders", **kw)
+        parts = p if parts is None else parts.unionByName(p)
+    a = {r["column_name"]: r.asDict()
+         for r in merge_profiles(sliced).collect()}
+    b = {r["column_name"]: r.asDict()
+         for r in merge_profiles(parts).collect()}
+    assert set(a) == set(b)
+    skip = {"quantile_sketch", "freq_sketch", "pattern_sketch",
+            "std_value_sketch", "distinct_hll", "day_set_json",
+            "stdpat_json"}
+    for c in a:
+        for k, av in a[c].items():
+            if k in skip:       # blob bytes may differ in layout,
+                continue        # their DERIVED metrics must not
+            bv = b[c][k]
+            if isinstance(av, float) and av is not None and bv is not None:
+                assert abs(av - bv) < 1e-9, (c, k, av, bv)
+            else:
+                assert av == bv, (c, k, av, bv)
+
+
+def test_slice_col_validation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.profiling.profiler import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .withColumn("sl", F.col("o_orderkey") % 2)
+    with pytest.raises(ValueError, match="sample"):
+        profile_table(df, "orders", slice_col="sl", sample=True,
+                      secondary=False)
+    with pytest.raises(ValueError, match="secondary"):
+        profile_table(df, "orders", slice_col="sl")
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_table(df, "orders", slice_col="ghost", secondary=False)
