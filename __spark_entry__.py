@@ -5481,26 +5481,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- r10 window, group A: NEW this round ---
-        "record_linkage_part": q_record_linkage_part,
-        "fs_em_part": q_fs_em_part,
-        "fs_em3_part": q_fs_em3_part,
-        "correlation_lineitem": q_correlation_lineitem,
+        # --- r11 window, group A: NEW this round (Correlated_Columns
+        # cascade seat, hash-oracled OPQ query path, 3-state FS-EM) ---
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "opq_query_embeddings": q_opq_query_embeddings,
-        "opq_topk_embeddings": q_opq_topk_embeddings,
-        # --- group B: queries whose code or oracle r10 touches
-        # (cache_model on the bigram/trigram seats, kmeans oracle
-        # rid-keying + wide-D dispatch, linkage module, and the Benford
-        # 33rd screening rule: profiler benford_counts metric ->
-        # screen/prevalence -> scorecards, merge element-wise counts,
-        # inference-oracle metric list) ---
-        "bigram_lm_documents": q_bigram_lm_documents,
-        "trigram_lm_documents": q_trigram_lm_documents,
-        "ngram_lm_documents": q_ngram_lm_documents,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "fuzzy_pairs_part": q_fuzzy_pairs_part,
-        "benford_orders": q_benford_orders,
+        "fs_em3_part": q_fs_em3_part,
+        # --- group B: seats whose code or oracle r11 touches: the
+        # linkage EM guards, screen_anomalies(tables=) + the 34th rule
+        # + ANOMALY_DIMENSIONS rows (screen/scorecard family), the
+        # profiler slice_col refactor (_build_column_rows + sketch
+        # holders touch every profile/merged seat), drilldown registry ---
+        "fs_em_part": q_fs_em_part,
+        "record_linkage_part": q_record_linkage_part,
+        "correlation_lineitem": q_correlation_lineitem,
         "anomaly_screen_orders": q_anomaly_screen_orders,
         "anomaly_screen_customer_orders": q_anomaly_screen,
         "incremental_screen_orders": q_incremental_screen_orders,
@@ -5515,8 +5508,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_customer_strings": q_profile_customer_strings,
         "profile_orders_dates": q_profile_orders_dates,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
-        # inference-chain consumers (oracle profile CTEs gained the
-        # benford_counts + min_value_over_0 metrics)
+        "drilldown_masked_customer": q_drilldown_masked_customer,
+        "combo_match_customer_orders": q_combo_match_customer_orders,
+        # --- group C: the r8-green block earmarked last round — the
+        # longest-unchecked seats (last driver hash row r8; pytest-
+        # oracle-pinned at HEAD every round since), plus combo_match
+        # (r9) with its execution-family companions ---
+        "verified_near_dups_documents": q_verified_near_dups_documents,
+        "hybrid_search_documents": q_hybrid_search_documents,
+        "bpe_merges_documents": q_bpe_merges_documents,
+        "cat_tests_lineitem": q_cat_tests_lineitem,
+        "cat_tests_extended": q_cat_tests_extended,
+        "cat_tests_remaining": q_cat_tests_remaining,
+        "aggregate_balance_orders": q_aggregate_balance_orders,
+        "aggregate_balance_pct_orders": q_aggregate_balance_pct,
+        "aggregate_balance_range_orders": q_aggregate_balance_range,
+        "aggregate_minimum_orders": q_aggregate_minimum,
+        "timeframe_combo_events": q_timeframe_combo_events,
+        "timeframe_gain_events": q_timeframe_combo_gain,
+        "gen_constant_history": q_gen_constant_history,
+        "drilldown_unique_orders": q_drilldown_unique_orders,
+        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
+        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
+        "drilldown_missing_days_events": q_drilldown_missing_days_events,
+        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
+        "ann_index_probe_embeddings": q_ann_index_probe,
+        "bm25_index_probe_documents": q_bm25_index_probe_documents,
+        "minhash_index_probe_documents": q_minhash_index_probe,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "asof_join_events": q_asof_join_events,
+        "asof_nearest_events": q_asof_nearest_events,
+        "mixture_plan_documents": q_mixture_plan_documents,
+        "mixture_tokens_documents": q_mixture_tokens_documents,
+        "top_freq_orders": q_top_freq_orders,
+        "top_patterns_part": q_top_patterns_part,
+        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
+        # every tail seat below carried a green driver hash row in r9 or
+        # r10 (see CORRECTNESS_r{09,10}.json); the r10-heavy head rotated
+        # out in favor of r11-touched code paths and the r8-green block.
+        # Next in line for r12: the r9-green block (ann_lsh/bm25/dedup/
+        # session families) whose last driver row will then be oldest.
+        "opq_topk_embeddings": q_opq_topk_embeddings,
+        "bigram_lm_documents": q_bigram_lm_documents,
+        "trigram_lm_documents": q_trigram_lm_documents,
+        "ngram_lm_documents": q_ngram_lm_documents,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "fuzzy_pairs_part": q_fuzzy_pairs_part,
+        "benford_orders": q_benford_orders,
         "functional_types_customer": q_functional_types_customer,
         "functional_types_orders": q_functional_types_orders,
         "generated_tests_lineitem": q_generated_tests,
@@ -5524,15 +5562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_prepass": q_validation_prepass,
         "score_category_fixture": q_score_category,
         "score_overall_history_fixture": q_score_overall_history,
-        # --- group C: the five r9 evictees, earmarked last round for
-        # this rotation (last driver row r5/r6) ---
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "unigram_logprob_documents": q_unigram_logprob_documents,
-        # --- group D: longest-unchecked seats (last driver hash row
-        # r5; pytest-oracle-pinned at HEAD every round since) ---
         "c4_clean_documents": q_c4_clean_documents,
         "sample_documents": q_sample_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
@@ -5542,22 +5576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis_documents": q_text_analysis_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
-        # --- group E: oldest r8 seats that fit the remaining seats ---
         "skew_hot_keys_lineitem": q_skew_hot_keys,
         "merge_defs_fixture": q_merge_defs_fixture,
         "schema_drift_log": q_schema_drift_log,
         "dupe_rows_part": q_dupe_rows_part,
-        "drilldown_masked_customer": q_drilldown_masked_customer,
-        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # every tail seat below carried a green driver hash row in r8 or
-        # r9 (see CORRECTNESS_r0{8,9}.json); the r9-heavy head rotated
-        # out in favor of r10-touched code paths and the oldest seats.
-        # The r8-green block (verified_near_dups .. drilldowns, cat/
-        # aggregate/timeframe families) is next in line for r11;
-        # cat_tests_lineitem (r8-green) yielded its seat to fs_em_part;
-        # gen_constant_history (r8-green) to correlation_lineitem.
-        "cat_tests_lineitem": q_cat_tests_lineitem,
-        "gen_constant_history": q_gen_constant_history,
         "lr_quality_documents": q_lr_quality_documents,
         "embedding_covariance_embeddings": q_embedding_covariance,
         "json_props_events": q_json_props_events,
@@ -5585,7 +5607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "corpus_report_documents": q_corpus_report_documents,
         "dup_substrings_documents": q_dup_substrings_documents,
-        "combo_match_customer_orders": q_combo_match_customer_orders,
         "contingency_rules_lineitem": q_contingency_rules_lineitem,
         "distribution_shift_events": q_distribution_shift_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -5594,32 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "freshness_threshold_events": q_freshness_threshold_events,
         "decontaminate_documents": q_decontaminate_documents,
-        "verified_near_dups_documents": q_verified_near_dups_documents,
-        "hybrid_search_documents": q_hybrid_search_documents,
-        "bpe_merges_documents": q_bpe_merges_documents,
-        "asof_join_events": q_asof_join_events,
-        "asof_nearest_events": q_asof_nearest_events,
-        "mixture_plan_documents": q_mixture_plan_documents,
-        "mixture_tokens_documents": q_mixture_tokens_documents,
-        "ann_index_probe_embeddings": q_ann_index_probe,
-        "bm25_index_probe_documents": q_bm25_index_probe_documents,
-        "minhash_index_probe_documents": q_minhash_index_probe,
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        "top_freq_orders": q_top_freq_orders,
-        "top_patterns_part": q_top_patterns_part,
-        "cat_tests_extended": q_cat_tests_extended,
-        "cat_tests_remaining": q_cat_tests_remaining,
-        "aggregate_balance_range_orders": q_aggregate_balance_range,
-        "aggregate_minimum_orders": q_aggregate_minimum,
-        "aggregate_balance_orders": q_aggregate_balance_orders,
-        "aggregate_balance_pct_orders": q_aggregate_balance_pct,
-        "timeframe_gain_events": q_timeframe_combo_gain,
-        "timeframe_combo_events": q_timeframe_combo_events,
-        "drilldown_aggregate_balance": q_drilldown_aggregate_balance,
-        "drilldown_missing_days_events": q_drilldown_missing_days_events,
-        "drilldown_unique_orders": q_drilldown_unique_orders,
-        "drilldown_min_val_lineitem": q_drilldown_min_val_lineitem,
-        "drilldown_outlier_lineitem": q_drilldown_outlier_lineitem,
+
     }
 
 

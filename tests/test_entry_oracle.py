@@ -40,23 +40,20 @@ def test_entry_smoke(spark):
 
 
 # Queries whose hard driver-correctness signal is the priority this round
-# (r10): the two new seats, everything the r10 code/oracle changes touch
-# (LM cache_model, kmeans oracle + wide-D, linkage, the Benford 33rd
-# screening rule through profiler -> screen -> scorecards -> merge ->
-# inference oracles), the five r9 evictees earmarked for re-seating
-# (last driver row r5/r6), the r5 block longest without a driver hash
-# row, and the oldest r8 seats that fit.
+# (r11): the three new seats (Correlated_Columns cascade, OPQ query path,
+# 3-state FS-EM), everything the r11 code/oracle changes touch (linkage EM
+# guards, screen_anomalies(tables=) + the 34th rule + dimension rows
+# through the scorecard family, the profiler slice_col refactor which
+# touches every profile/merged seat, the drilldown registry), and the
+# r8-green block earmarked by the r10 registry tail comment — the
+# longest-unchecked seats.
 _MUST_BE_IN_DRIVER_WINDOW = {
-    "record_linkage_part",
+    "correlation_screen_lineitem",
+    "opq_query_embeddings",
+    "fs_em3_part",
     "fs_em_part",
+    "record_linkage_part",
     "correlation_lineitem",
-    "opq_topk_embeddings",
-    "bigram_lm_documents",
-    "trigram_lm_documents",
-    "ngram_lm_documents",
-    "kmeans_embeddings",
-    "fuzzy_pairs_part",
-    "benford_orders",
     "anomaly_screen_orders",
     "anomaly_screen_customer_orders",
     "incremental_screen_orders",
@@ -71,38 +68,42 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "profile_customer_strings",
     "profile_orders_dates",
     "profile_sampled_lineitem",
-    "functional_types_customer",
-    "functional_types_orders",
-    "generated_tests_lineitem",
-    "generated_test_keys_lineitem",
-    "validation_prepass",
-    "score_category_fixture",
-    "score_overall_history_fixture",
-    "embedding_cosine_pairs",
-    "ann_topk_embeddings",
-    "ivf_topk_embeddings",
-    "pq_topk_embeddings",
-    "unigram_logprob_documents",
-    "c4_clean_documents",
-    "sample_documents",
-    "dsir_weights_documents",
-    "dedup_exact_documents",
-    "chunk_documents",
-    "gopher_quality_documents",
-    "text_analysis_documents",
-    "pii_scrub_documents",
-    "repetition_flags_documents",
-    "skew_hot_keys_lineitem",
-    "merge_defs_fixture",
-    "schema_drift_log",
-    "dupe_rows_part",
     "drilldown_masked_customer",
+    "combo_match_customer_orders",
+    "verified_near_dups_documents",
+    "hybrid_search_documents",
+    "bpe_merges_documents",
+    "cat_tests_lineitem",
+    "cat_tests_extended",
+    "cat_tests_remaining",
+    "aggregate_balance_orders",
+    "aggregate_balance_pct_orders",
+    "aggregate_balance_range_orders",
+    "aggregate_minimum_orders",
+    "timeframe_combo_events",
+    "timeframe_gain_events",
+    "gen_constant_history",
+    "drilldown_unique_orders",
+    "drilldown_min_val_lineitem",
+    "drilldown_outlier_lineitem",
+    "drilldown_missing_days_events",
+    "drilldown_aggregate_balance",
+    "ann_index_probe_embeddings",
+    "bm25_index_probe_documents",
+    "minhash_index_probe_documents",
+    "semantic_dedup_embeddings",
+    "asof_join_events",
+    "asof_nearest_events",
+    "mixture_plan_documents",
+    "mixture_tokens_documents",
+    "top_freq_orders",
+    "top_patterns_part",
 }
 
 
 def test_driver_window_rotation():
     """The grading driver oracle-checks only the first 50 queries() entries
-    (dict declaration order). Pin the r9 rotation: every query whose code
+    (dict declaration order). Pin the r11 rotation: every query whose code
     changed this round, plus the longest-unchecked seats, must sit inside
     the window — and the must-list itself must fit the 50 seats (the r7
     list held 51 names, which kept this test red for two rounds)."""
