@@ -1134,7 +1134,8 @@ def cmd_record_link_train(args) -> int:
         model = fs_em_train(df, fields=fields, id_col=args.id_col,
                             block_col=args.block_col or None,
                             block=args.block, prefix_len=args.prefix_len,
-                            n_iters=args.iters)
+                            n_iters=args.iters,
+                            missing_state=args.three_state)
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
@@ -2092,6 +2093,9 @@ def main(argv: list[str] | None = None) -> int:
                    default="last_token")
     p.add_argument("--prefix-len", type=int, default=3)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--three-state", action="store_true",
+                   help="Winkler 3-state patterns: missing fields are "
+                        "uninformative instead of scored as disagreement")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_record_link_train)
 

@@ -1041,6 +1041,19 @@ def test_record_link_train_cli(spark, tmp_path, capsys):
                  "/root/testdata/sf0.001/part.parquet",
                  "--id-col", "p_partkey", "--field", "p_name",
                  "--out", out]) == 2
+    # --three-state: Winkler ternary patterns train on the same data
+    # (no NULLs -> identical estimates to the 2-state run)
+    out3 = str(tmp_path / "fsmodel3")
+    rc = main(["record-link-train",
+               "--data", "/root/testdata/sf0.001/part.parquet",
+               "--id-col", "p_partkey",
+               "--field", "p_name:levenshtein:3",
+               "--field", "p_brand:exact",
+               "--out", out3, "--iters", "3", "--three-state"])
+    assert rc == 0
+    got3 = {r["field"]: r for r in spark.read.parquet(out3).collect()}
+    for f, r in got.items():
+        assert got3[f]["m"] == r["m"] and got3[f]["u"] == r["u"]
 
 
 def test_record_link_model_roundtrip_cli(spark, tmp_path):
