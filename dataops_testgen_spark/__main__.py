@@ -173,7 +173,7 @@ def cmd_run_profile(args) -> int:
 
         store = _store(spark, args)
         run_id = store.record_profile_run(
-            inferred, screen_anomalies(inferred),
+            inferred, screen_anomalies(inferred, tables=tables),
             table_group_id=args.table_group or "default",
             run_date=args.run_date)
         print(f"profile_run_id: {run_id}")
@@ -183,7 +183,7 @@ def cmd_run_profile(args) -> int:
             build_profiling_run_event)
 
         event = build_profiling_run_event(
-            screen_anomalies(inferred),
+            screen_anomalies(inferred, tables=tables),
             table_group=args.table_group or "default")
         with open(args.notify_out, "a") as fh:
             fh.write(json.dumps(event) + "\n")
@@ -200,7 +200,9 @@ def cmd_run_anomalies(args) -> int:
     tables = _load_tables(spark, args.data_dir)
     inferred = _profile_all(spark, tables, args.run_date,
                             approx=args.approx, sample=args.sample)
-    anomalies = screen_anomalies(inferred)
+    # tables= runs the Correlation class (Correlated_Columns, 34th rule)
+    # alongside the profile-driven classes — one fused agg per table
+    anomalies = screen_anomalies(inferred, tables=tables)
     if args.store:
         store = _store(spark, args)
         run_id = store.record_profile_run(
