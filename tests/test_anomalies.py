@@ -288,6 +288,34 @@ def test_correlation_wide_table_completes(spark):
     assert flagged == {("c000", "d000")}
 
 
+def test_correlation_screen_plan_shape(spark):
+    """Narrow path: ONE fused aggregate over one scan — no join, no
+    unioned re-scans, the explode rides the single agg row. Wide path:
+    no K-wide aggregate expression list reaches Catalyst (the co-moments
+    come from the Arrow kernel) and still no join."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(pd.DataFrame(
+        {f"c{i}": rng.normal(0, 1, 50) for i in range(6)}))
+    narrow = correlation_screen(df)
+    narrow.collect()
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan ExistingRDD") <= 1
+
+    wide = correlation_screen(df, max_fused_pairs=1)
+    wide.collect()
+    wplan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in wplan
+    # the per-pair moments arrive via mapInPandas, not agg expressions
+    assert "FlatMapGroupsInPandas" in wplan or "MapInPandas" in wplan
+
+
 def test_correlation_anomalies_cascade(spark):
     """correlation_anomalies qualifies columns from the inferred profile
     (IDs / periods / coded categories excluded even when perfectly
