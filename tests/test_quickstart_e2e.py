@@ -36,8 +36,11 @@ def test_quickstart_profile_shape(quickstart):
 
 
 def test_quickstart_hygiene_screen_finds_seeded_flaws(quickstart):
-    _tables, inferred = quickstart
-    anoms = screen_anomalies(inferred)
+    tables, inferred = quickstart
+    # tables= runs the Correlation class too; at quickstart size nothing
+    # clears the n>=500 evidence floor, so the pinned counts hold —
+    # which is itself the min_n contract (no flag without evidence)
+    anoms = screen_anomalies(inferred, tables=tables)
     by_type = {r["anomaly_type"]: r["count"] for r in
                anoms.groupBy("anomaly_type").count().collect()}
     # every seeded flaw class is caught (counts pinned — deterministic data)
