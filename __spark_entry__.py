@@ -1957,6 +1957,86 @@ def q_correlation_screen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round("dq_prevalence", 5) + F.lit(0.0)).alias("dq_prevalence"))
 
 
+# --------------------------------------------------------------------------
+# Q: spearman_lineitem — rank-correlation screen (correlation_screen
+# method='spearman'): catches MONOTONE-nonlinear derived columns the
+# Pearson screen misses. The fixture derives l_inv = 1/l_extendedprice —
+# IEEE division is correctly rounded so the column is bit-identical on
+# both engines; Spearman rho = exactly -1 (antitone), while Pearson sits
+# far below the 0.95 threshold. Ranks are exact average ranks from
+# distinct-value dictionaries (integer arithmetic -> engine-identical).
+# --------------------------------------------------------------------------
+
+_SPEARMAN_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_inv"]
+
+
+def _lineitem_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").filter("l_orderkey % 4 = 0")
+    return li.select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        (F.lit(1.0) / F.col("l_extendedprice")).alias("l_inv"))
+
+
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman variant of the correlation screen on the reciprocal-
+    derived lineitem view: (l_extendedprice, l_inv) flags at rho = -1;
+    the same pair under Pearson stays unflagged (unit-asserted in
+    tests/test_anomalies.py) — the monotone-nonlinear detection gap the
+    rank option exists to close."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    sp = _lineitem_sp(spark, sf_dir)
+    out = correlation_screen(sp, cols=_SPEARMAN_COLS, method="spearman")
+    return out.select("col_a", "col_b", "n",
+                      (F.round("corr", 5) + F.lit(0.0)).alias("corr"),
+                      "flagged")
+
+
+def _sql_spearman_lineitem() -> str:
+    cols = _SPEARMAN_COLS
+    ctes = ["""base AS (
+  SELECT l_quantity, l_extendedprice, l_discount, l_tax,
+         1.0::DOUBLE / l_extendedprice AS l_inv
+  FROM lineitem WHERE l_orderkey % 4 = 0)"""]
+    joins = []
+    for c in cols:
+        # exact average rank: #smaller + (ties+1)/2, all from integer
+        # counts over the distinct-value dictionary
+        ctes.append(f"""d_{c} AS (
+  SELECT {c} AS v, COUNT(*)::BIGINT AS n FROM base
+  WHERE {c} IS NOT NULL GROUP BY 1),
+r_{c} AS (
+  SELECT v, COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+           PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+         + (n::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE AS r
+  FROM d_{c})""")
+        joins.append(f"LEFT JOIN r_{c} ON base.{c} = r_{c}.v")
+    ranked = ("ranked AS (\n  SELECT "
+              + ", ".join(f"r_{c}.r AS {c}" for c in cols)
+              + "\n  FROM base\n  " + "\n  ".join(joins) + ")")
+    ctes.append(ranked)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(f"CORR({a}, {b}) AS c{i}")
+        aggs.append(f"COUNT(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL"
+                    f" THEN 1 END)::BIGINT AS n{i}")
+    ctes.append("agg AS (SELECT " + ", ".join(aggs) + " FROM ranked)")
+    finals = []
+    for i, (a, b) in enumerate(pairs):
+        finals.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n{i} AS n,"
+            f" ROUND(c{i}, 5) + 0.0::DOUBLE AS corr,"
+            f" COALESCE(ABS(c{i}) >= 0.95 AND n{i} >= 500, FALSE)"
+            f" AS flagged FROM agg")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+_SQL_SPEARMAN_LINEITEM = _sql_spearman_lineitem()
+
+
 _FS_EM_ITERS = 4
 _FS_EM_INIT = (0.1, 0.9, 0.1)          # (p, m, u)
 
@@ -5502,6 +5582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 window, group A: NEW this round (Correlated_Columns
         # cascade seat, hash-oracled OPQ query path, 3-state FS-EM) ---
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
+        "spearman_lineitem": q_spearman_lineitem,
         "opq_query_embeddings": q_opq_query_embeddings,
         "fs_em3_part": q_fs_em3_part,
         # --- group B: seats whose code or oracle r11 touches: the
@@ -5526,7 +5607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_customer_strings": q_profile_customer_strings,
         "profile_orders_dates": q_profile_orders_dates,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
-        "drilldown_masked_customer": q_drilldown_masked_customer,
         "combo_match_customer_orders": q_combo_match_customer_orders,
         # --- group C: the r8-green block earmarked last round — the
         # longest-unchecked seats (last driver hash row r8; pytest-
@@ -5567,6 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Next in line for r12: the r9-green block (ann_lsh/bm25/dedup/
         # session families) whose last driver row will then be oldest.
         "opq_topk_embeddings": q_opq_topk_embeddings,
+        "drilldown_masked_customer": q_drilldown_masked_customer,
         "bigram_lm_documents": q_bigram_lm_documents,
         "trigram_lm_documents": q_trigram_lm_documents,
         "ngram_lm_documents": q_ngram_lm_documents,
@@ -5649,6 +5730,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_part": _SQL_FS_EM_PART,
         "fs_em3_part": _SQL_FS_EM3_PART,
         "correlation_lineitem": _SQL_CORRELATION_LINEITEM,
+        "spearman_lineitem": _SQL_SPEARMAN_LINEITEM,
         "correlation_screen_lineitem": ORC.anomaly_screen_multi_sql(
             [("lineitem_m", _LINEITEM_M_COLS)], RUN_DATE,
             corr_tables=[("lineitem_m", _LINEITEM_M_COLS)],

@@ -1013,7 +1013,7 @@ def cmd_table_correlation(args) -> int:
     try:
         scr = correlation_screen(df, cols=cols,
                                  min_abs_corr=args.min_abs_corr,
-                                 min_n=args.min_n)
+                                 min_n=args.min_n, method=args.method)
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
@@ -2040,6 +2040,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma list (default: all numeric columns)")
     p.add_argument("--min-abs-corr", type=float, default=0.95)
     p.add_argument("--min-n", type=int, default=500)
+    p.add_argument("--method", choices=["pearson", "spearman"],
+                   default="pearson",
+                   help="spearman (rank) also catches monotone-nonlinear "
+                        "derivations: reciprocals, logs, rate curves")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_table_correlation)
 

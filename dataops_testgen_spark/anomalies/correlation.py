@@ -73,21 +73,62 @@ def correlation_eligible() -> Column:
             & ~fdt.isin("Sequence", "Category", "Code"))
 
 
+def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Replace each column by its average (fractional) rank over that
+    column's non-null values — the Spearman preprocessing step. Per
+    column: ONE groupBy to the distinct-value dictionary, a cumulative
+    count over THAT dictionary (rank(v) = #smaller + (ties+1)/2 — exact,
+    integer arithmetic, engine-identical), and one dictionary join back.
+    NULLs stay NULL (pairwise deletion happens downstream).
+
+    Scale shape: the dictionaries are DISTINCT-bounded, not row-bounded,
+    and the joins broadcast when small; the cumulative sum runs
+    single-partition over each dictionary, which is the documented limit
+    — a continuous column with ~10^9 distinct values should be
+    quantile-bucketed before rank-screening."""
+    out = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    from pyspark.sql import Window
+
+    for c in cols:
+        vals = (out.filter(F.col(c).isNotNull())
+                .groupBy(c).agg(F.count(F.lit(1)).alias("__n")))
+        w = (Window.orderBy(F.col(c))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        ranks = vals.select(
+            F.col(c),
+            (F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("double")
+             + (F.col("__n") + F.lit(1.0)) / 2.0).alias(f"__rk_{c}"))
+        out = out.join(ranks, c, "left")
+    return out.select(*[F.col(f"__rk_{c}").alias(c) for c in cols])
+
+
 def correlation_screen(df: DataFrame, cols: list[str] | None = None,
                        min_abs_corr: float = CORRELATION_MIN_ABS,
                        min_n: int = CORRELATION_MIN_N,
-                       max_fused_pairs: int = MAX_FUSED_PAIRS) -> DataFrame:
+                       max_fused_pairs: int = MAX_FUSED_PAIRS,
+                       method: str = "pearson") -> DataFrame:
     """(col_a, col_b, n, corr, flagged) for every unordered pair of
     ``cols`` (default: all numeric columns, schema order): sample
-    Pearson correlation over both-non-null rows, with ``flagged`` =
+    correlation over both-non-null rows, with ``flagged`` =
     |corr| >= min_abs_corr and n >= min_n — the derived/duplicate-column
     signal. Constant columns yield NULL corr (undefined), never a flag.
+
+    ``method``: 'pearson' (linear derivations — copies, unit
+    conversions, tax multipliers) or 'spearman' (Pearson over average
+    ranks — additionally catches MONOTONE-nonlinear derivations:
+    reciprocals, logs, rate curves — that depress a Pearson r well below
+    the threshold). Spearman ranks each column once over its non-null
+    values (listwise per column — exact Spearman rho when nothing is
+    missing; under missing data the pairwise-deletion corr over global
+    ranks is the standard large-sample approximation).
 
     Pair lists larger than ``max_fused_pairs`` route to the Arrow
     matmul kernel (one scan, K² model-sized partials) instead of the
     fused agg, so a 100+-numeric-column warehouse table cannot blow
     whole-stage codegen.
     """
+    if method not in ("pearson", "spearman"):
+        raise ValueError(f"unknown method {method!r}")
     cols = cols if cols is not None else _numeric_cols(df)
     if len(cols) < 2:
         raise ValueError("need at least two numeric columns")
@@ -96,6 +137,8 @@ def correlation_screen(df: DataFrame, cols: list[str] | None = None,
         if c in seen:
             raise ValueError(f"duplicate column {c!r}")
         seen.add(c)
+    if method == "spearman":
+        df = _rank_transform(df, cols)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     if len(pairs) > max_fused_pairs:
         return _correlation_screen_wide(df, cols, min_abs_corr, min_n)

@@ -288,6 +288,46 @@ def test_correlation_wide_table_completes(spark):
     assert flagged == {("c000", "d000")}
 
 
+def test_correlation_screen_spearman(spark):
+    """Rank method: agrees with pandas' Spearman on NULL-free data
+    (average ranks, ties included), flags a monotone-nonlinear derived
+    column (reciprocal: rho = -1) that Pearson leaves unflagged, and
+    rejects unknown methods."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    rng = np.random.default_rng(13)
+    n = 700
+    base = rng.uniform(10, 1000, n)
+    base[5] = base[6] = base[7]                   # seeded ties
+    pdf = pd.DataFrame({
+        "amount": base,
+        "inv": 1.0 / base,                        # antitone derivation
+        "tiers": np.round(base / 100.0),          # heavy ties, monotone-ish
+        "noise": rng.normal(0, 1, n),
+    })
+    df = spark.createDataFrame(pdf)
+    sp = {(r["col_a"], r["col_b"]): r for r in
+          correlation_screen(df, method="spearman", min_n=500).collect()}
+    pe = {(r["col_a"], r["col_b"]): r for r in
+          correlation_screen(df, method="pearson", min_n=500).collect()}
+    want = pdf.corr(method="spearman")
+    for (a, b), r in sp.items():
+        assert abs(r["corr"] - float(want.loc[a, b])) < 1e-9, (a, b)
+    assert sp[("amount", "inv")]["flagged"]
+    assert abs(sp[("amount", "inv")]["corr"] + 1.0) < 1e-12
+    assert not pe[("amount", "inv")]["flagged"]   # Pearson misses it
+    assert abs(pe[("amount", "inv")]["corr"]) < 0.9
+    assert not sp[("amount", "noise")]["flagged"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown method"):
+        correlation_screen(df, method="kendall")
+
+
 def test_correlation_screen_plan_shape(spark):
     """Narrow path: ONE fused aggregate over one scan — no join, no
     unioned re-scans, the explode rides the single agg row. Wide path:

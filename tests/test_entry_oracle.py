@@ -49,6 +49,7 @@ def test_entry_smoke(spark):
 # longest-unchecked seats.
 _MUST_BE_IN_DRIVER_WINDOW = {
     "correlation_screen_lineitem",
+    "spearman_lineitem",
     "opq_query_embeddings",
     "fs_em3_part",
     "fs_em_part",
@@ -68,7 +69,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "profile_customer_strings",
     "profile_orders_dates",
     "profile_sampled_lineitem",
-    "drilldown_masked_customer",
     "combo_match_customer_orders",
     "verified_near_dups_documents",
     "hybrid_search_documents",
