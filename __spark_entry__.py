@@ -1908,24 +1908,41 @@ _LINEITEM_M_COLS = [
     ("l_extendedprice", "N", "double", True),
     ("l_discount", "N", "double", True),
     ("l_tax", "N", "double", True),
+    ("l_returnflag", "A", "string", False),
     ("l_gross", "N", "double", True),
+    ("l_fee", "N", "double", True),
 ]
 # deterministic quarter (the fs_em_part trick): the seat proves the
-# CASCADE — eligibility, pair screen, prevalence — not profiler
+# CASCADE — eligibility, pair screens, prevalence — not profiler
 # throughput (the profile_* seats own that), and the exact-profile
-# oracle mirror makes full-lineitem 4x the cost for zero extra signal
+# oracle mirror makes full-lineitem 4x the cost for zero extra signal.
+# Two seeded redundancies: l_gross (LINEAR derivation -> Correlated_
+# Columns) and l_fee = rate(l_returnflag) + l_tax (a rate-table join
+# with residual variation: many distinct values, so it profiles as a
+# measure, yet eta2 ~ 1 -> Dependent_Column; an EXACTLY determined
+# numeric would collapse to <=3 distinct values and profile as a
+# Category — approximate determination is the rule's real quarry)
+_LINEITEM_M_FEE_SQL = ("CASE l_returnflag WHEN 'A' THEN 200.0::DOUBLE"
+                       " WHEN 'N' THEN 450.0::DOUBLE"
+                       " ELSE 700.0::DOUBLE END + l_tax")
 _LINEITEM_M_SQL = (
-    "SELECT l_quantity, l_extendedprice, l_discount, l_tax,"
-    " l_extendedprice * (1.0::DOUBLE + l_tax) AS l_gross"
+    "SELECT l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,"
+    " l_extendedprice * (1.0::DOUBLE + l_tax) AS l_gross,"
+    f" {_LINEITEM_M_FEE_SQL} AS l_fee"
     " FROM lineitem WHERE l_orderkey % 4 = 0")
 
 
 def _lineitem_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem").filter("l_orderkey % 4 = 0")
+    fee = (F.when(F.col("l_returnflag") == "A", 200.0)
+           .when(F.col("l_returnflag") == "N", 450.0)
+           .otherwise(700.0) + F.col("l_tax"))
     return li.select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag",
         (F.col("l_extendedprice")
-         * (F.lit(1.0) + F.col("l_tax"))).alias("l_gross"))
+         * (F.lit(1.0) + F.col("l_tax"))).alias("l_gross"),
+        fee.alias("l_fee"))
 
 
 def q_correlation_screen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,6 +2052,62 @@ r_{c} AS (
 
 
 _SQL_SPEARMAN_LINEITEM = _sql_spearman_lineitem()
+
+
+# --------------------------------------------------------------------------
+# Q: group_dependence_lineitem — the eta² screen's value-level oracle seat
+# (the cascade seat correlation_screen_lineitem proves only the FLAGGED
+# row; this pins every pair's eta², flagged or not, against DuckDB).
+# --------------------------------------------------------------------------
+
+_DEPENDENCE_NUMS = ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax", "l_gross", "l_fee"]
+
+
+def q_group_dependence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-dependence (correlation ratio eta², ANOVA R²) of every
+    lineitem_m measure against l_returnflag: the seeded rate-table
+    column l_fee scores eta² = 1 to 5dp (flagged), the genuine measures
+    score ~0 — the numeric-determined-by-categorical redundancy detector
+    completing the contingency/correlation dependence triad."""
+    from dataops_testgen_spark.anomalies.dependence import (
+        group_dependence_screen)
+
+    sp = _lineitem_m(spark, sf_dir)
+    out = group_dependence_screen(sp, ["l_returnflag"], _DEPENDENCE_NUMS)
+    return out.select("cat_col", "num_col", "n", "n_groups",
+                      (F.round("eta2", 5) + F.lit(0.0)).alias("eta2"),
+                      "flagged")
+
+
+def _sql_group_dependence_lineitem() -> str:
+    finals = []
+    for num in _DEPENDENCE_NUMS:
+        finals.append(f"""
+SELECT 'l_returnflag' AS cat_col, '{num}' AS num_col,
+       tn AS n, g_ct AS n_groups,
+       ROUND(SUM(nd * (m - mm) * (m - mm))
+             / NULLIF(SUM(nd * (m - mm) * (m - mm)) + MAX(ssw), 0), 5)
+         + 0.0::DOUBLE AS eta2,
+       COALESCE(SUM(nd * (m - mm) * (m - mm))
+                / NULLIF(SUM(nd * (m - mm) * (m - mm)) + MAX(ssw), 0)
+                >= 0.95::DOUBLE AND tn >= 500 AND g_ct >= 2, FALSE)
+         AS flagged
+FROM (
+  SELECT n::DOUBLE AS nd, m, SUM(n) OVER () AS tn,
+         COUNT(CASE WHEN n > 0 THEN 1 END) OVER () AS g_ct,
+         SUM(vp * n::DOUBLE) OVER () AS ssw,
+         SUM(m * n::DOUBLE) OVER ()
+           / NULLIF(SUM(n::DOUBLE) OVER (), 0) AS mm
+  FROM (SELECT COUNT({num}) AS n, AVG({num}::DOUBLE) AS m,
+               VAR_POP({num}::DOUBLE) AS vp
+        FROM base WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag))
+GROUP BY tn, g_ct""")
+    return (f"WITH base AS ({_LINEITEM_M_SQL})"
+            + "\nUNION ALL\n".join(finals))
+
+
+_SQL_GROUP_DEPENDENCE = _sql_group_dependence_lineitem()
 
 
 _FS_EM_ITERS = 4
@@ -5583,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cascade seat, hash-oracled OPQ query path, 3-state FS-EM) ---
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
+        "group_dependence_lineitem": q_group_dependence_lineitem,
         "opq_query_embeddings": q_opq_query_embeddings,
         "fs_em3_part": q_fs_em3_part,
         # --- group B: seats whose code or oracle r11 touches: the
@@ -5605,7 +5679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_topfreq_orders": q_merged_topfreq_orders,
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
         "profile_customer_strings": q_profile_customer_strings,
-        "profile_orders_dates": q_profile_orders_dates,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "combo_match_customer_orders": q_combo_match_customer_orders,
         # --- group C: the r8-green block earmarked last round — the
@@ -5648,6 +5721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session families) whose last driver row will then be oldest.
         "opq_topk_embeddings": q_opq_topk_embeddings,
         "drilldown_masked_customer": q_drilldown_masked_customer,
+        "profile_orders_dates": q_profile_orders_dates,
         "bigram_lm_documents": q_bigram_lm_documents,
         "trigram_lm_documents": q_trigram_lm_documents,
         "ngram_lm_documents": q_ngram_lm_documents,
@@ -5731,6 +5805,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em3_part": _SQL_FS_EM3_PART,
         "correlation_lineitem": _SQL_CORRELATION_LINEITEM,
         "spearman_lineitem": _SQL_SPEARMAN_LINEITEM,
+        "group_dependence_lineitem": _SQL_GROUP_DEPENDENCE,
         "correlation_screen_lineitem": ORC.anomaly_screen_multi_sql(
             [("lineitem_m", _LINEITEM_M_COLS)], RUN_DATE,
             corr_tables=[("lineitem_m", _LINEITEM_M_COLS)],

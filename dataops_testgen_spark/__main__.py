@@ -1027,6 +1027,36 @@ def cmd_table_correlation(args) -> int:
     return 1 if n_flagged else 0
 
 
+def cmd_table_dependence(args) -> int:
+    """Group-dependence screen over a parquet table
+    (anomalies/dependence.py): eta² of each numeric column against each
+    categorical; exit 1 when any pair flags (numeric determined by a
+    category — a materialized lookup/rate table), 0 otherwise."""
+    from dataops_testgen_spark.anomalies.dependence import (
+        group_dependence_screen)
+
+    spark = _spark()
+    df = spark.read.parquet(args.data)
+    if args.condition:
+        df = df.filter(args.condition)
+    try:
+        scr = group_dependence_screen(
+            df, args.cat_columns.split(","), args.num_columns.split(","),
+            min_eta2=args.min_eta2, min_n=args.min_n)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    rows = sorted(scr.collect(), key=lambda r: (r["cat_col"], r["num_col"]))
+    print("cat_col num_col n n_groups eta2 flagged")
+    for r in rows:
+        e = "NULL" if r["eta2"] is None else f"{r['eta2']:.5f}"
+        print(f"{r['cat_col']} {r['num_col']} {r['n']} {r['n_groups']} "
+              f"{e} {r['flagged']}")
+    n_flagged = sum(1 for r in rows if r["flagged"])
+    print(f"flagged pairs: {n_flagged}")
+    return 1 if n_flagged else 0
+
+
 def cmd_fuzzy_match(args) -> int:
     """Blocked fuzzy record linkage (pipeline/linkage.py): near-duplicate
     name pairs within --max-dist Levenshtein edits, candidates restricted
@@ -2046,6 +2076,17 @@ def main(argv: list[str] | None = None) -> int:
                         "derivations: reciprocals, logs, rate curves")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_table_correlation)
+
+    p = sub.add_parser("table-dependence")
+    p.add_argument("--data", required=True, help="parquet dir/file")
+    p.add_argument("--cat-columns", required=True,
+                   help="comma list of categorical columns")
+    p.add_argument("--num-columns", required=True,
+                   help="comma list of numeric measure columns")
+    p.add_argument("--min-eta2", type=float, default=0.95)
+    p.add_argument("--min-n", type=int, default=500)
+    p.add_argument("--condition", default="")
+    p.set_defaults(fn=cmd_table_dependence)
 
     p = sub.add_parser("fuzzy-match")
     p.add_argument("--data", required=True, help="parquet with id + name")

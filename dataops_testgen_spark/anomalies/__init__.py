@@ -19,7 +19,10 @@ as the screen's Correlation class via
 from dataops_testgen_spark.anomalies.benford import benford_screen
 from dataops_testgen_spark.anomalies.correlation import (
     correlation_anomalies, correlation_screen)
+from dataops_testgen_spark.anomalies.dependence import (
+    dependence_anomalies, group_dependence_screen)
 from dataops_testgen_spark.anomalies.screen import screen_anomalies
 
 __all__ = ["benford_screen", "correlation_anomalies",
-           "correlation_screen", "screen_anomalies"]
+           "correlation_screen", "dependence_anomalies",
+           "group_dependence_screen", "screen_anomalies"]

@@ -197,9 +197,10 @@ def screen_anomalies(inferred_profile: DataFrame,
     """Inferred profile DF (apply_inference output) → anomaly results DF.
 
     Pass ``tables`` ({table_name: raw DataFrame}) to also run the
-    Correlation class (anomalies/correlation.py): the Column/Multi-Col/
-    Dates/Variant classes read only the profile, but pairwise correlation
-    needs one fused-agg pass over each table's raw rows — the same
+    Correlation and Dependence classes (anomalies/correlation.py,
+    anomalies/dependence.py): the Column/Multi-Col/Dates/Variant classes
+    read only the profile, but pairwise correlation and group-dependence
+    need fused-agg passes over each table's raw rows — the same
     profile-qualified raw-data shape as the contingency rules."""
     out = _column_screen(inferred_profile)
     out = out.unionByName(_multi_column_screen(inferred_profile))
@@ -208,8 +209,11 @@ def screen_anomalies(inferred_profile: DataFrame,
     if tables:
         from dataops_testgen_spark.anomalies.correlation import (
             correlation_anomalies)
+        from dataops_testgen_spark.anomalies.dependence import (
+            dependence_anomalies)
 
-        corr = correlation_anomalies(tables, inferred_profile)
-        if corr is not None:
-            out = out.unionByName(corr)
+        for extra in (correlation_anomalies(tables, inferred_profile),
+                      dependence_anomalies(tables, inferred_profile)):
+            if extra is not None:
+                out = out.unionByName(extra)
     return out.select(*_OUT_COLS)

@@ -659,6 +659,24 @@ def _lk_correlated(df, column, params, limit, run_date):
             .limit(limit))
 
 
+def _lk_dependent(df, column, params, limit, run_date):
+    """Dependent_Column drill-down (42nd lookup type): the rows whose
+    ``column`` value deviates most from its group's mean under the
+    determining category (params["cat_col"]) — for a rate-table-encoded
+    measure those are the overrides/misjoins worth eyeballing. One
+    groupBy to the (distinct-bounded) group means, one broadcast join
+    back, ranking bounded by ``limit`` with a deterministic tie-break."""
+    cat = params["cat_col"]
+    x = F.col(column).cast("double")
+    both = df.filter(F.col(cat).isNotNull() & F.col(column).isNotNull())
+    means = both.groupBy(cat).agg(F.avg(x).alias("__grp_mean"))
+    resid = x - F.col("__grp_mean")
+    return (both.join(F.broadcast(means), cat)
+            .select(F.col(cat), F.col(column), resid.alias("residual"))
+            .orderBy(F.abs("residual").desc(), F.col(cat), F.col(column))
+            .limit(limit))
+
+
 TEST_LOOKUPS = {
     "Unique": _lk_unique,
     "Dupe_Rows": _lk_dupe_rows,
@@ -720,6 +738,7 @@ TEST_LOOKUPS = {
     "Quoted_Values": _lk_quoted_values,
     "Benford_Nonconformity": _lk_benford,
     "Correlated_Columns": _lk_correlated,
+    "Dependent_Column": _lk_dependent,
 }
 
 

@@ -1236,11 +1236,71 @@ WHERE COALESCE(ABS(c) >= {CORRELATION_MIN_ABS!r}::DOUBLE
     return selects
 
 
+def _dependence_union_sql(
+    corr_tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
+) -> list[str]:
+    """Dependence-class union selects (one per (column, numeric) pair per
+    table) — the SQL mirror of anomalies/dependence.py:
+    dependence_anomalies. Candidate categoricals are generated statically
+    over ALL columns (runtime eligibility — functional type Code/Category
+    with 2..20 distinct values — is the EXISTS probe into ``pii``, so
+    both engines qualify identical pairs); numerics over the ordinal
+    numeric columns with the correlation eligibility + non-constant
+    probe. eta² mirrors the central-moment two-level fold: per-group
+    VAR_POP/AVG, SSW = Σ n·vp, SSB = Σ n·(m − mm)²."""
+    from dataops_testgen_spark.anomalies.dependence import (
+        DEPENDENCE_LIKELIHOOD, DEPENDENCE_MAX_GROUPS, DEPENDENCE_MIN_ETA2,
+        DEPENDENCE_MIN_N, DEPENDENCE_RISK, DEPENDENT_COLUMN_TYPE)
+
+    cat_elig = (f"fdt IN ('Code','Category') AND distinct_value_ct"
+                f" BETWEEN 2 AND {DEPENDENCE_MAX_GROUPS}")
+    num_elig = f"{_CORR_ELIGIBLE_SQL} AND distinct_value_ct > 1"
+    selects = []
+    for table, columns in corr_tables:
+        ncols = [name for name, gt, _ct, _d in columns if gt == "N"]
+        for cat, _gt, _ct2, _d2 in columns:
+            for num in ncols:
+                if num == cat:
+                    continue
+                exists_cat = (f"EXISTS (SELECT 1 FROM pii WHERE table_name"
+                              f" = '{table}' AND column_name = '{cat}'"
+                              f" AND {cat_elig})")
+                exists_num = (f"EXISTS (SELECT 1 FROM pii WHERE table_name"
+                              f" = '{table}' AND column_name = '{num}'"
+                              f" AND {num_elig})")
+                selects.append(f"""
+SELECT '{table}' AS table_name, '{num}' AS column_name,
+       '{DEPENDENT_COLUMN_TYPE}' AS anomaly_type,
+       'Dependence' AS data_object,
+       '{DEPENDENCE_LIKELIHOOD}' AS likelihood,
+       ROUND(eta2 * {DEPENDENCE_RISK!r}::DOUBLE, 5) AS dq_prevalence
+FROM (
+  SELECT MAX(tn) AS tn, MAX(g_ct) AS g_ct,
+         SUM(nd * (m - mm) * (m - mm))
+           / NULLIF(SUM(nd * (m - mm) * (m - mm)) + MAX(ssw), 0) AS eta2
+  FROM (
+    SELECT n::DOUBLE AS nd, m,
+           SUM(n) OVER () AS tn,
+           COUNT(CASE WHEN n > 0 THEN 1 END) OVER () AS g_ct,
+           SUM(vp * n::DOUBLE) OVER () AS ssw,
+           SUM(m * n::DOUBLE) OVER ()
+             / NULLIF(SUM(n::DOUBLE) OVER (), 0) AS mm
+    FROM (SELECT COUNT({num}) AS n, AVG({num}::DOUBLE) AS m,
+                 VAR_POP({num}::DOUBLE) AS vp
+          FROM {table} WHERE {cat} IS NOT NULL GROUP BY {cat})))
+WHERE COALESCE(eta2 >= {DEPENDENCE_MIN_ETA2!r}::DOUBLE
+               AND tn >= {DEPENDENCE_MIN_N} AND g_ct >= 2, FALSE)
+  AND {exists_cat}
+  AND {exists_num}""")
+    return selects
+
+
 def _screen_union_sql(run_date: str, corr_tables=None) -> str:
     """The multi-table screen body (Column + Multi-Col + Dates + Variant
-    unions, plus the Correlation class when ``corr_tables`` carries the
-    [(table, columns)] metadata) over the ``pii`` + ``mults`` CTEs —
-    shared by the anomaly-screen and score-card oracles."""
+    unions, plus the Correlation + Dependence classes when
+    ``corr_tables`` carries the [(table, columns)] metadata) over the
+    ``pii`` + ``mults`` CTEs — shared by the anomaly-screen and
+    score-card oracles."""
     prevalence = _anomaly_prevalence()
     col_selects = "\nUNION ALL\n".join(
         "SELECT table_name, column_name,"
@@ -1298,7 +1358,8 @@ WHERE distinct_value_ct <= 20 AND top_freq_values > ''
   AND len(list_intersect({_FREQ_VALS}, str_split(v.check_values, '|'))) > 1
 GROUP BY 1, 2"""
     corr = ("".join("\nUNION ALL" + s
-                    for s in _correlation_union_sql(corr_tables))
+                    for s in _correlation_union_sql(corr_tables)
+                    + _dependence_union_sql(corr_tables))
             if corr_tables else "")
     return (f"{col_selects}\nUNION ALL{multi_col}"
             f"\nUNION ALL{dates_recency}\nUNION ALL{variants}{corr}")

@@ -41,6 +41,7 @@ ANOMALY_DIMENSIONS: dict[str, tuple[str | None, str]] = {
     # consistency one (derived/duplicated data)
     "Benford_Nonconformity": ("Accuracy", "Regularity"),
     "Correlated_Columns": ("Consistency", "Usability"),
+    "Dependent_Column": ("Consistency", "Usability"),
     "Boolean_Value_Mismatch": ("Validity", "Usability"),
     "Char_Column_Date_Values": ("Validity", "Usability"),
     "Char_Column_Number_Units": ("Consistency", "Usability"),

@@ -399,6 +399,121 @@ def test_correlation_anomalies_cascade(spark):
     assert correlation_anomalies({"t": df}, prof2) is None
 
 
+def test_group_dependence_screen(spark):
+    """eta² matches the numpy ANOVA reference (pairwise non-null scope),
+    a rate-table-encoded measure flags, independent measures don't, and
+    validation rejects overlapping/empty column lists."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.dependence import (
+        group_dependence_screen)
+
+    rng = np.random.default_rng(29)
+    n = 900
+    cat = rng.choice(["a", "b", "c"], n)
+    rates = {"a": 10.0, "b": 55.0, "c": 200.0}
+    fee = np.array([rates[c] for c in cat]) + rng.normal(0, 0.5, n)
+    noise = rng.normal(0, 1, n)
+    pdf = pd.DataFrame({"cat": cat, "fee": fee, "noise": noise})
+    pdf.loc[::7, "fee"] = np.nan                  # pairwise deletion
+    df = spark.createDataFrame(pdf)
+    out = {(r["cat_col"], r["num_col"]): r for r in
+           group_dependence_screen(df, ["cat"], ["fee", "noise"]).collect()}
+
+    def eta2_ref(x, g):
+        keep = ~np.isnan(x)
+        x, g = x[keep], g[keep]
+        ssw = sum(((x[g == v] - x[g == v].mean()) ** 2).sum()
+                  for v in set(g))
+        sst = ((x - x.mean()) ** 2).sum()
+        return 1.0 - ssw / sst
+
+    r = out[("cat", "fee")]
+    assert r["flagged"] and r["n"] == int((~pdf.fee.isna()).sum())
+    assert r["n_groups"] == 3
+    assert abs(r["eta2"] - eta2_ref(pdf.fee.to_numpy(), cat)) < 1e-9
+    rn = out[("cat", "noise")]
+    assert not rn["flagged"] and rn["eta2"] < 0.1
+    assert abs(rn["eta2"] - eta2_ref(noise, cat)) < 1e-9
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        group_dependence_screen(df, [], ["fee"])
+    with _pt.raises(ValueError, match="both categorical and numeric"):
+        group_dependence_screen(df, ["fee"], ["fee"])
+
+
+def test_dependence_anomalies_cascade(spark):
+    """dependence_anomalies qualifies categoricals by the contingency
+    rule and numerics by correlation eligibility + non-constant, anchors
+    the anomaly on the numeric column, and scores eta² x 0.33."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.dependence import (
+        dependence_anomalies)
+
+    rng = np.random.default_rng(31)
+    n = 700
+    cat = rng.choice(["x", "y"], n)
+    fee = np.where(cat == "x", 5.0, 80.0) + rng.normal(0, 0.1, n)
+    df = spark.createDataFrame(pd.DataFrame({
+        "code": cat, "fee": fee, "konst": np.full(n, 3.0),
+        "wide_cat": rng.integers(0, 1000, n).astype(str)}))
+    prof = spark.createDataFrame(
+        [("t", "code", "A", "Code", 2),
+         ("t", "fee", "N", "Measurement", 650),
+         ("t", "konst", "N", "Constant", 1),          # constant: excluded
+         ("t", "wide_cat", "A", "Category", 1000)],   # >20 groups: excluded
+        "table_name string, column_name string, general_type string,"
+        " functional_data_type string, distinct_value_ct long")
+    rows = dependence_anomalies({"t": df}, prof).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["table_name"], r["column_name"]) == ("t", "fee")
+    assert r["anomaly_type"] == "Dependent_Column"
+    assert r["data_object"] == "Dependence"
+    assert "code" in r["detail"]
+    assert abs(r["dq_prevalence"] - 0.33) < 1e-3    # eta2 ~ 1
+    # no qualifying categorical -> None
+    assert dependence_anomalies(
+        {"t": df}, prof.filter("column_name <> 'code'")) is None
+
+
+def test_dependence_cli_and_drilldown(spark, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.execution.drilldown import source_data_lookup
+
+    rng = np.random.default_rng(37)
+    n = 600
+    cat = rng.choice(["a", "b"], n)
+    fee = np.where(cat == "a", 10.0, 90.0) + rng.normal(0, 0.2, n)
+    fee[11] += 40.0                                  # one override row
+    pdf = pd.DataFrame({"cat": cat, "fee": fee,
+                        "noise": rng.normal(0, 1, n)})
+    p = str(tmp_path / "dep")
+    spark.createDataFrame(pdf).write.parquet(p)
+    assert main(["table-dependence", "--data", p, "--cat-columns", "cat",
+                 "--num-columns", "fee,noise"]) == 1
+    out = capsys.readouterr().out
+    assert "cat fee" in out and "flagged pairs: 1" in out
+    assert main(["table-dependence", "--data", p, "--cat-columns", "cat",
+                 "--num-columns", "noise"]) == 0
+    capsys.readouterr()
+    assert main(["table-dependence", "--data", p, "--cat-columns", "fee",
+                 "--num-columns", "fee"]) == 2
+    res = source_data_lookup(spark.createDataFrame(pdf),
+                             "Dependent_Column", "fee",
+                             {"cat_col": "cat"}, limit=5)
+    top = res.df.collect()[0]
+    assert abs(top["fee"] - fee[11]) < 1e-9
+    assert abs(top["residual"]) > 30
+
+
 def test_correlation_cli_and_drilldown(spark, tmp_path, capsys):
     from dataops_testgen_spark.__main__ import main
     from dataops_testgen_spark.execution.drilldown import source_data_lookup

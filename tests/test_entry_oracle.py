@@ -50,6 +50,7 @@ def test_entry_smoke(spark):
 _MUST_BE_IN_DRIVER_WINDOW = {
     "correlation_screen_lineitem",
     "spearman_lineitem",
+    "group_dependence_lineitem",
     "opq_query_embeddings",
     "fs_em3_part",
     "fs_em_part",
@@ -67,7 +68,6 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "merged_topfreq_orders",
     "profile_lineitem_numeric",
     "profile_customer_strings",
-    "profile_orders_dates",
     "profile_sampled_lineitem",
     "combo_match_customer_orders",
     "verified_near_dups_documents",
