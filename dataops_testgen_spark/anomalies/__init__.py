@@ -9,11 +9,13 @@ table_dates,variants}.sql`, with prevalence scoring from
 
 Extensions beyond the reference's 32 types: the Benford first-digit
 rule (33rd catalog entry, fed by the profiler's fused digit census —
-`benford.py` is the standalone screen / drill-down) and the
+`benford.py` is the standalone screen / drill-down), the
 Correlated_Columns rule (34th — `correlation.py`, derived/duplicate-
-column detection, the numeric analogue of the contingency rules; wired
-as the screen's Correlation class via
-``screen_anomalies(..., tables=...)``).
+column detection, the numeric analogue of the contingency rules) and
+the Dependent_Column rule (35th — `dependence.py`, eta² group
+dependence: a numeric determined by a categorical). The latter two run
+as the screen's Correlation/Dependence classes via
+``screen_anomalies(..., tables=...)``.
 """
 
 from dataops_testgen_spark.anomalies.benford import benford_screen
