@@ -65,7 +65,10 @@ def _profile_all(spark, tables, run_date, approx=False, sample=False):
 
     prof = profile_tables(tables, run_date=run_date, approx=approx,
                           sample=sample)
-    return apply_inference(prof)
+    # checkpointed: the screen's class branches plus the Correlation/
+    # Dependence eligibility collects would otherwise each re-execute
+    # the inference cascade's expression DAG
+    return apply_inference(prof).localCheckpoint(eager=False)
 
 
 def _profile_incremental(spark, tables, args):
