@@ -2067,28 +2067,43 @@ _DEPENDENCE_NUMS = ["l_quantity", "l_extendedprice", "l_discount",
 def q_group_dependence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-dependence (correlation ratio eta², ANOVA R²) of every
     lineitem_m measure against l_returnflag: the seeded rate-table
-    column l_fee scores eta² = 1 to 5dp (flagged), the genuine measures
+    column l_fee scores eta² = 1 (flagged), the genuine measures
     score ~0 — the numeric-determined-by-categorical redundancy detector
-    completing the contingency/correlation dependence triad."""
+    completing the contingency/correlation dependence triad.
+
+    eta² firewall (r11 red-row fix): the genuine measures' eta² IS
+    float-summation noise of magnitude ~1e-5, so a plain ROUND(…, 5)
+    rounds exactly at the noise scale and engines/boxes land on
+    opposite sides of a boundary. Clamp eta² < 1e-3 to exactly 0.0
+    before a 3dp round (the flag threshold is 0.95 — nothing a user
+    sees changes), mirrored in the oracle."""
     from dataops_testgen_spark.anomalies.dependence import (
         group_dependence_screen)
 
     sp = _lineitem_m(spark, sf_dir)
     out = group_dependence_screen(sp, ["l_returnflag"], _DEPENDENCE_NUMS)
+    eta2_fw = (F.when(F.col("eta2") < 0.001, F.lit(0.0))
+               .otherwise(F.round("eta2", 3) + F.lit(0.0)))
     return out.select("cat_col", "num_col", "n", "n_groups",
-                      (F.round("eta2", 5) + F.lit(0.0)).alias("eta2"),
+                      eta2_fw.alias("eta2"),
                       "flagged")
 
 
 def _sql_group_dependence_lineitem() -> str:
     finals = []
     for num in _DEPENDENCE_NUMS:
+        # eta2 firewall mirrors the seat: clamp < 1e-3 to exact 0.0
+        # (genuine measures' eta2 is ~1e-5 fold noise), else ROUND 3dp
         finals.append(f"""
+SELECT cat_col, num_col, n, n_groups,
+       CASE WHEN e < 0.001::DOUBLE THEN 0.0::DOUBLE
+            ELSE ROUND(e, 3) + 0.0::DOUBLE END AS eta2,
+       flagged
+FROM (
 SELECT 'l_returnflag' AS cat_col, '{num}' AS num_col,
        tn AS n, g_ct AS n_groups,
-       ROUND(SUM(nd * (m - mm) * (m - mm))
-             / NULLIF(SUM(nd * (m - mm) * (m - mm)) + MAX(ssw), 0), 5)
-         + 0.0::DOUBLE AS eta2,
+       SUM(nd * (m - mm) * (m - mm))
+         / NULLIF(SUM(nd * (m - mm) * (m - mm)) + MAX(ssw), 0) AS e,
        COALESCE(SUM(nd * (m - mm) * (m - mm))
                 / NULLIF(SUM(nd * (m - mm) * (m - mm)) + MAX(ssw), 0)
                 >= 0.95::DOUBLE AND tn >= 500 AND g_ct >= 2, FALSE)
@@ -2102,7 +2117,7 @@ FROM (
   FROM (SELECT COUNT({num}) AS n, AVG({num}::DOUBLE) AS m,
                VAR_POP({num}::DOUBLE) AS vp
         FROM base WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag))
-GROUP BY tn, g_ct""")
+GROUP BY tn, g_ct)""")
     return (f"WITH base AS ({_LINEITEM_M_SQL})"
             + "\nUNION ALL\n".join(finals))
 
