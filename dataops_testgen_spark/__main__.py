@@ -171,23 +171,29 @@ def cmd_run_profile(args) -> int:
     else:
         inferred = _profile_all(spark, tables, args.run_date,
                                 approx=args.approx, sample=args.sample)
-    if args.store:
+    anomalies = None
+    if args.store or args.notify_out:
         from dataops_testgen_spark.anomalies import screen_anomalies
 
+        # screened once and checkpointed: the Correlation/Dependence
+        # classes re-scan raw data per evaluation, so feeding the same
+        # relation to both the store write and the notification event
+        # would otherwise double that cost
+        anomalies = screen_anomalies(
+            inferred, tables=tables).localCheckpoint(eager=False)
+    if args.store:
         store = _store(spark, args)
         run_id = store.record_profile_run(
-            inferred, screen_anomalies(inferred, tables=tables),
+            inferred, anomalies,
             table_group_id=args.table_group or "default",
             run_date=args.run_date)
         print(f"profile_run_id: {run_id}")
     if args.notify_out:
-        from dataops_testgen_spark.anomalies import screen_anomalies
         from dataops_testgen_spark.notifications import (
             build_profiling_run_event)
 
         event = build_profiling_run_event(
-            screen_anomalies(inferred, tables=tables),
-            table_group=args.table_group or "default")
+            anomalies, table_group=args.table_group or "default")
         with open(args.notify_out, "a") as fh:
             fh.write(json.dumps(event) + "\n")
         print(f"notifications: 1 event -> {args.notify_out}")
@@ -1045,7 +1051,8 @@ def cmd_table_dependence(args) -> int:
     try:
         scr = group_dependence_screen(
             df, args.cat_columns.split(","), args.num_columns.split(","),
-            min_eta2=args.min_eta2, min_n=args.min_n)
+            min_eta2=args.min_eta2, min_n=args.min_n,
+            max_groups=args.max_groups)
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
@@ -2088,6 +2095,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma list of numeric measure columns")
     p.add_argument("--min-eta2", type=float, default=0.95)
     p.add_argument("--min-n", type=int, default=500)
+    p.add_argument("--max-groups", type=int, default=20,
+                   help="refuse categoricals above this cardinality "
+                        "(keeps the per-group relation model-sized; "
+                        "the contingency rule's 20-group bound)")
     p.add_argument("--condition", default="")
     p.set_defaults(fn=cmd_table_dependence)
 

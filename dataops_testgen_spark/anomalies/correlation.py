@@ -85,7 +85,12 @@ def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
     and the joins broadcast when small; the cumulative sum runs
     single-partition over each dictionary, which is the documented limit
     — a continuous column with ~10^9 distinct values should be
-    quantile-bucketed before rank-screening."""
+    quantile-bucketed before rank-screening. Note also that
+    method='spearman' ABOVE max_fused_pairs stacks the wide Arrow kernel
+    on a K-deep chain of dictionary joins: the kernel removes the
+    expression-width hazard but the join DEPTH grows with K, so a
+    100+-column spearman screen pays a deep (if broadcast-cheap) plan —
+    rank wide tables in batches, or pre-bucket, before screening."""
     out = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
     from pyspark.sql import Window
 
@@ -219,11 +224,22 @@ def _correlation_screen_wide(df: DataFrame, cols: list[str],
                 "sxx": sxx[iu, ju], "syy": sxx[ju, iu]})
 
     moments = ["n", "sxy", "sx", "sy", "sxx", "syy"]
-    agg = (src.mapInPandas(
-        partials,
-        schema="i int, j int, " + ", ".join(f"{m} double" for m in moments))
+    # left-join the folded partials onto the static pair list so an
+    # EMPTY (or all-null-batch) input still yields one row per pair with
+    # n=0 / corr NULL — the fused path's shape (ADVICE r11); the pair
+    # list is model-sized (K²/2 rows) and the join broadcasts
+    iu0, ju0 = np.triu_indices(len(cols), k=1)
+    pair_idx = spark.createDataFrame(
+        [(int(i), int(j)) for i, j in zip(iu0, ju0)], "i int, j int")
+    agg = (pair_idx.join(
+        src.mapInPandas(
+            partials,
+            schema="i int, j int, "
+                   + ", ".join(f"{m} double" for m in moments))
         .groupBy("i", "j")
-        .agg(*[F.sum(m).alias(m) for m in moments]))
+        .agg(*[F.sum(m).alias(m) for m in moments]),
+        ["i", "j"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0.0))))
     nn = F.col("n")
     # sample corr with the (n-1) factors cancelled:
     # (sxy - sx*sy/n) / sqrt((sxx - sx²/n)(syy - sy²/n)); try_divide on

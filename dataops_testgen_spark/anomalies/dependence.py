@@ -38,17 +38,38 @@ DEPENDENCE_MAX_GROUPS = 20        # contingency's qualifying-column bound
 def group_dependence_screen(df: DataFrame, cat_cols: list[str],
                             num_cols: list[str],
                             min_eta2: float = DEPENDENCE_MIN_ETA2,
-                            min_n: int = DEPENDENCE_MIN_N) -> DataFrame:
+                            min_n: int = DEPENDENCE_MIN_N,
+                            max_groups: int | None = None) -> DataFrame:
     """(cat_col, num_col, n, n_groups, eta2, flagged) for every
     (categorical, numeric) pair: eta² over rows where both are non-null,
     ``flagged`` when eta² >= min_eta2, n >= min_n, and at least two
-    populated groups. Constant measures yield NULL eta² (undefined)."""
+    populated groups. Constant measures yield NULL eta² (undefined).
+
+    ``max_groups``: when set, each categorical is pre-checked with one
+    bounded count-distinct scan and a ValueError names any column whose
+    cardinality exceeds it — the guard that keeps the grouped relation
+    (and its localCheckpoint) model-sized when the caller's column list
+    did not come from profile eligibility (the cascade path bounds
+    cardinality via the profile, mirroring the contingency rule's
+    20-group rule; the CLI path passes ``DEPENDENCE_MAX_GROUPS`` here)."""
     if not cat_cols or not num_cols:
         raise ValueError("need at least one categorical and one numeric "
                          "column")
     for c in cat_cols:
         if c in num_cols:
             raise ValueError(f"{c!r} cannot be both categorical and numeric")
+    if max_groups is not None:
+        # one scan, K model-sized counts; countDistinct(col) over a
+        # genuinely high-cardinality column is still a safe (hash-agg)
+        # plan — it is the DOWNSTREAM per-group relation that must stay
+        # bounded, which this check enforces before building it
+        card = df.agg(*[F.countDistinct(F.col(c)).alias(c)
+                        for c in cat_cols]).first()
+        over = [c for c in cat_cols if card[c] > int(max_groups)]
+        if over:
+            raise ValueError(
+                f"categorical column(s) exceed max_groups={max_groups}: "
+                + ", ".join(f"{c} ({card[c]} groups)" for c in over))
     out = None
     for cat in cat_cols:
         aggs = []

@@ -35,10 +35,10 @@ from dataops_testgen_spark.scoring.rollup import sum_ln
 # `dbsetup_anomaly_types/profile_anomaly_types_<key>.yaml` (dq_dimension /
 # impact_dimension fields). Suggested_Type has dq_dimension null.
 ANOMALY_DIMENSIONS: dict[str, tuple[str | None, str]] = {
-    # the two extension rules beyond the reference's 32 YAMLs carry
+    # the three extension rules beyond the reference's 32 YAMLs carry
     # dimensions in the same taxonomy: Benford nonconformity is an
-    # accuracy signal (suspect magnitudes), correlated columns a
-    # consistency one (derived/duplicated data)
+    # accuracy signal (suspect magnitudes), correlated/dependent columns
+    # consistency ones (derived/duplicated data)
     "Benford_Nonconformity": ("Accuracy", "Regularity"),
     "Correlated_Columns": ("Consistency", "Usability"),
     "Dependent_Column": ("Consistency", "Usability"),

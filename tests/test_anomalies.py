@@ -265,6 +265,23 @@ def test_correlation_wide_dispatch_matches_fused(spark):
     assert fused[("amount", "konst")]["corr"] is None
 
 
+def test_correlation_wide_empty_matches_fused(spark):
+    """An EMPTY input table yields one row per pair with n=0 / corr NULL
+    / flagged False on BOTH dispatch paths (the r11 ADVICE finding: the
+    wide kernel used to return zero rows because no Arrow batch ever
+    emitted partials)."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+
+    df = spark.createDataFrame([], "a double, b double, c double")
+    for kwargs in ({}, {"max_fused_pairs": 1}):
+        rows = {(r["col_a"], r["col_b"]): r
+                for r in correlation_screen(df, **kwargs).collect()}
+        assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}, kwargs
+        for r in rows.values():
+            assert r["n"] == 0 and r["corr"] is None and not r["flagged"]
+
+
 def test_correlation_wide_table_completes(spark):
     """A 100-numeric-column table (4950 pairs) routes to the Arrow
     kernel by default — no K²-wide expression reaches Catalyst, the
@@ -442,6 +459,18 @@ def test_group_dependence_screen(spark):
         group_dependence_screen(df, [], ["fee"])
     with _pt.raises(ValueError, match="both categorical and numeric"):
         group_dependence_screen(df, ["fee"], ["fee"])
+    # max_groups guard (r11 ADVICE): a high-cardinality categorical is
+    # refused BY NAME before any grouped relation is built; a compliant
+    # one under the same bound still screens
+    from pyspark.sql import functions as F
+
+    wide = df.withColumn("hi_card", F.concat(F.lit("v"),
+                                             F.monotonically_increasing_id()))
+    with _pt.raises(ValueError, match="hi_card"):
+        group_dependence_screen(wide, ["cat", "hi_card"], ["fee"],
+                                max_groups=20)
+    ok = group_dependence_screen(df, ["cat"], ["fee"], max_groups=20)
+    assert ok.filter("flagged").count() == 1
 
 
 def test_dependence_anomalies_cascade(spark):
