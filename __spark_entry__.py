@@ -2055,6 +2055,53 @@ _SQL_SPEARMAN_LINEITEM = _sql_spearman_lineitem()
 
 
 # --------------------------------------------------------------------------
+# Q: spearman_screen_lineitem — the rank pass through the FULL hygiene
+# cascade (screen_anomalies(..., spearman=True), r12): the reciprocal-
+# derived l_inv flags as Correlated_Columns with prevalence rho²×risk
+# while the raw Pearson pass leaves the pair unflagged — proving the
+# monotone-nonlinear detections flow screen → prevalence → scorecard,
+# not just through the standalone correlation_screen call.
+# --------------------------------------------------------------------------
+
+_LINEITEM_SP_COLS = [
+    ("l_quantity", "N", "double", True),
+    ("l_extendedprice", "N", "double", True),
+    ("l_discount", "N", "double", True),
+    ("l_tax", "N", "double", True),
+    ("l_inv", "N", "double", True),
+]
+# IEEE division is correctly rounded -> l_inv is bit-identical on both
+# engines; the quarter mirrors the lineitem_m cascade-seat rationale
+_LINEITEM_SP_SQL = (
+    "SELECT l_quantity, l_extendedprice, l_discount, l_tax,"
+    " 1.0::DOUBLE / l_extendedprice AS l_inv"
+    " FROM lineitem WHERE l_orderkey % 4 = 0")
+
+
+def q_spearman_screen_lineitem(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Hygiene screen with the opt-in Spearman pass over the reciprocal-
+    derived lineitem view: (l_extendedprice, l_inv) has Pearson r far
+    below the 0.95 gate but rank rho = -1 exactly, so the pair surfaces
+    ONLY via the monotone pass — as a Correlated_Columns row with
+    prevalence rho² × 0.33 through the same cascade as every other
+    anomaly class (cf. reference profile_anomaly_scoring.sql:1-9: every
+    anomaly flows screen → prevalence → rollup)."""
+    from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
+
+    sp = _lineitem_sp(spark, sf_dir)
+    inf = apply_inference(
+        profile_table(sp, "lineitem_sp", run_date=RUN_DATE)
+    ).localCheckpoint(eager=False)
+    out = screen_anomalies(inf, tables={"lineitem_sp": sp}, spearman=True)
+    return out.select(
+        "table_name", "column_name", "anomaly_type", "data_object",
+        "likelihood",
+        (F.round("dq_prevalence", 5) + F.lit(0.0)).alias("dq_prevalence"))
+
+
+# --------------------------------------------------------------------------
 # Q: group_dependence_lineitem — the eta² screen's value-level oracle seat
 # (the cascade seat correlation_screen_lineitem proves only the FLAGGED
 # row; this pins every pair's eta², flagged or not, against DuckDB).
@@ -3231,6 +3278,52 @@ SELECT COALESCE(l.l_returnflag, r.l_returnflag) AS l_returnflag,
 FROM l FULL OUTER JOIN r ON l.l_returnflag IS NOT DISTINCT FROM r.l_returnflag
 WHERE total IS DISTINCT FROM match_total
 ORDER BY 1 LIMIT 500"""
+
+
+def q_drilldown_dependent_lineitem(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Dependent_Column drill-down (42nd lookup type,
+    execution/drilldown.py:_lk_dependent) on the lineitem_m rate-table
+    column: the l_fee rows deviating most from their l_returnflag group
+    mean — the overrides/misjoins a user would eyeball.
+
+    Hash firewall: the lookup's own ordering key is a raw engine float
+    (residual = value − group_mean), so the seat re-orders on the
+    3dp-ROUNDED |residual| with the (cat, value) tiebreak — and because
+    the residual is a FUNCTION of (cat, value), that tiebreak makes the
+    order total and engine-independent; rows equal on all three keys are
+    identical rows, so the LIMIT cutoff yields the same multiset. 3dp
+    (not 5) because group_mean noise scales with row count — the
+    group_dependence r11 lesson: round coarser than the statistic's own
+    noise."""
+    from dataops_testgen_spark.execution import drilldown as DR
+
+    lim = _lineitem_m(spark, sf_dir)
+    res = DR.source_data_lookup(
+        lim, "Dependent_Column", "l_fee", {"cat_col": "l_returnflag"},
+        limit=1_000_000_000)
+    out = res.df.select(
+        "l_returnflag", "l_fee",
+        (F.round("residual", 3) + F.lit(0.0)).alias("residual"))
+    return (out.orderBy(F.abs("residual").desc(), "l_returnflag", "l_fee")
+            .limit(500))
+
+
+def _sql_drilldown_dependent() -> str:
+    return f"""
+WITH base AS ({_LINEITEM_M_SQL}),
+means AS (
+  SELECT l_returnflag AS g, AVG(l_fee::DOUBLE) AS m
+  FROM base WHERE l_fee IS NOT NULL GROUP BY 1)
+SELECT l_returnflag, l_fee,
+       ROUND(l_fee::DOUBLE - m, 3) + 0.0::DOUBLE AS residual
+FROM base JOIN means ON base.l_returnflag = means.g
+WHERE l_fee IS NOT NULL AND l_returnflag IS NOT NULL
+ORDER BY ABS(ROUND(l_fee::DOUBLE - m, 3)) DESC, l_returnflag, l_fee
+LIMIT 500"""
+
+
+_SQL_DRILLDOWN_DEPENDENT = _sql_drilldown_dependent()
 
 
 # --------------------------------------------------------------------------
@@ -5667,25 +5760,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- r11 window, group A: NEW this round (Correlated_Columns
-        # cascade seat, hash-oracled OPQ query path, 3-state FS-EM) ---
+        # --- r12 window, group A: the r11 red seat (eta2 firewall fix,
+        # MUST go green on the driver box) + the two NEW r12 seats
+        # (spearman cascade screen, dependence drill-down) + the two
+        # correlation-family seats whose code r12 touched ---
+        "group_dependence_lineitem": q_group_dependence_lineitem,
+        "spearman_screen_lineitem": q_spearman_screen_lineitem,
+        "drilldown_dependent_lineitem": q_drilldown_dependent_lineitem,
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
-        "group_dependence_lineitem": q_group_dependence_lineitem,
-        "opq_query_embeddings": q_opq_query_embeddings,
-        "fs_em3_part": q_fs_em3_part,
-        # --- group B: seats whose code or oracle r11 touches: the
-        # linkage EM guards, screen_anomalies(tables=) + the 34th rule
-        # + ANOMALY_DIMENSIONS rows (screen/scorecard family), the
-        # profiler slice_col refactor (_build_column_rows + sketch
-        # holders touch every profile/merged seat), drilldown registry ---
-        "fs_em_part": q_fs_em_part,
-        "record_linkage_part": q_record_linkage_part,
-        "correlation_lineitem": q_correlation_lineitem,
+        # --- group B: the r9-green block — the longest-unchecked
+        # seats (last driver hash row r9; pytest-oracle-pinned at
+        # HEAD every round since) ---
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "bm25_topk_documents": q_bm25_topk_documents,
+        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
+        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
+        "contingency_rules_lineitem": q_contingency_rules_lineitem,
+        "corpus_report_documents": q_corpus_report_documents,
+        "curation_gate_documents": q_curation_gate_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_keep_one_documents": q_dedup_keep_one_documents,
+        "distribution_shift_events": q_distribution_shift_events,
+        "dsir_select_documents": q_dsir_select_documents,
+        "dup_substrings_documents": q_dup_substrings_documents,
+        "embedding_covariance_embeddings": q_embedding_covariance,
+        "embedding_profile_embeddings": q_embedding_profile_embeddings,
+        "frame_sample_documents": q_frame_sample_documents,
+        "freshness_threshold_events": q_freshness_threshold_events,
+        "funnel_events": q_funnel_events,
+        "gzip_corpus_documents": q_gzip_corpus_documents,
+        "hard_negatives_embeddings": q_hard_negatives_embeddings,
+        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
+        "json_props_events": q_json_props_events,
+        "lr_quality_documents": q_lr_quality_documents,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "multimodal_features_documents": q_multimodal_features_documents,
+        "nb_classify_documents": q_nb_classify_documents,
+        "pack_spans_documents": q_pack_spans_documents,
+        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
+        "resize_documents": q_resize_documents,
+        "retention_events": q_retention_events,
+        "rolling_features_events": q_rolling_features_events,
+        "session_stats_events": q_session_stats_events,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
+        "simhash_documents": q_simhash_documents,
+        "tfidf_keywords_documents": q_tfidf_keywords_documents,
+        # --- group C: inference/screen-sensitive seats (the r12
+        # compile-tax work touches the cascade) + the oldest r10
+        # seats next in line ---
+        "functional_types_customer": q_functional_types_customer,
+        "functional_types_orders": q_functional_types_orders,
         "anomaly_screen_orders": q_anomaly_screen_orders,
         "anomaly_screen_customer_orders": q_anomaly_screen,
         "incremental_screen_orders": q_incremental_screen_orders,
         "score_card_issues_co_li": q_score_card_issues,
+        "benford_orders": q_benford_orders,
+        "validation_prepass": q_validation_prepass,
+        "profile_orders_dates": q_profile_orders_dates,
+        "merge_defs_fixture": q_merge_defs_fixture,
+        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
+        # every tail seat below carried a green driver hash row in r10
+        # or r11 (see CORRECTNESS_r{10,11}.json). opq_topk_embeddings
+        # retired from the timed registry this round (the ngram_jaccard
+        # r9 precedent): its query path is hash-oracled by
+        # opq_query_embeddings and the trainer contracts live in
+        # tests/test_opq.py (incl. a rows-only registry-shape test).
+        # Next in line for r13: the r10-green block (LM/ANN/text
+        # families) whose last driver row will then be oldest.
+        "opq_query_embeddings": q_opq_query_embeddings,
+        "fs_em3_part": q_fs_em3_part,
+        "fs_em_part": q_fs_em_part,
+        "record_linkage_part": q_record_linkage_part,
+        "correlation_lineitem": q_correlation_lineitem,
         "score_breakdown_impact_co_li": q_score_breakdown_impact,
         "score_breakdown_column_co_li": q_score_breakdown_cols,
         "score_breakdown_dimension_co_li": q_score_breakdown_dims,
@@ -5696,10 +5844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_customer_strings": q_profile_customer_strings,
         "profile_sampled_lineitem": q_profile_sampled_lineitem,
         "combo_match_customer_orders": q_combo_match_customer_orders,
-        # --- group C: the r8-green block earmarked last round — the
-        # longest-unchecked seats (last driver hash row r8; pytest-
-        # oracle-pinned at HEAD every round since), plus combo_match
-        # (r9) with its execution-family companions ---
         "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
@@ -5728,26 +5872,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_tokens_documents": q_mixture_tokens_documents,
         "top_freq_orders": q_top_freq_orders,
         "top_patterns_part": q_top_patterns_part,
-        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # every tail seat below carried a green driver hash row in r9 or
-        # r10 (see CORRECTNESS_r{09,10}.json); the r10-heavy head rotated
-        # out in favor of r11-touched code paths and the r8-green block.
-        # Next in line for r12: the r9-green block (ann_lsh/bm25/dedup/
-        # session families) whose last driver row will then be oldest.
-        "opq_topk_embeddings": q_opq_topk_embeddings,
         "drilldown_masked_customer": q_drilldown_masked_customer,
-        "profile_orders_dates": q_profile_orders_dates,
         "bigram_lm_documents": q_bigram_lm_documents,
         "trigram_lm_documents": q_trigram_lm_documents,
         "ngram_lm_documents": q_ngram_lm_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "fuzzy_pairs_part": q_fuzzy_pairs_part,
-        "benford_orders": q_benford_orders,
-        "functional_types_customer": q_functional_types_customer,
-        "functional_types_orders": q_functional_types_orders,
         "generated_tests_lineitem": q_generated_tests,
         "generated_test_keys_lineitem": q_generated_test_keys,
-        "validation_prepass": q_validation_prepass,
         "score_category_fixture": q_score_category,
         "score_overall_history_fixture": q_score_overall_history,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -5765,45 +5897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": q_pii_scrub_documents,
         "repetition_flags_documents": q_repetition_flags_documents,
         "skew_hot_keys_lineitem": q_skew_hot_keys,
-        "merge_defs_fixture": q_merge_defs_fixture,
         "schema_drift_log": q_schema_drift_log,
         "dupe_rows_part": q_dupe_rows_part,
-        "lr_quality_documents": q_lr_quality_documents,
-        "embedding_covariance_embeddings": q_embedding_covariance,
-        "json_props_events": q_json_props_events,
-        "multimodal_features_documents": q_multimodal_features_documents,
-        "retention_events": q_retention_events,
-        "nb_classify_documents": q_nb_classify_documents,
-        "curation_gate_documents": q_curation_gate_documents,
-        "session_stats_events": q_session_stats_events,
-        "rolling_features_events": q_rolling_features_events,
-        "funnel_events": q_funnel_events,
-        "gzip_corpus_documents": q_gzip_corpus_documents,
-        "shuffle_shards_documents": q_shuffle_shards_documents,
-        "hard_negatives_embeddings": q_hard_negatives_embeddings,
-        "embedding_profile_embeddings": q_embedding_profile_embeddings,
-        "bm25_topk_documents": q_bm25_topk_documents,
-        "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
-        "rerank_ivfadc_embeddings": q_rerank_ivfadc,
-        "resize_documents": q_resize_documents,
-        "frame_sample_documents": q_frame_sample_documents,
-        "dsir_select_documents": q_dsir_select_documents,
-        "minhash_lsh_documents": q_minhash_lsh_documents,
-        "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
-        "pack_spans_documents": q_pack_spans_documents,
-        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
-        "tfidf_keywords_documents": q_tfidf_keywords_documents,
-        "corpus_report_documents": q_corpus_report_documents,
-        "dup_substrings_documents": q_dup_substrings_documents,
-        "contingency_rules_lineitem": q_contingency_rules_lineitem,
-        "distribution_shift_events": q_distribution_shift_events,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "dedup_keep_one_documents": q_dedup_keep_one_documents,
-        "simhash_documents": q_simhash_documents,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "freshness_threshold_events": q_freshness_threshold_events,
-        "decontaminate_documents": q_decontaminate_documents,
-
     }
 
 
@@ -5825,6 +5920,12 @@ def oracle_sql() -> dict[str, str]:
             [("lineitem_m", _LINEITEM_M_COLS)], RUN_DATE,
             corr_tables=[("lineitem_m", _LINEITEM_M_COLS)],
             pre_ctes=[("lineitem_m", _LINEITEM_M_SQL)]),
+        "spearman_screen_lineitem": ORC.anomaly_screen_multi_sql(
+            [("lineitem_sp", _LINEITEM_SP_COLS)], RUN_DATE,
+            corr_tables=[("lineitem_sp", _LINEITEM_SP_COLS)],
+            pre_ctes=[("lineitem_sp", _LINEITEM_SP_SQL)],
+            spearman=True),
+        "drilldown_dependent_lineitem": _SQL_DRILLDOWN_DEPENDENT,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

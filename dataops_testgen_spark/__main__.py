@@ -180,7 +180,9 @@ def cmd_run_profile(args) -> int:
         # relation to both the store write and the notification event
         # would otherwise double that cost
         anomalies = screen_anomalies(
-            inferred, tables=tables).localCheckpoint(eager=False)
+            inferred, tables=tables,
+            spearman=getattr(args, "spearman", False),
+        ).localCheckpoint(eager=False)
     if args.store:
         store = _store(spark, args)
         run_id = store.record_profile_run(
@@ -211,7 +213,8 @@ def cmd_run_anomalies(args) -> int:
                             approx=args.approx, sample=args.sample)
     # tables= runs the Correlation class (Correlated_Columns, 34th rule)
     # alongside the profile-driven classes — one fused agg per table
-    anomalies = screen_anomalies(inferred, tables=tables)
+    anomalies = screen_anomalies(inferred, tables=tables,
+                                 spearman=getattr(args, "spearman", False))
     if args.store:
         store = _store(spark, args)
         run_id = store.record_profile_run(
@@ -1784,6 +1787,12 @@ def main(argv: list[str] | None = None) -> int:
                        help="append the profiling-run notification event "
                             "(hygiene counts by likelihood) to this JSONL "
                             "file")
+        p.add_argument("--spearman", action="store_true",
+                       help="also run the rank-correlation pass: "
+                            "monotone-nonlinear derivations (reciprocals, "
+                            "logs, rate curves) flag as Correlated_Columns "
+                            "with a Monotone-correlated detail (one extra "
+                            "rank transform + fused agg per table)")
         if name == "run-profile":
             p.add_argument("--incremental", action="store_true",
                            help="profile only the --subset-condition slice "

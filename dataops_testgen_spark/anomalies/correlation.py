@@ -266,7 +266,8 @@ def _correlation_screen_wide(df: DataFrame, cols: list[str],
 def correlation_anomalies(tables: dict[str, DataFrame],
                           inferred_profile: DataFrame,
                           min_abs_corr: float = CORRELATION_MIN_ABS,
-                          min_n: int = CORRELATION_MIN_N) -> DataFrame | None:
+                          min_n: int = CORRELATION_MIN_N,
+                          spearman: bool = False) -> DataFrame | None:
     """The cascade hook: flagged correlation pairs as hygiene-anomaly
     rows (the anomalies/screen.py output schema), one row per flagged
     pair anchored on the LATER column in schema order (the "derived"
@@ -275,7 +276,16 @@ def correlation_anomalies(tables: dict[str, DataFrame],
     Column qualification comes from the inferred profile
     (``correlation_eligible`` — metadata-sized collect, the same shape
     contingency_columns uses); tables with fewer than two qualifying
-    columns are skipped. Returns None when nothing qualifies."""
+    columns are skipped. Returns None when nothing qualifies.
+
+    ``spearman=True`` adds a SECOND pass per table — the rank screen —
+    whose flagged pairs are anti-joined against the Pearson flags and
+    emitted with a distinct "Monotone-correlated" detail and prevalence
+    rho² × risk: the monotone-NONLINEAR derivations (reciprocals, logs,
+    rate curves) a linear r misses entirely. Same anomaly type
+    (Correlated_Columns), so prevalence/rollup/scorecard flow unchanged.
+    Cost: one extra rank-transform + fused agg per table, so it is
+    opt-in (run-profile/run-anomalies --spearman)."""
     elig = (inferred_profile.filter(correlation_eligible())
             .select("table_name", "column_name").collect())
     by_table: dict[str, set[str]] = {}
@@ -290,6 +300,11 @@ def correlation_anomalies(tables: dict[str, DataFrame],
             continue
         scr = correlation_screen(df, cols=cols, min_abs_corr=min_abs_corr,
                                  min_n=min_n)
+        if spearman:
+            # the pearson relation feeds both its own flag rows and the
+            # anti-join below; model-sized (K² rows), so checkpointing
+            # avoids running the fused agg twice
+            scr = scr.localCheckpoint(eager=False)
         rows = scr.filter("flagged").select(
             F.lit(t).alias("table_name"),
             F.col("col_b").alias("column_name"),
@@ -301,5 +316,23 @@ def correlation_anomalies(tables: dict[str, DataFrame],
                      F.round("corr", 5).cast("string")).alias("detail"),
             (F.col("corr") * F.col("corr")
              * F.lit(CORRELATION_RISK)).alias("dq_prevalence"))
+        if spearman:
+            rk = correlation_screen(df, cols=cols,
+                                    min_abs_corr=min_abs_corr,
+                                    min_n=min_n, method="spearman")
+            only = rk.filter("flagged").join(
+                scr.filter("flagged").select("col_a", "col_b"),
+                ["col_a", "col_b"], "left_anti")
+            rows = rows.unionByName(only.select(
+                F.lit(t).alias("table_name"),
+                F.col("col_b").alias("column_name"),
+                F.lit(CORRELATED_COLUMNS_TYPE).alias("anomaly_type"),
+                F.lit("Correlation").alias("data_object"),
+                F.lit(CORRELATION_LIKELIHOOD).alias("likelihood"),
+                F.concat(F.lit("Monotone-correlated with "),
+                         F.col("col_a"), F.lit(": rho="),
+                         F.round("corr", 5).cast("string")).alias("detail"),
+                (F.col("corr") * F.col("corr")
+                 * F.lit(CORRELATION_RISK)).alias("dq_prevalence")))
         out = rows if out is None else out.unionByName(rows)
     return out

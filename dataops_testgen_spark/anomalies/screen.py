@@ -193,7 +193,8 @@ def _variant_screen(profile: DataFrame) -> DataFrame:
 
 
 def screen_anomalies(inferred_profile: DataFrame,
-                     tables: dict[str, DataFrame] | None = None) -> DataFrame:
+                     tables: dict[str, DataFrame] | None = None,
+                     spearman: bool = False) -> DataFrame:
     """Inferred profile DF (apply_inference output) → anomaly results DF.
 
     Pass ``tables`` ({table_name: raw DataFrame}) to also run the
@@ -201,7 +202,10 @@ def screen_anomalies(inferred_profile: DataFrame,
     anomalies/dependence.py): the Column/Multi-Col/Dates/Variant classes
     read only the profile, but pairwise correlation and group-dependence
     need fused-agg passes over each table's raw rows — the same
-    profile-qualified raw-data shape as the contingency rules."""
+    profile-qualified raw-data shape as the contingency rules.
+    ``spearman=True`` (needs ``tables``) adds the rank-correlation pass:
+    monotone-nonlinear derivations flag as Correlated_Columns with a
+    "Monotone-correlated" detail."""
     out = _column_screen(inferred_profile)
     out = out.unionByName(_multi_column_screen(inferred_profile))
     out = out.unionByName(_dates_screen(inferred_profile))
@@ -212,7 +216,8 @@ def screen_anomalies(inferred_profile: DataFrame,
         from dataops_testgen_spark.anomalies.dependence import (
             dependence_anomalies)
 
-        for extra in (correlation_anomalies(tables, inferred_profile),
+        for extra in (correlation_anomalies(tables, inferred_profile,
+                                            spearman=spearman),
                       dependence_anomalies(tables, inferred_profile)):
             if extra is not None:
                 out = out.unionByName(extra)

@@ -1236,6 +1236,62 @@ WHERE COALESCE(ABS(c) >= {CORRELATION_MIN_ABS!r}::DOUBLE
     return selects
 
 
+def _spearman_union_sql(
+    corr_tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
+) -> list[str]:
+    """Spearman-pass union selects — the SQL mirror of
+    anomalies/correlation.py:correlation_anomalies(spearman=True)'s
+    second pass: per numeric pair, Pearson CORR over each column's exact
+    average ranks (rank(v) = #smaller + (ties+1)/2 from the distinct-value
+    dictionary — integer arithmetic, engine-identical to the Spark rank
+    transform), emitted ONLY when the rank flag fires and the raw Pearson
+    flag does NOT (the Spark side's anti-join)."""
+    from dataops_testgen_spark.anomalies.correlation import (
+        CORRELATED_COLUMNS_TYPE, CORRELATION_LIKELIHOOD, CORRELATION_MIN_ABS,
+        CORRELATION_MIN_N, CORRELATION_RISK)
+
+    def rank_sub(table: str, col: str) -> str:
+        return (f"(SELECT v, COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN"
+                f" UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE"
+                f" + (n::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE AS r"
+                f" FROM (SELECT {col} AS v, COUNT(*)::BIGINT AS n"
+                f" FROM {table} WHERE {col} IS NOT NULL GROUP BY 1))")
+
+    selects = []
+    for table, columns in corr_tables:
+        ncols = [name for name, gt, _ct, _d in columns if gt == "N"]
+        for i, a in enumerate(ncols):
+            for b in ncols[i + 1:]:
+                elig_a = (f"EXISTS (SELECT 1 FROM pii WHERE table_name ="
+                          f" '{table}' AND column_name = '{a}'"
+                          f" AND {_CORR_ELIGIBLE_SQL})")
+                elig_b = elig_a.replace(f"column_name = '{a}'",
+                                        f"column_name = '{b}'")
+                selects.append(f"""
+SELECT '{table}' AS table_name, '{b}' AS column_name,
+       '{CORRELATED_COLUMNS_TYPE}' AS anomaly_type,
+       'Correlation' AS data_object,
+       '{CORRELATION_LIKELIHOOD}' AS likelihood,
+       ROUND(rho*rho*{CORRELATION_RISK!r}::DOUBLE, 5) AS dq_prevalence
+FROM (SELECT CORR(ra.r, rb.r) AS rho,
+             COUNT(CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+                        THEN 1 END) AS n
+      FROM {table} tt
+      LEFT JOIN {rank_sub(table, a)} ra ON tt.{a} = ra.v
+      LEFT JOIN {rank_sub(table, b)} rb ON tt.{b} = rb.v),
+     (SELECT CORR({a}::DOUBLE, {b}::DOUBLE) AS c,
+             COUNT(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL
+                        THEN 1 END) AS pn
+      FROM {table})
+WHERE COALESCE(ABS(rho) >= {CORRELATION_MIN_ABS!r}::DOUBLE
+               AND n >= {CORRELATION_MIN_N}, FALSE)
+  AND NOT COALESCE(ABS(c) >= {CORRELATION_MIN_ABS!r}::DOUBLE
+                   AND pn >= {CORRELATION_MIN_N}, FALSE)
+  AND {elig_a}
+  AND {elig_b}""")
+    return selects
+
+
 def _dependence_union_sql(
     corr_tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
 ) -> list[str]:
@@ -1295,7 +1351,8 @@ WHERE COALESCE(eta2 >= {DEPENDENCE_MIN_ETA2!r}::DOUBLE
     return selects
 
 
-def _screen_union_sql(run_date: str, corr_tables=None) -> str:
+def _screen_union_sql(run_date: str, corr_tables=None,
+                      spearman: bool = False) -> str:
     """The multi-table screen body (Column + Multi-Col + Dates + Variant
     unions, plus the Correlation + Dependence classes when
     ``corr_tables`` carries the [(table, columns)] metadata) over the
@@ -1359,6 +1416,7 @@ WHERE distinct_value_ct <= 20 AND top_freq_values > ''
 GROUP BY 1, 2"""
     corr = ("".join("\nUNION ALL" + s
                     for s in _correlation_union_sql(corr_tables)
+                    + (_spearman_union_sql(corr_tables) if spearman else [])
                     + _dependence_union_sql(corr_tables))
             if corr_tables else "")
     return (f"{col_selects}\nUNION ALL{multi_col}"
@@ -1383,6 +1441,7 @@ def anomaly_screen_multi_sql(
     run_date: str,
     corr_tables: list | None = None,
     pre_ctes: list[tuple[str, str]] | None = None,
+    spearman: bool = False,
 ) -> str:
     """Multi-table anomaly-screening oracle over one shared inference chain:
     Column rules per table + Multi-Col (Multiple_Types_Major/Minor,
@@ -1395,7 +1454,8 @@ def anomaly_screen_multi_sql(
     prevalence formula × risk; NULL where the type defines no formula).
     """
     ctes = _inference_ctes(tables, run_date, pre_ctes=pre_ctes)
-    return f"{ctes}{_MULTS_CTE}\n{_screen_union_sql(run_date, corr_tables)}"
+    return (f"{ctes}{_MULTS_CTE}\n"
+            f"{_screen_union_sql(run_date, corr_tables, spearman=spearman)}")
 
 
 # ---------------------------------------------------------------------------

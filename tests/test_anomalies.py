@@ -416,6 +416,57 @@ def test_correlation_anomalies_cascade(spark):
     assert correlation_anomalies({"t": df}, prof2) is None
 
 
+def test_correlation_anomalies_spearman_pass(spark):
+    """spearman=True adds the rank pass: a reciprocal-derived column
+    (Pearson far below the gate, rho = -1) surfaces as Correlated_Columns
+    with a 'Monotone-correlated' detail and prevalence rho² x risk; pairs
+    already flagged by Pearson are NOT duplicated by the rank pass; with
+    spearman=False the monotone pair stays invisible."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_anomalies)
+
+    rng = np.random.default_rng(17)
+    n = 800
+    # several orders of magnitude: 1/x over a NARROW range is locally
+    # linear and Pearson would catch it too — the monotone gap needs
+    # real curvature
+    base = np.exp(rng.uniform(0.0, 7.0, n))
+    df = spark.createDataFrame(pd.DataFrame({
+        "amount": base,
+        "amount_cents": base * 100.0,       # linear -> Pearson flags
+        "amount_inv": 1.0 / base,           # monotone -> spearman only
+        "noise": rng.normal(0, 1, n),
+    }))
+    prof = spark.createDataFrame(
+        [("t", c, "N", "Measurement")
+         for c in ("amount", "amount_cents", "amount_inv", "noise")],
+        "table_name string, column_name string, general_type string,"
+        " functional_data_type string")
+    plain = correlation_anomalies({"t": df}, prof).collect()
+    assert {r["column_name"] for r in plain} == {"amount_cents"}
+
+    out = correlation_anomalies({"t": df}, prof, spearman=True).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["column_name"], []).append(r)
+    # linear pair: exactly one row, the Pearson one (no rank duplicate);
+    # note cents/inv are ALSO monotone-related to each other, so inv
+    # carries rank rows against both partners
+    assert len(by_col["amount_cents"]) == 1
+    assert by_col["amount_cents"][0]["detail"].startswith("Correlated with")
+    inv_rows = by_col["amount_inv"]
+    assert all(r["detail"].startswith("Monotone-correlated with")
+               for r in inv_rows)
+    assert {r["anomaly_type"] for r in inv_rows} == {"Correlated_Columns"}
+    amt = [r for r in inv_rows if "with amount:" in r["detail"]]
+    assert len(amt) == 1 and abs(amt[0]["dq_prevalence"] - 0.33) < 1e-3
+    assert "rho=" in amt[0]["detail"]
+    assert "noise" not in by_col
+
+
 def test_group_dependence_screen(spark):
     """eta² matches the numpy ANOVA reference (pairwise non-null scope),
     a rate-table-encoded measure flags, independent measures don't, and

@@ -40,64 +40,63 @@ def test_entry_smoke(spark):
 
 
 # Queries whose hard driver-correctness signal is the priority this round
-# (r11): the three new seats (Correlated_Columns cascade, OPQ query path,
-# 3-state FS-EM), everything the r11 code/oracle changes touch (linkage EM
-# guards, screen_anomalies(tables=) + the 34th rule + dimension rows
-# through the scorecard family, the profiler slice_col refactor which
-# touches every profile/merged seat, the drilldown registry), and the
-# r8-green block earmarked by the r10 registry tail comment — the
-# longest-unchecked seats.
+# (r12): the r11 red seat (group_dependence eta2 firewall fix — MUST be
+# re-seated), the two new r12 seats (spearman cascade screen, dependence
+# drill-down), the correlation-family seats r12's code changes touch, the
+# 35-seat r9-green block (the longest-unchecked seats), and the
+# inference/screen-sensitive seats the compile-tax work touches plus the
+# oldest r10 fillers.
 _MUST_BE_IN_DRIVER_WINDOW = {
+    "group_dependence_lineitem",
+    "spearman_screen_lineitem",
+    "drilldown_dependent_lineitem",
     "correlation_screen_lineitem",
     "spearman_lineitem",
-    "group_dependence_lineitem",
-    "opq_query_embeddings",
-    "fs_em3_part",
-    "fs_em_part",
-    "record_linkage_part",
-    "correlation_lineitem",
+    "ann_lsh_topk",
+    "bm25_topk_documents",
+    "boilerplate_dedup_documents",
+    "centroid_outliers_embeddings",
+    "contingency_rules_lineitem",
+    "corpus_report_documents",
+    "curation_gate_documents",
+    "decontaminate_documents",
+    "dedup_clusters_documents",
+    "dedup_keep_one_documents",
+    "distribution_shift_events",
+    "dsir_select_documents",
+    "dup_substrings_documents",
+    "embedding_covariance_embeddings",
+    "embedding_profile_embeddings",
+    "frame_sample_documents",
+    "freshness_threshold_events",
+    "funnel_events",
+    "gzip_corpus_documents",
+    "hard_negatives_embeddings",
+    "ivfadc_topk_embeddings",
+    "json_props_events",
+    "lr_quality_documents",
+    "minhash_lsh_documents",
+    "multimodal_features_documents",
+    "nb_classify_documents",
+    "pack_spans_documents",
+    "rerank_ivfadc_embeddings",
+    "resize_documents",
+    "retention_events",
+    "rolling_features_events",
+    "session_stats_events",
+    "shuffle_shards_documents",
+    "simhash_documents",
+    "tfidf_keywords_documents",
+    "functional_types_customer",
+    "functional_types_orders",
     "anomaly_screen_orders",
     "anomaly_screen_customer_orders",
     "incremental_screen_orders",
     "score_card_issues_co_li",
-    "score_breakdown_impact_co_li",
-    "score_breakdown_column_co_li",
-    "score_breakdown_dimension_co_li",
-    "merged_profile_orders",
-    "merged_profile_percentiles",
-    "merged_topfreq_orders",
-    "profile_lineitem_numeric",
-    "profile_customer_strings",
-    "profile_sampled_lineitem",
-    "combo_match_customer_orders",
-    "verified_near_dups_documents",
-    "hybrid_search_documents",
-    "bpe_merges_documents",
-    "cat_tests_lineitem",
-    "cat_tests_extended",
-    "cat_tests_remaining",
-    "aggregate_balance_orders",
-    "aggregate_balance_pct_orders",
-    "aggregate_balance_range_orders",
-    "aggregate_minimum_orders",
-    "timeframe_combo_events",
-    "timeframe_gain_events",
-    "gen_constant_history",
-    "drilldown_unique_orders",
-    "drilldown_min_val_lineitem",
-    "drilldown_outlier_lineitem",
-    "drilldown_missing_days_events",
-    "drilldown_aggregate_balance",
-    "ann_index_probe_embeddings",
-    "bm25_index_probe_documents",
-    "minhash_index_probe_documents",
-    "semantic_dedup_embeddings",
-    "asof_join_events",
-    "asof_nearest_events",
-    "mixture_plan_documents",
-    "mixture_tokens_documents",
-    "top_freq_orders",
-    "top_patterns_part",
+    "benford_orders",
+    "validation_prepass",
+    "profile_orders_dates",
+    "merge_defs_fixture",
 }
 
 

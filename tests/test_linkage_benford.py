@@ -361,6 +361,36 @@ def test_fs_em_three_state_missing(spark):
     assert a == b
 
 
+def test_fs_em_three_state_probe_mode_parity(spark):
+    """Probe mode (queries=) under the ternary pattern space: probing a
+    corpus WITH ITSELF visits every unordered pair twice (id_a != id_b
+    instead of id_a < id_b), so every 3-state pattern count exactly
+    doubles — and because EM depends only on pattern SHARES (doubling is
+    exact in binary floating point), the learned (p, m, u) must be
+    BIT-identical to self mode with n_pairs doubled."""
+    from dataops_testgen_spark.pipeline.linkage import (LinkField,
+                                                        fs_em_train)
+
+    rows = []
+    for i in range(40):
+        grp = i % 2
+        name = f"{'acme' if grp == 0 else 'zorg'} widget"
+        flag = "x" if grp == 0 else "y"
+        sparse = flag if i % 2 == 0 else None
+        rows.append((i, name + (" co" if i % 8 == 0 else ""), flag, sparse))
+    df = spark.createDataFrame(
+        rows, "id int, name string, flag string, sparse string")
+    fields = [LinkField("name", "levenshtein", max_dist=3),
+              LinkField("flag", "exact"), LinkField("sparse", "exact")]
+    kw = dict(id_col="id", block="last_token", n_iters=4,
+              missing_state=True)
+    self_mode = fs_em_train(df, fields=fields, **kw)
+    probe = fs_em_train(df, queries=df, fields=fields, **kw)
+    assert probe["n_pairs"] == 2 * self_mode["n_pairs"] > 0
+    assert probe["p"] == self_mode["p"]
+    assert probe["fields"] == self_mode["fields"]
+
+
 def test_fs_em_fully_degenerate_raises_clean(spark):
     """A corpus whose patterns all weight to the same class leaves no
     mixture to estimate — the M-step must raise the documented ValueError

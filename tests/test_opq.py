@@ -125,3 +125,21 @@ def test_opq_persisted_index_self_describing(spark, tmp_path):
     g = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in got.collect())
     w = sorted((r[0], r[1], round(r[2], 9), r[3]) for r in want.collect())
     assert g == w and g
+
+
+def test_opq_topk_seat_rows_only(spark):
+    """The retired registry seat (r12: opq_topk_embeddings left the timed
+    registry once opq_query_embeddings hash-oracled the query path — the
+    ngram_jaccard r9 precedent): its end-to-end shape stays pinned here
+    rows-only — trainer + rotate + ADC scan produce exactly k rows per
+    query with a stable schema."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_opq_topk_embeddings(spark, SF)
+    assert [f.name for f in df.schema.fields] == [
+        "query_id", "neighbor_id", "est_cosine", "rank"]
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["rank"])
+    assert per_q and all(v == {1, 2, 3, 4, 5} for v in per_q.values())
