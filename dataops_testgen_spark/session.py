@@ -32,6 +32,16 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
         # bench runs). 512 MB + explicit flushing keeps the JIT steady.
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
+        # STATIC conf (must be set at session build, not runtime).
+        # One profile→infer→screen cycle emits ~240 codegen units; the
+        # default 100-entry source→class cache thrashes, so EVERY fresh
+        # table re-pays Janino compilation of the same inference-cascade
+        # sources (string literals ride references[], so the generated
+        # source is identical across tables — measured: 240 compiles on
+        # table 1, ~1 on table 2 once the cache can hold a cycle). Turns
+        # the per-fresh-table compile tax into a once-per-session cost.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
         .config("spark.ui.enabled", "false")
         # the profiler and CAT engine overlap independent aggregation jobs
         # from a thread pool (profiler.py / cat.py); FIFO would let one
