@@ -3287,29 +3287,31 @@ def q_drilldown_dependent_lineitem(spark: SparkSession,
     column: the l_fee rows deviating most from their l_returnflag group
     mean — the overrides/misjoins a user would eyeball.
 
-    Hash firewall: the lookup's own ordering key is a raw engine float
-    (residual = value − group_mean), so the seat re-orders on the
-    3dp-ROUNDED |residual| with the (cat, value) tiebreak — and because
-    the residual is a FUNCTION of (cat, value), that tiebreak makes the
-    order total and engine-independent; rows equal on all three keys are
-    identical rows, so the LIMIT cutoff yields the same multiset. 3dp
-    (not 5) because group_mean noise scales with row count — the
-    group_dependence r11 lesson: round coarser than the statistic's own
-    noise."""
+    Hash firewall: the residual is a FUNCTION of (cat, value) — l_fee
+    takes ~27 distinct (flag, tax-step) combinations, thousands of
+    identical rows each — so (a) the 500-cutoff falls INSIDE a cluster
+    of identical output rows (same multiset whichever copies each engine
+    keeps), and (b) the raw-float ordering across DISTINCT residual
+    values is stable because the smallest |residual| gap between
+    clusters is ~1e-3 (pinned by tests/test_anomalies.py:
+    test_dependent_drilldown_residual_gaps), 10^7 × the fold noise. The
+    OUTPUT residual is still rounded to 3dp (not 5: group_mean noise
+    scales with row count — the group_dependence r11 lesson)."""
     from dataops_testgen_spark.execution import drilldown as DR
 
     lim = _lineitem_m(spark, sf_dir)
     res = DR.source_data_lookup(
         lim, "Dependent_Column", "l_fee", {"cat_col": "l_returnflag"},
-        limit=1_000_000_000)
-    out = res.df.select(
+        limit=500)
+    return res.df.select(
         "l_returnflag", "l_fee",
         (F.round("residual", 3) + F.lit(0.0)).alias("residual"))
-    return (out.orderBy(F.abs("residual").desc(), "l_returnflag", "l_fee")
-            .limit(500))
 
 
 def _sql_drilldown_dependent() -> str:
+    # mirrors _lk_dependent's ordering exactly: raw |residual| DESC with
+    # the (cat, value) tiebreak (safe per the seat docstring's gap
+    # argument); ROUND only on the emitted value
     return f"""
 WITH base AS ({_LINEITEM_M_SQL}),
 means AS (
@@ -3319,7 +3321,7 @@ SELECT l_returnflag, l_fee,
        ROUND(l_fee::DOUBLE - m, 3) + 0.0::DOUBLE AS residual
 FROM base JOIN means ON base.l_returnflag = means.g
 WHERE l_fee IS NOT NULL AND l_returnflag IS NOT NULL
-ORDER BY ABS(ROUND(l_fee::DOUBLE - m, 3)) DESC, l_returnflag, l_fee
+ORDER BY ABS(l_fee::DOUBLE - m) DESC, l_returnflag, l_fee
 LIMIT 500"""
 
 

@@ -627,3 +627,30 @@ def test_correlation_cli_and_drilldown(spark, tmp_path, capsys):
     top = res.df.collect()[0]
     assert abs(top["gross"] - gross[17]) < 1e-9
     assert abs(top["residual"]) > 10
+
+
+def test_dependent_drilldown_residual_gaps(spark):
+    """The drilldown_dependent_lineitem seat orders on the RAW
+    |residual| (a float both engines compute independently); that is
+    hash-safe only while distinct residual clusters are separated by
+    far more than the aggregation fold noise (~1e-10). Pin the data
+    property the seat's docstring relies on: minimum gap between
+    distinct |residual| values > 1e-6, and the 500-cutoff falls inside
+    a cluster whose rows are identical in the output projection."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    pdf = (entry_mod._lineitem_m(spark, "/root/testdata/sf0.001")
+           .select("l_returnflag", "l_fee").toPandas())
+    resid = pdf.groupby("l_returnflag")["l_fee"].transform(
+        lambda s: s - s.mean()).abs().to_numpy()
+    vals = np.sort(np.unique(np.round(resid, 12)))
+    gaps = np.diff(vals)
+    assert gaps.size and gaps.min() > 1e-6, gaps.min()
+    # cutoff cluster: the 500th row by |resid| desc shares its exact
+    # residual with neighbours (identical rows), so the limit keeps the
+    # same multiset on both engines
+    order = np.sort(resid)[::-1]
+    assert order.size > 500
+    assert (resid == order[499]).sum() >= 1
