@@ -228,9 +228,11 @@ def _correlation_screen_wide(df: DataFrame, cols: list[str],
     # EMPTY (or all-null-batch) input still yields one row per pair with
     # n=0 / corr NULL — the fused path's shape (ADVICE r11); the pair
     # list is model-sized (K²/2 rows) and the join broadcasts
+    import pandas as pd
+
     iu0, ju0 = np.triu_indices(len(cols), k=1)
-    pair_idx = spark.createDataFrame(
-        [(int(i), int(j)) for i, j in zip(iu0, ju0)], "i int, j int")
+    pair_idx = spark.createDataFrame(pd.DataFrame(
+        {"i": iu0.astype("int32"), "j": ju0.astype("int32")}))
     agg = (pair_idx.join(
         src.mapInPandas(
             partials,

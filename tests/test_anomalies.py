@@ -349,7 +349,10 @@ def test_correlation_screen_plan_shape(spark):
     """Narrow path: ONE fused aggregate over one scan — no join, no
     unioned re-scans, the explode rides the single agg row. Wide path:
     no K-wide aggregate expression list reaches Catalyst (the co-moments
-    come from the Arrow kernel) and still no join."""
+    come from the Arrow kernel), ONE data scan, and the only join is the
+    model-sized static-pair-list completion (r12 ADVICE fix: empty
+    inputs still yield one row per pair) — never a data-sized shuffle
+    join."""
     import numpy as np
     import pandas as pd
 
@@ -368,7 +371,11 @@ def test_correlation_screen_plan_shape(spark):
     wide = correlation_screen(df, max_fused_pairs=1)
     wide.collect()
     wplan = wide._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in wplan
+    # the pair-list completion join must stay model-sized: no sort-merge
+    # (shuffle) join, and exactly one scan of the DATA relation — the
+    # static (i, j) list arrives as a local relation
+    assert "SortMergeJoin" not in wplan
+    assert wplan.count("Scan ExistingRDD") <= 1
     # the per-pair moments arrive via mapInPandas, not agg expressions
     assert "FlatMapGroupsInPandas" in wplan or "MapInPandas" in wplan
 
