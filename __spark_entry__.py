@@ -3329,6 +3329,58 @@ _SQL_DRILLDOWN_DEPENDENT = _sql_drilldown_dependent()
 
 
 # --------------------------------------------------------------------------
+# Q: fk_discovery_tpch — inclusion-dependency (FK candidate) discovery
+# (inference/fk_discovery.py, NEW r12): the reference's ID-FK layer
+# (functional_datatype.sql:559-571) links keys only when the COLUMN NAME
+# matches across tables; this extension discovers renamed keys (the
+# TPC-H norm: o_custkey -> c_custkey) by profile-signature pruning +
+# measured containment.
+# --------------------------------------------------------------------------
+
+_FK_CAND_COLS = {
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+}
+_FK_CAND_PAIRS = [(t, c) for t in ("customer", "lineitem", "orders")
+                  for c in sorted(_FK_CAND_COLS[t])]
+
+
+def q_fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK discovery over the TPC-H key columns: profile pruning keeps
+    only pairs whose parent is a unique non-null key and whose child's
+    distinct count and [min,max] bounds fit inside it (metadata-only —
+    one collect over the shared union inference, so NO fresh-table
+    cascade compile); each survivor is verified with ONE
+    distinct-dictionary join. Expected flags include the real FKs
+    (o_custkey ⊆ c_custkey, l_orderkey ⊆ o_orderkey) and the classic
+    small-domain IND false positive (l_linenumber's 1..7 ⊆ the dense key
+    ranges) that motivates combining containment with the reference's
+    name/type signals downstream."""
+    from dataops_testgen_spark.inference.fk_discovery import fk_discovery
+
+    inf = _inferred(spark, sf_dir, "customer", "orders", "lineitem")
+    tables = {t: _load(spark, sf_dir, t)
+              for t in ("customer", "orders", "lineitem")}
+    out = fk_discovery(tables, inf, columns=_FK_CAND_COLS)
+    return out.select(
+        "child_table", "child_column", "parent_table", "parent_column",
+        "child_distinct", "matched",
+        (F.round("containment", 5) + F.lit(0.0)).alias("containment"),
+        "flagged")
+
+
+def _sql_fk_discovery() -> str:
+    return ORC.fk_discovery_sql(
+        [("customer", _CUSTOMER_COLS), ("orders", _ORDERS_COLS),
+         ("lineitem", _LINEITEM_COLS_SPEC)],
+        _FK_CAND_PAIRS, RUN_DATE)
+
+
+_SQL_FK_DISCOVERY = _sql_fk_discovery()
+
+
+# --------------------------------------------------------------------------
 # Q: Category + historical overall scores (ref get_category_scores_by_column
 #    .sql, get_historical_overall_scores_by_column.sql) — previously
 #    unit-only; the fixture rows exercise NULL-pct coalescing, the
@@ -5769,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_dependence_lineitem": q_group_dependence_lineitem,
         "spearman_screen_lineitem": q_spearman_screen_lineitem,
         "drilldown_dependent_lineitem": q_drilldown_dependent_lineitem,
+        "fk_discovery_tpch": q_fk_discovery_tpch,
         "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
         # --- group B: the r9-green block — the longest-unchecked
@@ -5821,7 +5874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         "validation_prepass": q_validation_prepass,
         "profile_orders_dates": q_profile_orders_dates,
-        "merge_defs_fixture": q_merge_defs_fixture,
         # ---- tail (seat 51+): pytest-oracle-pinned every round ----
         # every tail seat below carried a green driver hash row in r10
         # or r11 (see CORRECTNESS_r{10,11}.json). opq_topk_embeddings
@@ -5831,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_opq.py (incl. a rows-only registry-shape test).
         # Next in line for r13: the r10-green block (LM/ANN/text
         # families) whose last driver row will then be oldest.
+        "merge_defs_fixture": q_merge_defs_fixture,
         "opq_query_embeddings": q_opq_query_embeddings,
         "fs_em3_part": q_fs_em3_part,
         "fs_em_part": q_fs_em_part,
@@ -5928,6 +5981,7 @@ def oracle_sql() -> dict[str, str]:
             pre_ctes=[("lineitem_sp", _LINEITEM_SP_SQL)],
             spearman=True),
         "drilldown_dependent_lineitem": _SQL_DRILLDOWN_DEPENDENT,
+        "fk_discovery_tpch": _SQL_FK_DISCOVERY,
         "nb_classify_documents": _sql_nb_classify(),
         "curation_gate_documents": _sql_curation_gate(),
         "session_stats_events": _SQL_SESSION_STATS,

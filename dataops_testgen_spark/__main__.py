@@ -1070,6 +1070,41 @@ def cmd_table_dependence(args) -> int:
     return 1 if n_flagged else 0
 
 
+def cmd_discover_fks(args) -> int:
+    """Inclusion-dependency (FK candidate) discovery across the data
+    directory's tables (inference/fk_discovery.py): profile-signature
+    pruning (metadata-only), then one distinct-dictionary join per
+    surviving pair; prints every candidate's exact containment. The
+    reference's ID-FK inference links keys only by shared column name —
+    this verb finds the renamed ones. Informational: always exit 0."""
+    from dataops_testgen_spark.inference.fk_discovery import fk_discovery
+
+    spark = _spark()
+    tables = _load_tables(spark, args.data_dir)
+    inferred = _profile_all(spark, tables, args.run_date)
+    out = fk_discovery(tables, inferred,
+                       min_containment=args.min_containment,
+                       max_candidates=args.max_candidates,
+                       min_child_distinct=args.min_child_distinct)
+    if out is None:
+        print("no candidate pairs survive profile pruning")
+        return 0
+    rows = sorted(out.collect(),
+                  key=lambda r: (r["child_table"], r["child_column"],
+                                 r["parent_table"], r["parent_column"]))
+    print("child parent child_distinct matched containment flagged")
+    for r in rows:
+        c = ("NULL" if r["containment"] is None
+             else f"{r['containment']:.5f}")
+        print(f"{r['child_table']}.{r['child_column']} "
+              f"{r['parent_table']}.{r['parent_column']} "
+              f"{r['child_distinct']} {r['matched']} {c} {r['flagged']}")
+    print(f"flagged pairs: {sum(1 for r in rows if r['flagged'])}")
+    if args.out:
+        _write(out, args.out, "fk_candidates")
+    return 0
+
+
 def cmd_fuzzy_match(args) -> int:
     """Blocked fuzzy record linkage (pipeline/linkage.py): near-duplicate
     name pairs within --max-dist Levenshtein edits, candidates restricted
@@ -1804,6 +1839,19 @@ def main(argv: list[str] | None = None) -> int:
                            help="SQL predicate selecting the NEW rows to "
                                 "profile incrementally, e.g. a partition "
                                 "filter")
+    p = cmd("discover-fks", cmd_discover_fks, data=True)
+    p.add_argument("--min-containment", type=float, default=0.99,
+                   help="flag threshold on |child∩parent| / |child| "
+                        "(distinct values)")
+    p.add_argument("--max-candidates", type=int, default=64,
+                   help="cap on profile-pruned pairs (one dictionary "
+                        "join each); overflow is reported, not silent")
+    p.add_argument("--min-child-distinct", type=int, default=1,
+                   help="ignore children below this cardinality (the "
+                        "small-domain IND false-positive guard: a "
+                        "1..7-valued column sits inside every dense key "
+                        "range)")
+
     cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
     cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)
     p = cmd("run-tests", cmd_run_tests, data=True, gen=True)

@@ -757,6 +757,66 @@ pii AS MATERIALIZED (
   FROM pii1)"""
 
 
+def fk_discovery_sql(
+    tables: list[tuple[str, list[tuple[str, str, str, bool]]]],
+    cand: list[tuple[str, str]],
+    run_date: str,
+    min_containment: float = 0.99,
+) -> str:
+    """Inclusion-dependency discovery oracle — the SQL mirror of
+    inference/fk_discovery.py:fk_discovery. Candidate (child, parent)
+    pairs are generated statically over ``cand``; the runtime pruning the
+    Spark side reads from the inferred profile (parent unique non-null,
+    matching general_type, distinct and [min,max] containment — NULL
+    bounds conservative-keep) is the EXISTS probe into ``pii``, so both
+    engines qualify identical pairs. Verification per pair: the child's
+    distinct dictionary marked by EXISTS against the parent — exact
+    integer counts, ratio rounded 5dp. Valid while the Spark side's
+    max_candidates cap is not hit (the seat keeps the static pair count
+    far below it)."""
+    ctes = _inference_ctes(tables, run_date)
+    bounds_n = ("(p.min_value IS NULL OR q.min_value IS NULL"
+                " OR p.max_value IS NULL OR q.max_value IS NULL"
+                " OR (p.min_value >= q.min_value"
+                " AND p.max_value <= q.max_value))")
+    bounds_a = ("(p.min_text IS NULL OR q.min_text IS NULL"
+                " OR p.max_text IS NULL OR q.max_text IS NULL"
+                " OR (p.min_text >= q.min_text"
+                " AND p.max_text <= q.max_text))")
+    selects = []
+    for ct, cc in cand:
+        for pt, pc in cand:
+            if (ct, cc) == (pt, pc):
+                continue
+            exists = f"""EXISTS (SELECT 1 FROM pii p, pii q
+  WHERE p.table_name = '{ct}' AND p.column_name = '{cc}'
+    AND q.table_name = '{pt}' AND q.column_name = '{pc}'
+    AND q.record_ct > 0 AND q.value_ct = q.record_ct
+    AND q.distinct_value_ct = q.value_ct
+    AND q.general_type IN ('N', 'A')
+    AND p.general_type = q.general_type
+    AND p.distinct_value_ct >= 1
+    AND p.distinct_value_ct <= q.distinct_value_ct
+    AND ((p.general_type = 'N' AND {bounds_n})
+      OR (p.general_type = 'A' AND {bounds_a})))"""
+            selects.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_column,
+       '{pt}' AS parent_table, '{pc}' AS parent_column,
+       child_distinct, matched,
+       ROUND(matched::DOUBLE / NULLIF(child_distinct::DOUBLE, 0), 5)
+         + 0.0::DOUBLE AS containment,
+       COALESCE(matched::DOUBLE / NULLIF(child_distinct::DOUBLE, 0)
+                >= {min_containment!r}::DOUBLE, FALSE) AS flagged
+FROM (SELECT COUNT(*)::BIGINT AS child_distinct,
+             COUNT(CASE WHEN EXISTS (SELECT 1 FROM {pt}
+                                     WHERE {pc} = c.v) THEN 1 END)::BIGINT
+               AS matched
+      FROM (SELECT DISTINCT {cc} AS v FROM {ct}
+            WHERE {cc} IS NOT NULL) c)
+WHERE {exists}""")
+    return ctes + "\nUNION ALL\n".join(selects)
+
+
 def functional_types_sql(
     table: str,
     columns: list[tuple[str, str, str, bool]],

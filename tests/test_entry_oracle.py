@@ -96,7 +96,7 @@ _MUST_BE_IN_DRIVER_WINDOW = {
     "benford_orders",
     "validation_prepass",
     "profile_orders_dates",
-    "merge_defs_fixture",
+    "fk_discovery_tpch",
 }
 
 

@@ -1,0 +1,132 @@
+"""Inclusion-dependency (FK candidate) discovery —
+inference/fk_discovery.py. The reference's ID-FK layer links keys only
+by shared column NAME (functional_datatype.sql:559-571); this extension
+finds renamed keys by profile pruning + measured containment."""
+
+import pytest
+
+from dataops_testgen_spark.inference.fk_discovery import (
+    fk_candidate_pairs,
+    fk_discovery,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _prof(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, general_type string,"
+        " record_ct long, value_ct long, distinct_value_ct long,"
+        " min_value double, max_value double,"
+        " min_text string, max_text string")
+
+
+def test_candidate_pruning(spark):
+    """Parents must be unique non-null keys; children must match the
+    parent's general_type, fit inside its distinct count and [min,max]
+    bounds; NULL bounds are conservative-keep; self pairs excluded."""
+    prof = _prof(spark, [
+        # unique numeric key: qualifies as parent
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        # non-unique: never a parent (but still a child candidate)
+        ("c", "fk", "N", 500, 500, 80, 1.0, 90.0, None, None),
+        # bounds outside the parent's: pruned as child of pk
+        ("c", "big", "N", 500, 500, 50, 0.0, 150.0, None, None),
+        # wider distinct count than the parent: pruned
+        ("c", "wide", "N", 500, 500, 200, 1.0, 50.0, None, None),
+        # type mismatch: pruned
+        ("c", "name", "A", 500, 500, 60, None, None, "a", "z"),
+        # NULL bounds: kept (verification decides)
+        ("c", "nob", "N", 500, 500, 10, None, None, None, None),
+    ])
+    pairs, dropped = fk_candidate_pairs(prof)
+    assert dropped == 0
+    assert set(pairs) == {("c", "fk", "p", "pk"), ("c", "nob", "p", "pk")}
+    # restriction by columns= drops unlisted children/parents
+    only, _ = fk_candidate_pairs(prof, columns={"p": ["pk"], "c": ["fk"]})
+    assert only == [("c", "fk", "p", "pk")]
+    # cap: deterministic prefix + dropped count reported
+    capped, d2 = fk_candidate_pairs(prof, max_candidates=1)
+    assert len(capped) == 1 and d2 == 1
+
+
+def test_fk_discovery_containment(spark):
+    """Exact containment counting: a true FK flags at 1.0, a partial
+    overlap reports its share unflagged, and the discovery DataFrame is
+    built from ONE dictionary join per pair (exact integer counts)."""
+    parent = spark.createDataFrame([(i,) for i in range(1, 101)], "pk long")
+    child = spark.createDataFrame(
+        [(1 + i % 100,) for i in range(400)], "fk long")
+    partial = spark.createDataFrame(
+        [(i,) for i in range(51, 151)], "half long")   # 50/100 inside
+    prof = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "fk", "N", 400, 400, 100, 1.0, 100.0, None, None),
+        ("h", "half", "N", 100, 100, 100, 51.0, 150.0, None, None),
+    ])
+    out = fk_discovery({"p": parent, "c": child, "h": partial}, prof)
+    rows = {(r["child_table"], r["child_column"],
+             r["parent_table"], r["parent_column"]): r
+            for r in out.collect()}
+    fk = rows[("c", "fk", "p", "pk")]
+    assert fk["child_distinct"] == 100 and fk["matched"] == 100
+    assert fk["flagged"] and fk["containment"] == pytest.approx(1.0)
+    # 'half' fails the bounds pruning against pk (max 150 > 100), so it
+    # never reaches verification as a child of pk
+    assert ("h", "half", "p", "pk") not in rows
+    # pk ⊆ fk's values: also a candidate in the reverse direction only
+    # if fk were unique — it is (100 distinct over 400 rows? no: 400
+    # values, 100 distinct → not unique, so never a parent)
+    assert not any(pt == "c" for _, _, pt, _ in rows)
+
+
+def test_fk_discovery_seat(spark):
+    """The registry seat discovers the real TPC-H FKs at sf0.001 —
+    o_custkey ⊆ c_custkey and l_orderkey ⊆ o_orderkey both flag at
+    containment 1.0 — and reports the small-domain l_linenumber IND
+    honestly (1..7 sits inside any dense key range)."""
+    import __spark_entry__ as e
+
+    out = e.q_fk_discovery_tpch(spark, SF)
+    rows = {(r["child_column"], r["parent_column"]): r
+            for r in out.collect()}
+    assert rows[("o_custkey", "c_custkey")]["flagged"]
+    assert rows[("o_custkey", "c_custkey")]["containment"] == 1.0
+    assert rows[("l_orderkey", "o_orderkey")]["flagged"]
+    # the documented small-domain false positive
+    ln = [k for k in rows if k[0] == "l_linenumber"]
+    assert ln, "l_linenumber candidates pruned unexpectedly"
+    # partial containments (l_partkey / l_suppkey vs sparse orderkeys)
+    # report exact shares without flagging when below the gate
+    for k, r in rows.items():
+        assert r["matched"] <= r["child_distinct"]
+        assert r["flagged"] == (r["containment"] is not None
+                                and r["containment"] >= 0.99)
+
+
+def test_fk_discovery_max_candidates_warns(spark):
+    prof = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "a", "N", 10, 10, 5, 1.0, 50.0, None, None),
+        ("c", "b", "N", 10, 10, 5, 1.0, 50.0, None, None),
+    ])
+    parent = spark.createDataFrame([(i,) for i in range(1, 101)], "pk long")
+    child = spark.createDataFrame([(i, i) for i in range(1, 6)],
+                                  "a long, b long")
+    with pytest.warns(UserWarning, match="dropped 1"):
+        out = fk_discovery({"p": parent, "c": child}, prof,
+                           max_candidates=1)
+    assert out.count() == 1
+
+
+def test_min_child_distinct_guard(spark):
+    """The small-domain guard removes low-cardinality children without
+    touching real FKs."""
+    prof = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "fk", "N", 400, 400, 80, 1.0, 100.0, None, None),
+        ("c", "tiny", "N", 400, 400, 5, 1.0, 7.0, None, None),
+    ])
+    pairs, _ = fk_candidate_pairs(prof, min_child_distinct=10)
+    assert set(pairs) == {("c", "fk", "p", "pk")}
