@@ -1102,6 +1102,14 @@ def cmd_discover_fks(args) -> int:
     print(f"flagged pairs: {sum(1 for r in rows if r['flagged'])}")
     if args.out:
         _write(out, args.out, "fk_candidates")
+    if args.emit_tests:
+        from dataops_testgen_spark.inference.fk_discovery import (
+            fk_to_test_defs)
+
+        defs = fk_to_test_defs(out, args.run_date)
+        _write(defs, args.emit_tests, "test_definitions")
+        print(f"emitted {defs.count()} Combo_Match definitions "
+              f"-> {args.emit_tests}")
     return 0
 
 
@@ -1851,6 +1859,10 @@ def main(argv: list[str] | None = None) -> int:
                         "small-domain IND false-positive guard: a "
                         "1..7-valued column sits inside every dense key "
                         "range)")
+    p.add_argument("--emit-tests", default="",
+                   help="also write Combo_Match test definitions for "
+                        "every flagged FK to this parquet path "
+                        "(mergeable via run-test-generation's store)")
 
     cmd("run-test-generation", cmd_run_test_generation, data=True, gen=True)
     cmd("run-monitor-generation", cmd_run_monitor_generation, data=True)

@@ -152,3 +152,29 @@ def fk_discovery(tables: dict[str, DataFrame], inferred_profile: DataFrame,
         "flagged",
         F.coalesce(F.col("containment") >= float(min_containment),
                    F.lit(False)))
+
+
+def fk_to_test_defs(discovered: DataFrame, run_date: str) -> DataFrame:
+    """Flagged inclusion dependencies → ``Combo_Match`` test definitions
+    (the generation/selection.py test_definitions schema): every child
+    (table, column) combination must keep existing in the parent — the
+    referential-integrity monitor the reference leaves to manual
+    configuration. Feed through ``merge_test_defs`` / ``to_test_defs``
+    like any generated test; the CAT/query runner executes it as the
+    standard set-difference Combo_Match."""
+    return discovered.filter("flagged").select(
+        F.lit("Combo_Match").alias("test_type"),
+        F.col("child_table").alias("table_name"),
+        F.col("child_column").alias("column_name"),
+        F.lit("Y").alias("test_active"),
+        F.lit(run_date).alias("last_auto_gen_date"),
+        F.map_from_arrays(
+            F.array(F.lit("match_table_name"),
+                    F.lit("match_groupby_names"),
+                    # fail on ANY orphaned combo (measure > 0): a NULL
+                    # threshold would fall through evaluate_condition's
+                    # ELSE and always pass
+                    F.lit("threshold_value")),
+            F.array(F.col("parent_table"), F.col("parent_column"),
+                    F.lit("0")),
+        ).alias("params"))

@@ -130,3 +130,36 @@ def test_min_child_distinct_guard(spark):
     ])
     pairs, _ = fk_candidate_pairs(prof, min_child_distinct=10)
     assert set(pairs) == {("c", "fk", "p", "pk")}
+
+
+def test_fk_to_test_defs_execute(spark):
+    """Flagged FKs become Combo_Match definitions that run through the
+    REAL query engine: intact referential integrity passes; deleting
+    parent rows makes the same definition fail."""
+    from dataops_testgen_spark.execution.query_runner import run_query_tests
+    from dataops_testgen_spark.generation.selection import to_test_defs
+    from dataops_testgen_spark.inference.fk_discovery import (
+        fk_discovery, fk_to_test_defs)
+
+    parent = spark.createDataFrame([(i,) for i in range(1, 101)], "pk long")
+    child = spark.createDataFrame(
+        [(1 + i % 100,) for i in range(400)], "fk long")
+    prof = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "fk", "N", 400, 400, 100, 1.0, 100.0, None, None),
+    ])
+    disc = fk_discovery({"p": parent, "c": child}, prof)
+    defs_df = fk_to_test_defs(disc, "2026-08-01")
+    defs = to_test_defs(defs_df)
+    assert len(defs) == 1
+    td = defs[0]
+    assert td.test_type == "Combo_Match"
+    assert td.p("match_table_name") == "p"
+    assert td.p("match_groupby_names") == "pk"
+
+    ok = run_query_tests({"p": parent, "c": child}, defs).collect()
+    assert len(ok) == 1 and ok[0]["result_status"] == "Passed"
+
+    broken = parent.filter("pk > 10")         # 10 child combos orphaned
+    bad = run_query_tests({"p": broken, "c": child}, defs).collect()
+    assert bad[0]["result_status"] == "Failed"
