@@ -183,6 +183,25 @@ def test_run_tests_notify_out(store_env, tmp_path):
     assert all(e["test_ct"] > 0 for e in events)
 
 
+def test_run_profile_store_notify_spearman(tmp_path, spark):
+    """run-profile with --store AND --notify-out screens ONCE (r12 ADVICE:
+    the two consumers used to re-run the Correlation/Dependence raw-data
+    passes) and --spearman plumbs through to the cascade; the stored
+    anomalies and the notification event both materialize."""
+    store_dir = str(tmp_path / "appdb")
+    out = str(tmp_path / "notify.jsonl")
+    rc = main(["run-profile", "--data-dir", SF_DIR, "--store", store_dir,
+               "--table-group", "tg_sp", "--notify-out", out,
+               "--spearman", "--csv-dir", str(tmp_path)])
+    assert rc == 0
+    events = [json.loads(x) for x in open(out)]
+    assert len(events) == 1 and events[0]["event_type"] == "profiling_run"
+    store = RunStore(spark, store_dir)
+    run_id = store.list_profiles("tg_sp").first()["profile_run_id"]
+    anom = store.profile_anomalies(run_id).collect()
+    assert anom and all(a["anomaly_type"] for a in anom)
+
+
 def test_run_monitors_store_and_freshness(tmp_path, spark, capsys):
     """Two monitor cycles against a store: cycles are recorded as test
     runs under <suite>_monitors, and the second cycle's Table_Freshness
