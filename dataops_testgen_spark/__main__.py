@@ -1102,14 +1102,24 @@ def cmd_discover_fks(args) -> int:
     print(f"flagged pairs: {sum(1 for r in rows if r['flagged'])}")
     if args.out:
         _write(out, args.out, "fk_candidates")
-    if args.emit_tests:
+    if args.emit_tests or args.store:
         from dataops_testgen_spark.inference.fk_discovery import (
             fk_to_test_defs)
 
         defs = fk_to_test_defs(out, args.run_date)
-        _write(defs, args.emit_tests, "test_definitions")
-        print(f"emitted {defs.count()} Combo_Match definitions "
-              f"-> {args.emit_tests}")
+        if args.emit_tests:
+            _write(defs, args.emit_tests, "test_definitions")
+            print(f"emitted {defs.count()} Combo_Match definitions "
+                  f"-> {args.emit_tests}")
+        if args.store:
+            # recorded as a generation for the suite: run-tests
+            # --test-suite <suite> then executes the referential
+            # monitors alongside every other stored definition
+            _store(spark, args).record_test_generation(
+                defs, test_suite_key=args.test_suite,
+                run_date=args.run_date)
+            print(f"test_suite_key: {args.test_suite} "
+                  f"({defs.count()} referential definitions)")
     return 0
 
 

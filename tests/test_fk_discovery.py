@@ -163,3 +163,30 @@ def test_fk_to_test_defs_execute(spark):
     broken = parent.filter("pk > 10")         # 10 child combos orphaned
     bad = run_query_tests({"p": broken, "c": child}, defs).collect()
     assert bad[0]["result_status"] == "Failed"
+
+
+def test_discover_fks_cli_store_roundtrip(spark, tmp_path):
+    """discover-fks --store records the flagged FKs as a stored test
+    generation; run-tests --test-suite then executes the referential
+    Combo_Match monitors from the store against live data."""
+    from dataops_testgen_spark.__main__ import main
+
+    store = str(tmp_path / "appdb")
+    rc = main(["discover-fks", "--data-dir", SF, "--store", store,
+               "--test-suite", "fk_suite", "--min-child-distinct", "20",
+               "--csv-dir", str(tmp_path)])
+    assert rc == 0
+    rc = main(["run-tests", "--data-dir", SF, "--store", store,
+               "--test-suite", "fk_suite", "--csv-dir", str(tmp_path)])
+    assert rc in (0, 1)      # 1 = some test failed; either way it RAN
+    from dataops_testgen_spark.store import RunStore
+
+    rs = RunStore(spark, store)
+    rows = rs.read("test_results").collect()
+    combo = [r for r in rows if r["test_type"] == "Combo_Match"]
+    assert combo
+    # the real FKs hold on untouched data
+    ok = {(r["table_name"], r["column_name"]): r["result_status"]
+          for r in combo}
+    assert ok.get(("orders", "o_custkey")) == "Passed"
+    assert ok.get(("lineitem", "l_orderkey")) == "Passed"
