@@ -76,16 +76,24 @@ def correlation_eligible() -> Column:
 def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
     """Replace each column by its average (fractional) rank over that
     column's non-null values — the Spearman preprocessing step. Per
-    column: ONE groupBy to the distinct-value dictionary, a cumulative
-    count over THAT dictionary (rank(v) = #smaller + (ties+1)/2 — exact,
-    integer arithmetic, engine-identical), and one dictionary join back.
-    NULLs stay NULL (pairwise deletion happens downstream).
+    column: ONE groupBy to the distinct-value dictionary, a DISTRIBUTED
+    cumulative count over that dictionary (rank(v) = #smaller +
+    (ties+1)/2 — exact, integer arithmetic, engine-identical), and one
+    dictionary join back. NULLs stay NULL (pairwise deletion happens
+    downstream).
 
     Scale shape: the dictionaries are DISTINCT-bounded, not row-bounded,
-    and the joins broadcast when small; the cumulative sum runs
-    single-partition over each dictionary, which is the documented limit
-    — a continuous column with ~10^9 distinct values should be
-    quantile-bucketed before rank-screening. Note also that
+    and the joins broadcast when small. The global prefix sum avoids the
+    classic single-partition window (r11's documented limit, removed
+    r12): the dictionary is range-partitioned on the value, each
+    partition computes its LOCAL prefix sums in parallel (the window is
+    partitionBy'd), and the cross-partition offsets come from one
+    model-sized relation (one row per partition) folded with a window
+    over partition ids and broadcast-joined back — so a 10^9-distinct
+    continuous column ranks without ever funnelling through one task.
+    The dictionary is checkpointed because range partitioning samples
+    boundaries at runtime: both the local window and the offset fold
+    must see the SAME partition assignment. Note also that
     method='spearman' ABOVE max_fused_pairs stacks the wide Arrow kernel
     on a K-deep chain of dictionary joins: the kernel removes the
     expression-width hazard but the join DEPTH grows with K, so a
@@ -96,13 +104,31 @@ def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
 
     for c in cols:
         vals = (out.filter(F.col(c).isNotNull())
-                .groupBy(c).agg(F.count(F.lit(1)).alias("__n")))
-        w = (Window.orderBy(F.col(c))
-             .rowsBetween(Window.unboundedPreceding, -1))
-        ranks = vals.select(
-            F.col(c),
-            (F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("double")
-             + (F.col("__n") + F.lit(1.0)) / 2.0).alias(f"__rk_{c}"))
+                .groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+                .repartitionByRange(F.col(c))
+                .withColumn("__pid", F.spark_partition_id())
+                # pin the sampled range-partition assignment: __pid is
+                # referenced by two consumers below and a recompute could
+                # re-sample different boundaries
+                .localCheckpoint(eager=False))
+        w_local = (Window.partitionBy("__pid").orderBy(F.col(c))
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        local = F.coalesce(F.sum("__n").over(w_local), F.lit(0))
+        # offsets: one row per partition; the unpartitioned window is
+        # model-sized (partition count, not value count)
+        w_pid = (Window.orderBy("__pid")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        pid_off = (vals.groupBy("__pid").agg(F.sum("__n").alias("__t"))
+                   .withColumn("__off",
+                               F.coalesce(F.sum("__t").over(w_pid),
+                                          F.lit(0)))
+                   .select("__pid", "__off"))
+        ranks = (vals.join(F.broadcast(pid_off), "__pid")
+                 .select(
+                     F.col(c),
+                     ((F.col("__off") + local).cast("double")
+                      + (F.col("__n") + F.lit(1.0)) / 2.0)
+                     .alias(f"__rk_{c}")))
         out = out.join(ranks, c, "left")
     return out.select(*[F.col(f"__rk_{c}").alias(c) for c in cols])
 

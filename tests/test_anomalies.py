@@ -345,6 +345,34 @@ def test_correlation_screen_spearman(spark):
         correlation_screen(df, method="kendall")
 
 
+def test_rank_transform_distributed_prefix(spark):
+    """The r12 distributed rank: a high-distinct column spread across
+    MULTIPLE range partitions still gets exact pandas-identical average
+    ranks (cross-partition offsets + local prefix sums must compose to
+    the global #smaller), including ties that straddle nothing locally."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import _rank_transform
+
+    rng = np.random.default_rng(23)
+    n = 20000                      # >> one range partition at 32 shuffle
+    a = rng.normal(0, 1000, n).round(1)          # heavy ties
+    b = rng.uniform(0, 1, n)                      # ~all distinct
+    pdf = pd.DataFrame({"a": a, "b": b})
+    got = (_rank_transform(spark.createDataFrame(pdf), ["a", "b"])
+           .toPandas())
+    assert len(got) == n
+    # the rank is a pure function of the value, so multiset equality
+    # against pandas' average ranks is an exact end-to-end check (the
+    # value->rank PAIRING is separately pinned by the spearman-vs-pandas
+    # correlation parity test)
+    assert sorted(np.round(got["a"], 9)) == sorted(
+        np.round(pdf["a"].rank(method="average"), 9))
+    assert sorted(np.round(got["b"], 9)) == sorted(
+        np.round(pdf["b"].rank(method="average"), 9))
+
+
 def test_correlation_screen_plan_shape(spark):
     """Narrow path: ONE fused aggregate over one scan — no join, no
     unioned re-scans, the explode rides the single agg row. Wide path:
