@@ -9,10 +9,11 @@ with watermarks for late data.
 
 from dataops_testgen_spark.streaming.monitors import (
     freshness_monitor,
+    referential_monitor,
     metric_trend_monitor,
     stateful_freshness_monitor,
     volume_monitor,
 )
 
 __all__ = ["volume_monitor", "freshness_monitor", "metric_trend_monitor",
-           "stateful_freshness_monitor"]
+           "stateful_freshness_monitor", "referential_monitor"]

@@ -73,6 +73,57 @@ def volume_monitor(
     return _with_tolerances(out, "record_ct", lower_tolerance, upper_tolerance)
 
 
+def referential_monitor(
+    stream: DataFrame,
+    parent: DataFrame,
+    key_col: str,
+    parent_key: str | None = None,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_orphan_pct: float = 0.0,
+) -> DataFrame:
+    """Per-window referential-integrity monitor (NEW r12): the streaming
+    twin of the Combo_Match definitions `discover-fks --emit-tests`
+    generates — counts arriving records whose ``key_col`` does not exist
+    in the ``parent`` relation's key dictionary.
+
+    Shape: a STREAM-STATIC left join against the parent's distinct key
+    dictionary (Structured Streaming re-plans the static side per
+    microbatch, so a parquet-backed parent picks up new keys between
+    batches — the late-arriving-dimension case), then the standard
+    windowed aggregate. NULL child keys are counted separately, not as
+    orphans (SQL FK semantics: NULL references nothing). ``result_code``
+    1/0 flags windows whose orphan share exceeds ``max_orphan_pct``.
+    At scale the dictionary join broadcasts when the parent key set is
+    small and shuffles on the key otherwise — never a per-row lookup."""
+    parent_key = parent_key or key_col
+    dictionary = (parent.select(F.col(parent_key).alias(key_col))
+                  .filter(F.col(key_col).isNotNull()).distinct()
+                  .withColumn("__hit", F.lit(1)))
+    joined = _as_event_time(stream, ts_col).join(dictionary, key_col, "left")
+    agg = (joined.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(
+               F.count(F.lit(1)).cast("long").alias("record_ct"),
+               F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0))
+               .cast("long").alias("null_key_ct"),
+               F.sum(F.when(F.col(key_col).isNotNull()
+                            & F.col("__hit").isNull(), 1).otherwise(0))
+               .cast("long").alias("orphan_ct")))
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "record_ct", "null_key_ct", "orphan_ct",
+        F.try_divide(F.col("orphan_ct").cast("double"),
+                     (F.col("record_ct") - F.col("null_key_ct"))
+                     .cast("double")).alias("orphan_pct"))
+    return out.withColumn(
+        "result_code",
+        F.when(F.coalesce(F.col("orphan_pct"), F.lit(0.0))
+               <= F.lit(float(max_orphan_pct)), 1).otherwise(0))
+
+
 def freshness_monitor(
     stream: DataFrame,
     ts_col: str = "ts",

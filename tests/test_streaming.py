@@ -1104,3 +1104,60 @@ def test_quality_gate_sink_reloads_retrained_model(spark, tmp_path):
     os.remove(os.path.join(model, "weights", "_SUCCESS"))
     sink(b2, 2)
     assert kept(out, 2) == scored(b2, w2)
+
+
+def test_referential_monitor_matches_batch(spark, events_dir, tmp_path):
+    """Streaming referential-integrity monitor (r12, the streaming twin
+    of discover-fks' Combo_Match defs): per-window orphan counts against
+    a parent key dictionary match the batch computation; NULL child keys
+    are counted separately (SQL FK semantics) and never as orphans; the
+    orphan-share gate sets result_code."""
+    from dataops_testgen_spark.streaming import referential_monitor
+
+    base = spark.read.parquet(events_dir)
+    # null ~1/7 of the keys and keep the rest; parent covers only
+    # user_id % 3 != 0 -> every third user is an orphan
+    child = base.withColumn(
+        "user_id", F.when(F.col("event_id") % 7 == 0,
+                          F.lit(None)).otherwise(F.col("user_id")))
+    child_dir = str(tmp_path / "child_events")
+    child.write.mode("overwrite").parquet(child_dir)
+    parent = (base.select(F.col("user_id").alias("uid"))
+              .filter("uid % 3 != 0").distinct())
+
+    stream = spark.readStream.schema(child.schema).parquet(child_dir)
+    out = _run_stream(
+        spark, referential_monitor(stream, parent, "user_id",
+                                   parent_key="uid", ts_col="ts",
+                                   window="1 day", watermark="0 seconds",
+                                   max_orphan_pct=0.10),
+        "ref_mon")
+    got = {(r["window_start"], r["record_ct"], r["null_key_ct"],
+            r["orphan_ct"], r["result_code"]) for r in out.collect()}
+
+    max_ts = child.agg(F.max("ts")).collect()[0][0]
+    known = {r["uid"] for r in parent.collect()}
+    exp_rows = (child.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("nk"),
+        F.sum(F.when(F.col("user_id").isNotNull()
+                     & ~F.col("user_id").isin(list(known)), 1)
+              .otherwise(0)).alias("orph")).collect())
+    expected = set()
+    for r in exp_rows:
+        if r["w"]["end"] > max_ts:
+            continue   # append mode: the open window is withheld
+        share = r["orph"] / (r["n"] - r["nk"]) if (r["n"] - r["nk"]) else 0
+        expected.add((r["w"]["start"], r["n"], r["nk"], r["orph"],
+                      1 if share <= 0.10 else 0))
+    assert got == expected and got
+    # orphans exist by construction, and at least one window flags with
+    # a tight gate
+    assert any(o > 0 for _, _, _, o, _ in got)
+    out2 = _run_stream(
+        spark, referential_monitor(
+            spark.readStream.schema(child.schema).parquet(child_dir),
+            parent, "user_id", parent_key="uid", ts_col="ts",
+            window="1 day", watermark="0 seconds", max_orphan_pct=0.0),
+        "ref_mon_tight")
+    assert any(r["result_code"] == 0 for r in out2.collect())
