@@ -3293,8 +3293,8 @@ def q_drilldown_dependent_lineitem(spark: SparkSession,
     of identical output rows (same multiset whichever copies each engine
     keeps), and (b) the raw-float ordering across DISTINCT residual
     values is stable because the smallest |residual| gap between
-    clusters is ~1e-3 (pinned by tests/test_anomalies.py:
-    test_dependent_drilldown_residual_gaps), 10^7 × the fold noise. The
+    clusters is ~4e-5 (pinned by tests/test_anomalies.py:
+    test_dependent_drilldown_residual_gaps), ~10^5 × the fold noise. The
     OUTPUT residual is still rounded to 3dp (not 5: group_mean noise
     scales with row count — the group_dependence r11 lesson)."""
     from dataops_testgen_spark.execution import drilldown as DR

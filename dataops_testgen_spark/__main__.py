@@ -212,9 +212,14 @@ def cmd_run_anomalies(args) -> int:
     inferred = _profile_all(spark, tables, args.run_date,
                             approx=args.approx, sample=args.sample)
     # tables= runs the Correlation class (Correlated_Columns, 34th rule)
-    # alongside the profile-driven classes — one fused agg per table
-    anomalies = screen_anomalies(inferred, tables=tables,
-                                 spearman=getattr(args, "spearman", False))
+    # alongside the profile-driven classes — one fused agg per table;
+    # checkpointed because up to four consumers follow (store write,
+    # notify event, --out write, rollup join) and each would otherwise
+    # re-run the raw-table correlation/dependence/spearman scans
+    anomalies = screen_anomalies(
+        inferred, tables=tables,
+        spearman=getattr(args, "spearman", False),
+    ).localCheckpoint(eager=False)
     if args.store:
         store = _store(spark, args)
         run_id = store.record_profile_run(
@@ -1089,6 +1094,10 @@ def cmd_discover_fks(args) -> int:
     if out is None:
         print("no candidate pairs survive profile pruning")
         return 0
+    # checkpointed: the collect below plus --out/--emit-tests/--store all
+    # consume this relation — without it each action re-runs every
+    # candidate pair's dictionary join
+    out = out.localCheckpoint(eager=False)
     rows = sorted(out.collect(),
                   key=lambda r: (r["child_table"], r["child_column"],
                                  r["parent_table"], r["parent_column"]))
@@ -1107,9 +1116,10 @@ def cmd_discover_fks(args) -> int:
             fk_to_test_defs)
 
         defs = fk_to_test_defs(out, args.run_date)
+        n_defs = defs.count()       # once; reused by both branches below
         if args.emit_tests:
             _write(defs, args.emit_tests, "test_definitions")
-            print(f"emitted {defs.count()} Combo_Match definitions "
+            print(f"emitted {n_defs} Combo_Match definitions "
                   f"-> {args.emit_tests}")
         if args.store:
             # recorded as a generation for the suite: run-tests
@@ -1119,7 +1129,7 @@ def cmd_discover_fks(args) -> int:
                 defs, test_suite_key=args.test_suite,
                 run_date=args.run_date)
             print(f"test_suite_key: {args.test_suite} "
-                  f"({defs.count()} referential definitions)")
+                  f"({n_defs} referential definitions)")
     return 0
 
 

@@ -206,6 +206,9 @@ def screen_anomalies(inferred_profile: DataFrame,
     ``spearman=True`` (needs ``tables``) adds the rank-correlation pass:
     monotone-nonlinear derivations flag as Correlated_Columns with a
     "Monotone-correlated" detail."""
+    if spearman and not tables:
+        raise ValueError("spearman=True requires tables= — the rank pass "
+                         "screens raw table rows, not the profile")
     out = _column_screen(inferred_profile)
     out = out.unionByName(_multi_column_screen(inferred_profile))
     out = out.unionByName(_dates_screen(inferred_profile))

@@ -102,8 +102,7 @@ def referential_monitor(
                   .filter(F.col(key_col).isNotNull()).distinct()
                   .withColumn("__hit", F.lit(1)))
     joined = _as_event_time(stream, ts_col).join(dictionary, key_col, "left")
-    agg = (joined.withWatermark(ts_col, watermark)
-           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+    agg = (_windowed(joined, ts_col, window, watermark)
            .agg(
                F.count(F.lit(1)).cast("long").alias("record_ct"),
                F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0))

@@ -682,10 +682,13 @@ def test_dependent_drilldown_residual_gaps(spark):
         lambda s: s - s.mean()).abs().to_numpy()
     vals = np.sort(np.unique(np.round(resid, 12)))
     gaps = np.diff(vals)
-    assert gaps.size and gaps.min() > 1e-6, gaps.min()
-    # cutoff cluster: the 500th row by |resid| desc shares its exact
-    # residual with neighbours (identical rows), so the limit keeps the
-    # same multiset on both engines
+    # measured ~3.7e-5 at sf0.001 / ~7.9e-5 at sf0.01 — pin an order of
+    # magnitude of slack, still ~10^5 x the ~1e-10 fold noise
+    assert gaps.size and gaps.min() > 1e-5, gaps.min()
+    # cutoff cluster: the 500th row by |resid| desc must share its exact
+    # residual with AT LEAST one other row (>= 2 — a singleton cluster at
+    # the boundary would let the engines keep different multisets), so
+    # the limit keeps the same multiset on both engines
     order = np.sort(resid)[::-1]
     assert order.size > 500
-    assert (resid == order[499]).sum() >= 1
+    assert (resid == order[499]).sum() >= 2
