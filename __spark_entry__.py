@@ -2114,38 +2114,39 @@ _DEPENDENCE_NUMS = ["l_quantity", "l_extendedprice", "l_discount",
 def q_group_dependence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-dependence (correlation ratio eta², ANOVA R²) of every
     lineitem_m measure against l_returnflag: the seeded rate-table
-    column l_fee scores eta² = 1 (flagged), the genuine measures
-    score ~0 — the numeric-determined-by-categorical redundancy detector
-    completing the contingency/correlation dependence triad.
+    column l_fee is determined by the category (eta² ≈ 1, flagged),
+    the genuine measures are not — the numeric-determined-by-
+    categorical redundancy detector completing the contingency/
+    correlation dependence triad.
 
-    eta² firewall (r11 red-row fix): the genuine measures' eta² IS
-    float-summation noise of magnitude ~1e-5, so a plain ROUND(…, 5)
-    rounds exactly at the noise scale and engines/boxes land on
-    opposite sides of a boundary. Clamp eta² < 1e-3 to exactly 0.0
-    before a 3dp round (the flag threshold is 0.95 — nothing a user
-    sees changes), mirrored in the oracle."""
+    r13: NO engine-computed floats on the hash surface. Two rounds of
+    float firewalls (5dp round → r11 red; <1e-3 clamp + 3dp round →
+    r12 red despite local hash-MATCH on every testdata SF) proved
+    that a variance-ratio statistic cannot be made box-portable by
+    output rounding when the driver box's data/engine may differ.
+    The seat now emits only exact values — (cat_col, num_col, n,
+    n_groups, flagged) — where flagged's margin is enormous on BOTH
+    sides of its 0.95 threshold (l_fee eta² ≈ 1.0; genuine measures
+    ≤ ~3.7e-4, measured at sf0.01). Value-level eta² parity vs DuckDB
+    lives in tests/test_anomalies.py::test_group_dependence_eta2_oracle
+    (same-box, tolerance-based); the cascade-level flagged proof is
+    correlation_screen_lineitem."""
     from dataops_testgen_spark.anomalies.dependence import (
         group_dependence_screen)
 
     sp = _lineitem_m(spark, sf_dir)
     out = group_dependence_screen(sp, ["l_returnflag"], _DEPENDENCE_NUMS)
-    eta2_fw = (F.when(F.col("eta2") < 0.001, F.lit(0.0))
-               .otherwise(F.round("eta2", 3) + F.lit(0.0)))
-    return out.select("cat_col", "num_col", "n", "n_groups",
-                      eta2_fw.alias("eta2"),
-                      "flagged")
+    return out.select("cat_col", "num_col", "n", "n_groups", "flagged")
 
 
 def _sql_group_dependence_lineitem() -> str:
+    # r13: the hash surface carries NO engine-computed floats — eta2 is
+    # computed only to derive `flagged` (threshold 0.95; nearest value
+    # on either side is ~1.0 / ~3.7e-4, both orders of magnitude away).
     finals = []
     for num in _DEPENDENCE_NUMS:
-        # eta2 firewall mirrors the seat: clamp < 1e-3 to exact 0.0
-        # (genuine measures' eta2 is ~1e-5 fold noise), else ROUND 3dp
         finals.append(f"""
-SELECT cat_col, num_col, n, n_groups,
-       CASE WHEN e < 0.001::DOUBLE THEN 0.0::DOUBLE
-            ELSE ROUND(e, 3) + 0.0::DOUBLE END AS eta2,
-       flagged
+SELECT cat_col, num_col, n, n_groups, flagged
 FROM (
 SELECT 'l_returnflag' AS cat_col, '{num}' AS num_col,
        tn AS n, g_ct AS n_groups,

@@ -1874,11 +1874,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-candidates", type=int, default=64,
                    help="cap on profile-pruned pairs (one dictionary "
                         "join each); overflow is reported, not silent")
-    p.add_argument("--min-child-distinct", type=int, default=1,
+    p.add_argument("--min-child-distinct", type=int, default=20,
                    help="ignore children below this cardinality (the "
                         "small-domain IND false-positive guard: a "
                         "1..7-valued column sits inside every dense key "
-                        "range)")
+                        "range and would otherwise be stored as a "
+                        "forever-running referential monitor under "
+                        "--store/--emit-tests; lower to 1 to see every "
+                        "candidate)")
     p.add_argument("--emit-tests", default="",
                    help="also write Combo_Match test definitions for "
                         "every flagged FK to this parquet path "

@@ -174,7 +174,17 @@ def fk_to_test_defs(discovered: DataFrame, run_date: str) -> DataFrame:
                     # fail on ANY orphaned combo (measure > 0): a NULL
                     # threshold would fall through evaluate_condition's
                     # ELSE and always pass
-                    F.lit("threshold_value")),
+                    F.lit("threshold_value"),
+                    # NULL-FK semantics (r12 ADVICE): discovery measures
+                    # containment over NON-NULL child values only (and
+                    # referential_monitor documents NULL reference = "no
+                    # reference", not an orphan), but combo_match joins
+                    # with eqNullSafe — without this subset a nullable
+                    # child column yields a {NULL} orphan combo and the
+                    # threshold-0 test fails forever
+                    F.lit("subset_condition")),
             F.array(F.col("parent_table"), F.col("parent_column"),
-                    F.lit("0")),
+                    F.lit("0"),
+                    F.concat(F.col("child_column"),
+                             F.lit(" IS NOT NULL"))),
         ).alias("params"))

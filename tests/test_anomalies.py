@@ -559,6 +559,56 @@ def test_group_dependence_screen(spark):
     assert ok.filter("flagged").count() == 1
 
 
+def test_group_dependence_eta2_oracle(spark, duck, sf_dir):
+    """Value-level eta² parity vs DuckDB on the real lineitem_m seat
+    inputs (r12 verdict item 1: the driver seat now emits only exact
+    values, so the float-valued eta² parity lives HERE, where both
+    engines share a box — tolerance-based, not hashed)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    from dataops_testgen_spark.anomalies.dependence import (
+        group_dependence_screen)
+
+    sp = entry._lineitem_m(spark, sf_dir)
+    got = {r["num_col"]: r for r in group_dependence_screen(
+        sp, ["l_returnflag"], entry._DEPENDENCE_NUMS).collect()}
+
+    for num in entry._DEPENDENCE_NUMS:
+        e, n, g_ct, flagged = duck.execute(f"""
+            WITH base AS ({entry._LINEITEM_M_SQL}),
+            grp AS (
+              SELECT COUNT({num}) AS n, AVG({num}::DOUBLE) AS m,
+                     VAR_POP({num}::DOUBLE) AS vp
+              FROM base WHERE l_returnflag IS NOT NULL
+              GROUP BY l_returnflag)
+            SELECT SUM(n * (m - mm) * (m - mm))
+                     / NULLIF(SUM(n * (m - mm) * (m - mm))
+                              + SUM(vp * n), 0),
+                   tn, g_ct,
+                   COALESCE(SUM(n * (m - mm) * (m - mm))
+                     / NULLIF(SUM(n * (m - mm) * (m - mm))
+                              + SUM(vp * n), 0) >= 0.95
+                     AND tn >= 500 AND g_ct >= 2, FALSE)
+            FROM (SELECT n::DOUBLE AS n, m, vp,
+                         SUM(n) OVER () AS tn,
+                         COUNT(CASE WHEN n > 0 THEN 1 END) OVER () AS g_ct,
+                         SUM(m * n::DOUBLE) OVER ()
+                           / NULLIF(SUM(n::DOUBLE) OVER (), 0) AS mm
+                  FROM grp)
+            GROUP BY tn, g_ct""").fetchone()
+        r = got[num]
+        assert r["n"] == n and r["n_groups"] == g_ct
+        assert r["flagged"] == flagged, num
+        assert abs(r["eta2"] - e) < 1e-7, (num, r["eta2"], e)
+        if num == "l_fee":                        # seeded rate table
+            assert r["eta2"] > 0.999
+        else:                                     # genuine measures: tiny,
+            assert r["eta2"] < 0.01               # far below the 0.95 flag
+
+
 def test_dependence_anomalies_cascade(spark):
     """dependence_anomalies qualifies categoricals by the contingency
     rule and numerics by correlation eligibility + non-constant, anchors

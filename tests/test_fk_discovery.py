@@ -101,8 +101,13 @@ def test_fk_discovery_seat(spark):
     # report exact shares without flagging when below the gate
     for k, r in rows.items():
         assert r["matched"] <= r["child_distinct"]
-        assert r["flagged"] == (r["containment"] is not None
-                                and r["containment"] >= 0.99)
+        # flagged is computed on the UNROUNDED ratio; the seat's
+        # containment column is rounded 5dp, so recompute the exact
+        # ratio here (a true containment in [0.989995, 0.99) would
+        # round to 0.99 and fail a rounded-value comparison spuriously)
+        exact = (r["matched"] / r["child_distinct"]
+                 if r["child_distinct"] else None)
+        assert r["flagged"] == (exact is not None and exact >= 0.99)
 
 
 def test_fk_discovery_max_candidates_warns(spark):
@@ -163,6 +168,39 @@ def test_fk_to_test_defs_execute(spark):
     broken = parent.filter("pk > 10")         # 10 child combos orphaned
     bad = run_query_tests({"p": broken, "c": child}, defs).collect()
     assert bad[0]["result_status"] == "Failed"
+
+
+def test_fk_to_test_defs_nullable_child(spark):
+    """A NULLABLE FK child must round-trip (r12 ADVICE): discovery
+    measures containment over non-null values, so the emitted
+    Combo_Match carries a `<child> IS NOT NULL` subset_condition —
+    without it the {NULL} combo is an eternal orphan and the
+    threshold-0 monitor fails on perfectly referential data."""
+    from dataops_testgen_spark.execution.query_runner import run_query_tests
+    from dataops_testgen_spark.generation.selection import to_test_defs
+    from dataops_testgen_spark.inference.fk_discovery import (
+        fk_discovery, fk_to_test_defs)
+
+    parent = spark.createDataFrame([(i,) for i in range(1, 101)], "pk long")
+    child = spark.createDataFrame(
+        [(1 + i % 100,) for i in range(400)] + [(None,)] * 30, "fk long")
+    # profile reflects the nullable child: value_ct < record_ct
+    prof = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "fk", "N", 430, 400, 100, 1.0, 100.0, None, None),
+    ])
+    disc = fk_discovery({"p": parent, "c": child}, prof)
+    rows = disc.collect()
+    assert len(rows) == 1 and rows[0]["flagged"]   # NULLs don't break IND
+    defs = to_test_defs(fk_to_test_defs(disc, "2026-08-01"))
+    assert defs[0].p("subset_condition") == "fk IS NOT NULL"
+
+    ok = run_query_tests({"p": parent, "c": child}, defs).collect()
+    assert len(ok) == 1 and ok[0]["result_status"] == "Passed"
+
+    broken = parent.filter("pk > 5")
+    bad = run_query_tests({"p": broken, "c": child}, defs).collect()
+    assert bad[0]["result_status"] == "Failed"     # real orphans still fire
 
 
 def test_discover_fks_cli_store_roundtrip(spark, tmp_path):
