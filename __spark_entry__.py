@@ -5570,6 +5570,75 @@ SELECT s1.user_id,
   FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
 
+def q_ref_orphans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming referential-integrity monitor
+    (streaming/monitors.py referential_monitor — the r12 extension of
+    the reference's Combo_Match referential tests,
+    test_types_Combo_Match.yaml): per-day orphan counts of events
+    against a customer-key dictionary, run through the IDENTICAL
+    monitor code in batch mode (withWatermark is a no-op on batch
+    plans; tests/test_streaming.py pins streaming == batch output).
+    Fixture flaws are derived deterministically: every 7th event_id
+    NULLs its user_id (NULL reference = no reference, never an
+    orphan), and the parent dictionary drops custkeys divisible by 5
+    so ~1/5 of users dangle. orphan_pct is a single exact-int
+    division (IEEE-deterministic; rounded 5dp for display). Gate
+    margin MEASURED: min per-window |orphan_pct − 0.10| = 0.063 at
+    sf0.01, 0.085 at sf0.1 (daily shares concentrate near the ~0.2
+    seeded orphan rate as days densify; both result codes occur only
+    at sf0.001, all windows fail above), so the gate comparison
+    cannot flip per-box."""
+    from dataops_testgen_spark.streaming.monitors import (
+        referential_monitor)
+
+    ev = _load(spark, sf_dir, "events")
+    child = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id")))
+    parent = (_load(spark, sf_dir, "customer")
+              .filter("c_custkey % 5 != 0"))
+    out = referential_monitor(child, parent, "user_id",
+                              parent_key="c_custkey", ts_col="ts",
+                              window="1 day", watermark="0 seconds",
+                              max_orphan_pct=0.10)
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+        .alias("window_start_us"),
+        F.unix_micros(F.col("window_end").cast("timestamp"))
+        .alias("window_end_us"),
+        "record_ct", "null_key_ct", "orphan_ct",
+        (F.round("orphan_pct", 5) + F.lit(0.0)).alias("orphan_pct"),
+        "result_code")
+
+
+_SQL_REF_ORPHANS = """
+WITH child AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+         ts
+    FROM events),
+parent AS (SELECT DISTINCT c_custkey AS uid FROM customer
+            WHERE c_custkey % 5 != 0),
+w AS (
+  SELECT date_trunc('day', ts) AS ws,
+         COUNT(*)::BIGINT AS record_ct,
+         SUM(CASE WHEN uid IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_key_ct,
+         SUM(CASE WHEN uid IS NOT NULL
+                   AND uid NOT IN (SELECT uid FROM parent)
+                  THEN 1 ELSE 0 END)::BIGINT AS orphan_ct
+    FROM child GROUP BY 1)
+SELECT epoch_us(ws) AS window_start_us,
+       epoch_us(ws + INTERVAL 1 DAY) AS window_end_us,
+       record_ct, null_key_ct, orphan_ct,
+       ROUND(orphan_ct / NULLIF(record_ct - null_key_ct, 0)::DOUBLE, 5)
+         + 0.0 AS orphan_pct,
+       CASE WHEN COALESCE(
+                orphan_ct / NULLIF(record_ct - null_key_ct, 0)::DOUBLE,
+                0.0) <= 0.10
+            THEN 1 ELSE 0 END AS result_code
+  FROM w"""
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (pipeline/sessions.py asof_join): every
     purchase event attaches the same user's most recent click
@@ -5815,19 +5884,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row). Long-stable queries (driver-green since r1-r3, still pinned by
     # tests/test_entry_oracle.py over ALL entries) take the tail seats.
     return {
-        # --- r12 window, group A: the r11 red seat (eta2 firewall fix,
-        # MUST go green on the driver box) + the two NEW r12 seats
-        # (spearman cascade screen, dependence drill-down) + the two
-        # correlation-family seats whose code r12 touched ---
+        # --- r13 window, group A: seats whose code r13 touches — the
+        # twice-red dependence seat (now float-free: exact ints/bools
+        # only), the NEW streaming-referential batch twin, FK discovery
+        # (shared-dictionary rework), and the rank-transform/cascade
+        # seats (batched wide ranking + compile-tax work) ---
         "group_dependence_lineitem": q_group_dependence_lineitem,
-        "spearman_screen_lineitem": q_spearman_screen_lineitem,
-        "drilldown_dependent_lineitem": q_drilldown_dependent_lineitem,
+        "ref_orphans_events": q_ref_orphans_events,
         "fk_discovery_tpch": q_fk_discovery_tpch,
-        "correlation_screen_lineitem": q_correlation_screen_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
-        # --- group B: the r9-green block — the longest-unchecked
-        # seats (last driver hash row r9; pytest-oracle-pinned at
-        # HEAD every round since) ---
+        "spearman_screen_lineitem": q_spearman_screen_lineitem,
+        "correlation_screen_lineitem": q_correlation_screen_lineitem,
+        # --- group B: the r10-green block — the LM/ANN/text families
+        # whose last driver hash row is r10, now the longest-unchecked
+        # (pytest-oracle-pinned at HEAD every round since) ---
+        "merge_defs_fixture": q_merge_defs_fixture,
+        "drilldown_masked_customer": q_drilldown_masked_customer,
+        "bigram_lm_documents": q_bigram_lm_documents,
+        "trigram_lm_documents": q_trigram_lm_documents,
+        "ngram_lm_documents": q_ngram_lm_documents,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "fuzzy_pairs_part": q_fuzzy_pairs_part,
+        "generated_tests_lineitem": q_generated_tests,
+        "generated_test_keys_lineitem": q_generated_test_keys,
+        "score_category_fixture": q_score_category,
+        "score_overall_history_fixture": q_score_overall_history,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "c4_clean_documents": q_c4_clean_documents,
+        "sample_documents": q_sample_documents,
+        "dsir_weights_documents": q_dsir_weights_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "chunk_documents": q_chunk_documents,
+        "gopher_quality_documents": q_gopher_quality,
+        "text_analysis_documents": q_text_analysis_documents,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "repetition_flags_documents": q_repetition_flags_documents,
+        "skew_hot_keys_lineitem": q_skew_hot_keys,
+        "schema_drift_log": q_schema_drift_log,
+        "dupe_rows_part": q_dupe_rows_part,
+        # --- group C: the oldest r11-green seats (EM/linkage, score
+        # breakdowns, merged/incremental profiling, base profiles) ---
+        "opq_query_embeddings": q_opq_query_embeddings,
+        "fs_em3_part": q_fs_em3_part,
+        "fs_em_part": q_fs_em_part,
+        "record_linkage_part": q_record_linkage_part,
+        "correlation_lineitem": q_correlation_lineitem,
+        "score_breakdown_impact_co_li": q_score_breakdown_impact,
+        "score_breakdown_column_co_li": q_score_breakdown_cols,
+        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
+        "merged_profile_orders": q_merged_profile_orders,
+        "merged_profile_percentiles": q_merged_profile_percentiles,
+        "merged_topfreq_orders": q_merged_topfreq_orders,
+        "profile_lineitem_numeric": q_profile_lineitem_numeric,
+        "profile_customer_strings": q_profile_customer_strings,
+        "profile_sampled_lineitem": q_profile_sampled_lineitem,
+        "combo_match_customer_orders": q_combo_match_customer_orders,
+        "verified_near_dups_documents": q_verified_near_dups_documents,
+        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
+        # every tail seat below carried a green driver hash row in r11
+        # or r12 (see CORRECTNESS_r{11,12}.json).
+        # Next in line for r14: the remaining r11-green block
+        # (cat_tests/aggregate/timeframe/drilldown/index-probe/asof
+        # families) whose last driver row will then be oldest.
+        "drilldown_dependent_lineitem": q_drilldown_dependent_lineitem,
         "ann_lsh_topk": q_ann_lsh_topk,
         "bm25_topk_documents": q_bm25_topk_documents,
         "boilerplate_dedup_documents": q_boilerplate_dedup_documents,
@@ -5863,9 +5986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "simhash_documents": q_simhash_documents,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
-        # --- group C: inference/screen-sensitive seats (the r12
-        # compile-tax work touches the cascade) + the oldest r10
-        # seats next in line ---
         "functional_types_customer": q_functional_types_customer,
         "functional_types_orders": q_functional_types_orders,
         "anomaly_screen_orders": q_anomaly_screen_orders,
@@ -5875,32 +5995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         "validation_prepass": q_validation_prepass,
         "profile_orders_dates": q_profile_orders_dates,
-        # ---- tail (seat 51+): pytest-oracle-pinned every round ----
-        # every tail seat below carried a green driver hash row in r10
-        # or r11 (see CORRECTNESS_r{10,11}.json). opq_topk_embeddings
-        # retired from the timed registry this round (the ngram_jaccard
-        # r9 precedent): its query path is hash-oracled by
-        # opq_query_embeddings and the trainer contracts live in
-        # tests/test_opq.py (incl. a rows-only registry-shape test).
-        # Next in line for r13: the r10-green block (LM/ANN/text
-        # families) whose last driver row will then be oldest.
-        "merge_defs_fixture": q_merge_defs_fixture,
-        "opq_query_embeddings": q_opq_query_embeddings,
-        "fs_em3_part": q_fs_em3_part,
-        "fs_em_part": q_fs_em_part,
-        "record_linkage_part": q_record_linkage_part,
-        "correlation_lineitem": q_correlation_lineitem,
-        "score_breakdown_impact_co_li": q_score_breakdown_impact,
-        "score_breakdown_column_co_li": q_score_breakdown_cols,
-        "score_breakdown_dimension_co_li": q_score_breakdown_dims,
-        "merged_profile_orders": q_merged_profile_orders,
-        "merged_profile_percentiles": q_merged_profile_percentiles,
-        "merged_topfreq_orders": q_merged_topfreq_orders,
-        "profile_lineitem_numeric": q_profile_lineitem_numeric,
-        "profile_customer_strings": q_profile_customer_strings,
-        "profile_sampled_lineitem": q_profile_sampled_lineitem,
-        "combo_match_customer_orders": q_combo_match_customer_orders,
-        "verified_near_dups_documents": q_verified_near_dups_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "cat_tests_lineitem": q_cat_tests_lineitem,
@@ -5928,33 +6022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_tokens_documents": q_mixture_tokens_documents,
         "top_freq_orders": q_top_freq_orders,
         "top_patterns_part": q_top_patterns_part,
-        "drilldown_masked_customer": q_drilldown_masked_customer,
-        "bigram_lm_documents": q_bigram_lm_documents,
-        "trigram_lm_documents": q_trigram_lm_documents,
-        "ngram_lm_documents": q_ngram_lm_documents,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "fuzzy_pairs_part": q_fuzzy_pairs_part,
-        "generated_tests_lineitem": q_generated_tests,
-        "generated_test_keys_lineitem": q_generated_test_keys,
-        "score_category_fixture": q_score_category,
-        "score_overall_history_fixture": q_score_overall_history,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "pq_topk_embeddings": q_pq_topk_embeddings,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
-        "c4_clean_documents": q_c4_clean_documents,
-        "sample_documents": q_sample_documents,
-        "dsir_weights_documents": q_dsir_weights_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "chunk_documents": q_chunk_documents,
-        "gopher_quality_documents": q_gopher_quality,
-        "text_analysis_documents": q_text_analysis_documents,
-        "pii_scrub_documents": q_pii_scrub_documents,
-        "repetition_flags_documents": q_repetition_flags_documents,
-        "skew_hot_keys_lineitem": q_skew_hot_keys,
-        "schema_drift_log": q_schema_drift_log,
-        "dupe_rows_part": q_dupe_rows_part,
     }
 
 
@@ -5988,6 +6055,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": _SQL_SESSION_STATS,
         "rolling_features_events": _SQL_ROLLING_FEATURES,
         "funnel_events": _SQL_FUNNEL,
+        "ref_orphans_events": _SQL_REF_ORPHANS,
         "shuffle_shards_documents": _SQL_SHUFFLE_SHARDS,
         "bm25_index_probe_documents": _sql_bm25_topk(),
         "hard_negatives_embeddings": _SQL_HARD_NEGATIVES,

@@ -40,63 +40,62 @@ def test_entry_smoke(spark):
 
 
 # Queries whose hard driver-correctness signal is the priority this round
-# (r12): the r11 red seat (group_dependence eta2 firewall fix — MUST be
-# re-seated), the two new r12 seats (spearman cascade screen, dependence
-# drill-down), the correlation-family seats r12's code changes touch, the
-# 35-seat r9-green block (the longest-unchecked seats), and the
-# inference/screen-sensitive seats the compile-tax work touches plus the
-# oldest r10 fillers.
+# (r13): the twice-red dependence seat (now float-free), the NEW
+# ref_orphans_events batch twin, the seats r13's code touches (FK
+# shared dictionaries, batched wide ranking, cascade compile tax),
+# the 28-seat r10-green block (longest unchecked), and the oldest
+# r11-green seats as fillers.
 _MUST_BE_IN_DRIVER_WINDOW = {
     "group_dependence_lineitem",
-    "spearman_screen_lineitem",
-    "drilldown_dependent_lineitem",
-    "correlation_screen_lineitem",
-    "spearman_lineitem",
-    "ann_lsh_topk",
-    "bm25_topk_documents",
-    "boilerplate_dedup_documents",
-    "centroid_outliers_embeddings",
-    "contingency_rules_lineitem",
-    "corpus_report_documents",
-    "curation_gate_documents",
-    "decontaminate_documents",
-    "dedup_clusters_documents",
-    "dedup_keep_one_documents",
-    "distribution_shift_events",
-    "dsir_select_documents",
-    "dup_substrings_documents",
-    "embedding_covariance_embeddings",
-    "embedding_profile_embeddings",
-    "frame_sample_documents",
-    "freshness_threshold_events",
-    "funnel_events",
-    "gzip_corpus_documents",
-    "hard_negatives_embeddings",
-    "ivfadc_topk_embeddings",
-    "json_props_events",
-    "lr_quality_documents",
-    "minhash_lsh_documents",
-    "multimodal_features_documents",
-    "nb_classify_documents",
-    "pack_spans_documents",
-    "rerank_ivfadc_embeddings",
-    "resize_documents",
-    "retention_events",
-    "rolling_features_events",
-    "session_stats_events",
-    "shuffle_shards_documents",
-    "simhash_documents",
-    "tfidf_keywords_documents",
-    "functional_types_customer",
-    "functional_types_orders",
-    "anomaly_screen_orders",
-    "anomaly_screen_customer_orders",
-    "incremental_screen_orders",
-    "score_card_issues_co_li",
-    "benford_orders",
-    "validation_prepass",
-    "profile_orders_dates",
+    "ref_orphans_events",
     "fk_discovery_tpch",
+    "spearman_lineitem",
+    "spearman_screen_lineitem",
+    "correlation_screen_lineitem",
+    "merge_defs_fixture",
+    "drilldown_masked_customer",
+    "bigram_lm_documents",
+    "trigram_lm_documents",
+    "ngram_lm_documents",
+    "kmeans_embeddings",
+    "fuzzy_pairs_part",
+    "generated_tests_lineitem",
+    "generated_test_keys_lineitem",
+    "score_category_fixture",
+    "score_overall_history_fixture",
+    "embedding_cosine_pairs",
+    "ann_topk_embeddings",
+    "ivf_topk_embeddings",
+    "pq_topk_embeddings",
+    "unigram_logprob_documents",
+    "c4_clean_documents",
+    "sample_documents",
+    "dsir_weights_documents",
+    "dedup_exact_documents",
+    "chunk_documents",
+    "gopher_quality_documents",
+    "text_analysis_documents",
+    "pii_scrub_documents",
+    "repetition_flags_documents",
+    "skew_hot_keys_lineitem",
+    "schema_drift_log",
+    "dupe_rows_part",
+    "opq_query_embeddings",
+    "fs_em3_part",
+    "fs_em_part",
+    "record_linkage_part",
+    "correlation_lineitem",
+    "score_breakdown_impact_co_li",
+    "score_breakdown_column_co_li",
+    "score_breakdown_dimension_co_li",
+    "merged_profile_orders",
+    "merged_profile_percentiles",
+    "merged_topfreq_orders",
+    "profile_lineitem_numeric",
+    "profile_customer_strings",
+    "profile_sampled_lineitem",
+    "combo_match_customer_orders",
+    "verified_near_dups_documents",
 }
 
 
