@@ -73,7 +73,8 @@ def correlation_eligible() -> Column:
             & ~fdt.isin("Sequence", "Category", "Code"))
 
 
-def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
+def _rank_transform(df: DataFrame, cols: list[str],
+                    wide_threshold: int = 32) -> DataFrame:
     """Replace each column by its average (fractional) rank over that
     column's non-null values — the Spearman preprocessing step. Per
     column: ONE groupBy to the distinct-value dictionary, a DISTRIBUTED
@@ -93,13 +94,18 @@ def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
     continuous column ranks without ever funnelling through one task.
     The dictionary is checkpointed because range partitioning samples
     boundaries at runtime: both the local window and the offset fold
-    must see the SAME partition assignment. Note also that
-    method='spearman' ABOVE max_fused_pairs stacks the wide Arrow kernel
-    on a K-deep chain of dictionary joins: the kernel removes the
-    expression-width hazard but the join DEPTH grows with K, so a
-    100+-column spearman screen pays a deep (if broadcast-cheap) plan —
-    rank wide tables in batches, or pre-bucket, before screening."""
+    must see the SAME partition assignment.
+
+    Width dispatch (r13, r12 verdict #5): above ``wide_threshold``
+    columns the per-column loop would build a K-deep chain of
+    dictionary joins (broadcast-cheap but analysis-heavy — the r12
+    docstring's honest caveat), so wide tables route to
+    ``_rank_transform_long``: ONE melt, one combined dictionary, one
+    prefix-sum pass and one pivot — constant plan depth at any K, at
+    the price of one long-format shuffle."""
     out = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    if len(cols) > wide_threshold:
+        return _rank_transform_long(out, cols)
     from pyspark.sql import Window
 
     for c in cols:
@@ -131,6 +137,55 @@ def _rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
                      .alias(f"__rk_{c}")))
         out = out.join(ranks, c, "left")
     return out.select(*[F.col(f"__rk_{c}").alias(c) for c in cols])
+
+
+def _rank_transform_long(out: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass wide-K ranking (r13): melt the K double columns to
+    (row, col, value) with ``stack`` (a generator — no shuffle, no
+    UDF), build ONE combined (col, value) dictionary, run the SAME
+    range-partitioned prefix-sum rank — windows partitioned per column
+    inside each range partition, cross-partition offsets from a
+    (partitions x K) model-sized fold — then pivot back to wide on a
+    pinned row id. Exactly 3 joins and 2 long-format shuffles at ANY K,
+    versus the narrow path's K dictionary joins; the extra cost is
+    shuffling the N x K long relation once for the pivot, which is why
+    narrow tables keep the broadcast-join chain."""
+    from pyspark.sql import Window
+
+    # pin row ids: the melt and the all-NULL-row spine both consume them
+    base = (out.withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=False))
+    melt = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = (base.select(
+        "__rid",
+        F.expr(f"stack({len(cols)}, {melt})").alias("__c", "__v"))
+        .filter(F.col("__v").isNotNull()))
+    vals = (long.groupBy("__c", "__v").agg(F.count(F.lit(1)).alias("__n"))
+            .repartitionByRange(F.col("__c"), F.col("__v"))
+            .withColumn("__pid", F.spark_partition_id())
+            # same replay hazard as the narrow path: range sampling must
+            # not re-run between the local window and the offset fold
+            .localCheckpoint(eager=False))
+    w_local = (Window.partitionBy("__pid", "__c").orderBy("__v")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum("__n").over(w_local), F.lit(0))
+    w_pid = (Window.partitionBy("__c").orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    pid_off = (vals.groupBy("__pid", "__c").agg(F.sum("__n").alias("__t"))
+               .withColumn("__off",
+                           F.coalesce(F.sum("__t").over(w_pid), F.lit(0)))
+               .select("__pid", "__c", "__off"))
+    ranks = (vals.join(F.broadcast(pid_off), ["__pid", "__c"])
+             .select("__c", "__v",
+                     ((F.col("__off") + local).cast("double")
+                      + (F.col("__n") + F.lit(1.0)) / 2.0).alias("__rk")))
+    ranked = long.join(ranks, ["__c", "__v"])
+    wide = (ranked.groupBy("__rid").pivot("__c", cols)
+            .agg(F.first("__rk")))
+    # left join on the rid spine so rows whose EVERY column is NULL
+    # survive (parity with the per-column join chain)
+    return (base.select("__rid").join(wide, "__rid", "left")
+            .select(*[F.col(c) for c in cols]))
 
 
 def correlation_screen(df: DataFrame, cols: list[str] | None = None,

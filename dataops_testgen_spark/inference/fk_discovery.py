@@ -21,14 +21,22 @@ Spark shape, 100 TB discipline:
   (``min_value``/``max_value`` for numerics, ``min_text``/``max_text``
   lexically for strings) — a necessary condition for containment, so
   pruning never drops a true FK.
-- **Verification is ONE join per surviving pair**: the child's distinct
-  dictionary LEFT-joined to the parent's on value equality, folded to a
-  single (child_distinct, matched) row. Dictionaries are
+- **Each (table, column) dictionary is built ONCE** (r13): every
+  participating column's non-null distinct dictionary is
+  localCheckpointed on first build and reused by every pair touching
+  it — a column referenced by K candidate pairs costs one scan, not K.
+- **Verification is ONE join per parent**: the tagged child
+  dictionaries referencing a parent union together and LEFT-join the
+  parent's dictionary in a single pass, folding to one
+  (child_distinct, matched) row per pair. Dictionaries are
   distinct-bounded, the join is a key-equality shuffle at worst
   (broadcast when a side is small) — never an all-pairs or data×data
   product. ``max_candidates`` caps the pair count so a pathological
   profile cannot fan out unbounded jobs; the cap is applied on a
   deterministic ordering and reported via the ``pruned`` return.
+  (A pair whose child table is physically empty no longer emits a
+  zero row — pruning already requires distinct_value_ct ≥ 1, so the
+  case needs a stale profile to arise at all.)
 """
 
 from __future__ import annotations
@@ -110,6 +118,13 @@ def fk_candidate_pairs(inferred_profile: DataFrame,
     return pairs[:max_candidates], dropped
 
 
+def _dictionary(tables: dict[str, DataFrame], t: str, c: str) -> DataFrame:
+    """One (table, column) non-null distinct-value dictionary — built
+    exactly once per participating column (see fk_discovery)."""
+    return (tables[t].select(F.col(c).alias("v"))
+            .filter(F.col("v").isNotNull()).distinct())
+
+
 def fk_discovery(tables: dict[str, DataFrame], inferred_profile: DataFrame,
                  columns: dict[str, list[str]] | None = None,
                  min_containment: float = FK_MIN_CONTAINMENT,
@@ -128,26 +143,52 @@ def fk_discovery(tables: dict[str, DataFrame], inferred_profile: DataFrame,
 
         warnings.warn(f"fk_discovery: max_candidates={max_candidates} "
                       f"dropped {dropped} candidate pair(s)")
-    out = None
-    for ct, cc, pt, pc in pairs:
-        cd = (tables[ct].select(F.col(cc).alias("v"))
-              .filter(F.col("v").isNotNull()).distinct())
-        pdict = (tables[pt].select(F.col(pc).alias("v"))
-                 .filter(F.col("v").isNotNull()).distinct()
-                 .withColumn("_hit", F.lit(1)))
-        one = (cd.join(pdict, "v", "left")
-               .agg(F.count(F.lit(1)).alias("child_distinct"),
-                    F.count("_hit").alias("matched")))
-        row = one.select(
-            F.lit(ct).alias("child_table"), F.lit(cc).alias("child_column"),
-            F.lit(pt).alias("parent_table"), F.lit(pc).alias("parent_column"),
-            F.col("child_distinct"), F.col("matched"),
-            F.try_divide(F.col("matched").cast("double"),
-                         F.col("child_distinct").cast("double"))
-            .alias("containment"))
-        out = row if out is None else out.unionByName(row)
-    if out is None:
+    if not pairs:
         return None
+    # Build each participating (table, column) distinct dictionary ONCE
+    # and localCheckpoint it (r12 verdict #4): a column referenced by K
+    # pairs previously paid K distinct() scans over its base table — at
+    # 100 TB each scan is real money; now the first consumer
+    # materializes the dictionary and every other pair reuses the
+    # checkpointed blocks (≤1 dictionary job per distinct column,
+    # asserted by tests/test_fk_discovery.py via _dictionary call count).
+    dicts: dict[tuple[str, str], DataFrame] = {}
+    for ct, cc, pt, pc in pairs:
+        for t, c in ((ct, cc), (pt, pc)):
+            if (t, c) not in dicts:
+                dicts[(t, c)] = (_dictionary(tables, t, c)
+                                 .localCheckpoint(eager=False))
+    # Verify all pairs sharing a parent in ONE join: union the tagged
+    # child dictionaries (grouped by the child value's Spark type so
+    # unionByName never widens across unlike children) against the
+    # parent dictionary, then fold per (child_table, child_column).
+    # P pairs collapse to one shuffle join per (parent, child-type).
+    groups: dict[tuple, list[tuple[str, str]]] = {}
+    for ct, cc, pt, pc in pairs:
+        vt = dicts[(ct, cc)].schema["v"].dataType.simpleString()
+        groups.setdefault((pt, pc, vt), []).append((ct, cc))
+    out = None
+    for (pt, pc, _vt), children in sorted(groups.items()):
+        pdict = dicts[(pt, pc)].withColumn("_hit", F.lit(1))
+        u = None
+        for ct, cc in children:
+            tagged = dicts[(ct, cc)].select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_column"), "v")
+            u = tagged if u is None else u.unionByName(tagged)
+        per = (u.join(pdict, "v", "left")
+               .groupBy("child_table", "child_column")
+               .agg(F.count(F.lit(1)).alias("child_distinct"),
+                    F.count("_hit").alias("matched"))
+               .select(
+                   "child_table", "child_column",
+                   F.lit(pt).alias("parent_table"),
+                   F.lit(pc).alias("parent_column"),
+                   F.col("child_distinct"), F.col("matched"),
+                   F.try_divide(F.col("matched").cast("double"),
+                                F.col("child_distinct").cast("double"))
+                   .alias("containment")))
+        out = per if out is None else out.unionByName(per)
     return out.withColumn(
         "flagged",
         F.coalesce(F.col("containment") >= float(min_containment),

@@ -373,6 +373,58 @@ def test_rank_transform_distributed_prefix(spark):
         np.round(pdf["b"].rank(method="average"), 9))
 
 
+def test_rank_transform_wide_dispatch(spark):
+    """r12 verdict #5: above wide_threshold columns the ranking routes
+    to the single-pass melt/pivot kernel. Pin (a) exact parity with the
+    per-column join chain (including NULLs and an all-NULL row), and
+    (b) constant plan depth — the join count must NOT grow with K."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        _rank_transform)
+
+    rng = np.random.default_rng(37)
+    n, k = 400, 12
+    pdf = pd.DataFrame({f"c{i}": rng.normal(0, 10, n).round(1)
+                        for i in range(k)})
+    for i in range(k):                       # sprinkle NULLs unevenly
+        pdf.loc[pdf.index % (i + 3) == 0, f"c{i}"] = np.nan
+    pdf.loc[7, :] = np.nan                   # one all-NULL row
+    cols = list(pdf.columns)
+    df = spark.createDataFrame(pdf)
+
+    chain = _rank_transform(df, cols, wide_threshold=999)
+    kernel = _rank_transform(df, cols, wide_threshold=4)
+    assert chain.count() == n and kernel.count() == n
+    # ranks are a pure function of the value: multiset equality per
+    # column is an exact check (pairing pinned by the spearman parity
+    # tests); NaN placement must agree too
+    for c in cols:
+        a = sorted(r[c] for r in chain.collect() if r[c] is not None)
+        b = sorted(r[c] for r in kernel.collect() if r[c] is not None)
+        assert a == b, c
+        assert (sum(1 for r in chain.collect() if r[c] is None)
+                == sum(1 for r in kernel.collect() if r[c] is None))
+        exp = sorted(pdf[c].rank(method="average").dropna())
+        assert np.allclose(b, exp), c
+
+    # plan depth: the kernel path's join count is constant in K
+    j4 = kernel._jdf.queryExecution().optimizedPlan().toString().count(
+        "Join")
+    wide_df = spark.createDataFrame(pd.DataFrame(
+        {f"w{i}": rng.normal(0, 1, 50) for i in range(40)}))
+    j40 = _rank_transform(
+        wide_df, list(wide_df.columns),
+        wide_threshold=4)._jdf.queryExecution().optimizedPlan() \
+        .toString().count("Join")
+    assert j40 == j4 <= 4
+    # ...whereas the chain path grows with K (the hazard being removed)
+    jchain = chain._jdf.queryExecution().optimizedPlan().toString().count(
+        "Join")
+    assert jchain >= k
+
+
 def test_correlation_screen_plan_shape(spark):
     """Narrow path: ONE fused aggregate over one scan — no join, no
     unioned re-scans, the explode rides the single agg row. Wide path:

@@ -137,6 +137,46 @@ def test_min_child_distinct_guard(spark):
     assert set(pairs) == {("c", "fk", "p", "pk")}
 
 
+def test_fk_dictionary_built_once_per_column(spark, monkeypatch):
+    """r12 verdict #4: a column referenced by K candidate pairs must
+    build its distinct dictionary exactly once (checkpointed, shared) —
+    with two children and two unique parents (6 candidate pairs —
+    children a/b vs each parent, plus the parents vs each other),
+    _dictionary runs 4 times (one per distinct column), not 12 (one
+    per pair side); the verification collapses to one join per parent
+    (pinned indirectly: results unchanged)."""
+    from dataops_testgen_spark.inference import fk_discovery as mod
+
+    calls = []
+    real = mod._dictionary
+
+    def counting(tables, t, c):
+        calls.append((t, c))
+        return real(tables, t, c)
+
+    monkeypatch.setattr(mod, "_dictionary", counting)
+    prof = _prof(spark, [
+        ("p", "pk1", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("p", "pk2", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "a", "N", 200, 200, 50, 1.0, 100.0, None, None),
+        ("c", "b", "N", 200, 200, 50, 1.0, 100.0, None, None),
+    ])
+    parent = spark.createDataFrame([(i, i) for i in range(1, 101)],
+                                   "pk1 long, pk2 long")
+    child = spark.createDataFrame([(1 + i % 50, 1 + i % 50)
+                                   for i in range(200)], "a long, b long")
+    out = mod.fk_discovery({"p": parent, "c": child}, prof)
+    rows = {(r["child_column"], r["parent_column"]): r
+            for r in out.collect()}
+    assert len(rows) == 6      # a/b x pk1/pk2 + pk1<->pk2
+    assert sorted(calls) == [("c", "a"), ("c", "b"),
+                             ("p", "pk1"), ("p", "pk2")]
+    for (cc, pc), r in rows.items():
+        expect = 50 if cc in ("a", "b") else 100
+        assert r["child_distinct"] == expect and r["matched"] == expect
+        assert r["flagged"]
+
+
 def test_fk_to_test_defs_execute(spark):
     """Flagged FKs become Combo_Match definitions that run through the
     REAL query engine: intact referential integrity passes; deleting
