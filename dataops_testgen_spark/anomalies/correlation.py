@@ -76,95 +76,64 @@ def correlation_eligible() -> Column:
 def _rank_transform(df: DataFrame, cols: list[str],
                     wide_threshold: int = 32) -> DataFrame:
     """Replace each column by its average (fractional) rank over that
-    column's non-null values — the Spearman preprocessing step. Per
-    column: ONE groupBy to the distinct-value dictionary, a DISTRIBUTED
-    cumulative count over that dictionary (rank(v) = #smaller +
-    (ties+1)/2 — exact, integer arithmetic, engine-identical), and one
-    dictionary join back. NULLs stay NULL (pairwise deletion happens
+    column's non-null values — the Spearman preprocessing step.
+    rank(v) = #smaller + (ties+1)/2 — exact, integer arithmetic,
+    engine-identical. NULLs stay NULL (pairwise deletion happens
     downstream).
 
-    Scale shape: the dictionaries are DISTINCT-bounded, not row-bounded,
-    and the joins broadcast when small. The global prefix sum avoids the
-    classic single-partition window (r11's documented limit, removed
-    r12): the dictionary is range-partitioned on the value, each
-    partition computes its LOCAL prefix sums in parallel (the window is
-    partitionBy'd), and the cross-partition offsets come from one
-    model-sized relation (one row per partition) folded with a window
-    over partition ids and broadcast-joined back — so a 10^9-distinct
-    continuous column ranks without ever funnelling through one task.
-    The dictionary is checkpointed because range partitioning samples
-    boundaries at runtime: both the local window and the offset fold
-    must see the SAME partition assignment.
+    Shape (r13 rework): ONE melted (column, value) dictionary serves
+    every column — ``_rank_dictionary`` builds it with a single melt
+    scan, a range-partitioned distributed prefix sum, and a SINGLE
+    localCheckpoint. The r12 per-column loop checkpointed K per-column
+    dictionaries, and ``localCheckpoint`` EAGERLY plans the full
+    Catalyst pipeline at call time (Dataset.checkpoint materializes
+    queryExecution.toRdd) — measured ~1 s of driver-side planning per
+    column at sf0.1, the dominant cost of the spearman screen seats.
+    Now planning is paid once regardless of K.
 
-    Width dispatch (r13, r12 verdict #5): above ``wide_threshold``
-    columns the per-column loop would build a K-deep chain of
-    dictionary joins (broadcast-cheap but analysis-heavy — the r12
-    docstring's honest caveat), so wide tables route to
-    ``_rank_transform_long``: ONE melt, one combined dictionary, one
-    prefix-sum pass and one pivot — constant plan depth at any K, at
-    the price of one long-format shuffle."""
+    Join-back dispatch (r12 verdict #5): at or below ``wide_threshold``
+    columns, each column left-joins its slice of the rank dictionary
+    back onto the wide relation (broadcast-cheap; K-deep but lazily
+    planned once). Above it, ``_rank_transform_long`` pivots the
+    ranked long relation back to wide on a pinned row id — constant
+    plan depth at any K, at the price of one long-format shuffle."""
     out = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
     if len(cols) > wide_threshold:
         return _rank_transform_long(out, cols)
-    from pyspark.sql import Window
-
+    ranks = _rank_dictionary(out, cols)
     for c in cols:
-        vals = (out.filter(F.col(c).isNotNull())
-                .groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
-                .repartitionByRange(F.col(c))
-                .withColumn("__pid", F.spark_partition_id())
-                # pin the sampled range-partition assignment: __pid is
-                # referenced by two consumers below and a recompute could
-                # re-sample different boundaries
-                .localCheckpoint(eager=False))
-        w_local = (Window.partitionBy("__pid").orderBy(F.col(c))
-                   .rowsBetween(Window.unboundedPreceding, -1))
-        local = F.coalesce(F.sum("__n").over(w_local), F.lit(0))
-        # offsets: one row per partition; the unpartitioned window is
-        # model-sized (partition count, not value count)
-        w_pid = (Window.orderBy("__pid")
-                 .rowsBetween(Window.unboundedPreceding, -1))
-        pid_off = (vals.groupBy("__pid").agg(F.sum("__n").alias("__t"))
-                   .withColumn("__off",
-                               F.coalesce(F.sum("__t").over(w_pid),
-                                          F.lit(0)))
-                   .select("__pid", "__off"))
-        ranks = (vals.join(F.broadcast(pid_off), "__pid")
-                 .select(
-                     F.col(c),
-                     ((F.col("__off") + local).cast("double")
-                      + (F.col("__n") + F.lit(1.0)) / 2.0)
-                     .alias(f"__rk_{c}")))
-        out = out.join(ranks, c, "left")
+        rc = (ranks.filter(F.col("__c") == c)
+              .select(F.col("__v").alias(c),
+                      F.col("__rk").alias(f"__rk_{c}")))
+        out = out.join(rc, c, "left")
     return out.select(*[F.col(f"__rk_{c}").alias(c) for c in cols])
 
 
-def _rank_transform_long(out: DataFrame, cols: list[str]) -> DataFrame:
-    """Single-pass wide-K ranking (r13): melt the K double columns to
-    (row, col, value) with ``stack`` (a generator — no shuffle, no
-    UDF), build ONE combined (col, value) dictionary, run the SAME
-    range-partitioned prefix-sum rank — windows partitioned per column
-    inside each range partition, cross-partition offsets from a
-    (partitions x K) model-sized fold — then pivot back to wide on a
-    pinned row id. Exactly 3 joins and 2 long-format shuffles at ANY K,
-    versus the narrow path's K dictionary joins; the extra cost is
-    shuffling the N x K long relation once for the pivot, which is why
-    narrow tables keep the broadcast-join chain."""
+def _rank_dictionary(out: DataFrame, cols: list[str]) -> DataFrame:
+    """(__c, __v, __rk): the average rank of every (column, non-null
+    value) pair, for all K columns in ONE pass. Melt with ``stack`` (a
+    generator — no shuffle, no UDF), fold to the combined distinct
+    dictionary (map-side partial agg keeps the shuffle distinct-bounded),
+    then the distributed global prefix sum: the dictionary is
+    range-partitioned on (column, value), each partition computes LOCAL
+    prefix sums in parallel (the window is partitionBy'd per column
+    inside each partition), and cross-partition offsets come from a
+    (partitions x K) model-sized relation folded with a per-column
+    window over partition ids and broadcast-joined back — so a
+    10^9-distinct continuous column ranks without ever funnelling
+    through one task. The single localCheckpoint pins the sampled
+    range-partition assignment (__pid has multiple consumers and a
+    recompute could re-sample different boundaries) AND bounds the
+    eager-planning tax to one call per table, not one per column."""
     from pyspark.sql import Window
 
-    # pin row ids: the melt and the all-NULL-row spine both consume them
-    base = (out.withColumn("__rid", F.monotonically_increasing_id())
-            .localCheckpoint(eager=False))
     melt = ", ".join(f"'{c}', `{c}`" for c in cols)
-    long = (base.select(
-        "__rid",
+    long = (out.select(
         F.expr(f"stack({len(cols)}, {melt})").alias("__c", "__v"))
         .filter(F.col("__v").isNotNull()))
     vals = (long.groupBy("__c", "__v").agg(F.count(F.lit(1)).alias("__n"))
             .repartitionByRange(F.col("__c"), F.col("__v"))
             .withColumn("__pid", F.spark_partition_id())
-            # same replay hazard as the narrow path: range sampling must
-            # not re-run between the local window and the offset fold
             .localCheckpoint(eager=False))
     w_local = (Window.partitionBy("__pid", "__c").orderBy("__v")
                .rowsBetween(Window.unboundedPreceding, -1))
@@ -175,10 +144,28 @@ def _rank_transform_long(out: DataFrame, cols: list[str]) -> DataFrame:
                .withColumn("__off",
                            F.coalesce(F.sum("__t").over(w_pid), F.lit(0)))
                .select("__pid", "__c", "__off"))
-    ranks = (vals.join(F.broadcast(pid_off), ["__pid", "__c"])
-             .select("__c", "__v",
-                     ((F.col("__off") + local).cast("double")
-                      + (F.col("__n") + F.lit(1.0)) / 2.0).alias("__rk")))
+    return (vals.join(F.broadcast(pid_off), ["__pid", "__c"])
+            .select("__c", "__v",
+                    ((F.col("__off") + local).cast("double")
+                     + (F.col("__n") + F.lit(1.0)) / 2.0).alias("__rk")))
+
+
+def _rank_transform_long(out: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass wide-K join-back (r13): melt the K double columns to
+    (row, col, value), join the shared ``_rank_dictionary``, and pivot
+    back to wide on a pinned row id. Exactly 3 joins and 2 long-format
+    shuffles at ANY K, versus the narrow path's K dictionary joins; the
+    extra cost is shuffling the N x K long relation once for the pivot,
+    which is why narrow tables keep the per-column join-back."""
+    # pin row ids: the melt and the all-NULL-row spine both consume them
+    base = (out.withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=False))
+    melt = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = (base.select(
+        "__rid",
+        F.expr(f"stack({len(cols)}, {melt})").alias("__c", "__v"))
+        .filter(F.col("__v").isNotNull()))
+    ranks = _rank_dictionary(base.drop("__rid"), cols)
     ranked = long.join(ranks, ["__c", "__v"])
     wide = (ranked.groupBy("__rid").pivot("__c", cols)
             .agg(F.first("__rk")))

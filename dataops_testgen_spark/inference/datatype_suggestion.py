@@ -77,12 +77,14 @@ def add_datatype_suggestion(profile: DataFrame) -> DataFrame:
     c = F.col
     if "functional_data_type" not in profile.columns:
         profile = profile.withColumn("functional_data_type", F.lit(None).cast("string"))
-    suggestion = (
-        F.when(
+    # fixed profile-schema expression — one build per session
+    suggestion = H.cached_expr(
+        profile.sparkSession.sparkContext.applicationId,
+        "datatype_suggestion",
+        lambda: F.when(
             (c("record_ct") > 500) & ~H.ilike(c("column_name"), "%id"),
             F.when(c("general_type") == "A", _alpha_suggestion(c))
             .when(c("general_type") == "N", _numeric_suggestion(c))
             .otherwise(F.lower(c("column_type"))),
-        ).otherwise(F.lower(c("column_type")))
-    )
+        ).otherwise(F.lower(c("column_type"))))
     return profile.withColumn("datatype_suggestion", suggestion)

@@ -491,15 +491,15 @@ def _apply_positional_city_1(df: DataFrame) -> DataFrame:
         .withColumn("_city1", F.lit(True))
     )
     out = df.join(flagged, ["table_name", "ordinal_position"], "left")
-    cond = (
-        F.col("_city1")
-        & F.lower(F.col("column_name")).rlike("c(i)?ty")
-        & F.col(FDT).isNotNull()
-        & ~F.col(FDT).isin("State", "Zip")
-    )
-    return out.withColumn(
-        FDT, F.when(cond, F.lit("City")).otherwise(F.col(FDT))
-    ).drop("_city1")
+    expr = H.cached_expr(
+        df.sparkSession.sparkContext.applicationId, "city1_expr",
+        lambda: F.when(
+            F.col("_city1")
+            & F.lower(F.col("column_name")).rlike("c(i)?ty")
+            & F.col(FDT).isNotNull()
+            & ~F.col(FDT).isin("State", "Zip"),
+            F.lit("City")).otherwise(F.col(FDT)))
+    return out.withColumn(FDT, expr).drop("_city1")
 
 
 def _apply_positional_city_2(df: DataFrame) -> DataFrame:
@@ -514,82 +514,86 @@ def _apply_positional_city_2(df: DataFrame) -> DataFrame:
         .withColumn("_city2", F.lit(True))
     )
     out = df.join(flagged, ["table_name", "ordinal_position"], "left")
-    v = F.nullif(F.col("value_ct").cast("double"), F.lit(0.0))
-    cond = (
-        F.col("_city2")
-        & (F.col("includes_digit_ct") / v < 0.05)
-        & (F.col("numeric_ct") / v < 0.05)
-        & (F.col("date_ct") / v < 0.05)
-        & F.col("avg_length").between(7, 12)
-        & (F.col("avg_embedded_spaces") < 1)
-        & F.col("distinct_value_ct").between(15, 40000)
-    )
-    return out.withColumn(
-        FDT, F.when(cond, F.lit("City")).otherwise(F.col(FDT))
-    ).drop("_city2")
+
+    def build():
+        v = F.nullif(F.col("value_ct").cast("double"), F.lit(0.0))
+        cond = (
+            F.col("_city2")
+            & (F.col("includes_digit_ct") / v < 0.05)
+            & (F.col("numeric_ct") / v < 0.05)
+            & (F.col("date_ct") / v < 0.05)
+            & F.col("avg_length").between(7, 12)
+            & (F.col("avg_embedded_spaces") < 1)
+            & F.col("distinct_value_ct").between(15, 40000)
+        )
+        return F.when(cond, F.lit("City")).otherwise(F.col(FDT))
+
+    expr = H.cached_expr(df.sparkSession.sparkContext.applicationId,
+                         "city2_expr", build)
+    return out.withColumn(FDT, expr).drop("_city2")
 
 
 def _apply_id_refinement(df: DataFrame) -> DataFrame:
     """ID → ID-Secondary/ID-Group → ID-Unique[-SK] → ID-FK (:532-571)."""
     c = F.col
-    value_pct = F.round(100.0 * c("value_ct").cast("double")
-                        / F.nullif(c("record_ct").cast("double"), F.lit(0.0)))
-    uniq_pct = F.round(100.0 * c("distinct_value_ct").cast("double")
-                       / F.nullif(c("value_ct").cast("double"), F.lit(0.0)))
-    df = df.withColumn(
-        FDT,
-        F.when(
+    app = df.sparkSession.sparkContext.applicationId
+
+    def build():
+        value_pct = F.round(100.0 * c("value_ct").cast("double")
+                            / F.nullif(c("record_ct").cast("double"),
+                                       F.lit(0.0)))
+        uniq_pct = F.round(100.0 * c("distinct_value_ct").cast("double")
+                           / F.nullif(c("value_ct").cast("double"),
+                                      F.lit(0.0)))
+        sec = F.when(
             c(FDT) == "ID",
             F.when((value_pct > 70) & (uniq_pct >= 75), F.lit("ID-Secondary"))
             .when((value_pct > 70) & (uniq_pct < 75), F.lit("ID-Group"))
             .otherwise(F.lit("ID")),
-        ).otherwise(c(FDT)),
-    )
-    unique_row = (c("record_ct") == c("distinct_value_ct")) & (c("record_ct") > 50)
-    df = df.withColumn(
-        FDT,
-        F.when(c(FDT).isin("ID", "ID-Secondary") & unique_row, F.lit("ID-Unique"))
-        .when((c(FDT) == "ID-SK") & unique_row, F.lit("ID-Unique-SK"))
-        .otherwise(c(FDT)),
-    )
+        ).otherwise(c(FDT))
+        unique_row = ((c("record_ct") == c("distinct_value_ct"))
+                      & (c("record_ct") > 50))
+        uniq = (F.when(c(FDT).isin("ID", "ID-Secondary") & unique_row,
+                       F.lit("ID-Unique"))
+                .when((c(FDT) == "ID-SK") & unique_row, F.lit("ID-Unique-SK"))
+                .otherwise(c(FDT)))
+        other_table = F.exists("_unique_tables",
+                               lambda t: t != F.col("table_name"))
+        fk = F.when(
+            c("_unique_tables").isNotNull() & other_table
+            & ~c(FDT).isin("ID-Unique", "ID-Unique-SK"),
+            F.lit("ID-FK"),
+        ).otherwise(c(FDT))
+        return sec, uniq, fk
+
+    sec, uniq, fk = H.cached_expr(app, "id_refinement_exprs", build)
+    df = df.withColumn(FDT, sec).withColumn(FDT, uniq)
     # ID-FK: same column name is ID-Unique[-SK] in a DIFFERENT table
     uniques = (
         df.filter(c(FDT).isin("ID-Unique", "ID-Unique-SK"))
         .groupBy("column_name").agg(F.collect_set("table_name").alias("_unique_tables"))
     )
     df = df.join(uniques, "column_name", "left")
-    other_table = F.exists("_unique_tables", lambda t: t != F.col("table_name"))
-    return df.withColumn(
-        FDT,
-        F.when(
-            c("_unique_tables").isNotNull() & other_table
-            & ~c(FDT).isin("ID-Unique", "ID-Unique-SK"),
-            F.lit("ID-FK"),
-        ).otherwise(c(FDT)),
-    ).drop("_unique_tables")
+    return df.withColumn(FDT, fk).drop("_unique_tables")
 
 
 def _apply_measurement_pct(df: DataFrame) -> DataFrame:
     """Measurement Pct refinements (:575-594)."""
-    c = F.col
-    df = df.withColumn(
-        FDT,
-        F.when(
+    def build():
+        c = F.col
+        name_expr = F.when(
             c(FDT).isin("Measurement", "Measurement Discrete", "UNKNOWN")
             & (c("general_type") == "N")
             & (c("min_value") >= -200) & (c("max_value") <= 200)
             & (H.ilike(c("column_name"), "%pct%") | H.ilike(c("column_name"), "%percent%")),
             F.lit("Measurement Pct"),
-        ).otherwise(c(FDT)),
-    )
-    pct_pat = r"^N{1,3}(\.N+)?%$"
+        ).otherwise(c(FDT))
+        pct_pat = r"^N{1,3}(\.N+)?%$"
 
-    def p(n):
-        return F.trim(H.nth_pattern(c("top_patterns"), n))
+        def p(n):
+            return F.trim(H.nth_pattern(c("top_patterns"), n))
 
-    return df.withColumn(
-        FDT,
-        F.when(
+        pat_expr = F.when(
             (c(FDT) == "Code")
             & c("distinct_pattern_ct").between(1, 3)
             & (c("value_ct") == c("includes_digit_ct"))
@@ -598,8 +602,13 @@ def _apply_measurement_pct(df: DataFrame) -> DataFrame:
             & (p(2).rlike(pct_pat) | (c("distinct_pattern_ct") < 2))
             & (p(3).rlike(pct_pat) | (c("distinct_pattern_ct") < 3)),
             F.lit("Measurement Pct"),
-        ).otherwise(c(FDT)),
-    )
+        ).otherwise(c(FDT))
+        return name_expr, pat_expr
+
+    name_expr, pat_expr = H.cached_expr(
+        df.sparkSession.sparkContext.applicationId,
+        "measurement_pct_exprs", build)
+    return df.withColumn(FDT, name_expr).withColumn(FDT, pat_expr)
 
 
 # (app_id, id_mask, sk_mask) -> the 7 cascade layer Columns. Assembling the
@@ -690,37 +699,49 @@ def infer_table_types(profile_fdt: DataFrame, history: DataFrame | None = None) 
         )
     )
 
-    fdt = F.col(FDT)
+    def build():
+        fdt = F.col(FDT)
 
-    def ct(cond):
-        return F.count(F.when(cond, F.lit(1)))
+        def ct(cond):
+            return F.count(F.when(cond, F.lit(1)))
 
-    census = base.groupBy("table_name").agg(
-        ct(H.ilike(fdt, "id%") | (fdt == "Category")).alias("n_id_cat"),
-        ct(H.ilike(fdt, "period%")).alias("n_period"),
-        ct(H.ilike(fdt, "measure%")).alias("n_measure"),
-        ct(fdt != "Constant").alias("n_nonconst"),
-        ct(H.ilike(fdt, "%transactional date%")).alias("n_txn_date"),
-        ct(fdt.isin("Entity Name", "Person Last Name", "Person Given Name",
-                    "Person Full Name")).alias("n_names"),
-        ct(fdt.isin("Address", "City", "State")).alias("n_addr"),
-        ct(fdt.isin("ID-Unique", "ID-Unique-SK", "ID-Secondary")).alias("n_uids"),
-        ct(fdt.isin("Attribute", "Description")).alias("n_attr"),
-    )
-    table_type = (
-        F.when(
-            (F.col("n_id_cat") > 0)
-            & (((F.col("n_period") > 0) & (F.col("n_measure") > 0))
-               | (F.col("n_measure").cast("double")
-                  / F.nullif(F.col("n_nonconst").cast("double"), F.lit(0.0)) > 0.4)),
-            F.lit("summary"),
+        aggs = [
+            ct(H.ilike(fdt, "id%") | (fdt == "Category")).alias("n_id_cat"),
+            ct(H.ilike(fdt, "period%")).alias("n_period"),
+            ct(H.ilike(fdt, "measure%")).alias("n_measure"),
+            ct(fdt != "Constant").alias("n_nonconst"),
+            ct(H.ilike(fdt, "%transactional date%")).alias("n_txn_date"),
+            ct(fdt.isin("Entity Name", "Person Last Name",
+                        "Person Given Name", "Person Full Name"))
+            .alias("n_names"),
+            ct(fdt.isin("Address", "City", "State")).alias("n_addr"),
+            ct(fdt.isin("ID-Unique", "ID-Unique-SK", "ID-Secondary"))
+            .alias("n_uids"),
+            ct(fdt.isin("Attribute", "Description")).alias("n_attr"),
+        ]
+        ttype = (
+            F.when(
+                (F.col("n_id_cat") > 0)
+                & (((F.col("n_period") > 0) & (F.col("n_measure") > 0))
+                   | (F.col("n_measure").cast("double")
+                      / F.nullif(F.col("n_nonconst").cast("double"),
+                                 F.lit(0.0)) > 0.4)),
+                F.lit("summary"),
+            )
+            .when((F.col("n_measure") > 0) & (F.col("n_txn_date") > 0),
+                  F.lit("transaction"))
+            .when((F.col("n_names") > 0) & (F.col("n_addr") > 1),
+                  F.lit("entity"))
+            .when((F.col("n_uids") > 1) & (F.col("n_attr") <= 1)
+                  & (F.col("n_measure") <= 1), F.lit("bridge"))
+            .otherwise(F.lit("domain"))
         )
-        .when((F.col("n_measure") > 0) & (F.col("n_txn_date") > 0), F.lit("transaction"))
-        .when((F.col("n_names") > 0) & (F.col("n_addr") > 1), F.lit("entity"))
-        .when((F.col("n_uids") > 1) & (F.col("n_attr") <= 1) & (F.col("n_measure") <= 1),
-              F.lit("bridge"))
-        .otherwise(F.lit("domain"))
-    )
+        return aggs, ttype
+
+    aggs, table_type = H.cached_expr(
+        profile_fdt.sparkSession.sparkContext.applicationId,
+        "table_type_exprs", build)
+    census = base.groupBy("table_name").agg(*aggs)
     return (
         census.join(period, "table_name")
         .select("table_name", "table_period", table_type.alias("table_type"))

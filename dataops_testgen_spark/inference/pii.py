@@ -109,9 +109,14 @@ def _secondary_flag(c) -> Column:
 def flag_pii(profile_fdt: DataFrame) -> DataFrame:
     """profile DF with functional_data_type → + pii_flag."""
     c = F.col
+    # both screens reference only fixed profile-schema names — built once
+    # per session (helpers.cached_expr), not once per profiled table
+    app = profile_fdt.sparkSession.sparkContext.applicationId
+    primary, secondary = H.cached_expr(
+        app, "pii_flags", lambda: (_primary_flag(c), _secondary_flag(c)))
     df = profile_fdt.withColumn(
         "pii_flag",
-        F.when(c("general_type") == "A", _primary_flag(c)),
+        F.when(c("general_type") == "A", primary),
     )
     counts = df.groupBy("table_name").agg(F.count("pii_flag").alias("_pii_ct"))
     df = df.join(counts, "table_name", "left")
@@ -119,7 +124,7 @@ def flag_pii(profile_fdt: DataFrame) -> DataFrame:
         "pii_flag",
         F.when(
             c("pii_flag").isNull() & (c("general_type") == "A") & (c("_pii_ct") > 1),
-            _secondary_flag(c),
+            secondary,
         ).otherwise(c("pii_flag")),
     ).drop("_pii_ct")
     return df
