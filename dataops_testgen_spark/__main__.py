@@ -327,7 +327,30 @@ def cmd_run_tests(args) -> int:
     freshly_generated = gen is None
     if freshly_generated:
         gen = _generate(inferred, args)
-    defs = to_test_defs(gen)
+    elif not getattr(args, "no_fk_sync", False):
+        # reference parity (run_test_execution.py:172-204 — monitor defs
+        # are regenerated/pruned on every execution run): re-verify the
+        # suite's FK-DISCOVERED referential monitors against the current
+        # data; a vanished inclusion dependency deactivates its
+        # Combo_Match instead of failing forever, a new one joins the
+        # suite. Manually-authored defs are never touched (provenance
+        # param gate).
+        from dataops_testgen_spark.inference.fk_discovery import (
+            sync_fk_monitors)
+
+        gen, fk_changes = sync_fk_monitors(tables, inferred, gen,
+                                           run_date=args.run_date)
+        if fk_changes["deactivated"] or fk_changes["added"]:
+            gen = gen.localCheckpoint(eager=False)   # consumed 2x below
+            print(f"fk monitor sync: {fk_changes['deactivated']} "
+                  f"deactivated, {fk_changes['added']} added")
+            store.record_test_generation(gen, test_suite_key=args.test_suite,
+                                         run_date=args.run_date)
+    active = gen
+    if "test_active" in gen.columns:
+        active = gen.filter(F.coalesce(F.col("test_active") != "N",
+                                       F.lit(True)))
+    defs = to_test_defs(active)
     # validation pre-pass (run_test_validation.py semantics): tests whose
     # table/column no longer exists become Error rows and don't execute
     outcome = validate_tests(tables, defs)
@@ -1904,6 +1927,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--regenerate", action="store_true",
                    help="ignore stored suite definitions and regenerate "
                         "from a fresh profile")
+    p.add_argument("--no-fk-sync", action="store_true",
+                   help="skip re-verifying stored FK-discovered "
+                        "referential monitors against current data "
+                        "(default: a vanished inclusion dependency "
+                        "deactivates its Combo_Match, a new one joins "
+                        "the suite)")
     p.add_argument("--notify-out", default="",
                    help="append fired notification events (run summary + "
                         "highlights) to this JSONL file")

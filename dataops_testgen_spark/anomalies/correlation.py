@@ -215,26 +215,38 @@ def correlation_screen(df: DataFrame, cols: list[str] | None = None,
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     if len(pairs) > max_fused_pairs:
         return _correlation_screen_wide(df, cols, min_abs_corr, min_n)
-    aggs = []
-    for i, (a, b) in enumerate(pairs):
-        ad, bd = F.col(a).cast("double"), F.col(b).cast("double")
-        # sample Pearson spelled as covar/(sd*sd) over the PAIRWISE
-        # non-null rows, with try_divide: F.corr under ANSI mode throws
-        # DIVIDE_BY_ZERO on a constant column instead of returning the
-        # undefined-correlation NULL (DuckDB CORR's behavior)
-        a_pair = F.when(F.col(b).isNotNull(), ad)
-        b_pair = F.when(F.col(a).isNotNull(), bd)
-        aggs.append(F.try_divide(
-            F.covar_samp(ad, bd),
-            F.stddev_samp(a_pair) * F.stddev_samp(b_pair)).alias(f"c{i}"))
-        aggs.append(F.count(F.when(F.col(a).isNotNull()
-                                   & F.col(b).isNotNull(), 1))
-                    .alias(f"n{i}"))
+
+    def build():
+        aggs, entries = [], []
+        for i, (a, b) in enumerate(pairs):
+            ad, bd = F.col(a).cast("double"), F.col(b).cast("double")
+            # sample Pearson spelled as covar/(sd*sd) over the PAIRWISE
+            # non-null rows, with try_divide: F.corr under ANSI mode
+            # throws DIVIDE_BY_ZERO on a constant column instead of
+            # returning the undefined-correlation NULL (DuckDB CORR)
+            a_pair = F.when(F.col(b).isNotNull(), ad)
+            b_pair = F.when(F.col(a).isNotNull(), bd)
+            aggs.append(F.try_divide(
+                F.covar_samp(ad, bd),
+                F.stddev_samp(a_pair) * F.stddev_samp(b_pair))
+                .alias(f"c{i}"))
+            aggs.append(F.count(F.when(F.col(a).isNotNull()
+                                       & F.col(b).isNotNull(), 1))
+                        .alias(f"n{i}"))
+            entries.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                F.col(f"n{i}").alias("n"), F.col(f"c{i}").alias("corr")))
+        return aggs, entries
+
+    # the fused exprs depend only on the column-name list — cached per
+    # session so the cascade's Pearson and rank passes (and every bench
+    # rerun) share one build (inference/helpers.cached_expr discipline)
+    from dataops_testgen_spark.inference import helpers as H
+
+    aggs, entries = H.cached_expr(
+        df.sparkSession.sparkContext.applicationId,
+        f"corr_screen_aggs:{','.join(cols)}", build)
     one = df.agg(*aggs)
-    entries = [
-        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-                 F.col(f"n{i}").alias("n"), F.col(f"c{i}").alias("corr"))
-        for i, (a, b) in enumerate(pairs)]
     out = (one.select(F.explode(F.array(*entries)).alias("p"))
            .select("p.col_a", "p.col_b", "p.n", "p.corr"))
     return out.withColumn(

@@ -223,9 +223,91 @@ def fk_to_test_defs(discovered: DataFrame, run_date: str) -> DataFrame:
                     # with eqNullSafe — without this subset a nullable
                     # child column yields a {NULL} orphan combo and the
                     # threshold-0 test fails forever
-                    F.lit("subset_condition")),
+                    F.lit("subset_condition"),
+                    # provenance marker: run-tests' monitor sync touches
+                    # ONLY defs it generated (manually-authored
+                    # Combo_Match defs are never auto-deactivated)
+                    F.lit("generated_by")),
             F.array(F.col("parent_table"), F.col("parent_column"),
                     F.lit("0"),
                     F.concat(F.col("child_column"),
-                             F.lit(" IS NOT NULL"))),
+                             F.lit(" IS NOT NULL")),
+                    F.lit("fk_discovery")),
         ).alias("params"))
+
+
+def sync_fk_monitors(tables: dict[str, DataFrame],
+                     inferred_profile: DataFrame,
+                     suite_defs: DataFrame,
+                     run_date: str,
+                     min_containment: float = FK_MIN_CONTAINMENT,
+                     max_candidates: int = 64,
+                     min_child_distinct: int = 20):
+    """Re-verify a stored suite's FK-DISCOVERED Combo_Match monitors
+    against the CURRENT data and return (updated_defs, changes).
+
+    The reference regenerates monitor definitions on every execution run
+    (`run_test_execution.py:172-204` — stale autogen tests are pruned
+    before the suite executes); this is the same contract for the FK
+    extension: a stored referential monitor whose inclusion dependency
+    no longer holds (column dropped, containment collapsed, parent no
+    longer a unique key) flips ``test_active`` to 'N' instead of failing
+    forever, and a newly-discovered FK joins the suite. Only defs
+    carrying the ``generated_by=fk_discovery`` provenance param are
+    touched — manually-authored Combo_Match monitors are never
+    auto-deactivated. All bookkeeping is metadata-sized (the suite defs
+    collect); the data work is one fk_discovery pass, itself bounded by
+    ``max_candidates`` dictionary joins."""
+    spark = suite_defs.sparkSession
+    params = F.col("params")
+    is_fk = ((F.col("test_type") == "Combo_Match")
+             & (params.getItem("generated_by") == "fk_discovery"))
+    fk_rows = suite_defs.filter(is_fk).collect()
+    if not fk_rows:
+        return suite_defs, {"deactivated": 0, "added": 0}
+    disc = fk_discovery(tables, inferred_profile,
+                        min_containment=min_containment,
+                        max_candidates=max_candidates,
+                        min_child_distinct=min_child_distinct)
+    flagged = {} if disc is None else {
+        (r["child_table"], r["child_column"],
+         r["parent_table"], r["parent_column"]): r
+        for r in disc.filter("flagged").collect()}
+    stored = {(r["table_name"], r["column_name"],
+               dict(r["params"])["match_table_name"],
+               dict(r["params"])["match_groupby_names"]) for r in fk_rows}
+    stale = stored - set(flagged)
+    fresh = set(flagged) - stored
+    if not stale and not fresh:
+        return suite_defs, {"deactivated": 0, "added": 0}
+    out = suite_defs
+    if stale:
+        stale_df = spark.createDataFrame(
+            [(ct, cc, pt, pc) for ct, cc, pt, pc in sorted(stale)],
+            "t string, c string, p string, k string")
+        stale_cond = (is_fk & (F.col("table_name") == F.col("__s.t"))
+                      & (F.col("column_name") == F.col("__s.c"))
+                      & (params.getItem("match_table_name") == F.col("__s.p"))
+                      & (params.getItem("match_groupby_names")
+                         == F.col("__s.k")))
+        out = (out.join(F.broadcast(stale_df.alias("__s")), stale_cond,
+                        "left")
+               .withColumn("test_active",
+                           F.when(F.col("__s.t").isNotNull(), F.lit("N"))
+                           .otherwise(F.col("test_active")))
+               .drop("t", "c", "p", "k"))
+    if fresh:
+        added = fk_to_test_defs(
+            disc.join(
+                F.broadcast(spark.createDataFrame(
+                    [tuple(k) for k in sorted(fresh)],
+                    "child_table string, child_column string, "
+                    "parent_table string, parent_column string")),
+                ["child_table", "child_column",
+                 "parent_table", "parent_column"], "left_semi"),
+            run_date)
+        # the caller's suite relation has store bookkeeping columns
+        # stripped; record_test_generation re-stamps them on persist
+        added = added.drop("last_auto_gen_date")
+        out = out.unionByName(added, allowMissingColumns=True)
+    return out, {"deactivated": len(stale), "added": len(fresh)}

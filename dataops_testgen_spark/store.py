@@ -163,6 +163,12 @@ class RunStore:
         path = self._path(table)
         if not os.path.isdir(path):
             return None
+        # an append of an EMPTY relation (e.g. a test run where every
+        # definition was deactivated) leaves only _SUCCESS — no data
+        # files, so schema inference would throw UNABLE_TO_INFER_SCHEMA
+        if not any(f.endswith(".parquet")
+                   for _r, _d, fs in os.walk(path) for f in fs):
+            return None
         return self.spark.read.parquet(path)
 
     @staticmethod

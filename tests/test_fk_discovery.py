@@ -4,6 +4,7 @@ by shared column NAME (functional_datatype.sql:559-571); this extension
 finds renamed keys by profile pruning + measured containment."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataops_testgen_spark.inference.fk_discovery import (
     fk_candidate_pairs,
@@ -241,6 +242,112 @@ def test_fk_to_test_defs_nullable_child(spark):
     broken = parent.filter("pk > 5")
     bad = run_query_tests({"p": broken, "c": child}, defs).collect()
     assert bad[0]["result_status"] == "Failed"     # real orphans still fire
+
+
+def test_sync_fk_monitors_unit(spark):
+    """sync_fk_monitors deactivates a stored FK monitor whose inclusion
+    dependency vanished, appends a newly-discovered one, and never
+    touches a manually-authored Combo_Match (no provenance param)."""
+    from dataops_testgen_spark.inference.fk_discovery import (
+        fk_discovery, fk_to_test_defs, sync_fk_monitors)
+
+    parent = spark.createDataFrame([(i, i) for i in range(1, 101)],
+                                   "pk long, pk2 long")
+    child = spark.createDataFrame([(1 + i % 100, 1 + i % 100)
+                                   for i in range(400)], "fk long, fk2 long")
+    prof_t0 = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "fk", "N", 400, 400, 100, 1.0, 100.0, None, None),
+    ])
+    disc0 = fk_discovery({"p": parent, "c": child}, prof_t0)
+    stored = fk_to_test_defs(disc0, "2026-08-01").drop("last_auto_gen_date")
+    manual = spark.createDataFrame(
+        [("Combo_Match", "c", "fk_manual", "Y",
+          {"match_table_name": "p", "match_groupby_names": "pk",
+           "threshold_value": "0"})],
+        stored.schema)
+    stored = stored.unionByName(manual)
+
+    # t1: fk->pk vanished (pk no longer unique per profile), fk2->pk2 new
+    prof_t1 = _prof(spark, [
+        ("p", "pk", "N", 100, 100, 50, 1.0, 100.0, None, None),
+        ("p", "pk2", "N", 100, 100, 100, 1.0, 100.0, None, None),
+        ("c", "fk", "N", 400, 400, 100, 1.0, 100.0, None, None),
+        ("c", "fk2", "N", 400, 400, 100, 1.0, 100.0, None, None),
+    ])
+    out, changes = sync_fk_monitors({"p": parent, "c": child}, prof_t1,
+                                    stored, run_date="2026-08-02",
+                                    min_child_distinct=60)
+    # fk->pk stale; BOTH children now contain in the new unique pk2
+    assert changes == {"deactivated": 1, "added": 2}
+    rows = {(r["table_name"], r["column_name"],
+             dict(r["params"]).get("match_groupby_names")): r
+            for r in out.collect()}
+    assert rows[("c", "fk", "pk")]["test_active"] == "N"       # stale
+    assert rows[("c", "fk", "pk2")]["test_active"] == "Y"      # added
+    assert rows[("c", "fk2", "pk2")]["test_active"] == "Y"     # added
+    assert rows[("c", "fk_manual", "pk")]["test_active"] == "Y"  # manual
+    # idempotent second sync: nothing further changes
+    out2, changes2 = sync_fk_monitors(
+        {"p": parent, "c": child}, prof_t1,
+        out.filter("test_active = 'Y'"), run_date="2026-08-03",
+        min_child_distinct=60)
+    assert changes2 == {"deactivated": 0, "added": 0}
+
+
+def test_run_tests_fk_sync_deactivates_stale(spark, tmp_path):
+    """E2E (r12 verdict #7): discover-fks --store, then BREAK an FK's
+    parent uniqueness and run-tests — the sync deactivates the stale
+    referential monitor (instead of running it forever), records a new
+    generation, and the deactivated def does not execute."""
+    import shutil
+
+    from dataops_testgen_spark.__main__ import main
+    from dataops_testgen_spark.store import RunStore
+
+    data = tmp_path / "data"
+    data.mkdir()
+    shutil.copy(f"{SF}/customer.parquet", data / "customer.parquet")
+    # remap o_orderkey out of every child's [min,max] so the dense-key
+    # accidental IND (o_custkey 1..150 ⊆ a dense orderkey range) never
+    # seeds a monitor — the stored suite holds only c_custkey-parented FKs
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    (orders.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+     .write.mode("overwrite").parquet(str(data / "orders.parquet")))
+    store = str(tmp_path / "appdb")
+    rc = main(["discover-fks", "--data-dir", str(data), "--store", store,
+               "--test-suite", "fk_suite", "--min-child-distinct", "20",
+               "--csv-dir", str(tmp_path)])
+    assert rc == 0
+    rs = RunStore(spark, store)
+    defs0 = rs.read("test_definitions").collect()
+    fk0 = {(r["table_name"], r["column_name"],
+            dict(r["params"])["match_groupby_names"]) for r in defs0
+           if r["test_type"] == "Combo_Match"}
+    assert ("orders", "o_custkey", "c_custkey") in fk0
+    assert all(parent == "c_custkey" for _, _, parent in fk0)
+
+    # break the FK: duplicate every customer row -> c_custkey no longer a
+    # unique parent key, so no c_custkey IND is discoverable anymore
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    cust.union(cust).write.mode("overwrite").parquet(
+        str(data / "customer.parquet"))
+
+    rc = main(["run-tests", "--data-dir", str(data), "--store", store,
+               "--test-suite", "fk_suite", "--csv-dir", str(tmp_path)])
+    assert rc in (0, 1)
+    latest = rs.read("test_definitions")
+    latest = latest.filter(
+        latest["last_auto_gen_date"]
+        == latest.agg({"last_auto_gen_date": "max"}).first()[0])
+    combo = [r for r in latest.collect() if r["test_type"] == "Combo_Match"]
+    assert combo and all(r["test_active"] == "N" for r in combo)
+    # the deactivated monitors did not execute: the suite held ONLY FK
+    # monitors, so the results table received an empty append (read
+    # returns None — the empty-table store contract)
+    res_df = rs.read("test_results")
+    res = [] if res_df is None else res_df.collect()
+    assert not any(r["test_type"] == "Combo_Match" for r in res)
 
 
 def test_discover_fks_cli_store_roundtrip(spark, tmp_path):
