@@ -127,6 +127,10 @@ def _rank_dictionary(out: DataFrame, cols: list[str]) -> DataFrame:
     eager-planning tax to one call per table, not one per column."""
     from pyspark.sql import Window
 
+    bad = [c for c in cols if "`" in c or "'" in c]
+    if bad:
+        raise ValueError(
+            f"column names not expressible in the melt literal: {bad!r}")
     melt = ", ".join(f"'{c}', `{c}`" for c in cols)
     long = (out.select(
         F.expr(f"stack({len(cols)}, {melt})").alias("__c", "__v"))
