@@ -2565,6 +2565,37 @@ def q_multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFra
     dequant + numpy-IDCT decoder distributed; decoded height == 8*bytes
     and the mean equals the same text-derived quotient."""
     docs = _load(spark, sf_dir, "documents")
+    # r13 optimization (guide §4/§8): the 8 per-leg compositions below
+    # each re-scanned the corpus, crossed the Python boundary twice, and
+    # were re-zipped by 7 joins — replaced by the FUSED single-pass
+    # report (multimodal.py multimodal_feature_report: same codecs, one
+    # scan, one boundary, zero joins; parity pinned by
+    # tests/test_multimodal.py::test_feature_report_matches_composition).
+    # Display rounding stays in this JVM select, unchanged.
+    rep = MM.multimodal_feature_report(docs)
+    return rep.select(
+        "doc_id", "byte_len", "first_byte", "content_md5",
+        F.round("fake_feature", 5).alias("fake_feature"),
+        "format", "width", "height",
+        F.round("mean_luminance", 5).alias("mean_luminance"),
+        "png_format", F.round("png_mean", 5).alias("png_mean"),
+        "gif_format", F.round("gif_mean", 5).alias("gif_mean"),
+        "jpeg_format", "jpeg_h",
+        F.round("jpeg_mean", 5).alias("jpeg_mean"),
+        "jpeg420_format", "jpeg420_w",
+        F.round("jpeg420_mean", 5).alias("jpeg420_mean"),
+        "wav_rate", "n_samples",
+        F.round("wav_duration", 8).alias("wav_duration"),
+        F.round("wav_mean", 5).alias("wav_mean"),
+        "flac_format", "flac_n",
+        F.round("flac_mean", 5).alias("flac_mean"))
+
+
+def _q_multimodal_features_composed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The pre-r13 per-leg composition, kept for the fused-vs-composed
+    parity test (not in the timed registry)."""
+    docs = _load(spark, sf_dir, "documents")
     feats = MM.extract_features(MM.with_binary_payload(docs))
     dec = MM.extract_decoded_features(MM.with_bmp_payload(docs),
                                       binary_col="bmp_payload")

@@ -49,6 +49,24 @@ def main() -> None:
     if os.path.exists(sf_probe):
         spark.read.parquet(sf_probe).count()
 
+    # Python-worker warmup (r13): MapInPandas/ArrowEvalPython is the one
+    # physical path the block above does not touch. A fresh session pays
+    # one fork + `import pandas/numpy` per worker (~1 s each, all
+    # concurrent) the FIRST time any python stage runs — measured 29 s
+    # on the first python-heavy query at 32 cores, pure session cold
+    # start misattributed to whichever query runs first (workers are
+    # reused afterwards, exactly like a long-lived cluster). Fork the
+    # pool and import once, same discipline as the JIT warmup.
+    def _warm_workers(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        for b in batches:
+            yield b
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+    (spark.range(cpus * 4).repartition(cpus)
+     .mapInPandas(_warm_workers, "id long").count())
+
     # Charge the SHARED profile + inference-cascade compile (memoized in
     # __spark_entry__._inferred and reused by ~15 queries) to its own
     # warm-up line instead of whichever consumer happens to run first.

@@ -1896,6 +1896,151 @@ def extract_decoded_features(df: DataFrame, binary_col: str = "payload",
     return df.select(id_col, binary_col).mapInPandas(run, DECODED_SCHEMA)
 
 
+REPORT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("first_byte", T.IntegerType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("fake_feature", T.DoubleType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_luminance", T.DoubleType()),
+    T.StructField("png_format", T.StringType()),
+    T.StructField("png_mean", T.DoubleType()),
+    T.StructField("gif_format", T.StringType()),
+    T.StructField("gif_mean", T.DoubleType()),
+    T.StructField("jpeg_format", T.StringType()),
+    T.StructField("jpeg_h", T.IntegerType()),
+    T.StructField("jpeg_mean", T.DoubleType()),
+    T.StructField("jpeg420_format", T.StringType()),
+    T.StructField("jpeg420_w", T.IntegerType()),
+    T.StructField("jpeg420_mean", T.DoubleType()),
+    T.StructField("wav_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("wav_duration", T.DoubleType()),
+    T.StructField("wav_mean", T.DoubleType()),
+    T.StructField("flac_format", T.StringType()),
+    T.StructField("flac_n", T.LongType()),
+    T.StructField("flac_mean", T.DoubleType()),
+])
+
+
+def multimodal_feature_report(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              max_bytes: int = 64,
+                              sample_rate: int = 8000) -> DataFrame:
+    """All seven codec legs (BMP, PNG, GIF, JPEG, JPEG 4:2:0, WAV, FLAC)
+    plus the byte-feature leg in ONE ``mapInPandas`` pass — the fused
+    production composition of the same ``encode_*``/``decode_image``/
+    ``decode_audio`` codecs the per-leg helpers wrap.
+
+    Why fused (guide §4/§8 discipline): the per-leg composition
+    (``with_X_payload`` → ``extract_*``, joined on ``id_col``) reads the
+    corpus once PER LEG, crosses the JVM↔Python boundary twice per leg
+    (16 crossings), and re-attaches the legs with 7 shuffling joins —
+    at 100 TB that is 8 redundant scans and 7 exchanges whose only
+    purpose is to zip columns computed from the same row. One pass
+    computes every leg's columns per document: one scan, one boundary,
+    zero joins. Per-leg NULL semantics are preserved exactly (NULL text
+    → NULL everywhere; empty byte prefix → NULL payload → NULL decode
+    fields; undecodable payloads → NULL fields, same error isolation).
+    Raw doubles are emitted un-rounded — display rounding stays in the
+    caller's JVM select so fused == per-leg composition bit-for-bit
+    (pinned by tests/test_multimodal.py parity test)."""
+    import hashlib
+
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # one python stage carries every codec: spreading it is worth one
+    # small shuffle on a one-file corpus (no-op at real scale)
+    src = ensure_parallelism(df.select(id_col, text_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        none_img = {"format": None, "width": None, "height": None,
+                    "mean_luminance": None}
+
+        def dec_img(payload):
+            if payload is None or not len(payload):
+                return none_img
+            try:
+                return decode_image(bytes(payload))
+            except (NotImplementedError, ValueError, IndexError):
+                return none_img
+
+        def dec_aud(payload):
+            if payload is None:
+                return {}
+            try:
+                return decode_audio(bytes(payload))
+            except (NotImplementedError, ValueError, IndexError):
+                return {}
+
+        def enc_jpeg_tiles(raw, enc):
+            tiles = bytearray()
+            for v in raw:
+                tiles.extend(bytes([v]) * 64)
+            return enc(bytes(tiles), width=8)
+
+        def one(t):
+            if t is None:
+                full = None
+                raw = b""
+            else:
+                full = t.encode("utf-8")
+                raw = full[:max_bytes]
+            stub = decode_stub(full)
+            row = {
+                "byte_len": stub["byte_len"],
+                "first_byte": stub["first_byte"],
+                "content_md5": (hashlib.md5(full).hexdigest()
+                                if full is not None else None),
+                "fake_feature": stub["fake_feature"],
+            }
+            img = dec_img(encode_bmp_gray(raw) if raw else None)
+            row.update(format=img["format"], width=img["width"],
+                       height=img["height"],
+                       mean_luminance=img["mean_luminance"])
+            png = dec_img(encode_png(raw, filter_cycle=True) if raw
+                          else None)
+            row.update(png_format=png["format"],
+                       png_mean=png["mean_luminance"])
+            gif = dec_img(encode_gif_gray(raw) if raw else None)
+            row.update(gif_format=gif["format"],
+                       gif_mean=gif["mean_luminance"])
+            jpg = dec_img(enc_jpeg_tiles(raw, encode_jpeg_gray) if raw
+                          else None)
+            row.update(jpeg_format=jpg["format"], jpeg_h=jpg["height"],
+                       jpeg_mean=jpg["mean_luminance"])
+            j420 = dec_img(enc_jpeg_tiles(raw, encode_jpeg_420) if raw
+                           else None)
+            row.update(jpeg420_format=j420["format"],
+                       jpeg420_w=j420["width"],
+                       jpeg420_mean=j420["mean_luminance"])
+            wav = dec_aud(encode_wav_pcm(raw, sample_rate=sample_rate)
+                          if raw else None)
+            row.update(wav_rate=wav.get("sample_rate"),
+                       n_samples=wav.get("n_samples"),
+                       wav_duration=wav.get("duration_s"),
+                       wav_mean=wav.get("mean_amplitude"))
+            flac = dec_aud(encode_flac_pcm(raw, sample_rate=sample_rate)
+                           if raw else None)
+            row.update(flac_format=flac.get("format"),
+                       flac_n=flac.get("n_samples"),
+                       flac_mean=flac.get("mean_amplitude"))
+            return row
+
+        cols = [f.name for f in REPORT_SCHEMA.fields[1:]]
+        for pdf in batches:
+            rows = [one(t) for t in pdf[text_col]]
+            out = {id_col: pdf[id_col]}
+            for c in cols:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, REPORT_SCHEMA)
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text",
                         out_col: str = "payload") -> DataFrame:
     """Demo helper: materialize a binary column (UTF-8 bytes of text) so the

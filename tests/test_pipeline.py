@@ -139,6 +139,33 @@ def test_ivf_assign(spark):
     assert got == {1: 0, 2: 1, 3: 0}
 
 
+def test_feature_report_matches_composition(spark, sf_dir):
+    """The fused single-pass multimodal report (r13 optimization) must
+    equal the per-leg composition bit-for-bit — including NULL-text and
+    empty-text edge rows."""
+    import __spark_entry__ as E
+
+    fused = E.q_multimodal_features_documents(spark, sf_dir)
+    composed = E._q_multimodal_features_composed(spark, sf_dir)
+    assert fused.columns == composed.columns
+    f_rows = [tuple(r) for r in fused.collect()]
+    c_rows = [tuple(r) for r in composed.collect()]
+    assert sorted(f_rows) == sorted(c_rows)
+
+    # NULL text and empty text rows: every decoded field NULL on both
+    # paths, byte-feature leg NULL (NULL text) vs md5("")/0 (empty text)
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab")], "doc_id: long, text: string")
+    rep = {r["doc_id"]: r
+           for r in multimodal.multimodal_feature_report(edge).collect()}
+    assert rep[1]["byte_len"] is None and rep[1]["content_md5"] is None
+    assert rep[1]["format"] is None and rep[1]["flac_mean"] is None
+    assert rep[2]["byte_len"] == 0 and rep[2]["format"] is None
+    assert rep[2]["wav_rate"] is None
+    assert rep[3]["format"] == "bmp" and rep[3]["width"] == 2
+    assert rep[3]["wav_rate"] == 8000 and rep[3]["flac_n"] == 2
+
+
 def test_multimodal_plumbing(docs):
     with_bin = multimodal.with_binary_payload(docs.filter("doc_id <= 2"))
     feats = multimodal.extract_features(with_bin).collect()
