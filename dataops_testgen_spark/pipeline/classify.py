@@ -208,17 +208,26 @@ def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
     kmeans_train's centroid collect. The joined (feats x labels)
     relation persists across iterations so the source scans once."""
     spark = feats.sparkSession
-    # hash-partition the persisted train relation by id ONCE: every
-    # iteration's margin agg (groupBy id) and resid join (on id) then
-    # reuse that partitioning with no further data exchange — the only
-    # per-iteration shuffle carries the model-bounded (f, g, h) partials
+    # hash-partition the train relation by id ONCE: every iteration's
+    # margin agg (groupBy id) and resid join (on id) then reuse that
+    # partitioning with no further data exchange — the only
+    # per-iteration shuffle carries the model-bounded (f, g, h) partials.
+    # localCheckpoint (r13, guide §5/§3.3 "materialise an intermediate to
+    # truncate the plan") rather than persist: persist keeps the FULL
+    # feature-derivation lineage (explode + 2 groupBys + join + union) in
+    # every iteration's logical plan, so Catalyst re-analyzed/optimized
+    # that subtree once per iteration plus once for n_train — measured
+    # ~0.5-1 s of driver time per iteration at any data size. The
+    # checkpoint truncates it to a leaf; per-iteration plans are then
+    # model-shaped. Data/results identical: the same materialized rows
+    # feed every iteration either way.
     # NULL labels are dropped, not trained on: a NULL y would silently
     # skew every step (its residual falls out of the gradient sum while
     # its pq still inflates the Hessian and n_train)
     base = (feats.join(labels.select("id", F.col("y").cast("double")
                                      .alias("y"))
                   .filter(F.col("y").isNotNull()), "id")
-            .repartition("id")).persist()
+            .repartition("id")).localCheckpoint()
     try:
         n_train = base.select("id").distinct().count()
         if n_train == 0:
@@ -256,6 +265,9 @@ def lr_train(feats: DataFrame, labels: DataFrame, n_iters: int = 10,
                              / (row["h"] + damping), round_decimals)
         return w
     finally:
+        # localCheckpoint blocks release via the ContextCleaner when the
+        # RDD is unreferenced; unpersist() here is best-effort (a no-op
+        # for the checkpoint cache itself, kept for the plan-cache entry)
         base.unpersist()
 
 

@@ -43,6 +43,16 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
         .config("spark.sql.codegen.cache.maxEntries",
                 os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 captures a Python call site for every Column/DataFrame
+        # op when dataFrameDebugging is on (the default): a conf read, a
+        # PySparkCurrentOrigin.set and a .clear — 3 extra py4j round trips
+        # plus a stack walk PER OP. The engine's plans are built from
+        # thousands of Column ops per fresh table (profiler ~60 exprs x
+        # cols, the 622-rule cascade, fused screens), so this tripled the
+        # driver-side build cost of every seat (measured: col-op 3.3 ms ->
+        # 1.3 ms; apply_inference build 3.1 s -> ~1 s). Standard
+        # production setting; only error-message call-site info is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # the profiler and CAT engine overlap independent aggregation jobs
         # from a thread pool (profiler.py / cat.py); FIFO would let one
         # wide job starve the others on a busy cluster — FAIR round-robins
