@@ -138,10 +138,14 @@ def verified_near_dups(df: DataFrame, text_col: str = "text",
     pair no band catches is never verified — raise num_hashes/bands for
     recall); precision is EXACT (every emitted jaccard is the true
     set Jaccard, not the minhash estimate)."""
+    from dataops_testgen_spark.session import ensure_parallelism
+
     cand = (candidates.select("id_a", "id_b") if candidates is not None
             else minhash_lsh_candidates(df, text_col, id_col, k,
                                         num_hashes, bands))
-    sh = df.select(F.col(id_col).alias("id"),
+    # the per-doc distinct-shingle relation re-tokenizes the corpus; keep
+    # it off the small-file scan's 1-2 tasks (no-op at real scale)
+    sh = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                    F.array_distinct(shingles(F.col(text_col), k))
                    .alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -468,6 +472,11 @@ def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # the k-gram md5 explode is the compute (one hash per token position);
+    # a small-file scan would pin it to 1-2 tasks (no-op at real scale)
+    df = ensure_parallelism(df)
     grams = F.transform(shingles(F.col(text_col), k), F.md5)
     pos = (df.select(F.col(id_col).alias("id"), grams.alias("__g__"))
            .filter(F.size("__g__") > 0)
@@ -521,7 +530,12 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     — distinct shingles shared, n_benchmark_docs — distinct benchmark docs
     hit, sample_ngram — lexicographically first shared shingle for triage).
     """
-    c_sh = corpus.select(
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # corpus-side shingling + the broadcast probe is the compute-bound
+    # stage; keep it off the 1-2 tasks a small-file scan yields (no-op at
+    # real scale, where the corpus scan is already wide)
+    c_sh = ensure_parallelism(corpus).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k)))
         .alias("shingle"))
@@ -605,6 +619,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     md5 inside every per-bit F.filter lambda — 32× per shingle and outside
     whole-stage codegen (216s at sf0.1 vs ~2s for this shape). Shingle-less
     docs keep signature 0 via explode_outer, matching the expression form."""
+    from dataops_testgen_spark.session import ensure_parallelism
+
+    # one md5+conv per (doc, shingle) is the compute; spread it before the
+    # explode instead of running on the scan's 1-2 small-file tasks
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(shingles(F.col(text_col), k)).alias("shingle"))
