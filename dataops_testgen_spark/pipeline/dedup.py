@@ -739,10 +739,12 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     """
     from dataops_testgen_spark.pipeline.similarity import (_id_type,
                                                            collect_normalized)
+    from dataops_testgen_spark.session import ensure_parallelism
 
-    n = df.count()
-    dim_row = df.select(F.size(vec_col)).first()
-    dim = dim_row[0] if dim_row else 0
+    # one fused metadata job for the size dispatch (was two: count + first)
+    size_row = df.agg(F.count(F.lit(1)),
+                      F.max(F.size(vec_col))).first()
+    n, dim = size_row[0], (size_row[1] or 0)
     if n * dim * 8 > max_broadcast_bytes:
         return lsh_cosine_pairs(df, vec_col=vec_col, id_col=id_col,
                                 threshold=threshold)
@@ -773,7 +775,9 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             })
 
     idt = _id_type(df, id_col)
-    return df.select(id_col, vec_col).mapInPandas(
+    # the per-partition matmul is the compute; spread it off the 1-2 tasks
+    # a small-file scan yields (no-op at real scale)
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
         compute, schema=f"id_a {idt}, id_b {idt}, cosine double")
 
 

@@ -142,6 +142,25 @@ SAMPLE_SEED = 64
 # hides the win — always A/B warm.)
 _REPARTITION_MIN_ROWS = 50_000
 
+# Plan-statistics proxy for the row gate when no count job ran (r13: the
+# count folds into the main agg outside sample mode).  Scan sizeInBytes is
+# the parquet file bytes; ~1 MB compressed ≈ the 50k-row threshold above at
+# this schema width (orders sf0.1: 150k rows = 2.7 MB fires, customer 15k
+# rows = 0.3 MB does not — matching the row gate's decisions).
+_REPARTITION_MIN_BYTES = 1_000_000
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` — driver-only, no job.
+    For file scans this is the input file bytes (scaled by projected
+    column ratio); filters propagate their child's estimate, which errs
+    toward repartitioning — the safe direction for a compute-heavy agg."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return 0
+
 
 def _column_exprs(col: schema_scan.ColumnChars, idx: int, run_date: _dt.date,
                   distinct: str, exact_percentiles: bool):
@@ -328,9 +347,14 @@ def profile_table(
         if slice_col not in df.columns:
             raise ValueError(f"slice_col {slice_col!r} not in DataFrame")
 
-    chars = schema_scan.scan_table(df, table_name,
-                                   with_count=slice_col is None)
+    # The dedicated count job only runs when sampling needs the row count
+    # BEFORE the aggregates (to pick the fraction).  Otherwise the count
+    # folds into the main aggregation (guide §6: one less pass — the
+    # "metadata-only count" defense breaks whenever a filter sits on the
+    # scan, e.g. every slice profile, and then the count is a real scan).
+    chars = schema_scan.scan_table(df, table_name, with_count=sample)
     record_ct = chars.record_ct or 0
+    fold_count = not sample and slice_col is None
     cols = [c for c in chars.columns
             if (columns is None or c.column_name in columns)
             and c.column_name != slice_col]
@@ -361,10 +385,14 @@ def profile_table(
         frac = min(frac, SAMPLE_MAX_ROWS / record_ct) if record_ct * frac > SAMPLE_MAX_ROWS else frac
         target = df.sample(fraction=frac, seed=SAMPLE_SEED)
         sample_ratio = frac
-    if record_ct > _REPARTITION_MIN_ROWS or slice_col is not None:
+    if (slice_col is not None
+            or (sample and record_ct > _REPARTITION_MIN_ROWS)
+            or (fold_count
+                and _estimated_plan_bytes(target) > _REPARTITION_MIN_BYTES)):
         # regex-heavy metrics must not run on the 1-3 tasks a small-file
         # scan yields (the repartition is a no-op on well-partitioned
-        # input); slice mode skips the count job, so it opts in directly
+        # input); without a pre-count the gate uses Catalyst's byte
+        # estimate instead of a counted row threshold
         from dataops_testgen_spark.session import ensure_parallelism
 
         target = ensure_parallelism(target)
@@ -414,6 +442,9 @@ def profile_table(
                 pct_exprs.append(e)
             else:
                 main_exprs.append(e)
+    if fold_count:
+        # replaces the scan_table count job; read back below
+        main_exprs.append(F.count(F.lit(1)).alias("__record_ct"))
 
     # The secondary (top-k unpivot) pass is independent of the primary aggs —
     # materialize it from the same thread pool so its codegen compile and
@@ -532,6 +563,9 @@ def profile_table(
             _fold_parts(part)
     if not slice_rows:
         slice_rows[None] = {}            # zero tasks / empty sliced input
+
+    if fold_count:
+        record_ct = int(slice_rows[None].get("__record_ct") or 0)
 
     out_rows = []
     # deterministic row order across slices (createDataFrame preserves it)
