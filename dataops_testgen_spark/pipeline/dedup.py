@@ -66,7 +66,6 @@ def _banded_signatures(df: DataFrame, text_col: str, id_col: str,
     from dataops_testgen_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    rows_per_band = num_hashes // bands
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(shingles(F.col(text_col), k)).alias("shingle"),
@@ -75,6 +74,14 @@ def _banded_signatures(df: DataFrame, text_col: str, id_col: str,
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
         for i in range(num_hashes)
     ]).filter(F.col("m0").isNotNull())
+    return sig, _bands_of(sig, num_hashes, bands)
+
+
+def _bands_of(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Band bucket hashes derived from a signature relation — split out so
+    callers that materialize ``sig`` (index append/probe) derive bands from
+    the checkpointed rows instead of re-running the text-hash pass."""
+    rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -84,10 +91,9 @@ def _banded_signatures(df: DataFrame, text_col: str, id_col: str,
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("band")
     ).select("id", "band.band_id", "band.band_hash")
-    return sig, banded
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -180,8 +186,14 @@ def minhash_index_append(df: DataFrame, index_dir: str,
 
     from dataops_testgen_spark.io.fs import stamped_append
 
-    sig, banded = _banded_signatures(df, text_col, id_col, k,
-                                     num_hashes, bands)
+    sig, _ = _banded_signatures(df, text_col, id_col, k,
+                                num_hashes, bands)
+    # materialize the signature pass ONCE: the banded write would otherwise
+    # re-run the whole text->shingle->minhash aggregation (a second full
+    # scan of the batch text). Signatures are O(batch docs x num_hashes)
+    # hashes — bounded per-batch state, not corpus bytes.
+    sig = sig.localCheckpoint()
+    banded = _bands_of(sig, num_hashes, bands)
     # resolve the id once (from signatures) so both relations stamp alike
     used = stamped_append(sig, posixpath.join(index_dir, "signatures"),
                           batch_id=batch_id)
@@ -211,8 +223,14 @@ def minhash_index_probe(df: DataFrame, index_dir: str,
     from dataops_testgen_spark.io.fs import path_exists
 
     spark = df.sparkSession
-    sig_new, banded_new = _banded_signatures(df, text_col, id_col, k,
-                                             num_hashes, bands)
+    sig_new, _ = _banded_signatures(df, text_col, id_col, k,
+                                    num_hashes, bands)
+    # one text-hash pass for the whole probe: sig_new feeds the broadcast
+    # band build, the within-batch join side AND the estimate join — five
+    # scans of the batch text without this (measured plan). Batch-bounded
+    # state, same rationale as the append side.
+    sig_new = sig_new.localCheckpoint()
+    banded_new = _bands_of(sig_new, num_hashes, bands)
     bands_path = posixpath.join(index_dir, "bands")
     sig_path = posixpath.join(index_dir, "signatures")
     # Hadoop-FS existence (not os.path): the index may live on HDFS/S3.
