@@ -161,7 +161,12 @@ def lexical_index_append(df: DataFrame, index_dir: str,
 
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the tokenize+count pass ONCE: the doclen write would
+    # otherwise re-run the full text explode+shuffle that the postings
+    # write runs (two corpus passes per append). tf is exactly the
+    # postings being persisted — batch-bounded state.
+    tf = (toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint())
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     # resolve the id once (from doclen, the small relation) so both
     # relations stamp alike
