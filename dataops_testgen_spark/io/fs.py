@@ -106,8 +106,18 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
             spark, path, max(0, _max_claimed_id(spark, path) + 1))
     else:
         _record_claim(spark, path, int(batch_id))
-    (df.withColumn("batch_id", F.lit(int(batch_id)))
-     .write.mode("overwrite")
+    out = df.withColumn("batch_id", F.lit(int(batch_id)))
+    if partition_cols:
+        # Cluster by the partition key before the write (the Iceberg
+        # write.distribution-mode=hash analog): otherwise every scan task
+        # writes a file into EVERY partition it touches — tasks x
+        # partitions small files per append, the §6 small-files tax the
+        # probes then pay per batch until compaction. AQE's coalescing
+        # keeps this a single task on tiny batches, so the local plan
+        # stays one write task; at scale it bounds files per append at
+        # ~|partition values| (size-targeted by advisoryPartitionSize).
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    (out.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*(list(partition_cols) + ["batch_id"]))
      .parquet(path))
