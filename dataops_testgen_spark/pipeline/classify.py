@@ -73,6 +73,10 @@ def nb_train(df: DataFrame, text_col: str = "text",
                 .orderBy(F.col("n").desc(), F.col("term"))
                 .limit(max_vocab).select("term"))
         posting = posting.join(F.broadcast(keep), "term")
+    # materialize the posting fold ONCE: vocab_ct and the cond relation
+    # would otherwise each re-run the train explode+shuffle (model-sized
+    # state — (label, term, c) rows over the capped vocabulary)
+    posting = posting.localCheckpoint()
     vocab_ct = posting.select("term").distinct().count()
     # per-label token mass over the (possibly capped) vocabulary
     totals = posting.groupBy("label").agg(F.sum("c").alias("t"))
@@ -81,14 +85,17 @@ def nb_train(df: DataFrame, text_col: str = "text",
             .select("label", "term",
                     F.log((F.col("c").cast("double") + F.lit(alpha))
                           / denom).alias("log_cond")))
-    n_docs = df.count()
+    # one scan for the priors: per-label doc counts, n_docs = their sum
+    # (was a dedicated df.count() job + a second scan for the groupBy)
+    label_counts = (df.groupBy(F.col(label_col).alias("label"))
+                    .agg(F.count(F.lit(1)).alias("n")).localCheckpoint())
+    n_docs = label_counts.agg(F.sum("n")).first()[0] or 0
     if n_docs == 0:
         raise ValueError("training DataFrame is empty")
     # LEFT join + zero-coalesce: a label whose seed docs carry no tokens
     # (all empty/whitespace) still exists — it must keep its prior and a
     # smoothed unseen mass, exactly like the textbook formulation
-    priors = (df.groupBy(F.col(label_col).alias("label"))
-              .agg(F.count(F.lit(1)).alias("n"))
+    priors = (label_counts
               .join(F.broadcast(totals), "label", "left")
               .withColumn("t", F.coalesce("t", F.lit(0)))
               .select("label",

@@ -114,9 +114,9 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     ``ivf_topk`` instead.
     """
     spark = df.sparkSession
-    n = df.count()
-    dim_row = df.select(F.size(vec_col)).first()
-    dim = dim_row[0] if dim_row else 0
+    # one fused metadata job for the size dispatch (was two: count + first)
+    size_row = df.agg(F.count(F.lit(1)), F.max(F.size(vec_col))).first()
+    n, dim = size_row[0], (size_row[1] or 0)
     if n * dim * 8 > max_broadcast_bytes:
         return _bruteforce_topk_shuffled(df, queries, k, vec_col, id_col)
     idt = _id_type(df, id_col)
