@@ -20,6 +20,16 @@ from dataops_testgen_spark.inference.functional_type import (
 from dataops_testgen_spark.inference.pii import flag_pii
 
 
+def _is_leaf_relation(df: DataFrame) -> bool:
+    """True when the plan is already a materialized leaf (a prior
+    localCheckpoint / cached scan) — re-checkpointing those only copies."""
+    try:
+        name = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    except Exception:
+        return False
+    return name in ("LogicalRDD", "LogicalRelation")
+
+
 def apply_inference(
     profile: DataFrame,
     history: DataFrame | None = None,
@@ -27,6 +37,15 @@ def apply_inference(
     sk_mask: str = "%_sk",
     materialize: bool = True,
 ) -> DataFrame:
+    if materialize and not _is_leaf_relation(profile):
+        # The cascade's first checkpointed chunk (layers 1-5) otherwise
+        # embeds the whole profile aggregation subtree in its analyzed
+        # tree: Catalyst re-walks the fused ~60-metric agg on every
+        # analysis pass of the 622-rule cascade. The profile is one row
+        # per column — cut it to a leaf first (same lineage-truncation
+        # rationale as the merge-path checkpoint; measured ~2 s per
+        # fresh-table screen seat, OPTIMIZATION_r13.md #14).
+        profile = profile.localCheckpoint(eager=False)
     df = add_datatype_suggestion(profile)
     df = infer_functional_datatypes(df, id_mask=id_mask, sk_mask=sk_mask)
     table_types = infer_table_types(df, history=history)
