@@ -72,7 +72,19 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     ``*_index_compact`` IS the migration: it reads either layout and
     rewrites everything under ``batch_id=-1``."""
     spark = df.sparkSession
-    if path_exists(spark, path):
+    claimed = _max_claimed_id(spark, path)
+    if claimed < 0 and path_exists(spark, path):
+        # No claim history (a pre-claims index, or one copied without its
+        # sibling __ids dir): fall back to reading the index itself to
+        # guard the layout and recover the max stamped id. This is the
+        # SLOW path — partition discovery lists every file and the max()
+        # is a real job over the whole index — which is why appends to a
+        # claims-tracked index skip it: every stamped write records its
+        # claim BEFORE writing (auto ids CAS-claim, explicit ids
+        # best-effort-claim, compaction only ever writes the reserved
+        # −1), so max(claims) >= max(stamped ids) whenever claims exist,
+        # and the claim listing is one metadata listStatus per append
+        # instead of an O(index) listing+scan.
         try:
             existing = spark.read.parquet(path)
         except AnalysisException as e:
@@ -97,13 +109,9 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
             if batch_id is None:
                 mx = existing.agg(
                     F.max("batch_id").alias("m")).first()["m"]
-                batch_id = _claim_batch_id(
-                    spark, path,
-                    max(mx if mx is not None else -1,
-                        _max_claimed_id(spark, path)) + 1)
+                claimed = max(mx if mx is not None else -1, claimed)
     if batch_id is None:
-        batch_id = _claim_batch_id(
-            spark, path, max(0, _max_claimed_id(spark, path) + 1))
+        batch_id = _claim_batch_id(spark, path, max(0, claimed + 1))
     else:
         _record_claim(spark, path, int(batch_id))
     out = df.withColumn("batch_id", F.lit(int(batch_id)))
