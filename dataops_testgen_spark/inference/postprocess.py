@@ -18,16 +18,7 @@ from dataops_testgen_spark.inference.functional_type import (
     infer_table_types,
 )
 from dataops_testgen_spark.inference.pii import flag_pii
-
-
-def _is_leaf_relation(df: DataFrame) -> bool:
-    """True when the plan is already a materialized leaf (a prior
-    localCheckpoint / cached scan) — re-checkpointing those only copies."""
-    try:
-        name = df._jdf.queryExecution().logical().getClass().getSimpleName()
-    except Exception:
-        return False
-    return name in ("LogicalRDD", "LogicalRelation")
+from dataops_testgen_spark.session import is_leaf_relation
 
 
 def apply_inference(
@@ -37,7 +28,7 @@ def apply_inference(
     sk_mask: str = "%_sk",
     materialize: bool = True,
 ) -> DataFrame:
-    if materialize and not _is_leaf_relation(profile):
+    if materialize and not is_leaf_relation(profile):
         # The cascade's first checkpointed chunk (layers 1-5) otherwise
         # embeds the whole profile aggregation subtree in its analyzed
         # tree: Catalyst re-walks the fused ~60-metric agg on every

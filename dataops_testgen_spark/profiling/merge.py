@@ -213,6 +213,18 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
     slices × columns. See the module docstring for merge rules; output
     keeps the ``PROFILE_SCHEMA`` column order with non-mergeable metrics
     NULL."""
+    from dataops_testgen_spark.session import is_leaf_relation
+
+    if not is_leaf_relation(profiles):
+        # Materialize the slice profiles once: the sample-ratio guard just
+        # below is an action and the eager fold checkpoint at the end is
+        # another — a lazy input would run the WHOLE slice-profile
+        # computation twice per merge (at scale, a full extra pass over
+        # every newly profiled partition). The relation is slices×columns
+        # rows; the guard action below materializes the checkpoint, and
+        # the fold then plans over a leaf instead of the union of
+        # per-slice profile agg trees.
+        profiles = profiles.localCheckpoint(eager=False)
     if profiles.filter(F.coalesce(F.col("sample_ratio"), F.lit(1.0))
                        < 1.0).limit(1).count():
         raise ValueError(

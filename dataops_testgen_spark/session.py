@@ -65,6 +65,17 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
     return spark
 
 
+def is_leaf_relation(df) -> bool:
+    """True when the DataFrame's plan is already a materialized leaf (a
+    prior localCheckpoint or a bare relation scan) — re-checkpointing
+    those only copies the data for no lineage gain."""
+    try:
+        name = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    except Exception:
+        return False
+    return name in ("LogicalRDD", "LogicalRelation")
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Round-robin repartition a DataFrame whose scan produced fewer
     partitions than the cluster has cores.
