@@ -1945,35 +1945,6 @@ def _lineitem_m(spark: SparkSession, sf_dir: str) -> DataFrame:
         fee.alias("l_fee"))
 
 
-def _derived_screens_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE inference cascade over the union of the two fresh DERIVED
-    lineitem views (lineitem_m for the Pearson cascade seat, lineitem_sp
-    for the Spearman cascade seat), memoized — the `_inferred` pattern
-    (r13 opt): the 622-rule cascade's Catalyst analysis is the dominant
-    fixed cost of a fresh-table screen, and compiling it once for both
-    seats halves that tax for the pair. Per-table rows are UNCHANGED by
-    unioning: the cascade's only cross-table layer that joins on shared
-    column names (ID-FK) requires the name to be ID-Unique[-SK] in
-    another table, which requires an ID-masked name ('%id'/'%_sk',
-    cascade layer 1) — every shared column here (l_quantity,
-    l_extendedprice, l_discount, l_tax) is a measure name that can never
-    classify ID, and the census/PII/table-type layers group by
-    table_name (pinned by tests/test_inference.py::
-    test_union_inference_matches_separate_for_derived_seats)."""
-    from dataops_testgen_spark.inference import apply_inference
-
-    key = (sf_dir, "__derived_screens__")
-    if key not in _INFERRED_CACHE:
-        prof = profile_table(
-            _lineitem_m(spark, sf_dir), "lineitem_m", run_date=RUN_DATE
-        ).unionByName(profile_table(
-            _lineitem_sp(spark, sf_dir), "lineitem_sp", run_date=RUN_DATE))
-        # apply_inference checkpoints both its input profile and its
-        # output, so each seat's filter below reads a materialized leaf
-        _INFERRED_CACHE[key] = apply_inference(prof)
-    return _INFERRED_CACHE[key]
-
-
 def q_correlation_screen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full hygiene screen over the derived-measure lineitem view —
     Correlated_Columns fires on (l_extendedprice, l_gross) and flows
@@ -1982,15 +1953,20 @@ def q_correlation_screen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     Cost shape: the data work is small (quartered relation, one fused
     profile agg + one fused correlation agg); most of the seat's
     wall-clock is the one-time Catalyst ANALYSIS of the 622-rule
-    inference cascade for a fresh table — shared with the Spearman
-    cascade seat through `_derived_screens_inferred` (one compile for
-    the pair). Fixed, not data-bound: at 100 TB the same plan compiles
-    in the same time."""
+    inference cascade for a fresh table — the fixed per-run tax the
+    shared `_inferred` cache amortizes across the other screen seats,
+    paid here once because the relation is derived. Fixed, not
+    data-bound: at 100 TB the same plan compiles in the same time."""
     from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
 
     lim = _lineitem_m(spark, sf_dir)
-    inf = _derived_screens_inferred(spark, sf_dir).filter(
-        F.col("table_name") == "lineitem_m")
+    # checkpoint the inferred relation (same as _inferred): the screen's
+    # five class branches + the correlation eligibility collect would
+    # otherwise each re-execute the inference cascade's expression DAG
+    inf = apply_inference(
+        profile_table(lim, "lineitem_m", run_date=RUN_DATE)
+    ).localCheckpoint(eager=False)
     out = screen_anomalies(inf, tables={"lineitem_m": lim})
     return out.select(
         "table_name", "column_name", "anomaly_type", "data_object",
@@ -2112,10 +2088,12 @@ def q_spearman_screen_lineitem(spark: SparkSession,
     anomaly class (cf. reference profile_anomaly_scoring.sql:1-9: every
     anomaly flows screen → prevalence → rollup)."""
     from dataops_testgen_spark.anomalies import screen_anomalies
+    from dataops_testgen_spark.inference import apply_inference
 
     sp = _lineitem_sp(spark, sf_dir)
-    inf = _derived_screens_inferred(spark, sf_dir).filter(
-        F.col("table_name") == "lineitem_sp")
+    inf = apply_inference(
+        profile_table(sp, "lineitem_sp", run_date=RUN_DATE)
+    ).localCheckpoint(eager=False)
     out = screen_anomalies(inf, tables={"lineitem_sp": sp}, spearman=True)
     return out.select(
         "table_name", "column_name", "anomaly_type", "data_object",

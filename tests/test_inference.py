@@ -225,32 +225,3 @@ def test_inference_on_real_tables(spark, sf_dir):
     vals = {r["column_name"]: r["functional_data_type"] for r in rows}
     assert vals["c_custkey"] in ("ID-Unique", "Sequence")
     assert vals["c_mktsegment"] in ("Category", "Code")
-
-
-def test_union_inference_matches_separate_for_derived_seats(spark, sf_dir):
-    """Pin the r13 shared-cascade optimization: running apply_inference
-    over the UNION of the two derived lineitem views (the Pearson and
-    Spearman cascade seats) yields row-for-row the same inference as two
-    separate cascades. The only cross-table cascade layer that joins on
-    shared column names (ID-FK) requires the name to classify
-    ID-Unique[-SK] somewhere, which requires an ID-masked name — the
-    shared measure columns here never do; everything else groups by
-    table_name."""
-    import __spark_entry__ as entry
-
-    lim = entry._lineitem_m(spark, sf_dir)
-    sp = entry._lineitem_sp(spark, sf_dir)
-    p_m = profile_table(lim, "lineitem_m", run_date=entry.RUN_DATE)
-    p_s = profile_table(sp, "lineitem_sp", run_date=entry.RUN_DATE)
-
-    union_out = apply_inference(p_m.unionByName(p_s))
-    sep_m = apply_inference(p_m)
-    sep_s = apply_inference(p_s)
-
-    def rows(df, table):
-        return sorted(
-            tuple(r) for r in
-            df.filter(F.col("table_name") == table).collect())
-
-    assert rows(union_out, "lineitem_m") == rows(sep_m, "lineitem_m")
-    assert rows(union_out, "lineitem_sp") == rows(sep_s, "lineitem_sp")
