@@ -28,7 +28,28 @@ from dataops_testgen_spark.profiling.profiler import profile_table
 RUN_DATE = "2026-08-01"  # pinned so date metrics are deterministic
 
 
-from dataops_testgen_spark.io.loaders import load_table as _load  # noqa: E402
+from dataops_testgen_spark.io.loaders import load_table  # noqa: E402
+
+# One parquet-relation build per (session, sf_dir, table): every
+# spark.read.parquet re-lists the path and re-reads footers for schema
+# (~120 ms measured warm at sf0.1; at scale re-listing a partitioned
+# table per query is the §6 file-listing tax the guide's
+# filesourcePartitionFileCacheSize exists for). The driver's sf fixtures
+# are immutable for a session, so the lazy relation (NOT its results —
+# every action still scans parquet) is safely reused across the ~2
+# _load calls a typical query makes. The CLI/scheduler keep calling
+# load_table directly: their data dirs may gain files between runs, and
+# a pinned file index would silently miss them.
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _LOAD_CACHE:
+        for stale in [k for k in _LOAD_CACHE if k[0] != key[0]]:
+            del _LOAD_CACHE[stale]
+        _LOAD_CACHE[key] = load_table(spark, sf_dir, name)
+    return _LOAD_CACHE[key]
 
 
 # --------------------------------------------------------------------------
