@@ -2157,17 +2157,29 @@ def q_group_dependence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sp = _lineitem_m(spark, sf_dir)
     out = group_dependence_screen(sp, ["l_returnflag"], _DEPENDENCE_NUMS)
-    return out.select("cat_col", "num_col", "n", "n_groups", "flagged")
+    # r14: deterministic ORDER BY num_col on BOTH sides — removes any
+    # order-sensitivity of the driver's hash on this 6-row output.
+    return (out.select("cat_col", "num_col", "n", "n_groups", "flagged")
+            .orderBy("num_col"))
 
 
 def _sql_group_dependence_lineitem() -> str:
     # r13: the hash surface carries NO engine-computed floats — eta2 is
     # computed only to derive `flagged` (threshold 0.95; nearest value
     # on either side is ~1.0 / ~3.7e-4, both orders of magnitude away).
+    # r14 ROOT CAUSE of 3 driver-red rounds: `tn` is SUM(BIGINT) OVER (),
+    # which DuckDB types as HUGEINT — and HUGEINT converts to float64 on
+    # pandas/arrow fetch (3 -> 3.0). Values compare numerically equal
+    # (rows_match: true every round) but any dtype- or repr-aware hash
+    # differs from Spark's int64. This was the ONLY oracle in the 122
+    # whose output surface carried a HUGEINT (audited; guard test in
+    # tests/test_entry_oracle.py). Fix: explicit ::BIGINT casts, plus a
+    # deterministic ORDER BY num_col on both sides.
     finals = []
     for num in _DEPENDENCE_NUMS:
         finals.append(f"""
-SELECT cat_col, num_col, n, n_groups, flagged
+SELECT cat_col, num_col, n::BIGINT AS n, n_groups::BIGINT AS n_groups,
+       flagged
 FROM (
 SELECT 'l_returnflag' AS cat_col, '{num}' AS num_col,
        tn AS n, g_ct AS n_groups,
@@ -2188,7 +2200,8 @@ FROM (
         FROM base WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag))
 GROUP BY tn, g_ct)""")
     return (f"WITH base AS ({_LINEITEM_M_SQL})"
-            + "\nUNION ALL\n".join(finals))
+            + "\nUNION ALL\n".join(finals)
+            + "\nORDER BY num_col")
 
 
 _SQL_GROUP_DEPENDENCE = _sql_group_dependence_lineitem()

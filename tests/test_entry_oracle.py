@@ -111,6 +111,23 @@ def test_driver_window_rotation():
     assert not missing, f"outside the driver's first-50 window: {missing}"
 
 
+def test_no_hugeint_on_any_oracle_surface(duck):
+    """r14 root cause of the 3-round-red group_dependence seat: DuckDB
+    types SUM(BIGINT) [incl. windowed] as HUGEINT, and HUGEINT converts
+    to float64 on pandas/arrow fetch (3 -> 3.0) — values compare equal
+    (rows_match true) but a dtype/repr-aware hash differs from Spark's
+    int64. Guard: no declared oracle may carry HUGEINT on its output
+    surface; cast to BIGINT (or DOUBLE, matching the Spark side) instead."""
+    offenders = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        rel = duck.sql(sql)
+        hug = {c: str(t) for c, t in zip(rel.columns, rel.types)
+               if str(t) in ("HUGEINT", "UHUGEINT")}
+        if hug:
+            offenders[name] = hug
+    assert not offenders, f"HUGEINT on oracle output surface: {offenders}"
+
+
 def test_retired_queries_stay_out_of_registry():
     """ngram_jaccard_documents was retired from the timed registry in r9
     (r8 verdict #7): the brute-force baseline stays available as a
