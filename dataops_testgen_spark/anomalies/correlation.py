@@ -349,11 +349,26 @@ def _correlation_screen_wide(df: DataFrame, cols: list[str],
                    & (F.col("n") >= int(min_n)), F.lit(False)))
 
 
+def correlation_eligible_row(r) -> bool:
+    """Driver-side mirror of ``correlation_eligible()`` over a collected
+    profile row (needs general_type, functional_data_type). Parity with
+    the Column predicate is pinned by
+    tests/test_anomalies.py::test_eligibility_row_mirrors_column — the
+    fused metadata collect in screen_anomalies depends on it."""
+    fdt = r["functional_data_type"]
+    if r["general_type"] != "N" or fdt is None:
+        return False
+    low = fdt.lower()
+    return (not low.startswith("id") and not low.startswith("period")
+            and fdt not in ("Sequence", "Category", "Code"))
+
+
 def correlation_anomalies(tables: dict[str, DataFrame],
                           inferred_profile: DataFrame,
                           min_abs_corr: float = CORRELATION_MIN_ABS,
                           min_n: int = CORRELATION_MIN_N,
-                          spearman: bool = False) -> DataFrame | None:
+                          spearman: bool = False,
+                          meta_rows: list | None = None) -> DataFrame | None:
     """The cascade hook: flagged correlation pairs as hygiene-anomaly
     rows (the anomalies/screen.py output schema), one row per flagged
     pair anchored on the LATER column in schema order (the "derived"
@@ -372,8 +387,15 @@ def correlation_anomalies(tables: dict[str, DataFrame],
     (Correlated_Columns), so prevalence/rollup/scorecard flow unchanged.
     Cost: one extra rank-transform + fused agg per table, so it is
     opt-in (run-profile/run-anomalies --spearman)."""
-    elig = (inferred_profile.filter(correlation_eligible())
-            .select("table_name", "column_name").collect())
+    # ``meta_rows``: pre-collected (table_name, column_name, general_type,
+    # functional_data_type, distinct_value_ct) profile rows — screen_
+    # anomalies collects the metadata ONCE and shares it with
+    # dependence_anomalies (3 near-identical tiny jobs -> 1).
+    if meta_rows is None:
+        elig = (inferred_profile.filter(correlation_eligible())
+                .select("table_name", "column_name").collect())
+    else:
+        elig = [r for r in meta_rows if correlation_eligible_row(r)]
     by_table: dict[str, set[str]] = {}
     for r in elig:
         by_table.setdefault(r["table_name"], set()).add(r["column_name"])

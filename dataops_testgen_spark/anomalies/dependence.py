@@ -130,7 +130,8 @@ def group_dependence_screen(df: DataFrame, cat_cols: list[str],
 def dependence_anomalies(tables: dict[str, DataFrame],
                          inferred_profile: DataFrame,
                          min_eta2: float = DEPENDENCE_MIN_ETA2,
-                         min_n: int = DEPENDENCE_MIN_N) -> DataFrame | None:
+                         min_n: int = DEPENDENCE_MIN_N,
+                         meta_rows: list | None = None) -> DataFrame | None:
     """The cascade hook (the Correlated_Columns playbook): flagged
     (categorical, numeric) dependencies as hygiene-anomaly rows anchored
     on the NUMERIC column (the redundant encoding), detail naming its
@@ -142,17 +143,31 @@ def dependence_anomalies(tables: dict[str, DataFrame],
     2..20 distinct values), numerics by the correlation screen's
     eligibility. Tables with an empty side are skipped."""
     from dataops_testgen_spark.anomalies.correlation import (
-        correlation_eligible)
+        correlation_eligible, correlation_eligible_row)
 
-    cat_rows = (inferred_profile.filter(
-        F.col("functional_data_type").isin("Code", "Category")
-        & F.col("distinct_value_ct").between(2, DEPENDENCE_MAX_GROUPS))
-        .select("table_name", "column_name").collect())
-    # distinct_value_ct > 1: a constant measure has zero variance — eta²
-    # is undefined and float noise must not decide the flag
-    num_rows = (inferred_profile.filter(
-        correlation_eligible() & (F.col("distinct_value_ct") > 1))
-        .select("table_name", "column_name").collect())
+    # ``meta_rows``: pre-collected profile metadata shared with
+    # correlation_anomalies via screen_anomalies (one collect, not three
+    # near-identical tiny jobs); driver-side predicates mirror the Column
+    # filters exactly (parity test in tests/test_anomalies.py).
+    if meta_rows is None:
+        cat_rows = (inferred_profile.filter(
+            F.col("functional_data_type").isin("Code", "Category")
+            & F.col("distinct_value_ct").between(2, DEPENDENCE_MAX_GROUPS))
+            .select("table_name", "column_name").collect())
+        # distinct_value_ct > 1: a constant measure has zero variance —
+        # eta² is undefined and float noise must not decide the flag
+        num_rows = (inferred_profile.filter(
+            correlation_eligible() & (F.col("distinct_value_ct") > 1))
+            .select("table_name", "column_name").collect())
+    else:
+        cat_rows = [r for r in meta_rows
+                    if r["functional_data_type"] in ("Code", "Category")
+                    and r["distinct_value_ct"] is not None
+                    and 2 <= r["distinct_value_ct"] <= DEPENDENCE_MAX_GROUPS]
+        num_rows = [r for r in meta_rows
+                    if correlation_eligible_row(r)
+                    and r["distinct_value_ct"] is not None
+                    and r["distinct_value_ct"] > 1]
     cats: dict[str, set[str]] = {}
     nums: dict[str, set[str]] = {}
     for r in cat_rows:

@@ -230,9 +230,18 @@ def screen_anomalies(inferred_profile: DataFrame,
         from dataops_testgen_spark.anomalies.dependence import (
             dependence_anomalies)
 
+        # ONE metadata collect feeds both hooks' eligibility (they used
+        # to run three near-identical filter+collect jobs over the same
+        # checkpointed inferred profile); the driver-side predicates
+        # mirror the Column filters (parity test in tests/test_anomalies)
+        meta_rows = inferred_profile.select(
+            "table_name", "column_name", "general_type",
+            "functional_data_type", "distinct_value_ct").collect()
         for extra in (correlation_anomalies(tables, inferred_profile,
-                                            spearman=spearman),
-                      dependence_anomalies(tables, inferred_profile)):
+                                            spearman=spearman,
+                                            meta_rows=meta_rows),
+                      dependence_anomalies(tables, inferred_profile,
+                                           meta_rows=meta_rows)):
             if extra is not None:
                 out = out.unionByName(extra)
     return out.select(*_OUT_COLS)

@@ -794,3 +794,56 @@ def test_dependent_drilldown_residual_gaps(spark):
     order = np.sort(resid)[::-1]
     assert order.size > 500
     assert (resid == order[499]).sum() >= 2
+
+
+def test_eligibility_row_mirrors_column(spark):
+    """r14: screen_anomalies collects the profile metadata ONCE and applies
+    the correlation/dependence eligibility driver-side. Pin that the python
+    predicates match the Column filters on a matrix covering every branch:
+    general_type, NULL/prefix/case fdt variants, distinct_value_ct edges."""
+    from pyspark.sql import functions as F
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_eligible, correlation_eligible_row)
+    from dataops_testgen_spark.anomalies.dependence import (
+        DEPENDENCE_MAX_GROUPS)
+
+    fdts = [None, "ID", "ID-Unique", "Id-Secondary", "id code",
+            "Period Month", "PERIOD YR", "periodic", "Sequence", "Category",
+            "Code", "Measurement", "Measurement Pct", "Attribute",
+            "category"]
+    rows = []
+    i = 0
+    for g in ["N", "A", "D", None]:
+        for fdt in fdts:
+            for dvc in [None, 1, 2, 20, 21]:
+                rows.append((f"t{i % 3}", f"c{i}", g, fdt, dvc))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "table_name string, column_name string, general_type string, "
+              "functional_data_type string, distinct_value_ct long")
+    collected = df.collect()
+
+    spark_elig = {(r["table_name"], r["column_name"])
+                  for r in df.filter(correlation_eligible()).collect()}
+    py_elig = {(r["table_name"], r["column_name"])
+               for r in collected if correlation_eligible_row(r)}
+    assert spark_elig == py_elig
+
+    spark_cat = {(r["table_name"], r["column_name"]) for r in df.filter(
+        F.col("functional_data_type").isin("Code", "Category")
+        & F.col("distinct_value_ct").between(2, DEPENDENCE_MAX_GROUPS)
+    ).collect()}
+    py_cat = {(r["table_name"], r["column_name"]) for r in collected
+              if r["functional_data_type"] in ("Code", "Category")
+              and r["distinct_value_ct"] is not None
+              and 2 <= r["distinct_value_ct"] <= DEPENDENCE_MAX_GROUPS}
+    assert spark_cat == py_cat
+
+    spark_num = {(r["table_name"], r["column_name"]) for r in df.filter(
+        correlation_eligible() & (F.col("distinct_value_ct") > 1)).collect()}
+    py_num = {(r["table_name"], r["column_name"]) for r in collected
+              if correlation_eligible_row(r)
+              and r["distinct_value_ct"] is not None
+              and r["distinct_value_ct"] > 1}
+    assert spark_num == py_num
