@@ -146,18 +146,38 @@ def fk_discovery(tables: dict[str, DataFrame], inferred_profile: DataFrame,
     if not pairs:
         return None
     # Build each participating (table, column) distinct dictionary ONCE
-    # and localCheckpoint it (r12 verdict #4): a column referenced by K
-    # pairs previously paid K distinct() scans over its base table — at
-    # 100 TB each scan is real money; now the first consumer
-    # materializes the dictionary and every other pair reuses the
-    # checkpointed blocks (≤1 dictionary job per distinct column,
-    # asserted by tests/test_fk_discovery.py via _dictionary call count).
+    # (≤1 _dictionary call per column, asserted by
+    # tests/test_fk_discovery.py via call count). r14: checkpoint a
+    # dictionary ONLY when more than one downstream consumer scans it —
+    # after the union-verify rework each child dictionary is consumed
+    # once per parent group and each parent once per (parent, child-type)
+    # group, so most dictionaries have exactly ONE consumer and their
+    # localCheckpoint was pure overhead (a lazy localCheckpoint still
+    # runs the full analyze→optimize→toRdd pipeline at call time —
+    # measured 0.85 s of the seat's 1.5 s warm total across 8 calls).
+    # Multi-consumer dictionaries (a child verified against several
+    # parents, or a column that is both child and parent key of distinct
+    # groups) keep the checkpoint so the distinct() scan runs once — the
+    # r12 at-scale guarantee is unchanged.
+    child_type: dict[tuple[str, str], str] = {}
+    for ct, cc, pt, pc in pairs:
+        child_type[(ct, cc)] = (
+            tables[ct].schema[cc].dataType.simpleString())
+    refs: dict[tuple[str, str], int] = {}
+    parent_groups = set()
+    for ct, cc, pt, pc in pairs:
+        refs[(ct, cc)] = refs.get((ct, cc), 0) + 1
+        parent_groups.add((pt, pc, child_type[(ct, cc)]))
+    for pt, pc, _vt in parent_groups:
+        refs[(pt, pc)] = refs.get((pt, pc), 0) + 1
     dicts: dict[tuple[str, str], DataFrame] = {}
     for ct, cc, pt, pc in pairs:
         for t, c in ((ct, cc), (pt, pc)):
             if (t, c) not in dicts:
-                dicts[(t, c)] = (_dictionary(tables, t, c)
-                                 .localCheckpoint(eager=False))
+                d = _dictionary(tables, t, c)
+                if refs.get((t, c), 0) > 1:
+                    d = d.localCheckpoint(eager=False)
+                dicts[(t, c)] = d
     # Verify all pairs sharing a parent in ONE join: union the tagged
     # child dictionaries (grouped by the child value's Spark type so
     # unionByName never widens across unlike children) against the
