@@ -231,61 +231,64 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
             "cannot merge sampled profiles: scaled estimates of disjoint "
             "slices do not add — profile slices with sample=False")
 
-    aggs = []
-    for f in SUM_FIELDS:
+    has_sketches = "distinct_hll" in profiles.columns
+    has_qsketch = "quantile_sketch" in profiles.columns
+    has_fsketch = "freq_sketch" in profiles.columns
+    has_ssketch = "std_value_sketch" in profiles.columns
+    has_days = "day_set_json" in profiles.columns
+    has_stdpat = "stdpat_json" in profiles.columns
+    _DAYSET_SCHEMA = "struct<granular:boolean, days:array<string>>"
+
+    def _build_aggs():
+      aggs = []
+      for f in SUM_FIELDS:
         aggs.append(F.sum(f).cast("long").alias(f))
-    for f in SUM_DOUBLE_FIELDS:
+      for f in SUM_DOUBLE_FIELDS:
         aggs.append(F.sum(f).alias(f))
-    for f in MIN_FIELDS:
+      for f in MIN_FIELDS:
         aggs.append(F.min(f).alias(f))
-    for f in MAX_FIELDS:
+      for f in MAX_FIELDS:
         aggs.append(F.max(f).alias(f))
-    for f, w in WEIGHTED_AVG_FIELDS:
+      for f, w in WEIGHTED_AVG_FIELDS:
         aggs.append(
             (F.sum(F.col(f) * F.col(w))
              / F.nullif(F.sum(F.when(F.col(f).isNotNull(), F.col(w))),
                         F.lit(0))).alias(f))
-    # sample stddev via the grouped sum-of-squares identity; slices with a
-    # single value carry sd NULL but still contribute their mean/count
-    n_i = F.col("value_ct")
-    ss_i = (F.coalesce(F.col("stdev_value"), F.lit(0.0)) ** 2) * (n_i - 1)
-    aggs.append(F.sum(F.when(F.col("avg_value").isNotNull(),
+      # sample stddev via the grouped sum-of-squares identity; slices with a
+      # single value carry sd NULL but still contribute their mean/count
+      n_i = F.col("value_ct")
+      ss_i = (F.coalesce(F.col("stdev_value"), F.lit(0.0)) ** 2) * (n_i - 1)
+      aggs.append(F.sum(F.when(F.col("avg_value").isNotNull(),
                              ss_i + n_i * F.col("avg_value") ** 2))
                 .alias("__ss__"))
-    aggs.append(F.sum(F.when(F.col("avg_value").isNotNull(), n_i))
+      aggs.append(F.sum(F.when(F.col("avg_value").isNotNull(), n_i))
                 .alias("__n_num__"))
-    for f in META_FIRST:
+      for f in META_FIRST:
         aggs.append(F.first(f, ignorenulls=True).alias(f))
-    # benford digit counts are plain additive censuses: element-wise sum
-    # over the slices that carry one (N columns), NULL otherwise
-    aggs.append(F.count("benford_counts").alias("__bf_ct__"))
-    aggs.append(F.array(
+      # benford digit counts are plain additive censuses: element-wise sum
+      # over the slices that carry one (N columns), NULL otherwise
+      aggs.append(F.count("benford_counts").alias("__bf_ct__"))
+      aggs.append(F.array(
         *[F.sum(F.col("benford_counts")[i]).cast("long")
           for i in range(9)]).alias("__bf__"))
-    aggs.append(F.max("run_date").alias("run_date"))
-    has_sketches = "distinct_hll" in profiles.columns
-    if has_sketches:
+      aggs.append(F.max("run_date").alias("run_date"))
+      if has_sketches:
         # mergeable distinct counts: union the slices' DataSketches HLLs
         # (guarded — an all-NULL union yields an EMPTY sketch, which would
         # turn "sketches not kept" into a false distinct count of 0)
         aggs.append(F.when(F.count("distinct_hll") > 0,
                            F.hll_union_agg("distinct_hll"))
                     .alias("distinct_hll"))
-    has_qsketch = "quantile_sketch" in profiles.columns
-    if has_qsketch:
+      if has_qsketch:
         # collect_list drops NULL blobs, so string/date columns (no numeric
         # sketch) arrive as empty lists and merge to NULL percentiles
         aggs.append(F.collect_list("quantile_sketch").alias("__qsk__"))
-    has_fsketch = "freq_sketch" in profiles.columns
-    if has_fsketch:
+      if has_fsketch:
         aggs.append(F.collect_list("freq_sketch").alias("__fsk__"))
         aggs.append(F.collect_list("pattern_sketch").alias("__psk__"))
-    has_ssketch = "std_value_sketch" in profiles.columns
-    if has_ssketch:
+      if has_ssketch:
         aggs.append(F.collect_list("std_value_sketch").alias("__ssk__"))
-    has_days = "day_set_json" in profiles.columns
-    _DAYSET_SCHEMA = "struct<granular:boolean, days:array<string>>"
-    if has_days:
+      if has_days:
         # exact distinct-day union, all JVM-side: flatten the slices' day
         # lists; weeks/months derive from the merged day set below
         aggs.append(F.flatten(F.collect_list(
@@ -297,12 +300,23 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
         aggs.append(F.min(
             F.from_json("day_set_json", _DAYSET_SCHEMA)
              .granular.cast("int")).alias("__day_gran__"))
-    has_stdpat = "stdpat_json" in profiles.columns
-    if has_stdpat:
+      if has_stdpat:
         aggs.append(F.collect_list(
             F.from_json("stdpat_json", "map<string,bigint>"))
             .alias("__stdpats__"))
+      return aggs
 
+    # The agg expression list depends only on which sketch columns are
+    # present (never on the table), so the ~120 Column objects are built
+    # once per (session, signature) instead of per merge call — the
+    # cascade/profiler cached_expr discipline (inference/helpers.py).
+    from dataops_testgen_spark.inference.helpers import cached_expr
+
+    sig = ",".join(c for c, present in (
+        ("hll", has_sketches), ("q", has_qsketch), ("f", has_fsketch),
+        ("s", has_ssketch), ("d", has_days), ("p", has_stdpat)) if present)
+    aggs = cached_expr(profiles.sparkSession.sparkContext.applicationId,
+                       f"merge_aggs:{sig}", _build_aggs)
     g = profiles.groupBy(*KEY_FIELDS).agg(*aggs)
     if has_qsketch:
         g = g.withColumn("__q__", _merge_quantile_sketches_udf()(F.col("__qsk__"))) \
