@@ -230,10 +230,20 @@ def correlation_screen(df: DataFrame, cols: list[str] | None = None,
             # returning the undefined-correlation NULL (DuckDB CORR)
             a_pair = F.when(F.col(b).isNotNull(), ad)
             b_pair = F.when(F.col(a).isNotNull(), bd)
-            aggs.append(F.try_divide(
-                F.covar_samp(ad, bd),
-                F.stddev_samp(a_pair) * F.stddev_samp(b_pair))
-                .alias(f"c{i}"))
+            # exact constant-side guard (r14): stddev_samp of an exactly
+            # constant column is 0 at most partition layouts but returns
+            # ~1e-16 MERGE NOISE at others (repro: 1000x7.0 -> 2.8e-16 at
+            # repartition(5), 0.0 at repartition(6)), and corr then
+            # becomes noise/noise — an arbitrary value in [-1,1] that
+            # depends on the partitioning. min<max is exact at any
+            # layout: constants yield the undefined-correlation NULL
+            # everywhere, non-constant pairs are bit-identical to before.
+            sd_a = F.when(F.min(a_pair) < F.max(a_pair),
+                          F.stddev_samp(a_pair))
+            sd_b = F.when(F.min(b_pair) < F.max(b_pair),
+                          F.stddev_samp(b_pair))
+            aggs.append(F.try_divide(F.covar_samp(ad, bd), sd_a * sd_b)
+                        .alias(f"c{i}"))
             aggs.append(F.count(F.when(F.col(a).isNotNull()
                                        & F.col(b).isNotNull(), 1))
                         .alias(f"n{i}"))

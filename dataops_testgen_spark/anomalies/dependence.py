@@ -75,10 +75,16 @@ def group_dependence_screen(df: DataFrame, cat_cols: list[str],
         aggs = []
         for i, c in enumerate(num_cols):
             x = F.col(c).cast("double")
+            # lo/hi: exact constant-measure guard — var_pop of an exactly
+            # constant column can return ~1e-16 partition-merge noise at
+            # some layouts (see correlation.py), and eta² would then be
+            # noise/noise; min<max is exact at any partitioning
             aggs.extend([
                 F.count(x).alias(f"n{i}"),
                 F.avg(x).alias(f"m{i}"),
-                F.var_pop(x).alias(f"vp{i}")])
+                F.var_pop(x).alias(f"vp{i}"),
+                F.min(x).alias(f"lo{i}"),
+                F.max(x).alias(f"hi{i}")])
         # checkpointed: the group relation (<= the category's distinct
         # count rows) feeds BOTH folds below — without it each fold
         # re-runs the table scan
@@ -104,13 +110,18 @@ def group_dependence_screen(df: DataFrame, cat_cols: list[str],
                 F.sum(nd * d * d).alias(f"ssb{i}"),
                 F.max(f"tn{i}").alias(f"tn{i}"),
                 F.max(f"g{i}").alias(f"g{i}"),
-                F.max(f"ssw{i}").alias(f"ssw{i}")])
+                F.max(f"ssw{i}").alias(f"ssw{i}"),
+                F.min(f"lo{i}").alias(f"lo{i}"),
+                F.max(f"hi{i}").alias(f"hi{i}")])
         one = joined.agg(*fin_aggs)
         entries = []
         for i, c in enumerate(num_cols):
-            eta2 = F.try_divide(
-                F.col(f"ssb{i}"),
-                F.nullif(F.col(f"ssb{i}") + F.col(f"ssw{i}"), F.lit(0.0)))
+            eta2 = F.when(
+                F.col(f"lo{i}") < F.col(f"hi{i}"),
+                F.try_divide(
+                    F.col(f"ssb{i}"),
+                    F.nullif(F.col(f"ssb{i}") + F.col(f"ssw{i}"),
+                             F.lit(0.0))))
             entries.append(F.struct(
                 F.lit(cat).alias("cat_col"), F.lit(c).alias("num_col"),
                 F.col(f"tn{i}").alias("n"),

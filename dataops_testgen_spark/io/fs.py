@@ -56,6 +56,16 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
     a bare max+1 read-then-write would let two CONCURRENT maintenance
     appends pick the same id, and the dynamic overwrite would then
     silently replace the earlier writer's partitions (driver ADVICE r7).
+
+    INVARIANT (judge ADVICE r13): the sibling ``<path>__ids`` claim dir
+    MUST travel with the index — copy, back up and restore them
+    together. The claims fast path trusts max(claims) >= max(stamped
+    ids); an index moved without its ``__ids`` dir falls back to the
+    slow data-derived path (safe), but a PARTIALLY copied or pruned
+    ``__ids`` dir would satisfy "claims exist" while under-counting. As
+    a cheap belt-and-braces, an auto-assigned id additionally verifies
+    no ``batch_id=N`` partition directory already exists before writing
+    and fails loudly instead of silently replacing that batch.
     Explicit ids (streaming sinks) record a best-effort claim too, so an
     in-flight stream batch whose data hasn't landed yet can't be
     double-assigned by a concurrent auto append; re-claiming the same
@@ -112,6 +122,19 @@ def stamped_append(df: DataFrame, path: str, partition_cols=(),
                 claimed = max(mx if mx is not None else -1, claimed)
     if batch_id is None:
         batch_id = _claim_batch_id(spark, path, max(0, claimed + 1))
+        # Belt-and-braces for a desynced __ids dir (docstring invariant):
+        # an auto id must be FRESH — if its partition dir already exists
+        # the claims under-count (e.g. __ids pruned or partially copied)
+        # and the dynamic overwrite would silently replace that batch.
+        # One glob metadata call; explicit ids skip it (replays re-write
+        # their own id idempotently BY DESIGN).
+        if _batch_partition_exists(spark, path, int(batch_id),
+                                   bool(partition_cols)):
+            raise ValueError(
+                f"auto-assigned batch_id={batch_id} already has data under "
+                f"{path} — the sibling {path}__ids claim dir is out of sync "
+                "with the index (it must travel with the data); restore it "
+                "or run the family's *_index_compact to rebuild")
     else:
         _record_claim(spark, path, int(batch_id))
     out = df.withColumn("batch_id", F.lit(int(batch_id)))
@@ -136,6 +159,21 @@ def _claims_dir(spark, path: str):
     jvm = spark._jvm
     claims = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__ids")
     return claims.getFileSystem(spark._jsc.hadoopConfiguration()), claims, jvm
+
+
+def _batch_partition_exists(spark, path: str, batch_id: int,
+                            nested: bool) -> bool:
+    """True when a ``batch_id=N`` partition dir already exists under
+    ``path`` (directly, or one partition level down when the relation has
+    a prefix partition column). One globStatus metadata call."""
+    jvm = spark._jvm
+    pattern = (f"{path}/*/batch_id={batch_id}" if nested
+               else f"{path}/batch_id={batch_id}")
+    hpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    got = fs.globStatus(hpath)
+    return got is not None and len(got) > 0
 
 
 def _max_claimed_id(spark, path: str) -> int:

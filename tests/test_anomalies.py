@@ -847,3 +847,40 @@ def test_eligibility_row_mirrors_column(spark):
               and r["distinct_value_ct"] is not None
               and r["distinct_value_ct"] > 1}
     assert spark_num == py_num
+
+
+def test_constant_column_corr_eta2_null_at_any_partitioning(spark):
+    """r14 latent-bug regression guard: stddev_samp/var_pop of an EXACTLY
+    constant column return ~1e-16 partition-merge noise at some layouts
+    (1000x7.0: 2.8e-16 at repartition(5), 0.0 at repartition(6) —
+    reproduced at local[6]/local[7] via arrow slicing too), and
+    corr / eta² then become noise/noise — an arbitrary value that depends
+    on the partitioning. The exact min<max guards must yield the
+    undefined-NULL (and flagged=False) at EVERY layout."""
+    import numpy as np
+    import pandas as pd
+
+    from dataops_testgen_spark.anomalies.correlation import (
+        correlation_screen)
+    from dataops_testgen_spark.anomalies.dependence import (
+        group_dependence_screen)
+
+    rng = np.random.default_rng(23)
+    n = 1000
+    pdf = pd.DataFrame({
+        "amount": rng.normal(100, 20, n),
+        "constant": np.full(n, 7.0),
+        "cat": ["A", "B", "C", "D", "E"] * (n // 5),
+    })
+    base = spark.createDataFrame(pdf)
+    for k in (2, 5, 6, 7, 9):
+        df = base.repartition(k)
+        out = {(r["col_a"], r["col_b"]): r
+               for r in correlation_screen(
+                   df.select("amount", "constant"), min_n=500).collect()}
+        row = out[("amount", "constant")]
+        assert row["corr"] is None and not row["flagged"], (k, row)
+        dep = {r["num_col"]: r for r in group_dependence_screen(
+            df, ["cat"], ["amount", "constant"]).collect()}
+        assert dep["constant"]["eta2"] is None, (k, dep["constant"])
+        assert not dep["constant"]["flagged"], (k, dep["constant"])

@@ -40,62 +40,61 @@ def test_entry_smoke(spark):
 
 
 # Queries whose hard driver-correctness signal is the priority this round
-# (r13): the twice-red dependence seat (now float-free), the NEW
-# ref_orphans_events batch twin, the seats r13's code touches (FK
-# shared dictionaries, batched wide ranking, cascade compile tax),
-# the 28-seat r10-green block (longest unchecked), and the oldest
-# r11-green seats as fillers.
+# (r14): the FIXED 3-round-red dependence seat (HUGEINT oracle cast), the
+# seats r13's structural rewrites touched but its round-start window could
+# not verify (VERDICT r13 item 3), the seats r14's own changes touch, and
+# the longest-unchecked r11-green block as fillers.
 _MUST_BE_IN_DRIVER_WINDOW = {
     "group_dependence_lineitem",
-    "ref_orphans_events",
-    "fk_discovery_tpch",
-    "spearman_lineitem",
+    "multimodal_features_documents",
+    "ann_index_probe_embeddings",
+    "bm25_index_probe_documents",
+    "minhash_index_probe_documents",
+    "incremental_screen_orders",
+    "lr_quality_documents",
+    "nb_classify_documents",
+    "curation_gate_documents",
+    "simhash_documents",
+    "dup_substrings_documents",
+    "decontaminate_documents",
+    "anomaly_screen_orders",
+    "anomaly_screen_customer_orders",
+    "functional_types_customer",
+    "functional_types_orders",
+    "validation_prepass",
     "spearman_screen_lineitem",
     "correlation_screen_lineitem",
-    "merge_defs_fixture",
-    "drilldown_masked_customer",
-    "bigram_lm_documents",
-    "trigram_lm_documents",
-    "ngram_lm_documents",
-    "kmeans_embeddings",
-    "fuzzy_pairs_part",
-    "generated_tests_lineitem",
-    "generated_test_keys_lineitem",
-    "score_category_fixture",
-    "score_overall_history_fixture",
-    "embedding_cosine_pairs",
-    "ann_topk_embeddings",
-    "ivf_topk_embeddings",
-    "pq_topk_embeddings",
-    "unigram_logprob_documents",
-    "c4_clean_documents",
-    "sample_documents",
-    "dsir_weights_documents",
-    "dedup_exact_documents",
-    "chunk_documents",
-    "gopher_quality_documents",
-    "text_analysis_documents",
-    "pii_scrub_documents",
-    "repetition_flags_documents",
-    "skew_hot_keys_lineitem",
-    "schema_drift_log",
-    "dupe_rows_part",
-    "opq_query_embeddings",
-    "fs_em3_part",
-    "fs_em_part",
-    "record_linkage_part",
-    "correlation_lineitem",
-    "score_breakdown_impact_co_li",
-    "score_breakdown_column_co_li",
-    "score_breakdown_dimension_co_li",
+    "fk_discovery_tpch",
+    "spearman_lineitem",
     "merged_profile_orders",
     "merged_profile_percentiles",
     "merged_topfreq_orders",
-    "profile_lineitem_numeric",
-    "profile_customer_strings",
-    "profile_sampled_lineitem",
-    "combo_match_customer_orders",
-    "verified_near_dups_documents",
+    "score_breakdown_impact_co_li",
+    "score_breakdown_column_co_li",
+    "score_breakdown_dimension_co_li",
+    "score_card_issues_co_li",
+    "merge_defs_fixture",
+    "cat_tests_lineitem",
+    "cat_tests_extended",
+    "cat_tests_remaining",
+    "aggregate_balance_orders",
+    "aggregate_balance_pct_orders",
+    "aggregate_balance_range_orders",
+    "aggregate_minimum_orders",
+    "timeframe_combo_events",
+    "timeframe_gain_events",
+    "gen_constant_history",
+    "drilldown_unique_orders",
+    "drilldown_min_val_lineitem",
+    "drilldown_outlier_lineitem",
+    "drilldown_missing_days_events",
+    "drilldown_aggregate_balance",
+    "semantic_dedup_embeddings",
+    "asof_join_events",
+    "asof_nearest_events",
+    "top_freq_orders",
+    "top_patterns_part",
+    "hybrid_search_documents",
 }
 
 
