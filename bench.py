@@ -67,6 +67,35 @@ def main() -> None:
     (spark.range(cpus * 4).repartition(cpus)
      .mapInPandas(_warm_workers, "id long").count())
 
+    # Operator-class warmup (r14): the r14 window rotation moved the heavy
+    # cascade/index seats to the FRONT of the run, and a cross-process A/B
+    # vs the r13 ordering showed a pure POSITION tax (+0.5-3 s on each
+    # early heavy seat, the same seconds back off the late seats; per-query
+    # geomean 0.995 — code-neutral). The cold classes the original warmup
+    # does not touch: WindowExec codegen, GenerateExec (explode), the
+    # parquet write committer + dynamic partition overwrite machinery, and
+    # HLL sketch codegen. Touch each once so seat timings measure the
+    # queries, not whichever seat happens to run first — the same declared
+    # discipline as the JIT/python-worker warmups above.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as _W
+    wdf = spark.range(200).select((F.col("id") % 5).alias("k"),
+                                  F.col("id").alias("v"))
+    wdf.select(F.row_number().over(
+        _W.partitionBy("k").orderBy("v")).alias("rn")).agg(
+        F.max("rn"), F.hll_sketch_estimate(F.hll_sketch_agg("rn"))).collect()
+    wdf.select(F.explode(F.array(F.col("v"), F.col("v") + 1))).count()
+    wtmp = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        (wdf.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("k").parquet(wtmp + "/w"))
+        spark.read.parquet(wtmp + "/w").count()
+    finally:
+        shutil.rmtree(wtmp, ignore_errors=True)
+
     # Charge the SHARED profile + inference-cascade compile (memoized in
     # __spark_entry__._inferred and reused by ~15 queries) to its own
     # warm-up line instead of whichever consumer happens to run first.
