@@ -144,6 +144,14 @@ def pytest_runtestloop(session):
             f"{collected} collected tests — treating the gap as failure")
         session.testsfailed += 1
     session.testsfailed += total_failed + total_error
+    if (total_failed == total_error == 0 and tw is not None
+            and total_passed >= collected):
+        # make the parent's own closing line read "<N> passed" instead of
+        # "no tests ran": placeholders are only ever len()-counted by the
+        # summary; on any failure we leave stats empty (the failure
+        # sections iterate report objects) and rely on testsfailed + the
+        # replayed worker output above
+        tw.stats.setdefault("passed", []).extend(["worker"] * total_passed)
     return True
 
 SF_DIR = "/root/testdata/sf0.001"
