@@ -147,11 +147,14 @@ def pytest_runtestloop(session):
     if (total_failed == total_error == 0 and tw is not None
             and total_passed >= collected):
         # make the parent's own closing line read "<N> passed" instead of
-        # "no tests ran": placeholders are only ever len()-counted by the
-        # summary; on any failure we leave stats empty (the failure
-        # sections iterate report objects) and rely on testsfailed + the
-        # replayed worker output above
-        tw.stats.setdefault("passed", []).extend(["worker"] * total_passed)
+        # "no tests ran". Placeholders must look report-ish: plugins'
+        # terminal summaries may probe entries (hypothesis reads
+        # report.__dict__), so use empty namespaces; on any failure we
+        # leave stats empty (the failure sections iterate real report
+        # objects) and rely on testsfailed + the replayed worker output
+        import types
+        tw.stats.setdefault("passed", []).extend(
+            types.SimpleNamespace() for _ in range(total_passed))
     return True
 
 SF_DIR = "/root/testdata/sf0.001"
